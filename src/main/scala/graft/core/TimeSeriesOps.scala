@@ -1,0 +1,174 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping operators — the core dataflow surface of the
+  * reference (SURVEY §2.3/§2.6; `auto_ts/utils/etl.py:248-317` supervised
+  * reshape, `auto_ts/__init__.py:347-351` differencing,
+  * `auto_ts/models/build_ml.py:732-786` calendar features).
+  *
+  * Spark has no implicit row index, so every operator takes an explicit
+  * event-time column (`tsCol`), optional series-identity columns
+  * (`seriesCols` → `Window.partitionBy`), and optional deterministic
+  * tie-break columns for duplicate timestamps (the reference's positional
+  * `shift` is undefined there — SURVEY §7.4). At scale, `seriesCols`
+  * non-empty is the contract: a window with no partition keys collapses to
+  * a single task and is only acceptable for one bounded series.
+  */
+object TimeSeriesOps {
+
+  /** partitionBy(seriesCols).orderBy(tsCol, tieBreak*) */
+  def seriesWindow(tsCol: String, seriesCols: Seq[String],
+                   tieBreak: Seq[String] = Nil): WindowSpec = {
+    val base =
+      if (seriesCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(seriesCols.map(col): _*)
+    base.orderBy((tsCol +: tieBreak).map(col): _*)
+  }
+
+  /** T1 — lag features `col_lag{i}` for i=1..maxLag (reference `var(t-i)`,
+    * `utils/etl.py:285`). */
+  def addLags(df: DataFrame, valueCols: Seq[String], maxLag: Int,
+              tsCol: String, seriesCols: Seq[String] = Nil,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+    val lagCols = for (c <- valueCols; i <- 1 to maxLag)
+      yield lag(col(c), i).over(w).as(s"${c}_lag$i")
+    df.select(df.columns.map(col) ++ lagCols: _*)
+  }
+
+  /** T2 — lead features `col_lead{i}` for i=1..maxLead (reference
+    * `var(t+i)`, `utils/etl.py:291-294`). */
+  def addLeads(df: DataFrame, valueCols: Seq[String], maxLead: Int,
+               tsCol: String, seriesCols: Seq[String] = Nil,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+    val leadCols = for (c <- valueCols; i <- 1 to maxLead)
+      yield lead(col(c), i).over(w).as(s"${c}_lead$i")
+    df.select(df.columns.map(col) ++ leadCols: _*)
+  }
+
+  /** T1+T2 — the reference's `convert_timeseries_dataframe_to_supervised`
+    * (`utils/etl.py:248-317`): lags of every column + leads of the target,
+    * rows with incomplete windows dropped. */
+  def toSupervised(df: DataFrame, featureCols: Seq[String], targetCol: String,
+                   nIn: Int, nOut: Int, tsCol: String,
+                   seriesCols: Seq[String] = Nil,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val lagged = addLags(df, featureCols, nIn, tsCol, seriesCols, tieBreak)
+    val led    = if (nOut > 0) addLeads(lagged, Seq(targetCol), nOut, tsCol, seriesCols, tieBreak) else lagged
+    led.na.drop()
+  }
+
+  /** T4 — k-th order differencing: `col - lag(col, 1)` applied `order`
+    * times (`auto_ts/__init__.py:347-351`). Emits `col_diff`. */
+  def diff(df: DataFrame, valueCol: String, order: Int,
+           tsCol: String, seriesCols: Seq[String] = Nil,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+    // d-th difference = repeated (x - lag(x)) over the same ordered window
+    var out = df
+    var name = valueCol
+    for (i <- 1 to order) {
+      val newName = if (i == order) s"${valueCol}_diff" else s"${valueCol}_d$i"
+      out = out.withColumn(newName, col(name) - lag(col(name), 1).over(w))
+      name = newName
+    }
+    out
+  }
+
+  /** T5 — inverse differencing: running cumulative sum restoring a
+    * differenced series given its anchor (`models/build_pyflux.py:91-106`).
+    * cumsum over the ordered window + anchor. */
+  def cumsumRestore(df: DataFrame, diffCol: String, anchor: Double,
+                    tsCol: String, seriesCols: Seq[String] = Nil,
+                    tieBreak: Seq[String] = Nil,
+                    outCol: String = "restored"): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, lit(anchor) + sum(coalesce(col(diffCol), lit(0.0))).over(w))
+  }
+
+  /** W6/P5 — forward fill: last non-null over the ordered window
+    * (`models/build_ml.py:720`). */
+  def forwardFill(df: DataFrame, valueCols: Seq[String], tsCol: String,
+                  seriesCols: Seq[String] = Nil,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** T6 — the reference's 10 calendar features
+    * (`models/build_ml.py:732-786`): hour, minute, dayofweek (0=Monday,
+    * pandas convention `build_ml.py:763`), quarter, month, year, dayofyear,
+    * dayofmonth, weekofyear (ISO), weekend indicator. */
+  def calendarFeatures(df: DataFrame, tsCol: String, prefix: String = ""): DataFrame = {
+    val ts = col(tsCol)
+    df.withColumns(Map(
+      s"${prefix}hour"       -> hour(ts),
+      s"${prefix}minute"     -> minute(ts),
+      s"${prefix}dayofweek"  -> weekday(ts), // 0 = Monday, matches pandas
+      s"${prefix}quarter"    -> quarter(ts),
+      s"${prefix}month"      -> month(ts),
+      s"${prefix}year"       -> year(ts),
+      s"${prefix}dayofyear"  -> dayofyear(ts),
+      s"${prefix}dayofmonth" -> dayofmonth(ts),
+      s"${prefix}weekofyear" -> weekofyear(ts),
+      s"${prefix}weekend"    -> when(weekday(ts) >= 5, 1).otherwise(0)
+    ))
+  }
+
+  /** T10 — resample to a coarser grain with mean of the value columns
+    * (README.md:187 contract). `unit` is a `date_trunc` unit
+    * (year|quarter|month|week|day|hour|minute). Aggregation is partial
+    * (map-side combine) — one shuffle on the truncated key. */
+  def resampleMean(df: DataFrame, tsCol: String, unit: String,
+                   valueCols: Seq[String],
+                   seriesCols: Seq[String] = Nil): DataFrame = {
+    val keys = seriesCols.map(col) :+ date_trunc(unit, col(tsCol)).as("ts_bucket")
+    val aggs = valueCols.map(c => avg(col(c)).as(s"${c}_mean")) :+ count(lit(1)).as("n")
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** W3 — rolling mean/std over the trailing `window` rows
+    * (`utils/eda.py:237-238`). */
+  def rollingStats(df: DataFrame, valueCol: String, windowRows: Int,
+                   tsCol: String, seriesCols: Seq[String] = Nil,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    df.withColumn(s"${valueCol}_rollmean", avg(col(valueCol)).over(w))
+      .withColumn(s"${valueCol}_rollstd", stddev_samp(col(valueCol)).over(w))
+  }
+
+  /** T11 — future timestamp generation (`make_future_dataframe`
+    * equivalent, `models/build_prophet.py:256`): k periods past the max
+    * timestamp at a calendar interval, via `sequence` + `explode`
+    * (generator built-ins, no UDTF). */
+  def futureTimestamps(df: DataFrame, tsCol: String, periods: Int,
+                       interval: String): DataFrame = {
+    val step = expr(s"INTERVAL $interval")
+    df.agg(max(col(tsCol)).as("ts_max"))
+      .select(explode(sequence(col("ts_max") + step,
+                               col("ts_max") + expr(s"INTERVAL ${periods * intervalCount(interval)} ${intervalUnit(interval)}"),
+                               step)).as(tsCol))
+  }
+
+  private def intervalCount(interval: String): Int =
+    interval.trim.split("\\s+")(0).toInt
+  private def intervalUnit(interval: String): String =
+    interval.trim.split("\\s+")(1)
+
+  /** T13 — last `lags` train rows prepended to the test frame for
+    * recursive forecasting (`models/build_ml.py:84,394,411,526`). */
+  def prependBuffer(train: DataFrame, test: DataFrame, lags: Int,
+                    tsCol: String): DataFrame = {
+    val tail = train.orderBy(col(tsCol).desc).limit(lags)
+    tail.unionByName(test, allowMissingColumns = true).orderBy(col(tsCol))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.infer
+
+import java.time.format.DateTimeFormatter
+import java.time.temporal.TemporalQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Datetime string-format inference (`utils/etl.py:335-446`).
+  *
+  * The reference probes ~30 date / ~13 time / ~60 datetime strptime
+  * patterns against a 12-row sample (`utils/etl.py:107`). Same design here:
+  * driver-side sampling (bounded — never a distributed probe), then a
+  * single codegen'd `to_timestamp(col, fmt)` applies the winner to the
+  * whole table. */
+object DatetimeFormatInfer {
+
+  /** Candidate patterns in java.time syntax (reference list re-expressed;
+    * order = precedence, first full match wins). */
+  val candidates: Seq[String] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+    "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm",
+    "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
+    "dd-MM-yyyy HH:mm:ss", "dd/MM/yyyy HH:mm:ss",
+    "yyyy-MM-dd", "yyyy/MM/dd", "yyyyMMdd",
+    "MM/dd/yyyy", "MM-dd-yyyy", "dd/MM/yyyy", "dd-MM-yyyy",
+    "dd MMM yyyy", "MMM dd, yyyy", "MMMM dd, yyyy",
+    "yyyy-MM", "MM/yyyy", "MMM-yyyy", "MMM yyyy",
+    "HH:mm:ss", "HH:mm"
+  )
+
+  private def matches(fmt: String, sample: Seq[String]): Boolean = {
+    val f = DateTimeFormatter.ofPattern(fmt)
+    sample.forall { s =>
+      try { f.parse(s.trim); true } catch { case _: Exception => false }
+    }
+  }
+
+  /** Sample `n` non-null strings to the driver and return the first
+    * candidate that parses all of them (reference samples 12 rows,
+    * `utils/etl.py:107`). */
+  def infer(df: DataFrame, strCol: String, n: Int = 12): Option[String] = {
+    val sample = df.select(col(strCol)).na.drop().limit(n)
+      .collect().map(_.getString(0)).toSeq
+    if (sample.isEmpty) None else candidates.find(matches(_, sample))
+  }
+
+  /** Parse a string column with an inferred (or given) format — the S1
+    * load step (`utils/etl.py:37`). */
+  def parseTimestamp(df: DataFrame, strCol: String, outCol: String,
+                     fmt: Option[String] = None): DataFrame = {
+    val f = fmt.orElse(infer(df, strCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"could not infer datetime format for column $strCol"))
+    df.withColumn(outCol, to_timestamp(col(strCol), f))
+  }
+
+  /** S1 — CSV scan with datetime parsing (`load_ts_data`,
+    * `utils/etl.py:17-61`): header on, custom separator, dedupe columns,
+    * parse ts column. */
+  def loadCsv(spark: SparkSession, path: String, tsColumn: String,
+              sep: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("header", "true").option("sep", sep)
+      .option("inferSchema", "true")
+      .csv(path)
+    val deduped = graft.core.CleanOps.dedupeColumns(raw)
+    val schema = deduped.schema(tsColumn).dataType
+    schema match {
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType =>
+        deduped.withColumn(tsColumn, col(tsColumn).cast("timestamp"))
+      case _ => parseTimestamp(deduped.withColumn(tsColumn, col(tsColumn).cast("string")),
+                               tsColumn, tsColumn)
+    }
+  }
+}

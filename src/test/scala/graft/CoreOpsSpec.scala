@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{TimeSeriesOps => TS, CleanOps}
+import graft.cv.ExpandingWindowSplit
+import graft.infer.{FreqInfer, ColumnClassifier, DatetimeFormatInfer}
+
+class CoreOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val series = Seq(
+    ("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0),
+    ("2024-01-04", 4.0), ("2024-01-05", 5.0), ("2024-01-06", 6.0),
+    ("2024-01-07", 7.0), ("2024-01-08", 8.0), ("2024-01-09", 9.0),
+    ("2024-01-10", 10.0)
+  ).toDF("d", "v").withColumn("ts", to_timestamp($"d"))
+
+  test("lag then lead is identity away from boundaries") {
+    val df = TS.addLags(series, Seq("v"), 1, "ts")
+    val back = TS.addLeads(df, Seq("v_lag1"), 1, "ts")
+    val bad = back.filter($"v_lag1_lead1".isNotNull && $"v_lag1_lead1" =!= $"v").count()
+    assert(bad == 0)
+  }
+
+  test("diff then cumsum restores the series") {
+    val d = TS.diff(series, "v", 1, "ts")
+    val anchor = 1.0 // first value
+    val restored = TS.cumsumRestore(d, "v_diff", anchor, "ts")
+    val bad = restored.filter(abs($"restored" - $"v") > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("calendar features are in range") {
+    val f = TS.calendarFeatures(Tables.events(spark, SF), "ts")
+    val viol = f.filter(
+      $"dayofweek" < 0 || $"dayofweek" > 6 ||
+      !$"weekend".isin(0, 1) ||
+      $"month" < 1 || $"month" > 12 ||
+      $"quarter" < 1 || $"quarter" > 4 ||
+      $"hour" < 0 || $"hour" > 23).count()
+    assert(viol == 0)
+  }
+
+  test("expanding CV folds are expanding and test windows disjoint") {
+    val folds = ExpandingWindowSplit.folds(100, 4, 10)
+    assert(folds.map(_.trainEnd) == Seq(60L, 70L, 80L, 90L))
+    assert(folds.map(_.testEnd) == Seq(70L, 80L, 90L, 100L))
+    val pairs = folds.sliding(2).forall { case Seq(a, b) => a.testEnd == b.trainEnd }
+    assert(pairs)
+  }
+
+  test("assignFolds matches folds() boundaries") {
+    val df = ExpandingWindowSplit.assignFolds(series, "ts", Nil, 2, 3)
+    val byFold = df.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold(1) == 3 && byFold(2) == 3 && byFold(0) == 4)
+  }
+
+  test("freq bucket boundaries mirror the reference") {
+    assert(FreqInfer.bucket(60) == FreqInfer.Minutely)
+    assert(FreqInfer.bucket(3600) == FreqInfer.Hourly)
+    assert(FreqInfer.bucket(86400) == FreqInfer.Daily)
+    assert(FreqInfer.bucket(7 * 86400) == FreqInfer.Weekly)
+    assert(FreqInfer.bucket(30 * 86400) == FreqInfer.Monthly)
+    assert(FreqInfer.bucket(91 * 86400) == FreqInfer.Quarterly)
+    assert(FreqInfer.bucket(182 * 86400) == FreqInfer.SemiAnnual)
+    assert(FreqInfer.bucket(365 * 86400) == FreqInfer.Annual)
+    assert(FreqInfer.Monthly.seasonalPeriod == 12)
+    assert(FreqInfer.inferFromFirstTwo(series, "ts") == FreqInfer.Daily)
+  }
+
+  test("dedupeColumns keeps first occurrence") {
+    val df = series.select($"v", $"v".as("v"), $"ts")
+    assert(CleanOps.dedupeColumns(df).columns.toSeq == Seq("v", "ts"))
+  }
+
+  test("downcast decision picks narrowest type") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, 300L, 1e10, 0.5)).toDF("a", "b", "c", "d")
+    val dec = CleanOps.downcastDecision(df)
+    assert(dec("a") == ByteType && dec("b") == ShortType)
+    assert(dec("c") == FloatType && dec("d") == FloatType)
+  }
+
+  test("column classifier on customer") {
+    val classes = ColumnClassifier.classifyTable(Tables.customer(spark, SF))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(classes("c_custkey") == "id")
+    assert(classes("c_mktsegment") == "categorical")
+    assert(classes("c_acctbal") == "continuous")
+  }
+
+  test("datetime format inference") {
+    val df = Seq("2024-01-15", "2024-02-01").toDF("s")
+    assert(DatetimeFormatInfer.infer(df, "s").contains("yyyy-MM-dd"))
+    val df2 = Seq("01/15/2024 10:30", "02/01/2024 11:00").toDF("s")
+    assert(DatetimeFormatInfer.infer(df2, "s").contains("MM/dd/yyyy HH:mm"))
+  }
+
+  test("all registered queries return rows at sf0.001 and have matching oracle keys") {
+    val qs = SparkEntry.queries
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, SF).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
