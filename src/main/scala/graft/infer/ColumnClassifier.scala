@@ -99,8 +99,9 @@ object ColumnClassifier {
     val spark = df.sparkSession
     import spark.implicits._
     profile(df).map { p =>
-      (p.name, classify(p).name, p.nDistinct, BigDecimal(p.nullFrac)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // same IEEE rounding formula as graft.queries.Det.dround
+      (p.name, classify(p).name, p.nDistinct,
+       math.floor(p.nullFrac * 1e6 + 0.5) / 1e6)
     }.toDF("column", "class", "n_distinct", "null_frac")
   }
 }
