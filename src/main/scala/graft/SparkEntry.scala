@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.InferQueries.queries
+    graft.queries.InferQueries.queries ++
+    graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
-    graft.queries.InferQueries.oracle
+    graft.queries.InferQueries.oracle ++
+    graft.queries.StatQueries.oracle
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.stats.StatTests
+import graft.queries.Det._
+
+/** Oracle-checked queries for the statistics layer (SURVEY §2.10 M10/M11,
+  * §2.11 UDAF surface). ACF and Durbin–Watson are SQL-expressible and
+  * hash-checked; the ADF regression itself is checked by property tests
+  * (rows-only here). */
+object StatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Proper sample ACF (full-series-mean normalization) per series,
+    * k = 1..3, via the distributed flatMapGroups path. */
+  private def m10Acf: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    StatTests.acfPerSeries(e, "value", "ts", "user_id", 3)
+      .select(col("user_id"), col("k"), dround(col("acf"), 6).as("acf"))
+  }
+
+  private val m10AcfSql: String = {
+    def term(k: Int) =
+      s"""SELECT user_id, CAST($k AS BIGINT) AS k,
+         | ${droundSql(s"sum((value - mu) * (l$k - mu)) / sum((value - mu) * (value - mu))", 6)} AS acf
+         |FROM s GROUP BY user_id""".stripMargin
+    s"""WITH s AS (
+       |  SELECT user_id, value,
+       |    lag(value,1) OVER w AS l1,
+       |    lag(value,2) OVER w AS l2,
+       |    lag(value,3) OVER w AS l3,
+       |    avg(value) OVER (PARTITION BY user_id) AS mu
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |${term(1)}
+       |UNION ALL
+       |${term(2)}
+       |UNION ALL
+       |${term(3)}""".stripMargin
+  }
+
+  /** M10 — ADF stationarity decision per series (regression-based; no SQL
+    * oracle — property-tested instead). */
+  private def m10Adf: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    StatTests.adfPerSeries(e, "value", "ts", "user_id")
+      .select(col("user_id"), col("lag_used"), col("n_obs"),
+              col("stationary").cast("string").as("stationary"))
+  }
+
+  /** M11 — Durbin–Watson on demeaned residuals per series. */
+  private def m11Dw: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val mu = Window.partitionBy(col("user_id"))
+    val withE = e
+      .withColumn("e", col("value") - avg(col("value")).over(mu))
+      .withColumn("de", col("e") - lag(col("e"), 1).over(w))
+    withE.groupBy(col("user_id"))
+      .agg(dround(sum(col("de") * col("de")) / sum(col("e") * col("e")), 6).as("dw"))
+  }
+
+  private val m11DwSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id,
+       |    value - avg(value) OVER (PARTITION BY user_id) AS e
+       |  FROM events),
+       |t AS (
+       |  SELECT user_id, e,
+       |    e - lag(e,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS de
+       |  FROM s)
+       |SELECT user_id, ${droundSql("sum(de*de) / sum(e*e)", 6)} AS dw
+       |FROM t GROUP BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "m10_acf" -> m10Acf,
+    "m10_adf" -> m10Adf,
+    "m11_dw"  -> m11Dw
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m10_acf" -> m10AcfSql,
+    "m11_dw"  -> m11DwSql
+    // m10_adf: rows-only (regression-based statistic)
+  )
+}
