@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.InferQueries.queries ++
-    graft.queries.StatQueries.queries
+    graft.queries.StatQueries.queries ++
+    graft.queries.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
     graft.queries.InferQueries.oracle ++
-    graft.queries.StatQueries.oracle
+    graft.queries.StatQueries.oracle ++
+    graft.queries.ModelQueries.oracle
 }

@@ -1,0 +1,75 @@
+package graft.automl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.infer.FreqInfer
+import graft.models._
+
+/** The orchestrator — the Spark-native `auto_timeseries`
+  * (`auto_ts/__init__.py:48`, fit at 202, predict at 910, leaderboard at
+  * 1010). fit() infers frequency and seasonal period, runs the requested
+  * model families with expanding-window CV, keeps per-model scores, and
+  * selects the best by mean CV RMSE (`__init__.py:822-870`). */
+class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
+                     modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX")) {
+
+  case class Entry(name: String, model: ModelBuild, scores: CvScores)
+
+  private var entries: Seq[Entry] = Nil
+  private var freq: FreqInfer.Freq = _
+  var bestName: String = _
+
+  def fit(df: DataFrame, tsCol: String, target: String): this.type = {
+    val exog = df.columns.filterNot(c => c == tsCol || c == target).toSeq
+    val schema = TsSchema(tsCol, target, exog)
+    freq = FreqInfer.inferFromFirstTwo(df, tsCol)
+    val n = df.count()
+    // reference clamp: h >= 5, cv*h <= n (`build_arima_base.py:111-117`)
+    val h = graft.cv.ExpandingWindowSplit.clampHorizon(n, math.max(cv, 1), forecastPeriod)
+
+    val candidates: Seq[ModelBuild] = modelTypes.flatMap {
+      case "ML"           => Some(new GbtModel(lags = math.min(math.max(2, 4), 10)))
+      case "Prophet"      => Some(new DecomposableModel(freq.seasonalPeriod))
+      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel()) // skip >1000 rows (`__init__.py:672-675`)
+      case "VAR"          => None
+      case "auto_SARIMAX" => Some(new ArimaModel())
+      case other          => None
+    }
+
+    entries = candidates.flatMap { m =>
+      try Some(Entry(m.name, m, m.fit(df, schema, cv, h)))
+      catch { case e: Exception =>
+        System.err.println(s"[autots] ${m.name} failed: ${e.getMessage}"); None }
+    }
+    require(entries.nonEmpty, "no model family fitted successfully")
+    bestName = entries.minBy(_.scores.meanRmse).name
+    this
+  }
+
+  /** S6 — leaderboard sorted ascending by mean CV RMSE
+    * (`__init__.py:1010-1048`). */
+  def leaderboard(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entries.map(e => (e.name, e.scores.meanRmse, e.scores.meanNormRmse))
+      .toDF("name", "rmse", "norm_rmse")
+      .orderBy(col("rmse"))
+  }
+
+  /** Per-fold CV scores, exploded (`get_cv_scores`, `__init__.py:1059-1072`). */
+  def cvScores(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    entries.flatMap(e => e.scores.foldRmse.zipWithIndex.map {
+      case (r, i) => (e.name, i + 1, r)
+    }).toDF("name", "fold", "rmse")
+  }
+
+  /** Forecast h periods with the best (or a named) model. */
+  def predict(spark: SparkSession, h: Int, model: String = "best"): DataFrame = {
+    val name = if (model == "best" || model.isEmpty) bestName else model
+    entries.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"model '$name' not fitted; have ${entries.map(_.name).mkString(",")}"))
+      .model.predict(spark, h)
+  }
+}

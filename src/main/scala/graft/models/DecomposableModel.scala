@@ -1,0 +1,121 @@
+package graft.models
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** M5 — the "Prophet-like" decomposable model
+  * (`models/build_prophet.py:82-346`): ŷ(t) = linear trend + Fourier
+  * seasonality + exogenous regressors, fitted by ridge regression (MAP
+  * approximation of Prophet's Stan model — SURVEY §7.3: exact Stan parity
+  * is out of scope; correctness bar is metric bounds).
+  *
+  * Seasonality: `fourierOrder` harmonics at `seasonalPeriod` observations
+  * per cycle (reference's freq→(fourier_order, prior_scale) table,
+  * `build_prophet.py:587-649`). */
+class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
+                        ridgeLambda: Double = 1.0) extends ModelBuild {
+  val name = "Prophet"
+
+  private var series: LocalSeries = _
+  private var beta: DenseVector[Double] = _
+  private var sigma: Double = _
+  private var intervalMs: Long = _
+  private var nExog: Int = _
+
+  /** Design row: [1, t/n, sin/cos(2πkt/m) for k=1..K, exog...]. */
+  private def designRow(t: Int, nScale: Double, exog: Array[Double]): Array[Double] = {
+    val base = Array.newBuilder[Double]
+    base += 1.0
+    base += t / nScale
+    var k = 1
+    while (k <= fourierOrder) {
+      val ang = 2.0 * math.Pi * k * t / seasonalPeriod
+      base += math.sin(ang); base += math.cos(ang)
+      k += 1
+    }
+    exog.foreach(base += _)
+    base.result()
+  }
+
+  private def fitLocal(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]],
+                       nScale: Double): (DenseVector[Double], Double) = {
+    val rows = y.indices.map(t => designRow(t, nScale, exog(t)))
+    val x = DenseMatrix(rows: _*)
+    val yv = DenseVector(y)
+    val k = x.cols
+    val reg = DenseMatrix.eye[Double](k) *:* ridgeLambda
+    reg(0, 0) = 0.0 // don't shrink the intercept
+    val b = inv(x.t * x + reg) * (x.t * yv)
+    val resid = yv - x * b
+    val dof = math.max(x.rows - k, 1)
+    (b, math.sqrt((resid dot resid) / dof))
+  }
+
+  private def forecastLocal(b: DenseVector[Double], from: Int, h: Int,
+                            nScale: Double, exog: Int => Array[Double]): Array[Double] =
+    Array.tabulate(h) { i =>
+      val t = from + i
+      val row = DenseVector(designRow(t, nScale, exog(t)))
+      b dot row
+    }
+
+  def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
+    series = LocalSeries.collect(df, schema)
+    nExog = schema.exog.size
+    intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
+    val nScale = series.n.toDouble
+    val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
+      val (b, _) = fitLocal(series.ts.take(trainEnd), series.y.take(trainEnd),
+                            series.exog.take(trainEnd), nScale)
+      val pred = forecastLocal(b, trainEnd, testEnd - trainEnd, nScale, t => series.exog(t))
+      LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
+    }
+    val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale)
+    beta = f; sigma = nf
+    CvScores(scores.map(_._1), scores.map(_._2))
+  }
+
+  def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
+    val nScale = series.n.toDouble
+    // future exog defaults to last observed values (documented deviation:
+    // the reference requires the caller to supply future exog)
+    val lastExog = if (series.n > 0 && nExog > 0) series.exog.last else Array.empty[Double]
+    val pred = forecastLocal(beta, series.n, h, nScale, _ => lastExog)
+    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
+  }
+}
+
+/** S5 forecast sink schema builder (ts, yhat, mean_se, mean_ci_lower,
+  * mean_ci_upper — `build_ml.py:674-683`). Future timestamps step
+  * calendar-aware when the observed delta is a month/quarter/year
+  * (a fixed-ms step would drift: Jan 1 + 31d = Feb 1, +31d = Mar 4…);
+  * sub-monthly deltas step by the exact observed milliseconds. */
+object ForecastFrame {
+  private val Day = 86400000L
+
+  def nextTs(lastMs: Long, intervalMs: Long, step: Int): Long = {
+    val base = java.time.Instant.ofEpochMilli(lastMs).atZone(java.time.ZoneOffset.UTC)
+    val days = intervalMs.toDouble / Day
+    val shifted =
+      if (days >= 28 && days < 89) base.plusMonths(step.toLong)
+      else if (days >= 89 && days < 178) base.plusMonths(3L * step)
+      else if (days >= 178 && days < 360) base.plusMonths(6L * step)
+      else if (days >= 360) base.plusYears(step.toLong)
+      else return lastMs + step * intervalMs
+    shifted.toInstant.toEpochMilli
+  }
+
+  def build(spark: SparkSession, lastTsMs: Long, intervalMs: Long,
+            yhat: Array[Double], sigma: Double): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("yhat", DoubleType),
+      StructField("mean_se", DoubleType),
+      StructField("mean_ci_lower", DoubleType), StructField("mean_ci_upper", DoubleType)))
+    val rows = yhat.zipWithIndex.map { case (p, i) =>
+      Row(new java.sql.Timestamp(nextTs(lastTsMs, intervalMs, i + 1)),
+          p, sigma, p - 1.96 * sigma, p + 1.96 * sigma)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.models
+
+import java.time.{Instant, ZoneOffset}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{TimeSeriesOps => TS}
+
+/** M6/M8 — the ML path (`models/build_ml.py:88-414`): supervised reshape
+  * (target lags + calendar features + exog) feeding a gradient-boosted
+  * tree regressor, with expanding-window CV and the reference's RECURSIVE
+  * one-step forecast loop (T14, `build_ml.py:595-670`).
+  *
+  * Spark-native choices: MLlib `GBTRegressor` (distributed training — the
+  * reference's dask-xgboost path collapses into this, SURVEY §2.10 M8);
+  * feature building is window/codegen work; the recursive loop runs on
+  * the driver against the LOCAL `GBTRegressionModel.predict(Vector)` —
+  * h is small, no per-step Spark job. */
+class GbtModel(lags: Int = 4, maxIter: Int = 50) extends ModelBuild {
+  val name = "ML"
+
+  private var model: GBTRegressionModel = _
+  private var schema: TsSchema = _
+  private var tailY: Array[Double] = _      // last `lags` observations
+  private var lastExog: Array[Double] = _
+  private var lastTsMs: Long = _
+  private var intervalMs: Long = _
+  private var residSigma: Double = _
+
+  /** calendar features used both in Spark (training) and locally
+    * (recursive forecast): month, quarter, dayofweek(0=Mon), dayofmonth. */
+  private def calendarCols(tsCol: String) = Seq(
+    month(col(tsCol)).cast("double").as("f_month"),
+    quarter(col(tsCol)).cast("double").as("f_quarter"),
+    weekday(col(tsCol)).cast("double").as("f_dow"),
+    dayofmonth(col(tsCol)).cast("double").as("f_dom"))
+
+  private def calendarLocal(tsMs: Long): Array[Double] = {
+    val dt = Instant.ofEpochMilli(tsMs).atZone(ZoneOffset.UTC)
+    Array(dt.getMonthValue.toDouble, ((dt.getMonthValue - 1) / 3 + 1).toDouble,
+          dt.getDayOfWeek.getValue.toDouble - 1.0, dt.getDayOfMonth.toDouble)
+  }
+
+  private def featureNames: Seq[String] =
+    (1 to lags).map(i => s"${schema.target}_lag$i") ++
+      Seq("f_month", "f_quarter", "f_dow", "f_dom") ++ schema.exog
+
+  /** Supervised frame: lags over the ordered window + calendar + exog. */
+  private def supervised(df: DataFrame): DataFrame = {
+    val lagged = TS.addLags(df, Seq(schema.target), lags, schema.tsCol)
+    lagged.select((Seq(col(schema.tsCol), col(schema.target).cast("double")) ++
+      (1 to lags).map(i => col(s"${schema.target}_lag$i").cast("double")) ++
+      calendarCols(schema.tsCol) ++
+      schema.exog.map(c => col(c).cast("double").as(c))): _*)
+      .na.drop()
+  }
+
+  private def assemble(df: DataFrame): DataFrame =
+    new VectorAssembler().setInputCols(featureNames.toArray)
+      .setOutputCol("features").transform(df)
+
+  private def newGbt = new GBTRegressor()
+    .setLabelCol(schema.target).setFeaturesCol("features")
+    .setMaxIter(maxIter).setMaxDepth(4).setStepSize(0.1).setSeed(42)
+
+  def fit(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int): CvScores = {
+    schema = tsSchema
+    val sup = assemble(supervised(df)).cache()
+    val w = Window.partitionBy().orderBy(col(schema.tsCol))
+    val withRn = sup.withColumn("rn", row_number().over(w)).cache()
+    val n = withRn.count()
+    val scores = LocalSeries.foldBounds(n.toInt, cv, h).map { case (trainEnd, testEnd) =>
+      val m = newGbt.fit(withRn.filter(col("rn") <= trainEnd))
+      val test = withRn.filter(col("rn") > trainEnd && col("rn") <= testEnd)
+      val pred = m.transform(test)
+        .select(col(schema.target), col("prediction")).collect()
+      LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))
+    }
+    model = newGbt.fit(withRn)
+    // residual σ for the CI columns (reference emits NaN CIs for ML,
+    // `build_ml.py:674-683`; we do better with the in-sample residual std)
+    val res = model.transform(withRn)
+      .select(pow(col(schema.target) - col("prediction"), 2)).agg(avg("*")).head().getDouble(0)
+    residSigma = math.sqrt(res)
+
+    val localTail = LocalSeries.collect(df, schema)
+    tailY = localTail.y.takeRight(lags)
+    lastExog = if (schema.exog.nonEmpty) localTail.exog.last else Array.empty
+    lastTsMs = localTail.ts.last
+    intervalMs = if (localTail.n >= 2) localTail.ts(1) - localTail.ts(0) else 86400000L
+    withRn.unpersist(); sup.unpersist()
+    CvScores(scores.map(_._1), scores.map(_._2))
+  }
+
+  /** T14 — recursive one-step loop: predict, feed the prediction back in
+    * as the newest lag, repeat. */
+  def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer(tailY.toIndexedSeq: _*)
+    val out = new Array[Double](h)
+    for (i <- 0 until h) {
+      val ts = ForecastFrame.nextTs(lastTsMs, intervalMs, i + 1)
+      val lagVals = (1 to lags).map(l => buf(buf.length - l)).toArray
+      val feats = lagVals ++ calendarLocal(ts) ++ lastExog
+      val p = model.predict(Vectors.dense(feats))
+      out(i) = p
+      buf += p
+    }
+    ForecastFrame.build(spark, lastTsMs, intervalMs, out, residSigma)
+  }
+}

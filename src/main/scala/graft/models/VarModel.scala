@@ -1,0 +1,102 @@
+package graft.models
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv, det}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** M4 — VAR(p): vector autoregression over (target, exog...) fitted by
+  * per-equation OLS (`models/ar_based/build_var.py:53-160`; VAR estimation
+  * by equation-wise least squares is the standard closed form). Order p
+  * selected by AIC over 1..maxP, mirroring the reference's (p≤3) grid
+  * (`build_var.py:208-267`). Forecasts are recursive. */
+class VarModel(maxP: Int = 3) extends ModelBuild {
+  val name = "VAR"
+
+  private var series: LocalSeries = _
+  private var intervalMs: Long = _
+  private var dim: Int = _
+  private var bestP: Int = _
+  private var coefs: DenseMatrix[Double] = _ // (1 + dim*p) x dim
+  private var sigmaTarget: Double = _
+
+  /** z_t rows: target + exog stacked. */
+  private def zRows(y: Array[Double], exog: Array[Array[Double]]): Array[Array[Double]] =
+    y.indices.map(i => y(i) +: exog(i)).toArray
+
+  /** OLS fit of VAR(p); returns (coef matrix, residual covariance det,
+    * per-equation residual std of the target equation). */
+  private def fitP(z: Array[Array[Double]], p: Int): (DenseMatrix[Double], Double, Double) = {
+    val k = z(0).length
+    val rows = z.length - p
+    val cols = 1 + k * p
+    val x = DenseMatrix.zeros[Double](rows, cols)
+    val yMat = DenseMatrix.zeros[Double](rows, k)
+    for (i <- 0 until rows) {
+      val t = i + p
+      x(i, 0) = 1.0
+      for (lag <- 1 to p; j <- 0 until k)
+        x(i, 1 + (lag - 1) * k + j) = z(t - lag)(j)
+      for (j <- 0 until k) yMat(i, j) = z(t)(j)
+    }
+    val xtxInv = inv(x.t * x)
+    val b = xtxInv * (x.t * yMat) // cols x k
+    val resid = yMat - x * b
+    val sigmaU = (resid.t * resid) /:/ rows.toDouble
+    val detS = math.max(det(sigmaU), 1e-300)
+    val sTarget = math.sqrt(sigmaU(0, 0))
+    (b, detS, sTarget)
+  }
+
+  private def aic(detS: Double, k: Int, p: Int, t: Int): Double =
+    math.log(detS) + 2.0 * (k * k * p + k) / t
+
+  private def fitLocal(z: Array[Array[Double]]): (Int, DenseMatrix[Double], Double) = {
+    val k = z(0).length
+    val candidates = (1 to maxP).filter(p => z.length - p > 1 + k * p + 2)
+    require(candidates.nonEmpty, s"series too short for VAR: n=${z.length}")
+    val fits = candidates.map { p =>
+      val (b, detS, s) = fitP(z, p)
+      (p, b, s, aic(detS, k, p, z.length - p))
+    }
+    val best = fits.minBy(_._4)
+    (best._1, best._2, best._3)
+  }
+
+  private def forecastLocal(z: Array[Array[Double]], b: DenseMatrix[Double],
+                            p: Int, h: Int): Array[Double] = {
+    val k = z(0).length
+    val hist = scala.collection.mutable.ArrayBuffer(z.toIndexedSeq: _*)
+    (0 until h).map { _ =>
+      val t = hist.length
+      val next = Array.tabulate(k) { j =>
+        var v = b(0, j)
+        for (lag <- 1 to p; jj <- 0 until k)
+          v += b(1 + (lag - 1) * k + jj, j) * hist(t - lag)(jj)
+        v
+      }
+      hist += next
+      next(0)
+    }.toArray
+  }
+
+  def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
+    require(schema.exog.nonEmpty, "VAR needs at least one companion column (reference rejects univariate VAR)")
+    series = LocalSeries.collect(df, schema)
+    dim = 1 + schema.exog.size
+    intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
+    val z = zRows(series.y, series.exog)
+    val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
+      val (p, b, _) = fitLocal(z.take(trainEnd))
+      val pred = forecastLocal(z.take(trainEnd), b, p, testEnd - trainEnd)
+      LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
+    }
+    val (p, b, s) = fitLocal(z)
+    bestP = p; coefs = b; sigmaTarget = s
+    CvScores(scores.map(_._1), scores.map(_._2))
+  }
+
+  def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
+    val z = zRows(series.y, series.exog)
+    val pred = forecastLocal(z, coefs, bestP, h)
+    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigmaTarget)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.automl.AutoTimeseries
+import graft.core.{TimeSeriesOps => TS}
+import graft.queries.Det._
+
+/** Estimator queries (✖est — rows-only driver checks; accuracy is held to
+  * metric bounds in ModelsSpec instead of hash equality, SURVEY §5). Each
+  * runs a model family end-to-end on a monthly series resampled from
+  * orders: target = mean o_totalprice, exog = order count. */
+object ModelQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Monthly (ts, price, n_orders) series from the orders table. */
+  private def monthlySeries(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    TS.resampleMean(o, "o_orderdate", "month", Seq("o_totalprice"))
+      .select(col("ts_bucket").as("ts"),
+              col("o_totalprice_mean").as("price"),
+              col("n").cast("double").as("n_orders"))
+      .orderBy(col("ts"))
+  }
+
+  private def forecastOut(df: DataFrame): DataFrame =
+    df.select(tsStr(col("ts")).as("ts"),
+              dround(col("yhat"), 4).as("yhat"),
+              dround(col("mean_se"), 4).as("mean_se"),
+              dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+              dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+
+  private def run(models: Seq[String]): Q = (s, d) => {
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8, modelTypes = models)
+    at.fit(monthlySeries(s, d), "ts", "price")
+    forecastOut(at.predict(s, 8))
+  }
+
+  private def leaderboardQ: Q = (s, d) => {
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8,
+      modelTypes = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"))
+    at.fit(monthlySeries(s, d), "ts", "price")
+    at.leaderboard(s).select(col("name"),
+      dround(col("rmse"), 4).as("rmse"),
+      dround(col("norm_rmse"), 4).as("norm_rmse"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m6_ml_forecast"      -> run(Seq("ML")),
+    "m5_prophet_forecast" -> run(Seq("Prophet")),
+    "m4_var_forecast"     -> run(Seq("VAR")),
+    "m1_arima_forecast"   -> run(Seq("auto_SARIMAX")),
+    "m9_leaderboard"      -> leaderboardQ
+  )
+
+  /** Estimators are ✖est: no SQL oracle (driver does rows-only checks). */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.automl.AutoTimeseries
+import graft.infer.DatetimeFormatInfer
+import graft.models._
+
+/** Estimator accuracy held to metric bounds on the reference fixture
+  * (BASELINE.md: reference goldens on Sales_and_Marketing are RMSE
+  * 71.8 (ML), 94.5 (ML cv=2), 112.5 (VAR), 128-148 (SARIMAX),
+  * 53.6-116.4 (Prophet folds) at train=40/h=8). Our estimators are
+  * re-implementations, not ports — the bar is "competitive", i.e. mean CV
+  * RMSE within 2x of the worst reference golden. */
+class ModelsSpec extends SparkTestBase {
+
+  lazy val sales = DatetimeFormatInfer.loadCsv(
+    spark, "/root/reference/example_datasets/Sales_and_Marketing.csv", "Time Period")
+    .withColumnRenamed("Time Period", "ts")
+    .withColumnRenamed("Marketing Expense", "marketing")
+
+  test("S1: csv load parses the ts column") {
+    assert(sales.schema("ts").dataType.typeName == "timestamp")
+    assert(sales.count() == 48)
+  }
+
+  test("AutoTimeseries end-to-end on the reference fixture") {
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8,
+      modelTypes = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"))
+    at.fit(sales, "ts", "Sales")
+    val lb = at.leaderboard(spark).collect()
+    assert(lb.nonEmpty, "leaderboard empty")
+    val bestRmse = lb.head.getDouble(1)
+    // reference goldens range 71.8..148 on this fixture; allow 2x slack
+    assert(bestRmse < 300, s"best rmse $bestRmse out of bounds")
+    val fc = at.predict(spark, 8).collect()
+    assert(fc.length == 8)
+    assert(fc.forall(r => !r.getDouble(1).isNaN))
+    // CI cols sane
+    assert(fc.forall(r => r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4)))
+  }
+
+  test("ARIMA CSS recovers AR(1) coefficient") {
+    var s = 42L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val n = 300
+    val y = new Array[Double](n)
+    for (i <- 1 until n) y(i) = 0.6 * y(i - 1) + rnd()
+    val fit = ArimaCss.fitOne(y, p = 1, d = 0, q = 0)
+    assert(math.abs(fit.phi(0) - 0.6) < 0.15, s"phi=${fit.phi(0)}")
+  }
+
+  test("ARIMA grid search runs as a Spark job and picks a finite-AIC cell") {
+    var s = 7L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val y = Array.iterate(0.0, 120)(v => 0.5 * v + 1.0) .map(_ + rnd())
+    val fit = ArimaCss.gridSearch(spark, y, maxP = 2, maxD = 1, maxQ = 1)
+    assert(!fit.aic.isNaN && !fit.aic.isInfinite)
+    val fc = ArimaCss.forecast(y, fit, 5)
+    assert(fc.length == 5 && fc.forall(v => !v.isNaN))
+  }
+
+  test("VAR forecast tracks a deterministic coupled system") {
+    import spark.implicits._
+    // x drives y with lag 1: y_t = 0.8*x_{t-1}; x = slow ramp + wiggle
+    val n = 120
+    val xs = Array.tabulate(n)(t => 10.0 + 0.1 * t + math.sin(t / 3.0))
+    val ys = Array.tabulate(n)(t => if (t == 0) 8.0 else 0.8 * xs(t - 1))
+    val df = (0 until n).map(t =>
+      (java.sql.Timestamp.valueOf(f"2020-01-01 00:00:00").toInstant.plusSeconds(t * 86400L), ys(t), xs(t)))
+      .map { case (i, y, x) => (java.sql.Timestamp.from(i), y, x) }
+      .toDF("ts", "y", "x")
+    val m = new VarModel(maxP = 2)
+    val scores = m.fit(df, TsSchema("ts", "y", Seq("x")), cv = 2, h = 5)
+    assert(scores.meanRmse < 1.0, s"VAR rmse ${scores.meanRmse}")
+  }
+}
