@@ -145,11 +145,12 @@ object Dedup {
     * scale lives in [[Similarity]]. */
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
     val v = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+      .withColumn("norm", VectorOps.l2norm(col("v")))
     v.as("l").join(v.as("r"), col("l.vid") < col("r.vid"))
-      .withColumn("dot", expr("aggregate(zip_with(l.v, r.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
-      .withColumn("cosine", col("dot") / (col("l.norm") * col("r.norm")))
+      .withColumn("cosine",
+        VectorOps.dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"), col("cosine"))
   }

@@ -18,11 +18,11 @@ object Similarity {
                      vecCol: String, idCol: String): DataFrame = {
     val v = corpus.select(col(idCol).cast("long").as("vid"),
                           col(vecCol).cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
     val q = v.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = v.join(broadcast(q), col("vid") =!= col("qid"))
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
       .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,14 +66,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
               vecCol: String, idCol: String, nPlanes: Int = 6): DataFrame = {
     val b = lshBuckets(corpus, vecCol, idCol, nPlanes).cache()
-    val withNorm = b.withColumn("norm",
-      sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+    val withNorm = b.withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
     val q = withNorm.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"),
               col("norm").as("qnorm"), col("bucket").as("qbucket"))
     val scored = withNorm.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
       .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w))
