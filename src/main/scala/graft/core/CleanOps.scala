@@ -106,13 +106,31 @@ object CleanOps {
 
   /** A5 — min/max of a column plus the key of the extreme rows
     * (`find_max_min_value_in_a_dataframe`, `utils/etl.py:319-327`).
-    * Tie-break: smallest key (deterministic). Implemented as one
-    * aggregate with min/max_by — no sort, no second scan. */
-  def minMaxWithKeys(df: DataFrame, valueCol: String, keyCol: String): DataFrame =
-    df.agg(
-      min(col(valueCol)).as("min_value"),
-      max(col(valueCol)).as("max_value"),
-      min_by(col(keyCol), struct(col(valueCol), col(keyCol))).as("argmin_key"),
-      max_by(col(keyCol), struct(col(valueCol), col(keyCol).unary_-)).as("argmax_key")
-    )
+    * Tie-break: smallest key (deterministic).
+    *
+    * Numeric keys: ONE aggregate via min/max_by (the argmax tie-break
+    * negates the key inside the ordering struct — numeric-only trick).
+    * Non-numeric keys (string/timestamp): two aggregates — extremes
+    * first, then a conditional min over the matching rows. Still no sort
+    * and both scans are full map-side parallel. */
+  def minMaxWithKeys(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
+    val keyIsNumeric = df.schema(keyCol).dataType.isInstanceOf[NumericType]
+    if (keyIsNumeric)
+      df.agg(
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"),
+        min_by(col(keyCol), struct(col(valueCol), col(keyCol))).as("argmin_key"),
+        max_by(col(keyCol), struct(col(valueCol), col(keyCol).unary_-)).as("argmax_key")
+      )
+    else {
+      val mm = df.agg(min(col(valueCol)).as("min_value"),
+                      max(col(valueCol)).as("max_value"))
+      df.join(broadcast(mm))
+        .agg(
+          first(col("min_value")).as("min_value"),
+          first(col("max_value")).as("max_value"),
+          min(when(col(valueCol) === col("min_value"), col(keyCol))).as("argmin_key"),
+          min(when(col(valueCol) === col("max_value"), col(keyCol))).as("argmax_key"))
+    }
+  }
 }

@@ -165,10 +165,14 @@ object TimeSeriesOps {
     interval.trim.split("\\s+")(1)
 
   /** T13 — last `lags` train rows prepended to the test frame for
-    * recursive forecasting (`models/build_ml.py:84,394,411,526`). */
+    * recursive forecasting (`models/build_ml.py:84,394,411,526`).
+    * `tieBreak` makes the tail deterministic on duplicate timestamps
+    * (same contract as every other operator in this module). */
   def prependBuffer(train: DataFrame, test: DataFrame, lags: Int,
-                    tsCol: String): DataFrame = {
-    val tail = train.orderBy(col(tsCol).desc).limit(lags)
-    tail.unionByName(test, allowMissingColumns = true).orderBy(col(tsCol))
+                    tsCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (tsCol +: tieBreak).map(c => col(c).desc)
+    val tail = train.orderBy(ord: _*).limit(lags)
+    tail.unionByName(test, allowMissingColumns = true)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
   }
 }

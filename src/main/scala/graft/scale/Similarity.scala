@@ -37,10 +37,19 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(next()))
   }
 
-  /** Random-hyperplane LSH bucket id per vector: sign bit per plane. */
+  /** Embedding dimensionality, read from the first non-null vector (one
+    * tiny job — the schema carries no array length). */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head().getInt(0)
+
+  /** Random-hyperplane LSH bucket id per vector: sign bit per plane.
+    * `dim` ≤ 0 ⇒ inferred from the data; the dot product clamps to
+    * min(vector length, plane length) so ragged vectors can't index past
+    * the plane array. */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
-                 nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
+                 nPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val d0 = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = hyperplanes(nPlanes, d0)
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(planes)
     val dotSign = udf { (v: Seq[Double]) =>
@@ -48,8 +57,9 @@ object Similarity {
       var bucket = 0L
       var i = 0
       while (i < ps.length) {
+        val lim = math.min(v.length, ps(i).length)
         var d = 0.0; var j = 0
-        while (j < v.length) { d += ps(i)(j) * v(j); j += 1 }
+        while (j < lim) { d += ps(i)(j) * v(j); j += 1 }
         if (d > 0) bucket |= (1L << i)
         i += 1
       }
@@ -62,10 +72,11 @@ object Similarity {
 
   /** ANN top-k: exact ranking restricted to the query's LSH bucket
     * (single-probe). Approximate — documented recall tradeoff; increase
-    * nPlanes→smaller buckets, decrease→higher recall. */
+    * nPlanes→smaller buckets, decrease→higher recall. `dim` ≤ 0 ⇒ inferred. */
   def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-              vecCol: String, idCol: String, nPlanes: Int = 6): DataFrame = {
-    val b = lshBuckets(corpus, vecCol, idCol, nPlanes).cache()
+              vecCol: String, idCol: String, nPlanes: Int = 6,
+              dim: Int = -1): DataFrame = {
+    val b = lshBuckets(corpus, vecCol, idCol, nPlanes, dim).cache()
     val withNorm = b.withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
     val q = withNorm.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"),

@@ -136,10 +136,15 @@ object StatTests {
       .flatMapGroups { (sid, it) =>
         val series = it.toArray.sortBy(_._2).map(_._3)
         if (series.length < 10) Iterator.empty
-        else {
-          val r = adf(series, maxLag)
-          Iterator((sid, r.stat, r.lagUsed.toLong, r.nObs.toLong, r.stationary))
-        }
+        else
+          // constant/collinear series make the OLS design singular — skip
+          // that one series instead of failing the whole job (the operator
+          // contract is "millions of series"; one degenerate series must
+          // not poison the pass)
+          scala.util.Try(adf(series, maxLag)).toOption match {
+            case Some(r) => Iterator((sid, r.stat, r.lagUsed.toLong, r.nObs.toLong, r.stationary))
+            case None    => Iterator.empty
+          }
       }
       .toDF(seriesCol, "adf_stat", "lag_used", "n_obs", "stationary")
   }

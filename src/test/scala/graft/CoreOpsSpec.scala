@@ -109,4 +109,31 @@ class CoreOpsSpec extends SparkTestBase {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("minMaxWithKeys works with non-numeric keys and ties break to min key") {
+    val df = Seq(("b", 5.0), ("a", 5.0), ("c", 1.0), ("d", 1.0))
+      .toDF("k", "v")
+    val r = CleanOps.minMaxWithKeys(df, "v", "k").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0)
+    assert(r.getString(2) == "c" && r.getString(3) == "a")
+    // numeric-key fast path, same tie-break semantics
+    val dfn = Seq((2L, 5.0), (1L, 5.0), (3L, 1.0), (4L, 1.0)).toDF("k", "v")
+    val rn = CleanOps.minMaxWithKeys(dfn, "v", "k").head()
+    assert(rn.getLong(2) == 3L && rn.getLong(3) == 1L)
+  }
+
+  test("prependBuffer tail is deterministic on duplicate timestamps via tieBreak") {
+    val train = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+                    (4L, "2024-01-02"), (5L, "2024-01-01")).toDF("id", "d")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    val test_ = Seq((9L, "2024-02-01")).toDF("id", "d")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    val got = (1 to 3).map { _ =>
+      TS.prependBuffer(train, test_, 2, "ts", Seq("id"))
+        .select("id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(got.distinct.size == 1, "nondeterministic tail")
+    // last 2 by (ts desc, id desc) = ids 4, 3
+    assert(got.head.toSet == Set(3L, 4L, 9L))
+  }
 }

@@ -42,6 +42,17 @@ class ScaleSpec extends SparkTestBase {
     assert(ann.forall { case (q, v) => q != v })
   }
 
+  test("lshTopK infers dim from data — high-dim vectors don't overflow the planes") {
+    // 100-dim vectors (> the old hardcoded 64-dim planes) must not throw
+    val dim = 100
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, Seq(0L, 1L), 3, "embedding", "vec_id")
+    out.collect() // would throw ArrayIndexOutOfBounds before the fix
+    assert(Similarity.inferDim(vecs, "embedding") == dim)
+  }
+
   test("language id picks the right language on known sentences") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),

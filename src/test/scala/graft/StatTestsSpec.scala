@@ -48,4 +48,14 @@ class StatTestsSpec extends SparkTestBase {
     assert(out.count() > 0)
     assert(out.columns.contains("stationary"))
   }
+
+  test("adfPerSeries skips degenerate (constant) series instead of failing the job") {
+    import spark.implicits._
+    val good = (0 until 50).map(i => (1L, i.toDouble, math.sin(i * 0.7) + 0.1 * i))
+    val const = (0 until 50).map(i => (2L, i.toDouble, 3.14))
+    // adfPerSeries casts tsCol to double internally — a numeric time axis is fine
+    val df = (good ++ const).toDF("sid", "tsd", "value")
+    val out = StatTests.adfPerSeries(df, "value", "tsd", "sid").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L), "constant series should be skipped, good one kept")
+  }
 }
