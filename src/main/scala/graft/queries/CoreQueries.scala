@@ -121,9 +121,12 @@ object CoreQueries {
 
   // ---- T12: expanding-window CV fold assignment --------------------------
 
+  /** Per-series fold assignment (the scale path): every user's series gets
+    * its own expanding folds in ONE partitioned window pass — no global
+    * sort, no single-partition WindowExec. */
   private def t12Folds: Q = (s, d) => {
-    val o = Tables.orders(s, d)
-    ExpandingWindowSplit.assignFolds(o, "o_orderdate", Nil, 3, 100, Seq("o_orderkey"))
+    val e = Tables.events(s, d)
+    ExpandingWindowSplit.assignFolds(e, "ts", Seq("user_id"), 3, 20, Seq("event_id"))
       .groupBy(col("fold").cast("long").as("fold"))
       .agg(count(lit(1)).as("n"),
            min(col("rn").cast("long")).as("min_rn"),
@@ -246,15 +249,18 @@ object CoreQueries {
 
   // ---- A11: class distribution --------------------------------------------------
 
+  /** Single plan: the (total, k) scalar aggregate is broadcast into the
+    * per-class aggregate — no driver-side count()/collect() actions. */
   private def a11ClassDist: Q = (s, d) => {
     val em = Tables.embeddings(s, d)
-    val total = em.count()
-    val k = em.select(countDistinct(col("label"))).head().getLong(0)
+    val t = em.agg(count(lit(1)).cast("double").as("total"),
+                   countDistinct(col("label")).cast("double").as("k"))
     em.groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n"))
+      .join(broadcast(t))
       .select(col("label"), col("n"),
-        dround(col("n") / lit(total.toDouble), 6).as("pct"),
-        dround(lit(total.toDouble) / (lit(k.toDouble) * col("n")), 6).as("class_weight"))
+        dround(col("n") / col("total"), 6).as("pct"),
+        dround(col("total") / (col("k") * col("n")), 6).as("class_weight"))
   }
 
   // ---- O2/O3: sorts & top-k ---------------------------------------------------
@@ -364,14 +370,14 @@ object CoreQueries {
          |    INTERVAL 1 MONTH)) AS f)""".stripMargin,
 
     "t12_folds" ->
-      """WITH rn AS (
-        |  SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
-        |         count(*) OVER () AS n
-        |  FROM orders)
-        |SELECT CASE WHEN 3 - floor((n - rn) / 100.0) BETWEEN 1 AND 3
-        |            THEN CAST(3 - floor((n - rn) / 100.0) AS BIGINT) ELSE 0 END AS fold,
-        |       count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
-        |FROM rn GROUP BY 1""".stripMargin,
+      s"""WITH rn AS (
+         |  SELECT row_number() OVER $W AS rn,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events)
+         |SELECT CASE WHEN 3 - floor((n - rn) / 20.0) BETWEEN 1 AND 3
+         |            THEN CAST(3 - floor((n - rn) / 20.0) AS BIGINT) ELSE 0 END AS fold,
+         |       count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn
+         |FROM rn GROUP BY 1""".stripMargin,
 
     "t13_prepend" ->
       s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS o_date FROM (

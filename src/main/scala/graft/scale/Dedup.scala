@@ -16,15 +16,27 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles: (id, shingle). The explode is map-side;
-    * shingle strings shuffle once for the subsequent joins. */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+  /** (id, shingle) rows before dedup — the explode is map-side. */
+  private def rawShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("sid"), explode(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
         (1 to n).map(j => s"element_at(w, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")") + ")"
       )).as("s"))
+
+  /** Distinct word n-gram shingles: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, textCol, idCol, n).distinct()
+
+  /** Distinct 64-bit shingle hashes: (sid, h). The join/aggregation keys
+    * downstream are 8-byte longs instead of n-word strings — ~4× less
+    * shuffle volume, same set semantics (64-bit collisions are negligible
+    * at corpus scale: P ≈ m²/2⁶⁵). The hash is applied BEFORE the
+    * distinct, so only one shuffle materializes the set. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, textCol, idCol, n)
+      .select(col("sid"), xxhash64(col("s")).as("h"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
@@ -32,32 +44,34 @@ object Dedup {
     * ever paired — no quadratic blowup on non-overlapping corpora). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+    val sh = shingleHashes(df, textCol, idCol, n).cache()
+    // carry each doc's shingle count ON the shingle rows (one broadcast
+    // join against the tiny per-doc size table) so the pair aggregate
+    // reads |A| and |B| inline — no post-aggregation join stages
     val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("sid").as("id_a"), col("s"))
-    val b = sh.select(col("sid").as("id_b"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-    val jac = inter
-      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+    val sh2 = sh.join(broadcast(sizes), Seq("sid"))
+    val a = sh2.select(col("sid").as("id_a"), col("h"), col("nsh").as("na"))
+    val b = sh2.select(col("sid").as("id_b"), col("h"), col("nsh").as("nb"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    jac
   }
 
   /** MinHash signatures: k independent hashes h_i(x) = (a_i·x + b_i) mod p
     * over the (31-bit-reduced) shingle hash, minimized per doc. p = 2^31-1
     * keeps every product < 2^62 — no long overflow under ANSI arithmetic.
-    * Deterministic (fixed xorshift-derived a_i, b_i). Returns (sid, sig). */
+    * Deterministic (fixed xorshift-derived a_i, b_i). Input: (sid, h)
+    * shingle-hash rows from [[shingleHashes]]. Returns (sid, sig). */
   def minHashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val coef = hashCoefficients(k, p)
     val hashCols = coef.zipWithIndex.map { case ((a, b), i) =>
       min((col("x") * lit(a) + lit(b)) % lit(p)).as(s"h$i")
     }
-    sh.withColumn("x", pmod(xxhash64(col("s")), lit(p)))
+    sh.withColumn("x", pmod(col("h"), lit(p)))
       .groupBy(col("sid"))
       .agg(hashCols.head, hashCols.tail: _*)
       .select(col("sid"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -80,7 +94,7 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+    val sh = shingleHashes(df, textCol, idCol, n).cache()
     val sig = minHashSignatures(sh, k)
     val rows = k / bands
     val banded = sig.select(col("sid"), posexplode(expr(
@@ -90,16 +104,17 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("id_a"), col("r.sid").as("id_b")).distinct()
-    // verify candidates with exact jaccard
+    // verify candidates with exact jaccard: the shingle hash is part of
+    // the second equi-join key, so only MATCHING shingles pair up —
+    // |A∩B| rows per candidate, not |A|×|B| rows filtered afterwards.
+    // Doc sizes ride on the shingle rows (broadcast) as in ngramJaccard.
     val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(sh.withColumnRenamed("sid", "id_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("s", "s2"), Seq("id_b"))
-      .filter(col("s") === col("s2"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+    val sh2 = sh.join(broadcast(sizes), Seq("sid"))
+    cand
+      .join(sh2.toDF("id_a", "h", "na"), Seq("id_a"))
+      .join(sh2.toDF("id_b", "h", "nb"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
