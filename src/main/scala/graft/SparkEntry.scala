@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
+    graft.queries.CoreQueries2.queries ++
     graft.queries.InferQueries.queries ++
     graft.queries.StatQueries.queries ++
     graft.queries.ModelQueries.queries ++
@@ -23,6 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
+    graft.queries.CoreQueries2.oracle ++
     graft.queries.InferQueries.oracle ++
     graft.queries.StatQueries.oracle ++
     graft.queries.ModelQueries.oracle ++

@@ -56,6 +56,44 @@ object CleanOps {
     df.select(keep.map(col).toSeq: _*)
   }
 
+  /** T7 — drop numeric columns whose standard deviation is 0 (or null —
+    * single row / all-null), `models/build_ml.py:844-845`. One aggregate
+    * pass over all candidate columns. */
+  def dropZeroVariance(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => stddev_samp(col(c).cast("double")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val drop = cols.filter { c =>
+      val sd = Option(row.getAs[java.lang.Double](c)); sd.forall(_ == 0.0)
+    }
+    df.drop(drop: _*)
+  }
+
+  /** A6 — per-column profile (`marthas_columns`, `build_ml.py:914-932`):
+    * null count, distinct count, top-2 values by (count desc, value asc).
+    * The rank window runs on the per-column VALUE COUNTS — bounded by
+    * cardinality, not table size. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = cols.map { c =>
+      val counts = df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("value").asc)))
+      val top = ranked.filter(col("rk") <= 2).agg(
+        max(when(col("rk") === 1, col("value"))).as("top1"),
+        max(when(col("rk") === 1, col("cnt"))).as("top1_n"),
+        max(when(col("rk") === 2, col("value"))).as("top2"),
+        max(when(col("rk") === 2, col("cnt"))).as("top2_n"))
+      val base = df.agg(
+        count(when(col(c).isNull, lit(1))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+      base.join(top)
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+                col("top1"), col("top1_n"), col("top2"), col("top2_n"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** P6 — `<col>_Missing_Flag` = 1 where null (`models/build_ml.py:715-719`). */
   def missingFlags(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>

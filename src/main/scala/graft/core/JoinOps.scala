@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-family operators beyond plain equi-joins (SURVEY §2.4). The
+  * reference aligns frames positionally on the pandas index
+  * (`utils/metrics.py:86`, `models/build_ml.py:612`); here alignment is
+  * explicit on (key, time). The as-of join is the scale generalization of
+  * the reference's prepend-buffer alignment (T13, `build_ml.py:605-613`):
+  * "the latest observation at or before t". */
+object JoinOps {
+
+  /** Backward as-of join: for every left row, attach the right row with
+    * the greatest `rightTs` ≤ left's `leftTs` within the same key group
+    * (non-strict — an exact timestamp match joins).
+    *
+    * Implementation: tag sides, union, one `last(_, ignoreNulls)` window
+    * per carried column — a SINGLE shuffle on `keyCols`, no per-row
+    * probing, no broadcast of either side; scales to any partition count
+    * and any right-side size. At equal timestamps right rows sort before
+    * left rows (side tag is the tie-break), which is what makes the join
+    * non-strict.
+    *
+    * Contract: right must be unique per (keyCols, rightTs) — pre-aggregate
+    * otherwise (duplicate right timestamps would make the carried values
+    * order-dependent). Carried columns appear as `prefix + name`, left
+    * columns pass through unchanged. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftTs: String, rightTs: String,
+               keyCols: Seq[String], rightVals: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightVals.map(v => col(v).as(s"$prefix$v")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(u) { (d, v) =>
+      d.withColumn(s"$prefix$v", last(col(s"$prefix$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

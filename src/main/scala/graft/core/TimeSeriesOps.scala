@@ -91,6 +91,20 @@ object TimeSeriesOps {
     df.withColumn(outCol, lit(anchor) + sum(coalesce(col(diffCol), lit(0.0))).over(w))
   }
 
+  /** T5 (many-series form) — inverse differencing where the anchor is the
+    * series' own first value of `anchorCol`: restored = first(anchor) +
+    * cumsum(diff). One partitioned window pass, works across millions of
+    * series (the scalar-anchor form above is the single-series case). */
+  def cumsumRestorePerSeries(df: DataFrame, diffCol: String, anchorCol: String,
+                             tsCol: String, seriesCols: Seq[String] = Nil,
+                             tieBreak: Seq[String] = Nil,
+                             outCol: String = "restored"): DataFrame = {
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol,
+      first(col(anchorCol)).over(w) + sum(coalesce(col(diffCol), lit(0.0))).over(w))
+  }
+
   /** W6/P5 — forward fill: last non-null over the ordered window
     * (`models/build_ml.py:720`). */
   def forwardFill(df: DataFrame, valueCols: Seq[String], tsCol: String,

@@ -122,6 +122,38 @@ class CoreOpsSpec extends SparkTestBase {
     assert(rn.getLong(2) == 3L && rn.getLong(3) == 1L)
   }
 
+  test("asofJoin attaches the latest right row at or before each left ts") {
+    import graft.core.JoinOps
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 15L)).toDF("k", "t")
+      .withColumn("ts", timestamp_seconds($"t"))
+    val right = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 99L, "z")).toDF("k", "t2", "v")
+      .withColumn("rts", timestamp_seconds($"t2")).drop("t2")
+    val out = JoinOps.asofJoin(left, right, "ts", "rts", Seq("k"), Seq("v"))
+      .select($"k", $"t", $"asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).orNull)).toSet
+    // t=10 matches the equal-ts right row (non-strict); t=20 keeps it;
+    // t=30 advances to "b"; user 2 has no right row at or before t=15
+    assert(out == Set((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (2L, 15L, null)))
+  }
+
+  test("label dictionary is dense, sorted, and encode maps null to -1") {
+    import graft.core.Encoders
+    val df = Seq(Some("b"), Some("a"), Some("c"), Some("a"), None).map(Tuple1(_)).toDF("v")
+    val dict = Encoders.labelDictionary(df, "v")
+    val codes = dict.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(codes == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val enc = Encoders.labelEncode(df, "v", dict, "code")
+      .select($"v", $"code").collect()
+      .map(r => Option(r.getString(0)).orNull -> r.getInt(1)).toSet
+    assert(enc.contains((null, -1)))
+  }
+
+  test("dropZeroVariance drops constants, keeps varying columns") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val kept = CleanOps.dropZeroVariance(df, Seq("a", "b")).columns.toSet
+    assert(kept == Set("a"))
+  }
+
   test("prependBuffer tail is deterministic on duplicate timestamps via tieBreak") {
     val train = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
                     (4L, "2024-01-02"), (5L, "2024-01-01")).toDF("id", "d")
