@@ -48,12 +48,40 @@ object ModelQueries {
       dround(col("norm_rmse"), 4).as("norm_rmse"))
   }
 
+  /** M2 — the ARIMA order search itself: the chosen (p,d,q) cell and its
+    * AIC over the full monthly series (grid = parallel Spark job over the
+    * broadcast series; reference `param_finder.py:18-143`). */
+  private def m2ParamSearch: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val series = monthlySeries(s, d)
+      .select(col("price")).collect().map(_.getDouble(0))
+    val f = graft.models.ArimaCss.gridSearch(s, series)
+    Seq((f.p.toLong, f.d.toLong, f.q.toLong, math.floor(f.aic * 1e4 + 0.5) / 1e4))
+      .toDF("p", "d", "q", "aic")
+  }
+
+  /** M7 — multi-label wrapper (`ml_models.py:293-335`): one GBT forecast
+    * per target column, results unioned with a target discriminator. */
+  private def m7Multilabel: Q = (s, d) => {
+    val base = monthlySeries(s, d)
+    Seq("price", "n_orders").map { t =>
+      val m = new graft.models.GbtModel()
+      m.fit(base, graft.models.TsSchema("ts", t), 1, 8)
+      m.predict(s, 8)
+        .select(lit(t).as("target"), tsStr(col("ts")).as("ts"),
+                dround(col("yhat"), 4).as("yhat"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
     "m6_ml_forecast"      -> run(Seq("ML")),
     "m5_prophet_forecast" -> run(Seq("Prophet")),
     "m4_var_forecast"     -> run(Seq("VAR")),
     "m1_arima_forecast"   -> run(Seq("auto_SARIMAX")),
-    "m9_leaderboard"      -> leaderboardQ
+    "m9_leaderboard"      -> leaderboardQ,
+    "m2_param_search"     -> m2ParamSearch,
+    "m7_multilabel"       -> m7Multilabel
   )
 
   /** Estimators are ✖est: no SQL oracle (driver does rows-only checks). */

@@ -94,6 +94,10 @@ object ScaleQueries {
   private def s2AnnLsh: Q = (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id")
 
+  private def s3AnnIvf: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id",
+      nCells = 8, nProbe = 3)
+
   // ---- text analysis -------------------------------------------------------
 
   private def x1TextStats: Q = (s, d) =>
@@ -222,6 +226,7 @@ object ScaleQueries {
     "d5_cosine_neardup"-> d5Cosine,
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
+    "s3_ann_ivf"       -> s3AnnIvf,
     "x1_text_stats"    -> x1TextStats,
     "x2_lang_id"       -> x2LangId,
     "x3_fingerprint"   -> x3Fingerprint,

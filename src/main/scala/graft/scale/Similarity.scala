@@ -70,6 +70,83 @@ object Similarity {
       .withColumn("bucket", dotSign(col("v")))
   }
 
+  /** Assign every vector to its max-cosine centroid (broadcast, one scan). */
+  private def assignCells(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val bc = v.sparkSession.sparkContext.broadcast(centroids)
+    val cellOf = udf { (vec: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        val lim = math.min(vec.length, cent.length)
+        var dot = 0.0; var nc = 0.0; var j = 0
+        while (j < lim) { dot += cent(j) * vec(j); nc += cent(j) * cent(j); j += 1 }
+        val score = if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    }
+    v.withColumn("cell", cellOf(col("v")))
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
+    * (deterministic seeds = lowest ids, one distributed Lloyd refinement),
+    * then each query searches only its `nProbe` nearest cells. The
+    * centroid table is tiny (nCells × dim) and lives broadcast; the corpus
+    * is scanned, never collected — the standard big-corpus ANN layout
+    * (inverted file), trading recall for a ~nCells/nProbe candidate
+    * reduction. Approximate ⇒ rows-only; recall is property-tested. */
+  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              vecCol: String, idCol: String,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v")).cache()
+    // deterministic seeds; TakeOrdered, no full sort
+    val seeds = v.orderBy(col("vid")).limit(nCells).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // one Lloyd step: per-cell mean vector, computed distributed via
+    // (cell, position) partial aggregation — never collects the corpus
+    val cents = assignCells(v, seeds)
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val assigned = assignCells(v, cents)
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v"))).cache()
+    // probe plan: per query, its nProbe max-cosine cells (driver-side —
+    // queryIds is bounded, cents is tiny)
+    val qVecs = assigned.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid"), col("v"), col("norm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val probes = qVecs.flatMap { case (qid, qv, _) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        val lim = math.min(qv.length, cent.length)
+        var dot = 0.0; var nc = 0.0; var j = 0
+        while (j < lim) { dot += cent(j) * qv(j); nc += cent(j) * cent(j); j += 1 }
+        (qid, c, if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc))
+      }.sortBy(-_._3).take(nProbe).map { case (q, c, _) => (q, c) }
+    }
+    import spark.implicits._
+    val probeDf = probes.toSeq.toDF("qid", "cell")
+    val qDf = qVecs.toSeq.map { case (qid, qv, n) => (qid, qv.toSeq, n) }
+      .toDF("qid", "qv", "qnorm")
+    val scored = assigned
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .join(broadcast(qDf), Seq("qid"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
+      .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
+  }
+
   /** ANN top-k: exact ranking restricted to the query's LSH bucket
     * (single-probe). Approximate — documented recall tradeoff; increase
     * nPlanes→smaller buckets, decrease→higher recall. `dim` ≤ 0 ⇒ inferred. */

@@ -53,6 +53,18 @@ class ScaleSpec extends SparkTestBase {
     assert(Similarity.inferDim(vecs, "embedding") == dim)
   }
 
+  test("IVF ANN: all hits are valid pairings and recall@k overlaps brute force") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val em = Tables.embeddings(spark, SF)
+    val bf = Similarity.bruteForceTopK(em, ids, 5, "embedding", "vec_id")
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(em, ids, 5, "embedding", "vec_id", nCells = 8, nProbe = 3)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty && ivf.forall { case (q, v) => q != v })
+    val recall = (ivf.toSet intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+  }
+
   test("language id picks the right language on known sentences") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{EventWindows, SessionState}
+import graft.streaming.SessionState.{Ev, ClosedSession}
+
+/** Structured Streaming specs beyond the parquet-source smoke test:
+  * watermarked windows and custom flatMapGroupsWithState sessionization,
+  * both driven through MemoryStream micro-batches so state carry across
+  * batches is actually exercised. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stateful sessionization carries open sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = SessionState.sessionize(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .start()
+
+    val min = 60000L
+    // batch 1: user 1 starts a session (2 events), user 2 starts one
+    mem.addData(Ev(1, 0 * min, 1.0), Ev(1, 10 * min, 2.0), Ev(2, 5 * min, 5.0))
+    q.processAllAvailable()
+    // batch 2: user 1 continues the SAME session (gap 20m < 30m), then a
+    // 100m gap closes it and opens another; user 2's session also closes
+    mem.addData(Ev(1, 30 * min, 3.0), Ev(1, 130 * min, 4.0), Ev(2, 200 * min, 6.0))
+    q.processAllAvailable()
+    // sentinel far in the future closes everything still open
+    mem.addData(Ev(1, 10000 * min, 0.0), Ev(2, 10000 * min, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_out").as[ClosedSession].collect()
+      .filter(_.n > 0).filter(s => s.startMs < 10000 * min)
+      .map(s => (s.userId, s.startMs / min, s.endMs / min, s.n, s.value)).toSet
+    val want = Set(
+      (1L, 0L, 30L, 3L, 6.0),    // spans batches 1-2: state carried
+      (1L, 130L, 130L, 1L, 4.0),
+      (2L, 5L, 5L, 1L, 5.0),
+      (2L, 200L, 200L, 1L, 6.0))
+    assert(got == want, s"got $got")
+  }
+
+  test("streaming sessionization agrees with the batch operator on one-batch input") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = (0 until 200).map { i =>
+      Ev(i % 7, i.toLong * 11 * 60000L % (50L * 60000L) + (i / 50) * 600L * 60000L, 1.0)
+    }
+    // batch reference result
+    val batchDf = evs.toDF("user_id", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val batch = EventWindows.sessionize(batchDf, 30)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[Ev]
+    val q = SessionState.sessionize(mem.toDS(), 30).writeStream
+      .format("memory").queryName("sessions_eq")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // sentinel closes the last open session per user
+    mem.addData((0 until 7).map(u => Ev(u.toLong, Long.MaxValue / 4, 0.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val stream = spark.table("sessions_eq").as[ClosedSession].collect()
+      .filter(s => s.startMs < Long.MaxValue / 8)
+      .groupBy(_.userId).map { case (u, ss) =>
+        (u, ss.size.toLong, ss.map(_.n).sum)
+      }.toSet
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+
+  test("watermarked sliding window aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDS()
+      .withColumn("ts", timestamp_millis($"tsMs"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "30 minutes", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val min = 60000L
+    mem.addData(Ev(1, 0 * min, 1.0), Ev(1, 10 * min, 2.0), Ev(1, 20 * min, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sliding_out")
+      .select($"window.start".cast("long").as("s"), $"n", $"total").collect()
+      .map(r => (r.getLong(0) / 60, r.getLong(1), r.getDouble(2))).toSet
+    // event at 10min lands in windows [-15,15) [0,30); at 20min in [0,30) [15,45)
+    assert(rows.contains((0L, 3L, 7.0)), s"window [0,30) wrong: $rows")
+    assert(rows.contains((15L * 60 / 60, 1L, 4.0)) || rows.exists(_._1 == 15), s"missing [15,45): $rows")
+  }
+}
