@@ -122,6 +122,12 @@ class CoreOpsSpec extends SparkTestBase {
     assert(rn.getLong(2) == 3L && rn.getLong(3) == 1L)
   }
 
+  test("orderColumns puts target first; leftSubtract anti-projects") {
+    val df = Seq((1, 2.0, "x")).toDF("a", "y", "s")
+    assert(CleanOps.orderColumns(df, "y", Seq("s", "a")).columns.toSeq == Seq("y", "s", "a"))
+    assert(CleanOps.leftSubtract(Seq("a", "y", "s"), Seq("y")) == Seq("a", "s"))
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     import graft.core.JoinOps
     val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 15L)).toDF("k", "t")
