@@ -295,6 +295,40 @@ object CoreQueries2 {
       | CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS seg_code
       |FROM customer""".stripMargin
 
+  // ---- E3: spark.ml column-transformer pipeline ----------------------------------------------
+
+  /** The reference's eval-built sklearn ColumnTransformer
+    * (`ml_models.py:463-568`) as a REAL `ml.Pipeline`: StringIndexer
+    * (frequencyDesc, ties alphabetical — deterministic) + VectorAssembler
+    * + MaxAbsScaler; the vector is unpacked back to columns so the result
+    * stays oracle-checkable. */
+  private def e3Pipeline: Q = (s, d) => {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler, MaxAbsScaler}
+    import org.apache.spark.ml.functions.vector_to_array
+    val c = Tables.customer(s, d)
+    val pipe = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("c_mktsegment").setOutputCol("seg_idx")
+        .setStringOrderType("frequencyDesc"),
+      new VectorAssembler().setInputCols(Array("c_acctbal")).setOutputCol("raw"),
+      new MaxAbsScaler().setInputCol("raw").setOutputCol("scaled")))
+    pipe.fit(c).transform(c)
+      .select(col("c_custkey"), col("seg_idx").cast("long").as("seg_idx"),
+        dround(element_at(vector_to_array(col("scaled")), 1), 6).as("scaled_bal"))
+  }
+
+  private val e3Sql =
+    s"""WITH cnt AS (
+       |  SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment),
+       |idx AS (
+       |  SELECT c_mktsegment,
+       |         row_number() OVER (ORDER BY n DESC, c_mktsegment ASC) - 1 AS seg_idx
+       |  FROM cnt),
+       |mx AS (SELECT max(abs(c_acctbal)) AS m FROM customer)
+       |SELECT c_custkey, CAST(seg_idx AS BIGINT) AS seg_idx,
+       | ${droundSql("c_acctbal / mx.m", 6)} AS scaled_bal
+       |FROM customer JOIN idx USING (c_mktsegment) CROSS JOIN mx""".stripMargin
+
   // ---- E4: scaler family -------------------------------------------------------------------
 
   private def e4Scalers: Q = (s, d) =>
@@ -375,6 +409,7 @@ object CoreQueries2 {
     "a6_profile"     -> a6Profile,
     "a8_cv_scores"   -> a8CvScores,
     "e1_label_encode"-> e1LabelEncode,
+    "e3_pipeline"    -> e3Pipeline,
     "e4_scalers"     -> e4Scalers,
     "i2_datetime_parse" -> i2DatetimeParse,
     "s1_csv_scan"    -> s1CsvScan,
@@ -395,6 +430,7 @@ object CoreQueries2 {
     "a6_profile"     -> a6Sql,
     "a8_cv_scores"   -> a8Sql,
     "e1_label_encode"-> e1Sql,
+    "e3_pipeline"    -> e3Sql,
     "e4_scalers"     -> e4Sql,
     "i2_datetime_parse" -> i2Sql,
     "s1_csv_scan"    -> s1Sql,

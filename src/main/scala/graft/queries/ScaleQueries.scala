@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.scale.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.scale.{Dedup, Similarity, TextAnalysis, Multimodal, PerSeriesForecast}
 import graft.streaming.EventWindows
 import graft.queries.Det._
 
@@ -159,6 +159,49 @@ object ScaleQueries {
       |   (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
       |FROM documents WHERE length(text) >= 64""".stripMargin
 
+  // ---- per-series baseline forecasting (scale path) ----------------------
+
+  /** Drift forecast for EVERY user series in one aggregate pass. */
+  private def f1Drift: Q = (s, d) =>
+    PerSeriesForecast.drift(Tables.events(s, d), "value", "ts",
+        Seq("user_id"), 4, Seq("event_id"))
+      .select(col("user_id"), col("h").cast("long").as("h"),
+              dround(col("yhat"), 6).as("yhat"))
+
+  private val f1Sql =
+    s"""WITH r AS (
+       |  SELECT user_id, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN rn = 1 THEN value END) AS first_y,
+       |         max(CASE WHEN rn = n THEN value END) AS last_y,
+       |         max(n) AS n
+       |  FROM r GROUP BY user_id),
+       |h AS (SELECT unnest(generate_series(1, 4)) AS h)
+       |SELECT user_id, CAST(h AS BIGINT) AS h,
+       | ${droundSql("last_y + h * (last_y - first_y) / (n - 1)", 6)} AS yhat
+       |FROM f CROSS JOIN h""".stripMargin
+
+  /** Seasonal-naive forecast (period 24) for every user series. */
+  private def f2SeasonalNaive: Q = (s, d) =>
+    PerSeriesForecast.seasonalNaive(Tables.events(s, d), "value", "ts",
+        Seq("user_id"), 6, 24, Seq("event_id"))
+      .select(col("user_id"), col("h").cast("long").as("h"),
+              dround(col("yhat"), 6).as("yhat"))
+
+  private val f2Sql =
+    s"""WITH r AS (
+       |  SELECT user_id, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+       |  FROM events),
+       |h AS (SELECT h, 24 - ((h - 1) % 24) AS rd
+       |      FROM (SELECT unnest(generate_series(1, 6)) AS h))
+       |SELECT user_id, CAST(h.h AS BIGINT) AS h, ${droundSql("value", 6)} AS yhat
+       |FROM r JOIN h ON r.rd = h.rd""".stripMargin
+
   // ---- multimodal (stub decode; real plumbing) -------------------------------
 
   private def mmDecode: Q = (s, d) => {
@@ -227,6 +270,8 @@ object ScaleQueries {
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
     "s3_ann_ivf"       -> s3AnnIvf,
+    "f1_drift_forecast"-> f1Drift,
+    "f2_seasonal_naive"-> f2SeasonalNaive,
     "x1_text_stats"    -> x1TextStats,
     "x2_lang_id"       -> x2LangId,
     "x3_fingerprint"   -> x3Fingerprint,
@@ -236,6 +281,8 @@ object ScaleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "f1_drift_forecast"-> f1Sql,
+    "f2_seasonal_naive"-> f2Sql,
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d5_cosine_neardup"-> d5Sql,

@@ -1,0 +1,70 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series baseline forecasting as PURE DataFrame transforms — the
+  * scale path for "forecast every series in the warehouse": no collect,
+  * no per-series model object, one partitioned window or aggregate pass
+  * regardless of series count. These are the standard M-competition
+  * baselines (naive / drift / seasonal-naive) that the reference's model
+  * zoo is benchmarked against; on 100 TB they are also the only family
+  * you can afford on ALL series (the heavier ModelBuild estimators then
+  * run on the series that matter).
+  *
+  * Output schema: (seriesCols..., h, yhat) for h = 1..horizon. */
+object PerSeriesForecast {
+
+  private def horizons(spark: SparkSession, h: Int) =
+    spark.range(1, h + 1).select(col("id").cast("int").as("h"))
+
+  /** First/last value + count per series in ONE aggregate (min_by/max_by
+    * over the (ts, tieBreak) ordering struct — no sort, no window). */
+  private def endpoints(df: DataFrame, valueCol: String, tsCol: String,
+                        seriesCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val ord = struct((tsCol +: tieBreak).map(col): _*)
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(min_by(col(valueCol), ord).as("first_y"),
+           max_by(col(valueCol), ord).as("last_y"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Naive: ŷ(t+h) = y(n) for every h. */
+  def naive(df: DataFrame, valueCol: String, tsCol: String,
+            seriesCols: Seq[String], horizon: Int,
+            tieBreak: Seq[String] = Nil): DataFrame =
+    endpoints(df, valueCol, tsCol, seriesCols, tieBreak)
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+ col("last_y").as("yhat"): _*)
+
+  /** Drift: ŷ(t+h) = y(n) + h·(y(n) − y(1))/(n−1) — the line through the
+    * first and last observations extended h steps. */
+  def drift(df: DataFrame, valueCol: String, tsCol: String,
+            seriesCols: Seq[String], horizon: Int,
+            tieBreak: Seq[String] = Nil): DataFrame =
+    endpoints(df, valueCol, tsCol, seriesCols, tieBreak)
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+
+        (col("last_y") + col("h") * (col("last_y") - col("first_y")) / (col("n") - 1))
+          .as("yhat"): _*)
+
+  /** Seasonal naive: ŷ(t+h) = y(n − m + 1 + ((h−1) mod m)) — the value at
+    * the same phase of the last observed season (period m). One
+    * partitioned window computes reverse positions; the last season's m
+    * rows broadcast-join a tiny (h → phase) table. */
+  def seasonalNaive(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], horizon: Int, m: Int,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordDesc = ((tsCol +: tieBreak)).map(c => col(c).desc)
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(ordDesc: _*)
+    val lastSeason = df
+      .withColumn("rd", row_number().over(w))
+      .filter(col("rd") <= m)
+      .select(seriesCols.map(col) :+ col("rd") :+ col(valueCol).as("yhat"): _*)
+    val phase = horizons(df.sparkSession, horizon)
+      .withColumn("rd", lit(m) - ((col("h") - 1) % lit(m)))
+    lastSeason.join(broadcast(phase), Seq("rd"))
+      .select(seriesCols.map(col) :+ col("h") :+ col("yhat"): _*)
+  }
+}

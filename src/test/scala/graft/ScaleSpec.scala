@@ -53,6 +53,23 @@ class ScaleSpec extends SparkTestBase {
     assert(Similarity.inferDim(vecs, "embedding") == dim)
   }
 
+  test("per-series forecast baselines: naive flat, drift linear, seasonal repeats") {
+    import graft.scale.PerSeriesForecast
+    // two clean series: 1,2,..,10 (drift should extend the line) and constant 5
+    val rows = (1 to 10).map(i => (1L, i.toLong, i.toDouble)) ++
+               (1 to 10).map(i => (2L, i.toLong, 5.0))
+    val df = rows.toDF("sid", "t", "y").withColumn("ts", timestamp_seconds($"t"))
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    val naive = grab(PerSeriesForecast.naive(df, "y", "ts", Seq("sid"), 3))
+    assert(naive((1L, 1)) == 10.0 && naive((1L, 3)) == 10.0 && naive((2L, 2)) == 5.0)
+    val drift = grab(PerSeriesForecast.drift(df, "y", "ts", Seq("sid"), 3))
+    assert(drift((1L, 1)) == 11.0 && drift((1L, 3)) == 13.0 && drift((2L, 3)) == 5.0)
+    val season = grab(PerSeriesForecast.seasonalNaive(df, "y", "ts", Seq("sid"), 5, 3))
+    // last season of series 1 = (8,9,10); h=1..5 -> 8,9,10,8,9
+    assert(Seq(1, 2, 3, 4, 5).map(h => season((1L, h))) == Seq(8.0, 9.0, 10.0, 8.0, 9.0))
+  }
+
   test("IVF ANN: all hits are valid pairings and recall@k overlaps brute force") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val em = Tables.embeddings(spark, SF)
