@@ -42,14 +42,29 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
     * Intersection via shingle self-join (only docs SHARING a shingle are
     * ever paired — no quadratic blowup on non-overlapping corpora). */
+  /** `maxDf`: optional document-frequency cap — shingles appearing in more
+    * than `maxDf` docs are excluded from the PAIRING join (denominator
+    * sizes stay exact). At corpus scale this is the standard skew guard
+    * (a stop-shingle shared by k docs alone creates k² candidate rows);
+    * the computed Jaccard becomes a lower bound, so pairs can only be
+    * missed, never invented. Default None = exact (oracle-checked)
+    * semantics; residual skew inside the cap is AQE skew-join territory. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, n).cache()
     // carry each doc's shingle count ON the shingle rows (one broadcast
     // join against the tiny per-doc size table) so the pair aggregate
     // reads |A| and |B| inline — no post-aggregation join stages
     val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val sh2 = sh.join(broadcast(sizes), Seq("sid"))
+    val shPair = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("h"))
+        sh.join(hot, Seq("h"), "left_anti")
+    }
+    val sh2 = shPair.join(broadcast(sizes), Seq("sid"))
     val a = sh2.select(col("sid").as("id_a"), col("h"), col("nsh").as("na"))
     val b = sh2.select(col("sid").as("id_b"), col("h"), col("nsh").as("nb"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))

@@ -20,6 +20,16 @@ class ScaleSpec extends SparkTestBase {
     assert(lsh.subsetOf(exact), "LSH emitted pairs below the verify threshold")
   }
 
+  test("ngramJaccard maxDf cap: no-op at high cap, only removes pairs at low cap") {
+    def pairs(maxDf: Option[Int]) =
+      Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5, maxDf)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(pairs(Some(1000000)) == exact, "huge cap must be a no-op")
+    val capped = pairs(Some(3))
+    assert(capped.subsetOf(exact), "cap may only drop pairs, never invent them")
+  }
+
   test("simhash pairs overlap the exact near-dup set") {
     val exact = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
