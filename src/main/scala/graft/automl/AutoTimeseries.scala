@@ -29,7 +29,7 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     val h = graft.cv.ExpandingWindowSplit.clampHorizon(n, math.max(cv, 1), forecastPeriod)
 
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
-      case "ML"           => Some(new GbtModel(lags = math.min(math.max(2, 4), 10)))
+      case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
       case "Prophet"      => Some(new DecomposableModel(freq.seasonalPeriod))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel()) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None

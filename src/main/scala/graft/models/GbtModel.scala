@@ -20,7 +20,7 @@ import graft.core.{TimeSeriesOps => TS}
   * feature building is window/codegen work; the recursive loop runs on
   * the driver against the LOCAL `GBTRegressionModel.predict(Vector)` —
   * h is small, no per-step Spark job. */
-class GbtModel(lags: Int = 4, maxIter: Int = 50) extends ModelBuild {
+class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2) extends ModelBuild {
   val name = "ML"
 
   private var model: GBTRegressionModel = _
@@ -65,7 +65,7 @@ class GbtModel(lags: Int = 4, maxIter: Int = 50) extends ModelBuild {
 
   private def newGbt = new GBTRegressor()
     .setLabelCol(schema.target).setFeaturesCol("features")
-    .setMaxIter(maxIter).setMaxDepth(4).setStepSize(0.1).setSeed(42)
+    .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(0.1).setSeed(42)
 
   def fit(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int): CvScores = {
     schema = tsSchema
