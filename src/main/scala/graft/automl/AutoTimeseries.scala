@@ -33,7 +33,7 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
       case "Prophet"      => Some(new DecomposableModel(freq.seasonalPeriod))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel()) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
-      case "auto_SARIMAX" => Some(new ArimaModel())
+      case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = freq.seasonalPeriod))
       case other          => None
     }
 

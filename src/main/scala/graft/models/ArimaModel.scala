@@ -4,136 +4,240 @@ import breeze.linalg.DenseVector
 import breeze.optimize.{ApproximateGradientFunction, DiffFunction, LBFGS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** M1–M3 — ARIMA(p,d,q) by conditional sum of squares (CSS) + grid search.
+/** M1–M3 — ARIMA(p,d,q)(P,D,Q)m by conditional sum of squares (CSS) +
+  * two-stage grid search.
   *
   * The reference grid-searches itertools.product(p≤3, d≤1, q≤3) fitting
-  * statsmodels ARIMA per cell and keeping min AIC/BIC with a 100-fit cap
-  * (`models/ar_based/build_arima.py:37-186`). Here the objective is the
-  * standard CSS innovations recursion minimized with L-BFGS (Breeze), and
-  * the GRID is evaluated as a Spark job over a broadcast series — each
-  * (p,d,q) cell is one task (SURVEY §4: the parallel-estimator scheduler),
-  * which is exactly how the search scales on a cluster. */
+  * statsmodels ARIMA per cell with min AIC/BIC and a 100-fit cap
+  * (`models/ar_based/build_arima.py:37-186`), then a second seasonal
+  * stage picks (P,D,Q,m) (`param_finder.py:18-143`). Here the objective
+  * is the CSS innovations recursion over SUBSET lag sets — seasonal AR/MA
+  * terms enter additively at lags {m..Pm} (the standard subset-ARIMA
+  * approximation of the multiplicative polynomial; exact when cross terms
+  * are small) — minimized with L-BFGS (Breeze). Each grid stage runs as a
+  * Spark job over the broadcast series, one task per cell (SURVEY §4:
+  * the parallel-estimator scheduler), which is how the search scales on a
+  * cluster. */
 object ArimaCss {
 
-  case class Fit(p: Int, d: Int, q: Int, phi: Array[Double], theta: Array[Double],
-                 c: Double, sigma2: Double, aic: Double, n: Int)
+  /** Order spec; arLags/maLags are the concrete subset lags. */
+  case class Spec(p: Int, d: Int, q: Int, sP: Int = 0, sD: Int = 0, sQ: Int = 0, m: Int = 1) {
+    def arLags: Array[Int] = ((1 to p) ++ (1 to sP).map(_ * m)).toArray
+    def maLags: Array[Int] = ((1 to q) ++ (1 to sQ).map(_ * m)).toArray
+    def nParams: Int = arLags.length + maLags.length + 1
+    override def toString = s"ARIMA($p,$d,$q)($sP,$sD,$sQ)[$m]"
+  }
 
-  /** CSS objective: innovations recursion e_t = w_t - c - Σφw - Σθe. */
+  case class Fit(spec: Spec, phi: Array[Double], theta: Array[Double],
+                 c: Double, sigma2: Double, aic: Double, n: Int) {
+    def p: Int = spec.p; def d: Int = spec.d; def q: Int = spec.q
+  }
+
+  /** CSS objective over subset lag sets:
+    * e_t = w_t − c − Σ φ_i w_{t−arLag_i} − Σ θ_j e_{t−maLag_j}. */
   private def cssResiduals(w: Array[Double], c: Double,
-                           phi: Array[Double], theta: Array[Double]): Array[Double] = {
-    val p = phi.length; val q = theta.length
+                           arLags: Array[Int], phi: Array[Double],
+                           maLags: Array[Int], theta: Array[Double]): Array[Double] = {
     val n = w.length
+    val start = if (arLags.isEmpty) 0 else arLags.max
     val e = new Array[Double](n)
-    val start = p
     var t = start
     while (t < n) {
       var pred = c
       var i = 0
-      while (i < p) { pred += phi(i) * w(t - 1 - i); i += 1 }
+      while (i < arLags.length) { pred += phi(i) * w(t - arLags(i)); i += 1 }
       var j = 0
-      while (j < q) { if (t - 1 - j >= start) pred += theta(j) * e(t - 1 - j); j += 1 }
+      while (j < maLags.length) {
+        val tj = t - maLags(j)
+        if (tj >= start) pred += theta(j) * e(tj)
+        j += 1
+      }
       e(t) = w(t) - pred
       t += 1
     }
     e.drop(start)
   }
 
-  private def diff(y: Array[Double], d: Int): Array[Double] =
-    (0 until d).foldLeft(y)((cur, _) => cur.sliding(2).map(a => a(1) - a(0)).toArray)
+  private def diff1(y: Array[Double], lag: Int): Array[Double] =
+    Array.tabulate(y.length - lag)(i => y(i + lag) - y(i))
 
-  /** Fit one (p,d,q) cell by CSS/L-BFGS. */
-  def fitOne(y: Array[Double], p: Int, d: Int, q: Int): Fit = {
-    val w = diff(y, d)
+  /** Differencing ladder: seasonal D times at lag m, then regular d times.
+    * Returns every intermediate level (needed for exact inversion). */
+  private def ladder(y: Array[Double], spec: Spec): (Seq[Array[Double]], Seq[Array[Double]]) = {
+    val sLevels = Seq.iterate(y, spec.sD + 1)(cur => diff1(cur, spec.m))
+    val rLevels = Seq.iterate(sLevels.last, spec.d + 1)(cur => diff1(cur, 1))
+    (sLevels, rLevels)
+  }
+
+  /** Fit one cell by CSS/L-BFGS. */
+  def fitOne(y: Array[Double], spec: Spec): Fit = {
+    val w = ladder(y, spec)._2.last
     val n = w.length
-    require(n > p + q + 2, s"series too short for ARIMA($p,$d,$q)")
+    val maxLag = (spec.arLags ++ spec.maLags).foldLeft(0)(math.max)
+    require(n > maxLag + spec.nParams + 2, s"series too short for $spec")
+    val arLags = spec.arLags; val maLags = spec.maLags
+    val np = arLags.length; val nq = maLags.length
     val obj = new DiffFunction[DenseVector[Double]] {
       private val inner = new ApproximateGradientFunction[Int, DenseVector[Double]](
         (x: DenseVector[Double]) => {
           val c = x(0)
-          val phi = Array.tabulate(p)(i => x(1 + i))
-          val theta = Array.tabulate(q)(j => x(1 + p + j))
-          val e = cssResiduals(w, c, phi, theta)
+          val phi = Array.tabulate(np)(i => x(1 + i))
+          val theta = Array.tabulate(nq)(j => x(1 + np + j))
+          val e = cssResiduals(w, c, arLags, phi, maLags, theta)
           0.5 * e.map(v => v * v).sum
         })
       def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = inner.calculate(x)
     }
-    val init = DenseVector.zeros[Double](1 + p + q)
+    val init = DenseVector.zeros[Double](1 + np + nq)
     init(0) = w.sum / n // start intercept at the mean
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter = 200, m = 7)
     val xOpt = lbfgs.minimize(obj, init)
     val c = xOpt(0)
-    val phi = Array.tabulate(p)(i => xOpt(1 + i))
-    val theta = Array.tabulate(q)(j => xOpt(1 + p + j))
-    val e = cssResiduals(w, c, phi, theta)
+    val phi = Array.tabulate(np)(i => xOpt(1 + i))
+    val theta = Array.tabulate(nq)(j => xOpt(1 + np + j))
+    val e = cssResiduals(w, c, arLags, phi, maLags, theta)
     val ne = e.length
     val sigma2 = e.map(v => v * v).sum / ne
-    val k = p + q + 1
-    val aic = ne * math.log(math.max(sigma2, 1e-300)) + 2.0 * (k + 1)
-    Fit(p, d, q, phi, theta, c, sigma2, aic, ne)
+    val aic = ne * math.log(math.max(sigma2, 1e-300)) + 2.0 * (spec.nParams + 1)
+    Fit(spec, phi, theta, c, sigma2, aic, ne)
   }
 
-  /** Grid search as a Spark job over the broadcast series: one task per
-    * (p,d,q) cell, min-AIC wins; budget-capped like the reference
-    * (`param_finder.py:94-99`). */
+  /** Back-compat non-seasonal entry. */
+  def fitOne(y: Array[Double], p: Int, d: Int, q: Int): Fit =
+    fitOne(y, Spec(p, d, q))
+
+  private def parallelFit(spark: SparkSession, y: Array[Double],
+                          grid: Seq[Spec]): Seq[Fit] = {
+    val bc = spark.sparkContext.broadcast(y)
+    val fits = spark.sparkContext
+      .parallelize(grid, math.max(grid.size, 1))
+      .map { spec =>
+        try Some(fitOne(bc.value, spec))
+        catch { case _: Throwable => None }
+      }
+      .collect().flatten.toSeq
+    bc.destroy()
+    fits
+  }
+
+  /** Non-seasonal grid search (one Spark job, min-AIC, 100-fit budget like
+    * `param_finder.py:94-99`). */
   def gridSearch(spark: SparkSession, y: Array[Double],
                  maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
                  budget: Int = 100): Fit = {
     val grid = (for {
       p <- 0 to maxP; d <- 0 to maxD; q <- 0 to maxQ
       if p + q > 0 && y.length - d > p + q + 8
-    } yield (p, d, q)).take(budget)
-    val bc = spark.sparkContext.broadcast(y)
-    val fits = spark.sparkContext
-      .parallelize(grid, grid.size)
-      .map { case (p, d, q) =>
-        try Some(fitOne(bc.value, p, d, q))
-        catch { case _: Throwable => None }
-      }
-      .collect().flatten
-    bc.destroy()
+    } yield Spec(p, d, q)).take(budget)
+    val fits = parallelFit(spark, y, grid)
     require(fits.nonEmpty, "no ARIMA cell converged")
     fits.minBy(_.aic)
   }
 
-  /** Recursive h-step forecast on the differenced scale, then inverse
-    * differencing (cumsum restore, `build_pyflux.py:91-106` semantics). */
+  private def stddev(x: Array[Double]): Double = {
+    val mu = x.sum / x.length
+    math.sqrt(x.map(v => (v - mu) * (v - mu)).sum / math.max(x.length - 1, 1))
+  }
+
+  /** Seasonal order search. D ∈ {0,1} comes from seasonal strength
+    * (variance ratio of the lag-m difference — the OCSB-test stand-in in
+    * auto-arima, `build_autoarimax.py:16-88`); then ONE parallel Spark
+    * job fits the joint (p,d,q,P,Q) grid, each task scoring its cell by
+    * h-step RMSE on the held-out TAIL of the series. Selection by
+    * held-out forecast error (AICc as tie-break) rather than raw AIC:
+    * AIC values are incomparable across differencing levels (different
+    * ne) and overfit badly on reference-sized samples, whereas tail RMSE
+    * is the quantity the AutoML is actually judged on. The winner is
+    * refit on the full series. */
+  def gridSearchSeasonal(spark: SparkSession, y: Array[Double], m: Int,
+                         maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
+                         budget: Int = 100, holdout: Int = 8): Fit = {
+    // need at least one full season beyond the seasonal difference;
+    // individually infeasible cells are rejected inside fitOne
+    if (m <= 1 || y.length < 2 * m + 4) return gridSearch(spark, y, maxP, maxD, maxQ, budget)
+    val sD = if (stddev(diff1(y, m)) < 0.9 * stddev(y)) 1 else 0
+    val h = math.min(holdout, y.length / 5)
+    val train = y.dropRight(h)
+    val value = y.takeRight(h)
+    val grid = (for {
+      p <- 0 to math.min(maxP, 2); q <- 0 to math.min(maxQ, 2)
+      d <- 0 to maxD
+      sP <- 0 to 1; sQ <- 0 to 1
+      if p + q + sP + sQ > 0
+    } yield Spec(p, d, q, sP, sD, sQ, m))
+      .sortBy(_.nParams).take(budget)
+    val bcTrain = spark.sparkContext.broadcast(train)
+    val bcVal = spark.sparkContext.broadcast(value)
+    val scored = spark.sparkContext
+      .parallelize(grid, math.max(grid.size, 1))
+      .map { spec =>
+        try {
+          val f = fitOne(bcTrain.value, spec)
+          val pred = forecast(bcTrain.value, f, bcVal.value.length)
+          val rmse = math.sqrt(pred.zip(bcVal.value)
+            .map { case (a, b) => (a - b) * (a - b) }.sum / pred.length)
+          if (rmse.isNaN || rmse.isInfinite) None else Some((spec, rmse, f.aic))
+        } catch { case _: Throwable => None }
+      }
+      .collect().flatten.toSeq
+    bcTrain.destroy(); bcVal.destroy()
+    if (scored.isEmpty) return gridSearch(spark, y, maxP, maxD, maxQ, budget)
+    val bestSpec = scored.minBy { case (_, rmse, aic) => (rmse, aic) }._1
+    scala.util.Try(fitOne(y, bestSpec)).getOrElse(
+      gridSearch(spark, y, maxP, maxD, maxQ, budget))
+  }
+
+  /** Recursive h-step forecast on the fully-differenced scale, then exact
+    * inversion back up the differencing ladder (regular cumsum levels,
+    * then seasonal restore against the last m values of each level). */
   def forecast(y: Array[Double], fit: Fit, h: Int): Array[Double] = {
-    val w = diff(y, fit.d)
-    val e = cssResiduals(w, fit.c, fit.phi, fit.theta)
-    val eAll = Array.fill(fit.p)(0.0) ++ e // re-align residual indexing to w
+    val spec = fit.spec
+    val (sLevels, rLevels) = ladder(y, spec)
+    val w = rLevels.last
+    val arLags = spec.arLags; val maLags = spec.maLags
+    val start = if (arLags.isEmpty) 0 else arLags.max
+    val e = cssResiduals(w, fit.c, arLags, fit.phi, maLags, fit.theta)
     val wBuf = scala.collection.mutable.ArrayBuffer(w.toIndexedSeq: _*)
-    val eBuf = scala.collection.mutable.ArrayBuffer(eAll.toIndexedSeq: _*)
+    val eBuf = scala.collection.mutable.ArrayBuffer((Array.fill(start)(0.0) ++ e).toIndexedSeq: _*)
     val out = new Array[Double](h)
     for (i <- 0 until h) {
       val t = wBuf.length
       var pred = fit.c
-      for (j <- 0 until fit.p) pred += fit.phi(j) * wBuf(t - 1 - j)
-      for (j <- 0 until fit.q; if t - 1 - j < e.length + fit.p && t - 1 - j >= 0)
-        pred += fit.theta(j) * eBuf(t - 1 - j)
+      for (j <- arLags.indices; if t - arLags(j) >= 0) pred += fit.phi(j) * wBuf(t - arLags(j))
+      for (j <- maLags.indices; if t - maLags(j) >= 0 && t - maLags(j) < eBuf.length)
+        pred += fit.theta(j) * eBuf(t - maLags(j))
       wBuf += pred
       eBuf += 0.0 // future innovations have expectation 0
       out(i) = pred
     }
-    if (fit.d == 0) out
-    else {
-      // inverse differencing: cumsum anchored at the last observed level(s)
-      var cur = out
-      for (_ <- 0 until fit.d) {
-        var anchor = y.last // exact only for d=1; d≤1 in the reference grid
-        cur = cur.map { dv => anchor += dv; anchor }
-      }
-      cur
+    // invert regular differences (innermost level first)
+    var cur = out
+    for (lvl <- (spec.d - 1) to 0 by -1) {
+      var anchor = rLevels(lvl).last
+      cur = cur.map { dv => anchor += dv; anchor }
     }
+    // invert seasonal differences against the last m values of each level
+    for (lvl <- (spec.sD - 1) to 0 by -1) {
+      val buf = scala.collection.mutable.ArrayBuffer(sLevels(lvl).takeRight(spec.m).toIndexedSeq: _*)
+      cur = cur.map { v => val restored = v + buf(buf.length - spec.m); buf += restored; restored }
+    }
+    cur
   }
 }
 
-/** ModelBuild wrapper: auto-ARIMA (grid-searched CSS) with expanding CV. */
-class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3) extends ModelBuild {
+/** ModelBuild wrapper: auto-SARIMA (two-stage grid-searched CSS) with
+  * expanding CV. `seasonalM` ≤ 1 disables the seasonal stage. */
+class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
+                 seasonalM: Int = 1) extends ModelBuild {
   val name = "auto_SARIMAX"
 
   private var series: LocalSeries = _
   private var intervalMs: Long = _
   private var best: ArimaCss.Fit = _
+
+  private def search(spark: SparkSession, y: Array[Double]): ArimaCss.Fit =
+    if (seasonalM > 1) ArimaCss.gridSearchSeasonal(spark, y, seasonalM, maxP, maxD, maxQ)
+    else ArimaCss.gridSearch(spark, y, maxP, maxD, maxQ)
 
   def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
     series = LocalSeries.collect(df, schema)
@@ -141,11 +245,11 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3) extends ModelBuild
     val spark = df.sparkSession
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
       val train = series.y.take(trainEnd)
-      val f = ArimaCss.gridSearch(spark, train, maxP, maxD, maxQ)
+      val f = search(spark, train)
       val pred = ArimaCss.forecast(train, f, testEnd - trainEnd)
       LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
     }
-    best = ArimaCss.gridSearch(spark, series.y, maxP, maxD, maxQ)
+    best = search(spark, series.y)
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
@@ -155,4 +259,5 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3) extends ModelBuild
   }
 
   def bestOrder: (Int, Int, Int) = (best.p, best.d, best.q)
+  def bestSpec: ArimaCss.Spec = best.spec
 }
