@@ -31,7 +31,7 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
       case "Prophet"      => Some(new DecomposableModel(freq.seasonalPeriod))
-      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel()) // skip >1000 rows (`__init__.py:672-675`)
+      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = freq.seasonalPeriod)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
       case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = freq.seasonalPeriod))
       case other          => None

@@ -7,8 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-equation OLS (`models/ar_based/build_var.py:53-160`; VAR estimation
   * by equation-wise least squares is the standard closed form). Order p
   * selected by AIC over 1..maxP, mirroring the reference's (p≤3) grid
-  * (`build_var.py:208-267`). Forecasts are recursive. */
-class VarModel(maxP: Int = 3) extends ModelBuild {
+  * (`build_var.py:208-267`). Forecasts are recursive.
+  *
+  * `seasonalM` > 1 adds m−1 seasonal dummy columns (deterministic
+  * terms, phase = row index mod m) to every equation — VAR(p≤3) cannot
+  * express a period-12 cycle through its lag polynomial alone; dummies
+  * are the standard VARX deterministic-seasonality treatment and extend
+  * exactly into the forecast horizon. */
+class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBuild {
   val name = "VAR"
 
   private var series: LocalSeries = _
@@ -24,10 +30,12 @@ class VarModel(maxP: Int = 3) extends ModelBuild {
 
   /** OLS fit of VAR(p); returns (coef matrix, residual covariance det,
     * per-equation residual std of the target equation). */
+  private def nDummies: Int = if (seasonalM > 1) seasonalM - 1 else 0
+
   private def fitP(z: Array[Array[Double]], p: Int): (DenseMatrix[Double], Double, Double) = {
     val k = z(0).length
     val rows = z.length - p
-    val cols = 1 + k * p
+    val cols = 1 + k * p + nDummies
     val x = DenseMatrix.zeros[Double](rows, cols)
     val yMat = DenseMatrix.zeros[Double](rows, k)
     for (i <- 0 until rows) {
@@ -35,6 +43,10 @@ class VarModel(maxP: Int = 3) extends ModelBuild {
       x(i, 0) = 1.0
       for (lag <- 1 to p; j <- 0 until k)
         x(i, 1 + (lag - 1) * k + j) = z(t - lag)(j)
+      if (nDummies > 0) {
+        val ph = t % seasonalM
+        if (ph < nDummies) x(i, 1 + k * p + ph) = 1.0
+      }
       for (j <- 0 until k) yMat(i, j) = z(t)(j)
     }
     val xtxInv = inv(x.t * x)
@@ -51,7 +63,7 @@ class VarModel(maxP: Int = 3) extends ModelBuild {
 
   private def fitLocal(z: Array[Array[Double]]): (Int, DenseMatrix[Double], Double) = {
     val k = z(0).length
-    val candidates = (1 to maxP).filter(p => z.length - p > 1 + k * p + 2)
+    val candidates = (minP to maxP).filter(p => z.length - p > 1 + k * p + nDummies + 2)
     require(candidates.nonEmpty, s"series too short for VAR: n=${z.length}")
     val fits = candidates.map { p =>
       val (b, detS, s) = fitP(z, p)
@@ -71,6 +83,10 @@ class VarModel(maxP: Int = 3) extends ModelBuild {
         var v = b(0, j)
         for (lag <- 1 to p; jj <- 0 until k)
           v += b(1 + (lag - 1) * k + jj, j) * hist(t - lag)(jj)
+        if (nDummies > 0) {
+          val ph = t % seasonalM
+          if (ph < nDummies) v += b(1 + k * p + ph, j)
+        }
         v
       }
       hist += next
