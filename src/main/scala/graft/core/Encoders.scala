@@ -23,14 +23,25 @@ object Encoders {
   }
 
   /** E1 — apply label encoding: broadcast-join the dictionary; unseen
-    * values (at transform time) get code = max + 1 + rank among unseen —
-    * the reference's grow-on-unseen rule (`my_encoders.py:74-78`) made
-    * deterministic; nulls get -1. */
+    * values (at transform time) get code = maxCode + rank among the
+    * unseen values — the reference's grow-on-unseen rule
+    * (`my_encoders.py:74-78`) made deterministic; nulls get -1. The
+    * unseen-dictionary build is one distinct + anti-join (bounded by the
+    * column's cardinality, like the dictionary itself). */
   def labelEncode(df: DataFrame, colName: String, dict: DataFrame,
                   outCol: String): DataFrame = {
     val d = dict.withColumnRenamed(dict.columns.head, colName)
       .withColumnRenamed("code", "__dict_code")
-    df.join(broadcast(d), Seq(colName), "left")
+    val maxCode = d.agg(max(col("__dict_code"))).head() match {
+      case r if r.isNullAt(0) => -1
+      case r => r.getInt(0)
+    }
+    val unseen = df.select(col(colName)).na.drop().distinct()
+      .join(d.select(col(colName)), Seq(colName), "left_anti")
+      .withColumn("__dict_code",
+        (row_number().over(Window.orderBy(col(colName))) + maxCode).cast("int"))
+    val full = d.select(col(colName), col("__dict_code")).unionByName(unseen)
+    df.join(broadcast(full), Seq(colName), "left")
       .withColumn(outCol,
         when(col(colName).isNull, lit(-1)).otherwise(col("__dict_code")))
       .drop("__dict_code")

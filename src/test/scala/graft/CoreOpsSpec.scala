@@ -152,6 +152,11 @@ class CoreOpsSpec extends SparkTestBase {
       .select($"v", $"code").collect()
       .map(r => Option(r.getString(0)).orNull -> r.getInt(1)).toSet
     assert(enc.contains((null, -1)))
+    // unseen values at transform time grow the dictionary deterministically
+    val df2 = Seq("a", "z", "x", "z").toDF("v")
+    val enc2 = Encoders.labelEncode(df2, "v", dict, "code")
+      .select($"v", $"code").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc2 == Map("a" -> 0, "x" -> 3, "z" -> 4), s"got $enc2")
   }
 
   test("dropZeroVariance drops constants, keeps varying columns") {
