@@ -56,7 +56,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed queries are excluded so the headline total equals the sum
+    // of the reported per-query values
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }

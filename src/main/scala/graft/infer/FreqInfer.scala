@@ -25,20 +25,60 @@ object FreqInfer {
   case object SemiAnnual extends Freq { val alias = "S";  val seasonalPeriod = 2;  val sparkInterval = "6 month" }
   case object Annual    extends Freq { val alias = "Y";   val seasonalPeriod = 1;  val sparkInterval = "1 year" }
 
-  /** Bucket a delta (in seconds) into a frequency alias. Boundaries mirror
-    * `auto_ts/__init__.py:412-445`: <1h minutely, <1d hourly, <7d daily,
-    * 7–27d weekly, 28–88d monthly, 89–177d quarterly, 178–359d semiannual,
-    * ≥360d annual. */
-  def bucket(deltaSeconds: Double): Freq = {
-    val d = deltaSeconds / 86400.0
-    if (deltaSeconds < 3600) Minutely
-    else if (deltaSeconds < 86400) Hourly
-    else if (d < 7) Daily
-    else if (d < 28) Weekly
-    else if (d < 89) Monthly
-    else if (d < 178) Quarterly
-    else if (d < 360) SemiAnnual
-    else Annual
+  /** Bucket upper bounds in seconds, in precedence order — THE single
+    * source of the boundary table (mirrors `auto_ts/__init__.py:412-445`:
+    * <1h minutely, <1d hourly, <7d daily, 7–27d weekly, 28–88d monthly,
+    * 89–177d quarterly, 178–359d semiannual, ≥360d annual). Everything
+    * else (local bucket(), the Column form, the SQL twin) derives from
+    * this list so the thresholds can never drift apart. */
+  val bucketBounds: Seq[(Long, Freq)] = Seq(
+    3600L -> Minutely, 86400L -> Hourly, 7L * 86400 -> Daily,
+    28L * 86400 -> Weekly, 89L * 86400 -> Monthly,
+    178L * 86400 -> Quarterly, 360L * 86400 -> SemiAnnual)
+
+  /** Bucket a delta (in seconds) into a frequency alias. */
+  def bucket(deltaSeconds: Double): Freq =
+    bucketBounds.collectFirst { case (b, f) if deltaSeconds < b => f }
+      .getOrElse(Annual)
+
+  /** The same bucketing as a codegen'd Column over a delta-seconds column. */
+  def freqColumn(deltaS: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bucketBounds.foldRight(lit(Annual.alias)) { case ((b, f), acc) =>
+      when(deltaS < b, f.alias).otherwise(acc)
+    }
+
+  /** SQL twin of [[freqColumn]] for the DuckDB oracle. */
+  def freqCaseSql(expr: String): String =
+    bucketBounds.map { case (b, f) => s"WHEN $expr < $b THEN '${f.alias}'" }
+      .mkString("CASE ", " ", s" ELSE '${Annual.alias}' END")
+
+  /** Per-series frequency: the delta of each series' first two ordered
+    * rows (reference semantics, `__init__.py:402`) bucketed through
+    * [[freqColumn]] — one partitioned window pass for ALL series.
+    * Returns (seriesCol, freq). */
+  def freqPerSeries(df: DataFrame, tsCol: String, seriesCol: String,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("delta_s",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(w))
+      .filter(col("rn") === 2)
+      .select(col(seriesCol), freqColumn(col("delta_s")).as("freq"))
+  }
+
+  /** SQL twin of [[freqPerSeries]] (DuckDB oracle): a `WITH d AS (...)
+    * SELECT seriesCol, freq FROM d WHERE rn = 2` block. */
+  def freqPerSeriesSql(table: String, tsCol: String, seriesCol: String,
+                       tieBreak: Seq[String] = Nil): String = {
+    val ord = (tsCol +: tieBreak).mkString(", ")
+    val w = s"(PARTITION BY $seriesCol ORDER BY $ord)"
+    s"""SELECT $seriesCol, ${freqCaseSql("delta_s")} AS freq FROM (
+       |  SELECT $seriesCol,
+       |         row_number() OVER $w AS rn,
+       |         epoch_us($tsCol)/1000000.0 - lag(epoch_us($tsCol)/1000000.0,1) OVER $w AS delta_s
+       |  FROM $table) WHERE rn = 2""".stripMargin
   }
 
   /** Strict reference parity: delta of the first two ordered timestamps

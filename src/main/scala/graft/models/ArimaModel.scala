@@ -22,8 +22,11 @@ object ArimaCss {
 
   /** Order spec; arLags/maLags are the concrete subset lags. */
   case class Spec(p: Int, d: Int, q: Int, sP: Int = 0, sD: Int = 0, sQ: Int = 0, m: Int = 1) {
-    def arLags: Array[Int] = ((1 to p) ++ (1 to sP).map(_ * m)).toArray
-    def maLags: Array[Int] = ((1 to q) ++ (1 to sQ).map(_ * m)).toArray
+    // distinct: for small m the seasonal lags overlap the regular ones —
+    // a duplicate lag would give two free coefficients on one regressor
+    // (non-identifiable CSS objective)
+    def arLags: Array[Int] = ((1 to p) ++ (1 to sP).map(_ * m)).distinct.toArray
+    def maLags: Array[Int] = ((1 to q) ++ (1 to sQ).map(_ * m)).distinct.toArray
     def nParams: Int = arLags.length + maLags.length + 1
     override def toString = s"ARIMA($p,$d,$q)($sP,$sD,$sQ)[$m]"
   }

@@ -30,7 +30,10 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
 
   /** OLS fit of VAR(p); returns (coef matrix, residual covariance det,
     * per-equation residual std of the target equation). */
-  private def nDummies: Int = if (seasonalM > 1) seasonalM - 1 else 0
+  // seasonal dummies disabled automatically when the series is too short
+  // to estimate them (feasibility fallback in fitLocal)
+  private var actualM: Int = seasonalM
+  private def nDummies: Int = if (actualM > 1) actualM - 1 else 0
 
   private def fitP(z: Array[Array[Double]], p: Int): (DenseMatrix[Double], Double, Double) = {
     val k = z(0).length
@@ -63,12 +66,20 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
 
   private def fitLocal(z: Array[Array[Double]]): (Int, DenseMatrix[Double], Double) = {
     val k = z(0).length
-    val candidates = (minP to maxP).filter(p => z.length - p > 1 + k * p + nDummies + 2)
-    require(candidates.nonEmpty, s"series too short for VAR: n=${z.length}")
-    val fits = candidates.map { p =>
-      val (b, detS, s) = fitP(z, p)
-      (p, b, s, aic(detS, k, p, z.length - p))
-    }
+    def attempt(): Seq[(Int, DenseMatrix[Double], Double, Double)] =
+      (minP to maxP)
+        .filter(p => z.length - p > 1 + k * p + nDummies + 2)
+        .flatMap { p =>
+          // singular designs (e.g. a dummy phase never observed) are
+          // skipped rather than failing the whole fit
+          scala.util.Try {
+            val (b, detS, s) = fitP(z, p)
+            (p, b, s, aic(detS, k, p, z.length - p))
+          }.toOption
+        }
+    var fits = attempt()
+    if (fits.isEmpty && actualM > 1) { actualM = 1; fits = attempt() }
+    require(fits.nonEmpty, s"series too short for VAR: n=${z.length}")
     val best = fits.minBy(_._4)
     (best._1, best._2, best._3)
   }

@@ -141,21 +141,7 @@ object CoreQueries2 {
     .map(f => f.alias -> f.seasonalPeriod)
 
   private def t9Seasonality: Q = (s, d) => {
-    val e = Tables.events(s, d)
-    val w = TS.seriesWindow("ts", Seq("user_id"), Seq("event_id"))
-    val deltas = e
-      .withColumn("rn", row_number().over(w))
-      .withColumn("delta_s", col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
-      .filter(col("rn") === 2)
-    val freq = deltas.select(col("user_id"),
-      when(col("delta_s") < 3600, "MIN")
-        .when(col("delta_s") < 86400, "H")
-        .when(col("delta_s") < 7 * 86400, "D")
-        .when(col("delta_s") < 28 * 86400, "W")
-        .when(col("delta_s") < 89 * 86400, "M")
-        .when(col("delta_s") < 178 * 86400, "Q")
-        .when(col("delta_s") < 360 * 86400, "S")
-        .otherwise("Y").as("freq"))
+    val freq = FreqInfer.freqPerSeries(Tables.events(s, d), "ts", "user_id", Seq("event_id"))
     val m = freqTable.foldLeft(lit(null).cast("int")) { case (acc, (alias, p)) =>
       when(col("freq") === alias, lit(p)).otherwise(acc)
     }
@@ -164,22 +150,8 @@ object CoreQueries2 {
 
   private val t9Sql = {
     val cases = freqTable.map { case (a, p) => s"WHEN '$a' THEN $p" }.mkString(" ")
-    s"""WITH dd AS (
-       |  SELECT user_id,
-       |         row_number() OVER $W AS rn,
-       |         epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0,1) OVER $W AS delta_s
-       |  FROM events),
-       |f AS (
-       |  SELECT user_id,
-       |    CASE WHEN delta_s < 3600 THEN 'MIN'
-       |         WHEN delta_s < 86400 THEN 'H'
-       |         WHEN delta_s < 604800 THEN 'D'
-       |         WHEN delta_s < 2419200 THEN 'W'
-       |         WHEN delta_s < 7689600 THEN 'M'
-       |         WHEN delta_s < 15379200 THEN 'Q'
-       |         WHEN delta_s < 31104000 THEN 'S'
-       |         ELSE 'Y' END AS freq
-       |  FROM dd WHERE rn = 2)
+    s"""WITH f AS (
+       |${FreqInfer.freqPerSeriesSql("events", "ts", "user_id", Seq("event_id"))})
        |SELECT user_id, freq, CAST(CASE freq $cases END AS BIGINT) AS m FROM f""".stripMargin
   }
 

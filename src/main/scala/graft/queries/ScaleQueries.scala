@@ -182,7 +182,7 @@ object ScaleQueries {
        |  FROM r GROUP BY user_id),
        |h AS (SELECT unnest(generate_series(1, 4)) AS h)
        |SELECT user_id, CAST(h AS BIGINT) AS h,
-       | ${droundSql("last_y + h * (last_y - first_y) / (n - 1)", 6)} AS yhat
+       | ${droundSql("CASE WHEN n > 1 THEN last_y + h * (last_y - first_y) / (n - 1) ELSE last_y END", 6)} AS yhat
        |FROM f CROSS JOIN h""".stripMargin
 
   /** Seasonal-naive forecast (period 24) for every user series. */

@@ -39,14 +39,17 @@ object PerSeriesForecast {
       .select(seriesCols.map(col) :+ col("h") :+ col("last_y").as("yhat"): _*)
 
   /** Drift: ŷ(t+h) = y(n) + h·(y(n) − y(1))/(n−1) — the line through the
-    * first and last observations extended h steps. */
+    * first and last observations extended h steps. A single-observation
+    * series degrades to naive (a 0-length baseline has no slope). */
   def drift(df: DataFrame, valueCol: String, tsCol: String,
             seriesCols: Seq[String], horizon: Int,
             tieBreak: Seq[String] = Nil): DataFrame =
     endpoints(df, valueCol, tsCol, seriesCols, tieBreak)
       .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
       .select(seriesCols.map(col) :+ col("h") :+
-        (col("last_y") + col("h") * (col("last_y") - col("first_y")) / (col("n") - 1))
+        when(col("n") > 1,
+          col("last_y") + col("h") * (col("last_y") - col("first_y")) / (col("n") - 1))
+          .otherwise(col("last_y"))
           .as("yhat"): _*)
 
   /** Seasonal naive: ŷ(t+h) = y(n − m + 1 + ((h−1) mod m)) — the value at

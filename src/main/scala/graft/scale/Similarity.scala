@@ -142,9 +142,22 @@ object Similarity {
       .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
       .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    scored.withColumn("rank", row_number().over(w))
+    val result = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
+    // the top-k result is bounded (|queries|·k rows): materialize it, then
+    // release both corpus caches so they don't pin executor memory for
+    // the rest of the session
+    localized(result, { v.unpersist(); assigned.unpersist(); () })
+  }
+
+  /** Collect a BOUNDED result and rebuild it as a local DataFrame so the
+    * caches its lineage depended on can be released immediately. */
+  private def localized(df: DataFrame, release: => Unit): DataFrame = {
+    val rows = df.collect().toSeq
+    release
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1), df.schema)
   }
 
   /** ANN top-k: exact ranking restricted to the query's LSH bucket
@@ -163,8 +176,9 @@ object Similarity {
       .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
       .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    scored.withColumn("rank", row_number().over(w))
+    val result = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
+    localized(result, { b.unpersist(); () })
   }
 }

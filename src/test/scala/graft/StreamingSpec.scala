@@ -79,6 +79,51 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
+  test("event-time timeout flushes idle sessions without sentinel traffic") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = SessionState.sessionizeWithTimeout(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+    val min = 60000L
+    // t starts at 1min: an event at exactly t=0 would be dropped by the
+    // initial watermark's late-row filter (eventTime <= watermark)
+    mem.addData(Ev(1, 1 * min, 1.0), Ev(1, 10 * min, 2.0))
+    q.processAllAvailable()
+    // a different user's much-later event advances the watermark past
+    // user 1's gap; the NEXT batch evaluates the timeout
+    mem.addData(Ev(2, 500 * min, 9.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2, 501 * min, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_timeout").as[ClosedSession].collect()
+      .map(s => (s.userId, s.startMs / min, s.endMs / min, s.n)).toSet
+    assert(got.contains((1L, 1L, 10L, 2L)), s"user 1's idle session not flushed: $got")
+  }
+
+  test("late event across batches merges without rewinding the session frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = SessionState.sessionize(mem.toDS(), 30).writeStream
+      .format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    val min = 60000L
+    mem.addData(Ev(1, 100 * min, 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, 90 * min, 2.0)) // late, within gap of frontier
+    q.processAllAvailable()
+    mem.addData(Ev(1, 110 * min, 3.0), Ev(1, 500 * min, 0.0)) // continue, then close
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_late").as[ClosedSession].collect()
+      .filter(_.startMs < 400 * min)
+      .map(s => (s.userId, s.startMs / min, s.endMs / min, s.n)).toSet
+    // one session spanning 90..110, never endMs < startMs
+    assert(got == Set((1L, 90L, 110L, 3L)), s"got $got")
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
