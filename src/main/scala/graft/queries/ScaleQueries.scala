@@ -147,6 +147,30 @@ object ScaleQueries {
        |SELECT doc_id, CASE $caseChain END AS pred_lang FROM g""".stripMargin
   }
 
+  /** Quality-score distribution: the score is a deterministic expression
+    * battery, so the whole operator is oracle-checkable. */
+  private def x5Quality: Q = (s, d) =>
+    TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+      .groupBy(dround(col("quality"), 2).as("quality_bin"))
+      .agg(count(lit(1)).as("n"))
+
+  private val x5Sql = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is").map(s => s"'$s'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |        + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |        + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END) AS quality
+       |  FROM s)
+       |SELECT ${droundSql("quality", 2)} AS quality_bin, count(*) AS n
+       |FROM q GROUP BY 1""".stripMargin
+  }
+
   private def x3Fingerprint: Q = (s, d) =>
     TextAnalysis.fingerprint(Tables.documents(s, d).filter(length(col("text")) >= 64), "text")
       .select(col("doc_id"), col("fingerprint"))
@@ -221,6 +245,21 @@ object ScaleQueries {
        | ${droundSql("avg(32 + (n * 7) % 64)", 6)} AS avg_height
        |FROM b GROUP BY 1""".stripMargin
 
+  /** Frame-sampling plumbing: stride slicing + posexplode generator shape;
+    * frame counts are length arithmetic, so oracle-checkable. */
+  private def mm2Frames: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Multimodal.sampleFrames(Multimodal.attachBinary(docs, "text"), 64, 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).cast("long").as("max_idx"))
+  }
+
+  private val mm2Sql =
+    """SELECT doc_id,
+      | least(octet_length(encode(text)) // 64, 3) + 1 AS n_frames,
+      | least(octet_length(encode(text)) // 64, 3) AS max_idx
+      |FROM documents""".stripMargin
+
   // ---- streaming-shaped aggregations -------------------------------------------
 
   private def stWindow: Q = (s, d) =>
@@ -275,6 +314,8 @@ object ScaleQueries {
     "x1_text_stats"    -> x1TextStats,
     "x2_lang_id"       -> x2LangId,
     "x3_fingerprint"   -> x3Fingerprint,
+    "x5_quality"       -> x5Quality,
+    "mm2_frames"       -> mm2Frames,
     "mm_decode"        -> mmDecode,
     "st_window"        -> stWindow,
     "st_sessionize"    -> stSessionize
@@ -290,6 +331,8 @@ object ScaleQueries {
     "x1_text_stats"    -> x1Sql,
     "x2_lang_id"       -> x2Sql,
     "x3_fingerprint"   -> x3Sql,
+    "x5_quality"       -> x5Sql,
+    "mm2_frames"       -> mm2Sql,
     "mm_decode"        -> mmSql,
     "st_window"        -> stWindowSql,
     "st_sessionize"    -> stSessionizeSql
