@@ -64,12 +64,17 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     }).toDF("name", "fold", "rmse")
   }
 
-  /** Forecast h periods with the best (or a named) model. */
-  def predict(spark: SparkSession, h: Int, model: String = "best"): DataFrame = {
+  /** Forecast h periods with the best (or a named) model. `testdata`,
+    * when given, supplies known future exog values (reference
+    * `predict(testdata, model)` dispatch, `__init__.py:910-944`; models
+    * without exog support ignore it, as the reference's VAR does with a
+    * warning). */
+  def predict(spark: SparkSession, h: Int, model: String = "best",
+              testdata: Option[DataFrame] = None): DataFrame = {
     val name = if (model == "best" || model.isEmpty) bestName else model
     entries.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"model '$name' not fitted; have ${entries.map(_.name).mkString(",")}"))
-      .model.predict(spark, h)
+      .model.predict(spark, h, testdata)
   }
 }

@@ -97,14 +97,27 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2) extends Mode
   }
 
   /** T14 — recursive one-step loop: predict, feed the prediction back in
-    * as the newest lag, repeat. */
+    * as the newest lag, repeat. `future`, when given, supplies KNOWN
+    * future exogenous values (reference `predict(testdata)` semantics,
+    * `build_ml.py:595-670`): rows ordered by the ts column with the
+    * schema's exog columns; step i uses row i's exog (falling back to the
+    * last training exog past the frame's end). */
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
+    val futureExog: Array[Array[Double]] = future match {
+      case Some(f) if schema.exog.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        f.orderBy(col(schema.tsCol))
+          .select(schema.exog.map(c => col(c).cast("double")): _*)
+          .collect().map(r => schema.exog.indices.map(r.getDouble).toArray)
+      case _ => Array.empty
+    }
     val buf = scala.collection.mutable.ArrayBuffer(tailY.toIndexedSeq: _*)
     val out = new Array[Double](h)
     for (i <- 0 until h) {
       val ts = ForecastFrame.nextTs(lastTsMs, intervalMs, i + 1)
       val lagVals = (1 to lags).map(l => buf(buf.length - l)).toArray
-      val feats = lagVals ++ calendarLocal(ts) ++ lastExog
+      val exog = if (i < futureExog.length) futureExog(i) else lastExog
+      val feats = lagVals ++ calendarLocal(ts) ++ exog
       val p = model.predict(Vectors.dense(feats))
       out(i) = p
       buf += p

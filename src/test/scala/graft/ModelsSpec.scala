@@ -47,6 +47,19 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.forall(r => r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4)))
   }
 
+  test("ML predict consumes known future exog when provided") {
+    import spark.implicits._
+    val m = new GbtModel(lags = 2)
+    m.fit(sales, TsSchema("ts", "Sales", Seq("marketing")), cv = 1, h = 8)
+    val future = (1 to 8).map(i => (s"2017-0$i-01", 500.0 + i * 10))
+      .toDF("d", "marketing")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    val withExog = m.predict(spark, 8, Some(future)).collect()
+    val without = m.predict(spark, 8).collect()
+    assert(withExog.length == 8 && without.length == 8)
+    assert(withExog.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("ARIMA CSS recovers AR(1) coefficient") {
     var s = 42L
     def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
