@@ -192,6 +192,33 @@ object CoreQueries2 {
        |FROM events e ASOF LEFT JOIN p
        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
+  // ---- J6: second star shape over part/supplier ----------------------------------
+
+  /** Revenue by part brand and supplier nation — the other star arm
+    * (lineitem ⋈ part ⋈ supplier ⋈ nation), both dims broadcast. */
+  private def j6PartStar: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    val su = Tables.supplier(s, d)
+    val n  = Tables.nation(s, d)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  private val j6Sql =
+    s"""SELECT p_brand, n_name,
+       | ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |GROUP BY p_brand, n_name""".stripMargin
+
   // ---- A6: column profiling ---------------------------------------------------------
 
   private def a6Profile: Q = (s, d) =>
@@ -378,6 +405,7 @@ object CoreQueries2 {
     "t9_seasonality" -> t9Seasonality,
     "j3_zip"         -> j3Zip,
     "j5_asof"        -> j5Asof,
+    "j6_part_star"   -> j6PartStar,
     "a6_profile"     -> a6Profile,
     "a8_cv_scores"   -> a8CvScores,
     "e1_label_encode"-> e1LabelEncode,
@@ -399,6 +427,7 @@ object CoreQueries2 {
     "t9_seasonality" -> t9Sql,
     "j3_zip"         -> j3Sql,
     "j5_asof"        -> j5Sql,
+    "j6_part_star"   -> j6Sql,
     "a6_profile"     -> a6Sql,
     "a8_cv_scores"   -> a8Sql,
     "e1_label_encode"-> e1Sql,
