@@ -135,22 +135,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Typed SimHash aggregator (SURVEY §2.11 UDAF surface): buffer = 64
+    * bit-counters, reduce = one tight loop per token hash — a single
+    * partial+final aggregation pass instead of 64 separate sum(when)
+    * aggregate expressions. */
+  private class SimHashAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** SimHash: 64-bit fingerprint — per token-hash bit, sum ±1 weights,
     * take the sign. Near-dups = pairs with hamming distance ≤ maxHamming.
-    * The bit-sums are one groupBy over exploded tokens; the pair scan
-    * joins on a 16-bit prefix block (docs differing in the top 16 bits by
-    * > 0 can still pair via the 3 other blocks — standard 4-block split
-    * guarantees recall for hamming ≤ 3). */
+    * The bit-sums are ONE typed aggregation over exploded token hashes;
+    * the pair scan joins on 16-bit blocks (standard 4-block split —
+    * pigeonhole guarantees recall for hamming ≤ 3). */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("sid"), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = toks.groupBy(col("sid")).agg(bitSums.head, bitSums.tail: _*)
-    val simhashExpr = (0 until 64).map(i => s"(CAST(CASE WHEN b$i > 0 THEN 1 ELSE 0 END AS BIGINT) << $i)")
-      .mkString(" | ")
-    agg.select(col("sid"), expr(simhashExpr).as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("sid"),
+              explode(split(col(textCol), " ")).as("t"))
+      .select(col("sid"), xxhash64(col("t")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new SimHashAgg().toColumn.name("simhash"))
+      .toDF("sid", "simhash")
   }
 
   /** SimHash near-dup pairs via 4-block LSH (hamming ≤ 3 ⇒ at least one
