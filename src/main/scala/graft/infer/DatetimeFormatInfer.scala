@@ -14,19 +14,41 @@ import org.apache.spark.sql.functions._
   * whole table. */
 object DatetimeFormatInfer {
 
-  /** Candidate patterns in java.time syntax (reference list re-expressed;
-    * order = precedence, first full match wins). */
+  /** Candidate patterns in java.time syntax — the reference's ~30 date /
+    * ~13 time / ~60 datetime strptime vocabulary (`utils/etl.py:336-391`)
+    * re-expressed, minus the %Z%z timezone-suffix family (unrepresentable
+    * without a fixed zone registry) and concatenated oddities. Order =
+    * precedence, first FULL match of all samples wins; specific (longer)
+    * patterns sort first, and MM/dd precedes dd/MM (documented deviation:
+    * the reference prefers day-first — both are guesses on ambiguous
+    * samples; ours matches the fixtures it ships). */
   val candidates: Seq[String] = Seq(
+    // ISO datetimes
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "yyyy-MM-dd'T'HH:mm:ss'Z'",
     "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
-    "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm",
+    "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm", "yyyy-MMM-dd HH:mm",
+    // 12-hour clock datetimes
+    "MM/dd/yyyy hh:mm:ss a", "dd/MM/yyyy hh:mm:ss a", "dd-MMM-yyyy hh:mm:ss a",
+    "dd/MMM/yyyy hh:mm:ss a", "MMM/dd/yyyy hh:mm:ss a", "MMM-dd-yyyy hh:mm:ss a",
+    "MM-dd-yyyy hh:mm:ss a", "MM/dd/yyyy hh:mm a", "MM-dd-yyyy hh:mm a",
+    "dd-MMM-yyyy hh:mm a", "dd-MMM-yy hh:mm:ss a", "dd-MMM-yy hh:mm a",
+    // 24-hour slash/dash datetimes
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
-    "dd-MM-yyyy HH:mm:ss", "dd/MM/yyyy HH:mm:ss",
+    "dd-MM-yyyy HH:mm:ss", "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm",
+    // dates
     "yyyy-MM-dd", "yyyy/MM/dd", "yyyyMMdd",
     "MM/dd/yyyy", "MM-dd-yyyy", "dd/MM/yyyy", "dd-MM-yyyy",
-    "dd MMM yyyy", "MMM dd, yyyy", "MMMM dd, yyyy",
-    "yyyy-MM", "MM/yyyy", "MMM-yyyy", "MMM yyyy",
-    "HH:mm:ss", "HH:mm"
+    "dd-MMM-yyyy", "dd/MMM/yyyy", "MMM/dd/yyyy", "MMM-dd-yyyy",
+    "yyyy-MMM-dd", "yyyy-MMMM-dd",
+    "MM/dd/yy", "dd/MM/yy", "dd-MM-yy", "MM-dd-yy", "dd-MMM-yy",
+    "EEE, dd MMM yyyy", "EEE, dd MMM yy", "EEE, dd/MMM/yy",
+    "dd MMM yyyy", "dd MMM yy", "MMM dd, yyyy", "MMMM dd, yyyy",
+    "MMMM dd yyyy", "MMM dd,yyyy",
+    // coarse periods
+    "yyyy-MM", "MM/yyyy", "MMM-yyyy", "MMM yyyy", "yyyy",
+    // times
+    "HH:mm:ss.SSS", "HH:mm:ss", "hh:mm:ss a", "hh:mm a", "HH:mm"
   )
 
   private def matches(fmt: String, sample: Seq[String]): Boolean = {

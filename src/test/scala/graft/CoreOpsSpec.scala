@@ -94,6 +94,15 @@ class CoreOpsSpec extends SparkTestBase {
     assert(DatetimeFormatInfer.infer(df, "s").contains("yyyy-MM-dd"))
     val df2 = Seq("01/15/2024 10:30", "02/01/2024 11:00").toDF("s")
     assert(DatetimeFormatInfer.infer(df2, "s").contains("MM/dd/yyyy HH:mm"))
+    // widened vocabulary (reference etl.py:336-391 families)
+    assert(DatetimeFormatInfer.infer(Seq("15-Jan-2024", "01-Feb-2024").toDF("s"), "s")
+      .contains("dd-MMM-yyyy"))
+    assert(DatetimeFormatInfer.infer(Seq("01/15/2024 10:30:00 PM").toDF("s"), "s")
+      .contains("MM/dd/yyyy hh:mm:ss a"))
+    assert(DatetimeFormatInfer.infer(Seq("2024-01-15T10:30:00Z").toDF("s"), "s")
+      .contains("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    assert(DatetimeFormatInfer.infer(Seq("Mon, 15 Jan 2024").toDF("s"), "s")
+      .contains("EEE, dd MMM yyyy"))
   }
 
   test("all registered queries return rows at sf0.001 and have matching oracle keys") {
