@@ -11,8 +11,15 @@ import graft.models._
   * 1010). fit() infers frequency and seasonal period, runs the requested
   * model families with expanding-window CV, keeps per-model scores, and
   * selects the best by mean CV RMSE (`__init__.py:822-870`). */
+/** @param scoreType best-model criterion — "rmse" or "normalized_rmse"
+  *                   (reference `score_type` arg, `__init__.py:202`)
+  * @param seasonalPeriod explicit seasonal period m; None ⇒ imputed from
+  *                   the inferred frequency (reference `seasonal_period`,
+  *                   `__init__.py:489-510`) */
 class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
-                     modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX")) {
+                     modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"),
+                     scoreType: String = "rmse",
+                     seasonalPeriod: Option[Int] = None) {
 
   case class Entry(name: String, model: ModelBuild, scores: CvScores)
 
@@ -28,12 +35,13 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     // reference clamp: h >= 5, cv*h <= n (`build_arima_base.py:111-117`)
     val h = graft.cv.ExpandingWindowSplit.clampHorizon(n, math.max(cv, 1), forecastPeriod)
 
+    val m = seasonalPeriod.getOrElse(freq.seasonalPeriod)
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
-      case "Prophet"      => Some(new DecomposableModel(freq.seasonalPeriod))
-      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = freq.seasonalPeriod)) // skip >1000 rows (`__init__.py:672-675`)
+      case "Prophet"      => Some(new DecomposableModel(m))
+      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
-      case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = freq.seasonalPeriod))
+      case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = m))
       case other          => None
     }
 
@@ -43,7 +51,9 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
         System.err.println(s"[autots] ${m.name} failed: ${e.getMessage}"); None }
     }
     require(entries.nonEmpty, "no model family fitted successfully")
-    bestName = entries.minBy(_.scores.meanRmse).name
+    bestName = (if (scoreType == "normalized_rmse")
+                  entries.minBy(_.scores.meanNormRmse)
+                else entries.minBy(_.scores.meanRmse)).name
     this
   }
 

@@ -22,6 +22,8 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   private var sigma: Double = _
   private var intervalMs: Long = _
   private var nExog: Int = _
+  private var tsColName: String = _
+  private var exogNames: Seq[String] = Nil
 
   /** Design row: [1, t/n, sin/cos(2πkt/m) for k=1..K, exog...]. */
   private def designRow(t: Int, nScale: Double, exog: Array[Double]): Array[Double] = {
@@ -63,6 +65,8 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
     series = LocalSeries.collect(df, schema)
     nExog = schema.exog.size
+    tsColName = schema.tsCol
+    exogNames = schema.exog
     intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
     val nScale = series.n.toDouble
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
@@ -78,10 +82,22 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val nScale = series.n.toDouble
-    // future exog defaults to last observed values (documented deviation:
-    // the reference requires the caller to supply future exog)
     val lastExog = if (series.n > 0 && nExog > 0) series.exog.last else Array.empty[Double]
-    val pred = forecastLocal(beta, series.n, h, nScale, _ => lastExog)
+    // known future exog when supplied (reference add_regressor semantics,
+    // `build_prophet.py:403-431`); otherwise hold the last observed values
+    val futureExog: Array[Array[Double]] = future match {
+      case Some(f) if nExog > 0 =>
+        import org.apache.spark.sql.functions.col
+        f.orderBy(col(tsColName))
+          .select(exogNames.map(c => col(c).cast("double")): _*)
+          .collect().map(r => exogNames.indices.map(r.getDouble).toArray)
+      case _ => Array.empty
+    }
+    val exogAt: Int => Array[Double] = t => {
+      val i = t - series.n
+      if (i >= 0 && i < futureExog.length) futureExog(i) else lastExog
+    }
+    val pred = forecastLocal(beta, series.n, h, nScale, exogAt)
     ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
   }
 }
