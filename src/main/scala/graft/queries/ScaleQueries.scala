@@ -209,6 +209,15 @@ object ScaleQueries {
        | ${droundSql("CASE WHEN n > 1 THEN last_y + h * (last_y - first_y) / (n - 1) ELSE last_y END", 6)} AS yhat
        |FROM f CROSS JOIN h""".stripMargin
 
+  /** Per-series ARIMA(1,0,0): an independent CSS fit per user in one
+    * flatMapGroups pass (estimator — rows-only; the local math is
+    * property-tested in ModelsSpec/ScaleSpec). */
+  private def f3PerSeriesArima: Q = (s, d) =>
+    graft.scale.PerSeriesArima.forecastPerSeries(
+        Tables.events(s, d), "value", "ts", "user_id",
+        graft.models.ArimaCss.Spec(1, 0, 0), 3)
+      .select(col("user_id"), col("h"), dround(col("yhat"), 6).as("yhat"))
+
   /** Seasonal-naive forecast (period 24) for every user series. */
   private def f2SeasonalNaive: Q = (s, d) =>
     PerSeriesForecast.seasonalNaive(Tables.events(s, d), "value", "ts",
@@ -311,6 +320,7 @@ object ScaleQueries {
     "s3_ann_ivf"       -> s3AnnIvf,
     "f1_drift_forecast"-> f1Drift,
     "f2_seasonal_naive"-> f2SeasonalNaive,
+    "f3_series_arima"  -> f3PerSeriesArima,
     "x1_text_stats"    -> x1TextStats,
     "x2_lang_id"       -> x2LangId,
     "x3_fingerprint"   -> x3Fingerprint,

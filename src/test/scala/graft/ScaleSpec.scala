@@ -80,6 +80,31 @@ class ScaleSpec extends SparkTestBase {
     assert(Seq(1, 2, 3, 4, 5).map(h => season((1L, h))) == Seq(8.0, 9.0, 10.0, 8.0, 9.0))
   }
 
+  test("per-series ARIMA fits every user independently (constants forecast exactly)") {
+    import graft.scale.PerSeriesArima
+    import graft.models.ArimaCss
+    // AR(1)-ish series for 3 users + one constant (degenerate) user
+    def ar1(seed: Int, n: Int): Seq[Double] = {
+      var s = seed.toLong; var y = 0.0
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        y = 0.7 * y + ((s >>> 11).toDouble / (1L << 53) - 0.5)
+        y
+      }
+    }
+    val rows = (1 to 3).flatMap(u => ar1(u, 60).zipWithIndex.map {
+      case (v, i) => (u.toLong, i.toDouble, v)
+    }) ++ (0 until 60).map(i => (9L, i.toDouble, 1.0))
+    val df = rows.toDF("sid", "t", "y")
+    val out = PerSeriesArima.forecastPerSeries(df, "y", "t", "sid", ArimaCss.Spec(1, 0, 0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val users = out.map(_._1).toSet
+    assert(users == Set(1L, 2L, 3L, 9L), s"all series fitted: $users")
+    assert(out.count(_._2 == 1L) == 4 && out.forall(!_._3.isNaN))
+    // CSS on a constant series is exact: the forecast IS the constant
+    out.filter(_._1 == 9L).foreach { case (_, _, v) => assert(math.abs(v - 1.0) < 1e-6) }
+  }
+
   test("IVF ANN: all hits are valid pairings and recall@k overlaps brute force") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val em = Tables.embeddings(spark, SF)
