@@ -38,7 +38,7 @@ object Bench {
     // whole-stage-codegen compilation and JVM JIT are not billed to the
     // measured run — the metric is steady-state throughput at the target
     // SF, which is what matters on a long-lived cluster
-    val warmSf = "/root/testdata/sf0.001"
+    val warmSf = "/root/testdata/sf0.01"
     if (new java.io.File(warmSf).isDirectory)
       headline.foreach { case (_, fn) =>
         try fn(spark, warmSf).count() catch { case _: Throwable => () }
