@@ -31,8 +31,10 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.t(spark, sfDir, t).count())
 
-    val modelQueries = graft.queries.ModelQueries.queries.keySet
-    val headline = SparkEntry.queries.filterNot { case (k, _) => modelQueries(k) }
+    // estimator queries (model fitting) are excluded from the throughput
+    // metric: everything in ModelQueries plus the per-series ARIMA fit
+    val estimators = graft.queries.ModelQueries.queries.keySet + "f3_series_arima"
+    val headline = SparkEntry.queries.filterNot { case (k, _) => estimators(k) }
 
     // warmup 2: run every headline query once at the smallest SF so
     // whole-stage-codegen compilation and JVM JIT are not billed to the

@@ -27,6 +27,9 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
   private var freq: FreqInfer.Freq = _
   var bestName: String = _
 
+  require(Seq("rmse", "normalized_rmse").contains(scoreType),
+    s"score_type must be 'rmse' or 'normalized_rmse', got '$scoreType'")
+
   def fit(df: DataFrame, tsCol: String, target: String): this.type = {
     val exog = df.columns.filterNot(c => c == tsCol || c == target).toSeq
     val schema = TsSchema(tsCol, target, exog)

@@ -42,7 +42,9 @@ object DatetimeFormatInfer {
     "dd-MMM-yyyy", "dd/MMM/yyyy", "MMM/dd/yyyy", "MMM-dd-yyyy",
     "yyyy-MMM-dd", "yyyy-MMMM-dd",
     "MM/dd/yy", "dd/MM/yy", "dd-MM-yy", "MM-dd-yy", "dd-MMM-yy",
-    "EEE, dd MMM yyyy", "EEE, dd MMM yy", "EEE, dd/MMM/yy",
+    // NOTE: the reference's '%a, %d %b %Y' (weekday-prefixed) family is
+    // NOT included: Spark 4 forbids 'E' in PARSING patterns, so a format
+    // the sampler accepted would crash to_timestamp downstream
     "dd MMM yyyy", "dd MMM yy", "MMM dd, yyyy", "MMMM dd, yyyy",
     "MMMM dd yyyy", "MMM dd,yyyy",
     // coarse periods

@@ -86,11 +86,7 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     // known future exog when supplied (reference add_regressor semantics,
     // `build_prophet.py:403-431`); otherwise hold the last observed values
     val futureExog: Array[Array[Double]] = future match {
-      case Some(f) if nExog > 0 =>
-        import org.apache.spark.sql.functions.col
-        f.orderBy(col(tsColName))
-          .select(exogNames.map(c => col(c).cast("double")): _*)
-          .collect().map(r => exogNames.indices.map(r.getDouble).toArray)
+      case Some(f) if nExog > 0 => FutureExog.collect(f, tsColName, exogNames)
       case _ => Array.empty
     }
     val exogAt: Int => Array[Double] = t => {

@@ -104,11 +104,7 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2) extends Mode
     * last training exog past the frame's end). */
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val futureExog: Array[Array[Double]] = future match {
-      case Some(f) if schema.exog.nonEmpty =>
-        import org.apache.spark.sql.functions.col
-        f.orderBy(col(schema.tsCol))
-          .select(schema.exog.map(c => col(c).cast("double")): _*)
-          .collect().map(r => schema.exog.indices.map(r.getDouble).toArray)
+      case Some(f) if schema.exog.nonEmpty => FutureExog.collect(f, schema.tsCol, schema.exog)
       case _ => Array.empty
     }
     val buf = scala.collection.mutable.ArrayBuffer(tailY.toIndexedSeq: _*)

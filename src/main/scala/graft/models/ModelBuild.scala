@@ -34,6 +34,19 @@ trait ModelBuild {
 /** Collected bounded series (the unit local estimators work on — the
   * reference is single-series; at scale the same math runs once per
   * series inside flatMapGroups). */
+object FutureExog {
+  /** Collect a future frame's exog columns in ts order (shared by every
+    * model that supports known-future exog at predict time). Bounded by
+    * the forecast horizon. */
+  def collect(f: org.apache.spark.sql.DataFrame, tsCol: String,
+              exog: Seq[String]): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    f.orderBy(col(tsCol))
+      .select(exog.map(c => col(c).cast("double")): _*)
+      .collect().map(r => exog.indices.map(r.getDouble).toArray)
+  }
+}
+
 case class LocalSeries(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]]) {
   def n: Int = y.length
 }

@@ -30,15 +30,14 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
 
   /** OLS fit of VAR(p); returns (coef matrix, residual covariance det,
     * per-equation residual std of the target equation). */
-  // seasonal dummies disabled automatically when the series is too short
-  // to estimate them (feasibility fallback in fitLocal)
-  private var actualM: Int = seasonalM
-  private def nDummies: Int = if (actualM > 1) actualM - 1 else 0
+  // number of seasonal dummy columns actually used by the FITTED model
+  // (fitLocal may fall back to 0 per call; predict must match the fit)
+  private var fittedDummies: Int = if (seasonalM > 1) seasonalM - 1 else 0
 
-  private def fitP(z: Array[Array[Double]], p: Int): (DenseMatrix[Double], Double, Double) = {
+  private def fitP(z: Array[Array[Double]], p: Int, nd: Int): (DenseMatrix[Double], Double, Double) = {
     val k = z(0).length
     val rows = z.length - p
-    val cols = 1 + k * p + nDummies
+    val cols = 1 + k * p + nd
     val x = DenseMatrix.zeros[Double](rows, cols)
     val yMat = DenseMatrix.zeros[Double](rows, k)
     for (i <- 0 until rows) {
@@ -46,9 +45,9 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
       x(i, 0) = 1.0
       for (lag <- 1 to p; j <- 0 until k)
         x(i, 1 + (lag - 1) * k + j) = z(t - lag)(j)
-      if (nDummies > 0) {
+      if (nd > 0) {
         val ph = t % seasonalM
-        if (ph < nDummies) x(i, 1 + k * p + ph) = 1.0
+        if (ph < nd) x(i, 1 + k * p + ph) = 1.0
       }
       for (j <- 0 until k) yMat(i, j) = z(t)(j)
     }
@@ -64,28 +63,34 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
   private def aic(detS: Double, k: Int, p: Int, t: Int): Double =
     math.log(detS) + 2.0 * (k * k * p + k) / t
 
-  private def fitLocal(z: Array[Array[Double]]): (Int, DenseMatrix[Double], Double) = {
+  /** Returns (p, coefs, targetSigma, nDummiesUsed). The seasonal-dummy
+    * fallback is PER CALL: a degenerate fold drops dummies only for that
+    * fold, not for later folds or the final fit. */
+  private def fitLocal(z: Array[Array[Double]]): (Int, DenseMatrix[Double], Double, Int) = {
     val k = z(0).length
-    def attempt(): Seq[(Int, DenseMatrix[Double], Double, Double)] =
+    def attempt(nd: Int): Seq[(Int, DenseMatrix[Double], Double, Double)] =
       (minP to maxP)
-        .filter(p => z.length - p > 1 + k * p + nDummies + 2)
+        .filter(p => z.length - p > 1 + k * p + nd + 2)
         .flatMap { p =>
           // singular designs (e.g. a dummy phase never observed) are
           // skipped rather than failing the whole fit
           scala.util.Try {
-            val (b, detS, s) = fitP(z, p)
+            val (b, detS, s) = fitP(z, p, nd)
             (p, b, s, aic(detS, k, p, z.length - p))
           }.toOption
         }
-    var fits = attempt()
-    if (fits.isEmpty && actualM > 1) { actualM = 1; fits = attempt() }
+    val ndWanted = if (seasonalM > 1) seasonalM - 1 else 0
+    val (fits, ndUsed) = {
+      val first = attempt(ndWanted)
+      if (first.nonEmpty) (first, ndWanted) else (attempt(0), 0)
+    }
     require(fits.nonEmpty, s"series too short for VAR: n=${z.length}")
     val best = fits.minBy(_._4)
-    (best._1, best._2, best._3)
+    (best._1, best._2, best._3, ndUsed)
   }
 
   private def forecastLocal(z: Array[Array[Double]], b: DenseMatrix[Double],
-                            p: Int, h: Int): Array[Double] = {
+                            p: Int, h: Int, nd: Int): Array[Double] = {
     val k = z(0).length
     val hist = scala.collection.mutable.ArrayBuffer(z.toIndexedSeq: _*)
     (0 until h).map { _ =>
@@ -94,9 +99,9 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
         var v = b(0, j)
         for (lag <- 1 to p; jj <- 0 until k)
           v += b(1 + (lag - 1) * k + jj, j) * hist(t - lag)(jj)
-        if (nDummies > 0) {
+        if (nd > 0) {
           val ph = t % seasonalM
-          if (ph < nDummies) v += b(1 + k * p + ph, j)
+          if (ph < nd) v += b(1 + k * p + ph, j)
         }
         v
       }
@@ -112,18 +117,18 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
     intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
     val z = zRows(series.y, series.exog)
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
-      val (p, b, _) = fitLocal(z.take(trainEnd))
-      val pred = forecastLocal(z.take(trainEnd), b, p, testEnd - trainEnd)
+      val (p, b, _, nd) = fitLocal(z.take(trainEnd))
+      val pred = forecastLocal(z.take(trainEnd), b, p, testEnd - trainEnd, nd)
       LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
     }
-    val (p, b, s) = fitLocal(z)
-    bestP = p; coefs = b; sigmaTarget = s
+    val (p, b, s, nd) = fitLocal(z)
+    bestP = p; coefs = b; sigmaTarget = s; fittedDummies = nd
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val z = zRows(series.y, series.exog)
-    val pred = forecastLocal(z, coefs, bestP, h)
+    val pred = forecastLocal(z, coefs, bestP, h, fittedDummies)
     ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigmaTarget)
   }
 }

@@ -110,7 +110,7 @@ object ScaleQueries {
            dround(avg(col("mean_token_len")), 6).as("avg_token_len"))
 
   private val x1Sql = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is").map(s => s"'$s'").mkString(", ")
+    val stop = TextAnalysis.qualityStopwordsSql
     s"""WITH s AS (
        |  SELECT lang,
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
@@ -155,7 +155,7 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n"))
 
   private val x5Sql = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is").map(s => s"'$s'").mkString(", ")
+    val stop = TextAnalysis.qualityStopwordsSql
     s"""WITH s AS (
        |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,

@@ -163,20 +163,18 @@ object Dedup {
 
   /** SimHash: 64-bit fingerprint — per token-hash bit, sum ±1 weights,
     * take the sign. Near-dups = pairs with hamming distance ≤ maxHamming.
-    * The bit-sums are ONE typed aggregation over exploded token hashes;
-    * the pair scan joins on 16-bit blocks (standard 4-block split —
-    * pigeonhole guarantees recall for hamming ≤ 3). */
+    * The bit-sums are ONE custom-aggregator pass over exploded token
+    * hashes (registered untyped via `udaf`, so the id column keeps its
+    * original type — string ids group fine); the pair scan joins on
+    * 16-bit blocks (standard 4-block split — pigeonhole guarantees recall
+    * for hamming ≤ 3). */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("sid"),
+    val simhashUdaf = udaf(new SimHashAgg(), org.apache.spark.sql.Encoders.scalaLong)
+    df.select(col(idCol).as("sid"),
               explode(split(col(textCol), " ")).as("t"))
       .select(col("sid"), xxhash64(col("t")).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new SimHashAgg().toColumn.name("simhash"))
-      .toDF("sid", "simhash")
+      .groupBy(col("sid"))
+      .agg(simhashUdaf(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs via 4-block LSH (hamming ≤ 3 ⇒ at least one

@@ -27,7 +27,8 @@ object PerSeriesArima {
       .as[(Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val y = it.toArray.sortBy(_._2).map(_._3)
+        // (ts, value) sort: deterministic even with duplicate timestamps
+        val y = it.toArray.sortBy(t => (t._2, t._3)).map(_._3)
         scala.util.Try {
           val fit = ArimaCss.fitOne(y, spec)
           val fc = ArimaCss.forecast(y, fit, h)

@@ -17,13 +17,18 @@ object TextAnalysis {
   def tokensRegex(textCol: Column): Column =
     split(regexp_replace(textCol, "([.,!?;:])", " $1 "), "\\s+")
 
+  /** The quality/stats stopword list — single source for the Scala
+    * expressions AND the DuckDB oracle twins. */
+  val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  /** SQL-literal form ('the', 'a', …) shared with oracle generators. */
+  def qualityStopwordsSql: String = qualityStopwords.map(s => s"'$s'").mkString(", ")
+
   /** Per-document stats: token count, char count, punctuation ratio,
     * stopword ratio, mean token length. */
   def docStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val w = tokens(t)
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-      .map(s => s"'$s'").mkString(", ")
+    val stop = qualityStopwordsSql
     df.withColumn("n_tokens", size(w).cast("long"))
       .withColumn("n_chars_obs", length(t).cast("long"))
       .withColumn("punct_ratio",

@@ -134,7 +134,8 @@ object StatTests {
       .as[(Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val series = it.toArray.sortBy(_._2).map(_._3)
+        // (ts, value) sort: deterministic on duplicate timestamps
+        val series = it.toArray.sortBy(t => (t._2, t._3)).map(_._3)
         if (series.length < 10) Iterator.empty
         else
           // constant/collinear series make the OLS design singular — skip
@@ -158,7 +159,7 @@ object StatTests {
       .as[(Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val series = it.toArray.sortBy(_._2).map(_._3)
+        val series = it.toArray.sortBy(t => (t._2, t._3)).map(_._3)
         if (series.length <= maxLag + 1) Iterator.empty
         else {
           val r = acf(series, maxLag)

@@ -19,10 +19,15 @@ object SessionState {
                            n: Long, value: Double)
 
   /** Merge one micro-batch of a user's events (sorted by time) into the
-    * open-session state; emit every session closed by a gap. A late event
-    * older than the open session's frontier joins the session WITHOUT
-    * rewinding the frontier (max), so out-of-order arrivals can never
-    * produce endMs < startMs or spuriously split a session. */
+    * open-session state; emit every session closed by a gap. Lateness
+    * rules: an event within `gapMs` of the open session's WINDOW
+    * ([startMs − gap, lastMs + gap]) merges without rewinding the
+    * frontier past what the data supports (min/max, so endMs < startMs is
+    * impossible); an event older than startMs − gap is DROPPED — by batch
+    * semantics it belongs to an earlier, already-emitted session, and
+    * resurrecting it would corrupt emitted output (this is the operator's
+    * allowed-lateness bound; the watermarked form already filters such
+    * rows before they reach state). */
   def step(userId: Long, events: Iterator[Ev],
            state: GroupState[OpenSession], gapMs: Long): Iterator[ClosedSession] = {
     val sorted = events.toSeq.sortBy(_.tsMs)
@@ -30,6 +35,8 @@ object SessionState {
     val closed = Seq.newBuilder[ClosedSession]
     for (e <- sorted) {
       open match {
+        case Some(s) if e.tsMs < s.startMs - gapMs =>
+          () // beyond allowed lateness: drop
         case Some(s) if e.tsMs - s.lastMs <= gapMs =>
           open = Some(OpenSession(math.min(s.startMs, e.tsMs),
             math.max(s.lastMs, e.tsMs), s.n + 1, s.value + e.value))

@@ -101,8 +101,15 @@ class CoreOpsSpec extends SparkTestBase {
       .contains("MM/dd/yyyy hh:mm:ss a"))
     assert(DatetimeFormatInfer.infer(Seq("2024-01-15T10:30:00Z").toDF("s"), "s")
       .contains("yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    assert(DatetimeFormatInfer.infer(Seq("Mon, 15 Jan 2024").toDF("s"), "s")
-      .contains("EEE, dd MMM yyyy"))
+    // every candidate must be PARSEABLE by Spark's to_timestamp (Spark 4
+    // forbids E/F/q/Q in parse patterns) — probe each against a literal
+    DatetimeFormatInfer.candidates.foreach { fmt =>
+      val now = java.time.LocalDateTime.of(2024, 3, 5, 7, 9, 11)
+      val sample = now.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+      val parsed = Seq(sample).toDF("s")
+        .select(to_timestamp($"s", fmt).as("t")).head()
+      assert(!parsed.isNullAt(0), s"Spark cannot parse its own format $fmt on '$sample'")
+    }
   }
 
   test("all registered queries return rows at sf0.001 and have matching oracle keys") {
