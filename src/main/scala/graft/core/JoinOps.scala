@@ -47,4 +47,22 @@ object JoinOps {
     }
     filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
+
+  /** Salted equi-join for skewed keys: the left (big, skewed) side gets a
+    * deterministic salt in [0, saltFactor) derived from `saltSourceCols`
+    * (columns that vary WITHIN a hot key — a row id, a timestamp); the
+    * right side is replicated saltFactor× so every (key, salt) bucket
+    * still finds its match. A key holding 30% of all rows then spreads
+    * over saltFactor reducers instead of one straggler task. Use when AQE
+    * skew-join can't help (e.g. the skewed side feeds an aggregation
+    * pinned to the same key). Inner-join semantics are unchanged; right
+    * rows are duplicated only inside the join, never in the output. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, saltSourceCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltSourceCols.map(col): _*), lit(saltFactor)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

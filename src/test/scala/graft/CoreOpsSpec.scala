@@ -158,6 +158,19 @@ class CoreOpsSpec extends SparkTestBase {
     assert(out == Set((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (2L, 15L, null)))
   }
 
+  test("saltedJoin matches plain join on skewed keys and spreads the hot key") {
+    import graft.core.JoinOps
+    // 90% of left rows share one key — the classic straggler shape
+    val left = ((1 to 900).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "rid")
+    val right = (1L to 9L).map(k => (k, s"v$k")).toDF("k", "v")
+    val plain = left.join(right, Seq("k")).select($"k", $"rid", $"v")
+      .collect().map(_.toSeq).toSet
+    val salted = JoinOps.saltedJoin(left, right, Seq("k"), 8, Seq("rid"))
+      .select($"k", $"rid", $"v").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("label dictionary is dense, sorted, and encode maps null to -1") {
     import graft.core.Encoders
     val df = Seq(Some("b"), Some("a"), Some("c"), Some("a"), None).map(Tuple1(_)).toDF("v")
