@@ -52,19 +52,26 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, n).cache()
-    // carry each doc's shingle count ON the shingle rows (one broadcast
-    // join against the tiny per-doc size table) so the pair aggregate
-    // reads |A| and |B| inline — no post-aggregation join stages
-    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val shPair = maxDf match {
-      case None => sh
+    // ONE aggregation builds each doc's distinct shingle set AND its size
+    // (dedup folded into collect_set — a document's shingle set is bounded
+    // by the document length, so the per-group buffer is safe at any
+    // corpus scale); the explode re-emitting (sid, h, nsh) is map-side.
+    // vs. the distinct + separate-sizes + broadcast-join formulation this
+    // drops one full-corpus shuffle, the cache, and the broadcast build,
+    // and the two pairing sides are identical subtrees up to the join
+    // exchange, so ReuseExchange materializes the set only once.
+    val docSets = rawShingles(df, textCol, idCol, n)
+      .select(col("sid"), xxhash64(col("s")).as("h"))
+      .groupBy(col("sid"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))
+    val sh2 = maxDf match {
+      case None => docSets
       case Some(cap) =>
-        val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val hot = docSets.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("h"))
-        sh.join(hot, Seq("h"), "left_anti")
+        docSets.join(hot, Seq("h"), "left_anti")
     }
-    val sh2 = shPair.join(broadcast(sizes), Seq("sid"))
     val a = sh2.select(col("sid").as("id_a"), col("h"), col("nsh").as("na"))
     val b = sh2.select(col("sid").as("id_b"), col("h"), col("nsh").as("nb"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
@@ -79,7 +86,9 @@ object Dedup {
     * over the (31-bit-reduced) shingle hash, minimized per doc. p = 2^31-1
     * keeps every product < 2^62 — no long overflow under ANSI arithmetic.
     * Deterministic (fixed xorshift-derived a_i, b_i). Input: (sid, h)
-    * shingle-hash rows from [[shingleHashes]]. Returns (sid, sig). */
+    * shingle-hash rows; duplicates are harmless (min over a multiset
+    * equals min over its set), so callers can feed raw undeduped rows
+    * and skip a full-corpus distinct. Returns (sid, sig). */
   def minHashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val coef = hashCoefficients(k, p)
@@ -109,8 +118,12 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, n).cache()
-    val sig = minHashSignatures(sh, k)
+    // signatures read the RAW (undeduped) shingle hashes — min over a
+    // multiset equals min over its set, so the full-corpus distinct
+    // shuffle the exact path needs never happens here
+    val raw = rawShingles(df, textCol, idCol, n)
+      .select(col("sid"), xxhash64(col("s")).as("h"))
+    val sig = minHashSignatures(raw, k)
     val rows = k / bands
     val banded = sig.select(col("sid"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> hash(b, slice(sig, b * $rows + 1, $rows)))")))
@@ -119,12 +132,22 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("id_a"), col("r.sid").as("id_b")).distinct()
+      // cand feeds both the id-filter and the final pair join; it is tiny
+      // (LSH-bounded pair count), so pinning it avoids recomputing the
+      // whole signature pipeline per consumer
+      .cache()
     // verify candidates with exact jaccard: the shingle hash is part of
     // the second equi-join key, so only MATCHING shingles pair up —
     // |A∩B| rows per candidate, not |A|×|B| rows filtered afterwards.
-    // Doc sizes ride on the shingle rows (broadcast) as in ngramJaccard.
-    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("nsh"))
-    val sh2 = sh.join(broadcast(sizes), Seq("sid"))
+    // Only docs that appear in a candidate pair are verified: a broadcast
+    // semi-filter cuts the shingle rows to that (LSH-bounded) subset
+    // before the distinct-set aggregation, so verification cost scales
+    // with the candidate count, not the corpus.
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+    val sh2 = raw.join(broadcast(ids), Seq("sid"))
+      .groupBy(col("sid"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))
     cand
       .join(sh2.toDF("id_a", "h", "na"), Seq("id_a"))
       .join(sh2.toDF("id_b", "h", "nb"), Seq("id_b", "h"))
