@@ -140,11 +140,13 @@ object Dedup {
     // the second equi-join key, so only MATCHING shingles pair up —
     // |A∩B| rows per candidate, not |A|×|B| rows filtered afterwards.
     // Only docs that appear in a candidate pair are verified: a broadcast
-    // semi-filter cuts the shingle rows to that (LSH-bounded) subset
-    // before the distinct-set aggregation, so verification cost scales
-    // with the candidate count, not the corpus.
-    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
-    val sh2 = raw.join(broadcast(ids), Seq("sid"))
+    // semi-join on the DOCUMENT table re-shingles just that (LSH-bounded)
+    // subset, so verification cost — including the shingling itself —
+    // scales with the candidate count, not the corpus.
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+    val candDocs = df.join(broadcast(ids), col(idCol) === col("cand_id")).drop("cand_id")
+    val sh2 = rawShingles(candDocs, textCol, idCol, n)
+      .select(col("sid"), xxhash64(col("s")).as("h"))
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))
