@@ -48,6 +48,9 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
+    // drain warmup garbage before timing starts so collector pauses from
+    // the warmup pass aren't billed to the first measured queries
+    System.gc()
 
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

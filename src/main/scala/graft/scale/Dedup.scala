@@ -29,15 +29,27 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     rawShingles(df, textCol, idCol, n).distinct()
 
+  /** Undeduped 64-bit shingle hashes: (sid, h). Each word is hashed once
+    * and the n-gram hash combines the n word hashes (`xxhash64(h1..hn)`)
+    * — no per-shingle string concatenation, and each word is hashed once
+    * instead of n times. Distinct n-grams map to distinct hash tuples, so
+    * set semantics match the string shingles (64-bit collisions are
+    * negligible at corpus scale: P ≈ m²/2⁶⁵). */
+  private def rawShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        expr(s"transform(split(`$textCol`, ' '), x -> xxhash64(x))").as("wh"))
+      .filter(size(col("wh")) >= n)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(wh) - ${n - 1}), i -> " +
+        (0 until n).map(j => s"element_at(wh, i + $j)").mkString("xxhash64(", ", ", ")") + ")"
+      )).as("h"))
+
   /** Distinct 64-bit shingle hashes: (sid, h). The join/aggregation keys
     * downstream are 8-byte longs instead of n-word strings — ~4× less
-    * shuffle volume, same set semantics (64-bit collisions are negligible
-    * at corpus scale: P ≈ m²/2⁶⁵). The hash is applied BEFORE the
+    * shuffle volume, same set semantics. The hash is applied BEFORE the
     * distinct, so only one shuffle materializes the set. */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    rawShingles(df, textCol, idCol, n)
-      .select(col("sid"), xxhash64(col("s")).as("h"))
-      .distinct()
+    rawShingleHashes(df, textCol, idCol, n).distinct()
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| ≥ threshold.
     * Intersection via shingle self-join (only docs SHARING a shingle are
@@ -60,8 +72,7 @@ object Dedup {
     // drops one full-corpus shuffle, the cache, and the broadcast build,
     // and the two pairing sides are identical subtrees up to the join
     // exchange, so ReuseExchange materializes the set only once.
-    val docSets = rawShingles(df, textCol, idCol, n)
-      .select(col("sid"), xxhash64(col("s")).as("h"))
+    val docSets = rawShingleHashes(df, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))
@@ -121,8 +132,7 @@ object Dedup {
     // signatures read the RAW (undeduped) shingle hashes — min over a
     // multiset equals min over its set, so the full-corpus distinct
     // shuffle the exact path needs never happens here
-    val raw = rawShingles(df, textCol, idCol, n)
-      .select(col("sid"), xxhash64(col("s")).as("h"))
+    val raw = rawShingleHashes(df, textCol, idCol, n)
     val sig = minHashSignatures(raw, k)
     val rows = k / bands
     val banded = sig.select(col("sid"), posexplode(expr(
@@ -145,8 +155,7 @@ object Dedup {
     // scales with the candidate count, not the corpus.
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
     val candDocs = df.join(broadcast(ids), col(idCol) === col("cand_id")).drop("cand_id")
-    val sh2 = rawShingles(candDocs, textCol, idCol, n)
-      .select(col("sid"), xxhash64(col("s")).as("h"))
+    val sh2 = rawShingleHashes(candDocs, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))
