@@ -43,6 +43,32 @@ object StatQueries {
        |${term(3)}""".stripMargin
   }
 
+  /** PACF per series at maxLag=2 — Durbin–Levinson closes to a SQL form
+    * at this depth (φ11 = ρ1, φ22 = (ρ2 − ρ1²)/(1 − ρ1²)), so the
+    * distributed path is hash-checked end-to-end. */
+  private def m10Pacf: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    StatTests.pacfPerSeries(e, "value", "ts", "user_id", 2)
+      .select(col("user_id"), col("k"), dround(col("pacf"), 6).as("pacf"))
+  }
+
+  private val m10PacfSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, value,
+       |    lag(value,1) OVER w AS l1,
+       |    lag(value,2) OVER w AS l2,
+       |    avg(value) OVER (PARTITION BY user_id) AS mu
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (
+       |  SELECT user_id,
+       |    sum((value - mu) * (l1 - mu)) / sum((value - mu) * (value - mu)) AS r1,
+       |    sum((value - mu) * (l2 - mu)) / sum((value - mu) * (value - mu)) AS r2
+       |  FROM s GROUP BY user_id)
+       |SELECT user_id, CAST(1 AS BIGINT) AS k, ${droundSql("r1", 6)} AS pacf FROM r
+       |UNION ALL
+       |SELECT user_id, CAST(2 AS BIGINT) AS k,
+       | ${droundSql("(r2 - r1 * r1) / (1 - r1 * r1)", 6)} AS pacf FROM r""".stripMargin
+
   /** M10 — ADF stationarity decision per series (regression-based; no SQL
     * oracle — property-tested instead). */
   private def m10Adf: Q = (s, d) => {
@@ -77,14 +103,16 @@ object StatQueries {
        |FROM t GROUP BY user_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "m10_acf" -> m10Acf,
-    "m10_adf" -> m10Adf,
-    "m11_dw"  -> m11Dw
+    "m10_acf"  -> m10Acf,
+    "m10_pacf" -> m10Pacf,
+    "m10_adf"  -> m10Adf,
+    "m11_dw"   -> m11Dw
   )
 
   val oracle: Map[String, String] = Map(
-    "m10_acf" -> m10AcfSql,
-    "m11_dw"  -> m11DwSql
+    "m10_acf"  -> m10AcfSql,
+    "m10_pacf" -> m10PacfSql,
+    "m11_dw"   -> m11DwSql
     // m10_adf: rows-only (regression-based statistic)
   )
 }

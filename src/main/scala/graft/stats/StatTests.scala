@@ -168,4 +168,24 @@ object StatTests {
       }
       .toDF(seriesCol, "k", "acf")
   }
+
+  /** PACF per series (k = 1..maxLag), same flatMapGroups pattern —
+    * Durbin–Levinson on each series' local ACF. */
+  def pacfPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCol: String, maxLag: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"), col(valueCol).cast("double"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val series = it.toArray.sortBy(t => (t._2, t._3)).map(_._3)
+        if (series.length <= maxLag + 1) Iterator.empty
+        else {
+          val r = pacf(series, maxLag)
+          (1 to maxLag).iterator.map(k => (sid, k.toLong, r(k)))
+        }
+      }
+      .toDF(seriesCol, "k", "pacf")
+  }
 }
