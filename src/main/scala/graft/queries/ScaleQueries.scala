@@ -282,6 +282,22 @@ object ScaleQueries {
        | ${droundSql("sum(value)", 4)} AS total_value
        |FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type""".stripMargin
 
+  private def stSliding: Q = (s, d) =>
+    EventWindows.slidingBatch(Tables.events(s, d), "1 hour", "30 minutes")
+      .select(tsStr(col("window_start")).as("window_start"), col("event_type"),
+              col("n"), dround(col("total_value"), 4).as("total_value"))
+
+  /** Each event belongs to exactly windowLen/slide = 2 slide-aligned
+    * windows: starts bucket30(ts) and bucket30(ts) − 30 min. */
+  private val stSlidingSql =
+    s"""WITH w AS (
+       |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws,
+       |         event_type, value
+       |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k))
+       |SELECT ${tsStrSql("ws")} AS window_start, event_type, count(*) AS n,
+       | ${droundSql("sum(value)", 4)} AS total_value
+       |FROM w GROUP BY ws, event_type""".stripMargin
+
   private def stSessionize: Q = (s, d) =>
     EventWindows.sessionize(Tables.events(s, d), 30)
       .select(col("user_id"), col("session_id").cast("long").as("session_id"),
@@ -328,6 +344,7 @@ object ScaleQueries {
     "mm2_frames"       -> mm2Frames,
     "mm_decode"        -> mmDecode,
     "st_window"        -> stWindow,
+    "st_sliding"       -> stSliding,
     "st_sessionize"    -> stSessionize
   )
 
@@ -345,6 +362,7 @@ object ScaleQueries {
     "mm2_frames"       -> mm2Sql,
     "mm_decode"        -> mmSql,
     "st_window"        -> stWindowSql,
+    "st_sliding"       -> stSlidingSql,
     "st_sessionize"    -> stSessionizeSql
     // d3/d4/s2: approximate (LSH/SimHash) — rows-only; bounded by their
     // exact oracle-checked twins in ScaleSpec.

@@ -19,6 +19,19 @@ object EventWindows {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("total_value"))
 
+  /** Sliding-window aggregation, batch form: each event lands in
+    * `windowLen / slide` overlapping windows (Spark's `window` generator
+    * replicates rows map-side — no extra shuffle vs tumbling; state per
+    * key grows by the same factor, bounded by the watermark in the
+    * streaming twin). */
+  def slidingBatch(events: DataFrame, windowLen: String = "1 hour",
+                   slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("total_value"))
+
   /** The same aggregation as a streaming query over the parquet source,
     * with a watermark bounding state. Returns the completed in-memory
     * result table (processAllAvailable drains the source synchronously —
