@@ -130,11 +130,19 @@ object InferQueries {
   private def e5ProblemType: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Seq(
-      ("label_int", ProblemType.analyze(Tables.embeddings(s, d), "label")),
-      ("value_float", ProblemType.analyze(Tables.events(s, d), "value")),
-      ("status_str", ProblemType.analyze(Tables.orders(s, d), "o_orderstatus"))
-    ).toDF("target", "problem_type")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // three independent countDistinct jobs on three tables — submit them
+    // concurrently (one SparkSession schedules many jobs at once); the
+    // wall-clock is the slowest table's scan, not the sum
+    val futs = Seq(
+      ("label_int",   Future(ProblemType.analyze(Tables.embeddings(s, d), "label"))),
+      ("value_float", Future(ProblemType.analyze(Tables.events(s, d), "value"))),
+      ("status_str",  Future(ProblemType.analyze(Tables.orders(s, d), "o_orderstatus")))
+    )
+    futs.map { case (n, f) => (n, Await.result(f, 300.seconds)) }
+      .toDF("target", "problem_type")
   }
 
   private val e5Sql: String =
