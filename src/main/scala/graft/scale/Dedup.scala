@@ -114,8 +114,10 @@ object Dedup {
 
   private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
 
-  /** Deterministic hash coefficients in [1, p) (xorshift). */
-  private[scale] def hashCoefficients(k: Int, p: Long): Seq[(Long, Long)] = {
+  /** Deterministic hash coefficients in [1, p) (xorshift) — shared with
+    * the single-pass [[graft.functions.MinHashSig]] expression so both
+    * signature paths are bit-identical. */
+  private[graft] def hashCoefficients(k: Int, p: Long): Seq[(Long, Long)] = {
     var s = 0x9E3779B97F4A7C15L
     def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s >>> 33) % (p - 1) + 1 }
     Seq.fill(k)((next(), next()))
@@ -129,11 +131,13 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    // signatures read the RAW (undeduped) shingle hashes — min over a
-    // multiset equals min over its set, so the full-corpus distinct
-    // shuffle the exact path needs never happens here
-    val raw = rawShingleHashes(df, textCol, idCol, n)
-    val sig = minHashSignatures(raw, k)
+    // signatures come from the single-pass MinHashSig expression —
+    // entirely map-side (no shingle explode, no shuffle); a doc with
+    // fewer than n words has no shingles and drops out, matching the
+    // aggregation path's semantics
+    val sig = df.select(col(idCol).as("sid"),
+        graft.functions.MinHashSig(col(textCol), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
     val rows = k / bands
     val banded = sig.select(col("sid"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> hash(b, slice(sig, b * $rows + 1, $rows)))")))

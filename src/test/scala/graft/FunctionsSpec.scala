@@ -32,6 +32,20 @@ class FunctionsSpec extends SparkTestBase {
     api.foreach { case (_, (d, n)) => assert(math.abs(math.sqrt(d) - n) < 1e-12) }
   }
 
+  test("MinHashSig expression is bit-identical to the aggregation pipeline") {
+    import graft.scale.Dedup
+    val docs = Tables.documents(spark, SF).limit(200)
+    val viaAgg = Dedup.minHashSignatures(
+        Dedup.shingleHashes(docs, "text", "doc_id", 3), 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaAgg)
+  }
+
   test("null and empty arrays are handled") {
     val r = spark.sql(
       "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d1, " +
