@@ -201,12 +201,18 @@ object Dedup {
 
   /** SimHash: 64-bit fingerprint — per token-hash bit, sum ±1 weights,
     * take the sign. Near-dups = pairs with hamming distance ≤ maxHamming.
-    * The bit-sums are ONE custom-aggregator pass over exploded token
-    * hashes (registered untyped via `udaf`, so the id column keeps its
-    * original type — string ids group fine); the pair scan joins on
-    * 16-bit blocks (standard 4-block split — pigeonhole guarantees recall
-    * for hamming ≤ 3). */
-  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * The fingerprint is the single-pass [[graft.functions.SimHashSig]]
+    * expression (map-side, no token explode or shuffle); the pair scan
+    * joins on 16-bit blocks (standard 4-block split — pigeonhole
+    * guarantees recall for hamming ≤ 3). */
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("sid"),
+              graft.functions.SimHashSig(col(textCol)).as("simhash"))
+
+  /** The explode + typed-Aggregator formulation of [[simHash]] — kept as
+    * the cross-check twin (FunctionsSpec asserts bit-equality) and as the
+    * shape to use when tokens arrive already exploded. */
+  def simHashViaAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val simhashUdaf = udaf(new SimHashAgg(), org.apache.spark.sql.Encoders.scalaLong)
     df.select(col(idCol).as("sid"),
               explode(split(col(textCol), " ")).as("t"))

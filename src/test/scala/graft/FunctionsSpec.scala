@@ -46,6 +46,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("SimHashSig expression is bit-identical to the aggregation pipeline") {
+    import graft.scale.Dedup
+    val docs = Tables.documents(spark, SF).limit(200)
+    val viaAgg = Dedup.simHashViaAgg(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaExpr = Dedup.simHash(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaAgg)
+  }
+
   test("null and empty arrays are handled") {
     val r = spark.sql(
       "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d1, " +
