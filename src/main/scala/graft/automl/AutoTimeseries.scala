@@ -30,6 +30,14 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
   require(Seq("rmse", "normalized_rmse").contains(scoreType),
     s"score_type must be 'rmse' or 'normalized_rmse', got '$scoreType'")
 
+  /** The reference's filename branch of fit (`__init__.py:320-332`,
+    * `load_ts_data` `utils/etl.py:17-61`): CSV path + custom separator,
+    * datetime format inferred and parsed by the loader. */
+  def fit(spark: SparkSession, path: String, tsCol: String, target: String,
+          sep: String): this.type =
+    fit(graft.infer.DatetimeFormatInfer.loadCsv(spark, path, tsCol, sep),
+        tsCol, target)
+
   def fit(df: DataFrame, tsCol: String, target: String): this.type = {
     val exog = df.columns.filterNot(c => c == tsCol || c == target).toSeq
     val schema = TsSchema(tsCol, target, exog)

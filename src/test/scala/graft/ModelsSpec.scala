@@ -23,6 +23,14 @@ class ModelsSpec extends SparkTestBase {
     assert(sales.count() == 48)
   }
 
+  test("fit accepts a CSV path directly (reference filename-dispatch parity)") {
+    val at = new AutoTimeseries(cv = 1, forecastPeriod = 8, modelTypes = Seq("ML"))
+    at.fit(spark, "/root/reference/example_datasets/Sales_and_Marketing.csv",
+      "Time Period", "Sales", ",")
+    assert(at.bestName == "ML")
+    assert(at.leaderboard(spark).count() == 1)
+  }
+
   test("AutoTimeseries end-to-end on the reference fixture") {
     val at = new AutoTimeseries(cv = 2, forecastPeriod = 8,
       modelTypes = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"))
