@@ -98,6 +98,14 @@ object ScaleQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id",
       nCells = 8, nProbe = 3)
 
+  /** IVF with nProbe = nCells: every cell is probed, so the index MUST
+    * return the exact brute-force top-k — the whole IVF pipeline
+    * (centroid build, cell assignment, probe routing, scoring, ranking)
+    * is hash-checked against the same oracle as s1. */
+  private def s4AnnIvfExhaustive: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id",
+      nCells = 8, nProbe = 8)
+
   // ---- text analysis -------------------------------------------------------
 
   private def x1TextStats: Q = (s, d) =>
@@ -334,6 +342,7 @@ object ScaleQueries {
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
     "s3_ann_ivf"       -> s3AnnIvf,
+    "s4_ann_ivf_full"  -> s4AnnIvfExhaustive,
     "f1_drift_forecast"-> f1Drift,
     "f2_seasonal_naive"-> f2SeasonalNaive,
     "f3_series_arima"  -> f3PerSeriesArima,
@@ -355,6 +364,7 @@ object ScaleQueries {
     "d2_ngram_jaccard" -> d2Sql,
     "d5_cosine_neardup"-> d5Sql,
     "s1_ann_topk"      -> s1Sql,
+    "s4_ann_ivf_full"  -> s1Sql,
     "x1_text_stats"    -> x1Sql,
     "x2_lang_id"       -> x2Sql,
     "x3_fingerprint"   -> x3Sql,
