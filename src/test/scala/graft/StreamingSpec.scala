@@ -124,6 +124,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 90L, 110L, 3L)), s"got $got")
   }
 
+  test("streaming exact dedup: duplicate content dropped across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // the streaming twin of Dedup.exact: same content key, state bounded
+    // by the watermark instead of a full-corpus shuffle
+    val deduped = mem.toDS()
+      .withColumn("ts", timestamp_millis($"tsMs"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("userId", "value")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val min = 60000L
+    mem.addData(Ev(1, 0 * min, 1.0), Ev(1, 5 * min, 1.0), Ev(2, 6 * min, 1.0))
+    q.processAllAvailable()
+    // batch 2: another duplicate of (1, 1.0) within the watermark, plus
+    // one genuinely new row — only the new row may survive
+    mem.addData(Ev(1, 10 * min, 1.0), Ev(1, 11 * min, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .select($"userId", $"value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.sorted == Seq((1L, 1.0), (1L, 2.0), (2L, 1.0)), s"got $got")
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
