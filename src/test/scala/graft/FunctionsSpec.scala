@@ -57,6 +57,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaExpr == viaAgg)
   }
 
+  test("signature expressions match the pipelines on pathological whitespace") {
+    import graft.scale.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    // consecutive, leading, and trailing spaces produce empty tokens in
+    // split(text, ' '); both paths must treat them identically
+    val docs = Seq(
+      (1L, "a  b c d e"), (2L, " leading space here ok"),
+      (3L, "trailing space here ok "), (4L, "x y z x y z x  y"),
+      (5L, "     "), (6L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val mhAgg = Dedup.minHashSignatures(Dedup.shingleHashes(docs, "text", "doc_id", 3), 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val mhExpr = docs.select(col("doc_id"), graft.functions.MinHashSig(col("text"), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(mhExpr == mhAgg)
+    val shAgg = Dedup.simHashViaAgg(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val shExpr = Dedup.simHash(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shExpr == shAgg)
+  }
+
   test("null and empty arrays are handled") {
     val r = spark.sql(
       "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d1, " +
