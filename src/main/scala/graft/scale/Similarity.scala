@@ -100,22 +100,29 @@ object Similarity {
     * reduction. Approximate ⇒ rows-only; recall is property-tested. */
   def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
               vecCol: String, idCol: String,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 8, nProbe: Int = 2,
+              lloydIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).cast("long").as("vid"),
                           col(vecCol).cast("array<double>").as("v")).cache()
     // deterministic seeds; TakeOrdered, no full sort
     val seeds = v.orderBy(col("vid")).limit(nCells).collect()
       .map(_.getSeq[Double](1).toArray)
-    // one Lloyd step: per-cell mean vector, computed distributed via
-    // (cell, position) partial aggregation — never collects the corpus
-    val cents = assignCells(v, seeds)
-      .select(col("cell"), posexplode(col("v")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    // Lloyd refinement: per-cell mean vector, computed distributed via
+    // (cell, position) partial aggregation — never collects the corpus;
+    // a cell that loses all members keeps its previous centroid
+    def lloydStep(prev: Array[Array[Double]]): Array[Array[Double]] = {
+      val means = assignCells(v, prev)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      prev.indices.map(c => means.getOrElse(c, prev(c))).toArray
+    }
+    val cents = (0 until math.max(lloydIters, 0))
+      .foldLeft(seeds)((c, _) => lloydStep(c))
     val assigned = assignCells(v, cents)
       .withColumn("norm", graft.functions.VectorOps.l2norm(col("v"))).cache()
     // probe plan: per query, its nProbe max-cosine cells (driver-side —

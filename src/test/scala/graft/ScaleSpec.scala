@@ -117,6 +117,21 @@ class ScaleSpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
   }
 
+  test("IVF with exhaustive probing is exact regardless of Lloyd iterations") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val em = Tables.embeddings(spark, SF)
+    val bf = Similarity.bruteForceTopK(em, ids, 5, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // any centroid configuration partitions the corpus, so probing every
+    // cell must reproduce the exact ranking — for 0, 1, and 2 refinements
+    for (iters <- Seq(0, 2)) {
+      val ivf = Similarity.ivfTopK(em, ids, 5, "embedding", "vec_id",
+          nCells = 8, nProbe = 8, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ivf == bf, s"exhaustive IVF (lloydIters=$iters) != brute force")
+    }
+  }
+
   test("language id picks the right language on known sentences") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),
