@@ -11,7 +11,8 @@ object ExplainDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("j1_star", "a1_metrics", "st_sessionize", "e4_scalers",
-               "x1_text_stats", "t12_folds", "f1_drift_forecast", "j5_asof")
+               "x1_text_stats", "t12_folds", "f1_drift_forecast", "j5_asof",
+               "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "st_sliding")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
