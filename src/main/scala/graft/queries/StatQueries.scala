@@ -69,6 +69,43 @@ object StatQueries {
        |SELECT user_id, CAST(2 AS BIGINT) AS k,
        | ${droundSql("(r2 - r1 * r1) / (1 - r1 * r1)", 6)} AS pacf FROM r""".stripMargin
 
+  /** Dickey–Fuller at fixed lag 0: the regression Δy = α + γ·y_{t-1} is
+    * simple OLS, whose t-stat closes to sums — so this configuration of
+    * the distributed ADF path IS oracle-checkable (4-decimal rounding
+    * absorbs the Breeze-solve vs closed-form float noise). The autolag-BIC
+    * variant below stays rows-only. */
+  private def m10Df0: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    StatTests.adfPerSeries(e, "value", "ts", "user_id", maxLag = Some(0))
+      .select(col("user_id"), dround(col("adf_stat"), 4).as("adf_stat"),
+              col("n_obs"), col("stationary").cast("string").as("stationary"))
+  }
+
+  private val m10Df0Sql: String =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    value - lag(value,1) OVER w AS dy,
+       |    lag(value,1) OVER w AS yl
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |a AS (
+       |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n1,
+       |    sum(yl) AS sx, sum(yl*yl) AS sxx,
+       |    sum(dy) AS sy, sum(dy*dy) AS syy, sum(yl*dy) AS sxy
+       |  FROM s WHERE dy IS NOT NULL GROUP BY user_id),
+       |b AS (
+       |  SELECT user_id, n1,
+       |    (n1*sxy - sx*sy) / (n1*sxx - sx*sx) AS slope,
+       |    (n1*sxx - sx*sx) AS d, sx, sy, sxy, syy
+       |  FROM a),
+       |c AS (
+       |  SELECT user_id, n1,
+       |    slope / sqrt(((syy - ((sy - slope*sx)/n1)*sy - slope*sxy) / (n1-2)) * n1 / d) AS stat
+       |  FROM b)
+       |SELECT user_id, ${droundSql("stat", 4)} AS adf_stat,
+       | CAST(n1 AS BIGINT) AS n_obs,
+       | CAST(stat < (-2.86154 - 2.8903/n1 - 4.234/(n1*n1) - 40.040/(n1*n1*n1)) AS VARCHAR) AS stationary
+       |FROM c""".stripMargin
+
   /** M10 — ADF stationarity decision per series (regression-based; no SQL
     * oracle — property-tested instead). */
   private def m10Adf: Q = (s, d) => {
@@ -105,6 +142,7 @@ object StatQueries {
   val queries: Map[String, Q] = Map(
     "m10_acf"  -> m10Acf,
     "m10_pacf" -> m10Pacf,
+    "m10_df0"  -> m10Df0,
     "m10_adf"  -> m10Adf,
     "m11_dw"   -> m11Dw
   )
@@ -112,6 +150,7 @@ object StatQueries {
   val oracle: Map[String, String] = Map(
     "m10_acf"  -> m10AcfSql,
     "m10_pacf" -> m10PacfSql,
+    "m10_df0"  -> m10Df0Sql,
     "m11_dw"   -> m11DwSql
     // m10_adf: rows-only (regression-based statistic)
   )
