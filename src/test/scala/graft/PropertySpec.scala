@@ -73,6 +73,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: MinHashSig == aggregation pipeline on random token sequences") {
+    import graft.scale.Dedup
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "e", "", "longword", "x1")
+      val docs = (0 until 60).map { i =>
+        val nTok = rnd.nextInt(12) // includes docs shorter than n
+        (i.toLong, (0 until nTok).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val viaAgg = Dedup.minHashSignatures(
+          Dedup.shingleHashes(docs, "text", "doc_id", 3), 16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      val viaExpr = docs.select($"doc_id",
+          graft.functions.MinHashSig(col("text"), 3, 16).as("sig"))
+        .filter($"sig".isNotNull)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      assert(viaExpr == viaAgg, s"seed $seed: expression != pipeline")
+    }
+  }
+
   test("property: asofJoin matches a naive per-row reference") {
     val rnd = new Random(11)
     val left = (0 until 120).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
