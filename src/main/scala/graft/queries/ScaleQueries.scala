@@ -262,6 +262,26 @@ object ScaleQueries {
        | ${droundSql("avg(32 + (n * 7) % 64)", 6)} AS avg_height
        |FROM b GROUP BY 1""".stripMargin
 
+  /** Resize plumbing: payload rescaled to exactly w·h bytes, metadata
+    * struct rewritten to the target dims with format preserved — all
+    * length arithmetic, so oracle-checkable. */
+  private def mm3Resize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Multimodal.resize(Multimodal.decodeMeta(Multimodal.attachBinary(docs, "text")), 64, 32)
+      .groupBy(col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+           min(length(col("media"))).cast("long").as("min_bytes"),
+           max(length(col("media"))).cast("long").as("max_bytes"),
+           max(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
+  }
+
+  private val mm3Sql =
+    """WITH b AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+      |SELECT CASE WHEN n % 3 = 0 THEN 'jpeg' WHEN n % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+      | count(*) AS n, CAST(2048 AS BIGINT) AS min_bytes, CAST(2048 AS BIGINT) AS max_bytes,
+      | CAST(64 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h
+      |FROM b GROUP BY 1""".stripMargin
+
   /** Frame-sampling plumbing: stride slicing + posexplode generator shape;
     * frame counts are length arithmetic, so oracle-checkable. */
   private def mm2Frames: Q = (s, d) => {
@@ -351,6 +371,7 @@ object ScaleQueries {
     "x3_fingerprint"   -> x3Fingerprint,
     "x5_quality"       -> x5Quality,
     "mm2_frames"       -> mm2Frames,
+    "mm3_resize"       -> mm3Resize,
     "mm_decode"        -> mmDecode,
     "st_window"        -> stWindow,
     "st_sliding"       -> stSliding,
@@ -370,6 +391,7 @@ object ScaleQueries {
     "x3_fingerprint"   -> x3Sql,
     "x5_quality"       -> x5Sql,
     "mm2_frames"       -> mm2Sql,
+    "mm3_resize"       -> mm3Sql,
     "mm_decode"        -> mmSql,
     "st_window"        -> stWindowSql,
     "st_sliding"       -> stSlidingSql,

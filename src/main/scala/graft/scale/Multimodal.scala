@@ -70,6 +70,28 @@ object Multimodal {
     df.withColumn("features", extract(col("media")))
   }
 
+  /** ==STUB RESIZE== — deterministic fake: "resizing" to w×h produces a
+    * payload of exactly w·h bytes (truncate / cycle-pad); the real path
+    * calls the image library per batch. The metadata struct is rewritten
+    * to the target dimensions — that struct is the contract downstream
+    * consumers read, and it is what the oracle checks. Requires `meta`
+    * (run [[decodeMeta]] first); the original format is preserved. */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val target = w * h
+    val resizeUdf = udf { (bytes: Array[Byte]) =>
+      val out = new Array[Byte](target)
+      if (bytes != null && bytes.length > 0) {
+        var i = 0
+        while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
+      }
+      out
+    }
+    df.withColumn("media", resizeUdf(col("media")))
+      .withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.format").as("format"), lit(target.toLong).as("n_bytes")))
+  }
+
   /** ==STUB FRAME SAMPLE== — "video" frame sampling as byte slices at a
     * fixed stride; the real path seeks keyframes. Generator shape
     * (posexplode → one row per frame) is the real contract. */

@@ -164,6 +164,13 @@ class ScaleSpec extends SparkTestBase {
     assert(feats.select("features").head().getSeq[Float](0).length == 8)
     val frames = Multimodal.sampleFrames(withMedia, 64, 3)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
+    // resize: payload becomes exactly w*h cycle-padded bytes, meta follows
+    val resized = Multimodal.resize(meta, 16, 4).select("media", "meta.width", "meta.n_bytes")
+    val orig = meta.select("media").head().getAs[Array[Byte]](0)
+    val r0 = resized.head()
+    val out = r0.getAs[Array[Byte]](0)
+    assert(out.length == 64 && r0.getInt(1) == 16 && r0.getLong(2) == 64L)
+    assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
   test("streaming tumbling window equals the batch aggregation") {
