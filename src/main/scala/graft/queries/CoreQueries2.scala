@@ -382,6 +382,29 @@ object CoreQueries2 {
     s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS o_date,
        | o_totalprice, o_orderstatus FROM orders""".stripMargin
 
+  // ---- S1 variant: JSON lines scan (beyond the reference's CSV) ---------------
+
+  /** JSON-lines round-trip: same contract as the CSV scan — materialize
+    * once per sf dir, then the measured operator is the scan + schema
+    * application + datetime parse. */
+  private def s2JsonScan: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+    val path = s"target/json_scan/${new java.io.File(d).getName}"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      o.coalesce(4).write.mode("overwrite").json(path)
+    s.read.schema("o_orderkey BIGINT, o_orderdate STRING, o_totalprice DOUBLE, o_orderstatus STRING")
+      .json(path)
+      .select(col("o_orderkey"),
+              tsStr(to_timestamp(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("o_date"),
+              col("o_totalprice"), col("o_orderstatus"))
+  }
+
+  private val s2JsonSql =
+    s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS o_date,
+       | o_totalprice, o_orderstatus FROM orders""".stripMargin
+
   // ---- §2.8: regex (BPE-ish) token counting -----------------------------------------------------
 
   private val tokPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
@@ -417,6 +440,7 @@ object CoreQueries2 {
     "e4_scalers"     -> e4Scalers,
     "i2_datetime_parse" -> i2DatetimeParse,
     "s1_csv_scan"    -> s1CsvScan,
+    "s2_json_scan"   -> s2JsonScan,
     "x4_token_count" -> x4TokenCount
   )
 
@@ -439,6 +463,7 @@ object CoreQueries2 {
     "e4_scalers"     -> e4Sql,
     "i2_datetime_parse" -> i2Sql,
     "s1_csv_scan"    -> s1Sql,
+    "s2_json_scan"   -> s2JsonSql,
     "x4_token_count" -> x4Sql
   )
 }
