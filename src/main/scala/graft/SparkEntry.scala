@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.InferQueries.queries ++
     graft.queries.StatQueries.queries ++
     graft.queries.ModelQueries.queries ++
+    graft.queries.ModelQueries2.queries ++
     graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.InferQueries.oracle ++
     graft.queries.StatQueries.oracle ++
     graft.queries.ModelQueries.oracle ++
+    graft.queries.ModelQueries2.oracle ++
     graft.queries.ScaleQueries.oracle
 }

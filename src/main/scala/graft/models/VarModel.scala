@@ -126,6 +126,12 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
+  /** Fitted coefficient matrix ((1 + dim·p + dummies) × dim) and chosen
+    * order — exposed so the VAR(1) closed-form oracle twin (m4_var1) can
+    * hash-check the fit itself against per-equation OLS in SQL. */
+  def fittedCoefs: DenseMatrix[Double] = coefs
+  def fittedOrder: Int = bestP
+
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val z = zRows(series.y, series.exog)
     val pred = forecastLocal(z, coefs, bestP, h, fittedDummies)

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.{TimeSeriesOps => TS}
+import graft.models.{DecomposableModel, TsSchema, VarModel}
+import graft.queries.Det._
+
+/** Oracle-checked TWINS of the estimator paths (the s4_ann_ivf_full
+  * pattern from round 3: pick a configuration where the estimator's math
+  * closes to a SQL-expressible form, and hash-check the REAL model code
+  * end-to-end against DuckDB).
+  *
+  *  - m5_trend: DecomposableModel with fourierOrder=0, ridgeLambda=0
+  *    degenerates to exact OLS on a linear trend (`build_prophet.py:82-346`
+  *    trend component) — slope/intercept/σ/CI all close to sums.
+  *  - m4_var1: VarModel at fixed p=1 is per-equation OLS with two lagged
+  *    predictors + intercept (`build_var.py:53-160`) — the coefficient
+  *    matrix closes to the centered 2×2 normal equations.
+  *
+  * Inputs are rounded through Det BEFORE fitting so both engines feed
+  * bit-identical series into the regression. */
+object ModelQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Monthly (ts, y) series: y = dround₄(mean monthly o_totalprice). */
+  private def monthlyY(s: SparkSession, d: String): DataFrame =
+    TS.resampleMean(Tables.orders(s, d), "o_orderdate", "month", Seq("o_totalprice"))
+      .select(col("ts_bucket").as("ts"),
+              dround(col("o_totalprice_mean"), 4).as("y"))
+
+  private val monthlyYSql =
+    s"""SELECT date_trunc('month', o_orderdate) AS mo,
+       | ${droundSql("avg(o_totalprice)", 4)} AS y
+       |FROM orders GROUP BY date_trunc('month', o_orderdate)""".stripMargin
+
+  // ---- m5_trend: trend-only decomposable model ≡ OLS on t ---------------
+
+  private def m5Trend: Q = (s, d) => {
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                  ridgeLambda = 0.0)
+    m.fit(monthlyY(s, d), TsSchema("ts", "y"), 2, 8)
+    m.predict(s, 8).select(
+      tsStr(col("ts")).as("ts"),
+      dround(col("yhat"), 4).as("yhat"),
+      dround(col("mean_se"), 4).as("mean_se"),
+      dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+      dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+  }
+
+  /** OLS closed form: slope=(nΣty−ΣtΣy)/(nΣtt−(Σt)²), σ²=SSR/(n−2);
+    * forecast t = n−1+i for i=1..8, month-stepped timestamps. */
+  private val m5TrendSql =
+    s"""WITH m AS ($monthlyYSql),
+       |s AS (SELECT y, CAST(row_number() OVER (ORDER BY mo) - 1 AS DOUBLE) AS t FROM m),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(t*t) AS stt,
+       |             sum(y) AS sy, sum(y*y) AS syy, sum(t*y) AS sty FROM s),
+       |b AS (SELECT n, st, sy, sty, syy, stt,
+       |        (n*sty - st*sy)/(n*stt - st*st) AS slope FROM a),
+       |c AS (SELECT n, slope, (sy - slope*st)/n AS icept,
+       |        (syy - sy*sy/n) - slope*(sty - st*sy/n) AS ssr FROM b),
+       |d AS (SELECT n, slope, icept, sqrt(ssr/(n-2)) AS sigma,
+       |        (SELECT max(mo) FROM m) AS last_mo FROM c),
+       |f AS (SELECT i, icept + slope*(n - 1 + i) AS p, sigma, last_mo
+       |      FROM d, generate_series(1, 8) AS g(i))
+       |SELECT ${tsStrSql("last_mo + to_months(CAST(i AS INTEGER))")} AS ts,
+       | ${droundSql("p", 4)} AS yhat,
+       | ${droundSql("sigma", 4)} AS mean_se,
+       | ${droundSql("p - 1.96*sigma", 4)} AS mean_ci_lower,
+       | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
+       |FROM f""".stripMargin
+
+  // ---- m4_var1: VAR(1) coefficient matrix ≡ per-equation OLS ------------
+
+  /** Monthly series scaled to O(1) so both solvers are far from any
+    * conditioning cliff: y = price/1e5, x = orders-per-month/100. */
+  private def monthlyYX(s: SparkSession, d: String): DataFrame =
+    TS.resampleMean(Tables.orders(s, d), "o_orderdate", "month", Seq("o_totalprice"))
+      .select(col("ts_bucket").as("ts"),
+              (dround(col("o_totalprice_mean"), 4) / lit(100000.0)).as("y"),
+              (col("n").cast("double") / lit(100.0)).as("x"))
+
+  private def m4Var1: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val m = new VarModel(maxP = 1, minP = 1)
+    m.fit(monthlyYX(s, d), TsSchema("ts", "y", Seq("x")), 2, 8)
+    val b = m.fittedCoefs
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    Seq(("y", r6(b(0, 0)), r6(b(1, 0)), r6(b(2, 0))),
+        ("x", r6(b(0, 1)), r6(b(1, 1)), r6(b(2, 1))))
+      .toDF("eq", "c0", "c_y", "c_x")
+  }
+
+  /** Per-equation OLS via centered normal equations (2 predictors):
+    * [a1,a2] = inv([[c11,c12],[c12,c22]])·[c1y,c2y], c0 = ȳ−a1x̄1−a2x̄2. */
+  private val m4Var1Sql =
+    s"""WITH m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mo,
+       |   (${droundSql("avg(o_totalprice)", 4)})/100000.0 AS y,
+       |   count(*)/100.0 AS x
+       |  FROM orders GROUP BY date_trunc('month', o_orderdate)),
+       |s AS (SELECT y, x, lag(y) OVER (ORDER BY mo) AS ly,
+       |             lag(x) OVER (ORDER BY mo) AS lx FROM m),
+       |r AS (SELECT * FROM s WHERE ly IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  sum(ly) AS s1, sum(lx) AS s2,
+       |  sum(ly*ly) AS s11, sum(ly*lx) AS s12, sum(lx*lx) AS s22,
+       |  sum(y) AS sy, sum(ly*y) AS s1y, sum(lx*y) AS s2y,
+       |  sum(x) AS sx, sum(ly*x) AS s1x, sum(lx*x) AS s2x FROM r),
+       |b AS (SELECT n,
+       |  s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12, s22 - s2*s2/n AS c22,
+       |  s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y,
+       |  s1x - s1*sx/n AS c1x, s2x - s2*sx/n AS c2x,
+       |  s1/n AS m1, s2/n AS m2, sy/n AS my, sx/n AS mx FROM a),
+       |c AS (SELECT
+       |  (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) AS by1,
+       |  (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS by2,
+       |  (c22*c1x - c12*c2x)/(c11*c22 - c12*c12) AS bx1,
+       |  (c11*c2x - c12*c1x)/(c11*c22 - c12*c12) AS bx2,
+       |  my, mx, m1, m2 FROM b)
+       |SELECT 'y' AS eq, ${droundSql("my - by1*m1 - by2*m2", 6)} AS c0,
+       | ${droundSql("by1", 6)} AS c_y, ${droundSql("by2", 6)} AS c_x FROM c
+       |UNION ALL
+       |SELECT 'x', ${droundSql("mx - bx1*m1 - bx2*m2", 6)},
+       | ${droundSql("bx1", 6)}, ${droundSql("bx2", 6)} FROM c""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "m5_trend" -> m5Trend,
+    "m4_var1"  -> m4Var1
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m5_trend" -> m5TrendSql,
+    "m4_var1"  -> m4Var1Sql
+  )
+}

@@ -1,0 +1,47 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus curation (north star: a
+  * 100 TB pipeline downsamples/interleaves corpora before training).
+  *
+  * Two paths with different scale behavior:
+  *  - [[modSample]] — a pure filter on the id; pushes to the scan, no
+  *    shuffle, no state. The default at 100 TB.
+  *  - [[stratifiedExact]] — exact per-group fractions via one windowed
+  *    pass; costs a shuffle on the group key. Use when group quotas must
+  *    be exact (e.g. balancing languages), not just proportional. */
+object Sampling {
+
+  /** Keep rows whose `pmod(idCol, modulus) < keep` — a deterministic
+    * `keep/modulus` sample. Fully pushdown-able: no shuffle, no window;
+    * survives any scale-up and composes with partition pruning. */
+  def modSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame =
+    df.filter(pmod(col(idCol), lit(modulus)) < lit(keep))
+
+  /** Exact stratified sample: the first `ceil(frac·|group|)` rows of each
+    * group in `orderCol` order. One shuffle on `groupCols` (both window
+    * functions share a single WindowExec — same partitioning + ordering). */
+  def stratifiedExact(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                      frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val w = byGroup.orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byGroup))
+      .filter(col("rn") <= ceil(lit(frac) * col("cnt")))
+      .drop("rn", "cnt")
+  }
+
+  /** Weighted corpus interleave: per-source modulus sampling driven by a
+    * weight map (source -> keep-permille). The weight lookup is a CASE
+    * expression, not a join — zero shuffle end-to-end. */
+  def interleave(df: DataFrame, sourceCol: String, idCol: String,
+                 permille: Map[String, Int]): DataFrame = {
+    val keep: Column = permille.foldLeft(lit(0)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(1000)) < keep)
+  }
+}
