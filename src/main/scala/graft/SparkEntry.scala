@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.StatQueries.queries ++
     graft.queries.ModelQueries.queries ++
     graft.queries.ModelQueries2.queries ++
-    graft.queries.ScaleQueries.queries
+    graft.queries.ScaleQueries.queries ++
+    graft.queries.ScaleQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.StatQueries.oracle ++
     graft.queries.ModelQueries.oracle ++
     graft.queries.ModelQueries2.oracle ++
-    graft.queries.ScaleQueries.oracle
+    graft.queries.ScaleQueries.oracle ++
+    graft.queries.ScaleQueries2.oracle
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Sampling, TextAnalysis}
+import graft.stats.Quantiles
+import graft.queries.Det._
+
+/** Corpus-curation operators round 4: deterministic sampling /
+  * interleaving, quantile profiling, redaction, and bigram statistics —
+  * the remaining blocks a training-data pipeline runs between dedup and
+  * tokenization. All oracle-checked. */
+object ScaleQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- deterministic sampling -------------------------------------------
+
+  private def sm1ModSample: Q = (s, d) =>
+    Sampling.modSample(Tables.documents(s, d), "doc_id", 10, 3)
+      .select(col("doc_id"), col("lang"))
+
+  private val sm1Sql =
+    "SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 3"
+
+  private def sm2Stratified: Q = (s, d) =>
+    Sampling.stratifiedExact(Tables.documents(s, d), Seq("lang"), "doc_id", 0.2)
+      .select(col("doc_id"), col("lang"))
+
+  private val sm2Sql =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, lang FROM s WHERE rn <= ceil(0.2 * cnt)""".stripMargin
+
+  private val interleaveWeights = Map("src0" -> 500, "src1" -> 250, "src2" -> 125)
+
+  private def sm3Interleave: Q = (s, d) =>
+    Sampling.interleave(Tables.documents(s, d), "source", "doc_id", interleaveWeights)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+
+  private val sm3Sql = {
+    val cases = interleaveWeights.toSeq.sorted
+      .map { case (src, p) => s"WHEN source = '$src' THEN $p" }.mkString(" ")
+    s"""SELECT source, count(*) AS n FROM documents
+       |WHERE doc_id % 1000 < (CASE $cases ELSE 0 END)
+       |GROUP BY source""".stripMargin
+  }
+
+  // ---- quantile profiling ------------------------------------------------
+
+  private def q2Quantiles: Q = (s, d) =>
+    Quantiles.exact(Tables.documents(s, d), "n_chars", Seq("lang"), Seq(0.25, 0.5, 0.75))
+      .select(col("lang"), dround(col("q25"), 4).as("q25"),
+              dround(col("q50"), 4).as("q50"), dround(col("q75"), 4).as("q75"),
+              col("n"))
+
+  private val q2Sql =
+    s"""SELECT lang, ${droundSql("quantile_cont(n_chars, 0.25)", 4)} AS q25,
+       | ${droundSql("quantile_cont(n_chars, 0.5)", 4)} AS q50,
+       | ${droundSql("quantile_cont(n_chars, 0.75)", 4)} AS q75,
+       | count(*) AS n
+       |FROM documents GROUP BY lang""".stripMargin
+
+  // ---- redaction ---------------------------------------------------------
+
+  private val redactPattern = "\\b(customer|value)\\b"
+
+  private def x6Redact: Q = (s, d) =>
+    TextAnalysis.redact(Tables.documents(s, d), "text", redactPattern, "[X]")
+      .select(col("doc_id"), col("clean_text"), col("n_hits"))
+
+  private val x6Sql =
+    s"""SELECT doc_id,
+       | regexp_replace(text, '$redactPattern', '[X]', 'g') AS clean_text,
+       | len(regexp_extract_all(text, '$redactPattern')) AS n_hits
+       |FROM documents""".stripMargin
+
+  // ---- bigram statistics -------------------------------------------------
+
+  private def x7Bigrams: Q = (s, d) =>
+    TextAnalysis.topBigrams(Tables.documents(s, d), "text", 20)
+
+  private val x7Sql =
+    """WITH e AS (
+      |  SELECT t, unnest(range(1, len(t))) AS i
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      |SELECT t[i] || ' ' || t[i+1] AS bigram, count(*) AS n
+      |FROM e GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ---- per-series distributed trend fit ---------------------------------
+
+  private def f4SeriesTrend: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.trendForecast(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), 3, Seq("event_id"))
+      .select(col("user_id"), col("h"), dround(col("yhat"), 6).as("yhat"))
+
+  private val f4Sql =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
+       |        sum(t*t) AS stt, sum(y) AS sy, sum(t*y) AS sty
+       |      FROM s GROUP BY user_id),
+       |b AS (SELECT user_id, n, st, sy,
+       |        CASE WHEN n > 1 THEN (n*sty - st*sy)/(n*stt - st*st) ELSE 0.0 END AS slope
+       |      FROM a),
+       |c AS (SELECT user_id, n, slope, (sy - slope*st)/n AS icept FROM b)
+       |SELECT user_id, h, ${droundSql("icept + slope*(n - 1 + h)", 6)} AS yhat
+       |FROM c, generate_series(1, 3) AS g(h)""".stripMargin
+
+  // ---- E1: the grow-on-unseen transform path ----------------------------
+
+  /** e1_label_encode fits and transforms the SAME frame, so the
+    * reference's unseen-value rule (`my_encoders.py:74-78`: new sorted
+    * unseen values get maxCode+1, maxCode+2, …) was only spec-covered.
+    * Here the dictionary is fit WITHOUT de/zh and applied to the full
+    * corpus — the growth path itself is hash-checked. */
+  private def e2UnseenEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(!col("lang").isin("de", "zh"))
+    val dict = graft.core.Encoders.labelDictionary(train, "lang")
+    graft.core.Encoders.labelEncode(docs, "lang", dict, "lang_code")
+      .select(col("doc_id"), col("lang"), col("lang_code").cast("long").as("lang_code"))
+  }
+
+  private val e2Sql =
+    """WITH dict AS (
+      |  SELECT lang AS v, dense_rank() OVER (ORDER BY lang) - 1 AS id
+      |  FROM (SELECT DISTINCT lang FROM documents
+      |        WHERE lang IS NOT NULL AND lang NOT IN ('de', 'zh'))),
+      |mx AS (SELECT max(id) AS m FROM dict),
+      |unseen AS (
+      |  SELECT v, row_number() OVER (ORDER BY v) AS rk
+      |  FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL) u
+      |  WHERE v NOT IN (SELECT v FROM dict))
+      |SELECT d.doc_id, d.lang,
+      |  CAST(CASE WHEN d.lang IS NULL THEN -1
+      |       WHEN dict.id IS NOT NULL THEN dict.id
+      |       ELSE mx.m + unseen.rk END AS BIGINT) AS lang_code
+      |FROM documents d
+      |LEFT JOIN dict ON d.lang = dict.v
+      |LEFT JOIN unseen ON d.lang = unseen.v
+      |CROSS JOIN mx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "f4_series_trend" -> f4SeriesTrend,
+    "e2_unseen_encode" -> e2UnseenEncode,
+    "sm1_mod_sample" -> sm1ModSample,
+    "sm2_stratified" -> sm2Stratified,
+    "sm3_interleave" -> sm3Interleave,
+    "q2_quantiles"   -> q2Quantiles,
+    "x6_redact"      -> x6Redact,
+    "x7_bigrams"     -> x7Bigrams
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f4_series_trend" -> f4Sql,
+    "e2_unseen_encode" -> e2Sql,
+    "sm1_mod_sample" -> sm1Sql,
+    "sm2_stratified" -> sm2Sql,
+    "sm3_interleave" -> sm3Sql,
+    "q2_quantiles"   -> q2Sql,
+    "x6_redact"      -> x6Sql,
+    "x7_bigrams"     -> x7Sql
+  )
+}

@@ -52,6 +52,34 @@ object PerSeriesForecast {
           .otherwise(col("last_y"))
           .as("yhat"): _*)
 
+  /** Per-series linear-trend forecast: OLS of y on the row index t,
+    * extended h steps — the distributed "million models" version of the
+    * trend component (closed form ⇒ exactly oracle-checkable, unlike the
+    * collected estimators). One partitioned window (row index) + one
+    * aggregate on the SAME key — EnsureRequirements reuses the exchange,
+    * so the whole fit is a single shuffle regardless of series count.
+    * A single-observation series degrades to its mean (slope 0). */
+  def trendForecast(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], horizon: Int,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val t = df
+      .withColumn("t", (row_number().over(w) - 1).cast("double"))
+      .withColumn("y", col(valueCol).cast("double"))
+    val fit = t.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+           sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .withColumn("slope", when(col("n") > 1,
+          (col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st"))).otherwise(lit(0.0)))
+      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("n"))
+    fit.crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+
+        (col("icept") + col("slope") * (col("n") - 1 + col("h"))).as("yhat"): _*)
+  }
+
   /** Seasonal naive: ŷ(t+h) = y(n − m + 1 + ((h−1) mod m)) — the value at
     * the same phase of the last observed season (period m). One
     * partitioned window computes reverse positions; the last season's m

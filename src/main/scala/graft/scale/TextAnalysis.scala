@@ -72,6 +72,31 @@ object TextAnalysis {
       .drop(langs.map(l => s"hits_$l"): _*)
   }
 
+  /** Pattern redaction (PII scrubbing shape): replace every match of
+    * `pattern` with `replacement` and count the hits. One codegen'd
+    * projection — no shuffle; the pattern must stay in the portable
+    * Java∩RE2 subset (no backrefs/lookahead) so the same regex runs in
+    * any engine. */
+  def redact(df: DataFrame, textCol: String, pattern: String,
+             replacement: String): DataFrame =
+    df.withColumn("clean_text", regexp_replace(col(textCol), pattern, replacement))
+      .withColumn("n_hits",
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long"))
+
+  /** Top-k adjacent-token bigrams across the corpus. Bigram generation is
+    * a per-row array transform (map-side, codegen'd); one shuffle for the
+    * count; top-k via TakeOrderedAndProject (no global sort). Ties break
+    * deterministically on the bigram text. */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(tokens(col(textCol)).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w)-1), " +
+               "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** Document fingerprint: 31-ary polynomial rolling hash over the first
     * 64 characters, mod 2^31-1 at each step (overflow-free, bit-identical
     * in any engine with BIGINT arithmetic). */

@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.scale.Dedup
 
 /** Plan-shape guards for the scale properties the operators promise:
-  * counts of physical shuffle exchanges must not silently grow. (AQE is
-  * off in the test session, so executedPlan shapes are static; reused
-  * exchanges don't double-count — ReusedExchangeExec is not a
-  * ShuffleExchangeLike.) */
+  * counts of physical shuffle exchanges must not silently grow. Counted
+  * with AQE OFF — an AQE-wrapped plan is a leaf to collect(), which made
+  * these budgets vacuous before round 4. (Reused exchanges don't
+  * double-count — ReusedExchangeExec is not a ShuffleExchangeLike.) */
 class PlanAuditSpec extends SparkTestBase {
 
-  private def shuffles(df: DataFrame): Int =
+  private def shuffles(df: => DataFrame): Int = withAqeOff {
     df.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeLike => e
     }.size
+  }
 
   private lazy val docs = Tables.documents(spark, SF)
 

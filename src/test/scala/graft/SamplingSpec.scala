@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.scale.Sampling
+import graft.stats.Quantiles
+
+/** Sampling + quantile-profiling contracts: plan shape (the 100 TB
+  * promise) and value correctness. */
+class SamplingSpec extends SparkTestBase {
+
+  private def shuffles(df: => DataFrame): Int = withAqeOff {
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }.size
+  }
+
+  private lazy val docs = Tables.documents(spark, SF)
+
+  test("modSample is a pure filter: zero shuffles, keeps exactly id%m<k") {
+    val s = Sampling.modSample(docs, "doc_id", 10, 3)
+    assert(shuffles(s) == 0)
+    val bad = s.filter(pmod(col("doc_id"), lit(10)) >= 3).count()
+    assert(bad == 0)
+    val expected = docs.filter(pmod(col("doc_id"), lit(10)) < 3).count()
+    assert(s.count() == expected)
+  }
+
+  test("interleave is zero-shuffle and honors per-source keep rates") {
+    val s = Sampling.interleave(docs, "source", "doc_id",
+      Map("src0" -> 1000, "src1" -> 0))
+    assert(shuffles(s) == 0)
+    val kept = s.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.filter(col("source") === "src0").count()
+    assert(kept.get("src0").contains(all), "src0 at 1000 permille keeps everything")
+    assert(!kept.contains("src1"), "src1 at 0 permille keeps nothing")
+    assert(kept.size == 1, "unlisted sources default to 0 permille")
+  }
+
+  test("stratifiedExact takes ceil(frac*n) per group over ONE shuffle") {
+    val frac = 0.2
+    val s = Sampling.stratifiedExact(docs, Seq("lang"), "doc_id", frac)
+    // row_number and count can't fuse into one WindowExec (different
+    // frames) but they MUST share one exchange + sort
+    assert(shuffles(s) == 1)
+    withAqeOff {
+      val winExecs = s.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(winExecs.size == 2, s"expected the two window frames, got ${winExecs.size}")
+    }
+    val got = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(frac * r.getLong(1)).toLong).toMap
+    assert(got == want)
+  }
+
+  test("per-series trendForecast fits all series over ONE shuffle") {
+    val events = Tables.events(spark, SF)
+    val f = graft.scale.PerSeriesForecast.trendForecast(
+      events, "value", "ts", Seq("user_id"), 3, Seq("event_id"))
+    // window (row index) and aggregate share the user_id exchange; the
+    // horizons side is a broadcast
+    assert(shuffles(f) == 1, s"expected 1 shuffle, got ${shuffles(f)}")
+    // h=1 prediction equals the local OLS extension for a spot series
+    val uid = events.select(min("user_id")).head().get(0)
+    val series = events.filter(col("user_id") === uid)
+      .orderBy("ts", "event_id").select(col("value").cast("double"))
+      .collect().map(_.getDouble(0))
+    val n = series.length.toDouble
+    val t = series.indices.map(_.toDouble)
+    val (st, stt, sy, sty) = (t.sum, t.map(x => x * x).sum, series.sum,
+      t.zip(series).map { case (a, b) => a * b }.sum)
+    val slope = (n * sty - st * sy) / (n * stt - st * st)
+    val icept = (sy - slope * st) / n
+    val got = f.filter(col("user_id") === uid && col("h") === 1)
+      .select("yhat").head().getDouble(0)
+    assert(math.abs(got - (icept + slope * n)) < 1e-6)
+  }
+
+  test("approx quantiles track exact quantiles within sketch tolerance") {
+    val probs = Seq(0.25, 0.5, 0.75)
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> probs.map(p => r.getAs[Any](s"q${(p * 100).round}") match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+      })).toMap
+    val exact = toMap(Quantiles.exact(docs, "n_chars", Seq("lang"), probs).select(
+      col("lang"), col("q25"), col("q50"), col("q75")))
+    val approx = toMap(Quantiles.approx(docs, "n_chars", Seq("lang"), probs).select(
+      col("lang"), col("q25"), col("q50"), col("q75")))
+    for ((lang, ex) <- exact; (e, a) <- ex.zip(approx(lang)))
+      // t-digest at accuracy 10000 on a few hundred values per group is
+      // rank-exact up to interpolation: allow the neighboring-value gap
+      assert(math.abs(e - a) <= math.max(20.0, 0.1 * e),
+        s"$lang: approx $a vs exact $e")
+  }
+}

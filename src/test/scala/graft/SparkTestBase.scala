@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   val SF = "/root/testdata/sf0.001"
+
+  /** Run `body` with AQE disabled. Plan-shape assertions need this: an
+    * AQE-wrapped plan is an AdaptiveSparkPlanExec LEAF, so collect() over
+    * executedPlan silently sees no exchanges/windows at all. */
+  def withAqeOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
 
 object SparkTestBase {
