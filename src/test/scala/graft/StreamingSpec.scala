@@ -149,6 +149,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sorted == Seq((1L, 1.0), (1L, 2.0), (2L, 1.0)), s"got $got")
   }
 
+  test("StreamDedup.exact keeps the first arrival per content hash across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = graft.streaming.StreamDedup.exact(src, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    val min = 60000L
+    // start at 1min: a row at exactly t=0 is dropped by the initial
+    // watermark's late-row filter (eventTime <= watermark)
+    mem.addData((1L, 1 * min, "aaa"), (2L, 5 * min, "bbb"))
+    q.processAllAvailable()
+    // second batch: duplicate content arrives again within the horizon —
+    // only the genuinely new document survives
+    mem.addData((3L, 10 * min, "aaa"), (4L, 11 * min, "ccc"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_out").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), s"got $got")
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
