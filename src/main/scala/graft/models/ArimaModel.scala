@@ -1,6 +1,6 @@
 package graft.models
 
-import breeze.linalg.DenseVector
+import breeze.linalg.{DenseMatrix, DenseVector}
 import breeze.optimize.{ApproximateGradientFunction, DiffFunction, LBFGS}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -72,12 +72,45 @@ object ArimaCss {
     (sLevels, rLevels)
   }
 
-  /** Fit one cell by CSS/L-BFGS. */
+  /** Pure-AR CSS is CONDITIONAL LEAST SQUARES — a linear regression of
+    * w_t on its lags — so the cell is solved exactly by QR instead of
+    * iterating L-BFGS on a quadratic (statsmodels special-cases AR the
+    * same way). Roughly half of every (p,d,q) grid has q=0, so this both
+    * removes the iteration cost from those tasks and makes the result
+    * deterministic to machine precision (the `m1_ar1` oracle twin
+    * hash-checks this path against closed-form SQL). */
+  private def fitPureAr(w: Array[Double], spec: Spec): Fit = {
+    val arLags = spec.arLags
+    val start = if (arLags.isEmpty) 0 else arLags.max
+    val ne = w.length - start
+    val k = arLags.length + 1
+    val x = DenseMatrix.zeros[Double](ne, k)
+    val yv = DenseVector.zeros[Double](ne)
+    var r = 0
+    while (r < ne) {
+      val t = start + r
+      x(r, 0) = 1.0
+      var i = 0
+      while (i < arLags.length) { x(r, i + 1) = w(t - arLags(i)); i += 1 }
+      yv(r) = w(t)
+      r += 1
+    }
+    val beta = x \ yv // QR least squares
+    val c = beta(0)
+    val phi = Array.tabulate(arLags.length)(i => beta(i + 1))
+    val e = cssResiduals(w, c, arLags, phi, Array.empty, Array.empty)
+    val sigma2 = e.map(v => v * v).sum / ne
+    val aic = ne * math.log(math.max(sigma2, 1e-300)) + 2.0 * (spec.nParams + 1)
+    Fit(spec, phi, Array.empty, c, sigma2, aic, ne)
+  }
+
+  /** Fit one cell: exact CLS for pure-AR cells, CSS/L-BFGS otherwise. */
   def fitOne(y: Array[Double], spec: Spec): Fit = {
     val w = ladder(y, spec)._2.last
     val n = w.length
     val maxLag = (spec.arLags ++ spec.maLags).foldLeft(0)(math.max)
     require(n > maxLag + spec.nParams + 2, s"series too short for $spec")
+    if (spec.maLags.isEmpty) return fitPureAr(w, spec)
     val arLags = spec.arLags; val maLags = spec.maLags
     val np = arLags.length; val nq = maLags.length
     val obj = new DiffFunction[DenseVector[Double]] {

@@ -128,13 +128,53 @@ object ModelQueries2 {
        |SELECT 'x', ${droundSql("mx - bx1*m1 - bx2*m2", 6)},
        | ${droundSql("bx1", 6)}, ${droundSql("bx2", 6)} FROM c""".stripMargin
 
+  // ---- m1_ar1: pure-AR CSS ≡ conditional least squares ------------------
+
+  /** ArimaCss at fixed AR(1): CSS over pairs (w_{t-1}, w_t) IS simple OLS
+    * (the pure-AR cells are solved by exact QR since round 4), and the
+    * recursive forecast closes to c·(1−φʰ)/(1−φ) + φʰ·w_n — so the real
+    * fit AND forecast paths (`build_arima.py:37-186` grid cells with q=0)
+    * are hash-checkable end-to-end. Series scaled O(1) as in m4_var1. */
+  private def m1Ar1: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val y = monthlyY(s, d).orderBy(col("ts"))
+      .select((col("y") / lit(100000.0)).as("y")).as[Double].collect()
+    val f = graft.models.ArimaCss.fitOne(y, graft.models.ArimaCss.Spec(1, 0, 0))
+    val fc = graft.models.ArimaCss.forecast(y, f, 4)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    (1 to 4).map(h => (h.toLong, r6(f.c), r6(f.phi(0)), r6(f.sigma2), r6(fc(h - 1))))
+      .toDF("h", "c0", "phi", "sigma2", "yhat")
+  }
+
+  private val m1Ar1Sql =
+    s"""WITH m0 AS ($monthlyYSql),
+       |m AS (SELECT mo, y/100000.0 AS y FROM m0),
+       |s AS (SELECT y, lag(y) OVER (ORDER BY mo) AS x FROM m),
+       |r AS (SELECT y, x FROM s WHERE x IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS ne, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM r),
+       |b AS (SELECT ne, sx, sy, sxy, syy,
+       |        (ne*sxy - sx*sy)/(ne*sxx - sx*sx) AS phi FROM a),
+       |c AS (SELECT ne, phi, (sy - phi*sx)/ne AS c0,
+       |        ((syy - sy*sy/ne) - phi*(sxy - sx*sy/ne))/ne AS sigma2 FROM b),
+       |l AS (SELECT y AS wl FROM m ORDER BY mo DESC LIMIT 1),
+       |f AS (SELECT h, c0, phi, sigma2,
+       |        c0*(1 - pow(phi, h))/(1 - phi) + pow(phi, h)*wl AS yhat
+       |      FROM c, l, generate_series(1, 4) AS g(h))
+       |SELECT h, ${droundSql("c0", 6)} AS c0, ${droundSql("phi", 6)} AS phi,
+       | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
+       |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m5_trend" -> m5Trend,
-    "m4_var1"  -> m4Var1
+    "m4_var1"  -> m4Var1,
+    "m1_ar1"   -> m1Ar1
   )
 
   val oracle: Map[String, String] = Map(
     "m5_trend" -> m5TrendSql,
-    "m4_var1"  -> m4Var1Sql
+    "m4_var1"  -> m4Var1Sql,
+    "m1_ar1"   -> m1Ar1Sql
   )
 }

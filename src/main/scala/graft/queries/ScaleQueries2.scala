@@ -92,6 +92,21 @@ object ScaleQueries2 {
       |SELECT t[i] || ' ' || t[i+1] AS bigram, count(*) AS n
       |FROM e GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ---- stream-static enrichment join ------------------------------------
+
+  /** Batch form of [[graft.streaming.StreamEnrich]] — the streaming twin
+    * (broadcast join per micro-batch) is parity-checked in StreamingSpec. */
+  private def stEnrich: Q = (s, d) =>
+    graft.streaming.StreamEnrich.enrichBatch(Tables.events(s, d), Tables.customer(s, d))
+      .select(col("c_nationkey"), col("n_events"),
+              dround(col("total_value"), 4).as("total_value"))
+
+  private val stEnrichSql =
+    s"""SELECT c_nationkey, count(*) AS n_events,
+       | ${droundSql("sum(value)", 4)} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_nationkey""".stripMargin
+
   // ---- per-series distributed trend fit ---------------------------------
 
   private def f4SeriesTrend: Q = (s, d) =>
@@ -157,7 +172,8 @@ object ScaleQueries2 {
     "sm3_interleave" -> sm3Interleave,
     "q2_quantiles"   -> q2Quantiles,
     "x6_redact"      -> x6Redact,
-    "x7_bigrams"     -> x7Bigrams
+    "x7_bigrams"     -> x7Bigrams,
+    "st_enrich"      -> stEnrich
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,6 +184,7 @@ object ScaleQueries2 {
     "sm3_interleave" -> sm3Sql,
     "q2_quantiles"   -> q2Sql,
     "x6_redact"      -> x6Sql,
-    "x7_bigrams"     -> x7Sql
+    "x7_bigrams"     -> x7Sql,
+    "st_enrich"      -> stEnrichSql
   )
 }

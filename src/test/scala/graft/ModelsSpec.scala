@@ -78,6 +78,27 @@ class ModelsSpec extends SparkTestBase {
     assert(math.abs(fit.phi(0) - 0.6) < 0.15, s"phi=${fit.phi(0)}")
   }
 
+  test("pure-AR closed form sits at the CSS minimum (perturbation check)") {
+    var s = 99L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val n = 200
+    val y = new Array[Double](n)
+    for (i <- 2 until n) y(i) = 0.5 * y(i - 1) - 0.3 * y(i - 2) + 1.0 + rnd()
+    val fit = ArimaCss.fitOne(y, p = 2, d = 0, q = 0)
+    def ssr(c: Double, p1: Double, p2: Double): Double = {
+      var acc = 0.0
+      for (t <- 2 until n) { val e = y(t) - c - p1 * y(t - 1) - p2 * y(t - 2); acc += e * e }
+      acc
+    }
+    val atOpt = ssr(fit.c, fit.phi(0), fit.phi(1))
+    assert(math.abs(atOpt / (n - 2) - fit.sigma2) < 1e-9)
+    for (d <- Seq(1e-4, -1e-4)) {
+      assert(ssr(fit.c + d, fit.phi(0), fit.phi(1)) > atOpt)
+      assert(ssr(fit.c, fit.phi(0) + d, fit.phi(1)) > atOpt)
+      assert(ssr(fit.c, fit.phi(0), fit.phi(1) + d) > atOpt)
+    }
+  }
+
   test("ARIMA grid search runs as a Spark job and picks a finite-AIC cell") {
     var s = 7L
     def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }

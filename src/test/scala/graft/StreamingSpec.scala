@@ -172,6 +172,18 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(1L, 2L, 4L), s"got $got")
   }
 
+  test("stream-static broadcast enrichment matches the batch twin on the events table") {
+    val batch = graft.streaming.StreamEnrich
+      .enrichBatch(Tables.events(spark, SF), Tables.customer(spark, SF))
+      .collect().map(r => (r.getInt(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    val stream = graft.streaming.StreamEnrich.enrichStreaming(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    assert(stream == batch, s"stream-static join diverged: ${stream.diff(batch)} vs ${batch.diff(stream)}")
+    assert(batch.nonEmpty)
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
