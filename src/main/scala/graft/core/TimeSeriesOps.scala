@@ -149,6 +149,29 @@ object TimeSeriesOps {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** T10b — gap-fill to a REGULAR grid (the upsample direction of the
+    * reference's resampling contract, README.md:187 — pandas
+    * `asfreq().ffill()`): bucket observations to `unit` grain, generate
+    * every grid point between each series' first and last bucket
+    * (`sequence` + `explode` — a map-side generator, no UDTF), left-join
+    * the observed buckets back and forward-fill the holes. `n_obs` = 0
+    * marks synthesized rows. Scales: both the bucketing aggregation and
+    * the grid⋈obs join shuffle on the series key, so a skewed/huge series
+    * set behaves like any keyed aggregation (AQE-handled); grid size is
+    * bounded by span/unit per series, independent of event density. */
+  def gapFill(df: DataFrame, tsCol: String, unit: String,
+              valueCol: String, seriesCols: Seq[String]): DataFrame = {
+    val binned = resampleMean(df, tsCol, unit, Seq(valueCol), seriesCols)
+    val sc = seriesCols.map(col)
+    val step = expr(s"INTERVAL 1 $unit")
+    val grid = binned.groupBy(sc: _*)
+      .agg(min(col("ts_bucket")).as("_t0"), max(col("ts_bucket")).as("_t1"))
+      .select(sc :+ explode(sequence(col("_t0"), col("_t1"), step)).as("ts_bucket"): _*)
+    val joined = grid.join(binned, seriesCols :+ "ts_bucket", "left")
+      .withColumn("n_obs", coalesce(col("n"), lit(0L))).drop("n")
+    forwardFill(joined, Seq(s"${valueCol}_mean"), "ts_bucket", seriesCols)
+  }
+
   /** W3 — rolling mean/std over the trailing `window` rows
     * (`utils/eda.py:237-238`). */
   def rollingStats(df: DataFrame, valueCol: String, windowRows: Int,

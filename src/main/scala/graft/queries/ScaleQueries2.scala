@@ -107,6 +107,84 @@ object ScaleQueries2 {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_nationkey""".stripMargin
 
+  // ---- gap-fill to a regular grid (upsample + ffill) --------------------
+
+  /** Hour-grid gap-fill over a 1-in-10 user subset (the subset keeps the
+    * oracle diff small; the operator itself is series-partitioned and
+    * subset-free). */
+  private def t15GapFill: Q = (s, d) =>
+    graft.core.TimeSeriesOps.gapFill(
+        Tables.events(s, d).filter(col("user_id") % 10 === 0),
+        "ts", "hour", "value", Seq("user_id"))
+      .select(col("user_id"), tsStr(col("ts_bucket")).as("ts"),
+              dround(col("value_mean"), 4).as("value_mean"), col("n_obs"))
+
+  private val t15Sql =
+    s"""WITH b AS (
+       |  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS tb,
+       |         avg(value) AS y, count(*) AS n
+       |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+       |r AS (SELECT user_id, min(tb) AS t0, max(tb) AS t1 FROM b GROUP BY 1),
+       |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS tb FROM r),
+       |j AS (SELECT g.user_id, g.tb, b.y, coalesce(b.n, 0) AS n_obs
+       |      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.tb = b.tb)
+       |SELECT user_id, ${tsStrSql("tb")} AS ts,
+       | ${droundSql("last_value(y IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS value_mean,
+       | n_obs
+       |FROM j""".stripMargin
+
+  // ---- TF-IDF distinctive terms per language ----------------------------
+
+  private def x8Tfidf: Q = (s, d) =>
+    graft.scale.TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "lang", 15)
+
+  private val x8Sql =
+    """WITH tok AS (
+      |  SELECT lang AS g, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT g, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS df_g FROM tf GROUP BY 1),
+      |ng AS (SELECT count(DISTINCT lang) AS n_g FROM documents),
+      |s AS (SELECT g, term, tf, df_g,
+      |        floor(tf * ln(n_g * 1.0 / df_g) * 1000000.0 + 0.5) / 1000000.0 AS score
+      |      FROM tf JOIN d USING (term) CROSS JOIN ng),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY g ORDER BY score DESC, tf DESC, term) AS rn FROM s)
+      |SELECT g, term, tf, df_g, score, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 15""".stripMargin
+
+  // ---- stream-stream interval self-join ---------------------------------
+
+  /** Batch form of [[graft.streaming.IntervalJoin]] — the watermarked
+    * stream-stream twin is parity-checked in StreamingSpec. */
+  private def stSelfJoin: Q = (s, d) =>
+    graft.streaming.IntervalJoin.selfJoinBatch(Tables.events(s, d), 30)
+      .select(col("user_id"), col("id_a"), col("id_b"), col("type_a"),
+              col("type_b"), dround(col("gap_s"), 4).as("gap_s"))
+
+  private val stSelfJoinSql =
+    s"""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       | a.event_type AS type_a, b.event_type AS type_b,
+       | ${droundSql("epoch(b.ts) - epoch(a.ts)", 4)} AS gap_s
+       |FROM events a JOIN events b ON a.user_id = b.user_id
+       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+       | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))""".stripMargin
+
+  // ---- per-label embedding centroids ------------------------------------
+
+  private def s5Centroids: Q = (s, d) =>
+    graft.scale.Similarity.labelCentroids(Tables.embeddings(s, d), "embedding", "label")
+      .select(col("label"), col("dim"), dround(col("mean"), 6).as("mean"), col("n"))
+
+  /** DuckDB zips parallel unnests, pairing each element with its 1-based
+    * position (a lateral `range()` join can't reference the column). */
+  private val s5Sql =
+    s"""SELECT label, i AS dim,
+       | ${droundSql("avg(CAST(x AS DOUBLE))", 6)} AS mean,
+       | count(*) AS n
+       |FROM (SELECT label, unnest(embedding) AS x,
+       |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       |GROUP BY label, i""".stripMargin
+
   // ---- per-series distributed trend fit ---------------------------------
 
   private def f4SeriesTrend: Q = (s, d) =>
@@ -173,7 +251,11 @@ object ScaleQueries2 {
     "q2_quantiles"   -> q2Quantiles,
     "x6_redact"      -> x6Redact,
     "x7_bigrams"     -> x7Bigrams,
-    "st_enrich"      -> stEnrich
+    "st_enrich"      -> stEnrich,
+    "t15_gapfill"    -> t15GapFill,
+    "x8_tfidf"       -> x8Tfidf,
+    "st_selfjoin"    -> stSelfJoin,
+    "s5_centroids"   -> s5Centroids
   )
 
   val oracle: Map[String, String] = Map(
@@ -185,6 +267,10 @@ object ScaleQueries2 {
     "q2_quantiles"   -> q2Sql,
     "x6_redact"      -> x6Sql,
     "x7_bigrams"     -> x7Sql,
-    "st_enrich"      -> stEnrichSql
+    "st_enrich"      -> stEnrichSql,
+    "t15_gapfill"    -> t15Sql,
+    "x8_tfidf"       -> x8Sql,
+    "st_selfjoin"    -> stSelfJoinSql,
+    "s5_centroids"   -> s5Sql
   )
 }

@@ -188,4 +188,18 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
     localized(result, { b.unpersist(); () })
   }
+
+  /** Per-label embedding centroids in long form (label, dim, mean, n) —
+    * the class-prototype computation behind IVF seeding, label-centroid
+    * classification, and embedding-drift monitoring. `posexplode` is a
+    * map-side generator (dim rows per vector); ONE shuffle on
+    * (label, dim) with partial aggregation, so the reduce-side volume is
+    * |labels|·dim regardless of corpus size. Floats are widened to
+    * double BEFORE summation (float partial sums would drift per
+    * partitioning). */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+              posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), (col("dim") + 1).as("dim"))
+      .agg(avg(col("x")).as("mean"), count(lit(1)).as("n"))
 }

@@ -97,6 +97,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Top-k distinctive terms per group (e.g. per language) by TF-IDF:
+    * tf(t,g) = occurrences of t in group g's corpus, df(t) = number of
+    * groups containing t, score = tf·ln(G/df). Three shuffles, each on a
+    * progressively smaller table: the (group, term) count (map-side
+    * combine over the exploded tokens — the only corpus-sized pass), a
+    * term-partitioned window for df over the aggregated counts, and the
+    * per-group top-k window. Ranking uses the deterministically-rounded
+    * score (ties → tf desc, term asc) so the ordering is engine-portable;
+    * df=G terms score exactly 0 in any libm (ln(1) = 0). */
+  def tfidfTopTerms(df: DataFrame, textCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("g"), col("term")).agg(count(lit(1)).as("tf"))
+    // group count from the aggregated table, not the corpus — the corpus
+    // is scanned exactly once (every token row yields ≥1 tf row per
+    // group, so the group sets are identical)
+    val nG = tf.agg(countDistinct(col("g")).as("n_g"))
+    val scored = tf
+      .withColumn("df_g", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nG))
+      .withColumn("score",
+        floor(col("tf") * log(col("n_g").cast("double") / col("df_g")) * lit(1e6) + lit(0.5)) / lit(1e6))
+    val rank = Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("tf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("term"), col("tf"), col("df_g"), col("score"), col("rn"))
+  }
+
   /** Document fingerprint: 31-ary polynomial rolling hash over the first
     * 64 characters, mod 2^31-1 at each step (overflow-free, bit-identical
     * in any engine with BIGINT arithmetic). */

@@ -48,4 +48,41 @@ class PlanAuditSpec extends SparkTestBase {
     val d2 = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
     assert(shuffles(d2) <= 4, s"d2 shuffle count grew: ${shuffles(d2)}")
   }
+
+  test("stream-static enrichment broadcasts the dim: stream side never shuffles for the join") {
+    val plan = withAqeOff {
+      graft.streaming.StreamEnrich
+        .enrichBatch(Tables.events(spark, SF), Tables.customer(spark, SF))
+        .queryExecution.executedPlan
+    }
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin:\n$plan")
+    // the only exchange allowed is the final aggregation's
+    val enrich = graft.streaming.StreamEnrich
+      .enrichBatch(Tables.events(spark, SF), Tables.customer(spark, SF))
+    assert(shuffles(enrich) <= 1, s"join shuffled the fact side: ${shuffles(enrich)}")
+  }
+
+  test("interval self-join shuffles each side once on the key (no ts in the join key)") {
+    val j = graft.streaming.IntervalJoin.selfJoinBatch(Tables.events(spark, SF), 30)
+    // one exchange per side at real partition counts; 0 when the scan is
+    // already a single partition (sf0.001)
+    assert(shuffles(j) <= 2, s"interval join over-shuffles: ${shuffles(j)}")
+  }
+
+  test("tfidf does one corpus-sized shuffle; later stages shuffle the aggregated table") {
+    val t = graft.scale.TextAnalysis.tfidfTopTerms(docs, "text", "lang", 15)
+    // (g,term) agg (the only corpus-sized one) + term window + group
+    // top-k window + the 2-exchange distinct-group count over the tiny
+    // aggregated table
+    assert(shuffles(t) <= 5, s"tfidf shuffle count grew: ${shuffles(t)}")
+  }
+
+  test("label centroids: explode stays map-side, one aggregation shuffle") {
+    val c = graft.scale.Similarity.labelCentroids(
+      Tables.embeddings(spark, SF), "embedding", "label")
+    assert(shuffles(c) <= 1, s"centroids over-shuffle: ${shuffles(c)}")
+  }
 }

@@ -184,6 +184,36 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval self-join pairs events across micro-batches like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    val evs = Seq((1L, 1L, 5 * min, "a"), (1L, 2L, 10 * min, "b"),
+                  (1L, 3L, 20 * min, "c"), (2L, 4L, 25 * min, "a"),
+                  (1L, 5L, 200 * min, "d")) // outside the 30-min gap of all others
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis($"ts_ms")).drop("ts_ms")
+    val batch = graft.streaming.IntervalJoin
+      .selfJoinBatch(shape(evs.toDF()), 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val src = shape(mem.toDF())
+    val q = graft.streaming.IntervalJoin.selfJoinStreaming(src, src, 30, "1 hour")
+      .writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    // pairs must form ACROSS batches: 1-3 and 2-3 span the batch boundary
+    mem.addData(evs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("sjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 3L)), s"batch $batch")
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -192,10 +222,13 @@ class StreamingSpec extends SparkTestBase {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "30 minutes", "15 minutes"))
       .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    val min = 60000L
+    // data must land BEFORE start(): AvailableNow drains whatever is
+    // available at trigger time and then terminates — rows added after
+    // an empty first drain would never be processed (observed flake)
+    mem.addData(Ev(1, 0 * min, 1.0), Ev(1, 10 * min, 2.0), Ev(1, 20 * min, 4.0))
     val q = agg.writeStream.format("memory").queryName("sliding_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    val min = 60000L
-    mem.addData(Ev(1, 0 * min, 1.0), Ev(1, 10 * min, 2.0), Ev(1, 20 * min, 4.0))
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("sliding_out")
