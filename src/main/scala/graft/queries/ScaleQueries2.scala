@@ -66,6 +66,40 @@ object ScaleQueries2 {
        | count(*) AS n
        |FROM documents GROUP BY lang""".stripMargin
 
+  // ---- keep-best dedup policy -------------------------------------------
+
+  /** Exact-dup clusters keep their longest member (ties → smallest id) —
+    * the curation policy variant of d1_exact_dedup. */
+  private def d6KeepBest: Q = (s, d) =>
+    graft.scale.Dedup.exactKeepBest(Tables.documents(s, d), "text", "doc_id", "n_chars")
+      .select(col("text_hash"), col("keep_id"), col("best_score"), col("n_dups"))
+
+  private val d6Sql =
+    """SELECT text_hash, doc_id AS keep_id, n_chars AS best_score, n_dups
+      |FROM (SELECT md5(text) AS text_hash, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY md5(text)
+      |          ORDER BY n_chars DESC, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY md5(text)) AS n_dups
+      |      FROM documents)
+      |WHERE rn = 1""".stripMargin
+
+  // ---- winsorization -----------------------------------------------------
+
+  /** Per-language p05/p95 clipping of n_chars — the outlier guard. */
+  private def q3Winsor: Q = (s, d) =>
+    Quantiles.winsorize(Tables.documents(s, d), "n_chars", Seq("lang"), 0.05, 0.95)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              dround(col("n_chars_winsor"), 4).as("n_chars_winsor"))
+
+  private val q3Sql =
+    s"""WITH q AS (
+       |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+       |         quantile_cont(n_chars, 0.95) AS hi
+       |  FROM documents GROUP BY lang)
+       |SELECT doc_id, d.lang, n_chars,
+       | ${droundSql("least(greatest(CAST(n_chars AS DOUBLE), lo), hi)", 4)} AS n_chars_winsor
+       |FROM documents d JOIN q ON d.lang = q.lang""".stripMargin
+
   // ---- redaction ---------------------------------------------------------
 
   private val redactPattern = "\\b(customer|value)\\b"
@@ -255,7 +289,9 @@ object ScaleQueries2 {
     "t15_gapfill"    -> t15GapFill,
     "x8_tfidf"       -> x8Tfidf,
     "st_selfjoin"    -> stSelfJoin,
-    "s5_centroids"   -> s5Centroids
+    "s5_centroids"   -> s5Centroids,
+    "d6_keep_best"   -> d6KeepBest,
+    "q3_winsor"      -> q3Winsor
   )
 
   val oracle: Map[String, String] = Map(
@@ -271,6 +307,8 @@ object ScaleQueries2 {
     "t15_gapfill"    -> t15Sql,
     "x8_tfidf"       -> x8Sql,
     "st_selfjoin"    -> stSelfJoinSql,
-    "s5_centroids"   -> s5Sql
+    "s5_centroids"   -> s5Sql,
+    "d6_keep_best"   -> d6Sql,
+    "q3_winsor"      -> q3Sql
   )
 }

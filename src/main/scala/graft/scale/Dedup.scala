@@ -16,6 +16,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup with a QUALITY policy: within each duplicate cluster
+    * keep the row maximizing `scoreCol` (ties → smallest id) — the
+    * curation variant of [[exact]] ("keep the best copy", e.g. longest /
+    * highest-quality). One shuffle on the content hash; the argmax is a
+    * window over the clustered rows, so it shares that exchange. */
+  def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
+                    scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("text_hash"))
+    val ranked = df.withColumn("text_hash", md5(col(textCol)))
+      .withColumn("rn", row_number().over(
+        byHash.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+    ranked.filter(col("rn") === 1)
+      .select(col("text_hash"), col(idCol).as("keep_id"),
+              col(scoreCol).as("best_score"), col("n_dups"))
+  }
+
   /** (id, shingle) rows before dedup — the explode is map-side. */
   private def rawShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))

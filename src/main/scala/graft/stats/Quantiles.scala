@@ -24,6 +24,24 @@ object Quantiles {
     }.drop("qs")
   }
 
+  /** Winsorize: clip `valueCol` to the [lo, hi] per-group percentiles —
+    * the standard outlier guard before scaling/fitting. The quantile
+    * table is |groups| rows → broadcast back onto the data, so the big
+    * side is never shuffled (one aggregation pass + one map-side join).
+    * At 100 TB swap [[exact]] for [[approx]] via `useApprox`. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double, useApprox: Boolean = false): DataFrame = {
+    val q = if (useApprox) approx(df, valueCol, groupCols, Seq(lo, hi))
+            else exact(df, valueCol, groupCols, Seq(lo, hi))
+    val loCol = s"q${(lo * 100).round}"
+    val hiCol = s"q${(hi * 100).round}"
+    val bounds = q.select(groupCols.map(col) :+ col(loCol) :+ col(hiCol): _*)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_winsor",
+        least(greatest(col(valueCol).cast("double"), col(loCol)), col(hiCol)))
+      .drop(loCol, hiCol)
+  }
+
   /** Sketch-based percentiles (the 100 TB path). `accuracy` trades memory
     * for error: 1/accuracy relative rank error. */
   def approx(df: DataFrame, valueCol: String, groupCols: Seq[String],
