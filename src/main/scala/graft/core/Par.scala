@@ -1,0 +1,24 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for CPU-heavy map-side operators.
+  *
+  * A parquet file is split at ROW-GROUP granularity: a single-row-group
+  * file scans as ONE task no matter how many cores the cluster has, and
+  * every narrow transformation chained onto that scan (tokenization,
+  * shingle hashing, signature computation, media decode) inherits the
+  * single thread until the first exchange. On a real multi-file dataset
+  * the scan is already wide and this is a no-op; on a compact input it
+  * trades one small round-robin shuffle of the RAW rows for full-width
+  * execution of everything downstream — the right trade whenever the
+  * per-row map work dwarfs a row's shuffle bytes. */
+object Par {
+
+  /** Round-robin repartition to the session default parallelism iff the
+    * current plan has fewer partitions (planning-time check, no job). */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

@@ -54,7 +54,7 @@ object Dedup {
     * set semantics match the string shingles (64-bit collisions are
     * negligible at corpus scale: P ≈ m²/2⁶⁵). */
   private def rawShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
+    graft.core.Par.widen(df).select(col(idCol).as("sid"),
         expr(s"transform(split(`$textCol`, ' '), x -> xxhash64(x))").as("wh"))
       .filter(size(col("wh")) >= n)
       .select(col("sid"), explode(expr(
@@ -153,7 +153,9 @@ object Dedup {
     // entirely map-side (no shingle explode, no shuffle); a doc with
     // fewer than n words has no shingles and drops out, matching the
     // aggregation path's semantics
-    val sig = df.select(col(idCol).as("sid"),
+    // widen first: the signature expression is the CPU cost of this
+    // operator and must not run single-threaded off a one-row-group scan
+    val sig = graft.core.Par.widen(df).select(col(idCol).as("sid"),
         graft.functions.MinHashSig(col(textCol), n, k).as("sig"))
       .filter(col("sig").isNotNull)
     val rows = k / bands
@@ -224,7 +226,7 @@ object Dedup {
     * joins on 16-bit blocks (standard 4-block split — pigeonhole
     * guarantees recall for hamming ≤ 3). */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("sid"),
+    graft.core.Par.widen(df).select(col(idCol).as("sid"),
               graft.functions.SimHashSig(col(textCol)).as("simhash"))
 
   /** The explode + typed-Aggregator formulation of [[simHash]] — kept as

@@ -109,6 +109,9 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, textCol: String, groupCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no Par.widen here: tokenize+count is light per row — measured at
+    // sf0.1, the widening exchange costs more than the single-task scan
+    // (+0.25s); the first aggregation's exchange parallelizes the rest
     val tf = df.select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("g"), col("term")).agg(count(lit(1)).as("tf"))
     // group count from the aggregated table, not the corpus — the corpus
