@@ -16,9 +16,18 @@ import org.apache.spark.sql.DataFrame
 object Par {
 
   /** Round-robin repartition to the session default parallelism iff the
-    * current plan has fewer partitions (planning-time check, no job). */
+    * current plan has fewer partitions (planning-time check, no job).
+    *
+    * CONTRACT: wrap raw scans (or scan + narrow projections) only. The
+    * width check physically plans `df` once — cheap for a scan, wasteful
+    * for a join/aggregate subtree (and AQE may later coalesce what we
+    * measured). Callers with a non-trivial upstream should widen the
+    * scan itself before composing, or skip widening. Reads the planned
+    * RDD via `queryExecution.toRdd` (cached on the Dataset; no extra
+    * row-deserializing RDD DAG like `df.rdd` would build). */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }

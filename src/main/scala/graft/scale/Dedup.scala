@@ -53,8 +53,9 @@ object Dedup {
     * instead of n times. Distinct n-grams map to distinct hash tuples, so
     * set semantics match the string shingles (64-bit collisions are
     * negligible at corpus scale: P ≈ m²/2⁶⁵). */
-  private def rawShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    graft.core.Par.widen(df).select(col(idCol).as("sid"),
+  private def rawShingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int,
+                               widen: Boolean = true): DataFrame =
+    (if (widen) graft.core.Par.widen(df) else df).select(col(idCol).as("sid"),
         expr(s"transform(split(`$textCol`, ' '), x -> xxhash64(x))").as("wh"))
       .filter(size(col("wh")) >= n)
       .select(col("sid"), explode(expr(
@@ -179,7 +180,10 @@ object Dedup {
     // scales with the candidate count, not the corpus.
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
     val candDocs = df.join(broadcast(ids), col(idCol) === col("cand_id")).drop("cand_id")
-    val sh2 = rawShingleHashes(candDocs, textCol, idCol, n)
+    // widen = false: candDocs is a join subtree, not a raw scan — the
+    // Par.widen width probe would force a second full physical planning
+    // of it; the broadcast join already inherits the scan's parallelism
+    val sh2 = rawShingleHashes(candDocs, textCol, idCol, n, widen = false)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), explode(col("hs")).as("h"), size(col("hs")).as("nsh"))

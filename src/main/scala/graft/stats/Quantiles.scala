@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * bounded memory — the error bound is spec-tested against exact. */
 object Quantiles {
 
+  /** Bound-column label for probability p. Whole percents keep the
+    * compact `q25` form; fractional percents keep their digits
+    * (`q5_4` for p=0.054) so nearby probs never collide into one
+    * column name (which would break the downstream select/join). */
+  private[stats] def qLabel(p: Double): String = {
+    val pct = BigDecimal(p) * 100
+    "q" + pct.underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_").replace("-", "m")
+  }
+
   /** Exact linear-interpolation percentiles of `valueCol` per group. */
   def exact(df: DataFrame, valueCol: String, groupCols: Seq[String],
             probs: Seq[Double]): DataFrame = {
@@ -20,7 +30,7 @@ object Quantiles {
       .agg(expr(s"percentile($valueCol, $arr)").as("qs"),
            count(lit(1)).as("n"))
     probs.zipWithIndex.foldLeft(g) { case (d, (p, i)) =>
-      d.withColumn(s"q${(p * 100).round}", element_at(col("qs"), i + 1))
+      d.withColumn(qLabel(p), element_at(col("qs"), i + 1))
     }.drop("qs")
   }
 
@@ -33,8 +43,8 @@ object Quantiles {
                 lo: Double, hi: Double, useApprox: Boolean = false): DataFrame = {
     val q = if (useApprox) approx(df, valueCol, groupCols, Seq(lo, hi))
             else exact(df, valueCol, groupCols, Seq(lo, hi))
-    val loCol = s"q${(lo * 100).round}"
-    val hiCol = s"q${(hi * 100).round}"
+    val loCol = qLabel(lo)
+    val hiCol = qLabel(hi)
     val bounds = q.select(groupCols.map(col) :+ col(loCol) :+ col(hiCol): _*)
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_winsor",
@@ -51,7 +61,7 @@ object Quantiles {
       .agg(expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("qs"),
            count(lit(1)).as("n"))
     probs.zipWithIndex.foldLeft(g) { case (d, (p, i)) =>
-      d.withColumn(s"q${(p * 100).round}", element_at(col("qs"), i + 1))
+      d.withColumn(qLabel(p), element_at(col("qs"), i + 1))
     }.drop("qs")
   }
 }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.streaming.Trigger
   * static dimension table, then aggregate. The canonical "enrich the
   * firehose" shape — Spark plans the static side as a broadcast hash
   * join per micro-batch, so the stream side never shuffles for the join
-  * (state exists only in the aggregation, bounded by its watermark).
+  * (state exists only in the aggregation, bounded by the grouping-key
+  * cardinality — one row per nation, not by a watermark).
   * The batch form shares the logical plan and is oracle-checkable.
   *
   * The reference has no streams at all (batch pandas only —
@@ -23,18 +24,25 @@ object StreamEnrich {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
-  /** Streaming twin: the same join + aggregation over `readStream`, with
-    * a watermark bounding aggregation state. Drains the source with
-    * AvailableNow and returns the completed result table (local harness
-    * for what runs continuously against Kafka/files in prod). */
+  /** Streaming twin: the same join + aggregation over `readStream`.
+    * outputMode(complete) retains the full aggregate state, which is
+    * fine here: the state is one row per c_nationkey (25 rows), bounded
+    * by key cardinality rather than any watermark. Drains the source
+    * with AvailableNow and returns the completed result table (local
+    * harness for what runs continuously against Kafka/files in prod). */
   def enrichStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 day")
+    // Same LongType guard as the batch twin Tables.eventsRaw: only the
+    // nanos-as-long schema variant needs the µs conversion.
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val customer = graft.Tables.customer(spark, sfDir)
     val agg = stream
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
