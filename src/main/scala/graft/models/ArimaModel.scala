@@ -223,6 +223,81 @@ object ArimaCss {
       gridSearch(spark, y, maxP, maxD, maxQ, budget))
   }
 
+  /** AICc — AIC with the small-sample correction (pmdarima's default
+    * information criterion for stepwise selection). */
+  private def aicc(f: Fit): Double = {
+    val k = f.spec.nParams + 1
+    f.aic + 2.0 * k * (k + 1) / math.max(f.n - k - 1, 1)
+  }
+
+  /** M3 — stepwise Hyndman–Khandakar auto-ARIMA (the reference wraps
+    * pmdarima's stepwise `auto_arima`, `build_autoarimax.py:16-88`).
+    *
+    * d is chosen FIRST by differencing until the ADF test rejects a unit
+    * root at 5% (the reference's `test_stationarity` repeat-after-diff
+    * loop, `utils/eda.py:204-314`), capped at 2; D (when m>1) by the
+    * seasonal-strength variance ratio. Fixing the differencing up front
+    * makes AICc comparable across every candidate (same ne), which the
+    * raw full grid can't claim. The search then starts from the four
+    * canonical seeds and hill-climbs over ±1 neighbors in (p, q, sP,
+    * sQ); each round's unseen neighbors are fitted as ONE parallel Spark
+    * job. Typically converges in 3-6 rounds ≈ 20-40 fits vs the 100-fit
+    * full grid, and wall-clock on a cluster is O(rounds · slowest fit),
+    * not O(grid). */
+  def stepwiseSearch(spark: SparkSession, y: Array[Double], m: Int = 1,
+                     maxP: Int = 5, maxQ: Int = 5, maxOrder: Int = 5,
+                     maxRounds: Int = 10): Fit = {
+    var d = 0
+    var w = y
+    while (d < 2 && w.length >= 10 && !graft.stats.StatTests.adf(w).stationary) {
+      w = diff1(w, 1); d += 1
+    }
+    val seasonal = m > 1 && y.length >= 2 * m + 4
+    val sD = if (seasonal && stddev(diff1(y, m)) < 0.9 * stddev(y)) 1 else 0
+    val seeds =
+      if (seasonal) Seq(
+        Spec(2, d, 2, 1, sD, 1, m), Spec(0, d, 0, 0, sD, 0, m),
+        Spec(1, d, 0, 1, sD, 0, m), Spec(0, d, 1, 0, sD, 1, m))
+      else Seq(Spec(2, d, 2), Spec(0, d, 0), Spec(1, d, 0), Spec(0, d, 1))
+
+    def feasible(s: Spec): Boolean =
+      s.p >= 0 && s.q >= 0 && s.sP >= 0 && s.sQ >= 0 &&
+      s.p <= maxP && s.q <= maxQ && s.sP <= 2 && s.sQ <= 2 &&
+      s.p + s.q + s.sP + s.sQ > 0 &&
+      s.p + s.q + s.sP + s.sQ <= maxOrder &&
+      y.length - d - sD * m > s.nParams +
+        (s.arLags ++ s.maLags).foldLeft(0)(math.max) + 2
+
+    val attempted = scala.collection.mutable.Set.empty[Spec]
+    val fits = scala.collection.mutable.Map.empty[Spec, Fit]
+    def fitBatch(specs: Seq[Spec]): Unit = {
+      val todo = specs.distinct.filter(s => feasible(s) && !attempted(s))
+      attempted ++= todo
+      if (todo.nonEmpty) parallelFit(spark, y, todo).foreach(f => fits(f.spec) = f)
+    }
+    fitBatch(seeds)
+    require(fits.nonEmpty, "no stepwise seed converged")
+    var best = fits.values.minBy(aicc)
+    var improved = true
+    var round = 0
+    while (improved && round < maxRounds) {
+      val b = best.spec
+      fitBatch(Seq(
+        b.copy(p = b.p + 1), b.copy(p = b.p - 1),
+        b.copy(q = b.q + 1), b.copy(q = b.q - 1),
+        b.copy(p = b.p + 1, q = b.q + 1), b.copy(p = b.p - 1, q = b.q - 1),
+        b.copy(p = b.p + 1, q = b.q - 1), b.copy(p = b.p - 1, q = b.q + 1)) ++
+        (if (seasonal) Seq(
+          b.copy(sP = b.sP + 1), b.copy(sP = b.sP - 1),
+          b.copy(sQ = b.sQ + 1), b.copy(sQ = b.sQ - 1)) else Nil))
+      val cand = fits.values.minBy(aicc)
+      improved = aicc(cand) < aicc(best) - 1e-9
+      if (improved) best = cand
+      round += 1
+    }
+    best
+  }
+
   /** Recursive h-step forecast on the fully-differenced scale, then exact
     * inversion back up the differencing ladder (regular cumsum levels,
     * then seasonal restore against the last m values of each level). */

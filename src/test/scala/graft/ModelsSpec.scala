@@ -109,6 +109,32 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.length == 5 && fc.forall(v => !v.isNaN))
   }
 
+  test("stepwise search converges, matches grid's cell quality on AR(1)") {
+    var s = 11L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val y = Array.iterate(5.0, 150)(v => 0.6 * v + 2.0).map(_ + rnd())
+    val sw = ArimaCss.stepwiseSearch(spark, y)
+    assert(!sw.aic.isNaN && !sw.aic.isInfinite)
+    // the hill-climb must not land on a worse cell than the full grid's
+    // winner at the same differencing (both AIC-comparable: d agrees)
+    val grid = ArimaCss.gridSearch(spark, y, maxP = 3, maxD = 0, maxQ = 3)
+    assert(sw.spec.d == 0, s"ADF should find the AR(1) stationary, got d=${sw.spec.d}")
+    assert(sw.aic <= grid.aic + 2.0, s"stepwise aic ${sw.aic} vs grid ${grid.aic}")
+    val fc = ArimaCss.forecast(y, sw, 5)
+    assert(fc.length == 5 && fc.forall(v => !v.isNaN))
+  }
+
+  test("stepwise search picks up a strong seasonal pattern (m=12)") {
+    val y = Array.tabulate(120)(t => 50.0 + 10.0 * math.sin(2 * math.Pi * t / 12.0) + 0.1 * t)
+    val sw = ArimaCss.stepwiseSearch(spark, y, m = 12)
+    val fc = ArimaCss.forecast(y, sw, 12)
+    // a seasonal-capable fit of a pure seasonal+trend series must track
+    // the next season closely (well under one amplitude of error)
+    val truth = Array.tabulate(12)(i => { val t = 120 + i; 50.0 + 10.0 * math.sin(2 * math.Pi * t / 12.0) + 0.1 * t })
+    val rmse = math.sqrt(fc.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum / 12)
+    assert(rmse < 5.0, s"seasonal stepwise rmse $rmse")
+  }
+
   test("VAR forecast tracks a deterministic coupled system") {
     import spark.implicits._
     // x drives y with lag 1: y_t = 0.8*x_{t-1}; x = slow ramp + wiggle
