@@ -276,6 +276,56 @@ object ScaleQueries2 {
       |LEFT JOIN unseen ON d.lang = unseen.v
       |CROSS JOIN mx""".stripMargin
 
+  // ---- decontamination / packing ----------------------------------------
+
+  /** D7 — eval-set decontamination: train = documents outside src0, eval
+    * = src0; count shared word 4-grams per train doc (broadcast the tiny
+    * eval n-gram set; the train side never shuffles before the final
+    * per-doc count). */
+  private def d7Decontam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.scale.Curation.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "text", "doc_id", n = 4)
+  }
+
+  private val d7Sql = {
+    val parts = (0 until 4).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tr AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE source <> 'src0'),
+       |ev AS (SELECT string_split(text,' ') AS w FROM documents WHERE source = 'src0'),
+       |trg AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1,len(w)-3),
+       |          i -> $parts)) AS s FROM tr WHERE len(w)>=4),
+       |evg AS (SELECT DISTINCT unnest(list_transform(generate_series(1,len(w)-3),
+       |          i -> $parts)) AS s FROM ev WHERE len(w)>=4)
+       |SELECT doc_id, count(*) AS n_hit_ngrams
+       |FROM trg JOIN evg USING (s) GROUP BY doc_id""".stripMargin
+  }
+
+  /** SM4 — sequence packing (concat-then-split at a 256-token budget,
+    * packed per lang shard so the running window never needs a global
+    * order). */
+  private def sm4Pack: Q = (s, d) =>
+    graft.scale.Curation.packSequences(
+      Tables.documents(s, d), "text", "doc_id", "lang", budget = 256)
+      .select(col("doc_id"), col("lang"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              col("bin_id"), col("bin_offset"),
+              col("split_across_bins").cast("long").as("split_across_bins"))
+
+  private val sm4Sql =
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum_end
+      |      FROM t)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((cum_end - n_tokens) // 256 AS BIGINT) AS bin_id,
+      |  CAST((cum_end - n_tokens) % 256 AS BIGINT) AS bin_offset,
+      |  CAST(CASE WHEN (cum_end - 1) // 256 > (cum_end - n_tokens) // 256
+      |       THEN 1 ELSE 0 END AS BIGINT) AS split_across_bins
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f4_series_trend" -> f4SeriesTrend,
     "e2_unseen_encode" -> e2UnseenEncode,
@@ -291,7 +341,9 @@ object ScaleQueries2 {
     "st_selfjoin"    -> stSelfJoin,
     "s5_centroids"   -> s5Centroids,
     "d6_keep_best"   -> d6KeepBest,
-    "q3_winsor"      -> q3Winsor
+    "q3_winsor"      -> q3Winsor,
+    "d7_decontam"    -> d7Decontam,
+    "sm4_pack"       -> sm4Pack
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +361,8 @@ object ScaleQueries2 {
     "st_selfjoin"    -> stSelfJoinSql,
     "s5_centroids"   -> s5Sql,
     "d6_keep_best"   -> d6Sql,
-    "q3_winsor"      -> q3Sql
+    "q3_winsor"      -> q3Sql,
+    "d7_decontam"    -> d7Sql,
+    "sm4_pack"       -> sm4Sql
   )
 }

@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond dedup: eval-set
+  * decontamination and sequence packing. Both are deterministic
+  * relational dataflows (✔dt — DuckDB-oracle-checkable), designed around
+  * the asymmetry of a training pipeline: the corpus is ~100 TB, the eval
+  * sets and per-shard state are tiny.
+  *
+  * The reference engine has no corpus surface at all (single pandas
+  * frame, `auto_ts/utils/etl.py:17-61`); these extend the engine toward
+  * its large-scale-pipeline north star. */
+object Curation {
+
+  /** Word n-grams of `textCol` as strings: (id, s). Shared shape with
+    * `Dedup.shingles` but string-keyed — decontamination joins against a
+    * SMALL broadcast side, so the 8-byte-hash shuffle optimization that
+    * pays off in corpus-vs-corpus dedup buys nothing here. */
+  private def grams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+        (1 to n).map(j => s"element_at(w, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("s")).distinct()
+
+  /** Eval-set decontamination: for every training doc, count the distinct
+    * word n-grams it shares with ANY eval doc (docs with a nonzero count
+    * are dropped or flagged before training — the standard guard against
+    * benchmark leakage).
+    *
+    * Scale shape: the eval side is tiny (benchmarks are KBs–MBs), so its
+    * distinct n-gram set is BROADCAST — the 100 TB train side is never
+    * shuffled; the join is map-side against the broadcast hash table and
+    * the only exchange is the final per-doc count aggregation, whose
+    * cardinality is bounded by contaminated docs (rare), not the corpus. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = grams(eval, textCol, idCol, n)
+      .select(col("s")).distinct()
+    grams(train, textCol, idCol, n)
+      .join(broadcast(evalGrams), "s")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
+  /** Sequence packing: concatenate each shard's docs in a deterministic
+    * order and chunk the stream at a fixed token budget — the standard
+    * "concat-then-split" LLM pretraining layout. Emits, per doc: its
+    * token count, the bin (training sequence) its FIRST token lands in,
+    * the offset inside that bin, and whether the doc straddles a bin
+    * boundary (gets split across two training sequences).
+    *
+    * Scale shape: the running cumsum is a window per SHARD — real
+    * pipelines pack within output shards independently, which keeps every
+    * partition's window state local (no global ordering, no
+    * single-partition bottleneck; shard count = write parallelism). The
+    * token count here is whitespace tokenization (`TextAnalysis` owns the
+    * BPE-ish variant); swap `tokens` for a real tokenizer column when the
+    * corpus carries one. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    shardCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tokens: Column = size(split(col(textCol), " "))
+    df.select(col(idCol), col(shardCol), tokens.as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .select(
+        col(idCol), col(shardCol), col("n_tokens"),
+        (col("cum_start") / budget).cast("long").as("bin_id"),
+        (col("cum_start") % budget).as("bin_offset"),
+        // straddles iff its last token's bin differs from its first's
+        (((col("cum_end") - 1) / budget).cast("long") >
+          (col("cum_start") / budget).cast("long")).as("split_across_bins"))
+  }
+}
