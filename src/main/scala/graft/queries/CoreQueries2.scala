@@ -405,6 +405,29 @@ object CoreQueries2 {
     s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS o_date,
        | o_totalprice, o_orderstatus FROM orders""".stripMargin
 
+  // ---- S3: partitioned parquet sink + pruned re-read --------------------------
+
+  /** Partitioned-sink round-trip: events written `partitionBy(event_type)`
+    * once per sf dir, then the measured operator is the PRUNED read —
+    * the filter on the partition key resolves at planning time
+    * (`PartitionFilters`, asserted in PlanAuditSpec), so only the
+    * `purchase` directory is listed and scanned. */
+  private def s3PartScan: Q = (s, d) => {
+    val path = s"target/part_sink/${new java.io.File(d).getName}"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      graft.sources.PartitionedSink.write(Tables.events(s, d), "event_type", path)
+    graft.sources.PartitionedSink.read(s, path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dround(sum(col("value")), 4).as("total_value"))
+      .filter(col("n") >= 3)
+  }
+
+  private val s3PartSql =
+    s"""SELECT user_id, count(*) AS n, ${droundSql("sum(value)", 4)} AS total_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id HAVING count(*) >= 3""".stripMargin
+
   // ---- §2.8: regex (BPE-ish) token counting -----------------------------------------------------
 
   private val tokPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
@@ -441,6 +464,7 @@ object CoreQueries2 {
     "i2_datetime_parse" -> i2DatetimeParse,
     "s1_csv_scan"    -> s1CsvScan,
     "s2_json_scan"   -> s2JsonScan,
+    "s3_part_scan"   -> s3PartScan,
     "x4_token_count" -> x4TokenCount
   )
 
@@ -464,6 +488,7 @@ object CoreQueries2 {
     "i2_datetime_parse" -> i2Sql,
     "s1_csv_scan"    -> s1Sql,
     "s2_json_scan"   -> s2JsonSql,
+    "s3_part_scan"   -> s3PartSql,
     "x4_token_count" -> x4Sql
   )
 }

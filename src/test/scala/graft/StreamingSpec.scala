@@ -214,6 +214,43 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows once the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60000L
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis($"ts_ms")).drop("ts_ms")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val src = shape(mem.toDF())
+    val q = graft.streaming.IntervalJoin
+      .selfJoinStreamingOuter(src, src, 30, "1 hour")
+      .writeStream.format("memory").queryName("sjoin_outer_out")
+      .outputMode("append").start()
+    // user 1 has a matched pair; user 2's single event has no follow-up
+    mem.addData((1L, 1L, 5 * min, "a"), (1L, 2L, 10 * min, "b"),
+                (2L, 3L, 25 * min, "a"))
+    q.processAllAvailable()
+    // user 2's null row may only emit after the watermark passes its
+    // whole match window (25min + 30 gap + 60 delay); push it far past
+    mem.addData((9L, 99L, 1000 * min, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sjoin_outer_out").collect()
+    assert(rows.exists(r => r.getLong(0) == 1L && !r.isNullAt(2) && r.getLong(2) == 2L),
+      s"matched pair missing: ${rows.mkString("; ")}")
+    assert(rows.exists(r => r.getLong(0) == 2L && r.isNullAt(2)),
+      s"null row for match-less trigger missing: ${rows.mkString("; ")}")
+    // batch twin agrees on which triggers are match-less
+    val batchNulls = graft.streaming.IntervalJoin
+      .selfJoinBatchOuter(shape(Seq((1L, 1L, 5 * min, "a"), (1L, 2L, 10 * min, "b"),
+                                    (2L, 3L, 25 * min, "a")).toDF()), 30)
+      .filter(col("id_b").isNull).select("id_a")
+      .collect().map(_.getLong(0)).toSet
+    // 2 (user 1's LAST event — nothing later to pair with) and 3 are
+    // both match-less; 1 pairs forward with 2
+    assert(batchNulls == Set(2L, 3L), s"batch twin null set: $batchNulls")
+  }
+
   test("watermarked sliding window aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
