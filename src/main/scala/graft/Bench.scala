@@ -52,37 +52,54 @@ object Bench {
     // the warmup pass aren't billed to the first measured queries
     System.gc()
 
-    // two measured passes, report the per-query MIN: steady-state
-    // throughput. Single-shot timing on a shared box conflates a query's
-    // cost with whatever background stall happens to overlap it (observed:
-    // multi-second spikes smeared over a random contiguous block of
-    // queries, a different block every run). Min-of-2 measures the query.
+    // three measured passes with the query order ROTATED per pass, report
+    // the per-query MIN: steady-state throughput. Single-shot timing on a
+    // shared box conflates a query's cost with whatever background stall
+    // happens to overlap it (observed in r4 and r6: multi-second spikes
+    // smeared over a CONTIGUOUS block of queries in run order, a different
+    // block every run). With the same order every pass a long stall can hit
+    // the same block twice and survive the min; rotating the order by a
+    // third of the list per pass puts every query in a different
+    // neighbourhood each time, so a contiguous stall cannot shadow any
+    // query in more than one pass. Per-pass values are persisted in the
+    // output ("passes") together with the min/max spread so an anomalous
+    // pass is visible instead of silently folded in.
     // Cache is cleared after each query so one query's pinned blocks
     // (e.g. LSH candidate sets) can't bloat the heap of the queries after
     // it — each query is billed for building its own caches.
-    def pass(): Map[String, Double] = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = headline.keys.toSeq.sorted
+    def pass(order: Seq[String]): Map[String, Double] = order.map { name =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { headline(name)(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val p1 = pass(); val p2 = pass()
-    val results = headline.keys.toSeq.sorted.map { name =>
-      val (a, b) = (p1(name), p2(name))
-      if (a < 0 || b < 0) (name, math.max(a, b), a >= 0 || b >= 0)
-      else (name, math.min(a, b), true)
+    val nPasses = 3
+    val passes = (0 until nPasses).map { i =>
+      val shift = i * names.length / nPasses
+      pass(names.drop(shift) ++ names.take(shift))
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val results = names.map { name =>
+      val vs = passes.map(_(name))
+      val good = vs.filter(_ >= 0)
+      if (good.isEmpty) (name, -1.0, -1.0, false)
+      else (name, good.min, good.max, true)
+    }
+    val qs = results.map { case (k, mn, _, ok) => "\"" + k + "\":" + (if (ok) mn else -1.0) }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val spread = results.map { case (k, mn, mx, _) => f""""$k":[$mn%.4f,$mx%.4f]""" }
+      .mkString("{", ",", "}")
+    val perPass = passes.map(p => names.map(n => f"${p(n)}%.4f").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val failures = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // failed queries are excluded so the headline total equals the sum
     // of the reported per-query values
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, mn, _, true) => mn }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,18 @@ import org.apache.spark.sql.types._
   *
   * Seasonality: `fourierOrder` harmonics at `seasonalPeriod` observations
   * per cycle (reference's freq→(fourier_order, prior_scale) table,
-  * `build_prophet.py:587-649`). */
+  * `build_prophet.py:587-649`).
+  *
+  * Holidays: `holidays` is an explicit epoch-ms date list (the reference's
+  * Prophet holiday/special-day regressors, `build_prophet.py:139-151` —
+  * the user supplies past AND future occurrences, exactly like Prophet's
+  * holidays frame). Each observation whose timestamp is in the set gets a
+  * 0/1 dummy column in the design matrix; future rows are matched against
+  * the same set via the calendar-aware `ForecastFrame.nextTs` step, so a
+  * December spike is carried into December forecasts. */
 class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
-                        ridgeLambda: Double = 1.0) extends ModelBuild {
+                        ridgeLambda: Double = 1.0,
+                        holidays: Set[Long] = Set.empty) extends ModelBuild {
   val name = "Prophet"
 
   private var series: LocalSeries = _
@@ -25,8 +34,9 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   private var tsColName: String = _
   private var exogNames: Seq[String] = Nil
 
-  /** Design row: [1, t/n, sin/cos(2πkt/m) for k=1..K, exog...]. */
-  private def designRow(t: Int, nScale: Double, exog: Array[Double]): Array[Double] = {
+  /** Design row: [1, t/n, sin/cos(2πkt/m) for k=1..K, holiday?, exog...]. */
+  private def designRow(t: Int, nScale: Double, hol: Double,
+                        exog: Array[Double]): Array[Double] = {
     val base = Array.newBuilder[Double]
     base += 1.0
     base += t / nScale
@@ -36,13 +46,16 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       base += math.sin(ang); base += math.cos(ang)
       k += 1
     }
+    if (holidays.nonEmpty) base += hol
     exog.foreach(base += _)
     base.result()
   }
 
+  private def holAt(tsMs: Long): Double = if (holidays.contains(tsMs)) 1.0 else 0.0
+
   private def fitLocal(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]],
                        nScale: Double): (DenseVector[Double], Double) = {
-    val rows = y.indices.map(t => designRow(t, nScale, exog(t)))
+    val rows = y.indices.map(t => designRow(t, nScale, holAt(ts(t)), exog(t)))
     val x = DenseMatrix(rows: _*)
     val yv = DenseVector(y)
     val k = x.cols
@@ -55,10 +68,11 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   }
 
   private def forecastLocal(b: DenseVector[Double], from: Int, h: Int,
-                            nScale: Double, exog: Int => Array[Double]): Array[Double] =
+                            nScale: Double, tsAt: Int => Long,
+                            exog: Int => Array[Double]): Array[Double] =
     Array.tabulate(h) { i =>
       val t = from + i
-      val row = DenseVector(designRow(t, nScale, exog(t)))
+      val row = DenseVector(designRow(t, nScale, holAt(tsAt(t)), exog(t)))
       b dot row
     }
 
@@ -69,10 +83,16 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     exogNames = schema.exog
     intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
     val nScale = series.n.toDouble
+    // in-sample fold timestamps are observed; test-fold rows too (the fold
+    // bound never exceeds n), so tsAt reads straight from the series
+    val tsAt: Int => Long = t =>
+      if (t < series.n) series.ts(t)
+      else ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
       val (b, _) = fitLocal(series.ts.take(trainEnd), series.y.take(trainEnd),
                             series.exog.take(trainEnd), nScale)
-      val pred = forecastLocal(b, trainEnd, testEnd - trainEnd, nScale, t => series.exog(t))
+      val pred = forecastLocal(b, trainEnd, testEnd - trainEnd, nScale, tsAt,
+                               t => series.exog(t))
       LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
     }
     val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale)
@@ -93,7 +113,11 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       val i = t - series.n
       if (i >= 0 && i < futureExog.length) futureExog(i) else lastExog
     }
-    val pred = forecastLocal(beta, series.n, h, nScale, exogAt)
+    // future timestamps step exactly as the emitted forecast frame does,
+    // so the holiday dummy aligns with the output rows
+    val tsAt: Int => Long = t =>
+      ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
+    val pred = forecastLocal(beta, series.n, h, nScale, tsAt, exogAt)
     ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
   }
 }

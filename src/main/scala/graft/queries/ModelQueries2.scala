@@ -73,6 +73,67 @@ object ModelQueries2 {
        | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
        |FROM f""".stripMargin
 
+  // ---- m5_holiday: trend + holiday dummy ≡ 2-predictor OLS ---------------
+
+  /** DecomposableModel with fourierOrder=0, λ=0 and a December-1st holiday
+    * list (`build_prophet.py:139-151` add-holiday regressors) degenerates
+    * to exact OLS on [1, t, holiday] — solvable in SQL by the centered 2×2
+    * normal equations. The holiday list covers every December in the data
+    * plus one future year, exactly how a Prophet user supplies past AND
+    * future occurrences. */
+  private def m5Holiday: Q = (s, d) => {
+    val mdf = monthlyY(s, d)
+    val yr = mdf.select(min(year(col("ts"))).as("y0"),
+                        max(year(col("ts"))).as("y1")).head()
+    val hol = (yr.getInt(0) to yr.getInt(1) + 1).map { y =>
+      java.time.LocalDate.of(y, 12, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+    }.toSet
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                  ridgeLambda = 0.0, holidays = hol)
+    m.fit(mdf, TsSchema("ts", "y"), 2, 8)
+    m.predict(s, 8).select(
+      tsStr(col("ts")).as("ts"),
+      dround(col("yhat"), 4).as("yhat"),
+      dround(col("mean_se"), 4).as("mean_se"),
+      dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+      dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+  }
+
+  /** Centered normal equations for 2 predictors (t, December dummy):
+    * [b1,b2] = inv([[ctt,cth],[cth,chh]])·[cty,chy], σ²=SSR/(n−3);
+    * future dummy recomputed from the stepped month. */
+  private val m5HolidaySql =
+    s"""WITH m AS ($monthlyYSql),
+       |s AS (SELECT y, CAST(row_number() OVER (ORDER BY mo) - 1 AS DOUBLE) AS t,
+       |        CASE WHEN month(mo) = 12 THEN 1.0 ELSE 0.0 END AS hd FROM m),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(hd) AS sh,
+       |        sum(t*t) AS stt, sum(t*hd) AS sth, sum(hd*hd) AS shh,
+       |        sum(y) AS sy, sum(y*y) AS syy, sum(t*y) AS sty, sum(hd*y) AS shy
+       |      FROM s),
+       |b AS (SELECT n, st/n AS mt, sh/n AS mh, sy/n AS my,
+       |        stt - st*st/n AS ctt, sth - st*sh/n AS cth, shh - sh*sh/n AS chh,
+       |        sty - st*sy/n AS cty, shy - sh*sy/n AS chy, syy - sy*sy/n AS cyy
+       |      FROM a),
+       |c AS (SELECT n, mt, mh, my, cty, chy, cyy,
+       |        (chh*cty - cth*chy)/(ctt*chh - cth*cth) AS b1,
+       |        (ctt*chy - cth*cty)/(ctt*chh - cth*cth) AS b2 FROM b),
+       |e AS (SELECT n, b1, b2, my - b1*mt - b2*mh AS c0,
+       |        cyy - b1*cty - b2*chy AS ssr FROM c),
+       |d AS (SELECT n, b1, b2, c0, sqrt(ssr/(n-3)) AS sigma,
+       |        (SELECT max(mo) FROM m) AS last_mo FROM e),
+       |f AS (SELECT i, c0 + b1*(n - 1 + i)
+       |        + b2*(CASE WHEN month(last_mo + to_months(CAST(i AS INTEGER))) = 12
+       |              THEN 1.0 ELSE 0.0 END) AS p,
+       |        sigma, last_mo
+       |      FROM d, generate_series(1, 8) AS g(i))
+       |SELECT ${tsStrSql("last_mo + to_months(CAST(i AS INTEGER))")} AS ts,
+       | ${droundSql("p", 4)} AS yhat,
+       | ${droundSql("sigma", 4)} AS mean_se,
+       | ${droundSql("p - 1.96*sigma", 4)} AS mean_ci_lower,
+       | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
+       |FROM f""".stripMargin
+
   // ---- m4_var1: VAR(1) coefficient matrix ≡ per-equation OLS ------------
 
   /** Monthly series scaled to O(1) so both solvers are far from any
@@ -167,14 +228,16 @@ object ModelQueries2 {
        |FROM f""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "m5_trend" -> m5Trend,
-    "m4_var1"  -> m4Var1,
-    "m1_ar1"   -> m1Ar1
+    "m5_trend"   -> m5Trend,
+    "m5_holiday" -> m5Holiday,
+    "m4_var1"    -> m4Var1,
+    "m1_ar1"     -> m1Ar1
   )
 
   val oracle: Map[String, String] = Map(
-    "m5_trend" -> m5TrendSql,
-    "m4_var1"  -> m4Var1Sql,
-    "m1_ar1"   -> m1Ar1Sql
+    "m5_trend"   -> m5TrendSql,
+    "m5_holiday" -> m5HolidaySql,
+    "m4_var1"    -> m4Var1Sql,
+    "m1_ar1"     -> m1Ar1Sql
   )
 }

@@ -68,6 +68,40 @@ class ModelsSpec extends SparkTestBase {
     assert(withExog.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("holiday regressor lifts December spikes out of the trend residual") {
+    import spark.implicits._
+    // 44 monthly points (2015-01..2018-08): linear trend + a +40 spike
+    // every December (reference add-holiday regressors,
+    // build_prophet.py:139-151); h=8 horizon covers 2018-12
+    val rows = (0 until 44).map { t =>
+      val d = java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+      val spike = if (d.getMonthValue == 12) 40.0 else 0.0
+      (java.sql.Timestamp.from(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       100.0 + 2.0 * t + spike + math.sin(t * 0.7))
+    }
+    val df = rows.toDF("ts", "y")
+    val hol = (2015 to 2020).map { y =>
+      java.time.LocalDate.of(y, 12, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+    }.toSet
+    val plain = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0, ridgeLambda = 0.0)
+    val withHol = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                        ridgeLambda = 0.0, holidays = hol)
+    val rP = plain.fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    val rH = withHol.fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    assert(rH.foldRmse.sum / rH.foldRmse.size < 0.5 * (rP.foldRmse.sum / rP.foldRmse.size),
+      s"holiday rmse ${rH.foldRmse} not clearly below plain ${rP.foldRmse}")
+    // the future December (2018-12, 4 steps past 2018-08) gets the spike
+    val fc = withHol.predict(spark, 8).collect()
+    val dec = fc.find(_.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC)
+      .getMonthValue == 12)
+    assert(dec.isDefined, "no December row in the forecast horizon")
+    val nov = fc.find(_.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC)
+      .getMonthValue == 11).get
+    assert(dec.get.getDouble(1) - nov.getDouble(1) > 30.0,
+      s"December forecast ${dec.get.getDouble(1)} not spiked vs Nov ${nov.getDouble(1)}")
+  }
+
   test("ARIMA CSS recovers AR(1) coefficient") {
     var s = 42L
     def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
