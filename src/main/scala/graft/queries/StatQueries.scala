@@ -139,19 +139,71 @@ object StatQueries {
        |SELECT user_id, ${droundSql("sum(de*de) / sum(e*e)", 6)} AS dw
        |FROM t GROUP BY user_id""".stripMargin
 
+  /** M11 — full residual-diagnostics battery (`ts_model_validation`,
+    * `utils/val.py:135-173`): Durbin–Watson + Ljung–Box(3) + Jarque–Bera +
+    * break-variance heteroskedasticity per series, all four statistics
+    * closing to SQL sums so the whole battery is hash-checked. Runs the
+    * distributed flatMapGroups path end-to-end. */
+  private def m11Battery: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    StatTests.diagnosticsPerSeries(e, "value", "ts", "user_id", lbLag = 3)
+      .select(col("user_id"),
+              dround(col("dw"), 6).as("dw"),
+              dround(col("lb_stat"), 6).as("lb_stat"),
+              dround(col("jb_stat"), 6).as("jb_stat"),
+              dround(col("het_ratio"), 6).as("het_ratio"))
+  }
+
+  private val m11BatterySql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id,
+       |    value - avg(value) OVER (PARTITION BY user_id) AS e
+       |  FROM events),
+       |w AS (
+       |  SELECT user_id, e,
+       |    e - lag(e,1) OVER win AS de,
+       |    lag(e,1) OVER win AS l1,
+       |    lag(e,2) OVER win AS l2,
+       |    lag(e,3) OVER win AS l3,
+       |    avg(e) OVER (PARTITION BY user_id) AS mu,
+       |    row_number() OVER win AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(floor(count(*) OVER (PARTITION BY user_id) / 3.0) AS BIGINT) AS h
+       |  FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |a AS (
+       |  SELECT user_id,
+       |    CAST(max(n) AS DOUBLE) AS nn,
+       |    sum(de*de) / sum(e*e) AS dw,
+       |    sum((e-mu)*(l1-mu)) / sum((e-mu)*(e-mu)) AS r1,
+       |    sum((e-mu)*(l2-mu)) / sum((e-mu)*(e-mu)) AS r2,
+       |    sum((e-mu)*(l3-mu)) / sum((e-mu)*(e-mu)) AS r3,
+       |    avg((e-mu)*(e-mu)) AS m2,
+       |    avg((e-mu)*(e-mu)*(e-mu)) AS m3,
+       |    avg((e-mu)*(e-mu)*(e-mu)*(e-mu)) AS m4,
+       |    sum(CASE WHEN rn > n - h THEN e*e END) / sum(CASE WHEN rn <= h THEN e*e END) AS het
+       |  FROM w GROUP BY user_id HAVING max(n) >= 12)
+       |SELECT user_id,
+       | ${droundSql("dw", 6)} AS dw,
+       | ${droundSql("nn*(nn+2.0)*(r1*r1/(nn-1) + r2*r2/(nn-2) + r3*r3/(nn-3))", 6)} AS lb_stat,
+       | ${droundSql("nn/6.0 * (power(m3/power(m2,1.5),2) + power(m4/(m2*m2)-3.0,2)/4.0)", 6)} AS jb_stat,
+       | ${droundSql("het", 6)} AS het_ratio
+       |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "m10_acf"  -> m10Acf,
-    "m10_pacf" -> m10Pacf,
-    "m10_df0"  -> m10Df0,
-    "m10_adf"  -> m10Adf,
-    "m11_dw"   -> m11Dw
+    "m10_acf"     -> m10Acf,
+    "m10_pacf"    -> m10Pacf,
+    "m10_df0"     -> m10Df0,
+    "m10_adf"     -> m10Adf,
+    "m11_dw"      -> m11Dw,
+    "m11_battery" -> m11Battery
   )
 
   val oracle: Map[String, String] = Map(
-    "m10_acf"  -> m10AcfSql,
-    "m10_pacf" -> m10PacfSql,
-    "m10_df0"  -> m10Df0Sql,
-    "m11_dw"   -> m11DwSql
+    "m10_acf"     -> m10AcfSql,
+    "m10_pacf"    -> m10PacfSql,
+    "m10_df0"     -> m10Df0Sql,
+    "m11_dw"      -> m11DwSql,
+    "m11_battery" -> m11BatterySql
     // m10_adf: rows-only (regression-based statistic)
   )
 }

@@ -120,6 +120,110 @@ object StatTests {
     num / den
   }
 
+  /** M11 — Ljung–Box Q statistic at lags 1..h
+    * (`ts_model_validation`, `utils/val.py:148` `sercor_method='ljungbox'`;
+    * the reference reports the largest-lag value):
+    * Q = n(n+2) Σ_{k=1..h} r_k² / (n−k), chi-square with h dof under H0. */
+  def ljungBox(resid: Array[Double], h: Int): Double = {
+    val n = resid.length
+    val r = acf(resid, h)
+    n * (n + 2.0) * (1 to h).map(k => r(k) * r(k) / (n - k)).sum
+  }
+
+  /** M11 — Jarque–Bera normality statistic
+    * (`ts_model_validation`, `utils/val.py:147` `norm_method='jarquebera'`).
+    * Returns (stat, skewness, excess kurtosis); stat ~ chi-square(2). */
+  def jarqueBera(resid: Array[Double]): (Double, Double, Double) = {
+    val n = resid.length.toDouble
+    val mu = resid.sum / n
+    var m2 = 0.0; var m3 = 0.0; var m4 = 0.0
+    resid.foreach { v =>
+      val d = v - mu; val d2 = d * d
+      m2 += d2; m3 += d2 * d; m4 += d2 * d2
+    }
+    m2 /= n; m3 /= n; m4 /= n
+    val skew = m3 / math.pow(m2, 1.5)
+    val exKurt = m4 / (m2 * m2) - 3.0
+    (n / 6.0 * (skew * skew + exKurt * exKurt / 4.0), skew, exKurt)
+  }
+
+  /** M11 — break-variance heteroskedasticity ratio
+    * (`ts_model_validation`, `utils/val.py:146` `het_method='breakvar'`,
+    * statsmodels `test_heteroskedasticity`): H = Σ e² over the last
+    * ⌊n/3⌋ residuals / Σ e² over the first ⌊n/3⌋. H ≈ 1 under
+    * homoskedasticity; H ~ F(h, h) under normal H0. */
+  def breakVar(resid: Array[Double]): Double = {
+    val n = resid.length
+    val h = n / 3
+    require(h >= 1, s"breakVar needs >= 3 residuals, got $n")
+    val head = resid.take(h).map(r => r * r).sum
+    val tail = resid.takeRight(h).map(r => r * r).sum
+    tail / head
+  }
+
+  /** Upper regularized incomplete gamma Q(a, x) — survival function of the
+    * gamma distribution; `chiSquareSf(x, k) = Q(k/2, x/2)`. Series expansion
+    * for x < a+1, Lentz continued fraction otherwise (standard numerics;
+    * e.g. Press et al., public domain formulas). */
+  private def regGammaQ(a: Double, x: Double): Double = {
+    if (x <= 0.0) return 1.0
+    val lnGammaA = breeze.numerics.lgamma(a)
+    if (x < a + 1.0) {
+      // P(a,x) by series, return 1 - P
+      var ap = a; var sum = 1.0 / a; var del = sum
+      var i = 0
+      while (i < 500 && math.abs(del) > math.abs(sum) * 1e-15) {
+        ap += 1.0; del *= x / ap; sum += del; i += 1
+      }
+      1.0 - sum * math.exp(-x + a * math.log(x) - lnGammaA)
+    } else {
+      // Q(a,x) by modified Lentz continued fraction
+      val tiny = 1e-300
+      var b = x + 1.0 - a; var c = 1.0 / tiny; var d = 1.0 / b; var hh = d
+      var i = 1
+      var done = false
+      while (i <= 500 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b; if (math.abs(d) < tiny) d = tiny
+        c = b + an / c; if (math.abs(c) < tiny) c = tiny
+        d = 1.0 / d
+        val del = d * c
+        hh *= del
+        if (math.abs(del - 1.0) < 1e-15) done = true
+        i += 1
+      }
+      math.exp(-x + a * math.log(x) - lnGammaA) * hh
+    }
+  }
+
+  /** Chi-square survival function (p-value for an observed statistic). */
+  def chiSquareSf(x: Double, df: Int): Double = regGammaQ(df / 2.0, x / 2.0)
+
+  /** True iff all roots of the lag polynomial 1 − c₁z − … − c_p z^p lie
+    * OUTSIDE the unit circle (stationarity for AR coefficients,
+    * invertibility for MA) — the `arroots`/`maroots` check of
+    * `ts_model_validation` (`utils/val.py:163-167`). Roots via eigenvalues
+    * of the companion matrix of the reversed (monic) polynomial.
+    * Vacuously true for an empty/zero coefficient vector, matching the
+    * reference's "True when the order is 0" semantics. */
+  def rootsOutsideUnitCircle(coeffs: Array[Double]): Boolean = {
+    val trimmed = coeffs.reverse.dropWhile(c => c == 0.0).reverse
+    val p = trimmed.length
+    if (p == 0) return true
+    if (p == 1) return math.abs(1.0 / trimmed(0)) > 1.0
+    // roots of 1 - Σ c_i z^i  <=>  eigenvalues λ of the companion matrix of
+    // z^p - (c_1/c_p') ...: substitute w = 1/z; w^p - c_1 w^(p-1) - ... - c_p
+    // has roots w_i = 1/z_i, so all |z_i| > 1  <=>  all |w_i| < 1.
+    val comp = DenseMatrix.zeros[Double](p, p)
+    for (j <- 0 until p) comp(0, j) = trimmed(j)
+    for (i <- 1 until p) comp(i, i - 1) = 1.0
+    val ev = breeze.linalg.eig(comp)
+    val moduli = (0 until p).map(i =>
+      math.hypot(ev.eigenvalues(i), ev.eigenvaluesComplex(i)))
+    moduli.forall(_ < 1.0)
+  }
+
   // ---------- distributed per-series wrappers ----------
 
   /** ADF per series: one `flatMapGroups` pass — each task pulls ONE
@@ -187,5 +291,36 @@ object StatTests {
         }
       }
       .toDF(seriesCol, "k", "pacf")
+  }
+
+  /** M11 — full residual-diagnostics battery per series
+    * (`ts_model_validation`, `utils/val.py:135-173`): Durbin–Watson,
+    * Ljung–Box(h) serial correlation, Jarque–Bera normality, and
+    * break-variance heteroskedasticity, on per-series demeaned values,
+    * one `flatMapGroups` pass (same millions-of-series contract as
+    * [[adfPerSeries]]). p-values via [[chiSquareSf]] for the two
+    * chi-square statistics. */
+  def diagnosticsPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                           seriesCol: String, lbLag: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"), col(valueCol).cast("double"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y = it.toArray.sortBy(t => (t._2, t._3)).map(_._3)
+        val n = y.length
+        if (n < math.max(12, lbLag + 2)) Iterator.empty
+        else {
+          val mu = y.sum / n
+          val e = y.map(_ - mu)
+          val dw = durbinWatson(e)
+          val lb = ljungBox(e, lbLag)
+          val (jb, _, _) = jarqueBera(e)
+          val het = breakVar(e)
+          Iterator((sid, dw, lb, chiSquareSf(lb, lbLag), jb, chiSquareSf(jb, 2), het))
+        }
+      }
+      .toDF(seriesCol, "dw", "lb_stat", "lb_p", "jb_stat", "jb_p", "het_ratio")
   }
 }

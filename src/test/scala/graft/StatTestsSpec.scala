@@ -49,6 +49,76 @@ class StatTestsSpec extends SparkTestBase {
     assert(out.columns.contains("stationary"))
   }
 
+  test("Ljung-Box: small on noise, large on strongly autocorrelated series") {
+    val wn = noise(500)
+    val lbNoise = StatTests.ljungBox(wn, 3)
+    // chi2(3) 99th percentile ~ 11.34; white noise should sit well below
+    assert(lbNoise < 11.34, s"lb=$lbNoise")
+    val y = new Array[Double](500)
+    for (i <- 1 until 500) y(i) = 0.9 * y(i - 1) + wn(i)
+    assert(StatTests.ljungBox(y, 3) > 100.0)
+    // p-values: high for noise, ~0 for the AR(1)
+    assert(StatTests.chiSquareSf(lbNoise, 3) > 0.01)
+    assert(StatTests.chiSquareSf(StatTests.ljungBox(y, 3), 3) < 1e-6)
+  }
+
+  test("Jarque-Bera: small on symmetric data, large on skewed data") {
+    val wn = noise(2000)
+    val (jbU, _, _) = StatTests.jarqueBera(wn)
+    // uniform noise is symmetric (skew~0) but platykurtic (exKurt=-1.2),
+    // so JB is large; check the components instead
+    val (_, skew, exK) = StatTests.jarqueBera(wn)
+    assert(math.abs(skew) < 0.15, s"skew=$skew")
+    assert(exK < -0.9 && exK > -1.5, s"exKurt=$exK")
+    assert(jbU > 50.0) // correctly flags non-normal (uniform) data
+    val skewed = wn.map(v => math.exp(3.0 * v)) // log-uniform: heavy right skew
+    val (jbS, s2, _) = StatTests.jarqueBera(skewed)
+    assert(s2 > 0.5 && jbS > jbU)
+  }
+
+  test("breakVar: ~1 on homoskedastic noise, large when variance breaks") {
+    val wn = noise(900)
+    val h = StatTests.breakVar(wn)
+    assert(h > 0.5 && h < 2.0, s"het=$h")
+    val break_ = wn.zipWithIndex.map { case (v, i) => if (i >= 600) v * 5 else v }
+    assert(StatTests.breakVar(break_) > 10.0)
+  }
+
+  test("chiSquareSf matches known values") {
+    // chi2(2): sf(x) = exp(-x/2) exactly
+    for (x <- Seq(0.5, 2.0, 5.0, 10.0))
+      assert(math.abs(StatTests.chiSquareSf(x, 2) - math.exp(-x / 2)) < 1e-12)
+    // chi2(3) 95th percentile 7.8147
+    assert(math.abs(StatTests.chiSquareSf(7.814728, 3) - 0.05) < 1e-4)
+  }
+
+  test("rootsOutsideUnitCircle: stationary AR accepted, unit root rejected") {
+    assert(StatTests.rootsOutsideUnitCircle(Array.empty[Double])) // order 0
+    assert(StatTests.rootsOutsideUnitCircle(Array(0.5)))          // root at 2
+    assert(!StatTests.rootsOutsideUnitCircle(Array(1.0)))         // unit root
+    assert(!StatTests.rootsOutsideUnitCircle(Array(1.2)))         // explosive
+    // AR(2) phi=(0.5, 0.3): stationary (roots of 1-.5z-.3z^2 outside)
+    assert(StatTests.rootsOutsideUnitCircle(Array(0.5, 0.3)))
+    // AR(2) phi=(0.9, 0.2): phi1+phi2 > 1 -> non-stationary
+    assert(!StatTests.rootsOutsideUnitCircle(Array(0.9, 0.2)))
+  }
+
+  test("diagnosticsPerSeries runs distributed and agrees with local math") {
+    import spark.implicits._
+    val y = noise(120, 3)
+    val rows = y.zipWithIndex.map { case (v, i) => (7L, i.toDouble, v) }
+    val out = StatTests.diagnosticsPerSeries(rows.toSeq.toDF("sid", "tsd", "value"),
+      "value", "tsd", "sid").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val mu = y.sum / y.length
+    val e = y.map(_ - mu)
+    assert(math.abs(r.getDouble(1) - StatTests.durbinWatson(e)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - StatTests.ljungBox(e, 3)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - StatTests.jarqueBera(e)._1) < 1e-9)
+    assert(math.abs(r.getDouble(6) - StatTests.breakVar(e)) < 1e-9)
+  }
+
   test("adfPerSeries skips degenerate (constant) series instead of failing the job") {
     import spark.implicits._
     val good = (0 until 50).map(i => (1L, i.toDouble, math.sin(i * 0.7) + 0.1 * i))
