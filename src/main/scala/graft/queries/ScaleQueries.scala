@@ -262,6 +262,29 @@ object ScaleQueries {
        | ${droundSql("avg(32 + (n * 7) % 64)", 6)} AS avg_height
        |FROM b GROUP BY 1""".stripMargin
 
+  /** REAL image decode round-trip: deterministic PNGs (dims derived from
+    * doc_id) encoded with `ImageIO.write`, then metadata read back through
+    * the production [[Multimodal.decodeMeta]] header parse — both
+    * directions exercise the actual JDK codec; the oracle recomputes the
+    * dimensions arithmetically. */
+  private def mm4ImgDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toPng = udf { (id: Long) =>
+      Multimodal.encodePng((8 + id % 32).toInt, (8 + (id * 3) % 32).toInt, seed = id)
+    }
+    val withMedia = docs.select(col("doc_id")).withColumn("media", toPng(col("doc_id")))
+    Multimodal.decodeMeta(withMedia)
+      .select(col("doc_id"), col("meta.width").as("width"),
+              col("meta.height").as("height"), col("meta.format").as("format"))
+  }
+
+  private val mm4Sql =
+    """SELECT doc_id,
+      | CAST(8 + doc_id % 32 AS INTEGER) AS width,
+      | CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS height,
+      | 'png' AS format
+      |FROM documents""".stripMargin
+
   /** Resize plumbing: payload rescaled to exactly w·h bytes, metadata
     * struct rewritten to the target dims with format preserved — all
     * length arithmetic, so oracle-checkable. */
@@ -372,6 +395,7 @@ object ScaleQueries {
     "x5_quality"       -> x5Quality,
     "mm2_frames"       -> mm2Frames,
     "mm3_resize"       -> mm3Resize,
+    "mm4_imgdecode"    -> mm4ImgDecode,
     "mm_decode"        -> mmDecode,
     "st_window"        -> stWindow,
     "st_sliding"       -> stSliding,
@@ -392,6 +416,7 @@ object ScaleQueries {
     "x5_quality"       -> x5Sql,
     "mm2_frames"       -> mm2Sql,
     "mm3_resize"       -> mm3Sql,
+    "mm4_imgdecode"    -> mm4Sql,
     "mm_decode"        -> mmSql,
     "st_window"        -> stWindowSql,
     "st_sliding"       -> stSlidingSql,

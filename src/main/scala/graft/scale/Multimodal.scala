@@ -1,24 +1,29 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (north star): image/audio/video as opaque
-  * BINARY columns with typed metadata structs, processed in batched
-  * per-partition passes.
+  * BINARY columns with typed metadata structs.
   *
-  * The Spark-side plumbing — binary schema, partitioning, batch iteration
-  * shape, deterministic output schema — is real and tested. The actual
-  * media DECODE is a ==STUB== (this container ships no image/audio
-  * codecs): metadata is derived deterministically from the byte stream
-  * (length/prefix arithmetic), exactly where a libjpeg/ffmpeg call would
-  * plug in. */
+  * Image metadata decode is REAL: PNG/JPEG/GIF/BMP headers are parsed with
+  * the JDK's `javax.imageio` (`ImageReader.getWidth/getHeight` reads the
+  * header only — no pixel decode). Non-image payloads (and any byte stream
+  * the codec rejects) fall back to the deterministic ==STUB== arithmetic
+  * (length/prefix derived), which is where a libjpeg-turbo/ffmpeg native
+  * call would plug in for formats the JDK lacks (webp, audio, video). */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("format", StringType), StructField("n_bytes", LongType)))
+
+  case class MediaMeta(width: Int, height: Int, format: String, n_bytes: Long)
 
   /** Attach an opaque binary payload column (here: the UTF-8 bytes of a
     * text column — in production this is the raw image/audio blob read
@@ -26,29 +31,81 @@ object Multimodal {
   def attachBinary(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("media", to_binary(col(srcCol), lit("utf-8")))
 
-  /** ==STUB DECODE== — deterministic fake: width/height/format derived
-    * from byte length. Real implementation: replace the body of the
-    * mapPartitions batch loop with the codec call; everything around it
-    * (batching, schema, partition preservation) stays. */
-  def decodeMeta(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+ StructField("meta", metaSchema))
-    val mediaIdx = inSchema.fieldIndex("media")
-    val rdd = df.rdd.mapPartitions { it =>
-      // batched per-partition loop — the codec would process `batch` here
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val n = if (bytes == null) 0L else bytes.length.toLong
-        val width = (32 + n % 64).toInt            // STUB: fake decode
-        val height = (32 + (n * 7) % 64).toInt     // STUB: fake decode
-        val format = (n % 3) match {
-          case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-        }
-        Row.fromSeq(row.toSeq :+ Row(width, height, format, n))
-      }
+  /** Magic-byte sniff for the container formats the JDK can read.
+    * (A UTF-8 text stream can never start with 0x89 or 0xFF, so documents
+    * used as fake payloads deterministically take the stub path.) */
+  private def sniffFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF)
+      Some("jpeg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("gif")
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some("bmp")
+    else None
+
+  /** Header-only image decode via `javax.imageio` — returns None when the
+    * bytes are not a parsable image (caller falls back to the stub). */
+  def decodeImageMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    sniffFormat(bytes).flatMap { fmt =>
+      scala.util.Try {
+        ImageIO.setUseCache(false) // no executor-local temp files
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) throw new IllegalArgumentException("no reader")
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            MediaMeta(r.getWidth(0), r.getHeight(0), fmt, bytes.length.toLong)
+          } finally r.dispose()
+        } finally iis.close()
+      }.toOption
     }
-    spark.createDataFrame(rdd, outSchema)
+
+  /** ==STUB== fallback for non-image bytes: width/height/format derived
+    * deterministically from byte length. */
+  private def stubMeta(n: Long): MediaMeta = {
+    val format = (n % 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    MediaMeta((32 + n % 64).toInt, (32 + (n * 7) % 64).toInt, format, n)
+  }
+
+  /** Decode media metadata as a columnar UDF on the binary column — no
+    * RDD hop, so upstream/downstream stages stay in whole-stage codegen
+    * and only the binary payload (not the whole row) crosses into Scala.
+    * Real `javax.imageio` header decode for PNG/JPEG/GIF/BMP; stub
+    * arithmetic for everything else. */
+  def decodeMeta(df: DataFrame): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) stubMeta(0L)
+      else decodeImageMeta(bytes).getOrElse(stubMeta(bytes.length.toLong))
+    }
+    df.withColumn("meta", decode(col("media")))
+  }
+
+  /** Deterministic PNG fixture encoder (real codec, both directions): a
+    * w×h RGB image with an LCG pixel fill, encoded by `ImageIO.write`.
+    * Used by the decode-path oracle query and specs. */
+  def encodePng(w: Int, h: Int, seed: Long = 0L): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** ==STUB FEATURE EXTRACT== — deterministic fake embedding (k floats

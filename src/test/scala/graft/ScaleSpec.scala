@@ -173,6 +173,29 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("real image decode: ImageIO round-trip reads true PNG dimensions") {
+    // local: encode a 17x9 PNG, header-decode must return exactly that
+    val png = Multimodal.encodePng(17, 9, seed = 5)
+    val meta = Multimodal.decodeImageMeta(png)
+    assert(meta.contains(Multimodal.MediaMeta(17, 9, "png", png.length.toLong)))
+    // non-image bytes: sniff rejects, caller falls back to the stub
+    assert(Multimodal.decodeImageMeta("just some text".getBytes("UTF-8")).isEmpty)
+    // corrupt PNG (magic ok, body truncated): decode fails -> None, not a throw
+    assert(Multimodal.decodeImageMeta(png.take(12)).isEmpty)
+    // distributed: decodeMeta picks the real path for image payloads
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.encodePng(33, 21, seed = 1)),
+                 (2L, "plain text payload of some length".getBytes("UTF-8")))
+      .toDF("id", "media")
+    val rows = Multimodal.decodeMeta(df)
+      .select($"id", $"meta.width", $"meta.height", $"meta.format")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((33, 21, "png")))
+    val n = "plain text payload of some length".getBytes("UTF-8").length
+    assert(rows(2L) == (((32 + n % 64).toInt, (32 + n * 7 % 64).toInt,
+      Seq("jpeg", "png", "webp")(n % 3))))
+  }
+
   test("streaming tumbling window equals the batch aggregation") {
     val batch = EventWindows.tumblingBatch(Tables.events(spark, SF), "1 hour")
       .select($"window_start".cast("string"), $"event_type", $"n",
