@@ -262,14 +262,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold. Exact
-    * variant (block on nothing — for bounded tables); the ANN variant for
-    * scale lives in [[Similarity]]. */
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+    *
+    * ==EXACT ORACLE TWIN, NOT A PRODUCTION PATH==: the self-join is an
+    * all-pairs cartesian — O(n²) pairs. It exists to bound the approximate
+    * operators in tests, so it REFUSES inputs above `maxRows` (counted
+    * before the join; the count is one cheap pass over a projected
+    * column). For real corpora use [[simHashPairs]] (blocked Hamming) or
+    * [[graft.scale.Similarity.lshTopK]]/`ivfTopK` (bucketed ANN), which
+    * shuffle candidates, never the n² pair space. */
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double, maxRows: Long = 100000L): DataFrame = {
     import graft.functions.VectorOps
     val v = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", VectorOps.l2norm(col("v")))
+    val n = v.count()
+    require(n <= maxRows,
+      s"cosineNearDup is the exact all-pairs oracle twin (O(n^2) pairs) and is " +
+      s"capped at maxRows=$maxRows, got $n rows. Use Dedup.simHashPairs or " +
+      s"Similarity.lshTopK/ivfTopK for corpora at scale.")
     v.as("l").join(v.as("r"), col("l.vid") < col("r.vid"))
       .withColumn("cosine",
         VectorOps.dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")))

@@ -173,6 +173,19 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("cosineNearDup refuses inputs above its all-pairs row cap") {
+    import spark.implicits._
+    val vecs = (0 until 50).map(i => (i.toLong, Array(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    // under the cap: runs
+    assert(Dedup.cosineNearDup(vecs, "embedding", "vec_id", 0.99, maxRows = 50).count() >= 0)
+    // over the cap: fails fast with a pointer to the scale paths
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cosineNearDup(vecs, "embedding", "vec_id", 0.99, maxRows = 10)
+    }
+    assert(e.getMessage.contains("lshTopK"))
+  }
+
   test("real image decode: ImageIO round-trip reads true PNG dimensions") {
     // local: encode a 17x9 PNG, header-decode must return exactly that
     val png = Multimodal.encodePng(17, 9, seed = 5)
