@@ -131,6 +131,22 @@ object ArimaCss {
     val c = xOpt(0)
     val phi = Array.tabulate(np)(i => xOpt(1 + i))
     val theta = Array.tabulate(nq)(j => xOpt(1 + np + j))
+    // INVERTIBILITY GATE: unconstrained CSS can walk the MA polynomial
+    // inside the unit circle, where the e_t feedback "explains" in-sample
+    // noise and sigma2 (hence AIC) is spuriously small — on pure white
+    // noise an unconstrained (2,0,2) beats (0,0,0) by ~17 AIC with
+    // |theta| > 1. statsmodels/pmdarima reject such fits; so do we: the
+    // cell is discarded (parallelFit drops it) and the search keeps the
+    // invertible candidates. The MA polynomial is 1 + SUM theta_j z^lag_j
+    // over the subset lags.
+    if (maLags.nonEmpty) {
+      val deg = maLags.max
+      val maCoeffs = new Array[Double](deg)
+      var j = 0
+      while (j < maLags.length) { maCoeffs(maLags(j) - 1) = -theta(j); j += 1 }
+      if (!graft.stats.StatTests.rootsOutsideUnitCircle(maCoeffs))
+        throw new IllegalStateException(s"non-invertible MA fit rejected for $spec")
+    }
     val e = cssResiduals(w, c, arLags, phi, maLags, theta)
     val ne = e.length
     val sigma2 = e.map(v => v * v).sum / ne
@@ -233,12 +249,16 @@ object ArimaCss {
   /** M3 — stepwise Hyndman–Khandakar auto-ARIMA (the reference wraps
     * pmdarima's stepwise `auto_arima`, `build_autoarimax.py:16-88`).
     *
-    * d is chosen FIRST by differencing until the ADF test rejects a unit
-    * root at 5% (the reference's `test_stationarity` repeat-after-diff
-    * loop, `utils/eda.py:204-314`), capped at 2; D (when m>1) by the
-    * seasonal-strength variance ratio. Fixing the differencing up front
-    * makes AICc comparable across every candidate (same ne), which the
-    * raw full grid can't claim. The search then starts from the four
+    * The seasonal order D is chosen FIRST (when m>1) by the
+    * seasonal-strength variance ratio, then d by differencing the
+    * (seasonally-differenced, if D=1) series until the ADF test rejects a
+    * unit root at 5% (the reference's `test_stationarity`
+    * repeat-after-diff loop, `utils/eda.py:204-314`), capped at 2 — the
+    * same D-before-d ordering as Hyndman–Khandakar/pmdarima, so a strong
+    * seasonal cycle can't masquerade as a regular unit root. Fixing the
+    * differencing up front removes the dominant sample-size shift from
+    * the AICc comparison (candidates still differ slightly in effective n
+    * via their largest lag's burn-in). The search then starts from the four
     * canonical seeds and hill-climbs over ±1 neighbors in (p, q, sP,
     * sQ); each round's unseen neighbors are fitted as ONE parallel Spark
     * job. Typically converges in 3-6 rounds ≈ 20-40 fits vs the 100-fit
@@ -247,23 +267,30 @@ object ArimaCss {
   def stepwiseSearch(spark: SparkSession, y: Array[Double], m: Int = 1,
                      maxP: Int = 5, maxQ: Int = 5, maxOrder: Int = 5,
                      maxRounds: Int = 10): Fit = {
+    // D first (seasonal-strength ratio on the raw series), then the ADF
+    // repeat-after-diff loop runs on the seasonally-differenced series —
+    // Hyndman-Khandakar's ordering, so the unit-root test never sees the
+    // seasonal cycle it would mistake for a regular unit root.
+    val seasonal = m > 1 && y.length >= 2 * m + 4
+    val sD = if (seasonal && stddev(diff1(y, m)) < 0.9 * stddev(y)) 1 else 0
     var d = 0
-    var w = y
+    var w = if (sD == 1) diff1(y, m) else y
     while (d < 2 && w.length >= 10 && !graft.stats.StatTests.adf(w).stationary) {
       w = diff1(w, 1); d += 1
     }
-    val seasonal = m > 1 && y.length >= 2 * m + 4
-    val sD = if (seasonal && stddev(diff1(y, m)) < 0.9 * stddev(y)) 1 else 0
     val seeds =
       if (seasonal) Seq(
         Spec(2, d, 2, 1, sD, 1, m), Spec(0, d, 0, 0, sD, 0, m),
         Spec(1, d, 0, 1, sD, 0, m), Spec(0, d, 1, 0, sD, 1, m))
       else Seq(Spec(2, d, 2), Spec(0, d, 0), Spec(1, d, 0), Spec(0, d, 1))
 
+    // Note no minimum-order condition: the (0,d,0) random-walk/white-noise
+    // spec is a legitimate candidate (pmdarima always seeds it) — the CSS
+    // fitter handles it as an intercept-only regression, and on a series
+    // that is pure noise after differencing it SHOULD win.
     def feasible(s: Spec): Boolean =
       s.p >= 0 && s.q >= 0 && s.sP >= 0 && s.sQ >= 0 &&
       s.p <= maxP && s.q <= maxQ && s.sP <= 2 && s.sQ <= 2 &&
-      s.p + s.q + s.sP + s.sQ > 0 &&
       s.p + s.q + s.sP + s.sQ <= maxOrder &&
       y.length - d - sD * m > s.nParams +
         (s.arLags ++ s.maLags).foldLeft(0)(math.max) + 2

@@ -146,7 +146,13 @@ class ModelsSpec extends SparkTestBase {
   test("stepwise search converges, matches grid's cell quality on AR(1)") {
     var s = 11L
     def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
-    val y = Array.iterate(5.0, 150)(v => 0.6 * v + 2.0).map(_ + rnd())
+    // genuine AR(1): noise INSIDE the recursion (an earlier fixture added
+    // noise after iterating to the fixed point, i.e. white noise around 5,
+    // on which the parsimony-correct stepwise answer is (0,0,0) and the
+    // AIC-min grid legitimately overfits past the tolerance)
+    val n = 150
+    val y = new Array[Double](n); y(0) = 5.0
+    for (i <- 1 until n) y(i) = 2.0 + 0.6 * y(i - 1) + rnd()
     val sw = ArimaCss.stepwiseSearch(spark, y)
     assert(!sw.aic.isNaN && !sw.aic.isInfinite)
     // the hill-climb must not land on a worse cell than the full grid's
@@ -156,6 +162,20 @@ class ModelsSpec extends SparkTestBase {
     assert(sw.aic <= grid.aic + 2.0, s"stepwise aic ${sw.aic} vs grid ${grid.aic}")
     val fc = ArimaCss.forecast(y, sw, 5)
     assert(fc.length == 5 && fc.forall(v => !v.isNaN))
+  }
+
+  test("stepwise search can select the (0,d,0) naive spec on pure noise") {
+    // pmdarima always seeds (0,d,0); on white noise no AR/MA term earns
+    // its AICc penalty, so the search must be ALLOWED to return it (the
+    // zero-order spec fits as an intercept-only regression)
+    var s = 23L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val wn = Array.fill(200)(rnd())
+    val sw = ArimaCss.stepwiseSearch(spark, wn)
+    assert(sw.spec.p == 0 && sw.spec.q == 0,
+      s"white noise should select (0,d,0), got ${sw.spec}")
+    val fc = ArimaCss.forecast(wn, sw, 3)
+    assert(fc.forall(v => math.abs(v) < 0.5), s"noise forecast should be ~mean 0: ${fc.toSeq}")
   }
 
   test("stepwise search picks up a strong seasonal pattern (m=12)") {
