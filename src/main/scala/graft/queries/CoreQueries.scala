@@ -158,11 +158,14 @@ object CoreQueries {
     // the grouping keys (region, month) are functionally dependent on the
     // order row, so revenue can be partial-summed per orderkey first.
     // This shrinks the join's probe side from |lineitem| rows to
-    // |orderkeys| (and to 3 columns), and the partial agg's hash
-    // partitioning on l_orderkey is REUSED by the join — one exchange
-    // serves both. At 100 TB this is the difference between shuffling
-    // the fact table wide and shuffling a third of it. Measured at
-    // sf0.1: 1.20s -> 0.81s.
+    // |orderkeys| (and to 3 columns). In the shuffle-join regime (orders
+    // too big to broadcast — the 100 TB case) the partial agg's hash
+    // partitioning on l_orderkey is REUSED by the join, so one exchange
+    // serves both; at test scale orders is broadcast instead and the agg
+    // exchange stands alone (PlanAuditSpec's <=2-exchange budget covers
+    // the broadcast regime). At 100 TB this is the difference between
+    // shuffling the fact table wide and shuffling a third of it.
+    // Measured at sf0.1: 1.20s -> 0.81s.
     // partial sums accumulate in decimal(18,2) after the SAME per-row
     // round moneySum applies, so two-level summation is exact and
     // order-independent (bit-identical to the one-level oracle)

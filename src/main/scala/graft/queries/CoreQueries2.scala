@@ -359,6 +359,19 @@ object CoreQueries2 {
 
   // ---- S1: CSV scan with datetime parsing ------------------------------------------------------
 
+  /** Path for a once-per-source materialized sink, keyed on the source
+    * parquet's (mtime, length) fingerprint — a source regenerated in
+    * place under the same directory name, or two sf dirs sharing a
+    * basename, can never alias to a stale sink (they fingerprint to
+    * different paths and trigger a fresh write). The one-time write is
+    * paid by whichever pass arrives first; Bench's rotated min-of-3
+    * keeps it out of the recorded timing. */
+  private def sinkPath(kind: String, d: String, srcTable: String): String = {
+    val f = new java.io.File(d, s"$srcTable.parquet")
+    val fp = java.lang.Long.toHexString(f.lastModified() ^ (f.length() * 1000003L))
+    s"target/$kind/${new java.io.File(d).getName}-$fp"
+  }
+
   /** Round-trips orders through a pipe-separated CSV (written under
     * target/) and reads it back via the S1 loader (header, custom sep,
     * dedupe, datetime parse) — the oracle is the original parquet table. */
@@ -366,9 +379,9 @@ object CoreQueries2 {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus"))
       .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-    val path = s"target/csv_scan/${new java.io.File(d).getName}"
-    // the CSV copy of the (immutable, read-only) testdata is materialized
-    // once per sf dir — the operator under test is the SCAN + datetime
+    val path = sinkPath("csv_scan", d, "orders")
+    // the CSV copy of the testdata is materialized once per source
+    // fingerprint — the operator under test is the SCAN + datetime
     // parse, not the export
     if (!new java.io.File(s"$path/_SUCCESS").isFile)
       o.coalesce(4).write.mode("overwrite")
@@ -391,7 +404,7 @@ object CoreQueries2 {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus"))
       .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-    val path = s"target/json_scan/${new java.io.File(d).getName}"
+    val path = sinkPath("json_scan", d, "orders")
     if (!new java.io.File(s"$path/_SUCCESS").isFile)
       o.coalesce(4).write.mode("overwrite").json(path)
     s.read.schema("o_orderkey BIGINT, o_orderdate STRING, o_totalprice DOUBLE, o_orderstatus STRING")
@@ -413,7 +426,7 @@ object CoreQueries2 {
     * (`PartitionFilters`, asserted in PlanAuditSpec), so only the
     * `purchase` directory is listed and scanned. */
   private def s3PartScan: Q = (s, d) => {
-    val path = s"target/part_sink/${new java.io.File(d).getName}"
+    val path = sinkPath("part_sink", d, "events")
     if (!new java.io.File(s"$path/_SUCCESS").isFile)
       graft.sources.PartitionedSink.write(Tables.events(s, d), "event_type", path)
     graft.sources.PartitionedSink.read(s, path)

@@ -56,6 +56,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(SparkEntry.queries("j1_star")(spark, SF)) <= 2)
   }
 
+  test("j1_star shuffle regime: agg exchange is reused by the orders join") {
+    // the 100 TB case — orders too big to broadcast. Force the shuffle
+    // join and assert the reuse claim directly: lineitem is hashed once
+    // on l_orderkey (serving partial agg AND join), orders hashed once,
+    // final tiny agg exchange — 3 total, none between the partial agg
+    // and the join.
+    withAqeOff {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = SparkEntry.queries("j1_star")(spark, SF)
+          .queryExecution.executedPlan
+        val n = plan.collect { case e: ShuffleExchangeLike => e }.size
+        assert(n <= 3, s"shuffle-regime exchange count grew: $n")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("ngramJaccard stays within its contracted shuffle budget") {
     // set aggregation (1) + pairing join sides (<=2, one may be reused)
     // + pair aggregate (1)
