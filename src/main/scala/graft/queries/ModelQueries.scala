@@ -76,16 +76,23 @@ object ModelQueries {
       .toDF("p", "d", "q", "sp", "sd", "sq", "aic")
   }
 
-  /** M7 — multi-label wrapper (`ml_models.py:293-335`): one GBT forecast
-    * per target column, results unioned with a target discriminator. */
+  /** M7 — multi-label wrapper with randomized hyperparameter search
+    * (`ml_models.py:293-335`, RandomizedSearchCV): per target, sample
+    * (maxDepth, maxIter, stepSize) triples, score by expanding-window CV,
+    * forecast with the per-target winner. nIter scaled to the bounded
+    * monthly fixture (the API default is the reference's 15). The chosen
+    * params ride along as columns so the rows-only check sees them. */
   private def m7Multilabel: Q = (s, d) => {
     val base = monthlySeries(s, d)
     Seq("price", "n_orders").map { t =>
-      val m = new graft.models.GbtModel()
-      m.fit(base, graft.models.TsSchema("ts", t), 1, 8)
+      val (m, p, _) = graft.models.GbtModel.fitSearched(
+        base, graft.models.TsSchema("ts", t), cv = 2, h = 8, nIter = 6)
       m.predict(s, 8)
         .select(lit(t).as("target"), tsStr(col("ts")).as("ts"),
-                dround(col("yhat"), 4).as("yhat"))
+                dround(col("yhat"), 4).as("yhat"),
+                lit(p.maxDepth.toLong).as("best_depth"),
+                lit(p.maxIter.toLong).as("best_iter"),
+                lit(p.stepSize).as("best_step"))
     }.reduce(_ unionByName _)
   }
 
