@@ -36,11 +36,23 @@ object DatetimeFormatInfer {
     // 24-hour slash/dash datetimes
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
     "dd-MM-yyyy HH:mm:ss", "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm",
+    // double-space variants (`'%d/%m/%Y  %I:%M:%S %p'` family,
+    // `utils/etl.py:378`)
+    "dd/MM/yyyy  hh:mm:ss a", "dd/MM/yyyy  HH:mm", "MM/dd/yyyy  HH:mm",
+    // two-digit-year datetimes (`'%m/%d/%y %H:%M:%S'`/`'%m-%d-%y %I:%M %p'`
+    // families)
+    "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "MM/dd/yy HH:mm", "dd/MM/yy HH:mm",
+    "MM/dd/yy hh:mm:ss a", "dd/MM/yy hh:mm:ss a", "MM/dd/yy hh:mm a",
+    "MM-dd-yy hh:mm:ss a", "MM-dd-yy hh:mm a",
     // dates
     "yyyy-MM-dd", "yyyy/MM/dd", "yyyyMMdd",
     "MM/dd/yyyy", "MM-dd-yyyy", "dd/MM/yyyy", "dd-MM-yyyy",
     "dd-MMM-yyyy", "dd/MMM/yyyy", "MMM/dd/yyyy", "MMM-dd-yyyy",
     "yyyy-MMM-dd", "yyyy-MMMM-dd",
+    // compact month-name dates (`'%d%b%Y'`/`'%b%d%Y'`/`'%B%Y'`:
+    // 19Jan1990, Jan191990, January1990 — case-sensitive month names,
+    // same as java.time/Spark parsing)
+    "ddMMMyyyy", "MMMddyyyy", "MMMMyyyy",
     "MM/dd/yy", "dd/MM/yy", "dd-MM-yy", "MM-dd-yy", "dd-MMM-yy",
     // NOTE: the reference's '%a, %d %b %Y' (weekday-prefixed) family is
     // NOT included: Spark 4 forbids 'E' in PARSING patterns, so a format

@@ -346,16 +346,37 @@ object CoreQueries2 {
 
   // ---- S1/i2: datetime format inference round-trip -------------------------------------------
 
+  /** Multi-format round trip: the same timestamp rendered in four
+    * distinct string vocabularies (24h slash, 12h AM/PM month-name,
+    * ISO-T, compact `%d%b%Y`), each independently run through format
+    * INFERENCE + parse — every leg must land back on the original value
+    * (day-truncated for the date-only leg). Two-digit-year formats are
+    * inference-covered in InferSpec but excluded here: the `yy` pivot
+    * cannot round-trip 1990s data. */
   private def i2DatetimeParse: Q = (s, d) => {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"),
-              date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("sdt"))
-    DatetimeFormatInfer.parseTimestamp(o, "sdt", "parsed")
-      .select(col("o_orderkey"), tsStr(col("parsed")).as("parsed_ts"))
+              date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("s1"),
+              date_format(col("o_orderdate"), "dd-MMM-yyyy hh:mm:ss a").as("s2"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("s3"),
+              date_format(col("o_orderdate"), "ddMMMyyyy").as("s4"))
+    val parsed = Seq("s1", "s2", "s3", "s4").foldLeft(o) { (df, c) =>
+      DatetimeFormatInfer.parseTimestamp(df, c, s"p_$c")
+    }
+    parsed.select(col("o_orderkey"),
+      tsStr(col("p_s1")).as("parsed_24h"),
+      tsStr(col("p_s2")).as("parsed_ampm"),
+      tsStr(col("p_s3")).as("parsed_iso"),
+      tsStr(col("p_s4")).as("parsed_compact"))
   }
 
   private val i2Sql =
-    s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS parsed_ts FROM orders""".stripMargin
+    s"""SELECT o_orderkey,
+       | ${tsStrSql("o_orderdate")} AS parsed_24h,
+       | ${tsStrSql("o_orderdate")} AS parsed_ampm,
+       | ${tsStrSql("o_orderdate")} AS parsed_iso,
+       | ${tsStrSql("date_trunc('day', o_orderdate)")} AS parsed_compact
+       |FROM orders""".stripMargin
 
   // ---- S1: CSV scan with datetime parsing ------------------------------------------------------
 

@@ -101,6 +101,20 @@ class CoreOpsSpec extends SparkTestBase {
       .contains("MM/dd/yyyy hh:mm:ss a"))
     assert(DatetimeFormatInfer.infer(Seq("2024-01-15T10:30:00Z").toDF("s"), "s")
       .contains("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    // round-7 widening: compact month-name dates ('%d%b%Y'/'%b%d%Y'/'%B%Y'),
+    // two-digit-year datetimes, double-space variants
+    assert(DatetimeFormatInfer.infer(Seq("19Jan1990", "03Feb1991").toDF("s"), "s")
+      .contains("ddMMMyyyy"))
+    assert(DatetimeFormatInfer.infer(Seq("Jan191990").toDF("s"), "s")
+      .contains("MMMddyyyy"))
+    assert(DatetimeFormatInfer.infer(Seq("January1990").toDF("s"), "s")
+      .contains("MMMMyyyy"))
+    assert(DatetimeFormatInfer.infer(Seq("03/15/24 10:30:00").toDF("s"), "s")
+      .contains("MM/dd/yy HH:mm:ss"))
+    assert(DatetimeFormatInfer.infer(Seq("03-15-24 10:30 PM").toDF("s"), "s")
+      .contains("MM-dd-yy hh:mm a"))
+    assert(DatetimeFormatInfer.infer(Seq("15/03/2024  10:30:00 PM").toDF("s"), "s")
+      .contains("dd/MM/yyyy  hh:mm:ss a"))
     // every candidate must be PARSEABLE by Spark's to_timestamp (Spark 4
     // forbids E/F/q/Q in parse patterns) — probe each against a literal
     DatetimeFormatInfer.candidates.foreach { fmt =>
