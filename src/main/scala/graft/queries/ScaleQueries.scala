@@ -106,6 +106,29 @@ object ScaleQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id",
       nCells = 8, nProbe = 8)
 
+  /** A10 row-transpose form: top-k rows most Pearson-correlated to row 7
+    * (the reference's `top_correlation_to_name`, rows-as-series). */
+  private def a10RowCorr: Q = (s, d) =>
+    Similarity.rowCorrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      targetId = 7L, k = 10)
+
+  private val a10RowCorrSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT e AS qe FROM v WHERE vec_id = 7),
+      |s AS (
+      |  SELECT v.vec_id AS rid,
+      |    CAST(len(v.e) AS DOUBLE) AS n,
+      |    list_sum(v.e) AS sx,
+      |    list_dot_product(v.e, v.e) AS sxx,
+      |    list_dot_product(v.e, q.qe) AS sxy,
+      |    list_sum(q.qe) AS sy,
+      |    list_dot_product(q.qe, q.qe) AS syy
+      |  FROM v CROSS JOIN q),
+      |p AS (SELECT rid,
+      |  floor((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) * 1000000.0 + 0.5)/1000000.0 AS pearson
+      |  FROM s)
+      |SELECT rid, pearson FROM p ORDER BY pearson DESC, rid LIMIT 10""".stripMargin
+
   // ---- text analysis -------------------------------------------------------
 
   private def x1TextStats: Q = (s, d) =>
@@ -382,6 +405,7 @@ object ScaleQueries {
     "d3_minhash_lsh"   -> d3MinHashLsh,
     "d4_simhash"       -> d4SimHash,
     "d5_cosine_neardup"-> d5Cosine,
+    "a10_rowcorr"      -> a10RowCorr,
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
     "s3_ann_ivf"       -> s3AnnIvf,
@@ -408,6 +432,7 @@ object ScaleQueries {
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d5_cosine_neardup"-> d5Sql,
+    "a10_rowcorr"      -> a10RowCorrSql,
     "s1_ann_topk"      -> s1Sql,
     "s4_ann_ivf_full"  -> s1Sql,
     "x1_text_stats"    -> x1Sql,

@@ -30,6 +30,40 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
   }
 
+  /** A10 (row-transpose form) — top-k rows most Pearson-correlated to one
+    * selected row (`utils/eda.py:124-191` `top_correlation_to_name`: rows
+    * are entities — stocks/funds/products — columns are time periods; the
+    * reference transposes and runs `.T.corr()` against the selected row).
+    *
+    * Spark-native: the row-major layout is (id, array<double>); the ONE
+    * selected row is collected (bounded by contract) and enters every
+    * comparison as a literal, so the corpus is never shuffled — Pearson
+    * closes over sums computed with codegen'd higher-order array
+    * functions, and top-k is a TakeOrdered. The reference keeps the
+    * selected row itself at rank 1 (corr 1.0); so do we. */
+  def rowCorrTopK(df: DataFrame, idCol: String, vecCol: String,
+                  targetId: Long, k: Int): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("rid"),
+                      col(vecCol).cast("array<double>").as("v"))
+    val target = v.filter(col("rid") === targetId).select(col("v")).head().getSeq[Double](0)
+    val q = lit(target.toArray)
+    val n = col("nn")
+    val scored = v
+      .withColumn("nn", size(col("v")).cast("double"))
+      .withColumn("sx", aggregate(col("v"), lit(0.0), (a, x) => a + x))
+      .withColumn("sxx", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+      .withColumn("sxy", aggregate(zip_with(col("v"), q, (x, y) => x * y),
+                                   lit(0.0), (a, x) => a + x))
+      .withColumn("sy", aggregate(q, lit(0.0), (a, x) => a + x))
+      .withColumn("syy", aggregate(q, lit(0.0), (a, x) => a + x * x))
+      .withColumn("pearson",
+        floor((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+           sqrt(n * col("syy") - col("sy") * col("sy"))) * 1e6 + 0.5) / 1e6)
+    scored.orderBy(col("pearson").desc, col("rid")).limit(k)
+      .select(col("rid"), col("pearson"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (xorshift), `nPlanes` x dim. */
   private[scale] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     var s = 0x853C49E6748FEA9BL
