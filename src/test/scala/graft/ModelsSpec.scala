@@ -164,6 +164,68 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.length == 5 && fc.forall(v => !v.isNaN))
   }
 
+  test("univariate end-to-end: VAR self-rejects, leaderboard bounded (ts_2 shape)") {
+    // the reference's univariate fixture (test_auto_ts.py:1007, ts_2.csv:
+    // 486 monthly rows, DATE + UMCSENT) re-created synthetically: level
+    // ~80, annual cycle, AR(1) disturbance — same shape, our own values
+    val n = 486
+    var s = 77L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val y = new Array[Double](n)
+    y(0) = 80.0
+    for (t <- 1 until n)
+      y(t) = 80.0 + 8.0 * math.sin(2 * math.Pi * t / 12.0) +
+        0.6 * (y(t - 1) - 80.0 - 8.0 * math.sin(2 * math.Pi * (t - 1) / 12.0)) + 2.0 * rnd()
+    val dir = new java.io.File("target/ts2_fixture"); dir.mkdirs()
+    val f = new java.io.File(dir, "ts2.csv")
+    val pw = new java.io.PrintWriter(f)
+    pw.println("DATE,UMCSENT")
+    for (t <- 0 until n)
+      pw.println(f"${1978 + t / 12}%d-${t % 12 + 1}%02d-01,${y(t)}%.2f")
+    pw.close()
+
+    val ats = new AutoTimeseries(cv = 1, forecastPeriod = 8)
+      .fit(spark, f.getPath, "DATE", "UMCSENT", ",")
+    val lb = ats.leaderboard(spark).collect()
+    // VAR self-rejects on no-exog data (reference: "No VAR model created
+    // since no explanatory variables given", univar VAR build is None,
+    // test_var.py:276)
+    assert(!lb.map(_.getString(0)).contains("VAR"), lb.map(_.getString(0)).mkString(","))
+    assert(lb.nonEmpty && lb.map(_.getString(0)).toSet.subsetOf(Set("ML", "Prophet", "auto_SARIMAX")))
+    // leaderboard ascending by rmse, and the winner beats a 2x-noise bound
+    val rmses = lb.map(_.getDouble(1))
+    assert(rmses.sameElements(rmses.sorted))
+    assert(rmses.head < 5.0, s"best univariate rmse ${rmses.head}")
+    // predict with the rejected VAR name raises (reference returns None;
+    // raising is our documented deviation - the caller named a model that
+    // was never built)
+    intercept[IllegalArgumentException] { ats.predict(spark, 8, model = "VAR") }
+    // best-model forecast is finite and the right length
+    val fc = ats.predict(spark, 8).collect()
+    assert(fc.length == 8 && fc.forall(r => !r.getDouble(1).isNaN))
+  }
+
+  test("GBT hyperparameter search scores no worse than the fixed defaults") {
+    import spark.implicits._
+    // seasonal sawtooth + trend: depth/iterations matter, so the search
+    // has a real gradient to follow
+    val rows = (0 until 72).map { t =>
+      val ts = java.sql.Timestamp.valueOf(f"20${20 + t / 12}%d-${t % 12 + 1}%02d-01 00:00:00")
+      (ts, 100.0 + 2.0 * t + 15.0 * (t % 12) + math.sin(t * 1.7) * 3.0)
+    }
+    val df = rows.toDF("ts", "y")
+    val schema = graft.models.TsSchema("ts", "y")
+    val fixed = new graft.models.GbtModel()
+    val fixedScores = fixed.fit(df, schema, 2, 6)
+    val (_, bestP, searchedRmse) =
+      graft.models.GbtModel.fitSearched(df, schema, cv = 2, h = 6, nIter = 8)
+    val fixedRmse = fixedScores.foldRmse.sum / fixedScores.foldRmse.length
+    // the incumbent default is always candidate zero of the search, and
+    // folds/frame/seed are identical — so searched can only tie or win
+    assert(searchedRmse <= fixedRmse + 1e-9,
+      s"searched=$searchedRmse fixed=$fixedRmse params=$bestP")
+  }
+
   test("stepwise search can select the (0,d,0) naive spec on pure noise") {
     // pmdarima always seeds (0,d,0); on white noise no AR/MA term earns
     // its AICc penalty, so the search must be ALLOWED to return it (the
