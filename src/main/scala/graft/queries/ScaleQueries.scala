@@ -69,6 +69,34 @@ object ScaleQueries {
        |SELECT id_a, id_b, ${droundSql("cosine", 6)} AS cosine
        |FROM p WHERE cosine >= 0.4""".stripMargin
 
+  /** Near-dup clusters: components over the exact n-gram Jaccard pairs —
+    * the full pair-generator → cluster pipeline, hash-checked against a
+    * DuckDB recursive-CTE reachability closure. */
+  private def d8Components: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", 3, 0.5)
+    Dedup.components(pairs, "id_a", "id_b")
+  }
+
+  private val d8Sql =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s)
+       |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+
   // ---- similarity search -------------------------------------------------
 
   private val annQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
@@ -406,6 +434,7 @@ object ScaleQueries {
     "d4_simhash"       -> d4SimHash,
     "d5_cosine_neardup"-> d5Cosine,
     "a10_rowcorr"      -> a10RowCorr,
+    "d8_components"    -> d8Components,
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
     "s3_ann_ivf"       -> s3AnnIvf,
@@ -433,6 +462,7 @@ object ScaleQueries {
     "d2_ngram_jaccard" -> d2Sql,
     "d5_cosine_neardup"-> d5Sql,
     "a10_rowcorr"      -> a10RowCorrSql,
+    "d8_components"    -> d8Sql,
     "s1_ann_topk"      -> s1Sql,
     "s4_ann_ivf_full"  -> s1Sql,
     "x1_text_stats"    -> x1Sql,

@@ -262,6 +262,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS from a pair list — the production step after any
+    * pair generator ([[ngramJaccard]], [[minHashLsh]], [[simHashPairs]]):
+    * connected components by iterative min-label propagation, so "keep
+    * one doc per duplicate cluster" becomes a groupBy(component).
+    *
+    * Each round is one shuffle (labels joined to the edge list, min-agg);
+    * labels only DECREASE, so the fixpoint check is a cheap monotone
+    * aggregate compare, and the loop stops after the graph diameter many
+    * rounds (near-dup clusters are near-cliques — diameter is small; the
+    * `maxIter` cap guards pathological chains). Output: (id, component)
+    * for every id that appears in a pair; component = min id reachable.
+    * Deterministic. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
+    val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+      .distinct().cache()
+    // label(v) starts at min(v, min neighbor).
+    // Each round's result is localCheckpoint'ed: `next` references
+    // `labels` TWICE (union + join), so without truncation the logical
+    // plan doubles per round — exponential analyzer/explain cost long
+    // before any execution problem. Checkpointing makes every round's
+    // plan a fresh leaf (production note: on a cluster prefer
+    // `checkpoint()` with a checkpoint dir for executor-loss resilience).
+    var labels = edges.groupBy(col("s")).agg(min(col("t")).as("mn"))
+      .select(col("s"), least(col("s"), col("mn")).as("label"))
+      .localCheckpoint(true)
+    var labelSum = labels.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // new label(v) = min(label(v), min over neighbors label(n))
+      val viaNeighbor = edges.as("e")
+        .join(labels.as("l"), col("e.t") === col("l.s"))
+        .select(col("e.s").as("s"), col("l.label").as("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("s")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(labelSum) == 0 // labels shrink monotonically
+      labelSum = nextSum
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("s").as("id"), col("label").as("component"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold.
     *
     * ==EXACT ORACLE TWIN, NOT A PRODUCTION PATH==: the self-join is an

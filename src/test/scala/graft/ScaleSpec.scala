@@ -173,6 +173,20 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("components: chain graph converges to one cluster, islands stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-...-10 (diameter 9 forces multiple propagation rounds)
+    // plus island {20,21} and a self-contained triangle {30,31,32}
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(comp(_) == 1L), s"chain: $comp")
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(Seq(30L, 31L, 32L).forall(comp(_) == 30L))
+    assert(comp.size == 15)
+  }
+
   test("cosineNearDup refuses inputs above its all-pairs row cap") {
     import spark.implicits._
     val vecs = (0 until 50).map(i => (i.toLong, Array(i.toDouble, 1.0)))
