@@ -68,6 +68,12 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     .setLabelCol(schema.target).setFeaturesCol("features")
     .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize).setSeed(42)
 
+  /** BOUNDED-SERIES CONTRACT (same warning as
+    * `TimeSeriesOps.seriesWindow`): the unpartitioned `Window.partitionBy()`
+    * below funnels the whole frame through ONE task — correct only because
+    * fit() is the single-series path, bounded by series length (SURVEY §4).
+    * For many series at scale use `scale.PerSeriesForecast` /
+    * `scale.PerSeriesArima`, which run one bounded task per series. */
   def fit(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int): CvScores = {
     schema = tsSchema
     val sup = assemble(supervised(df)).cache()

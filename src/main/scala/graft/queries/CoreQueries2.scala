@@ -346,14 +346,26 @@ object CoreQueries2 {
 
   // ---- S1/i2: datetime format inference round-trip -------------------------------------------
 
-  /** Multi-format round trip: the same timestamp rendered in four
+  private def i2DatetimeParse: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+              date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("sdt"))
+    DatetimeFormatInfer.parseTimestamp(o, "sdt", "parsed")
+      .select(col("o_orderkey"), tsStr(col("parsed")).as("parsed_ts"))
+  }
+
+  private val i2Sql =
+    s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS parsed_ts FROM orders""".stripMargin
+
+  /** Multi-format round trip (separate from i2 so that query keeps its
+    * recorded single-format cost): the same timestamp rendered in four
     * distinct string vocabularies (24h slash, 12h AM/PM month-name,
     * ISO-T, compact `%d%b%Y`), each independently run through format
     * INFERENCE + parse — every leg must land back on the original value
     * (day-truncated for the date-only leg). Two-digit-year formats are
-    * inference-covered in InferSpec but excluded here: the `yy` pivot
+    * inference-covered in CoreOpsSpec but excluded here: the `yy` pivot
     * cannot round-trip 1990s data. */
-  private def i2DatetimeParse: Q = (s, d) => {
+  private def i3DatetimeMulti: Q = (s, d) => {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"),
               date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("s1"),
@@ -370,7 +382,7 @@ object CoreQueries2 {
       tsStr(col("p_s4")).as("parsed_compact"))
   }
 
-  private val i2Sql =
+  private val i3Sql =
     s"""SELECT o_orderkey,
        | ${tsStrSql("o_orderdate")} AS parsed_24h,
        | ${tsStrSql("o_orderdate")} AS parsed_ampm,
@@ -496,6 +508,7 @@ object CoreQueries2 {
     "e3_pipeline"    -> e3Pipeline,
     "e4_scalers"     -> e4Scalers,
     "i2_datetime_parse" -> i2DatetimeParse,
+    "i3_datetime_multi" -> i3DatetimeMulti,
     "s1_csv_scan"    -> s1CsvScan,
     "s2_json_scan"   -> s2JsonScan,
     "s3_part_scan"   -> s3PartScan,
@@ -520,6 +533,7 @@ object CoreQueries2 {
     "e3_pipeline"    -> e3Sql,
     "e4_scalers"     -> e4Sql,
     "i2_datetime_parse" -> i2Sql,
+    "i3_datetime_multi" -> i3Sql,
     "s1_csv_scan"    -> s1Sql,
     "s2_json_scan"   -> s2JsonSql,
     "s3_part_scan"   -> s3PartSql,
