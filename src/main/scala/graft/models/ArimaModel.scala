@@ -11,23 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * statsmodels ARIMA per cell with min AIC/BIC and a 100-fit cap
   * (`models/ar_based/build_arima.py:37-186`), then a second seasonal
   * stage picks (P,D,Q,m) (`param_finder.py:18-143`). Here the objective
-  * is the CSS innovations recursion over SUBSET lag sets — seasonal AR/MA
-  * terms enter additively at lags {m..Pm} (the standard subset-ARIMA
-  * approximation of the multiplicative polynomial; exact when cross terms
-  * are small) — minimized with L-BFGS (Breeze). Each grid stage runs as a
+  * is the CSS innovations recursion over the EXACT multiplicative
+  * seasonal polynomial — (1−Σφ_i B^i)(1−ΣΦ_I B^(Im)) expanded to regular,
+  * seasonal and cross lags, the cross coefficients CONSTRAINED to the
+  * products φ_i·Φ_I of the p+P (resp. q+Q) free parameters, the same
+  * parameterization statsmodels SARIMAX estimates (CSS rather than
+  * state-space likelihood) — minimized with L-BFGS (Breeze). Each grid stage runs as a
   * Spark job over the broadcast series, one task per cell (SURVEY §4:
   * the parallel-estimator scheduler), which is how the search scales on a
   * cluster. */
 object ArimaCss {
 
-  /** Order spec; arLags/maLags are the concrete subset lags. */
+  /** Order spec. arLags/maLags are the lags of the EXPANDED multiplicative
+    * polynomial (1−Σφᵢᵢ)(1−ΣΦᵢᵐ): regular lags 1..p, seasonal lags m..Pm,
+    * and the cross lags i+Im contributed by the product — coefficients at
+    * those lags are CONSTRAINED functions of the p+P free parameters
+    * (fitted by [[fitOne]]'s multiplicative path), not free subset
+    * coefficients. nParams counts the FREE parameters. */
   case class Spec(p: Int, d: Int, q: Int, sP: Int = 0, sD: Int = 0, sQ: Int = 0, m: Int = 1) {
-    // distinct: for small m the seasonal lags overlap the regular ones —
-    // a duplicate lag would give two free coefficients on one regressor
-    // (non-identifiable CSS objective)
-    def arLags: Array[Int] = ((1 to p) ++ (1 to sP).map(_ * m)).distinct.toArray
-    def maLags: Array[Int] = ((1 to q) ++ (1 to sQ).map(_ * m)).distinct.toArray
-    def nParams: Int = arLags.length + maLags.length + 1
+    def arLags: Array[Int] =
+      ((1 to p) ++ (1 to sP).map(_ * m) ++
+        (for (i <- 1 to p; j <- 1 to sP) yield i + j * m)).distinct.sorted.toArray
+    def maLags: Array[Int] =
+      ((1 to q) ++ (1 to sQ).map(_ * m) ++
+        (for (i <- 1 to q; j <- 1 to sQ) yield i + j * m)).distinct.sorted.toArray
+    def nParams: Int = p + sP + q + sQ + 1
     override def toString = s"ARIMA($p,$d,$q)($sP,$sD,$sQ)[$m]"
   }
 
@@ -104,12 +112,88 @@ object ArimaCss {
     Fit(spec, phi, Array.empty, c, sigma2, aic, ne)
   }
 
-  /** Fit one cell: exact CLS for pure-AR cells, CSS/L-BFGS otherwise. */
+  /** Coefficients of the expanded multiplicative polynomial, aligned to
+    * `lags` (the spec's expanded lag list): regular coefficient at lag i,
+    * seasonal at Im, crossSign·(reg·seas) at i+Im, summed where lags
+    * collide (small m). crossSign = −1 for AR ((1−φ)(1−Φ) cross term is
+    * +φΦ on the polynomial ⇒ −φΦ on the recursion side), +1 for MA. */
+  private def expandAligned(lags: Array[Int], reg: Array[Double],
+                            seas: Array[Double], m: Int,
+                            crossSign: Double): Array[Double] = {
+    val acc = scala.collection.mutable.HashMap.empty[Int, Double]
+    for (i <- reg.indices)
+      acc(i + 1) = acc.getOrElse(i + 1, 0.0) + reg(i)
+    for (j <- seas.indices)
+      acc((j + 1) * m) = acc.getOrElse((j + 1) * m, 0.0) + seas(j)
+    for (i <- reg.indices; j <- seas.indices) {
+      val l = i + 1 + (j + 1) * m
+      acc(l) = acc.getOrElse(l, 0.0) + crossSign * reg(i) * seas(j)
+    }
+    lags.map(l => acc.getOrElse(l, 0.0))
+  }
+
+  private def invertibilityGate(maLags: Array[Int], theta: Array[Double], spec: Spec): Unit =
+    if (maLags.nonEmpty) {
+      val deg = maLags.max
+      val maCoeffs = new Array[Double](deg)
+      var j = 0
+      while (j < maLags.length) { maCoeffs(maLags(j) - 1) = -theta(j); j += 1 }
+      if (!graft.stats.StatTests.rootsOutsideUnitCircle(maCoeffs))
+        throw new IllegalStateException(s"non-invertible MA fit rejected for $spec")
+    }
+
+  /** Seasonal cells: CSS over the exact multiplicative polynomial. The
+    * free parameters are (c, φ_1..p, Φ_1..P, θ_1..q, Θ_1..Q); the
+    * recursion sees the EXPANDED coefficient vectors, so cross-lag
+    * coefficients are constrained products, exactly as in statsmodels'
+    * SARIMAX parameterization. Bilinear in the parameters (φ·Φ cross
+    * terms), hence L-BFGS even for pure-AR seasonal cells. The returned
+    * Fit carries the expanded coefficients aligned to spec.arLags/maLags,
+    * so [[cssResiduals]] and [[forecast]] consume it unchanged. */
+  private def fitMultiplicative(w: Array[Double], spec: Spec): Fit = {
+    val p = spec.p; val sP = spec.sP; val q = spec.q; val sQ = spec.sQ; val m = spec.m
+    val arLags = spec.arLags; val maLags = spec.maLags
+    val n = w.length
+    def split(x: DenseVector[Double]) = (
+      x(0),
+      Array.tabulate(p)(i => x(1 + i)),
+      Array.tabulate(sP)(i => x(1 + p + i)),
+      Array.tabulate(q)(i => x(1 + p + sP + i)),
+      Array.tabulate(sQ)(i => x(1 + p + sP + q + i)))
+    def residuals(x: DenseVector[Double]): Array[Double] = {
+      val (c, phiR, phiS, thR, thS) = split(x)
+      cssResiduals(w, c,
+        arLags, expandAligned(arLags, phiR, phiS, m, -1.0),
+        maLags, expandAligned(maLags, thR, thS, m, +1.0))
+    }
+    val obj = new DiffFunction[DenseVector[Double]] {
+      private val inner = new ApproximateGradientFunction[Int, DenseVector[Double]](
+        (x: DenseVector[Double]) => { val e = residuals(x); 0.5 * e.map(v => v * v).sum })
+      def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = inner.calculate(x)
+    }
+    val init = DenseVector.zeros[Double](1 + p + sP + q + sQ)
+    init(0) = w.sum / n
+    val lbfgs = new LBFGS[DenseVector[Double]](maxIter = 200, m = 7)
+    val xOpt = lbfgs.minimize(obj, init)
+    val (c, phiR, phiS, thR, thS) = split(xOpt)
+    val phi = expandAligned(arLags, phiR, phiS, m, -1.0)
+    val theta = expandAligned(maLags, thR, thS, m, +1.0)
+    invertibilityGate(maLags, theta, spec)
+    val e = residuals(xOpt)
+    val ne = e.length
+    val sigma2 = e.map(v => v * v).sum / ne
+    val aic = ne * math.log(math.max(sigma2, 1e-300)) + 2.0 * (spec.nParams + 1)
+    Fit(spec, phi, theta, c, sigma2, aic, ne)
+  }
+
+  /** Fit one cell: exact CLS for pure-AR cells, CSS/L-BFGS otherwise;
+    * seasonal cells route through the multiplicative-polynomial path. */
   def fitOne(y: Array[Double], spec: Spec): Fit = {
     val w = ladder(y, spec)._2.last
     val n = w.length
     val maxLag = (spec.arLags ++ spec.maLags).foldLeft(0)(math.max)
     require(n > maxLag + spec.nParams + 2, s"series too short for $spec")
+    if (spec.m > 1 && (spec.sP > 0 || spec.sQ > 0)) return fitMultiplicative(w, spec)
     if (spec.maLags.isEmpty) return fitPureAr(w, spec)
     val arLags = spec.arLags; val maLags = spec.maLags
     val np = arLags.length; val nq = maLags.length
@@ -137,16 +221,8 @@ object ArimaCss {
     // noise an unconstrained (2,0,2) beats (0,0,0) by ~17 AIC with
     // |theta| > 1. statsmodels/pmdarima reject such fits; so do we: the
     // cell is discarded (parallelFit drops it) and the search keeps the
-    // invertible candidates. The MA polynomial is 1 + SUM theta_j z^lag_j
-    // over the subset lags.
-    if (maLags.nonEmpty) {
-      val deg = maLags.max
-      val maCoeffs = new Array[Double](deg)
-      var j = 0
-      while (j < maLags.length) { maCoeffs(maLags(j) - 1) = -theta(j); j += 1 }
-      if (!graft.stats.StatTests.rootsOutsideUnitCircle(maCoeffs))
-        throw new IllegalStateException(s"non-invertible MA fit rejected for $spec")
-    }
+    // invertible candidates.
+    invertibilityGate(maLags, theta, spec)
     val e = cssResiduals(w, c, arLags, phi, maLags, theta)
     val ne = e.length
     val sigma2 = e.map(v => v * v).sum / ne
@@ -238,6 +314,31 @@ object ArimaCss {
     scala.util.Try(fitOne(y, bestSpec)).getOrElse(
       gridSearch(spark, y, maxP, maxD, maxQ, budget))
   }
+
+  /** Lag-polynomial coefficient vector (index = lag − 1) from subset
+    * lags + their fitted coefficients. */
+  private def lagCoeffs(lags: Array[Int], v: Array[Double]): Array[Double] =
+    if (lags.isEmpty) Array.empty
+    else {
+      val out = new Array[Double](lags.max)
+      var i = 0
+      while (i < lags.length) { out(lags(i) - 1) = v(i); i += 1 }
+      out
+    }
+
+  /** Stationarity check on the fitted AR polynomial 1 − Σφᵢzⁱ — the
+    * `arroots` validation of `ts_model_validation` (`utils/val.py:163`):
+    * true iff every root lies outside the unit circle (vacuously true at
+    * order 0, matching the reference). */
+  def arRootsOk(f: Fit): Boolean =
+    graft.stats.StatTests.rootsOutsideUnitCircle(lagCoeffs(f.spec.arLags, f.phi))
+
+  /** Invertibility check on the fitted MA polynomial 1 + Σθⱼzʲ — the
+    * `maroots` validation (`utils/val.py:165`). Always true for fits from
+    * [[fitOne]], which rejects non-invertible MA solutions, but exposed
+    * so callers can re-validate models from any source. */
+  def maRootsOk(f: Fit): Boolean =
+    graft.stats.StatTests.rootsOutsideUnitCircle(lagCoeffs(f.spec.maLags, f.theta).map(-_))
 
   /** AICc — AIC with the small-sample correction (pmdarima's default
     * information criterion for stepwise selection). */

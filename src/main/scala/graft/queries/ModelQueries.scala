@@ -72,8 +72,10 @@ object ModelQueries {
     val f = graft.models.ArimaCss.stepwiseSearch(s, series, m = 12)
     Seq((f.spec.p.toLong, f.spec.d.toLong, f.spec.q.toLong,
          f.spec.sP.toLong, f.spec.sD.toLong, f.spec.sQ.toLong,
-         math.floor(f.aic * 1e4 + 0.5) / 1e4))
-      .toDF("p", "d", "q", "sp", "sd", "sq", "aic")
+         math.floor(f.aic * 1e4 + 0.5) / 1e4,
+         graft.models.ArimaCss.arRootsOk(f).toString,
+         graft.models.ArimaCss.maRootsOk(f).toString))
+      .toDF("p", "d", "q", "sp", "sd", "sq", "aic", "ar_roots_ok", "ma_roots_ok")
   }
 
   /** M7 — multi-label wrapper with randomized hyperparameter search

@@ -240,6 +240,32 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.forall(v => math.abs(v) < 0.5), s"noise forecast should be ~mean 0: ${fc.toSeq}")
   }
 
+  test("multiplicative seasonal AR: cross-lag coefficient is the constrained product") {
+    // simulate (1 - 0.5B)(1 - 0.6B^12) y = e  =>
+    //   y_t = 0.5 y_{t-1} + 0.6 y_{t-12} - 0.3 y_{t-13} + e_t
+    var s = 31L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val n = 400
+    val y = new Array[Double](n)
+    for (t <- 13 until n)
+      y(t) = 0.5 * y(t - 1) + 0.6 * y(t - 12) - 0.3 * y(t - 13) + rnd()
+    val spec = ArimaCss.Spec(1, 0, 0, 1, 0, 0, 12)
+    val f = ArimaCss.fitOne(y, spec)
+    // expanded lags are [1, 12, 13]; coefficients must satisfy the
+    // multiplicative constraint EXACTLY (coeff13 = -phi1*Phi1 by
+    // construction) and recover the generating parameters approximately
+    assert(spec.arLags.sameElements(Array(1, 12, 13)))
+    assert(math.abs(f.phi(2) + f.phi(0) * f.phi(1)) < 1e-12,
+      s"cross coeff not constrained: ${f.phi.toSeq}")
+    assert(math.abs(f.phi(0) - 0.5) < 0.12, s"phi1=${f.phi(0)}")
+    assert(math.abs(f.phi(1) - 0.6) < 0.12, s"Phi1=${f.phi(1)}")
+    // free-parameter count drives AIC: 1(c) + 1(phi) + 1(Phi)
+    assert(spec.nParams == 3)
+    // forecasts stay finite and track the persistent seasonal pattern
+    val fc = ArimaCss.forecast(y, f, 12)
+    assert(fc.forall(v => !v.isNaN && math.abs(v) < 50))
+  }
+
   test("stepwise search picks up a strong seasonal pattern (m=12)") {
     val y = Array.tabulate(120)(t => 50.0 + 10.0 * math.sin(2 * math.Pi * t / 12.0) + 0.1 * t)
     val sw = ArimaCss.stepwiseSearch(spark, y, m = 12)
