@@ -345,7 +345,87 @@ object ScaleQueries2 {
       |       THEN 1 ELSE 0 END AS BIGINT) AS split_across_bins
       |FROM c""".stripMargin
 
+  /** Document chunking with overlap: chunk=32 tokens, overlap=8 (stride
+    * 24) over documents. Chunk text is md5-compressed in the output so
+    * the hash check covers CONTENT, not just counts. */
+  private def x9Chunks: Q = (s, d) =>
+    graft.scale.Curation.chunkDocuments(Tables.documents(s, d), "text", "doc_id",
+      chunkTokens = 32, overlapTokens = 8)
+      .select(col("doc_id"), col("chunk_idx"),
+              md5(col("chunk")).as("chunk_hash"), col("n_chunk_tokens"))
+
+  private val x9Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) > 0),
+      |c AS (SELECT doc_id,
+      |        unnest(generate_series(0, CAST(ceil(greatest(len(w) - 8, 1) / 24.0) AS BIGINT) - 1)) AS i,
+      |        w
+      |      FROM t)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  md5(array_to_string(w[i*24+1:i*24+32], ' ')) AS chunk_hash,
+      |  CAST(len(w[i*24+1:i*24+32]) AS BIGINT) AS n_chunk_tokens
+      |FROM c""".stripMargin
+
+  /** Per-group cap: at most 3 docs per language, selected by the
+    * deterministic md5(id) order — the per-domain cap of web curation. */
+  private def sm5Cap: Q = (s, d) =>
+    graft.scale.Sampling.capPerGroup(Tables.documents(s, d), "lang", "doc_id", 3)
+      .select(col("lang"), col("doc_id"))
+
+  private val sm5Sql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 3""".stripMargin
+
+  /** Keep-best per NEAR-DUP cluster: jaccard pairs → connected
+    * components → longest doc per cluster (ties: smallest id) — the
+    * end-to-end near-dup curation pipeline, all oracle-checked. */
+  private def d9KeepBestCluster: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val pairs = graft.scale.Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+    val comps = graft.scale.Dedup.components(pairs, "id_a", "id_b")
+    val sized = comps.join(docs.select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("id"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_tokens").desc, col("id"))
+    sized.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("id").as("keep_id"), col("n_tokens").as("best_tokens"))
+  }
+
+  private val d9Sql =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |sized AS (SELECT c.component, c.id,
+       |            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |          FROM comp c JOIN documents d ON c.id = d.doc_id)
+       |SELECT component, id AS keep_id, n_tokens AS best_tokens FROM (
+       |  SELECT component, id, n_tokens,
+       |    row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, id) AS rn
+       |  FROM sized) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x9_chunks"       -> x9Chunks,
+    "sm5_cap"         -> sm5Cap,
+    "d9_keep_best_cluster" -> d9KeepBestCluster,
     "f4_series_trend" -> f4SeriesTrend,
     "e2_unseen_encode" -> e2UnseenEncode,
     "sm1_mod_sample" -> sm1ModSample,
@@ -367,6 +447,9 @@ object ScaleQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "x9_chunks"       -> x9Sql,
+    "sm5_cap"         -> sm5Sql,
+    "d9_keep_best_cluster" -> d9Sql,
     "f4_series_trend" -> f4Sql,
     "e2_unseen_encode" -> e2Sql,
     "sm1_mod_sample" -> sm1Sql,

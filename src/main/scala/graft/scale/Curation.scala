@@ -48,6 +48,28 @@ object Curation {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Document chunking with overlap: split each document's token stream
+    * into fixed-size windows advancing by `chunkTokens − overlapTokens`
+    * (the standard retrieval / long-doc-training layout). Emits one row
+    * per chunk: (id, chunk_idx, chunk, n_chunk_tokens). Pure map-side
+    * work — a codegen'd transform + posexplode, no shuffle; a 100 TB
+    * corpus chunks at full scan parallelism. A doc shorter than one
+    * window yields exactly one chunk. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got overlap=$overlapTokens chunk=$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, int(ceil(greatest(size(w) - $overlapTokens, 1) / ${stride}.0)) - 1), " +
+        s"i -> slice(w, i * $stride + 1, $chunkTokens))")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+              concat_ws(" ", col("col")).as("chunk"),
+              size(col("col")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Sequence packing: concatenate each shard's docs in a deterministic
     * order and chunk the stream at a fixed token budget — the standard
     * "concat-then-split" LLM pretraining layout. Emits, per doc: its

@@ -34,6 +34,22 @@ object Sampling {
       .drop("rn", "cnt")
   }
 
+  /** Per-group cap: keep at most `k` rows per group, chosen by a
+    * deterministic content-hash order (md5 of the id, ties by id) so the
+    * kept subset is stable across runs and unbiased by ingestion order —
+    * the standard per-domain cap in web-corpus curation ("no domain
+    * contributes more than k documents"). One shuffle on the group key;
+    * at 100 TB the group cardinality (domains) is far below the corpus
+    * row count, and AQE handles the head-domain skew. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Weighted corpus interleave: per-source modulus sampling driven by a
     * weight map (source -> keep-permille). The weight lookup is a CASE
     * expression, not a join — zero shuffle end-to-end. */

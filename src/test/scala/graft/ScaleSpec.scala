@@ -173,6 +173,39 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("chunkDocuments: overlap windows tile the token stream") {
+    import spark.implicits._
+    import graft.scale.Curation
+    val doc = (1 to 50).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "short doc"), (3L, "x")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(df, "text", "doc_id", chunkTokens = 20, overlapTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 50 tokens, chunk 20, stride 15 -> ceil(45/15)=3 chunks
+    assert(d1.length == 3)
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 == 20)
+    assert(d1(1)._3.startsWith("t16 "), d1(1)._3.take(20)) // overlap of 5
+    assert(d1(2)._3.endsWith(" t50") && d1(2)._4 == 20)    // tail window full
+    // short docs -> exactly one chunk, all tokens
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short doc", 2L)))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "x", 1L)))
+  }
+
+  test("capPerGroup: deterministic, respects the cap, unbiased by row order") {
+    import spark.implicits._
+    import graft.scale.Sampling
+    val rows = (1L to 40L).map(i => (s"g${i % 3}", i))
+    val df = rows.toDF("grp", "id")
+    val kept = Sampling.capPerGroup(df, "grp", "id", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.groupBy(_._1).forall(_._2.length <= 4))
+    // shuffled input order -> identical kept set (hash-ordered selection)
+    val kept2 = Sampling.capPerGroup(
+      scala.util.Random.shuffle(rows).toDF("grp", "id"), "grp", "id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.toSet == kept2.toSet)
+  }
+
   test("components: chain graph converges to one cluster, islands stay apart") {
     import spark.implicits._
     // chain 1-2-3-...-10 (diameter 9 forces multiple propagation rounds)
