@@ -112,7 +112,8 @@ object StatQueries {
     val e = Tables.events(s, d)
     StatTests.adfPerSeries(e, "value", "ts", "user_id")
       .select(col("user_id"), col("lag_used"), col("n_obs"),
-              col("stationary").cast("string").as("stationary"))
+              col("stationary").cast("string").as("stationary"),
+              dround(col("p_value"), 6).as("p_value"))
   }
 
   /** M11 — Durbin–Watson on demeaned residuals per series. */

@@ -63,7 +63,23 @@ object StatTests {
 
   case class AdfResult(stat: Double, lagUsed: Int, nObs: Int,
                        crit1: Double, crit5: Double, crit10: Double,
-                       stationary: Boolean)
+                       stationary: Boolean, pValue: Double = Double.NaN)
+
+  /** MacKinnon (1994) approximate asymptotic p-value for the ADF tau
+    * statistic, constant-only regression (the surface statsmodels'
+    * `mackinnonp` evaluates): Φ of a polynomial in τ, small-p branch for
+    * τ ≤ −1.61, large-p branch above, clamped outside [−18.83, 2.74].
+    * Anchors: p(−3.43) ≈ 0.01, p(−2.86) ≈ 0.05, p(−2.57) ≈ 0.10, and the
+    * two branches agree to 3 decimals at the switch point. */
+  def adfPValue(tau: Double): Double = {
+    def normCdf(x: Double) = 0.5 * (1.0 + breeze.numerics.erf(x / math.sqrt(2.0)))
+    if (tau > 2.74) 1.0
+    else if (tau < -18.83) 0.0
+    else if (tau <= -1.61)
+      normCdf(2.1659 + 1.4412 * tau + 0.038269 * tau * tau)
+    else
+      normCdf(1.7339 + 0.93202 * tau - 0.12745 * tau * tau - 0.010368 * tau * tau * tau)
+  }
 
   /** Augmented Dickey–Fuller with constant, lag order selected by BIC over
     * 0..maxLag (reference: `adfuller(series, autolag='BIC')`,
@@ -109,7 +125,7 @@ object StatTests {
     val c1  = -3.43035 - 6.5393 / t - 16.786 / (t * t) - 79.433 / (t * t * t)
     val c5  = -2.86154 - 2.8903 / t - 4.234 / (t * t) - 40.040 / (t * t * t)
     val c10 = -2.56677 - 1.5384 / t - 2.809 / (t * t)
-    AdfResult(stat, bestLag, nobs, c1, c5, c10, stat < c5)
+    AdfResult(stat, bestLag, nobs, c1, c5, c10, stat < c5, adfPValue(stat))
   }
 
   /** M11 — Durbin–Watson statistic on a residual vector
@@ -247,11 +263,12 @@ object StatTests {
           // contract is "millions of series"; one degenerate series must
           // not poison the pass)
           scala.util.Try(adf(series, maxLag)).toOption match {
-            case Some(r) => Iterator((sid, r.stat, r.lagUsed.toLong, r.nObs.toLong, r.stationary))
+            case Some(r) =>
+              Iterator((sid, r.stat, r.lagUsed.toLong, r.nObs.toLong, r.stationary, r.pValue))
             case None    => Iterator.empty
           }
       }
-      .toDF(seriesCol, "adf_stat", "lag_used", "n_obs", "stationary")
+      .toDF(seriesCol, "adf_stat", "lag_used", "n_obs", "stationary", "p_value")
   }
 
   /** ACF per series (k = 1..maxLag), same flatMapGroups pattern. */

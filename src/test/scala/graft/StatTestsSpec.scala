@@ -84,6 +84,23 @@ class StatTestsSpec extends SparkTestBase {
     assert(StatTests.breakVar(break_) > 10.0)
   }
 
+  test("ADF p-value surface hits the MacKinnon anchors and is monotone") {
+    assert(math.abs(StatTests.adfPValue(-3.43) - 0.01) < 0.002)
+    assert(math.abs(StatTests.adfPValue(-2.86) - 0.05) < 0.005)
+    assert(math.abs(StatTests.adfPValue(-2.57) - 0.10) < 0.01)
+    // branch continuity at the switch point
+    assert(math.abs(StatTests.adfPValue(-1.6099) - StatTests.adfPValue(-1.6101)) < 0.01)
+    // monotone increasing in tau; clamped at the tails
+    val taus = (-190 to 27).map(_ / 10.0)
+    val ps = taus.map(StatTests.adfPValue)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(StatTests.adfPValue(-20.0) == 0.0 && StatTests.adfPValue(3.0) == 1.0)
+    // rejection decision and p-value agree at the 5% line
+    val rw = noise(400).scanLeft(0.0)(_ + _).drop(1)
+    assert(StatTests.adf(rw).pValue > 0.05)
+    assert(StatTests.adf(noise(400)).pValue < 0.05)
+  }
+
   test("chiSquareSf matches known values") {
     // chi2(2): sf(x) = exp(-x/2) exactly
     for (x <- Seq(0.5, 2.0, 5.0, 10.0))
