@@ -202,7 +202,9 @@ object GbtModel {
       (s, p.maxDepth, p.maxIter, p.stepSize) // deterministic tie-break
     }
     val best = new GbtModel(2, bestP.maxIter, bestP.maxDepth, bestP.stepSize)
-    best.fit(df, tsSchema, cv, h)
+    // cv=0 => zero folds: the winner's CV score is already in hand, so
+    // the refit only trains the final model (+ residual sigma/tail state)
+    best.fit(df, tsSchema, 0, h)
     (best, bestP, bestScore)
   }
 }

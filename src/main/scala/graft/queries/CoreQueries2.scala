@@ -401,8 +401,17 @@ object CoreQueries2 {
     * keeps it out of the recorded timing. */
   private def sinkPath(kind: String, d: String, srcTable: String): String = {
     val f = new java.io.File(d, s"$srcTable.parquet")
-    val fp = java.lang.Long.toHexString(f.lastModified() ^ (f.length() * 1000003L))
-    s"target/$kind/${new java.io.File(d).getName}-$fp"
+    // for a parquet DIRECTORY, the dir's own mtime only changes when
+    // entries are added/removed — fold every contained file's
+    // (name, mtime, length) in so an in-place rewrite of the same part
+    // files also changes the fingerprint
+    def fpOf(x: java.io.File): Long =
+      if (x.isDirectory)
+        x.listFiles().sortBy(_.getName).foldLeft(x.getName.hashCode.toLong) {
+          (acc, c) => acc * 1000003L ^ fpOf(c)
+        }
+      else x.getName.hashCode.toLong ^ x.lastModified() ^ (x.length() * 1000003L)
+    s"target/$kind/${new java.io.File(d).getName}-${java.lang.Long.toHexString(fpOf(f))}"
   }
 
   /** Round-trips orders through a pipe-separated CSV (written under

@@ -35,7 +35,7 @@ object StatQueries {
        |    lag(value,2) OVER w AS l2,
        |    lag(value,3) OVER w AS l3,
        |    avg(value) OVER (PARTITION BY user_id) AS mu
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
        |${term(1)}
        |UNION ALL
        |${term(2)}
@@ -58,7 +58,7 @@ object StatQueries {
        |    lag(value,1) OVER w AS l1,
        |    lag(value,2) OVER w AS l2,
        |    avg(value) OVER (PARTITION BY user_id) AS mu
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
        |r AS (
        |  SELECT user_id,
        |    sum((value - mu) * (l1 - mu)) / sum((value - mu) * (value - mu)) AS r1,
@@ -86,7 +86,7 @@ object StatQueries {
        |  SELECT user_id,
        |    value - lag(value,1) OVER w AS dy,
        |    lag(value,1) OVER w AS yl
-       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
        |a AS (
        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n1,
        |    sum(yl) AS sx, sum(yl*yl) AS sxx,
@@ -170,7 +170,7 @@ object StatQueries {
        |    row_number() OVER win AS rn,
        |    count(*) OVER (PARTITION BY user_id) AS n,
        |    CAST(floor(count(*) OVER (PARTITION BY user_id) / 3.0) AS BIGINT) AS h
-       |  FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |  FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, e)),
        |a AS (
        |  SELECT user_id,
        |    CAST(max(n) AS DOUBLE) AS nn,

@@ -275,10 +275,17 @@ object Dedup {
     * for every id that appears in a pair; component = min id reachable.
     * Deterministic. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 50): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
     val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
       .distinct().cache()
+    // empty pair list => empty component map (the sum-based fixpoint
+    // check below would otherwise read a null aggregate)
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("component")).limit(0)
+    }
     // label(v) starts at min(v, min neighbor).
     // Each round's result is localCheckpoint'ed: `next` references
     // `labels` TWICE (union + join), so without truncation the logical
@@ -308,6 +315,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // propagation moves the min one hop per round, so non-convergence
+    // means a component with diameter > maxIter — returning the partial
+    // labels would silently split that cluster. Fail loudly instead.
+    require(converged,
+      s"components did not converge in $maxIter rounds - a cluster has " +
+      s"diameter > $maxIter; raise maxIter")
     labels.select(col("s").as("id"), col("label").as("component"))
   }
 

@@ -32,16 +32,32 @@ object Multimodal {
     df.withColumn("media", to_binary(col(srcCol), lit("utf-8")))
 
   /** Magic-byte sniff for the container formats the JDK can read.
-    * (A UTF-8 text stream can never start with 0x89 or 0xFF, so documents
-    * used as fake payloads deterministically take the stub path.) */
+    * PNG/JPEG magics start with 0x89/0xFF — impossible as a UTF-8 first
+    * byte, so text payloads can never take those branches. The GIF and
+    * BMP magics ARE printable ("GIF87a", "BM"), and the JDK readers
+    * accept them with barely any further validation (BMP dims are read
+    * from fixed offsets unchecked), so those branches verify additional
+    * header structure: the exact 6-byte GIF version, and a known DIB
+    * header size + positive bounded dims for BMP. A text document
+    * starting with "BM" therefore still falls through to the stub. */
   private def sniffFormat(b: Array[Byte]): Option[String] =
     if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       Some("png")
     else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF)
       Some("jpeg")
-    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+    else if (b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+             (b(4) == '7' || b(4) == '9') && b(5) == 'a' &&
+             // a document could legitimately START with the printable
+             // "GIF89a" magic; require the structural trailer byte too
+             (b(b.length - 1) & 0xFF) == 0x3B)
       Some("gif")
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && {
+      def le32(o: Int): Long =
+        (b(o) & 0xFFL) | (b(o + 1) & 0xFFL) << 8 | (b(o + 2) & 0xFFL) << 16 | (b(o + 3) & 0xFFL) << 24
+      // DIB header size at offset 14 must be one of the defined variants,
+      // and the declared file size should match the payload
+      Set(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(le32(14)) && le32(2) == b.length.toLong
+    })
       Some("bmp")
     else None
 
@@ -58,7 +74,11 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iis)
-            MediaMeta(r.getWidth(0), r.getHeight(0), fmt, bytes.length.toLong)
+            val w = r.getWidth(0); val h = r.getHeight(0)
+            // belt-and-braces for readers that parse headers without
+            // validation: absurd dims mean the sniff was fooled
+            require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20), "implausible dims")
+            MediaMeta(w, h, fmt, bytes.length.toLong)
           } finally r.dispose()
         } finally iis.close()
       }.toOption

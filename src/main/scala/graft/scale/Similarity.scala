@@ -47,6 +47,10 @@ object Similarity {
                       col(vecCol).cast("array<double>").as("v"))
     val target = v.filter(col("rid") === targetId).select(col("v")).head().getSeq[Double](0)
     val q = lit(target.toArray)
+    // the target row's own sums are scalars — computed once here, not
+    // re-folded over the literal array for every corpus row
+    val sy = target.sum
+    val syy = target.map(x => x * x).sum
     val n = col("nn")
     val scored = v
       .withColumn("nn", size(col("v")).cast("double"))
@@ -54,8 +58,8 @@ object Similarity {
       .withColumn("sxx", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
       .withColumn("sxy", aggregate(zip_with(col("v"), q, (x, y) => x * y),
                                    lit(0.0), (a, x) => a + x))
-      .withColumn("sy", aggregate(q, lit(0.0), (a, x) => a + x))
-      .withColumn("syy", aggregate(q, lit(0.0), (a, x) => a + x * x))
+      .withColumn("sy", lit(sy))
+      .withColumn("syy", lit(syy))
       .withColumn("pearson",
         floor((n * col("sxy") - col("sx") * col("sy")) /
           (sqrt(n * col("sxx") - col("sx") * col("sx")) *

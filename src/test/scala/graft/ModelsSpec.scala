@@ -220,9 +220,12 @@ class ModelsSpec extends SparkTestBase {
     val (_, bestP, searchedRmse) =
       graft.models.GbtModel.fitSearched(df, schema, cv = 2, h = 6, nIter = 8)
     val fixedRmse = fixedScores.foldRmse.sum / fixedScores.foldRmse.length
-    // the incumbent default is always candidate zero of the search, and
-    // folds/frame/seed are identical — so searched can only tie or win
-    assert(searchedRmse <= fixedRmse + 1e-9,
+    // the incumbent default is always candidate zero of the search with
+    // identical folds/seed, so searched can only tie or win — up to a
+    // tiny float tolerance: the search scores on a coalesced single
+    // partition while fit() keeps the default partitioning, and GBT split
+    // statistics accumulate in partition order
+    assert(searchedRmse <= fixedRmse * (1 + 1e-6) + 1e-9,
       s"searched=$searchedRmse fixed=$fixedRmse params=$bestP")
   }
 

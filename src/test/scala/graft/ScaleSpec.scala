@@ -206,6 +206,14 @@ class ScaleSpec extends SparkTestBase {
     assert(kept.toSet == kept2.toSet)
   }
 
+  test("components: empty pair list yields an empty component map") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.components(empty, "id_a", "id_b")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "component"))
+  }
+
   test("components: chain graph converges to one cluster, islands stay apart") {
     import spark.implicits._
     // chain 1-2-3-...-10 (diameter 9 forces multiple propagation rounds)
@@ -238,8 +246,13 @@ class ScaleSpec extends SparkTestBase {
     val png = Multimodal.encodePng(17, 9, seed = 5)
     val meta = Multimodal.decodeImageMeta(png)
     assert(meta.contains(Multimodal.MediaMeta(17, 9, "png", png.length.toLong)))
-    // non-image bytes: sniff rejects, caller falls back to the stub
+    // non-image bytes: sniff rejects, caller falls back to the stub —
+    // including text that happens to start with a printable image magic
     assert(Multimodal.decodeImageMeta("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageMeta(
+      "BMW sales rose sharply in the third quarter of the year".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageMeta(
+      "GIF89a is the file header of the legacy image format".getBytes("UTF-8")).isEmpty)
     // corrupt PNG (magic ok, body truncated): decode fails -> None, not a throw
     assert(Multimodal.decodeImageMeta(png.take(12)).isEmpty)
     // distributed: decodeMeta picks the real path for image payloads
