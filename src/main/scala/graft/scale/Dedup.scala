@@ -300,12 +300,24 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // new label(v) = min(label(v), min over neighbors label(n))
+      // hop step: label(v) <- min(label(v), min over neighbors label(n))
       val viaNeighbor = edges.as("e")
         .join(labels.as("l"), col("e.t") === col("l.s"))
         .select(col("e.s").as("s"), col("l.label").as("label"))
-      val next = labels.unionByName(viaNeighbor)
+      val hopped = labels.unionByName(viaNeighbor)
         .groupBy(col("s")).agg(min(col("label")).as("label"))
+      // pointer-jump step: label(v) <- min(label(v), label(label(v))) —
+      // min-labels chase their component's root at doubling speed, so a
+      // diameter-D chain converges in O(log D) rounds instead of O(D)
+      // (the failure mode of plain propagation on the long similarity
+      // chains templated web text produces)
+      // fresh projection (new attribute ids) for the lookup side of the
+      // self-join — aliasing alone trips ambiguous-attribute resolution
+      val lookup = hopped.select(col("s").as("ls"), col("label").as("llabel"))
+      val next = hopped
+        .join(lookup, col("label") === col("ls"), "left")
+        .select(col("s"),
+                least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
       labels.unpersist()

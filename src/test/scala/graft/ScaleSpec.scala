@@ -228,6 +228,16 @@ class ScaleSpec extends SparkTestBase {
     assert(comp.size == 15)
   }
 
+  test("components: pointer jumping resolves a 200-node chain within the round cap") {
+    import spark.implicits._
+    // diameter 199 — plain one-hop propagation would need 199 rounds and
+    // trip the maxIter guard; the pointer-jump step makes it O(log D)
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, "id_a", "id_b", maxIter = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200 && comp.values.forall(_ == 1L))
+  }
+
   test("cosineNearDup refuses inputs above its all-pairs row cap") {
     import spark.implicits._
     val vecs = (0 until 50).map(i => (i.toLong, Array(i.toDouble, 1.0)))
