@@ -422,7 +422,39 @@ object ScaleQueries2 {
        |    row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, id) AS rn
        |  FROM sized) WHERE rn = 1""".stripMargin
 
+  /** Tukey-fence outlier flags on doc length per language — assignment
+    * (not just counts) hash-checked. */
+  private def q4Outliers: Q = (s, d) =>
+    Quantiles.iqrOutliers(Tables.documents(s, d), "n_chars", Seq("lang"), k = 1.5)
+      .select(col("doc_id"), col("is_outlier").cast("long").as("is_outlier"))
+
+  private val q4Sql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    quantile_cont(n_chars, 0.25) AS q25,
+      |    quantile_cont(n_chars, 0.75) AS q75
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id,
+      |  CAST(d.n_chars < b.q25 - 1.5 * (b.q75 - b.q25)
+      |    OR d.n_chars > b.q75 + 1.5 * (b.q75 - b.q25) AS BIGINT) AS is_outlier
+      |FROM documents d JOIN b ON d.lang = b.lang""".stripMargin
+
+  /** Deterministic content-hash train/val/test split — per-row assignment
+    * hash-checked (the md5-prefix fences are engine-agnostic). */
+  private def sm6HashSplit: Q = (s, d) =>
+    graft.scale.Sampling.hashSplit(Tables.documents(s, d), "doc_id", 80, 10)
+      .select(col("doc_id"), col("split"))
+
+  private val sm6Sql =
+    """SELECT doc_id,
+      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+      |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q4_outliers"     -> q4Outliers,
+    "sm6_hash_split"  -> sm6HashSplit,
     "x9_chunks"       -> x9Chunks,
     "sm5_cap"         -> sm5Cap,
     "d9_keep_best_cluster" -> d9KeepBestCluster,
@@ -447,6 +479,8 @@ object ScaleQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q4_outliers"     -> q4Sql,
+    "sm6_hash_split"  -> sm6Sql,
     "x9_chunks"       -> x9Sql,
     "sm5_cap"         -> sm5Sql,
     "d9_keep_best_cluster" -> d9Sql,

@@ -50,6 +50,24 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Deterministic hash-based train/val/test split: the md5 hex of the id
+    * is uniform over [0x00.., 0xff..], so LEXICOGRAPHIC thresholds on its
+    * prefix carve reproducible, disjoint, ingestion-order-independent
+    * fractions — the standard content-hash split of corpus pipelines.
+    * Pure map-side expression: no shuffle, no state, survives any
+    * scale-up, and the same row always lands in the same split. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train > 0, val >= 0, train+val < 100; got $trainPct/$valPct")
+    def fence(pct: Int): String = f"${(256 * pct) / 100}%02x"
+    val h = md5(col(idCol).cast("string"))
+    df.withColumn("split",
+      when(h < lit(fence(trainPct)), "train")
+        .when(h < lit(fence(trainPct + valPct)), "val")
+        .otherwise("test"))
+  }
+
   /** Weighted corpus interleave: per-source modulus sampling driven by a
     * weight map (source -> keep-permille). The weight lookup is a CASE
     * expression, not a join — zero shuffle end-to-end. */

@@ -52,6 +52,24 @@ object Quantiles {
       .drop(loCol, hiCol)
   }
 
+  /** IQR outlier flags: mark rows outside [q25 − k·IQR, q75 + k·IQR] of
+    * their group (Tukey's fences, k = 1.5 classically). Same scale shape
+    * as [[winsorize]]: one per-group quantile aggregation broadcast back
+    * onto the data — the big side never shuffles. */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 1.5, useApprox: Boolean = false): DataFrame = {
+    val q = if (useApprox) approx(df, valueCol, groupCols, Seq(0.25, 0.75))
+            else exact(df, valueCol, groupCols, Seq(0.25, 0.75))
+    val bounds = q.select(groupCols.map(col) :+ col("q25") :+ col("q75"): _*)
+      .withColumn("lo_fence", col("q25") - lit(k) * (col("q75") - col("q25")))
+      .withColumn("hi_fence", col("q75") + lit(k) * (col("q75") - col("q25")))
+      .drop("q25", "q75")
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("is_outlier",
+        col(valueCol).cast("double") < col("lo_fence") ||
+        col(valueCol).cast("double") > col("hi_fence"))
+  }
+
   /** Sketch-based percentiles (the 100 TB path). `accuracy` trades memory
     * for error: 1/accuracy relative rank error. */
   def approx(df: DataFrame, valueCol: String, groupCols: Seq[String],

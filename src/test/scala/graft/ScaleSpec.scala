@@ -191,6 +191,35 @@ class ScaleSpec extends SparkTestBase {
     assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "x", 1L)))
   }
 
+  test("hashSplit: deterministic, disjoint, roughly proportional") {
+    import spark.implicits._
+    import graft.scale.Sampling
+    val df = (1L to 2000L).toDF("id")
+    val s1 = Sampling.hashSplit(df, "id", 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment on re-run (content-hash, not order or randomness)
+    val s2 = Sampling.hashSplit(df, "id", 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // prefix fences quantize to /256ths: expect ~79.7% / ~10.2% / ~10.2%
+    assert(math.abs(counts("train") / 2000.0 - 0.797) < 0.05, counts.toString)
+    assert(counts("val") > 100 && counts("test") > 100)
+    intercept[IllegalArgumentException] { Sampling.hashSplit(df, "id", 95, 10) }
+  }
+
+  test("iqrOutliers flags exactly the points beyond the Tukey fences") {
+    import spark.implicits._
+    import graft.stats.Quantiles
+    // group g: tight cluster 10..19 plus two extremes
+    val vals = (10 to 19).map(v => ("g", v.toDouble)) ++ Seq(("g", 1000.0), ("g", -1000.0))
+    val out = Quantiles.iqrOutliers(vals.toDF("grp", "v"), "v", Seq("grp"))
+      .collect().map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+    assert(out(1000.0) && out(-1000.0))
+    assert((10 to 19).forall(v => !out(v.toDouble)))
+  }
+
   test("capPerGroup: deterministic, respects the cap, unbiased by row order") {
     import spark.implicits._
     import graft.scale.Sampling
