@@ -407,9 +407,13 @@ object CoreQueries2 {
     // files also changes the fingerprint
     def fpOf(x: java.io.File): Long =
       if (x.isDirectory)
-        x.listFiles().sortBy(_.getName).foldLeft(x.getName.hashCode.toLong) {
-          (acc, c) => acc * 1000003L ^ fpOf(c)
-        }
+        // listFiles is null if the dir vanishes between check and listing
+        // (concurrent regeneration) — an empty fingerprint is fine, the
+        // next call sees the new content and re-materializes
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).foldLeft(x.getName.hashCode.toLong) {
+            (acc, c) => acc * 1000003L ^ fpOf(c)
+          }
       else x.getName.hashCode.toLong ^ x.lastModified() ^ (x.length() * 1000003L)
     s"target/$kind/${new java.io.File(d).getName}-${java.lang.Long.toHexString(fpOf(f))}"
   }

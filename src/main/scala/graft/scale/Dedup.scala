@@ -297,42 +297,60 @@ object Dedup {
       .select(col("s"), least(col("s"), col("mn")).as("label"))
       .localCheckpoint(true)
     var labelSum = labels.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
-    var it = 0
-    var converged = false
-    while (it < maxIter && !converged) {
-      // hop step: label(v) <- min(label(v), min over neighbors label(n))
+    // one round = hop step (label(v) <- min over neighbors' labels) then
+    // pointer-jump step (label(v) <- min(label(v), label(label(v)))):
+    // min-labels chase their component's root at doubling speed, so a
+    // diameter-D chain converges in O(log D) rounds rather than the O(D)
+    // of plain propagation (the failure mode on the long similarity
+    // chains templated web text produces)
+    def round(cur: DataFrame): DataFrame = {
       val viaNeighbor = edges.as("e")
-        .join(labels.as("l"), col("e.t") === col("l.s"))
+        .join(cur.as("l"), col("e.t") === col("l.s"))
         .select(col("e.s").as("s"), col("l.label").as("label"))
-      val hopped = labels.unionByName(viaNeighbor)
+      val hopped = cur.unionByName(viaNeighbor)
         .groupBy(col("s")).agg(min(col("label")).as("label"))
-      // pointer-jump step: label(v) <- min(label(v), label(label(v))) —
-      // min-labels chase their component's root at doubling speed, so a
-      // diameter-D chain converges in O(log D) rounds instead of O(D)
-      // (the failure mode of plain propagation on the long similarity
-      // chains templated web text produces)
       // fresh projection (new attribute ids) for the lookup side of the
       // self-join — aliasing alone trips ambiguous-attribute resolution
       val lookup = hopped.select(col("s").as("ls"), col("label").as("llabel"))
-      val next = hopped
+      hopped
         .join(lookup, col("label") === col("ls"), "left")
         .select(col("s"),
                 least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+    }
+    def sumOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = round(labels)
+      val nextSum = sumOf(next)
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(labelSum) == 0 // labels shrink monotonically
       labelSum = nextSum
       it += 1
     }
+    if (!converged) {
+      // the loop may have REACHED the fixpoint on its final round without
+      // a confirming round to observe it — probe once more before
+      // declaring failure (labels only decrease, so an unchanged sum is a
+      // true fixpoint)
+      val probe = round(labels)
+      val probeSum = sumOf(probe)
+      converged = probeSum.compareTo(labelSum) == 0
+      labels.unpersist()
+      labels = probe
+      labelSum = probeSum
+    }
     edges.unpersist()
-    // propagation moves the min one hop per round, so non-convergence
-    // means a component with diameter > maxIter — returning the partial
-    // labels would silently split that cluster. Fail loudly instead.
+    // with pointer jumping, non-convergence in maxIter rounds means a
+    // component of diameter ~2^maxIter — at the default that is not a
+    // real graph, it's a bug or adversarial input. Returning the partial
+    // labels would silently split clusters, so fail loudly.
     require(converged,
-      s"components did not converge in $maxIter rounds - a cluster has " +
-      s"diameter > $maxIter; raise maxIter")
+      s"components did not converge in $maxIter doubling rounds " +
+      s"(component diameter on the order of 2^$maxIter); raise maxIter")
     labels.select(col("s").as("id"), col("label").as("component"))
   }
 

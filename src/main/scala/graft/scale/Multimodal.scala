@@ -46,20 +46,34 @@ object Multimodal {
     else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF)
       Some("jpeg")
     else if (b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
-             (b(4) == '7' || b(4) == '9') && b(5) == 'a' &&
-             // a document could legitimately START with the printable
-             // "GIF89a" magic; require the structural trailer byte too
-             (b(b.length - 1) & 0xFF) == 0x3B)
+             (b(4) == '7' || b(4) == '9') && b(5) == 'a' && gifTrailerNearEnd(b))
       Some("gif")
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && {
-      def le32(o: Int): Long =
-        (b(o) & 0xFFL) | (b(o + 1) & 0xFFL) << 8 | (b(o + 2) & 0xFFL) << 16 | (b(o + 3) & 0xFFL) << 24
-      // DIB header size at offset 14 must be one of the defined variants,
-      // and the declared file size should match the payload
-      Set(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(le32(14)) && le32(2) == b.length.toLong
+      // DIB header size at offset 14 must be one of the defined variants
+      // — ASCII text at that offset decodes to values >= 0x20202020, so
+      // this alone rejects text payloads. (The bfSize field is NOT
+      // checked: common encoders write 0 or stale values there.)
+      val dib = (b(14) & 0xFFL) | (b(15) & 0xFFL) << 8 | (b(16) & 0xFFL) << 16 | (b(17) & 0xFFL) << 24
+      dibHeaderSizes.contains(dib)
     })
       Some("bmp")
     else None
+
+  private val dibHeaderSizes = Set(12L, 40L, 52L, 56L, 64L, 108L, 124L)
+
+  /** A document could legitimately START with the printable "GIF89a"
+    * magic, so GIF additionally requires the 0x3B trailer — allowing up
+    * to 16 trailing padding bytes (NUL/whitespace appended by text-mode
+    * transit), which English text never satisfies (it ends in letters).
+    * Residual tradeoff: a real GIF with >16 bytes of appended junk takes
+    * the stub path. */
+  private def gifTrailerNearEnd(b: Array[Byte]): Boolean = {
+    var i = b.length - 1
+    val floor = math.max(b.length - 16, 6)
+    while (i >= floor && (b(i) == 0x00 || b(i) == 0x0A || b(i) == 0x0D || b(i) == 0x20))
+      i -= 1
+    i >= floor && (b(i) & 0xFF) == 0x3B
+  }
 
   /** Header-only image decode via `javax.imageio` — returns None when the
     * bytes are not a parsable image (caller falls back to the stub). */

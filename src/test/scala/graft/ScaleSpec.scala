@@ -257,6 +257,16 @@ class ScaleSpec extends SparkTestBase {
     assert(comp.size == 15)
   }
 
+  test("components: fixpoint reached exactly at the round budget still succeeds") {
+    import spark.implicits._
+    // chain 1-2-3-4 needs exactly 2 productive rounds; with maxIter=2 the
+    // loop exits before a confirming round — the probe must rescue it
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, "id_a", "id_b", maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("components: pointer jumping resolves a 200-node chain within the round cap") {
     import spark.implicits._
     // diameter 199 — plain one-hop propagation would need 199 rounds and
@@ -292,6 +302,16 @@ class ScaleSpec extends SparkTestBase {
       "BMW sales rose sharply in the third quarter of the year".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImageMeta(
       "GIF89a is the file header of the legacy image format".getBytes("UTF-8")).isEmpty)
+    // a real GIF decodes — including with trailing text-transit padding
+    val gifImg = new java.awt.image.BufferedImage(11, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gifBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gifImg, "gif", gifBos)
+    val gif = gifBos.toByteArray
+    assert(Multimodal.decodeImageMeta(gif).contains(
+      Multimodal.MediaMeta(11, 7, "gif", gif.length.toLong)))
+    val padded = gif ++ "\n  ".getBytes("UTF-8")
+    assert(Multimodal.decodeImageMeta(padded).contains(
+      Multimodal.MediaMeta(11, 7, "gif", padded.length.toLong)))
     // corrupt PNG (magic ok, body truncated): decode fails -> None, not a throw
     assert(Multimodal.decodeImageMeta(png.take(12)).isEmpty)
     // distributed: decodeMeta picks the real path for image payloads
