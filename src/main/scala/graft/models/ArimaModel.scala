@@ -186,14 +186,21 @@ object ArimaCss {
     Fit(spec, phi, theta, c, sigma2, aic, ne)
   }
 
-  /** Fit one cell: exact CLS for pure-AR cells, CSS/L-BFGS otherwise;
-    * seasonal cells route through the multiplicative-polynomial path. */
+  /** Fit one cell: exact CLS for pure-AR cells, CSS/L-BFGS otherwise.
+    * Cells where BOTH factors of a polynomial are non-trivial (p>0 and
+    * P>0, or q>0 and Q>0) have constrained cross-lag products and route
+    * through the multiplicative path; when one factor is trivial the
+    * expanded polynomial has no cross terms and the free-coefficient
+    * paths below ARE the exact model — in particular a pure seasonal AR
+    * (0,d,0)(P,D,0) stays on the exact QR solve (hash-checked by the
+    * `m2_sar1` oracle twin). */
   def fitOne(y: Array[Double], spec: Spec): Fit = {
     val w = ladder(y, spec)._2.last
     val n = w.length
     val maxLag = (spec.arLags ++ spec.maLags).foldLeft(0)(math.max)
     require(n > maxLag + spec.nParams + 2, s"series too short for $spec")
-    if (spec.m > 1 && (spec.sP > 0 || spec.sQ > 0)) return fitMultiplicative(w, spec)
+    if (spec.m > 1 && ((spec.p > 0 && spec.sP > 0) || (spec.q > 0 && spec.sQ > 0)))
+      return fitMultiplicative(w, spec)
     if (spec.maLags.isEmpty) return fitPureAr(w, spec)
     val arLags = spec.arLags; val maLags = spec.maLags
     val np = arLags.length; val nq = maLags.length

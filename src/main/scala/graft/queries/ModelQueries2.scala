@@ -227,17 +227,58 @@ object ModelQueries2 {
        | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
        |FROM f""".stripMargin
 
+  // ---- m2_sar1: pure seasonal AR — the seasonal family's exact twin ----
+
+  /** SARIMA(0,0,0)(1,0,0)[12]: the seasonal factor alone is LINEAR (no
+    * cross terms), so the multiplicative router keeps it on the exact QR
+    * solve and the fit + forecast close to lag-12 normal equations in
+    * SQL — the seasonal-path analogue of `m1_ar1`. For h ≤ 4 < m the
+    * forecast uses only OBSERVED lag-12 values: ŷ(T+h) = c + Φ·y(T+h−12). */
+  private def m2Sar1: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val y = monthlyY(s, d).orderBy(col("ts"))
+      .select((col("y") / lit(100000.0)).as("y")).as[Double].collect()
+    val f = graft.models.ArimaCss.fitOne(y, graft.models.ArimaCss.Spec(0, 0, 0, 1, 0, 0, 12))
+    val fc = graft.models.ArimaCss.forecast(y, f, 4)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    (1 to 4).map(h => (h.toLong, r6(f.c), r6(f.phi(0)), r6(f.sigma2), r6(fc(h - 1))))
+      .toDF("h", "c0", "sphi", "sigma2", "yhat")
+  }
+
+  private val m2Sar1Sql =
+    s"""WITH m0 AS ($monthlyYSql),
+       |m AS (SELECT mo, y/100000.0 AS y FROM m0),
+       |s AS (SELECT y, lag(y, 12) OVER (ORDER BY mo) AS x FROM m),
+       |r AS (SELECT y, x FROM s WHERE x IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS ne, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM r),
+       |b AS (SELECT ne, sx, sy, sxy, syy,
+       |        (ne*sxy - sx*sy)/(ne*sxx - sx*sx) AS sphi FROM a),
+       |c AS (SELECT ne, sphi, (sy - sphi*sx)/ne AS c0,
+       |        ((syy - sy*sy/ne) - sphi*(sxy - sx*sy/ne))/ne AS sigma2 FROM b),
+       |l AS (SELECT y, row_number() OVER (ORDER BY mo DESC) AS rd FROM m),
+       |f AS (SELECT g.h, c.c0, c.sphi, c.sigma2,
+       |        c.c0 + c.sphi * l.y AS yhat
+       |      FROM c, generate_series(1, 4) AS g(h)
+       |      JOIN l ON l.rd = 13 - g.h)
+       |SELECT h, ${droundSql("c0", 6)} AS c0, ${droundSql("sphi", 6)} AS sphi,
+       | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
+       |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
-    "m1_ar1"     -> m1Ar1
+    "m1_ar1"     -> m1Ar1,
+    "m2_sar1"    -> m2Sar1
   )
 
   val oracle: Map[String, String] = Map(
     "m5_trend"   -> m5TrendSql,
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,
-    "m1_ar1"     -> m1Ar1Sql
+    "m1_ar1"     -> m1Ar1Sql,
+    "m2_sar1"    -> m2Sar1Sql
   )
 }
