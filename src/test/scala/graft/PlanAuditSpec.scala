@@ -81,6 +81,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(keyedShuffles(d2) <= 4, s"d2 shuffle count grew: ${keyedShuffles(d2)}")
   }
 
+  test("chunkDocuments is pure map-side: zero shuffles") {
+    assert(shuffles(graft.scale.Curation.chunkDocuments(docs, "text", "doc_id", 32, 8)) == 0)
+  }
+
+  test("hashSplit is pure map-side: zero shuffles") {
+    assert(shuffles(graft.scale.Sampling.hashSplit(docs, "doc_id")) == 0)
+  }
+
+  test("capPerGroup costs at most one keyed shuffle (the group window)") {
+    assert(keyedShuffles(graft.scale.Sampling.capPerGroup(docs, "lang", "doc_id", 3)) <= 1)
+  }
+
+  test("iqrOutliers: one bounds aggregation, data side joins by broadcast") {
+    val out = graft.stats.Quantiles.iqrOutliers(docs, "n_chars", Seq("lang"))
+    assert(keyedShuffles(out) <= 1, s"iqr shuffle count grew: ${keyedShuffles(out)}")
+  }
+
+  test("rowCorrTopK never shuffles the corpus (TakeOrdered top-k)") {
+    val em = Tables.embeddings(spark, SF)
+    assert(shuffles(graft.scale.Similarity.rowCorrTopK(em, "vec_id", "embedding", 7L, 10)) == 0)
+  }
+
   test("stream-static enrichment broadcasts the dim: stream side never shuffles for the join") {
     val plan = withAqeOff {
       graft.streaming.StreamEnrich
