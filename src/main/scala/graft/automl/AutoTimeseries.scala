@@ -15,11 +15,18 @@ import graft.models._
   *                   (reference `score_type` arg, `__init__.py:202`)
   * @param seasonalPeriod explicit seasonal period m; None ⇒ imputed from
   *                   the inferred frequency (reference `seasonal_period`,
-  *                   `__init__.py:489-510`) */
+  *                   `__init__.py:489-510`)
+  * @param searchMl when true the ML family runs the randomized
+  *                   hyperparameter search (the reference's
+  *                   `RandomizedSearchCV` inside its ML path,
+  *                   `ml_models.py:293-335`) instead of fixed defaults;
+  *                   off by default — the search multiplies fit cost by
+  *                   ~nIter */
 class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
                      modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"),
                      scoreType: String = "rmse",
-                     seasonalPeriod: Option[Int] = None) {
+                     seasonalPeriod: Option[Int] = None,
+                     searchMl: Boolean = false) {
 
   case class Entry(name: String, model: ModelBuild, scores: CvScores)
 
@@ -48,6 +55,7 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
 
     val m = seasonalPeriod.getOrElse(freq.seasonalPeriod)
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
+      case "ML" if searchMl => Some(new SearchedGbtModel())
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
       case "Prophet"      => Some(new DecomposableModel(m))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m)) // skip >1000 rows (`__init__.py:672-675`)

@@ -129,9 +129,37 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
   }
 }
 
+/** ModelBuild adapter for the searched GBT: fit() runs the randomized
+  * hyperparameter search (the reference's RandomizedSearchCV inside its
+  * ML path, `ml_models.py:293-335`) and delegates prediction to the
+  * winner. The reported CV scores are the WINNER's fold scores from the
+  * shared search folds. */
+class SearchedGbtModel(nIter: Int = 15, seed: Long = 42) extends ModelBuild {
+  val name = "ML"
+  private var inner: GbtModel = _
+  var chosen: GbtModel.GbtParams = _
+
+  def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
+    val r = GbtModel.fitSearched(df, schema, math.max(cv, 1), h, nIter, seed)
+    inner = r.model
+    chosen = r.params
+    CvScores(r.foldRmse, r.foldNormRmse)
+  }
+
+  def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame =
+    inner.predict(spark, h, future)
+}
+
 object GbtModel {
 
   case class GbtParams(maxDepth: Int, maxIter: Int, stepSize: Double)
+
+  /** Search outcome: the refit winner, its params, and its expanding-
+    * window fold scores (rmse, normalized rmse) from the search pass. */
+  case class SearchResult(model: GbtModel, params: GbtParams,
+                          foldRmse: Seq[Double], foldNormRmse: Seq[Double]) {
+    def meanRmse: Double = foldRmse.sum / math.max(foldRmse.length, 1)
+  }
 
   /** M7 — randomized hyperparameter search (the reference's
     * `RandomizedSearchCV(n_iter=15, cv=3)` over the GBT family,
@@ -147,7 +175,7 @@ object GbtModel {
     * cluster the search parallelizes exactly like the ARIMA grid:
     * driver-orchestrated jobs over a shared cached input. */
   def fitSearched(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int,
-                  nIter: Int = 15, seed: Long = 42): (GbtModel, GbtParams, Double) = {
+                  nIter: Int = 15, seed: Long = 42): SearchResult = {
     val probe = new GbtModel()
     probe.schema = tsSchema
     val sup = probe.assemble(probe.supervised(df)).cache()
@@ -187,7 +215,7 @@ object GbtModel {
         val m = reg.fit(withRn.filter(col("rn") <= trainEnd))
         val pred = m.transform(withRn.filter(col("rn") > trainEnd && col("rn") <= testEnd))
           .select(col(tsSchema.target), col("prediction")).collect()
-        p -> LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))._1
+        p -> LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))
       }
     }
     val pairScores =
@@ -195,16 +223,16 @@ object GbtModel {
         scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
     val scored = pairScores.groupBy(_._1).toSeq.map { case (p, xs) =>
-      (p, xs.map(_._2).sum / xs.length)
+      (p, xs.map(_._2._1), xs.map(_._2._2)) // per-fold (rmse, norm) lists
     }
     withRn.unpersist(); sup.unpersist()
-    val (bestP, bestScore) = scored.minBy { case (p, s) =>
-      (s, p.maxDepth, p.maxIter, p.stepSize) // deterministic tie-break
+    val (bestP, bestRmse, bestNorm) = scored.minBy { case (p, rs, _) =>
+      (rs.sum / rs.length, p.maxDepth, p.maxIter, p.stepSize) // deterministic tie-break
     }
     val best = new GbtModel(2, bestP.maxIter, bestP.maxDepth, bestP.stepSize)
     // cv=0 => zero folds: the winner's CV score is already in hand, so
     // the refit only trains the final model (+ residual sigma/tail state)
     best.fit(df, tsSchema, 0, h)
-    (best, bestP, bestScore)
+    SearchResult(best, bestP, bestRmse, bestNorm)
   }
 }

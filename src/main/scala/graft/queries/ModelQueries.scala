@@ -87,8 +87,9 @@ object ModelQueries {
   private def m7Multilabel: Q = (s, d) => {
     val base = monthlySeries(s, d)
     Seq("price", "n_orders").map { t =>
-      val (m, p, _) = graft.models.GbtModel.fitSearched(
+      val r = graft.models.GbtModel.fitSearched(
         base, graft.models.TsSchema("ts", t), cv = 2, h = 8, nIter = 6)
+      val (m, p) = (r.model, r.params)
       m.predict(s, 8)
         .select(lit(t).as("target"), tsStr(col("ts")).as("ts"),
                 dround(col("yhat"), 4).as("yhat"),

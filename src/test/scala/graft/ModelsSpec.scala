@@ -205,6 +205,21 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.length == 8 && fc.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("AutoTimeseries searchMl runs the searched ML family end to end") {
+    import spark.implicits._
+    val rows = (0 until 60).map { t =>
+      val ts = java.sql.Timestamp.valueOf(f"20${20 + t / 12}%d-${t % 12 + 1}%02d-01 00:00:00")
+      (ts, 50.0 + 1.5 * t + 10.0 * (t % 12))
+    }
+    val df = rows.toDF("ts", "y")
+    val ats = new AutoTimeseries(cv = 1, forecastPeriod = 6,
+      modelTypes = Seq("ML"), searchMl = true).fit(df, "ts", "y")
+    val lb = ats.leaderboard(spark).collect()
+    assert(lb.length == 1 && lb.head.getString(0) == "ML" && lb.head.getDouble(1) > 0)
+    val fc = ats.predict(spark, 6).collect()
+    assert(fc.length == 6 && fc.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("GBT hyperparameter search scores no worse than the fixed defaults") {
     import spark.implicits._
     // seasonal sawtooth + trend: depth/iterations matter, so the search
@@ -217,8 +232,8 @@ class ModelsSpec extends SparkTestBase {
     val schema = graft.models.TsSchema("ts", "y")
     val fixed = new graft.models.GbtModel()
     val fixedScores = fixed.fit(df, schema, 2, 6)
-    val (_, bestP, searchedRmse) =
-      graft.models.GbtModel.fitSearched(df, schema, cv = 2, h = 6, nIter = 8)
+    val sr = graft.models.GbtModel.fitSearched(df, schema, cv = 2, h = 6, nIter = 8)
+    val (bestP, searchedRmse) = (sr.params, sr.meanRmse)
     val fixedRmse = fixedScores.foldRmse.sum / fixedScores.foldRmse.length
     // the incumbent default is always candidate zero of the search with
     // identical folds/seed, so searched can only tie or win — up to a
