@@ -137,12 +137,10 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
 class SearchedGbtModel(nIter: Int = 15, seed: Long = 42) extends ModelBuild {
   val name = "ML"
   private var inner: GbtModel = _
-  var chosen: GbtModel.GbtParams = _
 
   def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
     val r = GbtModel.fitSearched(df, schema, math.max(cv, 1), h, nIter, seed)
     inner = r.model
-    chosen = r.params
     CvScores(r.foldRmse, r.foldNormRmse)
   }
 

@@ -24,6 +24,10 @@ import graft.queries.Det._
   * bit-identical series into the regression. */
 object ModelQueries2 {
 
+  /** Shared driver-side twin of droundSql at 6 decimals — every hash-pass
+    * model twin must round through the identical formula. */
+  private def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Monthly (ts, y) series: y = dround₄(mean monthly o_totalprice). */
@@ -150,7 +154,6 @@ object ModelQueries2 {
     val m = new VarModel(maxP = 1, minP = 1)
     m.fit(monthlyYX(s, d), TsSchema("ts", "y", Seq("x")), 2, 8)
     val b = m.fittedCoefs
-    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     Seq(("y", r6(b(0, 0)), r6(b(1, 0)), r6(b(2, 0))),
         ("x", r6(b(0, 1)), r6(b(1, 1)), r6(b(2, 1))))
       .toDF("eq", "c0", "c_y", "c_x")
@@ -203,7 +206,6 @@ object ModelQueries2 {
       .select((col("y") / lit(100000.0)).as("y")).as[Double].collect()
     val f = graft.models.ArimaCss.fitOne(y, graft.models.ArimaCss.Spec(1, 0, 0))
     val fc = graft.models.ArimaCss.forecast(y, f, 4)
-    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     (1 to 4).map(h => (h.toLong, r6(f.c), r6(f.phi(0)), r6(f.sigma2), r6(fc(h - 1))))
       .toDF("h", "c0", "phi", "sigma2", "yhat")
   }
@@ -241,7 +243,6 @@ object ModelQueries2 {
       .select((col("y") / lit(100000.0)).as("y")).as[Double].collect()
     val f = graft.models.ArimaCss.fitOne(y, graft.models.ArimaCss.Spec(0, 0, 0, 1, 0, 0, 12))
     val fc = graft.models.ArimaCss.forecast(y, f, 4)
-    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
     (1 to 4).map(h => (h.toLong, r6(f.c), r6(f.phi(0)), r6(f.sigma2), r6(fc(h - 1))))
       .toDF("h", "c0", "sphi", "sigma2", "yhat")
   }

@@ -307,8 +307,12 @@ object Dedup {
       val viaNeighbor = edges.as("e")
         .join(cur.as("l"), col("e.t") === col("l.s"))
         .select(col("e.s").as("s"), col("l.label").as("label"))
+      // checkpointed before the self-join: the jump references `hopped`
+      // twice (probe side + lookup side), and without truncation the hop
+      // aggregation would be planned and executed twice per round
       val hopped = cur.unionByName(viaNeighbor)
         .groupBy(col("s")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
       // fresh projection (new attribute ids) for the lookup side of the
       // self-join — aliasing alone trips ambiguous-attribute resolution
       val lookup = hopped.select(col("s").as("ls"), col("label").as("llabel"))

@@ -69,7 +69,9 @@ object Multimodal {
     * the stub path. */
   private def gifTrailerNearEnd(b: Array[Byte]): Boolean = {
     var i = b.length - 1
-    val floor = math.max(b.length - 16, 6)
+    // k padding bytes leave the trailer at index length-1-k; permitting
+    // k <= 16 means scanning down to index length-17
+    val floor = math.max(b.length - 17, 6)
     while (i >= floor && (b(i) == 0x00 || b(i) == 0x0A || b(i) == 0x0D || b(i) == 0x20))
       i -= 1
     i >= floor && (b(i) & 0xFF) == 0x3B

@@ -60,14 +60,18 @@ object Quantiles {
                   k: Double = 1.5, useApprox: Boolean = false): DataFrame = {
     val q = if (useApprox) approx(df, valueCol, groupCols, Seq(0.25, 0.75))
             else exact(df, valueCol, groupCols, Seq(0.25, 0.75))
+    // internal names that cannot collide with caller columns, dropped
+    // from the output (mirroring winsorize's contract: input columns +
+    // exactly one new column)
     val bounds = q.select(groupCols.map(col) :+ col("q25") :+ col("q75"): _*)
-      .withColumn("lo_fence", col("q25") - lit(k) * (col("q75") - col("q25")))
-      .withColumn("hi_fence", col("q75") + lit(k) * (col("q75") - col("q25")))
+      .withColumn("__iqr_lo", col("q25") - lit(k) * (col("q75") - col("q25")))
+      .withColumn("__iqr_hi", col("q75") + lit(k) * (col("q75") - col("q25")))
       .drop("q25", "q75")
     df.join(broadcast(bounds), groupCols)
       .withColumn("is_outlier",
-        col(valueCol).cast("double") < col("lo_fence") ||
-        col(valueCol).cast("double") > col("hi_fence"))
+        col(valueCol).cast("double") < col("__iqr_lo") ||
+        col(valueCol).cast("double") > col("__iqr_hi"))
+      .drop("__iqr_lo", "__iqr_hi")
   }
 
   /** Sketch-based percentiles (the 100 TB path). `accuracy` trades memory

@@ -215,7 +215,7 @@ class ScaleSpec extends SparkTestBase {
     // group g: tight cluster 10..19 plus two extremes
     val vals = (10 to 19).map(v => ("g", v.toDouble)) ++ Seq(("g", 1000.0), ("g", -1000.0))
     val out = Quantiles.iqrOutliers(vals.toDF("grp", "v"), "v", Seq("grp"))
-      .collect().map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+      .collect().map(r => r.getDouble(1) -> r.getBoolean(2)).toMap
     assert(out(1000.0) && out(-1000.0))
     assert((10 to 19).forall(v => !out(v.toDouble)))
   }
@@ -259,10 +259,11 @@ class ScaleSpec extends SparkTestBase {
 
   test("components: fixpoint reached exactly at the round budget still succeeds") {
     import spark.implicits._
-    // chain 1-2-3-4 needs exactly 2 productive rounds; with maxIter=2 the
-    // loop exits before a confirming round — the probe must rescue it
+    // with hop+jump, chain 1-2-3-4 fully labels in ONE productive round;
+    // maxIter=1 exits the loop before any confirming round can observe
+    // the unchanged sum, so only the post-loop probe can rescue it
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
-    val comp = Dedup.components(chain, "id_a", "id_b", maxIter = 2).collect()
+    val comp = Dedup.components(chain, "id_a", "id_b", maxIter = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
