@@ -260,9 +260,12 @@ object ArimaCss {
   def gridSearch(spark: SparkSession, y: Array[Double],
                  maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
                  budget: Int = 100): Fit = {
+    // the (0,d,0) intercept-only cell is a legal candidate (the reference
+    // grids p,q from 0, `build_arima.py:77-112`): on white-noise-after-
+    // differencing series it should win rather than force a spurious term
     val grid = (for {
       p <- 0 to maxP; d <- 0 to maxD; q <- 0 to maxQ
-      if p + q > 0 && y.length - d > p + q + 8
+      if y.length - d > p + q + 8
     } yield Spec(p, d, q)).take(budget)
     val fits = parallelFit(spark, y, grid)
     require(fits.nonEmpty, "no ARIMA cell converged")
@@ -298,7 +301,6 @@ object ArimaCss {
       p <- 0 to math.min(maxP, 2); q <- 0 to math.min(maxQ, 2)
       d <- 0 to maxD
       sP <- 0 to 1; sQ <- 0 to 1
-      if p + q + sP + sQ > 0
     } yield Spec(p, d, q, sP, sD, sQ, m))
       .sortBy(_.nParams).take(budget)
     val bcTrain = spark.sparkContext.broadcast(train)

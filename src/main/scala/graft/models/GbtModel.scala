@@ -204,25 +204,35 @@ object GbtModel {
       math.min(8, math.max(pairs.size, 1)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // a failing (candidate x fold) fit is the candidate's problem, not the
+    // search's: like RandomizedSearchCV's error_score=nan default, the pair
+    // is dropped and the candidate excluded unless it scored EVERY fold
+    // (partial coverage would bias its mean down)
     val futures = pairs.map { case (p, (trainEnd, testEnd)) =>
       scala.concurrent.Future {
-        val reg = new GBTRegressor()
-          .setLabelCol(tsSchema.target).setFeaturesCol("features")
-          .setMaxIter(p.maxIter).setMaxDepth(p.maxDepth)
-          .setStepSize(p.stepSize).setSeed(42)
-        val m = reg.fit(withRn.filter(col("rn") <= trainEnd))
-        val pred = m.transform(withRn.filter(col("rn") > trainEnd && col("rn") <= testEnd))
-          .select(col(tsSchema.target), col("prediction")).collect()
-        p -> LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))
+        scala.util.Try {
+          val reg = new GBTRegressor()
+            .setLabelCol(tsSchema.target).setFeaturesCol("features")
+            .setMaxIter(p.maxIter).setMaxDepth(p.maxDepth)
+            .setStepSize(p.stepSize).setSeed(42)
+          val m = reg.fit(withRn.filter(col("rn") <= trainEnd))
+          val pred = m.transform(withRn.filter(col("rn") > trainEnd && col("rn") <= testEnd))
+            .select(col(tsSchema.target), col("prediction")).collect()
+          p -> LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))
+        }.toOption
       }
     }
     val pairScores =
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+        .flatten
       finally pool.shutdown()
-    val scored = pairScores.groupBy(_._1).toSeq.map { case (p, xs) =>
-      (p, xs.map(_._2._1), xs.map(_._2._2)) // per-fold (rmse, norm) lists
-    }
+    val scored = pairScores.groupBy(_._1).toSeq
+      .filter(_._2.size == folds.size) // full fold coverage only
+      .map { case (p, xs) =>
+        (p, xs.map(_._2._1), xs.map(_._2._2)) // per-fold (rmse, norm) lists
+      }
+    require(scored.nonEmpty, "every search candidate failed to fit")
     withRn.unpersist(); sup.unpersist()
     val (bestP, bestRmse, bestNorm) = scored.minBy { case (p, rs, _) =>
       (rs.sum / rs.length, p.maxDepth, p.maxIter, p.stepSize) // deterministic tie-break

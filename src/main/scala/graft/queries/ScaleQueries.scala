@@ -153,9 +153,11 @@ object ScaleQueries {
       |    list_dot_product(q.qe, q.qe) AS syy
       |  FROM v CROSS JOIN q),
       |p AS (SELECT rid,
-      |  floor((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) * 1000000.0 + 0.5)/1000000.0 AS pearson
+      |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    floor((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) * 1000000.0 + 0.5)/1000000.0
+      |  END AS pearson
       |  FROM s)
-      |SELECT rid, pearson FROM p ORDER BY pearson DESC, rid LIMIT 10""".stripMargin
+      |SELECT rid, pearson FROM p ORDER BY pearson DESC NULLS LAST, rid LIMIT 10""".stripMargin
 
   // ---- text analysis -------------------------------------------------------
 

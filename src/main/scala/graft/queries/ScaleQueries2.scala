@@ -447,8 +447,8 @@ object ScaleQueries2 {
 
   private val sm6Sql =
     """SELECT doc_id,
-      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
-      |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train'
+      |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e666' THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 

@@ -275,7 +275,17 @@ object Dedup {
     * for every id that appears in a pair; component = min id reachable.
     * Deterministic. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 50): DataFrame = {
+                 maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    // plan-truncation strategy: `localCheckpoint` (executor-memory blocks)
+    // is fine single-node, but an executor loss on a cluster kills the
+    // truncated lineage mid-loop — pass `checkpointDir` (HDFS/object
+    // store) there and each round is durably materialized instead
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
     val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
     val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
       .distinct().cache()
@@ -287,15 +297,13 @@ object Dedup {
         .select(lit(0L).as("id"), lit(0L).as("component")).limit(0)
     }
     // label(v) starts at min(v, min neighbor).
-    // Each round's result is localCheckpoint'ed: `next` references
-    // `labels` TWICE (union + join), so without truncation the logical
-    // plan doubles per round — exponential analyzer/explain cost long
-    // before any execution problem. Checkpointing makes every round's
-    // plan a fresh leaf (production note: on a cluster prefer
-    // `checkpoint()` with a checkpoint dir for executor-loss resilience).
-    var labels = edges.groupBy(col("s")).agg(min(col("t")).as("mn"))
-      .select(col("s"), least(col("s"), col("mn")).as("label"))
-      .localCheckpoint(true)
+    // Each round's result is plan-truncated (see `truncate` above):
+    // `next` references `labels` TWICE (union + join), so without
+    // truncation the logical plan doubles per round — exponential
+    // analyzer/explain cost long before any execution problem.
+    // Checkpointing makes every round's plan a fresh leaf.
+    var labels = truncate(edges.groupBy(col("s")).agg(min(col("t")).as("mn"))
+      .select(col("s"), least(col("s"), col("mn")).as("label")))
     var labelSum = labels.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
     // one round = hop step (label(v) <- min over neighbors' labels) then
     // pointer-jump step (label(v) <- min(label(v), label(label(v)))):
@@ -310,17 +318,15 @@ object Dedup {
       // checkpointed before the self-join: the jump references `hopped`
       // twice (probe side + lookup side), and without truncation the hop
       // aggregation would be planned and executed twice per round
-      val hopped = cur.unionByName(viaNeighbor)
-        .groupBy(col("s")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val hopped = truncate(cur.unionByName(viaNeighbor)
+        .groupBy(col("s")).agg(min(col("label")).as("label")))
       // fresh projection (new attribute ids) for the lookup side of the
       // self-join — aliasing alone trips ambiguous-attribute resolution
       val lookup = hopped.select(col("s").as("ls"), col("label").as("llabel"))
-      hopped
+      truncate(hopped
         .join(lookup, col("label") === col("ls"), "left")
         .select(col("s"),
-                least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+                least(col("label"), coalesce(col("llabel"), col("label"))).as("label")))
     }
     def sumOf(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)

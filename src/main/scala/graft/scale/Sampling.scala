@@ -55,12 +55,16 @@ object Sampling {
     * prefix carve reproducible, disjoint, ingestion-order-independent
     * fractions — the standard content-hash split of corpus pipelines.
     * Pure map-side expression: no shuffle, no state, survives any
-    * scale-up, and the same row always lands in the same split. */
+    * scale-up, and the same row always lands in the same split.
+    *
+    * Fences are 4 hex chars, so fractions quantize to 1/65536 — integer
+    * percents land within 0.001% of nominal and adjacent percents never
+    * collapse to the same fence. */
   def hashSplit(df: DataFrame, idCol: String,
                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need train > 0, val >= 0, train+val < 100; got $trainPct/$valPct")
-    def fence(pct: Int): String = f"${(256 * pct) / 100}%02x"
+    def fence(pct: Int): String = f"${(65536L * pct) / 100}%04x"
     val h = md5(col(idCol).cast("string"))
     df.withColumn("split",
       when(h < lit(fence(trainPct)), "train")

@@ -60,11 +60,18 @@ object Similarity {
                                    lit(0.0), (a, x) => a + x))
       .withColumn("sy", lit(sy))
       .withColumn("syy", lit(syy))
-      .withColumn("pearson",
-        floor((n * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
-           sqrt(n * col("syy") - col("sy") * col("sy"))) * 1e6 + 0.5) / 1e6)
-    scored.orderBy(col("pearson").desc, col("rid")).limit(k)
+      .withColumn("pearson", {
+        // zero-variance rows have no defined correlation: a 0 denominator
+        // would yield NaN, which Spark sorts ABOVE every double in DESC
+        // order (DuckDB differs) — null it out so NULLS LAST applies
+        // identically in both engines
+        val dx = n * col("sxx") - col("sx") * col("sx")
+        val dy = n * col("syy") - col("sy") * col("sy")
+        when(dx > 0 && dy > 0,
+          floor((n * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(dx) * sqrt(dy)) * 1e6 + 0.5) / 1e6)
+      })
+    scored.orderBy(col("pearson").desc_nulls_last, col("rid")).limit(k)
       .select(col("rid"), col("pearson"))
   }
 

@@ -258,6 +258,18 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.forall(v => math.abs(v) < 0.5), s"noise forecast should be ~mean 0: ${fc.toSeq}")
   }
 
+  test("grid search admits and selects (0,1,0) on a pure random walk") {
+    // random walk: after one difference the series is white noise, so no
+    // AR/MA term earns its AIC penalty — the PLAIN GRID (not just the
+    // stepwise path) must be able to return the intercept-only cell
+    var s = 99L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rw = Array.fill(200)(rnd()).scanLeft(0.0)(_ + _).tail // cumsum of noise
+    val fit = ArimaCss.gridSearch(spark, rw, maxP = 2, maxD = 1, maxQ = 2)
+    assert(fit.spec.p == 0 && fit.spec.d == 1 && fit.spec.q == 0,
+      s"random walk should select (0,1,0) through the grid, got ${fit.spec}")
+  }
+
   test("multiplicative seasonal AR: cross-lag coefficient is the constrained product") {
     // simulate (1 - 0.5B)(1 - 0.6B^12) y = e  =>
     //   y_t = 0.5 y_{t-1} + 0.6 y_{t-12} - 0.3 y_{t-13} + e_t

@@ -203,8 +203,8 @@ class ScaleSpec extends SparkTestBase {
     assert(s1 == s2)
     val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
     assert(counts.keySet == Set("train", "val", "test"))
-    // prefix fences quantize to /256ths: expect ~79.7% / ~10.2% / ~10.2%
-    assert(math.abs(counts("train") / 2000.0 - 0.797) < 0.05, counts.toString)
+    // prefix fences quantize to /65536ths: expect ~80% / ~10% / ~10%
+    assert(math.abs(counts("train") / 2000.0 - 0.80) < 0.05, counts.toString)
     assert(counts("val") > 100 && counts("test") > 100)
     intercept[IllegalArgumentException] { Sampling.hashSplit(df, "id", 95, 10) }
   }
@@ -266,6 +266,22 @@ class ScaleSpec extends SparkTestBase {
     val comp = Dedup.components(chain, "id_a", "id_b", maxIter = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("components: reliable-checkpoint variant (cluster path) matches localCheckpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b", checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == local, s"checkpoint-dir labels diverge: $comp vs $local")
+    // the reliable path actually wrote checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "checkpoint dir is empty — reliable checkpoint not used")
   }
 
   test("components: pointer jumping resolves a 200-node chain within the round cap") {
