@@ -54,7 +54,13 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     val h = graft.cv.ExpandingWindowSplit.clampHorizon(n, math.max(cv, 1), forecastPeriod)
 
     val m = seasonalPeriod.getOrElse(freq.seasonalPeriod)
+    // the reference's ML engine dispatches on analyze_problem_type
+    // (`ml_models.py:306-335,570-616`): a categorical target gets
+    // XGBClassifier, not a regressor — here GbtClassifyTs vs GbtModel
+    val classify = modelTypes.contains("ML") &&
+      graft.infer.ProblemType.analyze(df, target) != "Regression"
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
+      case "ML" if classify => Some(new GbtClassifyTs(lags = 2))
       case "ML" if searchMl => Some(new SearchedGbtModel())
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
       case "Prophet"      => Some(new DecomposableModel(m))
@@ -75,6 +81,11 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
                 else entries.minBy(_.scores.meanRmse)).name
     this
   }
+
+  /** The winning fitted model object (the reference exposes its
+    * `ml_dict[best]` the same way, `__init__.py:910-944`). */
+  def bestModel: ModelBuild =
+    entries.find(_.name == bestName).get.model
 
   /** S6 — leaderboard sorted ascending by mean CV RMSE
     * (`__init__.py:1010-1048`). */

@@ -99,8 +99,32 @@ object ModelQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** M6 (classification branch) — categorical target through the ML
+    * path (`ml_models.py:306-335` + `analyze_problem_type`): a monthly
+    * season label (deterministic function of the calendar) is classified
+    * by GbtClassifyTs via the AutoTimeseries dispatch; the forecast rows
+    * carry the predicted class, its label, and the TRUE future season, so
+    * the rows-only check sees the decisions and ModelsSpec bounds the CV
+    * error and future-label agreement. */
+  private def m6MlClassify: Q = (s, d) => {
+    val seasonOf = (m: org.apache.spark.sql.Column) =>
+      when(m.isin(12, 1, 2), "winter").when(m.isin(3, 4, 5), "spring")
+        .when(m.isin(6, 7, 8), "summer").otherwise("autumn")
+    val base = monthlySeries(s, d)
+      .select(col("ts"), seasonOf(month(col("ts"))).as("season"))
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8, modelTypes = Seq("ML"))
+    at.fit(base, "ts", "season")
+    val clf = at.bestModel.asInstanceOf[graft.models.GbtClassifyTs]
+    at.predict(s, 8)
+      .select(tsStr(col("ts")).as("ts"), col("yhat").as("class_idx"),
+              element_at(lit(clf.classes.toArray),
+                         (col("yhat") + 1).cast("int")).as("predicted_season"),
+              seasonOf(month(col("ts"))).as("true_season"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m6_ml_forecast"      -> run(Seq("ML")),
+    "m6_ml_classify"      -> m6MlClassify,
     "m5_prophet_forecast" -> run(Seq("Prophet")),
     "m4_var_forecast"     -> run(Seq("VAR")),
     "m1_arima_forecast"   -> run(Seq("auto_SARIMAX")),

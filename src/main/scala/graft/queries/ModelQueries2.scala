@@ -267,12 +267,43 @@ object ModelQueries2 {
        | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
        |FROM f""".stripMargin
 
+  // ---- m6_class_weights: the classification path's weight table ---------
+
+  /** The classifier's 'balanced'-integer class weights
+    * (`ml_models.py:390-457` — see [[graft.models.ClassWeights]]) over a
+    * deliberately SKEWED derived label, so the whole normalization path
+    * (min<1 ⇒ divide-by-min ⇒ floor) is exercised, not just the all-ones
+    * balanced case. Deterministic ⇒ hash-checked. */
+  private def m6ClassWeights: Q = (s, d) => {
+    val sev = when(col("event_type") === "error",
+                when(col("value") >= 80, "crit").otherwise("err"))
+              .otherwise("ok")
+    graft.models.ClassWeights.balanced(
+      Tables.events(s, d).withColumn("sev", sev), "sev")
+  }
+
+  private val m6ClassWeightsSql =
+    """WITH l AS (
+      |  SELECT CASE WHEN event_type = 'error'
+      |              THEN (CASE WHEN value >= 80 THEN 'crit' ELSE 'err' END)
+      |              ELSE 'ok' END AS sev
+      |  FROM events),
+      |c AS (SELECT sev, count(*) AS n FROM l GROUP BY sev),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+      |             CAST(count(*) AS DOUBLE) AS k FROM c),
+      |r AS (SELECT sev, n, total / (k * n) AS raw FROM c CROSS JOIN t),
+      |m AS (SELECT min(raw) AS mn FROM r)
+      |SELECT sev, CAST(n AS BIGINT) AS n,
+      |  CAST(floor(CASE WHEN mn < 1 THEN raw / mn ELSE raw END) AS BIGINT) AS weight
+      |FROM r CROSS JOIN m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
     "m1_ar1"     -> m1Ar1,
-    "m2_sar1"    -> m2Sar1
+    "m2_sar1"    -> m2Sar1,
+    "m6_class_weights" -> m6ClassWeights
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,6 +311,7 @@ object ModelQueries2 {
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,
     "m1_ar1"     -> m1Ar1Sql,
-    "m2_sar1"    -> m2Sar1Sql
+    "m2_sar1"    -> m2Sar1Sql,
+    "m6_class_weights" -> m6ClassWeightsSql
   )
 }

@@ -321,4 +321,71 @@ class ModelsSpec extends SparkTestBase {
     val scores = m.fit(df, TsSchema("ts", "y", Seq("x")), cv = 2, h = 5)
     assert(scores.meanRmse < 1.0, s"VAR rmse ${scores.meanRmse}")
   }
+
+  test("ClassWeights: balanced-integer weights match the reference formula") {
+    import spark.implicits._
+    // counts 90/10: raw = 100/(2*90)=0.556, 100/(2*10)=5 -> min<1 ->
+    // divide by min -> (1.0, 9.0) -> int (1, 9); the rare class's weight
+    // is what get_scale_pos_weight returns (ml_models.py:426-457)
+    val df = (Seq.fill(90)("common") ++ Seq.fill(10)("rare")).toDF("y")
+    val w = ClassWeights.balanced(df, "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w == Map("common" -> (90L, 1L), "rare" -> (10L, 9L)), w.toString)
+    assert(ClassWeights.scalePosWeight(df, "y") == 9L)
+    // already-balanced labels: raw weights 1.0 -> stay 1
+    val bal = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("y")
+    assert(ClassWeights.balanced(bal, "y").collect().forall(_.getLong(2) == 1L))
+  }
+
+  test("GbtClassify: binary and multi-class recover a separable rule") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val x1 = (i % 17).toDouble; val x2 = (i % 23).toDouble
+      (x1, x2, if (x1 + x2 > 20) "hi" else "lo",
+       if (x1 < 6) "red" else if (x2 < 12) "green" else "blue")
+    }
+    val df = rows.toDF("x1", "x2", "bin", "tri")
+    val b = new GbtClassify(maxIter = 20, maxDepth = 4)
+      .fit(df, Seq("x1", "x2"), "bin")
+    assert(b.accuracy(df) > 0.95, s"binary train accuracy ${b.accuracy(df)}")
+    assert(b.classes == Seq("hi", "lo"))
+    val m = new GbtClassify(maxIter = 20, maxDepth = 5)
+      .fit(df, Seq("x1", "x2"), "tri")
+    assert(m.accuracy(df) > 0.8, s"multi train accuracy ${m.accuracy(df)}")
+    assert(m.classes == Seq("blue", "green", "red"))
+    // local scoring agrees with distributed scoring on every row
+    val dist = m.transform(df).select(col("x1"), col("x2"), col("prediction")).collect()
+    dist.foreach { r =>
+      assert(m.predictLocal(Array(r.getDouble(0), r.getDouble(1))) == r.getDouble(2))
+    }
+  }
+
+  test("AutoTimeseries dispatches a categorical target to the classifier (M6 branch)") {
+    import spark.implicits._
+    val seasons = Array("winter", "winter", "spring", "spring", "spring", "summer",
+                        "summer", "summer", "autumn", "autumn", "autumn", "winter")
+    val df = (0 until 72).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       seasons(t % 12))
+    }.toDF("ts", "season")
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8, modelTypes = Seq("ML"))
+    at.fit(df, "ts", "season")
+    val clf = at.bestModel
+    assert(clf.isInstanceOf[GbtClassifyTs],
+      s"categorical target should get the classifier, got ${clf.getClass}")
+    // cv error rate on the seasonal pattern must be small
+    val err = at.leaderboard(spark).head().getDouble(1)
+    assert(err <= 0.25, s"seasonal classification fold error $err")
+    // the forecast classes must match the TRUE season of each future month
+    val m = clf.asInstanceOf[GbtClassifyTs]
+    val fc = at.predict(spark, 8).select(col("ts"), col("yhat")).collect()
+    val good = fc.count { r =>
+      val month = r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).getMonthValue
+      val truth = seasons(month - 1)
+      m.classes(r.getDouble(1).toInt) == truth
+    }
+    assert(good >= 7, s"future seasons matched $good/8")
+  }
 }
