@@ -61,8 +61,17 @@ object DatetimeFormatInfer {
     "MMMM dd yyyy", "MMM dd,yyyy",
     // coarse periods
     "yyyy-MM", "MM/yyyy", "MMM-yyyy", "MMM yyyy", "yyyy",
-    // times
-    "HH:mm:ss.SSS", "HH:mm:ss", "hh:mm:ss a", "hh:mm a", "HH:mm"
+    // times — the reference's `is_time` vocabulary (`utils/etl.py:359-362`,
+    // 13 patterns): pure times parse onto the epoch date (Spark's
+    // to_timestamp anchors missing date fields at 1970-01-01; the
+    // reference's strptime anchors at 1900-01-01 — documented deviation,
+    // the TIME-OF-DAY component is what the inference contract preserves).
+    // 24-hour (HH) families precede 12-hour (hh) so unambiguous 24-hour
+    // samples never match the 1-12-hour pattern first; meridian ('a')
+    // variants precede their bare twins (longer match wins).
+    "HH:mm:ss.SSS", "mm:ss.SSS'Z'",
+    "HH:mm:ss a", "hh:mm:ss a", "HH:mm:ss", "hh:mm:ss",
+    "HH:mm a", "hh:mm a", "HH:mm", "hh:mm"
   )
 
   private def matches(fmt: String, sample: Seq[String]): Boolean = {

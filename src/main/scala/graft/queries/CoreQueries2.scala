@@ -371,15 +371,19 @@ object CoreQueries2 {
               date_format(col("o_orderdate"), "MM/dd/yyyy HH:mm").as("s1"),
               date_format(col("o_orderdate"), "dd-MMM-yyyy hh:mm:ss a").as("s2"),
               date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("s3"),
-              date_format(col("o_orderdate"), "ddMMMyyyy").as("s4"))
-    val parsed = Seq("s1", "s2", "s3", "s4").foldLeft(o) { (df, c) =>
+              date_format(col("o_orderdate"), "ddMMMyyyy").as("s4"),
+              // time-only (is_time family, `utils/etl.py:359-362`):
+              // a varying wall-clock time derived from the key
+              date_format(timestamp_seconds(col("o_orderkey") % 86400), "HH:mm:ss").as("s5"))
+    val parsed = Seq("s1", "s2", "s3", "s4", "s5").foldLeft(o) { (df, c) =>
       DatetimeFormatInfer.parseTimestamp(df, c, s"p_$c")
     }
     parsed.select(col("o_orderkey"),
       tsStr(col("p_s1")).as("parsed_24h"),
       tsStr(col("p_s2")).as("parsed_ampm"),
       tsStr(col("p_s3")).as("parsed_iso"),
-      tsStr(col("p_s4")).as("parsed_compact"))
+      tsStr(col("p_s4")).as("parsed_compact"),
+      tsStr(col("p_s5")).as("parsed_time")) // anchored on the epoch date
   }
 
   private val i3Sql =
@@ -387,7 +391,8 @@ object CoreQueries2 {
        | ${tsStrSql("o_orderdate")} AS parsed_24h,
        | ${tsStrSql("o_orderdate")} AS parsed_ampm,
        | ${tsStrSql("o_orderdate")} AS parsed_iso,
-       | ${tsStrSql("date_trunc('day', o_orderdate)")} AS parsed_compact
+       | ${tsStrSql("date_trunc('day', o_orderdate)")} AS parsed_compact,
+       | ${tsStrSql("TIMESTAMP '1970-01-01' + (o_orderkey % 86400) * INTERVAL 1 SECOND")} AS parsed_time
        |FROM orders""".stripMargin
 
   // ---- S1: CSV scan with datetime parsing ------------------------------------------------------

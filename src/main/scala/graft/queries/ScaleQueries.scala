@@ -338,25 +338,32 @@ object ScaleQueries {
       | 'png' AS format
       |FROM documents""".stripMargin
 
-  /** Resize plumbing: payload rescaled to exactly w·h bytes, metadata
-    * struct rewritten to the target dims with format preserved — all
-    * length arithmetic, so oracle-checkable. */
+  /** REAL resize round trip: deterministic PNGs (variable dims from
+    * doc_id) → full decode → nearest-neighbor rescale to 16×12 → PNG
+    * re-encode → the OUTPUT bytes re-decoded by the real header parser.
+    * Hash-green means every re-encoded payload is a valid PNG of exactly
+    * the target dimensions — codec-true both directions (pixel EXACTNESS
+    * is asserted in ScaleSpec, where known fixtures make expected pixels
+    * computable; an encode-length hash would be codec-version trivia, not
+    * semantics). */
   private def mm3Resize: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    Multimodal.resize(Multimodal.decodeMeta(Multimodal.attachBinary(docs, "text")), 64, 32)
-      .groupBy(col("meta.format").as("format"))
-      .agg(count(lit(1)).as("n"),
-           min(length(col("media"))).cast("long").as("min_bytes"),
-           max(length(col("media"))).cast("long").as("max_bytes"),
-           max(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
+    val toPng = udf { (id: Long) =>
+      Multimodal.encodePng((8 + id % 32).toInt, (8 + (id * 3) % 32).toInt, seed = id)
+    }
+    val withMedia = docs.select(col("doc_id")).withColumn("media", toPng(col("doc_id")))
+    val resized = Multimodal.resize(Multimodal.decodeMeta(withMedia), 16, 12)
+    Multimodal.decodeMeta(resized.drop("meta"))
+      .select(col("doc_id"), col("meta.width").as("width"),
+              col("meta.height").as("height"), col("meta.format").as("format"),
+              (col("meta.n_bytes") > 0).cast("long").as("nonempty"))
   }
 
   private val mm3Sql =
-    """WITH b AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
-      |SELECT CASE WHEN n % 3 = 0 THEN 'jpeg' WHEN n % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
-      | count(*) AS n, CAST(2048 AS BIGINT) AS min_bytes, CAST(2048 AS BIGINT) AS max_bytes,
-      | CAST(64 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h
-      |FROM b GROUP BY 1""".stripMargin
+    """SELECT doc_id,
+      | CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+      | 'png' AS format, CAST(1 AS BIGINT) AS nonempty
+      |FROM documents""".stripMargin
 
   /** Frame-sampling plumbing: stride slicing + posexplode generator shape;
     * frame counts are length arithmetic, so oracle-checkable. */

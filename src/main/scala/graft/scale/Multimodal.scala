@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (north star): image/audio/video as opaque
   * BINARY columns with typed metadata structs.
   *
-  * Image metadata decode is REAL: PNG/JPEG/GIF/BMP headers are parsed with
-  * the JDK's `javax.imageio` (`ImageReader.getWidth/getHeight` reads the
-  * header only — no pixel decode). Non-image payloads (and any byte stream
-  * the codec rejects) fall back to the deterministic ==STUB== arithmetic
+  * Image metadata decode AND resize are REAL: PNG/JPEG/GIF/BMP headers
+  * are parsed with the JDK's `javax.imageio` (`ImageReader.getWidth/
+  * getHeight` reads the header only — no pixel decode), and [[resize]]
+  * fully decodes, nearest-neighbor-rescales, and PNG-re-encodes through
+  * the same JDK codecs. Non-image payloads (and any byte stream the
+  * codec rejects) fall back to the deterministic ==STUB== arithmetic
   * (length/prefix derived), which is where a libjpeg-turbo/ffmpeg native
   * call would plug in for formats the JDK lacks (webp, audio, video). */
 object Multimodal {
@@ -163,26 +165,63 @@ object Multimodal {
     df.withColumn("features", extract(col("media")))
   }
 
-  /** ==STUB RESIZE== — deterministic fake: "resizing" to w×h produces a
-    * payload of exactly w·h bytes (truncate / cycle-pad); the real path
-    * calls the image library per batch. The metadata struct is rewritten
-    * to the target dimensions — that struct is the contract downstream
-    * consumers read, and it is what the oracle checks. Requires `meta`
-    * (run [[decodeMeta]] first); the original format is preserved. */
+  /** REAL image resize, zero new dependencies: full `ImageIO` decode →
+    * nearest-neighbor rescale with pure integer index arithmetic
+    * (srcX = x·srcW / w — bit-deterministic, no interpolation-kernel or
+    * render-pipeline variance) → PNG re-encode (lossless, so the pixel
+    * spec can assert exact values). Returns None when the bytes are not
+    * a decodable image. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    sniffFormat(bytes).flatMap { _ =>
+      scala.util.Try {
+        ImageIO.setUseCache(false)
+        val src = ImageIO.read(new ByteArrayInputStream(bytes))
+        require(src != null, "undecodable image")
+        val sw = src.getWidth; val sh = src.getHeight
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * sh / h).toInt
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, src.getRGB((x.toLong * sw / w).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }.toOption
+    }
+
+  /** Resize to w×h: REAL pixels for decodable images (nearest-neighbor +
+    * PNG re-encode via [[resizeImage]] — the output is a valid PNG whose
+    * header decodes to exactly (w, h)); the ==STUB== byte arithmetic
+    * (truncate / cycle-pad to w·h bytes, format preserved) only for
+    * non-image payloads, where the native codec would plug in. Requires
+    * `meta` (run [[decodeMeta]] first). */
   def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
     val target = w * h
     val resizeUdf = udf { (bytes: Array[Byte]) =>
-      val out = new Array[Byte](target)
-      if (bytes != null && bytes.length > 0) {
-        var i = 0
-        while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
-      }
-      out
+      resizeImage(if (bytes == null) Array.empty[Byte] else bytes, w, h)
+        .getOrElse {
+          val out = new Array[Byte](target)
+          if (bytes != null && bytes.length > 0) {
+            var i = 0
+            while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
+          }
+          out
+        }
     }
     df.withColumn("media", resizeUdf(col("media")))
       .withColumn("meta", struct(
         lit(w).as("width"), lit(h).as("height"),
-        col("meta.format").as("format"), lit(target.toLong).as("n_bytes")))
+        // the real path re-encodes as PNG; recognize it from the OUTPUT
+        // bytes (stub payloads keep their sniffed-or-stub format)
+        when(hex(substring(col("media"), 1, 4)) === "89504E47", lit("png"))
+          .otherwise(col("meta.format")).as("format"),
+        length(col("media")).cast("long").as("n_bytes")))
   }
 
   /** ==STUB FRAME SAMPLE== — "video" frame sampling as byte slices at a

@@ -115,6 +115,18 @@ class CoreOpsSpec extends SparkTestBase {
       .contains("MM-dd-yy hh:mm a"))
     assert(DatetimeFormatInfer.infer(Seq("15/03/2024  10:30:00 PM").toDF("s"), "s")
       .contains("dd/MM/yyyy  hh:mm:ss a"))
+    // round-8 widening: the is_time time-only family (etl.py:359-362) —
+    // pure times infer, parse onto the epoch date, and 24h samples never
+    // match the 12-hour pattern (13:45 has no hh interpretation)
+    assert(DatetimeFormatInfer.infer(Seq("13:45:10", "09:30:00").toDF("s"), "s")
+      .contains("HH:mm:ss"))
+    assert(DatetimeFormatInfer.infer(Seq("09:30 PM", "01:05 AM").toDF("s"), "s")
+      .contains("hh:mm a"))
+    assert(DatetimeFormatInfer.infer(Seq("13:45", "23:59").toDF("s"), "s")
+      .contains("HH:mm"))
+    val t = DatetimeFormatInfer.parseTimestamp(Seq("13:45:10").toDF("s"), "s", "ts")
+      .select($"ts".cast("string")).head().getString(0)
+    assert(t == "1970-01-01 13:45:10", s"epoch-anchored time parse, got $t")
     // every candidate must be PARSEABLE by Spark's to_timestamp (Spark 4
     // forbids E/F/q/Q in parse patterns) — probe each against a literal
     DatetimeFormatInfer.candidates.foreach { fmt =>

@@ -164,13 +164,47 @@ class ScaleSpec extends SparkTestBase {
     assert(feats.select("features").head().getSeq[Float](0).length == 8)
     val frames = Multimodal.sampleFrames(withMedia, 64, 3)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 3))
-    // resize: payload becomes exactly w*h cycle-padded bytes, meta follows
+    // resize of NON-image bytes: stub path — payload becomes exactly w*h
+    // cycle-padded bytes, meta follows
     val resized = Multimodal.resize(meta, 16, 4).select("media", "meta.width", "meta.n_bytes")
     val orig = meta.select("media").head().getAs[Array[Byte]](0)
     val r0 = resized.head()
     val out = r0.getAs[Array[Byte]](0)
     assert(out.length == 64 && r0.getInt(1) == 16 && r0.getLong(2) == 64L)
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
+  }
+
+  test("resizeImage: real pixels — exact nearest-neighbor values, valid PNG out") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    // 2x2 checkerboard, exact colors
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    // upscale 2x2 -> 4x4: nearest neighbor maps each source pixel to a
+    // 2x2 block (srcX = x*2/4 = x/2)
+    val up = Multimodal.resizeImage(bos.toByteArray, 4, 4)
+    assert(up.isDefined, "PNG input must take the real path")
+    val dec = ImageIO.read(new ByteArrayInputStream(up.get))
+    assert(dec.getWidth == 4 && dec.getHeight == 4)
+    val expect = Map((0, 0) -> 0xFF0000, (3, 0) -> 0x00FF00,
+                     (0, 3) -> 0x0000FF, (3, 3) -> 0xFFFFFF,
+                     (1, 1) -> 0xFF0000, (2, 2) -> 0xFFFFFF)
+    expect.foreach { case ((x, y), rgb) =>
+      assert((dec.getRGB(x, y) & 0xFFFFFF) == rgb, s"pixel ($x,$y)")
+    }
+    // downscale a deterministic 32x16 fixture to 8x4 and spot-check the
+    // exact NN source mapping: out(x,y) == src(x*4, y*4)
+    val srcBytes = Multimodal.encodePng(32, 16, seed = 5)
+    val down = Multimodal.resizeImage(srcBytes, 8, 4).get
+    val src = ImageIO.read(new ByteArrayInputStream(srcBytes))
+    val dwn = ImageIO.read(new ByteArrayInputStream(down))
+    for (x <- 0 until 8; y <- 0 until 4)
+      assert(dwn.getRGB(x, y) == src.getRGB(x * 4, y * 4), s"NN map ($x,$y)")
+    // non-image bytes refuse the real path
+    assert(Multimodal.resizeImage("just text".getBytes, 4, 4).isEmpty)
   }
 
   test("chunkDocuments: overlap windows tile the token stream") {
