@@ -356,6 +356,33 @@ object ArimaCss {
     f.aic + 2.0 * k * (k + 1) / math.max(f.n - k - 1, 1)
   }
 
+  /** AICc of `f` recomputed on residuals over a COMMON burn-in window:
+    * residuals e_t for t ≥ `burn` of the shared differenced series `w`
+    * (all specs in a stepwise search share one (d, sD), so `w` is
+    * identical across them). A fit's own conditioning start is its
+    * largest AR lag, so candidates with different (p, sP) natively score
+    * on slightly different effective n — which makes the log-likelihood
+    * terms of an AICc comparison sums over different data. Rescoring
+    * every candidate from the same `burn` index makes each round's
+    * comparison an equal-n likelihood comparison, the way statsmodels'
+    * `loglike` conditions every candidate on the same `k_ar` burn-in when
+    * orders are compared. Returns (score, effective n). */
+  private[graft] def aiccAt(w: Array[Double], f: Fit, burn: Int): (Double, Int) = {
+    val ownStart = if (f.spec.arLags.isEmpty) 0 else f.spec.arLags.max
+    val e = cssResiduals(w, f.c, f.spec.arLags, f.phi, f.spec.maLags, f.theta)
+    val e2 = if (burn > ownStart) e.drop(burn - ownStart) else e
+    val ne = math.max(e2.length, 1)
+    val sigma2 = math.max(e2.map(v => v * v).sum / ne, 1e-300)
+    val k = f.spec.nParams + 1
+    val aic = ne * math.log(sigma2) + 2.0 * k
+    (aic + 2.0 * k * (k + 1) / math.max(ne - k - 1, 1), ne)
+  }
+
+  /** Largest conditioning lag over a set of specs — the shared burn-in
+    * index that makes their residual windows identical. */
+  private[graft] def commonBurn(specs: Iterable[Spec]): Int =
+    specs.map(s => ((s.arLags ++ s.maLags) :+ 0).max).foldLeft(0)(math.max)
+
   /** M3 — stepwise Hyndman–Khandakar auto-ARIMA (the reference wraps
     * pmdarima's stepwise `auto_arima`, `build_autoarimax.py:16-88`).
     *
@@ -367,8 +394,9 @@ object ArimaCss {
     * same D-before-d ordering as Hyndman–Khandakar/pmdarima, so a strong
     * seasonal cycle can't masquerade as a regular unit root. Fixing the
     * differencing up front removes the dominant sample-size shift from
-    * the AICc comparison (candidates still differ slightly in effective n
-    * via their largest lag's burn-in). The search then starts from the four
+    * the AICc comparison, and each round rescores all candidates on
+    * residuals over a SHARED burn-in window ([[aiccAt]]) so every
+    * comparison is exactly equal-n. The search then starts from the four
     * canonical seeds and hill-climbs over ±1 neighbors in (p, q, sP,
     * sQ); each round's unseen neighbors are fitted as ONE parallel Spark
     * job. Typically converges in 3-6 rounds ≈ 20-40 fits vs the 100-fit
@@ -414,7 +442,13 @@ object ArimaCss {
     }
     fitBatch(seeds)
     require(fits.nonEmpty, "no stepwise seed converged")
-    var best = fits.values.minBy(aicc)
+    // Every comparison (this round's minBy AND the improved-vs-best test)
+    // rescores ALL fitted candidates on residuals from one shared burn-in
+    // — the largest conditioning lag attempted so far — so each round's
+    // AICc ranking is an equal-n likelihood comparison (see [[aiccAt]]).
+    // All specs share (d, sD) fixed above, so `w` is the common series.
+    def score(f: Fit): Double = aiccAt(w, f, commonBurn(fits.keys))._1
+    var best = fits.values.minBy(score)
     var improved = true
     var round = 0
     while (improved && round < maxRounds) {
@@ -427,8 +461,8 @@ object ArimaCss {
         (if (seasonal) Seq(
           b.copy(sP = b.sP + 1), b.copy(sP = b.sP - 1),
           b.copy(sQ = b.sQ + 1), b.copy(sQ = b.sQ - 1)) else Nil))
-      val cand = fits.values.minBy(aicc)
-      improved = aicc(cand) < aicc(best) - 1e-9
+      val cand = fits.values.minBy(score)
+      improved = score(cand) < score(best) - 1e-9
       if (improved) best = cand
       round += 1
     }

@@ -20,15 +20,28 @@ import org.apache.spark.sql.types._
   * holidays frame). Each observation whose timestamp is in the set gets a
   * 0/1 dummy column in the design matrix; future rows are matched against
   * the same set via the calendar-aware `ForecastFrame.nextTs` step, so a
-  * December spike is carried into December forecasts. */
+  * December spike is carried into December forecasts.
+  *
+  * Intervals: `intervalMode = "analytic"` (default) emits the residual-σ
+  * ±1.96σ band; `"bootstrap"` emits Prophet-parity simulated intervals
+  * (`build_prophet.py:433-452`) — empirical quantiles over
+  * `uncertaintySamples` residual-bootstrap paths at `intervalWidth`
+  * nominal coverage, deterministic under the fixed `seed`. */
 class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
                         ridgeLambda: Double = 1.0,
-                        holidays: Set[Long] = Set.empty) extends ModelBuild {
+                        holidays: Set[Long] = Set.empty,
+                        intervalMode: String = "analytic",
+                        uncertaintySamples: Int = 500,
+                        intervalWidth: Double = 0.95,
+                        seed: Long = 42L) extends ModelBuild {
+  require(intervalMode == "analytic" || intervalMode == "bootstrap",
+    s"intervalMode must be analytic|bootstrap, got $intervalMode")
   val name = "Prophet"
 
   private var series: LocalSeries = _
   private var beta: DenseVector[Double] = _
   private var sigma: Double = _
+  private var resid: Array[Double] = Array.empty
   private var intervalMs: Long = _
   private var nExog: Int = _
   private var tsColName: String = _
@@ -97,6 +110,11 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     }
     val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale)
     beta = f; sigma = nf
+    // in-sample residuals of the final fit — the bootstrap's noise pool
+    resid = series.y.indices.map { t =>
+      series.y(t) - (f dot DenseVector(
+        designRow(t, nScale, holAt(series.ts(t)), series.exog(t))))
+    }.toArray
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
@@ -118,7 +136,39 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     val tsAt: Int => Long = t =>
       ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
     val pred = forecastLocal(beta, series.n, h, nScale, tsAt, exogAt)
-    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
+    if (intervalMode == "bootstrap" && resid.nonEmpty) {
+      // Prophet's posterior-SIMULATION intervals (`build_prophet.py:
+      // 433-452` returns yhat_lower/upper from `uncertainty_samples`
+      // sampled paths), re-expressed as a residual bootstrap: each of
+      // `uncertaintySamples` paths adds an in-sample residual drawn with
+      // replacement (fixed-seed PRNG — deterministic output) to the point
+      // forecast, and the interval is the empirical (α/2, 1−α/2)
+      // quantile per horizon. Under Gaussian residuals this converges to
+      // the analytic ±zσ band; under skewed/fat-tailed residuals it
+      // reproduces that shape, which is the semantics Prophet ships.
+      val rng = new scala.util.Random(seed)
+      val draws = Array.fill(uncertaintySamples, h)(0.0)
+      for (b <- 0 until uncertaintySamples; i <- 0 until h)
+        draws(b)(i) = pred(i) + resid(rng.nextInt(resid.length))
+      val alpha = (1.0 - intervalWidth) / 2.0
+      def quantile(sorted: Array[Double], p: Double): Double = {
+        // type-7 (linear interpolation), matching numpy's default
+        val idx = p * (sorted.length - 1)
+        val lo = idx.toInt; val frac = idx - lo
+        if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+        else sorted(lo)
+      }
+      val (se, lo, hi) = (new Array[Double](h), new Array[Double](h), new Array[Double](h))
+      for (i <- 0 until h) {
+        val col = Array.tabulate(uncertaintySamples)(b => draws(b)(i))
+        java.util.Arrays.sort(col)
+        val mu = col.sum / col.length
+        se(i) = math.sqrt(col.map(v => (v - mu) * (v - mu)).sum / (col.length - 1))
+        lo(i) = quantile(col, alpha); hi(i) = quantile(col, 1.0 - alpha)
+      }
+      ForecastFrame.buildBands(spark, series.ts.last, intervalMs, pred, se, lo, hi)
+    } else
+      ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
   }
 }
 
@@ -153,5 +203,21 @@ object ForecastFrame {
           p, sigma, p - 1.96 * sigma, p + 1.96 * sigma)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** Same frame with per-horizon se / lower / upper (simulation-derived
+    * bands — see DecomposableModel's bootstrap interval mode). */
+  def buildBands(spark: SparkSession, lastTsMs: Long, intervalMs: Long,
+                 yhat: Array[Double], se: Array[Double],
+                 lower: Array[Double], upper: Array[Double]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("yhat", DoubleType),
+      StructField("mean_se", DoubleType),
+      StructField("mean_ci_lower", DoubleType), StructField("mean_ci_upper", DoubleType)))
+    val rows = yhat.indices.map { i =>
+      Row(new java.sql.Timestamp(nextTs(lastTsMs, intervalMs, i + 1)),
+          yhat(i), se(i), lower(i), upper(i))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

@@ -122,8 +122,21 @@ object ModelQueries {
               seasonOf(month(col("ts"))).as("true_season"))
   }
 
+  /** M5 (bootstrap-interval branch) — the Prophet-parity simulated
+    * uncertainty intervals (`build_prophet.py:433-452`): same decomposable
+    * fit, but yhat_lower/upper come from residual-bootstrap path quantiles
+    * instead of the analytic ±1.96σ. Deterministic (fixed seed) but ✖est:
+    * empirical-coverage ≈ nominal is asserted in ModelsSpec. */
+  private def m5BootstrapCi: Q = (s, d) => {
+    val m = new graft.models.DecomposableModel(
+      seasonalPeriod = 12, intervalMode = "bootstrap")
+    m.fit(monthlySeries(s, d), graft.models.TsSchema("ts", "price"), cv = 2, h = 8)
+    forecastOut(m.predict(s, 8))
+  }
+
   val queries: Map[String, Q] = Map(
     "m6_ml_forecast"      -> run(Seq("ML")),
+    "m5_bootstrap_ci"     -> m5BootstrapCi,
     "m6_ml_classify"      -> m6MlClassify,
     "m5_prophet_forecast" -> run(Seq("Prophet")),
     "m4_var_forecast"     -> run(Seq("VAR")),

@@ -267,6 +267,60 @@ object ModelQueries2 {
        | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
        |FROM f""".stripMargin
 
+  // ---- m3_decision: the stepwise search's DECISION as a hash oracle -----
+
+  /** Decision-equality twin for the stepwise auto-ARIMA (`m3_stepwise` is
+    * ✖est rows-only; this makes the search's DECISION itself hash-
+    * checkable): two fixed-seed synthetic series with strongly-identified
+    * generating orders run through the REAL [[graft.models.ArimaCss
+    * .stepwiseSearch]], and the chosen (p,d,q)(P,D,Q) per fixture is
+    * compared against the order that GENERATED the data (the oracle just
+    * states those orders — pmdarima on the same series makes the same
+    * call, `build_autoarimax.py:16-88`).
+    *
+    *  - `ar2`: y_t = 1 + 0.75·y_{t−1} − 0.5·y_{t−2} + e_t — complex AR
+    *    roots (pseudo-period ≈ 6), two-lag memory nothing shorter can
+    *    mimic ⇒ (2,0,0).
+    *  - `sar1`: y_t = 0.5·y_{t−12} + e_t — pure seasonal memory, Φ=0.5
+    *    sits safely on the sD=0 side of the seasonal-strength ratio
+    *    (var(Δ₁₂y)/var(y) = 2(1−Φ) = 1) ⇒ (0,0,0)(1,0,0)[12].
+    *
+    * Noise is a fixed-seed LCG (driver-side, bit-deterministic), so the
+    * series — and therefore the decision — is identical on every run and
+    * at every sf. */
+  private def m3Decision: Q = (s, _) => {
+    val spark = s
+    import spark.implicits._
+    def lcg(seed: Long): () => Double = {
+      var x = seed
+      () => {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53) - 0.5
+      }
+    }
+    val n = 300
+    val e1 = lcg(7L)
+    val a = new Array[Double](n)
+    for (i <- 2 until n) a(i) = 1.0 + 0.75 * a(i - 1) - 0.5 * a(i - 2) + e1()
+    val e2 = lcg(77L)
+    val b = new Array[Double](n)
+    for (i <- 0 until n) b(i) = 0.5 * (if (i >= 12) b(i - 12) else 0.0) + e2()
+    val fits = Seq(("ar2", graft.models.ArimaCss.stepwiseSearch(s, a)),
+                   ("sar1", graft.models.ArimaCss.stepwiseSearch(s, b, m = 12)))
+    fits.map { case (k, f) =>
+      (k, f.spec.p.toLong, f.spec.d.toLong, f.spec.q.toLong,
+       f.spec.sP.toLong, f.spec.sD.toLong, f.spec.sQ.toLong)
+    }.toDF("fixture", "p", "d", "q", "sp", "sd", "sq")
+  }
+
+  private val m3DecisionSql =
+    """SELECT 'ar2' AS fixture, CAST(2 AS BIGINT) AS p, CAST(0 AS BIGINT) AS d,
+      | CAST(0 AS BIGINT) AS q, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sd,
+      | CAST(0 AS BIGINT) AS sq
+      |UNION ALL
+      |SELECT 'sar1', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      | CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
+
   // ---- m6_class_weights: the classification path's weight table ---------
 
   /** The classifier's 'balanced'-integer class weights
@@ -303,6 +357,7 @@ object ModelQueries2 {
     "m4_var1"    -> m4Var1,
     "m1_ar1"     -> m1Ar1,
     "m2_sar1"    -> m2Sar1,
+    "m3_decision" -> m3Decision,
     "m6_class_weights" -> m6ClassWeights
   )
 
@@ -312,6 +367,7 @@ object ModelQueries2 {
     "m4_var1"    -> m4Var1Sql,
     "m1_ar1"     -> m1Ar1Sql,
     "m2_sar1"    -> m2Sar1Sql,
+    "m3_decision" -> m3DecisionSql,
     "m6_class_weights" -> m6ClassWeightsSql
   )
 }

@@ -164,6 +164,80 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.length == 5 && fc.forall(v => !v.isNaN))
   }
 
+  test("common-burn AICc: candidates in a round score on IDENTICAL effective n") {
+    var s = 7L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val n = 120
+    val y = new Array[Double](n); y(0) = 3.0
+    for (i <- 1 until n) y(i) = 1.0 + 0.5 * y(i - 1) + rnd()
+    // a round's candidate set with heterogeneous conditioning lags:
+    // native Fit.n differs (burn-in = own max AR lag), but rescoring at
+    // the round's commonBurn must put every candidate on the same n
+    val specs = Seq(ArimaCss.Spec(0, 0, 0), ArimaCss.Spec(1, 0, 0),
+                    ArimaCss.Spec(3, 0, 0), ArimaCss.Spec(2, 0, 1))
+    val fits = specs.map(sp => ArimaCss.fitOne(y, sp))
+    assert(fits.map(_.n).distinct.size > 1, "fixture must exercise unequal native n")
+    val burn = ArimaCss.commonBurn(fits.map(_.spec))
+    assert(burn == 3)
+    val scored = fits.map(f => ArimaCss.aiccAt(y, f, burn))
+    assert(scored.map(_._2).distinct.size == 1,
+      s"equal-n violated: ${scored.map(_._2)}")
+    assert(scored.head._2 == n - burn)
+    assert(scored.forall(v => !v._1.isNaN && !v._1.isInfinite))
+  }
+
+  test("bootstrap intervals: empirical coverage ≈ nominal on a simulated series") {
+    import spark.implicits._
+    var s = 31L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    // trend + annual cycle + uniform(-1.5, 1.5) noise, 160 monthly points
+    val n = 160
+    val truthNoise = Array.fill(n)(rnd() * 3.0)
+    val y = Array.tabulate(n)(t =>
+      10.0 + 0.05 * t + 2.0 * math.sin(2 * math.Pi * t / 12.0) + truthNoise(t))
+    val ts = (0 until n).map(t => java.sql.Timestamp.from(
+      java.time.LocalDate.of(2000, 1, 1).plusMonths(t.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+    def dfUpTo(end: Int) = ts.take(end).zip(y.take(end)).toDF("ts", "y")
+    // rolling-origin coverage count at 95% nominal: 6 origins × h=8 = 48
+    // out-of-sample actuals
+    var hit = 0; var total = 0; var bootWidth = 0.0; var anaWidth = 0.0
+    for (trainEnd <- Seq(100, 110, 120, 130, 140, 150)) {
+      // λ=0: the test isolates INTERVAL semantics — with ridge shrinkage
+      // the point forecast is biased and noise-only bands under-cover
+      val boot = new DecomposableModel(seasonalPeriod = 12, ridgeLambda = 0.0,
+                                       intervalMode = "bootstrap")
+      boot.fit(dfUpTo(trainEnd), TsSchema("ts", "y"), cv = 1, h = 8)
+      val ana = new DecomposableModel(seasonalPeriod = 12, ridgeLambda = 0.0)
+      ana.fit(dfUpTo(trainEnd), TsSchema("ts", "y"), cv = 1, h = 8)
+      val bfc = boot.predict(spark, 8).collect()
+      val afc = ana.predict(spark, 8).collect()
+      for (i <- 0 until 8) {
+        val actual = y(trainEnd + i)
+        val (lo, hi) = (bfc(i).getDouble(3), bfc(i).getDouble(4))
+        assert(lo < hi, "degenerate bootstrap band")
+        if (lo <= actual && actual <= hi) hit += 1
+        total += 1
+        bootWidth += hi - lo
+        anaWidth += afc(i).getDouble(4) - afc(i).getDouble(3)
+      }
+    }
+    val coverage = hit.toDouble / total
+    assert(coverage >= 0.85, s"bootstrap coverage $coverage below nominal 0.95 band")
+    // uniform residuals: the empirical 95% band sits a bit INSIDE the
+    // Gaussian ±1.96σ band — bootstrap width must track the analytic one
+    assert(bootWidth / anaWidth > 0.6 && bootWidth / anaWidth < 1.1,
+      s"bootstrap/analytic width ratio ${bootWidth / anaWidth} implausible")
+  }
+
+  test("m3_decision: stepwise recovers the generating orders (AR(2), SAR(1)[12])") {
+    val rows = graft.queries.ModelQueries2.queries("m3_decision")(spark, "unused")
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getLong).mkString(",")).toMap
+    assert(rows("ar2") == "2,0,0,0,0,0", s"ar2 decision ${rows("ar2")}")
+    assert(rows("sar1") == "0,0,0,1,0,0", s"sar1 decision ${rows("sar1")}")
+  }
+
   test("univariate end-to-end: VAR self-rejects, leaderboard bounded (ts_2 shape)") {
     // the reference's univariate fixture (test_auto_ts.py:1007, ts_2.csv:
     // 486 monthly rows, DATE + UMCSENT) re-created synthetically: level
