@@ -275,7 +275,16 @@ object Dedup {
     * for every id that appears in a pair; component = min id reachable.
     * Deterministic. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+                 maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
+    componentsStats(pairs, aCol, bCol, maxIter, checkpointDir)._1
+
+  /** [[components]] plus the number of doubling rounds the fixpoint loop
+    * actually ran — the scale-soak observable: at 10× data the near-dup
+    * graph's diameter (and so the round count) should hold roughly
+    * constant, which is what makes the O(log D) claim measurable. */
+  def componentsStats(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIter: Int = 50,
+                      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // plan-truncation strategy: `localCheckpoint` (executor-memory blocks)
     // is fine single-node, but an executor loss on a cluster kills the
     // truncated lineage mid-loop — pass `checkpointDir` (HDFS/object
@@ -293,8 +302,8 @@ object Dedup {
     // check below would otherwise read a null aggregate)
     if (edges.isEmpty) {
       edges.unpersist()
-      return e.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id"), lit(0L).as("component")).limit(0)
+      return (e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("component")).limit(0), 0)
     }
     // label(v) starts at min(v, min neighbor).
     // Each round's result is plan-truncated (see `truncate` above):
@@ -361,7 +370,7 @@ object Dedup {
     require(converged,
       s"components did not converge in $maxIter doubling rounds " +
       s"(component diameter on the order of 2^$maxIter); raise maxIter")
-    labels.select(col("s").as("id"), col("label").as("component"))
+    (labels.select(col("s").as("id"), col("label").as("component")), it)
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold.
