@@ -63,7 +63,9 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
       case "ML" if classify => Some(new GbtClassifyTs(lags = 2))
       case "ML" if searchMl => Some(new SearchedGbtModel())
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
-      case "Prophet"      => Some(new DecomposableModel(m))
+      // nChangepoints = -1 → auto piecewise trend (Prophet fits 25
+      // potential changepoints by default; auto scales that to the data)
+      case "Prophet"      => Some(new DecomposableModel(m, nChangepoints = -1))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
       case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = m))

@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
   * the same set via the calendar-aware `ForecastFrame.nextTs` step, so a
   * December spike is carried into December forecasts.
   *
+  * Trend: linear by default; `nChangepoints > 0` adds Prophet's
+  * piecewise-linear trend (hinge basis at `n_changepoints` uniform
+  * positions over the first `changepoint_range` of history, ridge-shrunk
+  * slope deltas ≈ MAP of the Laplace-prior δ; forecasts extrapolate the
+  * last fitted slope, as Prophet's trend does).
+  *
   * Intervals: `intervalMode = "analytic"` (default) emits the residual-σ
   * ±1.96σ band; `"bootstrap"` emits Prophet-parity simulated intervals
   * (`build_prophet.py:433-452`) — empirical quantiles over
@@ -33,7 +39,9 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
                         intervalMode: String = "analytic",
                         uncertaintySamples: Int = 500,
                         intervalWidth: Double = 0.95,
-                        seed: Long = 42L) extends ModelBuild {
+                        seed: Long = 42L,
+                        nChangepoints: Int = 0,
+                        changepointRange: Double = 0.8) extends ModelBuild {
   require(intervalMode == "analytic" || intervalMode == "bootstrap",
     s"intervalMode must be analytic|bootstrap, got $intervalMode")
   val name = "Prophet"
@@ -42,17 +50,38 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   private var beta: DenseVector[Double] = _
   private var sigma: Double = _
   private var resid: Array[Double] = Array.empty
+  private var cpsFinal: Array[Double] = Array.empty
   private var intervalMs: Long = _
   private var nExog: Int = _
   private var tsColName: String = _
   private var exogNames: Seq[String] = Nil
 
-  /** Design row: [1, t/n, sin/cos(2πkt/m) for k=1..K, holiday?, exog...]. */
+  /** Piecewise-linear trend changepoints (Prophet's potential-changepoint
+    * grid, `n_changepoints` uniform over the first `changepoint_range`
+    * fraction of history): slope-change hinge positions for a training
+    * length. The hinge DELTAS are ridge-shrunk like every non-intercept
+    * column — the MAP stand-in for Prophet's Laplace prior on δ, same
+    * approximation this class makes for the rest of the Stan model. */
+  private def changepointsFor(trainN: Int): Array[Double] = {
+    // negative = auto: Prophet defaults to 25 potential changepoints; on
+    // short series that exceeds the data, so auto caps at one hinge per
+    // ~10 observations (the ridge shrinkage keeps unused deltas near 0)
+    val nCp = if (nChangepoints < 0) math.min(25, trainN / 10) else nChangepoints
+    if (nCp <= 0) Array.empty
+    else Array.tabulate(nCp)(j =>
+      math.floor((j + 1).toDouble * changepointRange * trainN / (nCp + 1)))
+  }
+
+  /** Design row: [1, t/n, hinge((t−c)/n)…, sin/cos(2πkt/m) for k=1..K,
+    * holiday?, exog...]. Beyond the last changepoint the hinges keep
+    * growing linearly, so forecasts extrapolate the LAST fitted slope —
+    * Prophet's trend extrapolation (future changepoints are not added). */
   private def designRow(t: Int, nScale: Double, hol: Double,
-                        exog: Array[Double]): Array[Double] = {
+                        exog: Array[Double], cps: Array[Double]): Array[Double] = {
     val base = Array.newBuilder[Double]
     base += 1.0
     base += t / nScale
+    cps.foreach(c => base += math.max(0.0, (t - c) / nScale))
     var k = 1
     while (k <= fourierOrder) {
       val ang = 2.0 * math.Pi * k * t / seasonalPeriod
@@ -67,8 +96,8 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
   private def holAt(tsMs: Long): Double = if (holidays.contains(tsMs)) 1.0 else 0.0
 
   private def fitLocal(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]],
-                       nScale: Double): (DenseVector[Double], Double) = {
-    val rows = y.indices.map(t => designRow(t, nScale, holAt(ts(t)), exog(t)))
+                       nScale: Double, cps: Array[Double]): (DenseVector[Double], Double) = {
+    val rows = y.indices.map(t => designRow(t, nScale, holAt(ts(t)), exog(t), cps))
     val x = DenseMatrix(rows: _*)
     val yv = DenseVector(y)
     val k = x.cols
@@ -82,10 +111,11 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
 
   private def forecastLocal(b: DenseVector[Double], from: Int, h: Int,
                             nScale: Double, tsAt: Int => Long,
-                            exog: Int => Array[Double]): Array[Double] =
+                            exog: Int => Array[Double],
+                            cps: Array[Double]): Array[Double] =
     Array.tabulate(h) { i =>
       val t = from + i
-      val row = DenseVector(designRow(t, nScale, holAt(tsAt(t)), exog(t)))
+      val row = DenseVector(designRow(t, nScale, holAt(tsAt(t)), exog(t), cps))
       b dot row
     }
 
@@ -102,18 +132,22 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       if (t < series.n) series.ts(t)
       else ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
+      // changepoint grid recomputed per fold from the TRAIN length only —
+      // a fold must not place hinges in its own test window
+      val foldCps = changepointsFor(trainEnd)
       val (b, _) = fitLocal(series.ts.take(trainEnd), series.y.take(trainEnd),
-                            series.exog.take(trainEnd), nScale)
+                            series.exog.take(trainEnd), nScale, foldCps)
       val pred = forecastLocal(b, trainEnd, testEnd - trainEnd, nScale, tsAt,
-                               t => series.exog(t))
+                               t => series.exog(t), foldCps)
       LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
     }
-    val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale)
+    cpsFinal = changepointsFor(series.n)
+    val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale, cpsFinal)
     beta = f; sigma = nf
     // in-sample residuals of the final fit — the bootstrap's noise pool
     resid = series.y.indices.map { t =>
       series.y(t) - (f dot DenseVector(
-        designRow(t, nScale, holAt(series.ts(t)), series.exog(t))))
+        designRow(t, nScale, holAt(series.ts(t)), series.exog(t), cpsFinal)))
     }.toArray
     CvScores(scores.map(_._1), scores.map(_._2))
   }
@@ -135,7 +169,7 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     // so the holiday dummy aligns with the output rows
     val tsAt: Int => Long = t =>
       ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
-    val pred = forecastLocal(beta, series.n, h, nScale, tsAt, exogAt)
+    val pred = forecastLocal(beta, series.n, h, nScale, tsAt, exogAt, cpsFinal)
     if (intervalMode == "bootstrap" && resid.nonEmpty) {
       // Prophet's posterior-SIMULATION intervals (`build_prophet.py:
       // 433-452` returns yhat_lower/upper from `uncertainty_samples`

@@ -138,6 +138,61 @@ object ModelQueries2 {
        | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
        |FROM f""".stripMargin
 
+  // ---- m5_changepoint: piecewise trend ≡ 2-predictor hinge OLS ----------
+
+  /** DecomposableModel with fourierOrder=0, λ=0 and ONE trend changepoint
+    * (Prophet's piecewise-linear trend, `n_changepoints`/
+    * `changepoint_range` in `build_prophet.py`'s Prophet ctor) closes to
+    * exact OLS on [1, t, max(0, t−c)] with c = ⌊0.8·n/2⌋ — the same
+    * centered 2×2 normal equations as m5_holiday, hinge in place of
+    * dummy. Hash-checks the REAL changepoint fit and the last-slope
+    * extrapolation end-to-end. */
+  private def m5Changepoint: Q = (s, d) => {
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                  ridgeLambda = 0.0, nChangepoints = 1,
+                                  changepointRange = 0.8)
+    m.fit(monthlyY(s, d), TsSchema("ts", "y"), 2, 8)
+    m.predict(s, 8).select(
+      tsStr(col("ts")).as("ts"),
+      dround(col("yhat"), 4).as("yhat"),
+      dround(col("mean_se"), 4).as("mean_se"),
+      dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+      dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+  }
+
+  /** Centered normal equations for predictors (t, hinge(t−c)); the model
+    * scales both by 1/n, which leaves OLS predictions/σ unchanged, so the
+    * SQL works on the raw columns. */
+  private val m5ChangepointSql =
+    s"""WITH m AS ($monthlyYSql),
+       |s0 AS (SELECT y, CAST(row_number() OVER (ORDER BY mo) - 1 AS DOUBLE) AS t FROM m),
+       |cp AS (SELECT floor(0.8 * count(*) / 2) AS c FROM s0),
+       |s AS (SELECT y, t, greatest(0.0, t - c) AS hd FROM s0, cp),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(hd) AS sh,
+       |        sum(t*t) AS stt, sum(t*hd) AS sth, sum(hd*hd) AS shh,
+       |        sum(y) AS sy, sum(y*y) AS syy, sum(t*y) AS sty, sum(hd*y) AS shy
+       |      FROM s),
+       |b AS (SELECT n, st/n AS mt, sh/n AS mh, sy/n AS my,
+       |        stt - st*st/n AS ctt, sth - st*sh/n AS cth, shh - sh*sh/n AS chh,
+       |        sty - st*sy/n AS cty, shy - sh*sy/n AS chy, syy - sy*sy/n AS cyy
+       |      FROM a),
+       |c AS (SELECT n, mt, mh, my, cty, chy, cyy,
+       |        (chh*cty - cth*chy)/(ctt*chh - cth*cth) AS b1,
+       |        (ctt*chy - cth*cty)/(ctt*chh - cth*cth) AS b2 FROM b),
+       |e AS (SELECT n, b1, b2, my - b1*mt - b2*mh AS c0,
+       |        cyy - b1*cty - b2*chy AS ssr FROM c),
+       |d AS (SELECT n, b1, b2, c0, sqrt(ssr/(n-3)) AS sigma,
+       |        (SELECT c FROM cp) AS c, (SELECT max(mo) FROM m) AS last_mo FROM e),
+       |f AS (SELECT i, c0 + b1*(n - 1 + i) + b2*(n - 1 + i - c) AS p,
+       |        sigma, last_mo
+       |      FROM d, generate_series(1, 8) AS g(i))
+       |SELECT ${tsStrSql("last_mo + to_months(CAST(i AS INTEGER))")} AS ts,
+       | ${droundSql("p", 4)} AS yhat,
+       | ${droundSql("sigma", 4)} AS mean_se,
+       | ${droundSql("p - 1.96*sigma", 4)} AS mean_ci_lower,
+       | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
+       |FROM f""".stripMargin
+
   // ---- m4_var1: VAR(1) coefficient matrix ≡ per-equation OLS ------------
 
   /** Monthly series scaled to O(1) so both solvers are far from any
@@ -358,6 +413,7 @@ object ModelQueries2 {
     "m1_ar1"     -> m1Ar1,
     "m2_sar1"    -> m2Sar1,
     "m3_decision" -> m3Decision,
+    "m5_changepoint" -> m5Changepoint,
     "m6_class_weights" -> m6ClassWeights
   )
 
@@ -368,6 +424,7 @@ object ModelQueries2 {
     "m1_ar1"     -> m1Ar1Sql,
     "m2_sar1"    -> m2Sar1Sql,
     "m3_decision" -> m3DecisionSql,
+    "m5_changepoint" -> m5ChangepointSql,
     "m6_class_weights" -> m6ClassWeightsSql
   )
 }

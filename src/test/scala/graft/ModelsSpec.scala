@@ -186,6 +186,40 @@ class ModelsSpec extends SparkTestBase {
     assert(scored.forall(v => !v._1.isNaN && !v._1.isInfinite))
   }
 
+  test("changepoint trend: captures a slope break and extrapolates the LAST slope") {
+    import spark.implicits._
+    // slope 1 for 60 months, then slope 3 — a single linear trend cannot
+    // follow this; Prophet's piecewise trend can (hinge at the break)
+    val n = 100
+    val y = Array.tabulate(n)(t =>
+      (if (t < 60) t.toDouble else 60.0 + 3.0 * (t - 60)) + math.sin(t * 0.9) * 0.3)
+    val ts = (0 until n).map(t => java.sql.Timestamp.from(
+      java.time.LocalDate.of(2000, 1, 1).plusMonths(t.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+    val df = ts.zip(y).toDF("ts", "y")
+    val plain = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                      ridgeLambda = 0.0)
+    val piecewise = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                          ridgeLambda = 0.0, nChangepoints = 8)
+    val rP = plain.fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    val rC = piecewise.fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    assert(rC.foldRmse.sum < 0.5 * rP.foldRmse.sum,
+      s"piecewise ${rC.foldRmse} not clearly below plain ${rP.foldRmse}")
+    // extrapolation continues the LAST (post-break) slope: truth at n-1+h
+    val fc = piecewise.predict(spark, 8).collect()
+    for ((r, i) <- fc.zipWithIndex) {
+      val truth = 60.0 + 3.0 * (n - 1 + (i + 1) - 60)
+      assert(math.abs(r.getDouble(1) - truth) < 3.0,
+        s"h=${i + 1}: forecast ${r.getDouble(1)} vs trend-truth $truth")
+    }
+    // auto mode (-1) places hinges and also beats the single trend
+    val auto = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+                                     ridgeLambda = 0.0, nChangepoints = -1)
+    val rA = auto.fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    assert(rA.foldRmse.sum < 0.5 * rP.foldRmse.sum,
+      s"auto-changepoint ${rA.foldRmse} not clearly below plain ${rP.foldRmse}")
+  }
+
   test("bootstrap intervals: empirical coverage ≈ nominal on a simulated series") {
     import spark.implicits._
     var s = 31L
