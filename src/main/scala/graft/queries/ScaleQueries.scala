@@ -338,6 +338,56 @@ object ScaleQueries {
       | 'png' AS format
       |FROM documents""".stripMargin
 
+  /** REAL feature-extraction pixel statistics, codec-true against a
+    * pixel-stream SIMULATION: Spark encodes deterministic LCG-filled PNGs
+    * (`Multimodal.encodePng`), fully decodes them back through `ImageIO`
+    * and sums the channels ([[Multimodal.imageStats]] — the integer sums
+    * behind `extractFeatures`' mean-RGB features); DuckDB never touches a
+    * codec — it REPLAYS the LCG (s·A+C mod 2⁶⁴ in HUGEINT, one step per
+    * pixel, row-major) and sums the same channels. Hash equality proves
+    * the real decode path reproduces the generated pixel stream bit-for-
+    * bit through a full PNG encode→decode round trip. */
+  private def mm5ImgStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toPng = udf { (id: Long) =>
+      Multimodal.encodePng((8 + id % 8).toInt, (8 + (id * 3) % 8).toInt, seed = id)
+    }
+    val stats = udf { (bytes: Array[Byte]) => Multimodal.imageStats(bytes).orNull }
+    docs.select(col("doc_id")).withColumn("st", stats(toPng(col("doc_id"))))
+      .select(col("doc_id"), col("st._1").as("width"), col("st._2").as("height"),
+              col("st._3").as("sum_r"), col("st._4").as("sum_g"), col("st._5").as("sum_b"))
+  }
+
+  private val mm5Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w,
+      |         CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS h
+      |  FROM documents),
+      |init AS (
+      |  SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS np,
+      |    (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+      |      % 18446744073709551616 AS s0
+      |  FROM d),
+      |px(doc_id, i, s) AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT),
+      |    (s0 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM init
+      |  UNION ALL
+      |  SELECT p.doc_id, p.i + 1,
+      |    (p.s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM px p JOIN init q ON p.doc_id = q.doc_id
+      |  WHERE p.i < q.np),
+      |pix AS (
+      |  SELECT doc_id, (s // 1099511627776) % 16777216 AS p FROM px),
+      |sums AS (
+      |  SELECT doc_id,
+      |    CAST(sum(p // 65536) AS BIGINT) AS sum_r,
+      |    CAST(sum((p // 256) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum(p % 256) AS BIGINT) AS sum_b
+      |  FROM pix GROUP BY doc_id)
+      |SELECT d.doc_id, d.w AS width, d.h AS height, sum_r, sum_g, sum_b
+      |FROM d JOIN sums USING (doc_id)""".stripMargin
+
   /** REAL resize round trip: deterministic PNGs (variable dims from
     * doc_id) → full decode → nearest-neighbor rescale to 16×12 → PNG
     * re-encode → the OUTPUT bytes re-decoded by the real header parser.
@@ -458,6 +508,7 @@ object ScaleQueries {
     "mm2_frames"       -> mm2Frames,
     "mm3_resize"       -> mm3Resize,
     "mm4_imgdecode"    -> mm4ImgDecode,
+    "mm5_imgstats"     -> mm5ImgStats,
     "mm_decode"        -> mmDecode,
     "st_window"        -> stWindow,
     "st_sliding"       -> stSliding,
@@ -481,6 +532,7 @@ object ScaleQueries {
     "mm2_frames"       -> mm2Sql,
     "mm3_resize"       -> mm3Sql,
     "mm4_imgdecode"    -> mm4Sql,
+    "mm5_imgstats"     -> mm5Sql,
     "mm_decode"        -> mmSql,
     "st_window"        -> stWindowSql,
     "st_sliding"       -> stSlidingSql,

@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (north star): image/audio/video as opaque
   * BINARY columns with typed metadata structs.
   *
-  * Image metadata decode AND resize are REAL: PNG/JPEG/GIF/BMP headers
-  * are parsed with the JDK's `javax.imageio` (`ImageReader.getWidth/
-  * getHeight` reads the header only — no pixel decode), and [[resize]]
-  * fully decodes, nearest-neighbor-rescales, and PNG-re-encodes through
-  * the same JDK codecs. Non-image payloads (and any byte stream the
-  * codec rejects) fall back to the deterministic ==STUB== arithmetic
-  * (length/prefix derived), which is where a libjpeg-turbo/ffmpeg native
-  * call would plug in for formats the JDK lacks (webp, audio, video). */
+  * Image metadata decode, resize AND feature extraction are REAL:
+  * PNG/JPEG/GIF/BMP headers are parsed with the JDK's `javax.imageio`
+  * (`ImageReader.getWidth/getHeight` reads the header only — no pixel
+  * decode), [[resize]] fully decodes, nearest-neighbor-rescales, and
+  * PNG-re-encodes through the same JDK codecs, and [[extractFeatures]]
+  * computes classical pixel statistics (channel means, luma, aspect)
+  * from a full decode via [[imageStats]]. Non-image payloads (and any
+  * byte stream the codec rejects) fall back to the deterministic
+  * ==STUB== arithmetic (length/prefix derived), which is where a
+  * libjpeg-turbo/ffmpeg native call (or a learned vision encoder for
+  * features) would plug in for formats the JDK lacks (webp, audio,
+  * video). Frame sampling stays a documented stub — no JDK video codec. */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
@@ -146,20 +150,63 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** ==STUB FEATURE EXTRACT== — deterministic fake embedding (k floats
-    * from a rolling hash of the bytes); the real path calls the vision
-    * encoder per batch. Output shape (array<float>, dim k) is the real
-    * contract that downstream Similarity operators consume. */
+  /** REAL per-image pixel statistics: full `ImageIO` decode → integer
+    * channel sums over all pixels (exact — PNG is lossless and the sums
+    * are longs, so this is hash-checkable against an engine that can
+    * reproduce the pixel stream). Returns None for non-image bytes. */
+  def imageStats(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    sniffFormat(bytes).flatMap { _ =>
+      scala.util.Try {
+        ImageIO.setUseCache(false)
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, "undecodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y) & 0xFFFFFF
+            sr += p >> 16; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sr, sg, sb)
+      }.toOption
+    }
+
+  /** Feature extraction: REAL classical pixel statistics for decodable
+    * images — [w, h, mean R, mean G, mean B, mean luma (Rec.601),
+    * aspect, n_pixels] from a full decode via [[imageStats]] — padded or
+    * truncated to the k-float contract downstream Similarity operators
+    * consume. This is where a learned vision encoder would plug in at
+    * scale (the batch shape and output schema are the encoder contract);
+    * the classical stats are themselves real, useful features (dominant
+    * color, brightness, aspect bucketing). Non-image bytes keep the
+    * ==STUB== rolling-hash embedding, the slot for a native
+    * webp/audio/video codec. */
   def extractFeatures(df: DataFrame, k: Int = 8): DataFrame = {
     val extract = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) Array.fill(k)(0.0f)
-      else {
-        var h = 1125899906842597L
-        val out = new Array[Float](k)
-        var i = 0
-        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1
-          out(i % k) = ((h >>> 11) % 1000) / 1000.0f }
-        out
+      val real = if (bytes == null) None else imageStats(bytes)
+      real match {
+        case Some((w, h, sr, sg, sb)) =>
+          val n = w.toLong * h
+          val (mr, mg, mb) = (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          val full = Array(w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat,
+                           (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat,
+                           (w.toDouble / h).toFloat, n.toFloat)
+          if (k <= full.length) full.take(k) else full ++ Array.fill(k - full.length)(0.0f)
+        case None =>
+          if (bytes == null) Array.fill(k)(0.0f)
+          else {
+            var h = 1125899906842597L
+            val out = new Array[Float](k)
+            var i = 0
+            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1
+              out(i % k) = ((h >>> 11) % 1000) / 1000.0f }
+            out
+          }
       }
     }
     df.withColumn("features", extract(col("media")))

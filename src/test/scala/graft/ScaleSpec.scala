@@ -174,6 +174,33 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("imageStats/extractFeatures: real pixel statistics, exact on a known fixture") {
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    // 2x2 with known channels: sums and means are exactly representable
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val st = Multimodal.imageStats(bos.toByteArray)
+    assert(st.contains((2, 2, 510L, 510L, 510L)), s"stats $st")
+    // the features column carries [w, h, meanR, meanG, meanB, luma, aspect, n]
+    val df = Seq(0L).toDF("id").withColumn("media", lit(bos.toByteArray))
+    val f = Multimodal.extractFeatures(df).select("features").head().getSeq[Float](0)
+    assert(f.length == 8)
+    assert(f(0) == 2.0f && f(1) == 2.0f)
+    assert(f(2) == 127.5f && f(3) == 127.5f && f(4) == 127.5f)
+    assert(math.abs(f(5) - 127.5f) < 1e-4, s"luma ${f(5)}")
+    assert(f(6) == 1.0f && f(7) == 4.0f)
+    // non-image bytes keep the stub embedding (shape contract only)
+    assert(Multimodal.imageStats("words".getBytes).isEmpty)
+    val g = Multimodal.extractFeatures(
+      Seq(1L).toDF("id").withColumn("media", lit("words".getBytes)))
+      .select("features").head().getSeq[Float](0)
+    assert(g.length == 8 && g.forall(v => v >= 0.0f && v < 1.0f))
+  }
+
   test("resizeImage: real pixels — exact nearest-neighbor values, valid PNG out") {
     import javax.imageio.ImageIO
     import java.io.ByteArrayInputStream
