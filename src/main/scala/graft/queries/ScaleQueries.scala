@@ -232,6 +232,59 @@ object ScaleQueries {
        |FROM q GROUP BY 1""".stripMargin
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 Table A1 adapted
+    * to token streams — see [[TextAnalysis.repetitionStats]]): to give
+    * the filter real work, every 25th document is made degenerate by
+    * replacing its text with its own first bigram repeated, so the
+    * keep flag actually fires both ways. Entirely deterministic. */
+  private def x10Repetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val degenerate = concat_ws(" ", (0 until 20).map(_ =>
+      concat_ws(" ", split(col("text"), " ")(0), split(col("text"), " ")(1))): _*)
+    val mixed = docs.withColumn("text",
+      when(col("doc_id") % 25 === 0, degenerate).otherwise(col("text")))
+    TextAnalysis.repetitionStats(mixed, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        dround(col("top_token_frac"), 6).as("top_token_frac"),
+        dround(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        dround(col("dup_trigram_frac"), 6).as("dup_trigram_frac"),
+        col("keep").cast("long").as("keep"))
+  }
+
+  private val x10Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 25 = 0 THEN
+       |      array_to_string(flatten(list_transform(generate_series(1, 20),
+       |        i -> [string_split(text, ' ')[1], string_split(text, ' ')[2]])), ' ')
+       |    ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+       |g AS (SELECT doc_id, w,
+       |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) AS bi,
+       |    list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(w) > 0 THEN
+       |      CAST(list_aggregate(list_transform(list_distinct(w),
+       |        u -> len(list_filter(w, x -> x = u))), 'max') AS DOUBLE) / len(w)
+       |    ELSE 0.0 END AS top_token_frac,
+       |    CASE WHEN len(bi) > 0 THEN
+       |      CAST(list_aggregate(list_transform(list_distinct(bi),
+       |        u -> len(list_filter(bi, x -> x = u))), 'max') AS DOUBLE) / len(bi)
+       |    ELSE 0.0 END AS top_bigram_frac,
+       |    CASE WHEN len(tri) > 0 THEN
+       |      1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+       |    ELSE 0.0 END AS dup_trigram_frac
+       |  FROM g)
+       |SELECT doc_id, n_tokens,
+       | ${droundSql("top_token_frac", 6)} AS top_token_frac,
+       | ${droundSql("top_bigram_frac", 6)} AS top_bigram_frac,
+       | ${droundSql("dup_trigram_frac", 6)} AS dup_trigram_frac,
+       | CAST(top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30 AS BIGINT) AS keep
+       |FROM f""".stripMargin
+
   private def x3Fingerprint: Q = (s, d) =>
     TextAnalysis.fingerprint(Tables.documents(s, d).filter(length(col("text")) >= 64), "text")
       .select(col("doc_id"), col("fingerprint"))
@@ -505,6 +558,7 @@ object ScaleQueries {
     "x2_lang_id"       -> x2LangId,
     "x3_fingerprint"   -> x3Fingerprint,
     "x5_quality"       -> x5Quality,
+    "x10_repetition"   -> x10Repetition,
     "mm2_frames"       -> mm2Frames,
     "mm3_resize"       -> mm3Resize,
     "mm4_imgdecode"    -> mm4ImgDecode,
@@ -529,6 +583,7 @@ object ScaleQueries {
     "x2_lang_id"       -> x2Sql,
     "x3_fingerprint"   -> x3Sql,
     "x5_quality"       -> x5Sql,
+    "x10_repetition"   -> x10Sql,
     "mm2_frames"       -> mm2Sql,
     "mm3_resize"       -> mm3Sql,
     "mm4_imgdecode"    -> mm4Sql,

@@ -49,6 +49,50 @@ object TextAnalysis {
        when(col("punct_ratio") <= 0.1, 0.3).otherwise(0.0) +
        when(col("stopword_ratio").between(0.05, 0.6), 0.3).otherwise(0.0)))
 
+  /** Repetition filters — the Gopher-style quality family (Rae et al.
+    * 2021, "Scaling Language Models", Table A1: documents dominated by a
+    * repeated n-gram are removed before training), adapted to token
+    * streams: per document,
+    *  - `top_token_frac`  — occurrences of the most frequent token / n,
+    *  - `top_bigram_frac` — occurrences of the most frequent word bigram
+    *    / total bigrams (Gopher's top-2-gram fraction),
+    *  - `dup_trigram_frac` — fraction of trigram OCCURRENCES that are
+    *    repeats, 1 − distinct/total (occurrence form of Gopher's
+    *    duplicated-3-gram character fraction),
+    * plus a `keep` flag at the given thresholds.
+    *
+    * 100-TB shape: every statistic is an array higher-order expression
+    * over the in-row token list (`transform`/`filter`/`array_distinct`/
+    * `array_max`) — pure map-side, ZERO shuffle, stays inside
+    * whole-stage codegen. The per-doc distinct×n count is bounded by
+    * document length, not corpus size. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      maxTopBigram: Double = 0.18,
+                      maxDupTrigram: Double = 0.30): DataFrame = {
+    def grams(n: Int): String = {
+      val parts = (0 until n).map(j => s"w[i + $j]").mkString(", ")
+      s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)) ELSE array() END"
+    }
+    def topFrac(arrExpr: String): Column =
+      expr(s"""CASE WHEN size($arrExpr) > 0 THEN
+                 CAST(array_max(transform(array_distinct($arrExpr),
+                   u -> size(filter($arrExpr, x -> x = u)))) AS DOUBLE) / size($arrExpr)
+               ELSE 0.0 END""")
+    df.select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("bi", expr(grams(2)))
+      .withColumn("tri", expr(grams(3)))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        topFrac("w").as("top_token_frac"),
+        topFrac("bi").as("top_bigram_frac"),
+        expr("""CASE WHEN size(tri) > 0 THEN
+                  1.0 - CAST(size(array_distinct(tri)) AS DOUBLE) / size(tri)
+                ELSE 0.0 END""").as("dup_trigram_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= maxTopBigram) &&
+        (col("dup_trigram_frac") <= maxDupTrigram))
+  }
+
   /** Language-ID heuristic: stopword-hit voting over 5 built-in lists.
     * Deterministic tie-break: higher hits, then alphabetical language. */
   val stopwordLists: Map[String, Seq[String]] = Map(

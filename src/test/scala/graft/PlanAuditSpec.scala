@@ -81,6 +81,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(keyedShuffles(d2) <= 4, s"d2 shuffle count grew: ${keyedShuffles(d2)}")
   }
 
+  test("repetitionStats is pure map-side: zero shuffles") {
+    assert(shuffles(
+      graft.scale.TextAnalysis.repetitionStats(docs, "text", "doc_id")) == 0)
+  }
+
   test("chunkDocuments is pure map-side: zero shuffles") {
     assert(shuffles(graft.scale.Curation.chunkDocuments(docs, "text", "doc_id", 32, 8)) == 0)
   }

@@ -174,6 +174,26 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("repetitionStats: Gopher filters flag degenerate docs, pass normal text") {
+    import spark.implicits._
+    import graft.scale.TextAnalysis
+    val df = Seq(
+      (1L, "spark builds a plan from many distinct operator nodes here"),
+      (2L, "buy now buy now buy now buy now buy now buy now"),
+      (3L, "one two three one two three one two three one two three")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // all-distinct tokens: every fraction at its floor, kept
+    assert(r(1).getDouble(2) == 0.1) // top token 1/10
+    assert(r(1).getDouble(4) == 0.0) // no repeated trigram
+    assert(r(1).getBoolean(5))
+    // "buy now" ×6: top bigram = 6/11, dup trigrams dominate — dropped
+    assert(r(2).getDouble(3) > 0.5 && !r(2).getBoolean(5))
+    // repeated phrase of period 3 — dup_trigram_frac = 1 - 3/10, dropped
+    assert(math.abs(r(3).getDouble(4) - 0.7) < 1e-9 && !r(3).getBoolean(5))
+  }
+
   test("imageStats/extractFeatures: real pixel statistics, exact on a known fixture") {
     import spark.implicits._
     import javax.imageio.ImageIO
