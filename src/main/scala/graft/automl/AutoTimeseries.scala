@@ -56,8 +56,15 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     val m = seasonalPeriod.getOrElse(freq.seasonalPeriod)
     // the reference's ML engine dispatches on analyze_problem_type
     // (`ml_models.py:306-335,570-616`): a categorical target gets
-    // XGBClassifier, not a regressor — here GbtClassifyTs vs GbtModel
+    // XGBClassifier, not a regressor — here GbtClassifyTs vs GbtModel.
+    // Restricted to NON-NUMERIC targets: analyze() also labels
+    // low-cardinality integer counts Multi_Classification (the
+    // reference's tabular heuristic), but silently classifying a
+    // numeric SERIES would change yhat's units to class indices and
+    // rank misclassification rates against the other families' RMSEs —
+    // a numeric target always forecasts in its own units here.
     val classify = modelTypes.contains("ML") &&
+      df.schema(target).dataType == org.apache.spark.sql.types.StringType &&
       graft.infer.ProblemType.analyze(df, target) != "Regression"
     val candidates: Seq[ModelBuild] = modelTypes.flatMap {
       case "ML" if classify => Some(new GbtClassifyTs(lags = 2))

@@ -31,8 +31,11 @@ import org.apache.spark.sql.types._
   * Intervals: `intervalMode = "analytic"` (default) emits the residual-σ
   * ±1.96σ band; `"bootstrap"` emits Prophet-parity simulated intervals
   * (`build_prophet.py:433-452`) — empirical quantiles over
-  * `uncertaintySamples` residual-bootstrap paths at `intervalWidth`
-  * nominal coverage, deterministic under the fixed `seed`. */
+  * `uncertaintySamples` PARAMETRIC residual-bootstrap paths (refit per
+  * path, so trend/changepoint parameter uncertainty widens the band
+  * with horizon, plus one observation-noise draw per step) at
+  * `intervalWidth` nominal coverage, deterministic under the fixed
+  * `seed`. */
 class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
                         ridgeLambda: Double = 1.0,
                         holidays: Set[Long] = Set.empty,
@@ -171,19 +174,41 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       ForecastFrame.nextTs(series.ts.last, intervalMs, t - series.n + 1)
     val pred = forecastLocal(beta, series.n, h, nScale, tsAt, exogAt, cpsFinal)
     if (intervalMode == "bootstrap" && resid.nonEmpty) {
+      require(uncertaintySamples >= 2,
+        s"bootstrap needs >= 2 uncertainty samples, got $uncertaintySamples")
       // Prophet's posterior-SIMULATION intervals (`build_prophet.py:
       // 433-452` returns yhat_lower/upper from `uncertainty_samples`
-      // sampled paths), re-expressed as a residual bootstrap: each of
-      // `uncertaintySamples` paths adds an in-sample residual drawn with
-      // replacement (fixed-seed PRNG — deterministic output) to the point
-      // forecast, and the interval is the empirical (α/2, 1−α/2)
-      // quantile per horizon. Under Gaussian residuals this converges to
-      // the analytic ±zσ band; under skewed/fat-tailed residuals it
-      // reproduces that shape, which is the semantics Prophet ships.
+      // sampled paths), re-expressed as a PARAMETRIC residual bootstrap:
+      // each of `uncertaintySamples` paths (i) resamples the in-sample
+      // residuals onto the fitted values and REFITS the regression
+      // (beta* = M·y*, M precomputed), capturing trend/seasonal/
+      // changepoint PARAMETER uncertainty — which grows with horizon,
+      // exactly the component Prophet's sampled trends contribute — and
+      // (ii) adds one observation-noise residual per horizon. The
+      // interval is the empirical (α/2, 1−α/2) quantile per horizon.
+      // Fixed-seed PRNG — deterministic output.
       val rng = new scala.util.Random(seed)
+      val nObs = series.n
+      val xRows = (0 until nObs).map(t => breeze.linalg.DenseVector(
+        designRow(t, nScale, holAt(series.ts(t)), series.exog(t), cpsFinal)))
+      val x = breeze.linalg.DenseMatrix(xRows.map(_.toArray): _*)
+      val k = x.cols
+      val reg = breeze.linalg.DenseMatrix.eye[Double](k) *:* ridgeLambda
+      reg(0, 0) = 0.0
+      val m = breeze.linalg.inv(x.t * x + reg) * x.t // k×n refit operator
+      val fitted = x * beta
+      val fRows = (0 until h).map { i =>
+        val t = nObs + i
+        breeze.linalg.DenseVector(designRow(t, nScale, holAt(tsAt(t)), exogAt(t), cpsFinal))
+      }
       val draws = Array.fill(uncertaintySamples, h)(0.0)
-      for (b <- 0 until uncertaintySamples; i <- 0 until h)
-        draws(b)(i) = pred(i) + resid(rng.nextInt(resid.length))
+      for (b <- 0 until uncertaintySamples) {
+        val yStar = breeze.linalg.DenseVector.tabulate(nObs)(t =>
+          fitted(t) + resid(rng.nextInt(resid.length)))
+        val betaStar = m * yStar
+        for (i <- 0 until h)
+          draws(b)(i) = (betaStar dot fRows(i)) + resid(rng.nextInt(resid.length))
+      }
       val alpha = (1.0 - intervalWidth) / 2.0
       def quantile(sorted: Array[Double], p: Double): Double = {
         // type-7 (linear interpolation), matching numpy's default

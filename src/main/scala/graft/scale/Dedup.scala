@@ -288,11 +288,30 @@ object Dedup {
     // plan-truncation strategy: `localCheckpoint` (executor-memory blocks)
     // is fine single-node, but an executor loss on a cluster kills the
     // truncated lineage mid-loop — pass `checkpointDir` (HDFS/object
-    // store) there and each round is durably materialized instead
+    // store) there and each round is durably materialized instead.
+    // Superseded checkpoints are DELETED as the loop advances (each
+    // setCheckpointDir call lands the next checkpoint in a fresh UUID
+    // subdir, and an eagerly-written checkpoint is a self-contained leaf,
+    // so once checkpoint k is durable nothing re-reads k−1): without
+    // cleanup a long fixpoint run accumulates ~3 full label-table copies
+    // per round in object storage. Only the NEWEST dir is retained — it
+    // backs the returned DataFrame for its lifetime.
+    val ckptDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     def truncate(df: DataFrame): DataFrame = checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        val sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(dir)
+        val out = df.checkpoint(eager = true) // durable before any delete
+        sc.getCheckpointDir.foreach(ckptDirs += _)
+        if (ckptDirs.size > 1) {
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(sc.hadoopConfiguration)
+          ckptDirs.dropRight(1).foreach(s =>
+            scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(s), true)))
+          val last = ckptDirs.last
+          ckptDirs.clear(); ckptDirs += last
+        }
+        out
       case None => df.localCheckpoint(true)
     }
     val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))

@@ -35,14 +35,16 @@ object ScaleSoak {
     Tables.orders(spark, sfDir).count()
 
     val docs = Tables.documents(spark, sfDir)
-    val (nPairs, tPairs) = timed {
-      Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5).count()
-    }
-    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+    // pairs are CACHED and materialized by the count, so components_sec
+    // below times the fixpoint loop alone — not a recomputation of the
+    // shingle join (which every loop round would otherwise re-trigger)
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5).cache()
+    val (nPairs, tPairs) = timed { pairs.count() }
     val ((labels, rounds), tComp) = timed {
       val (l, r) = Dedup.componentsStats(pairs, "id_a", "id_b")
       (l.cache(), r)
     }
+    pairs.unpersist()
     val nClusters = labels.select("component").distinct().count()
     val (nKept, tKeep) = timed {
       import org.apache.spark.sql.functions._

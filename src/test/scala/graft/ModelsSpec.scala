@@ -468,6 +468,27 @@ class ModelsSpec extends SparkTestBase {
     }
   }
 
+  test("numeric low-cardinality target stays a REGRESSION (units preserved)") {
+    import spark.implicits._
+    // integer counts with <= 30 distinct values: ProblemType's tabular
+    // heuristic says Multi_Classification, but a numeric SERIES must
+    // forecast in its own units — the ML family must stay a regressor
+    val df = (0 until 60).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       (10L + (t % 12)) * 10) // values 100..210, 12 distinct
+    }.toDF("ts", "count")
+    assert(graft.infer.ProblemType.analyze(df, "count") == "Multi_Classification")
+    val at = new AutoTimeseries(cv = 1, forecastPeriod = 8, modelTypes = Seq("ML"))
+    at.fit(df, "ts", "count")
+    assert(at.bestModel.isInstanceOf[GbtModel],
+      s"numeric target must stay regression, got ${at.bestModel.getClass}")
+    // forecasts come back in target units, not class indices
+    val fc = at.predict(spark, 8).select(col("yhat")).collect().map(_.getDouble(0))
+    assert(fc.forall(v => v > 50 && v < 300), s"yhat not in target units: ${fc.toSeq}")
+  }
+
   test("AutoTimeseries dispatches a categorical target to the classifier (M6 branch)") {
     import spark.implicits._
     val seasons = Array("winter", "winter", "spring", "spring", "spring", "summer",

@@ -363,6 +363,10 @@ class ScaleSpec extends SparkTestBase {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "checkpoint dir is empty — reliable checkpoint not used")
+    // ... and superseded rounds were cleaned up: only the NEWEST uuid
+    // subdir (backing the returned labels) survives the loop
+    val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
+    assert(uuidDirs == 1, s"stale checkpoint dirs not cleaned: $uuidDirs remain")
   }
 
   test("components: pointer jumping resolves a 200-node chain within the round cap") {
