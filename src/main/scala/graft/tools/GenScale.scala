@@ -29,10 +29,19 @@ import graft.Tables
   *     from xxhash64(k, i) — roughly half the components per replica,
   *     a DIFFERENT half for every k, no periodicity in k). A sign flip
   *     is an orthogonal transform: norms and all within-replica
-  *     cosines are preserved, while cross-replica cosines scramble to
-  *     ≈0 — ANN neighborhoods keep their shape, there are just 10× as
-  *     many, and cosine near-dup density scales like the corpus, not
-  *     its square.
+  *     cosines are preserved exactly, and cross-replica cosines
+  *     DECORRELATE to mean |cos| ≈ 1/√d (≈0.125 at d=64 — measured
+  *     0.14). Note what this does and doesn't claim: in a fixed-dim
+  *     space, R replicas cannot be made mutually orthogonal, so at a
+  *     fixed cosine threshold some cross-replica coincidences survive
+  *     — exactly as they would when a REAL corpus drawn from the same
+  *     distribution grows 10× in the same space (near-threshold pair
+  *     count is a property of the geometry, and grows with n²·P(cos≥τ)
+  *     for same-distribution growth). The TEXT modality carries the
+  *     "new content with its own duplication structure" regime
+  *     (disjoint vocabularies ⇒ exactly 10× pairs); the embedding
+  *     modality carries the "same space, more points" regime. Both are
+  *     realistic 10× scale-ups; the soak reports them separately.
   *   - `events` offsets user_id as well as event_id: 10× users at the
   *     original per-user event density, so sessionization state and
   *     per-key window sizes stay constant.
