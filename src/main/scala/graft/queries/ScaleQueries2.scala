@@ -203,6 +203,32 @@ object ScaleQueries2 {
        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))""".stripMargin
 
+  /** Batch twin of [[graft.streaming.StreamDedup.nearDupBlock]] —
+    * greedy first-arrival Hamming-≤3 suppression within SimHash blocks,
+    * with near-dup variants injected (every 10th doc re-appears with one
+    * token edited, 30s later, under a shifted id) so the suppression has
+    * real work. ✖est (SimHashSig is a custom codegen expression — no SQL
+    * oracle); streaming/batch parity and the greedy-chain semantics are
+    * pinned in StreamingSpec. Emits survivor totals split by cohort: the
+    * injected variants that DID survive are the ones whose flipped bits
+    * landed in the routing block — the documented single-block recall
+    * trade, left for the batch pigeonhole compaction. */
+  private def stNearDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+              timestamp_millis(col("doc_id") * 60000L).as("ts"))
+    val variants = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+", "EDITED").as("text"),
+              timestamp_millis(col("doc_id") * 60000L + 30000L).as("ts"))
+    val all = docs.unionByName(variants)
+    graft.streaming.StreamDedup.nearDupBlockBatch(all, "text", "doc_id", "ts")
+      .groupBy()
+      .agg(count(lit(1)).cast("long").as("n_survivors"),
+           sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("variants_survived"),
+           sum(when(col("id") < 1000000L, 1L).otherwise(0L)).as("base_survived"))
+  }
+
   /** LEFT OUTER twin of [[stSelfJoin]] — triggers with no follow-up in
     * the gap keep a null-padded row (the batch form of the watermarked
     * streaming outer join, parity-checked in StreamingSpec). Restricted
@@ -467,6 +493,7 @@ object ScaleQueries2 {
     "x6_redact"      -> x6Redact,
     "x7_bigrams"     -> x7Bigrams,
     "st_enrich"      -> stEnrich,
+    "st_neardup"     -> stNearDup,
     "t15_gapfill"    -> t15GapFill,
     "x8_tfidf"       -> x8Tfidf,
     "st_selfjoin"    -> stSelfJoin,

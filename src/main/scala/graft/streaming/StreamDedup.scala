@@ -19,4 +19,100 @@ object StreamDedup {
     df.withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Row shape shared by the streaming and batch near-dup paths. `ts`
+    * keeps the WATERMARKED event-time column itself (projecting it to a
+    * long would strip the watermark tag the stateful operator needs). */
+  case class SigDoc(id: Long, ts: java.sql.Timestamp, sig: Long, block: Int) {
+    def tsMs: Long = ts.getTime
+  }
+
+  private def sigDocs(df: DataFrame, textCol: String, idCol: String,
+                      tsCol: String, blockIdx: Int) = {
+    import df.sparkSession.implicits._
+    df.withColumn("__sig", graft.functions.SimHashSig(col(textCol)))
+      .select(col(idCol).cast("long").as("id"),
+              col(tsCol).as("ts"),
+              col("__sig").as("sig"),
+              shiftrightunsigned(col("__sig"), blockIdx * 16)
+                .bitwiseAND(lit(0xFFFFL)).cast("int").as("block"))
+      .as[SigDoc]
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Greedy first-arrival near-dup suppression within one SimHash block:
+    * docs are visited in (ts, id) order; a doc is SUPPRESSED when a
+    * previously-KEPT doc in the same 16-bit block is within `maxHamming`
+    * bits — survivors only, so a chain a≈b≈c keeps a and drops both b
+    * and c (the curation policy: one representative per near-dup chain,
+    * same greedy semantics as the streaming path below).
+    *
+    * Recall, stated precisely: keying by ONE block catches the Hamming-
+    * ≤3 pairs whose differing bits all fall OUTSIDE that block (≥ 1/4 of
+    * pairs by pigeonhole, ~3/4 empirically for spread bits). This is the
+    * deliberate trade for O(per-block) state; the full-recall pigeonhole
+    * JOIN over all 4 blocks is the batch `Dedup.simHashPairs` →
+    * `components` compaction pass, which this operator complements on
+    * the ingest hot path. */
+  def nearDupBlockBatch(df: DataFrame, textCol: String, idCol: String,
+                        tsCol: String, maxHamming: Int = 3,
+                        blockIdx: Int = 3): DataFrame = {
+    import df.sparkSession.implicits._
+    sigDocs(df, textCol, idCol, tsCol, blockIdx)
+      .groupByKey(_.block)
+      .flatMapGroups { (_, it) =>
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.toSeq.sortBy(d => (d.tsMs, d.id)).iterator.filter { d =>
+          val ok = !kept.exists(s => hamming(s, d.sig) <= maxHamming)
+          if (ok) kept += d.sig
+          ok
+        }
+      }
+      .toDF()
+      .select(col("id"), col("ts"), col("sig"))
+  }
+
+  /** Streaming twin of [[nearDupBlockBatch]]: REAL Hamming-distance
+    * near-dup suppression over an unbounded stream. State per 16-bit
+    * block key = the KEPT signatures within the watermark horizon (8
+    * bytes each, evicted by event-time timeout), so memory is bounded by
+    * the per-block survivor rate × the horizon — not the stream's
+    * lifetime. Docs are matched against earlier SURVIVORS (greedy
+    * first-arrival, identical to the batch twin; rows within one
+    * micro-batch are ordered by (ts, id) so replays are deterministic).
+    *
+    * A doc whose flipped bits land in the routing block escapes this
+    * pass (see recall note on the batch twin) — the periodic batch
+    * pigeonhole compaction catches it. */
+  def nearDupBlock(df: DataFrame, textCol: String, idCol: String,
+                   tsCol: String, delay: String, maxHamming: Int = 3,
+                   blockIdx: Int = 3): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    val horizonMs = delayMs.days * 86400000L + delayMs.microseconds / 1000L
+    sigDocs(df.withWatermark(tsCol, delay), textCol, idCol, tsCol, blockIdx)
+      .groupByKey(_.block)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Int, rows: Iterator[SigDoc], state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var kept = state.getOption.getOrElse(Nil).filter(_._2 >= wm - horizonMs)
+            val out = rows.toSeq.sortBy(d => (d.tsMs, d.id)).filter { d =>
+              val ok = !kept.exists(s => hamming(s._1, d.sig) <= maxHamming)
+              if (ok) kept = (d.sig, d.tsMs) :: kept
+              ok
+            }
+            state.update(kept)
+            if (kept.nonEmpty)
+              state.setTimeoutTimestamp(kept.map(_._2).max + horizonMs + 1)
+            out.iterator
+          }
+      }
+      .toDF()
+      .select(col("id"), col("ts"), col("sig"))
+  }
 }

@@ -172,6 +172,71 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(1L, 2L, 4L), s"got $got")
   }
 
+  test("StreamDedup.nearDupBlock: Hamming near-dups suppressed, streaming == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val min = 60000L
+    // fixture: base docs + one-token-edited variants arriving later. An
+    // edit flips a few SimHash bits; variants whose flips avoid the
+    // routing block MUST be suppressed, others legitimately survive
+    // (single-block recall trade, see scaladoc). A chain fixture checks
+    // greedy semantics: b≈a and c≈b ⇒ only a survives.
+    val bases = (0 until 8).map { k =>
+      (k.toLong, (1 + k) * min, (1 to 400).map(i => s"w${k}x$i").mkString(" "))
+    }
+    val variants = bases.map { case (id, ts, text) =>
+      (id + 100L, ts + 9 * min, text.replaceFirst("\\S+", "EDITED"))
+    }
+    val rows = bases ++ variants
+    val batch = rows.toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val expect = StreamDedup.nearDupBlockBatch(batch, "text", "doc_id", "ts",
+        maxHamming = 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // every base survives; at least one variant must be caught (3-bit
+    // flips landing entirely in one 16-bit block for all 8 fixtures is
+    // astronomically unlikely — and the fixture is deterministic anyway)
+    assert((0L until 8L).toSet.subsetOf(expect), s"a base doc was dropped: $expect")
+    assert(expect.size < 16, "no variant was suppressed — fixture degenerate")
+
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = StreamDedup.nearDupBlock(src, "text", "doc_id", "ts", "1 hour",
+        maxHamming = 12)
+      .writeStream.format("memory").queryName("sneardup_out")
+      .outputMode("append").start()
+    mem.addData(bases: _*)
+    q.processAllAvailable()
+    mem.addData(variants: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sneardup_out").select($"id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect, s"streaming $got != batch twin $expect")
+  }
+
+  test("nearDupBlockBatch greedy chain: one representative per near-dup chain") {
+    import graft.streaming.StreamDedup
+    // c differs from b by one token, b from a by one token — visiting in
+    // ts order, a is kept, b suppressed vs a; c is then compared against
+    // SURVIVORS only (a): if hamming(a, c) <= 3 it is suppressed too,
+    // else kept. Either way b must never appear.
+    val text = (1 to 1000).map(i => s"q$i").mkString(" ")
+    val rows = Seq(
+      (1L, 60000L, text),
+      (2L, 120000L, text.replaceFirst("q50 ", "AA ")),
+      (3L, 180000L, text.replaceFirst("q90 ", "BB ")))
+    import spark.implicits._
+    val out = StreamDedup.nearDupBlockBatch(
+        rows.toDF("doc_id", "ts_ms", "text")
+          .withColumn("ts", timestamp_millis($"ts_ms")),
+        "text", "doc_id", "ts", maxHamming = 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L), "first arrival must survive")
+    assert(!out.contains(2L), s"direct near-dup must be suppressed: $out")
+  }
+
   test("stream-static broadcast enrichment matches the batch twin on the events table") {
     val batch = graft.streaming.StreamEnrich
       .enrichBatch(Tables.events(spark, SF), Tables.customer(spark, SF))
