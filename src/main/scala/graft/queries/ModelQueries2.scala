@@ -376,6 +376,52 @@ object ModelQueries2 {
       |SELECT 'sar1', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
       | CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
 
+  // ---- m9_decision: the model-selection DECISION as a hash oracle -------
+
+  /** Decision-equality twin for the leaderboard (`m9_leaderboard` is
+    * ✖est): AutoTimeseries run on a fixed-seed fixture whose generating
+    * process — a pure THRESHOLD response to an exogenous driver,
+    * y = 10 + 20·1[x > 0.5] + small noise — lies exactly in the tree
+    * family's hypothesis class (one split on x reproduces the truth)
+    * and strictly outside every linear-in-exog family: Prophet, VAR,
+    * and SARIMAX all regress on x linearly, leaving an irreducible
+    * ~5-RMSE step residual, while the GBT's CV RMSE is at the noise
+    * floor (~20× margin — the decision cannot flip on noise). The
+    * WINNER is the hash-checkable fact (the reference's
+    * `get_leaderboard().iloc[0]`). Emitted alongside: the family count
+    * (all four candidates, VAR included since exog is present) and
+    * whether every family scored — leaderboard completeness. */
+  private def m9Decision: Q = (s, _) => {
+    val spark = s
+    import spark.implicits._
+    def lcg(seed: Long): () => Double = {
+      var x = seed
+      () => {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53) - 0.5
+      }
+    }
+    val e = lcg(7L); val n = 300
+    val rows = (0 until n).map { t =>
+      val x = e() + 0.5 // uniform(0,1)
+      val y = 10.0 + 20.0 * (if (x > 0.5) 1.0 else 0.0) + 0.3 * e()
+      (java.sql.Timestamp.from(java.time.LocalDate.of(2000, 1, 1)
+         .plusMonths(t.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       y, x)
+    }
+    val at = new graft.automl.AutoTimeseries(cv = 2, forecastPeriod = 8,
+      modelTypes = Seq("ML", "Prophet", "auto_SARIMAX", "VAR"))
+    at.fit(rows.toDF("ts", "y", "x"), "ts", "y")
+    val lb = at.leaderboard(s).collect()
+    Seq((lb.head.getString(0), lb.length.toLong,
+         lb.forall(r => !r.getDouble(1).isNaN).toString))
+      .toDF("winner", "n_families", "all_scored")
+  }
+
+  private val m9DecisionSql =
+    """SELECT 'ML' AS winner, CAST(4 AS BIGINT) AS n_families,
+      | 'true' AS all_scored""".stripMargin
+
   // ---- m6_class_weights: the classification path's weight table ---------
 
   /** The classifier's 'balanced'-integer class weights
@@ -414,6 +460,7 @@ object ModelQueries2 {
     "m2_sar1"    -> m2Sar1,
     "m3_decision" -> m3Decision,
     "m5_changepoint" -> m5Changepoint,
+    "m9_decision" -> m9Decision,
     "m6_class_weights" -> m6ClassWeights
   )
 
@@ -425,6 +472,7 @@ object ModelQueries2 {
     "m2_sar1"    -> m2Sar1Sql,
     "m3_decision" -> m3DecisionSql,
     "m5_changepoint" -> m5ChangepointSql,
+    "m9_decision" -> m9DecisionSql,
     "m6_class_weights" -> m6ClassWeightsSql
   )
 }

@@ -264,6 +264,31 @@ class ModelsSpec extends SparkTestBase {
       s"bootstrap/analytic width ratio ${bootWidth / anaWidth} implausible")
   }
 
+  test("m9_decision: the winner's margin is structural, not noise") {
+    import spark.implicits._
+    // the oracle pins WHO wins; this pins WHY it cannot flip — on a
+    // threshold-exog fixture the tree family must beat every linear-in-
+    // exog family by a wide multiple (the step residual is irreducible
+    // for them, the noise floor is reachable for trees)
+    var s = 7L
+    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rows = (0 until 150).map { t =>
+      val x = rnd() + 0.5
+      (java.sql.Timestamp.from(java.time.LocalDate.of(2000, 1, 1)
+         .plusMonths(t.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       10.0 + 20.0 * (if (x > 0.5) 1.0 else 0.0) + 0.3 * rnd(), x)
+    }
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8,
+      modelTypes = Seq("ML", "Prophet", "auto_SARIMAX", "VAR"))
+    at.fit(rows.toDF("ts", "y", "x"), "ts", "y")
+    val lb = at.leaderboard(spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(at.bestName == "ML", s"leaderboard: $lb")
+    val runnerUp = (lb - "ML").values.min
+    assert(lb("ML") < 0.35 * runnerUp,
+      s"ML margin not structural: ${lb("ML")} vs runner-up $runnerUp ($lb)")
+  }
+
   test("m3_decision: stepwise recovers the generating orders (AR(2), SAR(1)[12])") {
     val rows = graft.queries.ModelQueries2.queries("m3_decision")(spark, "unused")
       .collect().map(r => r.getString(0) ->
