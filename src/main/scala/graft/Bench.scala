@@ -33,11 +33,11 @@ object Bench {
 
     // estimator queries (model fitting) are excluded from the throughput
     // metric: everything in ModelQueries plus the per-series ARIMA fit and
-    // the stepwise decision-equality twin (two full stepwise searches —
-    // a selection-correctness check, not operator throughput; its
-    // closed-form siblings m1_ar1/m2_sar1/m4_var1 stay in)
+    // the decision-equality twins (full model searches / AutoML fits —
+    // selection-correctness checks, not operator throughput; the
+    // closed-form siblings m1_ar1/m2_sar1/m4_var1/m5_* stay in)
     val estimators = graft.queries.ModelQueries.queries.keySet +
-      "f3_series_arima" + "m3_decision"
+      "f3_series_arima" + "m3_decision" + "m9_decision"
     val headline = SparkEntry.queries.filterNot { case (k, _) => estimators(k) }
 
     // warmup 2: run every headline query once at the TARGET SF so
