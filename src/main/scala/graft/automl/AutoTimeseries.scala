@@ -37,6 +37,31 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
   require(Seq("rmse", "normalized_rmse").contains(scoreType),
     s"score_type must be 'rmse' or 'normalized_rmse', got '$scoreType'")
 
+  /** The reference's `allowed_models` vocabulary (`__init__.py:174`:
+    * 'best', 'prophet', 'stats', 'ml', 'arima', 'ARIMA', 'Prophet',
+    * 'SARIMAX', 'VAR', 'ML'), normalized case-insensitively: 'best' ⇒
+    * every family, 'stats' ⇒ the statsmodels families (SARIMAX + VAR,
+    * `__init__.py:672-704`), 'arima'/'sarimax' ⇒ the SARIMAX family.
+    * An unrecognized name fails loudly here instead of silently fitting
+    * zero models. */
+  private val families: Seq[String] = {
+    val norm = modelTypes.flatMap { raw =>
+      raw.trim.toLowerCase match {
+        case "best"                              => Seq("ML", "Prophet", "VAR", "auto_SARIMAX")
+        case "ml"                                => Seq("ML")
+        case "prophet"                           => Seq("Prophet")
+        case "var"                               => Seq("VAR")
+        case "arima" | "sarimax" | "auto_sarimax" => Seq("auto_SARIMAX")
+        case "stats"                             => Seq("auto_SARIMAX", "VAR")
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown model type '$raw' — allowed: best, ML, Prophet, VAR, ARIMA/SARIMAX/auto_SARIMAX, stats")
+      }
+    }.distinct
+    require(norm.nonEmpty, "modelTypes resolved to zero families")
+    norm
+  }
+
   /** The reference's filename branch of fit (`__init__.py:320-332`,
     * `load_ts_data` `utils/etl.py:17-61`): CSV path + custom separator,
     * datetime format inferred and parsed by the loader. */
@@ -63,10 +88,10 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     // numeric SERIES would change yhat's units to class indices and
     // rank misclassification rates against the other families' RMSEs —
     // a numeric target always forecasts in its own units here.
-    val classify = modelTypes.contains("ML") &&
+    val classify = families.contains("ML") &&
       df.schema(target).dataType == org.apache.spark.sql.types.StringType &&
       graft.infer.ProblemType.analyze(df, target) != "Regression"
-    val candidates: Seq[ModelBuild] = modelTypes.flatMap {
+    val candidates: Seq[ModelBuild] = families.flatMap {
       case "ML" if classify => Some(new GbtClassifyTs(lags = 2))
       case "ML" if searchMl => Some(new SearchedGbtModel())
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)

@@ -264,6 +264,32 @@ class ModelsSpec extends SparkTestBase {
       s"bootstrap/analytic width ratio ${bootWidth / anaWidth} implausible")
   }
 
+  test("modelTypes accepts the reference's allowed_models vocabulary") {
+    import spark.implicits._
+    val df = (0 until 30).map { t =>
+      (java.sql.Timestamp.from(java.time.LocalDate.of(2020, 1, 1)
+         .plusMonths(t.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       10.0 + t)
+    }.toDF("ts", "y")
+    // lowercase alias resolves to the family (test_passing_list_instead_of_str)
+    val atMl = new AutoTimeseries(cv = 1, forecastPeriod = 5, modelTypes = Seq("ml"))
+    atMl.fit(df, "ts", "y")
+    assert(atMl.bestName == "ML")
+    // 'arima' → SARIMAX family
+    val atArima = new AutoTimeseries(cv = 1, forecastPeriod = 5, modelTypes = Seq("arima"))
+    atArima.fit(df, "ts", "y")
+    assert(atArima.bestName == "auto_SARIMAX")
+    // 'best' expands to every family and fits more than one
+    val atBest = new AutoTimeseries(cv = 1, forecastPeriod = 5, modelTypes = Seq("best"))
+    atBest.fit(df, "ts", "y")
+    assert(atBest.leaderboard(spark).count() >= 2)
+    // unknown names fail loudly at construction, not silently at fit
+    val err = intercept[IllegalArgumentException] {
+      new AutoTimeseries(modelTypes = Seq("xgboost"))
+    }
+    assert(err.getMessage.contains("xgboost"))
+  }
+
   test("m9_decision: the winner's margin is structural, not noise") {
     import spark.implicits._
     // the oracle pins WHO wins; this pins WHY it cannot flip — on a
