@@ -144,11 +144,15 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     * without exog support ignore it, as the reference's VAR does with a
     * warning). */
   def predict(spark: SparkSession, h: Int, model: String = "best",
-              testdata: Option[DataFrame] = None): DataFrame = {
+              testdata: Option[DataFrame] = None,
+              simple: Boolean = false): DataFrame = {
     val name = if (model == "best" || model.isEmpty) bestName else model
-    entries.find(_.name == name)
+    val full = entries.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"model '$name' not fitted; have ${entries.map(_.name).mkString(",")}"))
       .model.predict(spark, h, testdata)
+    // reference `simple=True` returns just the point forecast series
+    // (`build_prophet.py:434-441` and siblings); False = the full frame
+    if (simple) full.select(col("ts"), col("yhat")) else full
   }
 }

@@ -288,6 +288,10 @@ class ModelsSpec extends SparkTestBase {
       new AutoTimeseries(modelTypes = Seq("xgboost"))
     }
     assert(err.getMessage.contains("xgboost"))
+    // simple=true projects to the point-forecast series (reference
+    // predict(simple=True) semantics)
+    val fc = atMl.predict(spark, 5, simple = true)
+    assert(fc.columns.toSeq == Seq("ts", "yhat") && fc.count() == 5)
   }
 
   test("m9_decision: the winner's margin is structural, not noise") {
