@@ -121,13 +121,24 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
   def bestModel: ModelBuild =
     entries.find(_.name == bestName).get.model
 
-  /** S6 — leaderboard sorted ascending by mean CV RMSE
-    * (`__init__.py:1010-1048`). */
-  def leaderboard(spark: SparkSession): DataFrame = {
+  /** A named fitted model (`get_model_build`, `__init__.py:894-902`). */
+  def model(name: String): ModelBuild =
+    entries.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"model '$name' not fitted; have ${entries.map(_.name).mkString(",")}"))
+      .model
+
+  /** Every fitted family by name (`get_ml_dict`, `__init__.py:904-908`). */
+  def models: Map[String, ModelBuild] =
+    entries.map(e => e.name -> e.model).toMap
+
+  /** S6 — leaderboard sorted by mean CV RMSE, ascending by default
+    * (`get_leaderboard(ascending)`, `__init__.py:1010-1048`). */
+  def leaderboard(spark: SparkSession, ascending: Boolean = true): DataFrame = {
     import spark.implicits._
     entries.map(e => (e.name, e.scores.meanRmse, e.scores.meanNormRmse))
       .toDF("name", "rmse", "norm_rmse")
-      .orderBy(col("rmse"))
+      .orderBy(if (ascending) col("rmse") else col("rmse").desc)
   }
 
   /** Per-fold CV scores, exploded (`get_cv_scores`, `__init__.py:1059-1072`). */

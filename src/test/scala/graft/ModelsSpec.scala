@@ -292,6 +292,13 @@ class ModelsSpec extends SparkTestBase {
     // predict(simple=True) semantics)
     val fc = atMl.predict(spark, 5, simple = true)
     assert(fc.columns.toSeq == Seq("ts", "yhat") && fc.count() == 5)
+    // named-model getters and the model dict (get_model_build/get_ml_dict)
+    assert(atMl.model("ML") eq atMl.bestModel)
+    assert(atBest.models.keySet.size >= 2 && atBest.models.contains(atBest.bestName))
+    // leaderboard(ascending = false) reverses the ranking
+    val asc = atBest.leaderboard(spark).collect().map(_.getString(0)).toSeq
+    val desc = atBest.leaderboard(spark, ascending = false).collect().map(_.getString(0)).toSeq
+    assert(asc == desc.reverse)
   }
 
   test("m9_decision: the winner's margin is structural, not noise") {
