@@ -132,13 +132,16 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
   def models: Map[String, ModelBuild] =
     entries.map(e => e.name -> e.model).toMap
 
-  /** S6 — leaderboard sorted by mean CV RMSE, ascending by default
+  /** S6 — leaderboard sorted by the CONFIGURED score (`score_type`, the
+    * same criterion bestName uses — `get_leaderboard().iloc[0]` must be
+    * the selected best model), ascending by default
     * (`get_leaderboard(ascending)`, `__init__.py:1010-1048`). */
   def leaderboard(spark: SparkSession, ascending: Boolean = true): DataFrame = {
     import spark.implicits._
+    val key = if (scoreType == "normalized_rmse") "norm_rmse" else "rmse"
     entries.map(e => (e.name, e.scores.meanRmse, e.scores.meanNormRmse))
       .toDF("name", "rmse", "norm_rmse")
-      .orderBy(if (ascending) col("rmse") else col("rmse").desc)
+      .orderBy(if (ascending) col(key) else col(key).desc)
   }
 
   /** Per-fold CV scores, exploded (`get_cv_scores`, `__init__.py:1059-1072`). */

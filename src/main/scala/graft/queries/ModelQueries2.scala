@@ -346,13 +346,7 @@ object ModelQueries2 {
   private def m3Decision: Q = (s, _) => {
     val spark = s
     import spark.implicits._
-    def lcg(seed: Long): () => Double = {
-      var x = seed
-      () => {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        (x >>> 11).toDouble / (1L << 53) - 0.5
-      }
-    }
+    val lcg = graft.core.DetRandom.doubles _
     val n = 300
     val e1 = lcg(7L)
     val a = new Array[Double](n)
@@ -394,13 +388,7 @@ object ModelQueries2 {
   private def m9Decision: Q = (s, _) => {
     val spark = s
     import spark.implicits._
-    def lcg(seed: Long): () => Double = {
-      var x = seed
-      () => {
-        x = x * 6364136223846793005L + 1442695040888963407L
-        (x >>> 11).toDouble / (1L << 53) - 0.5
-      }
-    }
+    val lcg = graft.core.DetRandom.doubles _
     val e = lcg(7L); val n = 300
     val rows = (0 until n).map { t =>
       val x = e() + 0.5 // uniform(0,1)

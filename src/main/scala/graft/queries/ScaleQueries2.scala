@@ -217,16 +217,19 @@ object ScaleQueries2 {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
               timestamp_millis(col("doc_id") * 60000L).as("ts"))
+    // cohort fence derived from the data, not a magic constant — variant
+    // ids can never collide with base ids at any SF
+    val fence = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val variants = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + fence).as("doc_id"),
               regexp_replace(col("text"), "^\\S+", "EDITED").as("text"),
               timestamp_millis(col("doc_id") * 60000L + 30000L).as("ts"))
     val all = docs.unionByName(variants)
     graft.streaming.StreamDedup.nearDupBlockBatch(all, "text", "doc_id", "ts")
       .groupBy()
       .agg(count(lit(1)).cast("long").as("n_survivors"),
-           sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("variants_survived"),
-           sum(when(col("id") < 1000000L, 1L).otherwise(0L)).as("base_survived"))
+           sum(when(col("id") >= fence, 1L).otherwise(0L)).as("variants_survived"),
+           sum(when(col("id") < fence, 1L).otherwise(0L)).as("base_survived"))
   }
 
   /** LEFT OUTER twin of [[stSelfJoin]] — triggers with no follow-up in

@@ -30,7 +30,11 @@ object StreamDedup {
   private def sigDocs(df: DataFrame, textCol: String, idCol: String,
                       tsCol: String, blockIdx: Int) = {
     import df.sparkSession.implicits._
-    df.withColumn("__sig", graft.functions.SimHashSig(col(textCol)))
+    // rows with a null text or id are DROPPED: a fingerprint cannot be
+    // computed for them (filter upstream if they must be retained) —
+    // without this, the non-nullable encoder fields would kill the query
+    df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__sig", graft.functions.SimHashSig(col(textCol)))
       .select(col(idCol).cast("long").as("id"),
               col(tsCol).as("ts"),
               col("__sig").as("sig"),
@@ -78,9 +82,16 @@ object StreamDedup {
     * block key = the KEPT signatures within the watermark horizon (8
     * bytes each, evicted by event-time timeout), so memory is bounded by
     * the per-block survivor rate × the horizon — not the stream's
-    * lifetime. Docs are matched against earlier SURVIVORS (greedy
-    * first-arrival, identical to the batch twin; rows within one
-    * micro-batch are ordered by (ts, id) so replays are deterministic).
+    * lifetime. Docs are matched against earlier SURVIVORS — greedy
+    * first-arrival in PROCESSING order (rows within one micro-batch are
+    * sorted by (ts, id), so replays are deterministic). When arrivals
+    * are in event-time order this is identical to the batch twin; under
+    * LATE data the same near-dup chains are still collapsed to one
+    * representative each, but the surviving REPRESENTATIVE can differ
+    * from the batch twin's (a late-but-earlier-stamped doc is suppressed
+    * against the already-kept later one — streaming cannot retract an
+    * emitted row). Run the batch twin as the compaction pass where
+    * batch-exact survivor identity matters.
     *
     * A doc whose flipped bits land in the routing block escapes this
     * pass (see recall note on the batch twin) — the periodic batch
@@ -90,9 +101,13 @@ object StreamDedup {
                    blockIdx: Int = 3): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val delayIv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
-    val horizonMs = delayMs.days * 86400000L + delayMs.microseconds / 1000L
+    // month convention matches Spark's watermark delay (EventTimeWatermark
+    // treats a month as 31 days) so the suppression horizon and the
+    // watermark never disagree
+    val horizonMs = delayIv.months * 31L * 86400000L +
+      delayIv.days * 86400000L + delayIv.microseconds / 1000L
     sigDocs(df.withWatermark(tsCol, delay), textCol, idCol, tsCol, blockIdx)
       .groupByKey(_.block)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

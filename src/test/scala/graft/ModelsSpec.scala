@@ -295,10 +295,14 @@ class ModelsSpec extends SparkTestBase {
     // named-model getters and the model dict (get_model_build/get_ml_dict)
     assert(atMl.model("ML") eq atMl.bestModel)
     assert(atBest.models.keySet.size >= 2 && atBest.models.contains(atBest.bestName))
-    // leaderboard(ascending = false) reverses the ranking
-    val asc = atBest.leaderboard(spark).collect().map(_.getString(0)).toSeq
-    val desc = atBest.leaderboard(spark, ascending = false).collect().map(_.getString(0)).toSeq
-    assert(asc == desc.reverse)
+    // leaderboard(ascending = false) reverses the RANKING — compare the
+    // (name, rmse) rows sorted with a name tiebreak, so equal scores
+    // (where Spark's sort is not stable) cannot fail the test spuriously
+    def rows(asc: Boolean) = atBest.leaderboard(spark, ascending = asc)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val (asc, desc) = (rows(true), rows(false))
+    assert(asc.sortBy(identity) == desc.sortBy(identity), "same row set")
+    assert(asc.map(_._2) == asc.map(_._2).sorted && desc.map(_._2) == desc.map(_._2).sorted.reverse)
   }
 
   test("m9_decision: the winner's margin is structural, not noise") {

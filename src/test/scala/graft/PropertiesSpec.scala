@@ -9,10 +9,7 @@ import graft.scale.{Dedup, TextAnalysis}
 class PropertiesSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def lcg(seed: Long): () => Long = {
-    var x = seed
-    () => { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 11 }
-  }
+  private def lcg(seed: Long): () => Long = graft.core.DetRandom.longs(seed)
 
   test("components == local union-find on random graphs (5 seeds)") {
     for (seed <- Seq(3L, 17L, 42L, 99L, 2024L)) {
