@@ -285,6 +285,29 @@ object ScaleQueries {
        | CAST(top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30 AS BIGINT) AS keep
        |FROM f""".stripMargin
 
+  /** CCNet-style unigram-LM quality score (see
+    * [[TextAnalysis.unigramLogProb]]): per-doc mean token log-prob under
+    * the corpus distribution, add-½ smoothed. Deterministic — the count
+    * table is exact integers and each doc's token rows stay in their
+    * producing partition (explode), so the per-doc float sum has a fixed
+    * order; dround(4) absorbs the engines' summation-order ulp. */
+  private def x11UnigramLm: Q = (s, d) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), dround(col("mean_logp"), 4).as("mean_logp"),
+              col("n_tokens"))
+
+  private val x11Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+       |             CAST(count(*) AS DOUBLE) AS v FROM c),
+       |s AS (SELECT doc_id, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp
+       |      FROM toks JOIN c USING (tok) CROSS JOIN t)
+       |SELECT doc_id, ${droundSql("avg(logp)", 4)} AS mean_logp,
+       | count(*) AS n_tokens
+       |FROM s GROUP BY doc_id""".stripMargin
+
   private def x3Fingerprint: Q = (s, d) =>
     TextAnalysis.fingerprint(Tables.documents(s, d).filter(length(col("text")) >= 64), "text")
       .select(col("doc_id"), col("fingerprint"))
@@ -559,6 +582,7 @@ object ScaleQueries {
     "x3_fingerprint"   -> x3Fingerprint,
     "x5_quality"       -> x5Quality,
     "x10_repetition"   -> x10Repetition,
+    "x11_unigram_lm"   -> x11UnigramLm,
     "mm2_frames"       -> mm2Frames,
     "mm3_resize"       -> mm3Resize,
     "mm4_imgdecode"    -> mm4ImgDecode,
@@ -584,6 +608,7 @@ object ScaleQueries {
     "x3_fingerprint"   -> x3Sql,
     "x5_quality"       -> x5Sql,
     "x10_repetition"   -> x10Sql,
+    "x11_unigram_lm"   -> x11Sql,
     "mm2_frames"       -> mm2Sql,
     "mm3_resize"       -> mm3Sql,
     "mm4_imgdecode"    -> mm4Sql,

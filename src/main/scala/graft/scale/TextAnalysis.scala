@@ -93,6 +93,34 @@ object TextAnalysis {
         (col("dup_trigram_frac") <= maxDupTrigram))
   }
 
+  /** Unigram language-model quality score — the CCNet-style perplexity
+    * proxy (Wenzek et al. 2020 filter corpora by LM perplexity; the
+    * unigram version is the shuffle-cheap form): per document, the mean
+    * log-probability of its tokens under the CORPUS unigram distribution
+    * with add-α smoothing and one OOV bucket,
+    *   p(w) = (count(w) + α) / (N + α·(V+1)).
+    * Documents of rare/garbled vocabulary score low; formulaic
+    * high-frequency text scores high — both tails are filter targets.
+    *
+    * 100-TB shape: ONE corpus-level token-count aggregation (output is
+    * vocab-sized, not corpus-sized), then the count table joins back to
+    * the exploded tokens — vocab tables broadcast at any realistic size,
+    * so the scoring side is map-side; the per-doc mean is a partial agg
+    * keyed by the doc id. Same shuffle budget as TF-IDF. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n"),
+                            count(lit(1)).as("v")).head()
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    val denom = n + alpha * (v + 1)
+    toks.join(broadcast(counts), Seq("tok"))
+      .withColumn("logp", log((col("cnt") + lit(alpha)) / lit(denom)))
+      .groupBy(col(idCol))
+      .agg(avg(col("logp")).as("mean_logp"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Language-ID heuristic: stopword-hit voting over 5 built-in lists.
     * Deterministic tie-break: higher hits, then alphabetical language. */
   val stopwordLists: Map[String, Seq[String]] = Map(

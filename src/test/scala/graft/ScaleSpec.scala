@@ -174,6 +174,26 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("unigramLogProb: common-vocabulary docs outrank rare-vocabulary docs") {
+    import spark.implicits._
+    import graft.scale.TextAnalysis
+    // corpus: 'common' appears everywhere, 'rareN' tokens once each
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 common"),
+      (3L, "rare2 rare3 rare4 rare5")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    assert(r(1)._2 == 4 && r(3)._2 == 4)
+    // all-common > mixed > all-rare, strictly
+    assert(r(1)._1 > r(2)._1 && r(2)._1 > r(3)._1, s"ordering violated: $r")
+    // exact value check for doc 1: count(common)=7 over N=12, V=6 ⇒
+    // p(common) = (7 + 0.5) / (12 + 0.5·7)
+    val expect = math.log(7.5 / 15.5)
+    assert(math.abs(r(1)._1 - expect) < 1e-12, s"${r(1)._1} vs $expect")
+  }
+
   test("repetitionStats: Gopher filters flag degenerate docs, pass normal text") {
     import spark.implicits._
     import graft.scale.TextAnalysis
