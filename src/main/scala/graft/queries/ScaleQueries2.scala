@@ -290,6 +290,52 @@ object ScaleQueries2 {
        |SELECT user_id, h, ${droundSql("icept + slope*(n - 1 + h)", 6)} AS yhat
        |FROM c, generate_series(1, 3) AS g(h)""".stripMargin
 
+  /** Full S5-sink per-series trend forecast with PROPER OLS prediction
+    * intervals (se widens with horizon via the (t_f − t̄)²/S_tt term —
+    * [[graft.scale.PerSeriesForecast.trendForecastBands]]): the
+    * million-series path emits the same schema as the single-series
+    * estimators, hash-checked end to end. 1-in-10 user subset keeps the
+    * oracle diff small (the operator is subset-free). */
+  private def f5SeriesBands: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.trendForecastBands(
+        Tables.events(s, d).filter(col("user_id") % 10 === 3),
+        "value", "ts", Seq("user_id"), 3, Seq("event_id"))
+      .select(col("user_id"), col("h"), dround(col("yhat"), 6).as("yhat"),
+              dround(col("mean_se"), 6).as("mean_se"),
+              dround(col("mean_ci_lower"), 6).as("mean_ci_lower"),
+              dround(col("mean_ci_upper"), 6).as("mean_ci_upper"))
+
+  private val f5Sql =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events WHERE user_id % 10 = 3),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
+       |        sum(t*t) AS stt, sum(y) AS sy, sum(y*y) AS syy, sum(t*y) AS sty
+       |      FROM s GROUP BY user_id),
+       |b AS (SELECT user_id, n, st, sy, syy, sty,
+       |        stt - st*st/n AS sxx FROM a),
+       |c AS (SELECT user_id, n, st, sxx,
+       |        CASE WHEN n > 1 AND sxx > 0
+       |             THEN (sty - st*sy/n)/sxx ELSE 0.0 END AS slope,
+       |        sy, syy, sty FROM b),
+       |e AS (SELECT user_id, n, st, sxx, slope,
+       |        (sy - slope*st)/n AS icept,
+       |        (syy - sy*sy/n) - slope*(sty - st*sy/n) AS ssr FROM c),
+       |f AS (SELECT user_id, n, st, sxx, slope, icept,
+       |        CASE WHEN n > 2 THEN sqrt(greatest(ssr, 0.0)/(n - 2)) END AS sigma
+       |      FROM e),
+       |p AS (SELECT user_id, h, n, st, sxx, sigma,
+       |        icept + slope*(n - 1 + h) AS yhat,
+       |        sigma * sqrt(1.0 + 1.0/n + pow(n - 1 + h - st/n, 2)/sxx) AS se
+       |      FROM f, generate_series(1, 3) AS g(h))
+       |SELECT user_id, h, ${droundSql("yhat", 6)} AS yhat,
+       | ${droundSql("se", 6)} AS mean_se,
+       | ${droundSql("yhat - 1.96*se", 6)} AS mean_ci_lower,
+       | ${droundSql("yhat + 1.96*se", 6)} AS mean_ci_upper
+       |FROM p""".stripMargin
+
   // ---- E1: the grow-on-unseen transform path ----------------------------
 
   /** e1_label_encode fits and transforms the SAME frame, so the
@@ -488,6 +534,7 @@ object ScaleQueries2 {
     "sm5_cap"         -> sm5Cap,
     "d9_keep_best_cluster" -> d9KeepBestCluster,
     "f4_series_trend" -> f4SeriesTrend,
+    "f5_series_bands" -> f5SeriesBands,
     "e2_unseen_encode" -> e2UnseenEncode,
     "sm1_mod_sample" -> sm1ModSample,
     "sm2_stratified" -> sm2Stratified,
@@ -515,6 +562,7 @@ object ScaleQueries2 {
     "sm5_cap"         -> sm5Sql,
     "d9_keep_best_cluster" -> d9Sql,
     "f4_series_trend" -> f4Sql,
+    "f5_series_bands" -> f5Sql,
     "e2_unseen_encode" -> e2Sql,
     "sm1_mod_sample" -> sm1Sql,
     "sm2_stratified" -> sm2Sql,

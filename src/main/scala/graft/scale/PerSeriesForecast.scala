@@ -80,6 +80,51 @@ object PerSeriesForecast {
         (col("icept") + col("slope") * (col("n") - 1 + col("h"))).as("yhat"): _*)
   }
 
+  /** [[trendForecast]] with the full forecast-sink schema (S5: yhat,
+    * mean_se, mean_ci_lower/upper) — PROPER per-series OLS prediction
+    * intervals, not a constant band: at future index t_f = n−1+h,
+    *   se(h) = σ·√(1 + 1/n + (t_f − t̄)²/S_tt),  σ² = SSR/(n−2),
+    * so the band WIDENS with horizon exactly as the single-series
+    * models' theory says — for every series in the warehouse at once,
+    * still one shuffle (the same window + aggregate pass, four more
+    * sums). Degenerate series (n ≤ 2) emit null bands rather than a
+    * fake zero-width interval. */
+  def trendForecastBands(df: DataFrame, valueCol: String, tsCol: String,
+                         seriesCols: Seq[String], horizon: Int,
+                         tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val t = df
+      .withColumn("t", (row_number().over(w) - 1).cast("double"))
+      .withColumn("y", col(valueCol).cast("double"))
+    val fit = t.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+           sum(col("t") * col("y")).as("sty"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("slope", when(col("n") > 1 && col("sxx") > 0,
+          (col("sty") - col("st") * col("sy") / col("n")) / col("sxx"))
+        .otherwise(lit(0.0)))
+      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("n"))
+      .withColumn("ssr",
+        (col("syy") - col("sy") * col("sy") / col("n")) -
+        col("slope") * (col("sty") - col("st") * col("sy") / col("n")))
+      .withColumn("sigma", when(col("n") > 2,
+          sqrt(greatest(col("ssr"), lit(0.0)) / (col("n") - 2)))
+        .otherwise(lit(null).cast("double")))
+    fit.crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .withColumn("tf", col("n") - 1 + col("h"))
+      .withColumn("yhat", col("icept") + col("slope") * col("tf"))
+      .withColumn("mean_se", col("sigma") *
+        sqrt(lit(1.0) + lit(1.0) / col("n") +
+             pow(col("tf") - col("st") / col("n"), 2) / col("sxx")))
+      .select(seriesCols.map(col) ++ Seq(col("h"), col("yhat"),
+        col("mean_se"),
+        (col("yhat") - lit(1.96) * col("mean_se")).as("mean_ci_lower"),
+        (col("yhat") + lit(1.96) * col("mean_se")).as("mean_ci_upper")): _*)
+  }
+
   /** Seasonal naive: ŷ(t+h) = y(n − m + 1 + ((h−1) mod m)) — the value at
     * the same phase of the last observed season (period m). One
     * partitioned window computes reverse positions; the last season's m

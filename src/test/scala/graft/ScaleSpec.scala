@@ -174,6 +174,26 @@ class ScaleSpec extends SparkTestBase {
     assert(out.toSeq == (0 until 64).map(i => orig(i % orig.length)))
   }
 
+  test("trendForecastBands: proper OLS prediction intervals widen with horizon") {
+    import spark.implicits._
+    import graft.scale.PerSeriesForecast
+    // two series: a clean line + noise, and a 2-point degenerate series
+    val r = graft.core.DetRandom.doubles(13L)
+    val rows = (0 until 40).map(i => (1L, i.toLong, 2.0 + 0.5 * i + r())) ++
+               Seq((2L, 0L, 5.0), (2L, 1L, 6.0))
+    val df = rows.toDF("sid", "t", "y").withColumn("ts", timestamp_seconds($"t"))
+    val out = PerSeriesForecast.trendForecastBands(df, "y", "ts", Seq("sid"), 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getDouble(2), Option(x.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // series 1: se strictly widens with h, yhat tracks the line
+    val ses = (1 to 4).map(h => out((1L, h))._2.get)
+    assert(ses == ses.sorted && ses.distinct.size == 4, s"bands not widening: $ses")
+    assert(math.abs(out((1L, 1))._1 - (2.0 + 0.5 * 40)) < 1.0)
+    // n=2 series: no residual dof, bands are null, yhat extends the line
+    assert(out((2L, 1))._2.isEmpty)
+    assert(math.abs(out((2L, 2))._1 - 8.0) < 1e-9)
+  }
+
   test("unigramLogProb: common-vocabulary docs outrank rare-vocabulary docs") {
     import spark.implicits._
     import graft.scale.TextAnalysis
