@@ -218,8 +218,10 @@ object ScaleQueries2 {
       .select(col("doc_id"), col("text"),
               timestamp_millis(col("doc_id") * 60000L).as("ts"))
     // cohort fence derived from the data, not a magic constant — variant
-    // ids can never collide with base ids at any SF
-    val fence = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // ids can never collide with base ids at any SF (one tiny extra
+    // max-scan at build time, answered from parquet column stats)
+    val fenceRow = docs.agg(max(col("doc_id"))).head()
+    val fence = (if (fenceRow.isNullAt(0)) 0L else fenceRow.getLong(0)) + 1L
     val variants = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + fence).as("doc_id"),
               regexp_replace(col("text"), "^\\S+", "EDITED").as("text"),
@@ -314,11 +316,11 @@ object ScaleQueries2 {
        |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
        |        sum(t*t) AS stt, sum(y) AS sy, sum(y*y) AS syy, sum(t*y) AS sty
        |      FROM s GROUP BY user_id),
-       |b AS (SELECT user_id, n, st, sy, syy, sty,
+       |b AS (SELECT user_id, n, st, stt, sy, syy, sty,
        |        stt - st*st/n AS sxx FROM a),
        |c AS (SELECT user_id, n, st, sxx,
        |        CASE WHEN n > 1 AND sxx > 0
-       |             THEN (sty - st*sy/n)/sxx ELSE 0.0 END AS slope,
+       |             THEN (n*sty - st*sy)/(n*stt - st*st) ELSE 0.0 END AS slope,
        |        sy, syy, sty FROM b),
        |e AS (SELECT user_id, n, st, sxx, slope,
        |        (sy - slope*st)/n AS icept,

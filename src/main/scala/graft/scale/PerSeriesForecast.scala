@@ -61,23 +61,32 @@ object PerSeriesForecast {
     * A single-observation series degrades to its mean (slope 0). */
   def trendForecast(df: DataFrame, valueCol: String, tsCol: String,
                     seriesCols: Seq[String], horizon: Int,
-                    tieBreak: Seq[String] = Nil): DataFrame = {
+                    tieBreak: Seq[String] = Nil): DataFrame =
+    trendFit(df, valueCol, tsCol, seriesCols, tieBreak)
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+
+        (col("icept") + col("slope") * (col("n") - 1 + col("h"))).as("yhat"): _*)
+
+  /** The shared per-series OLS fit (ONE slope formula for both the point
+    * and the banded sink, so the two can never diverge in the last ulp):
+    * slope = (n·Σty − Σt·Σy)/(n·Σtt − (Σt)²). */
+  private def trendFit(df: DataFrame, valueCol: String, tsCol: String,
+                       seriesCols: Seq[String],
+                       tieBreak: Seq[String]): DataFrame = {
     val w = Window.partitionBy(seriesCols.map(col): _*)
       .orderBy((tsCol +: tieBreak).map(col): _*)
-    val t = df
-      .withColumn("t", (row_number().over(w) - 1).cast("double"))
+    df.withColumn("t", (row_number().over(w) - 1).cast("double"))
       .withColumn("y", col(valueCol).cast("double"))
-    val fit = t.groupBy(seriesCols.map(col): _*)
+      .groupBy(seriesCols.map(col): _*)
       .agg(count(lit(1)).cast("double").as("n"),
            sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
-           sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
-      .withColumn("slope", when(col("n") > 1,
+           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+           sum(col("t") * col("y")).as("sty"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("n"))
+      .withColumn("slope", when(col("n") > 1 && col("sxx") > 0,
           (col("n") * col("sty") - col("st") * col("sy")) /
           (col("n") * col("stt") - col("st") * col("st"))).otherwise(lit(0.0)))
       .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("n"))
-    fit.crossJoin(broadcast(horizons(df.sparkSession, horizon)))
-      .select(seriesCols.map(col) :+ col("h") :+
-        (col("icept") + col("slope") * (col("n") - 1 + col("h"))).as("yhat"): _*)
   }
 
   /** [[trendForecast]] with the full forecast-sink schema (S5: yhat,
@@ -92,21 +101,7 @@ object PerSeriesForecast {
   def trendForecastBands(df: DataFrame, valueCol: String, tsCol: String,
                          seriesCols: Seq[String], horizon: Int,
                          tieBreak: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(seriesCols.map(col): _*)
-      .orderBy((tsCol +: tieBreak).map(col): _*)
-    val t = df
-      .withColumn("t", (row_number().over(w) - 1).cast("double"))
-      .withColumn("y", col(valueCol).cast("double"))
-    val fit = t.groupBy(seriesCols.map(col): _*)
-      .agg(count(lit(1)).cast("double").as("n"),
-           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
-           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
-           sum(col("t") * col("y")).as("sty"))
-      .withColumn("sxx", col("stt") - col("st") * col("st") / col("n"))
-      .withColumn("slope", when(col("n") > 1 && col("sxx") > 0,
-          (col("sty") - col("st") * col("sy") / col("n")) / col("sxx"))
-        .otherwise(lit(0.0)))
-      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("n"))
+    val fit = trendFit(df, valueCol, tsCol, seriesCols, tieBreak)
       .withColumn("ssr",
         (col("syy") - col("sy") * col("sy") / col("n")) -
         col("slope") * (col("sty") - col("st") * col("sy") / col("n")))

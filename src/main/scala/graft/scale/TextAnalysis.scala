@@ -109,12 +109,23 @@ object TextAnalysis {
     * keyed by the doc id. Same shuffle budget as TF-IDF. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
                      alpha: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val totals = counts.agg(sum(col("cnt")).as("n"),
-                            count(lit(1)).as("v")).head()
-    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    // the count table is COLLECTED once (broadcast would collect it to
+    // the driver anyway to build the broadcast relation), so the corpus
+    // is scanned exactly once for counting: n and v derive from the
+    // collected rows instead of a second aggregation job over a
+    // recomputed plan
+    val countRows = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).collect()
+    if (countRows.isEmpty)
+      return df.limit(0).select(col(idCol),
+        lit(0.0).as("mean_logp"), lit(0L).as("n_tokens"))
+    val n = countRows.map(_.getLong(1)).sum
+    val v = countRows.length.toLong
     val denom = n + alpha * (v + 1)
+    import spark.implicits._
+    val counts = countRows.map(x => (x.getString(0), x.getLong(1))).toSeq
+      .toDF("tok", "cnt")
     toks.join(broadcast(counts), Seq("tok"))
       .withColumn("logp", log((col("cnt") + lit(alpha)) / lit(denom)))
       .groupBy(col(idCol))

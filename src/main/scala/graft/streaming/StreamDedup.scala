@@ -30,10 +30,12 @@ object StreamDedup {
   private def sigDocs(df: DataFrame, textCol: String, idCol: String,
                       tsCol: String, blockIdx: Int) = {
     import df.sparkSession.implicits._
-    // rows with a null text or id are DROPPED: a fingerprint cannot be
-    // computed for them (filter upstream if they must be retained) —
-    // without this, the non-nullable encoder fields would kill the query
-    df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+    // rows with a null text, id, OR timestamp are DROPPED: a fingerprint
+    // (or event-time position) cannot be computed for them (filter
+    // upstream if they must be retained) — without this, the encoder's
+    // non-nullable fields / SigDoc.tsMs would kill the whole query
+    df.filter(col(textCol).isNotNull && col(idCol).isNotNull &&
+              col(tsCol).isNotNull)
       .withColumn("__sig", graft.functions.SimHashSig(col(textCol)))
       .select(col(idCol).cast("long").as("id"),
               col(tsCol).as("ts"),

@@ -103,8 +103,7 @@ class ModelsSpec extends SparkTestBase {
   }
 
   test("ARIMA CSS recovers AR(1) coefficient") {
-    var s = 42L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(42L)
     val n = 300
     val y = new Array[Double](n)
     for (i <- 1 until n) y(i) = 0.6 * y(i - 1) + rnd()
@@ -113,8 +112,7 @@ class ModelsSpec extends SparkTestBase {
   }
 
   test("pure-AR closed form sits at the CSS minimum (perturbation check)") {
-    var s = 99L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(99L)
     val n = 200
     val y = new Array[Double](n)
     for (i <- 2 until n) y(i) = 0.5 * y(i - 1) - 0.3 * y(i - 2) + 1.0 + rnd()
@@ -134,8 +132,7 @@ class ModelsSpec extends SparkTestBase {
   }
 
   test("ARIMA grid search runs as a Spark job and picks a finite-AIC cell") {
-    var s = 7L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(7L)
     val y = Array.iterate(0.0, 120)(v => 0.5 * v + 1.0) .map(_ + rnd())
     val fit = ArimaCss.gridSearch(spark, y, maxP = 2, maxD = 1, maxQ = 1)
     assert(!fit.aic.isNaN && !fit.aic.isInfinite)
@@ -144,8 +141,7 @@ class ModelsSpec extends SparkTestBase {
   }
 
   test("stepwise search converges, matches grid's cell quality on AR(1)") {
-    var s = 11L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(11L)
     // genuine AR(1): noise INSIDE the recursion (an earlier fixture added
     // noise after iterating to the fixed point, i.e. white noise around 5,
     // on which the parsimony-correct stepwise answer is (0,0,0) and the
@@ -165,8 +161,7 @@ class ModelsSpec extends SparkTestBase {
   }
 
   test("common-burn AICc: candidates in a round score on IDENTICAL effective n") {
-    var s = 7L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(7L)
     val n = 120
     val y = new Array[Double](n); y(0) = 3.0
     for (i <- 1 until n) y(i) = 1.0 + 0.5 * y(i - 1) + rnd()
@@ -222,8 +217,7 @@ class ModelsSpec extends SparkTestBase {
 
   test("bootstrap intervals: empirical coverage ≈ nominal on a simulated series") {
     import spark.implicits._
-    var s = 31L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(31L)
     // trend + annual cycle + uniform(-1.5, 1.5) noise, 160 monthly points
     val n = 160
     val truthNoise = Array.fill(n)(rnd() * 3.0)
@@ -305,14 +299,33 @@ class ModelsSpec extends SparkTestBase {
     assert(asc.map(_._2) == asc.map(_._2).sorted && desc.map(_._2) == desc.map(_._2).sorted.reverse)
   }
 
+  test("normalized_rmse score_type: leaderboard head IS the selected best model") {
+    import spark.implicits._
+    val df = (0 until 40).map { t =>
+      (java.sql.Timestamp.from(java.time.LocalDate.of(2019, 1, 1)
+         .plusMonths(t.toLong).atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       50.0 + 2.0 * t + math.sin(t * 0.8) * 3.0)
+    }.toDF("ts", "y")
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 6,
+      modelTypes = Seq("ML", "Prophet", "auto_SARIMAX"),
+      scoreType = "normalized_rmse")
+    at.fit(df, "ts", "y")
+    val lb = at.leaderboard(spark).collect()
+    // the ranking key is the CONFIGURED score: head == bestName, and the
+    // norm_rmse column is ascending
+    assert(lb.head.getString(0) == at.bestName,
+      s"leaderboard head ${lb.head.getString(0)} != best ${at.bestName}")
+    val norms = lb.map(_.getDouble(2)).toSeq
+    assert(norms == norms.sorted, s"norm_rmse not ascending: $norms")
+  }
+
   test("m9_decision: the winner's margin is structural, not noise") {
     import spark.implicits._
     // the oracle pins WHO wins; this pins WHY it cannot flip — on a
     // threshold-exog fixture the tree family must beat every linear-in-
     // exog family by a wide multiple (the step residual is irreducible
     // for them, the noise floor is reachable for trees)
-    var s = 7L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(7L)
     val rows = (0 until 150).map { t =>
       val x = rnd() + 0.5
       (java.sql.Timestamp.from(java.time.LocalDate.of(2000, 1, 1)
@@ -343,8 +356,7 @@ class ModelsSpec extends SparkTestBase {
     // 486 monthly rows, DATE + UMCSENT) re-created synthetically: level
     // ~80, annual cycle, AR(1) disturbance — same shape, our own values
     val n = 486
-    var s = 77L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(77L)
     val y = new Array[Double](n)
     y(0) = 80.0
     for (t <- 1 until n)
@@ -422,8 +434,7 @@ class ModelsSpec extends SparkTestBase {
     // pmdarima always seeds (0,d,0); on white noise no AR/MA term earns
     // its AICc penalty, so the search must be ALLOWED to return it (the
     // zero-order spec fits as an intercept-only regression)
-    var s = 23L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(23L)
     val wn = Array.fill(200)(rnd())
     val sw = ArimaCss.stepwiseSearch(spark, wn)
     assert(sw.spec.p == 0 && sw.spec.q == 0,
@@ -436,8 +447,7 @@ class ModelsSpec extends SparkTestBase {
     // random walk: after one difference the series is white noise, so no
     // AR/MA term earns its AIC penalty — the PLAIN GRID (not just the
     // stepwise path) must be able to return the intercept-only cell
-    var s = 99L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(99L)
     val rw = Array.fill(200)(rnd()).scanLeft(0.0)(_ + _).tail // cumsum of noise
     val fit = ArimaCss.gridSearch(spark, rw, maxP = 2, maxD = 1, maxQ = 2)
     assert(fit.spec.p == 0 && fit.spec.d == 1 && fit.spec.q == 0,
@@ -447,8 +457,7 @@ class ModelsSpec extends SparkTestBase {
   test("multiplicative seasonal AR: cross-lag coefficient is the constrained product") {
     // simulate (1 - 0.5B)(1 - 0.6B^12) y = e  =>
     //   y_t = 0.5 y_{t-1} + 0.6 y_{t-12} - 0.3 y_{t-13} + e_t
-    var s = 31L
-    def rnd(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 11).toDouble / (1L << 53) - 0.5 }
+    val rnd = graft.core.DetRandom.doubles(31L)
     val n = 400
     val y = new Array[Double](n)
     for (t <- 13 until n)

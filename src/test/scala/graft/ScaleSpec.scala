@@ -85,12 +85,8 @@ class ScaleSpec extends SparkTestBase {
     import graft.models.ArimaCss
     // AR(1)-ish series for 3 users + one constant (degenerate) user
     def ar1(seed: Int, n: Int): Seq[Double] = {
-      var s = seed.toLong; var y = 0.0
-      (0 until n).map { _ =>
-        s = s * 6364136223846793005L + 1442695040888963407L
-        y = 0.7 * y + ((s >>> 11).toDouble / (1L << 53) - 0.5)
-        y
-      }
+      val r = graft.core.DetRandom.doubles(seed.toLong); var y = 0.0
+      (0 until n).map { _ => y = 0.7 * y + r(); y }
     }
     val rows = (1 to 3).flatMap(u => ar1(u, 60).zipWithIndex.map {
       case (v, i) => (u.toLong, i.toDouble, v)

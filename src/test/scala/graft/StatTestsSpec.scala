@@ -6,11 +6,8 @@ class StatTestsSpec extends SparkTestBase {
 
   // deterministic pseudo-noise (LCG), no external RNG
   private def noise(n: Int, seed: Long = 42): Array[Double] = {
-    var s = seed
-    Array.fill(n) {
-      s = (s * 6364136223846793005L + 1442695040888963407L)
-      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
-    }
+    val r = graft.core.DetRandom.doubles(seed)
+    Array.fill(n)(r())
   }
 
   test("acf(0) is 1 and acf of noise decays") {
