@@ -216,6 +216,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect, s"streaming $got != batch twin $expect")
   }
 
+  test("nearDupBlock parity holds under ANY micro-batch split (3 random splits)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val min = 60000L
+    val bases = (0 until 6).map { k =>
+      (k.toLong, (1 + k) * min, (1 to 400).map(i => s"s${k}y$i").mkString(" "))
+    }
+    val variants = bases.map { case (id, ts, text) =>
+      (id + 100L, ts + 7 * min, text.replaceFirst("\\S+", "EDITED"))
+    }
+    val rows = (bases ++ variants).sortBy(_._2) // in event-time order
+    val expect = StreamDedup.nearDupBlockBatch(
+        rows.toDF("doc_id", "ts_ms", "text")
+          .withColumn("ts", timestamp_millis($"ts_ms")),
+        "text", "doc_id", "ts", maxHamming = 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val cut = graft.core.DetRandom.longs(99L)
+    for (trial <- 1 to 3) {
+      // random ordered split points -> 1..4 batches, arrivals stay in order
+      val cuts = Seq.fill(3)((cut() % (rows.size + 1)).toInt).sorted.distinct
+      val bounds = (0 +: cuts :+ rows.size).distinct.sorted
+      val batches = bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+        .filter(_.nonEmpty)
+      val mem = MemoryStream[(Long, Long, String)]
+      val src = mem.toDS().toDF("doc_id", "ts_ms", "text")
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+      val q = StreamDedup.nearDupBlock(src, "text", "doc_id", "ts", "1 hour",
+          maxHamming = 12)
+        .writeStream.format("memory").queryName(s"sneardup_split_$trial")
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(s"sneardup_split_$trial").select($"id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == expect,
+        s"trial $trial (splits $bounds): streaming $got != batch $expect")
+    }
+  }
+
   test("nearDupBlockBatch greedy chain: one representative per near-dup chain") {
     import graft.streaming.StreamDedup
     // c differs from b by one token, b from a by one token — visiting in
