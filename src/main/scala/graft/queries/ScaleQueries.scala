@@ -287,12 +287,16 @@ object ScaleQueries {
 
   /** CCNet-style unigram-LM quality score (see
     * [[TextAnalysis.unigramLogProb]]): per-doc mean token log-prob under
-    * the corpus distribution, add-½ smoothed. Deterministic — the count
-    * table is exact integers and each doc's token rows stay in their
-    * producing partition (explode), so the per-doc float sum has a fixed
-    * order; dround(4) absorbs the engines' summation-order ulp. */
+    * the corpus distribution, add-½ smoothed, vocabulary PRUNED to the
+    * top-20 tokens (the sf0.01 corpus has 31 distinct tokens, so the OOV
+    * bucket is genuinely exercised and hash-checked). Deterministic — the
+    * count table is exact integers, top-V tie-breaks (cnt desc, tok asc),
+    * and each doc's token rows stay in their producing partition
+    * (explode), so the per-doc float sum has a fixed order; dround(4)
+    * absorbs the engines' summation-order ulp. */
   private def x11UnigramLm: Q = (s, d) =>
-    TextAnalysis.unigramLogProb(Tables.documents(s, d), "text", "doc_id")
+    TextAnalysis.unigramLogProb(Tables.documents(s, d), "text", "doc_id",
+        topV = 20)
       .select(col("doc_id"), dround(col("mean_logp"), 4).as("mean_logp"),
               col("n_tokens"))
 
@@ -300,10 +304,14 @@ object ScaleQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-       |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n,
-       |             CAST(count(*) AS DOUBLE) AS v FROM c),
-       |s AS (SELECT doc_id, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp
-       |      FROM toks JOIN c USING (tok) CROSS JOIN t)
+       |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 20),
+       |t AS (SELECT CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS n,
+       |             CAST((SELECT count(*) FROM top) AS DOUBLE) AS v,
+       |             CAST((SELECT sum(cnt) FROM c) AS DOUBLE)
+       |               - CAST((SELECT sum(cnt) FROM top) AS DOUBLE) AS oov),
+       |s AS (SELECT doc_id,
+       |        ln((coalesce(top.cnt, t.oov) + 0.5) / (t.n + 0.5 * (t.v + 1))) AS logp
+       |      FROM toks LEFT JOIN top USING (tok) CROSS JOIN t)
        |SELECT doc_id, ${droundSql("avg(logp)", 4)} AS mean_logp,
        | count(*) AS n_tokens
        |FROM s GROUP BY doc_id""".stripMargin

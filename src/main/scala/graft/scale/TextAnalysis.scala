@@ -102,34 +102,49 @@ object TextAnalysis {
     * Documents of rare/garbled vocabulary score low; formulaic
     * high-frequency text scores high — both tails are filter targets.
     *
+    * Vocabulary PRUNING (the CCNet form): only the `topV` most frequent
+    * tokens keep individual counts; every pruned token scores through the
+    * OOV bucket, whose count is the TOTAL residual mass
+    * (n − Σ top-V counts) — so probabilities still sum to ≤1 under the
+    * same denominator n + α·(V+1). Top-V selection tie-breaks
+    * (count desc, token asc), so the vocabulary — and thus every score —
+    * is deterministic and engine-portable.
+    *
     * 100-TB shape: ONE corpus-level token-count aggregation (output is
-    * vocab-sized, not corpus-sized), then the count table joins back to
-    * the exploded tokens — vocab tables broadcast at any realistic size,
-    * so the scoring side is map-side; the per-doc mean is a partial agg
-    * keyed by the doc id. Same shuffle budget as TF-IDF. */
+    * vocab-sized, not corpus-sized), persisted and reduced twice — a
+    * TakeOrdered(topV) for the vocabulary and a 1-row total — so the
+    * corpus is scanned exactly once. Driver memory is bounded by topV
+    * rows (default 100k ≈ a few MB), NOT by the corpus's distinct-token
+    * count, which on raw web text is unbounded. The broadcast vocabulary
+    * joins back to the exploded tokens map-side; the per-doc mean is a
+    * partial agg keyed by the doc id. Same shuffle budget as TF-IDF. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
-                     alpha: Double = 0.5): DataFrame = {
+                     alpha: Double = 0.5, topV: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    // the count table is COLLECTED once (broadcast would collect it to
-    // the driver anyway to build the broadcast relation), so the corpus
-    // is scanned exactly once for counting: n and v derive from the
-    // collected rows instead of a second aggregation job over a
-    // recomputed plan
-    val countRows = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")).collect()
-    if (countRows.isEmpty)
-      return df.limit(0).select(col(idCol),
-        lit(0.0).as("mean_logp"), lit(0L).as("n_tokens"))
-    val n = countRows.map(_.getLong(1)).sum
-    val v = countRows.length.toLong
-    val denom = n + alpha * (v + 1)
-    import spark.implicits._
-    val counts = countRows.map(x => (x.getString(0), x.getLong(1))).toSeq
-      .toDF("tok", "cnt")
-    toks.join(broadcast(counts), Seq("tok"))
-      .withColumn("logp", log((col("cnt") + lit(alpha)) / lit(denom)))
-      .groupBy(col(idCol))
-      .agg(avg(col("logp")).as("mean_logp"), count(lit(1)).as("n_tokens"))
+    val countsDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    countsDf.persist()
+    try {
+      // bounded collects: topV rows + one totals row
+      val topRows = countsDf.orderBy(col("cnt").desc, col("tok").asc)
+        .limit(topV).collect()
+      if (topRows.isEmpty)
+        return df.limit(0).select(col(idCol),
+          lit(0.0).as("mean_logp"), lit(0L).as("n_tokens"))
+      val totals = countsDf.agg(sum(col("cnt")).as("n")).collect()(0)
+      val n = totals.getLong(0)
+      val v = topRows.length.toLong // min(topV, |vocab|)
+      val oovMass = n - topRows.map(_.getLong(1)).sum
+      val denom = n + alpha * (v + 1)
+      import spark.implicits._
+      val vocab = topRows.map(x => (x.getString(0), x.getLong(1))).toSeq
+        .toDF("tok", "cnt")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("logp",
+          log((coalesce(col("cnt"), lit(oovMass)) + lit(alpha)) / lit(denom)))
+        .groupBy(col(idCol))
+        .agg(avg(col("logp")).as("mean_logp"), count(lit(1)).as("n_tokens"))
+    } finally countsDf.unpersist()
   }
 
   /** Language-ID heuristic: stopword-hit voting over 5 built-in lists.

@@ -210,6 +210,33 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(r(1)._1 - expect) < 1e-12, s"${r(1)._1} vs $expect")
   }
 
+  test("unigramLogProb: top-V pruning folds residual mass into OOV, preserves ordering") {
+    import spark.implicits._
+    import graft.scale.TextAnalysis
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 common"),
+      (3L, "rare2 rare3 rare4 rare5")
+    ).toDF("doc_id", "text")
+    // topV=1 keeps only 'common' (cnt 7); rare1..rare5 (mass 5) share the
+    // OOV bucket. N=12, V=1 ⇒ denom = 12 + 0.5·2 = 13.
+    val r = TextAnalysis.unigramLogProb(df, "text", "doc_id", topV = 1)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    assert(r.values.forall(_._2 == 4))
+    // quality ordering survives pruning
+    assert(r(1)._1 > r(2)._1 && r(2)._1 > r(3)._1, s"ordering violated: $r")
+    // exact: doc 1 all in-vocab, doc 3 all OOV (each OOV token scores the
+    // full bucket mass 5)
+    assert(math.abs(r(1)._1 - math.log(7.5 / 13.0)) < 1e-12)
+    assert(math.abs(r(3)._1 - math.log(5.5 / 13.0)) < 1e-12)
+    // pruned scores ranked identically to the unpruned scores on this corpus
+    val full = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val byPruned = r.toSeq.sortBy(_._2._1).map(_._1)
+    val byFull = full.toSeq.sortBy(_._2).map(_._1)
+    assert(byPruned == byFull, s"rank flip: pruned=$byPruned full=$byFull")
+  }
+
   test("repetitionStats: Gopher filters flag degenerate docs, pass normal text") {
     import spark.implicits._
     import graft.scale.TextAnalysis
