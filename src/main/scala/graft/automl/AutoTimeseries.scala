@@ -91,7 +91,19 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     val classify = families.contains("ML") &&
       df.schema(target).dataType == org.apache.spark.sql.types.StringType &&
       graft.infer.ProblemType.analyze(df, target) != "Regression"
-    val candidates: Seq[ModelBuild] = families.flatMap {
+    // a categorical target can only be fitted by the classifier: the
+    // regression families would crash (or coerce to null) on the string
+    // column, and a misclassification-rate score is not comparable to
+    // their RMSEs in one leaderboard — warn-and-drop them, the same way
+    // VAR is dropped without exog
+    val activeFamilies =
+      if (classify) {
+        val dropped = families.filterNot(_ == "ML")
+        if (dropped.nonEmpty) System.err.println(
+          s"[autots] categorical target '$target': dropping non-classifier families ${dropped.mkString(",")}")
+        Seq("ML")
+      } else families
+    val candidates: Seq[ModelBuild] = activeFamilies.flatMap {
       case "ML" if classify => Some(new GbtClassifyTs(lags = 2))
       case "ML" if searchMl => Some(new SearchedGbtModel())
       case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
@@ -168,5 +180,52 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     // reference `simple=True` returns just the point forecast series
     // (`build_prophet.py:434-441` and siblings); False = the full frame
     if (simple) full.select(col("ts"), col("yhat")) else full
+  }
+
+  /** Persist every fitted family + the leaderboard state, so a later
+    * session can `AutoTimeseries.load(path).predict(...)` — the
+    * train-once/serve-later form of the reference's `saved_model` predict
+    * argument (`__init__.py:953-956`). Each family writes its own dir via
+    * [[graft.models.ModelBuild.save]]. */
+  def save(path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    require(entries.nonEmpty, "nothing fitted — call fit() before save()")
+    val entriesJ = entries.map { e =>
+      e.model.save(s"$path/${e.name}")
+      ("name" -> e.name) ~
+      ("fold_rmse" -> e.scores.foldRmse.toList) ~
+      ("fold_norm_rmse" -> e.scores.foldNormRmse.toList)
+    }.toList
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "automl.json"),
+      compact(render(
+        ("best" -> bestName) ~ ("score_type" -> scoreType) ~
+        ("cv" -> cv) ~ ("forecast_period" -> forecastPeriod) ~
+        ("entries" -> entriesJ))))
+  }
+}
+
+object AutoTimeseries {
+  import org.json4s._
+  implicit private val formats: Formats = DefaultFormats
+
+  /** Reload a [[save]]d AutoTimeseries: leaderboard, named getters, and
+    * predict all work; predictions are row-identical to pre-save. */
+  def load(path: String): AutoTimeseries = {
+    val j = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path, "automl.json")))
+    val at = new AutoTimeseries(
+      cv = (j \ "cv").extract[Int],
+      forecastPeriod = (j \ "forecast_period").extract[Int],
+      scoreType = (j \ "score_type").extract[String])
+    at.entries = (j \ "entries").children.map { e =>
+      val name = (e \ "name").extract[String]
+      at.Entry(name, graft.models.ModelIO.load(s"$path/$name"),
+        graft.models.CvScores((e \ "fold_rmse").extract[Seq[Double]],
+                              (e \ "fold_norm_rmse").extract[Seq[Double]]))
+    }
+    at.bestName = (j \ "best").extract[String]
+    at
   }
 }

@@ -542,4 +542,43 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
 
   def bestOrder: (Int, Int, Int) = (best.p, best.d, best.q)
   def bestSpec: ArimaCss.Spec = best.spec
+
+  /** params-JSON + coefficient arrays: the entire fitted state is the
+    * chosen spec, φ/θ/c/σ², and the bounded training series tail the
+    * recursive forecast seeds from. */
+  def save(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    val s = best.spec
+    Persist.writeJson(dir,
+      ("type" -> "arima") ~ ("maxP" -> maxP) ~ ("maxD" -> maxD) ~
+      ("maxQ" -> maxQ) ~ ("seasonalM" -> seasonalM) ~
+      ("intervalMs" -> intervalMs) ~ ("series" -> Persist.seriesJson(series)) ~
+      ("spec" -> (("p" -> s.p) ~ ("d" -> s.d) ~ ("q" -> s.q) ~
+                  ("sP" -> s.sP) ~ ("sD" -> s.sD) ~ ("sQ" -> s.sQ) ~ ("m" -> s.m))) ~
+      ("phi" -> best.phi.toList) ~ ("theta" -> best.theta.toList) ~
+      ("c" -> best.c) ~ ("sigma2" -> best.sigma2) ~ ("aic" -> best.aic) ~
+      ("n" -> best.n))
+  }
+}
+
+object ArimaModel {
+  import Persist.formats
+
+  def load(dir: String): ArimaModel = {
+    val j = Persist.readJson(dir)
+    val m = new ArimaModel((j \ "maxP").extract[Int], (j \ "maxD").extract[Int],
+      (j \ "maxQ").extract[Int], (j \ "seasonalM").extract[Int])
+    m.series = Persist.seriesFrom(j \ "series")
+    m.intervalMs = (j \ "intervalMs").extract[Long]
+    val sj = j \ "spec"
+    m.best = ArimaCss.Fit(
+      ArimaCss.Spec((sj \ "p").extract[Int], (sj \ "d").extract[Int],
+        (sj \ "q").extract[Int], (sj \ "sP").extract[Int],
+        (sj \ "sD").extract[Int], (sj \ "sQ").extract[Int],
+        (sj \ "m").extract[Int]),
+      (j \ "phi").extract[Array[Double]], (j \ "theta").extract[Array[Double]],
+      (j \ "c").extract[Double], (j \ "sigma2").extract[Double],
+      (j \ "aic").extract[Double], (j \ "n").extract[Int])
+    m
+  }
 }

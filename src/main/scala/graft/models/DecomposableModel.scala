@@ -229,6 +229,51 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     } else
       ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
   }
+
+  /** params-JSON + coefficient arrays: β, changepoints, residual pool,
+    * and the bounded series (bootstrap intervals refit from it, so the
+    * reloaded model reproduces them bit-for-bit — fixed seed). */
+  def save(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    Persist.writeJson(dir,
+      ("type" -> "prophet") ~ ("seasonalPeriod" -> seasonalPeriod) ~
+      ("fourierOrder" -> fourierOrder) ~ ("ridgeLambda" -> ridgeLambda) ~
+      ("holidays" -> holidays.toList.sorted) ~ ("intervalMode" -> intervalMode) ~
+      ("uncertaintySamples" -> uncertaintySamples) ~
+      ("intervalWidth" -> intervalWidth) ~ ("seed" -> seed) ~
+      ("nChangepoints" -> nChangepoints) ~ ("changepointRange" -> changepointRange) ~
+      ("series" -> Persist.seriesJson(series)) ~
+      ("beta" -> beta.toArray.toList) ~ ("sigma" -> sigma) ~
+      ("resid" -> resid.toList) ~ ("cps" -> cpsFinal.toList) ~
+      ("intervalMs" -> intervalMs) ~ ("nExog" -> nExog) ~
+      ("tsColName" -> tsColName) ~ ("exogNames" -> exogNames.toList))
+  }
+}
+
+object DecomposableModel {
+  import Persist.formats
+
+  def load(dir: String): DecomposableModel = {
+    val j = Persist.readJson(dir)
+    val m = new DecomposableModel(
+      (j \ "seasonalPeriod").extract[Int], (j \ "fourierOrder").extract[Int],
+      (j \ "ridgeLambda").extract[Double],
+      (j \ "holidays").extract[List[Long]].toSet,
+      (j \ "intervalMode").extract[String],
+      (j \ "uncertaintySamples").extract[Int],
+      (j \ "intervalWidth").extract[Double], (j \ "seed").extract[Long],
+      (j \ "nChangepoints").extract[Int], (j \ "changepointRange").extract[Double])
+    m.series = Persist.seriesFrom(j \ "series")
+    m.beta = DenseVector((j \ "beta").extract[Array[Double]])
+    m.sigma = (j \ "sigma").extract[Double]
+    m.resid = (j \ "resid").extract[Array[Double]]
+    m.cpsFinal = (j \ "cps").extract[Array[Double]]
+    m.intervalMs = (j \ "intervalMs").extract[Long]
+    m.nExog = (j \ "nExog").extract[Int]
+    m.tsColName = (j \ "tsColName").extract[String]
+    m.exogNames = (j \ "exogNames").extract[Seq[String]]
+    m
+  }
 }
 
 /** S5 forecast sink schema builder (ts, yhat, mean_se, mean_ci_lower,

@@ -168,9 +168,35 @@ class GbtClassify(maxIter: Int = 30, maxDepth: Int = 4,
     if (models.length == 1) models(0).predict(v)
     else models.indices.maxBy(i => margin(models(i), v)).toDouble
   }
+
+  /** MLlib writers per (binary or one-vs-rest) ensemble + params-JSON. */
+  private[models] def saveFitted(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    models.zipWithIndex.foreach { case (m, i) =>
+      m.write.overwrite().save(s"$dir/gbt_$i")
+    }
+    Persist.writeJson(dir,
+      ("n_models" -> models.length) ~ ("labels" -> labels.toList) ~
+      ("label_col" -> labelColName) ~
+      ("feature_cols" -> assembler.getInputCols.toList))
+  }
 }
 
 object GbtClassify {
+  import Persist.formats
+
+  private[models] def loadFitted(dir: String): GbtClassify = {
+    val j = Persist.readJson(dir)
+    val c = new GbtClassify()
+    c.labels = (j \ "labels").extract[Array[String]]
+    c.labelColName = (j \ "label_col").extract[String]
+    c.assembler = new VectorAssembler()
+      .setInputCols((j \ "feature_cols").extract[Array[String]])
+      .setOutputCol("features")
+    c.models = (0 until (j \ "n_models").extract[Int])
+      .map(i => GBTClassificationModel.load(s"$dir/gbt_$i")).toArray
+    c
+  }
   /** Deterministic label vocabulary: distinct values, string-sorted. */
   def labelVocab(df: DataFrame, labelCol: String): Array[String] =
     df.select(col(labelCol).cast("string").as("l")).distinct()
@@ -207,15 +233,25 @@ class GbtClassifyTs(lags: Int = 2, maxIter: Int = 30, maxDepth: Int = 4)
   private var lastExog: Array[Double] = _
   private var lastTsMs: Long = _
   private var intervalMs: Long = _
+  // NLP exog → frozen-vocabulary bag-of-words (see GbtModel — same rule)
+  private var nlpCols: Seq[String] = Nil
+  private var nlpVocabs: Map[String, Array[String]] = Map.empty
+  private var lastBow: Map[String, Array[Double]] = Map.empty
+  private def numExog: Seq[String] = {
+    val nlp = nlpCols.toSet
+    schema.exog.filterNot(nlp)
+  }
 
   def classes: Seq[String] = vocab.toSeq
 
   private def featureNames: Seq[String] =
     (1 to lags).map(i => s"lagidx$i") ++
-      Seq("f_month", "f_quarter", "f_dow", "f_dom") ++ schema.exog
+      Seq("f_month", "f_quarter", "f_dow", "f_dom") ++ numExog ++
+      nlpCols.map(c => s"${c}_bow")
 
-  /** Supervised frame: lagged class indices + calendar + exog. Bounded-
-    * series contract (SURVEY §4) — single unpartitioned window. */
+  /** Supervised frame: lagged class indices + calendar + exog (NLP exog
+    * as bag-of-words vectors). Bounded-series contract (SURVEY §4) —
+    * single unpartitioned window. */
   private def supervised(df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().orderBy(col(schema.tsCol))
@@ -224,19 +260,26 @@ class GbtClassifyTs(lags: Int = 2, maxIter: Int = 30, maxDepth: Int = 4)
     val lagged = (1 to lags).foldLeft(indexed) { (d, i) =>
       d.withColumn(s"lagidx$i", lag(col("label_idx"), i).over(w))
     }
-    lagged.select((Seq(col(schema.tsCol), col(schema.target)) ++
+    val base = lagged.select((Seq(col(schema.tsCol), col(schema.target)) ++
       (1 to lags).map(i => col(s"lagidx$i")) ++
       Seq(month(col(schema.tsCol)).cast("double").as("f_month"),
           quarter(col(schema.tsCol)).cast("double").as("f_quarter"),
           weekday(col(schema.tsCol)).cast("double").as("f_dow"),
           dayofmonth(col(schema.tsCol)).cast("double").as("f_dom")) ++
-      schema.exog.map(c => col(c).cast("double").as(c))): _*)
+      numExog.map(c => col(c).cast("double").as(c)) ++
+      nlpCols.map(col)): _*)
       .na.drop()
+    nlpCols.foldLeft(base) { (d, c) =>
+      NlpFeatures.withBow(d, c, nlpVocabs(c), s"${c}_bow")
+    }
   }
 
   def fit(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int): CvScores = {
     schema = tsSchema
     vocab = GbtClassify.labelVocab(df, schema.target)
+    nlpCols = NlpFeatures.detect(df, schema.exog)
+    nlpVocabs = nlpCols.map(c =>
+      c -> NlpFeatures.vocabulary(df, c, 50)).toMap
     val sup = supervised(df).cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().orderBy(col(schema.tsCol))
@@ -258,12 +301,20 @@ class GbtClassifyTs(lags: Int = 2, maxIter: Int = 30, maxDepth: Int = 4)
     val tail = withRn.orderBy(col("rn").desc).limit(lags).orderBy(col("rn"))
       .select((Seq(col(schema.tsCol).cast("timestamp").cast("double") * 1000,
                    GbtClassify.indexExpr(schema.target, vocab)) ++
-               schema.exog.map(c => col(c).cast("double"))): _*)
+               numExog.map(c => col(c).cast("double"))): _*)
       .collect()
     tailIdx = tail.map(_.getDouble(1))
-    lastExog = if (schema.exog.nonEmpty)
-      schema.exog.indices.map(i => tail.last.getDouble(2 + i)).toArray
+    lastExog = if (numExog.nonEmpty)
+      numExog.indices.map(i => tail.last.getDouble(2 + i)).toArray
     else Array.empty
+    lastBow = if (nlpCols.isEmpty) Map.empty else {
+      val lastRow = df.orderBy(col(schema.tsCol).desc).limit(1)
+        .select(nlpCols.map(col): _*).head()
+      nlpCols.zipWithIndex.map { case (c, i) =>
+        c -> NlpFeatures.bowLocal(Option(lastRow.getString(i)).getOrElse(""),
+                                  nlpVocabs(c))
+      }.toMap
+    }
     lastTsMs = tail.last.getDouble(0).toLong
     val firstTwo = df.orderBy(col(schema.tsCol)).limit(2)
       .select(col(schema.tsCol).cast("timestamp").cast("double") * 1000).collect()
@@ -279,9 +330,10 @@ class GbtClassifyTs(lags: Int = 2, maxIter: Int = 30, maxDepth: Int = 4)
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     import java.time.{Instant, ZoneOffset}
     val futureExog: Array[Array[Double]] = future match {
-      case Some(f) if schema.exog.nonEmpty => FutureExog.collect(f, schema.tsCol, schema.exog)
+      case Some(f) if numExog.nonEmpty => FutureExog.collect(f, schema.tsCol, numExog)
       case _ => Array.empty
     }
+    val bowTail: Array[Double] = nlpCols.toArray.flatMap(lastBow(_))
     val buf = scala.collection.mutable.ArrayBuffer(tailIdx.toIndexedSeq: _*)
     val out = new Array[Double](h)
     for (i <- 0 until h) {
@@ -292,9 +344,45 @@ class GbtClassifyTs(lags: Int = 2, maxIter: Int = 30, maxDepth: Int = 4)
         dt.getDayOfWeek.getValue.toDouble - 1.0, dt.getDayOfMonth.toDouble)
       val lagVals = (1 to lags).map(l => buf(buf.length - l)).toArray
       val exog = if (i < futureExog.length) futureExog(i) else lastExog
-      out(i) = clf.predictLocal(lagVals ++ cal ++ exog)
+      out(i) = clf.predictLocal(lagVals ++ cal ++ exog ++ bowTail)
       buf += out(i)
     }
     ForecastFrame.build(spark, lastTsMs, intervalMs, out, Double.NaN)
+  }
+
+  /** Persist the OVR ensembles + the bounded recursive-loop state. */
+  def save(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    clf.saveFitted(s"$dir/clf")
+    Persist.writeJson(dir,
+      ("type" -> "ml_classify") ~ ("lags" -> lags) ~ ("maxIter" -> maxIter) ~
+      ("maxDepth" -> maxDepth) ~ ("vocab" -> vocab.toList) ~
+      ("schema" -> Persist.schemaJson(schema)) ~
+      ("tailIdx" -> tailIdx.toList) ~ ("lastExog" -> lastExog.toList) ~
+      ("lastTsMs" -> lastTsMs) ~ ("intervalMs" -> intervalMs) ~
+      ("nlpCols" -> nlpCols.toList) ~
+      ("nlpVocabs" -> nlpVocabs.map { case (k, v) => k -> v.toList }) ~
+      ("lastBow" -> lastBow.map { case (k, v) => k -> v.toList }))
+  }
+}
+
+object GbtClassifyTs {
+  import Persist.formats
+
+  def load(dir: String): GbtClassifyTs = {
+    val j = Persist.readJson(dir)
+    val m = new GbtClassifyTs((j \ "lags").extract[Int],
+      (j \ "maxIter").extract[Int], (j \ "maxDepth").extract[Int])
+    m.clf = GbtClassify.loadFitted(s"$dir/clf")
+    m.vocab = (j \ "vocab").extract[Array[String]]
+    m.schema = Persist.schemaFrom(j \ "schema")
+    m.tailIdx = (j \ "tailIdx").extract[Array[Double]]
+    m.lastExog = (j \ "lastExog").extract[Array[Double]]
+    m.lastTsMs = (j \ "lastTsMs").extract[Long]
+    m.intervalMs = (j \ "intervalMs").extract[Long]
+    m.nlpCols = (j \ "nlpCols").extract[Seq[String]]
+    m.nlpVocabs = (j \ "nlpVocabs").extract[Map[String, Array[String]]]
+    m.lastBow = (j \ "lastBow").extract[Map[String, Array[Double]]]
+    m
   }
 }

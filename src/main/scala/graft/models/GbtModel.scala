@@ -15,13 +15,23 @@ import graft.core.{TimeSeriesOps => TS}
   * tree regressor, with expanding-window CV and the reference's RECURSIVE
   * one-step forecast loop (T14, `build_ml.py:595-670`).
   *
+  * `logY` is the reference's `log_y` knob (`ml_models.py:117,136-138,
+  * 186-187`): the LABEL is log-transformed before the fit (zero targets
+  * remapped to 1e-15 first, exactly the reference's guard) and every
+  * prediction is exp'd back, so skewed positive targets train on a
+  * symmetric scale while lags, scores, and forecasts all stay in
+  * original units. Rows whose target is negative produce a null log
+  * label and are dropped from the supervised frame (np.log would emit
+  * NaN there — dropping is the honest Spark form).
+  *
   * Spark-native choices: MLlib `GBTRegressor` (distributed training — the
   * reference's dask-xgboost path collapses into this, SURVEY §2.10 M8);
   * feature building is window/codegen work; the recursive loop runs on
   * the driver against the LOCAL `GBTRegressionModel.predict(Vector)` —
   * h is small, no per-step Spark job. */
 class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
-               stepSize: Double = 0.1) extends ModelBuild {
+               stepSize: Double = 0.1, logY: Boolean = false,
+               nlpVocabSize: Int = 50) extends ModelBuild {
   val name = "ML"
 
   private var model: GBTRegressionModel = _
@@ -31,6 +41,16 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
   private var lastTsMs: Long = _
   private var intervalMs: Long = _
   private var residSigma: Double = _
+  // NLP exog columns (ColumnClassifier mean-length rule) become
+  // bag-of-words vectors under a frozen deterministic vocabulary instead
+  // of being cast to null and dropped — `ml_models.py:22,470`
+  private var nlpCols: Seq[String] = Nil
+  private var nlpVocabs: Map[String, Array[String]] = Map.empty
+  private var lastBow: Map[String, Array[Double]] = Map.empty
+  private def numExog: Seq[String] = {
+    val nlp = nlpCols.toSet
+    schema.exog.filterNot(nlp)
+  }
 
   /** calendar features used both in Spark (training) and locally
     * (recursive forecast): month, quarter, dayofweek(0=Mon), dayofmonth. */
@@ -48,24 +68,38 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
 
   private def featureNames: Seq[String] =
     (1 to lags).map(i => s"${schema.target}_lag$i") ++
-      Seq("f_month", "f_quarter", "f_dow", "f_dom") ++ schema.exog
+      Seq("f_month", "f_quarter", "f_dow", "f_dom") ++ numExog
 
-  /** Supervised frame: lags over the ordered window + calendar + exog. */
+  /** Supervised frame: lags over the ordered window + calendar + exog,
+    * plus the fit label `y_fit` — the raw target, or its log under
+    * `logY` (zeros → 1e-15 first; negatives go null and are dropped). */
   private def supervised(df: DataFrame): DataFrame = {
     val lagged = TS.addLags(df, Seq(schema.target), lags, schema.tsCol)
-    lagged.select((Seq(col(schema.tsCol), col(schema.target).cast("double")) ++
+    val y = col(schema.target).cast("double")
+    val label = if (logY) log(when(y === 0.0, lit(1e-15)).otherwise(y)) else y
+    lagged.select((Seq(col(schema.tsCol), y.as(schema.target), label.as("y_fit")) ++
       (1 to lags).map(i => col(s"${schema.target}_lag$i").cast("double")) ++
       calendarCols(schema.tsCol) ++
-      schema.exog.map(c => col(c).cast("double").as(c))): _*)
+      numExog.map(c => col(c).cast("double").as(c)) ++
+      nlpCols.map(col)): _*)
       .na.drop()
   }
 
-  private def assemble(df: DataFrame): DataFrame =
-    new VectorAssembler().setInputCols(featureNames.toArray)
-      .setOutputCol("features").transform(df)
+  /** exp-back-transform for anything the model predicts (identity unless
+    * `logY`) — reference `np.exp(model.predict(...))`, `ml_models.py:187`. */
+  private def back(p: Double): Double = if (logY) math.exp(p) else p
+
+  private def assemble(df: DataFrame): DataFrame = {
+    val withVecs = nlpCols.foldLeft(df) { (d, c) =>
+      NlpFeatures.withBow(d, c, nlpVocabs(c), s"${c}_bow")
+    }
+    new VectorAssembler()
+      .setInputCols((featureNames ++ nlpCols.map(c => s"${c}_bow")).toArray)
+      .setOutputCol("features").transform(withVecs)
+  }
 
   private def newGbt = new GBTRegressor()
-    .setLabelCol(schema.target).setFeaturesCol("features")
+    .setLabelCol("y_fit").setFeaturesCol("features")
     .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize).setSeed(42)
 
   /** BOUNDED-SERIES CONTRACT (same warning as
@@ -76,6 +110,9 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     * `scale.PerSeriesArima`, which run one bounded task per series. */
   def fit(df: DataFrame, tsSchema: TsSchema, cv: Int, h: Int): CvScores = {
     schema = tsSchema
+    nlpCols = NlpFeatures.detect(df, schema.exog)
+    nlpVocabs = nlpCols.map(c =>
+      c -> NlpFeatures.vocabulary(df, c, nlpVocabSize)).toMap
     val sup = assemble(supervised(df)).cache()
     val w = Window.partitionBy().orderBy(col(schema.tsCol))
     val withRn = sup.withColumn("rn", row_number().over(w)).cache()
@@ -83,20 +120,33 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     val scores = LocalSeries.foldBounds(n.toInt, cv, h).map { case (trainEnd, testEnd) =>
       val m = newGbt.fit(withRn.filter(col("rn") <= trainEnd))
       val test = withRn.filter(col("rn") > trainEnd && col("rn") <= testEnd)
+      // scored in ORIGINAL units (predictions exp'd back under logY) so
+      // fold RMSEs stay comparable across families and log settings
       val pred = m.transform(test)
         .select(col(schema.target), col("prediction")).collect()
-      LocalSeries.score(pred.map(_.getDouble(0)), pred.map(_.getDouble(1)))
+      LocalSeries.score(pred.map(_.getDouble(0)), pred.map(r => back(r.getDouble(1))))
     }
     model = newGbt.fit(withRn)
     // residual σ for the CI columns (reference emits NaN CIs for ML,
     // `build_ml.py:674-683`; we do better with the in-sample residual std)
+    val predCol = if (logY) exp(col("prediction")) else col("prediction")
     val res = model.transform(withRn)
-      .select(pow(col(schema.target) - col("prediction"), 2)).agg(avg("*")).head().getDouble(0)
+      .select(pow(col(schema.target) - predCol, 2)).agg(avg("*")).head().getDouble(0)
     residSigma = math.sqrt(res)
 
-    val localTail = LocalSeries.collect(df, schema)
+    val localTail = LocalSeries.collect(df, schema.copy(exog = numExog))
     tailY = localTail.y.takeRight(lags)
-    lastExog = if (schema.exog.nonEmpty) localTail.exog.last else Array.empty
+    lastExog = if (numExog.nonEmpty) localTail.exog.last else Array.empty
+    // future text is unknown — the recursive loop reuses the LAST observed
+    // document's bag-of-words (the exact analogue of lastExog)
+    lastBow = if (nlpCols.isEmpty) Map.empty else {
+      val lastRow = df.orderBy(col(schema.tsCol).desc).limit(1)
+        .select(nlpCols.map(col): _*).head()
+      nlpCols.zipWithIndex.map { case (c, i) =>
+        c -> NlpFeatures.bowLocal(Option(lastRow.getString(i)).getOrElse(""),
+                                  nlpVocabs(c))
+      }.toMap
+    }
     lastTsMs = localTail.ts.last
     intervalMs = if (localTail.n >= 2) localTail.ts(1) - localTail.ts(0) else 86400000L
     withRn.unpersist(); sup.unpersist()
@@ -111,21 +161,39 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     * last training exog past the frame's end). */
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val futureExog: Array[Array[Double]] = future match {
-      case Some(f) if schema.exog.nonEmpty => FutureExog.collect(f, schema.tsCol, schema.exog)
+      case Some(f) if numExog.nonEmpty => FutureExog.collect(f, schema.tsCol, numExog)
       case _ => Array.empty
     }
+    val bowTail: Array[Double] = nlpCols.toArray.flatMap(lastBow(_))
     val buf = scala.collection.mutable.ArrayBuffer(tailY.toIndexedSeq: _*)
     val out = new Array[Double](h)
     for (i <- 0 until h) {
       val ts = ForecastFrame.nextTs(lastTsMs, intervalMs, i + 1)
       val lagVals = (1 to lags).map(l => buf(buf.length - l)).toArray
       val exog = if (i < futureExog.length) futureExog(i) else lastExog
-      val feats = lagVals ++ calendarLocal(ts) ++ exog
-      val p = model.predict(Vectors.dense(feats))
+      val feats = lagVals ++ calendarLocal(ts) ++ exog ++ bowTail
+      val p = back(model.predict(Vectors.dense(feats)))
       out(i) = p
       buf += p
     }
     ForecastFrame.build(spark, lastTsMs, intervalMs, out, residSigma)
+  }
+
+  /** MLlib writer for the tree ensemble + params-JSON for the bounded
+    * local state (lag tail, calendar anchor, NLP vocabularies). */
+  def save(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    model.write.overwrite().save(s"$dir/gbt")
+    Persist.writeJson(dir,
+      ("type" -> "ml") ~ ("lags" -> lags) ~ ("maxIter" -> maxIter) ~
+      ("maxDepth" -> maxDepth) ~ ("stepSize" -> stepSize) ~ ("logY" -> logY) ~
+      ("nlpVocabSize" -> nlpVocabSize) ~
+      ("schema" -> Persist.schemaJson(schema)) ~
+      ("tailY" -> tailY.toList) ~ ("lastExog" -> lastExog.toList) ~
+      ("lastTsMs" -> lastTsMs) ~ ("intervalMs" -> intervalMs) ~
+      ("residSigma" -> residSigma) ~ ("nlpCols" -> nlpCols.toList) ~
+      ("nlpVocabs" -> nlpVocabs.map { case (k, v) => k -> v.toList }) ~
+      ("lastBow" -> lastBow.map { case (k, v) => k -> v.toList }))
   }
 }
 
@@ -146,9 +214,31 @@ class SearchedGbtModel(nIter: Int = 15, seed: Long = 42) extends ModelBuild {
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame =
     inner.predict(spark, h, future)
+
+  /** Persists the WINNER — reloads as a plain GbtModel. */
+  def save(dir: String): Unit = inner.save(dir)
 }
 
 object GbtModel {
+  import Persist.formats
+
+  def load(dir: String): GbtModel = {
+    val j = Persist.readJson(dir)
+    val m = new GbtModel((j \ "lags").extract[Int], (j \ "maxIter").extract[Int],
+      (j \ "maxDepth").extract[Int], (j \ "stepSize").extract[Double],
+      (j \ "logY").extract[Boolean], (j \ "nlpVocabSize").extract[Int])
+    m.model = GBTRegressionModel.load(s"$dir/gbt")
+    m.schema = Persist.schemaFrom(j \ "schema")
+    m.tailY = (j \ "tailY").extract[Array[Double]]
+    m.lastExog = (j \ "lastExog").extract[Array[Double]]
+    m.lastTsMs = (j \ "lastTsMs").extract[Long]
+    m.intervalMs = (j \ "intervalMs").extract[Long]
+    m.residSigma = (j \ "residSigma").extract[Double]
+    m.nlpCols = (j \ "nlpCols").extract[Seq[String]]
+    m.nlpVocabs = (j \ "nlpVocabs").extract[Map[String, Array[String]]]
+    m.lastBow = (j \ "lastBow").extract[Map[String, Array[Double]]]
+    m
+  }
 
   case class GbtParams(maxDepth: Int, maxIter: Int, stepSize: Double)
 
@@ -176,6 +266,9 @@ object GbtModel {
                   nIter: Int = 15, seed: Long = 42): SearchResult = {
     val probe = new GbtModel()
     probe.schema = tsSchema
+    probe.nlpCols = NlpFeatures.detect(df, tsSchema.exog)
+    probe.nlpVocabs = probe.nlpCols.map(c =>
+      c -> NlpFeatures.vocabulary(df, c, 50)).toMap
     val sup = probe.assemble(probe.supervised(df)).cache()
     val w = Window.partitionBy().orderBy(col(tsSchema.tsCol))
     // one partition: this is the bounded single-series contract (SURVEY
@@ -211,8 +304,9 @@ object GbtModel {
     val futures = pairs.map { case (p, (trainEnd, testEnd)) =>
       scala.concurrent.Future {
         scala.util.Try {
+          // probe has logY=false, so y_fit here is the raw target
           val reg = new GBTRegressor()
-            .setLabelCol(tsSchema.target).setFeaturesCol("features")
+            .setLabelCol("y_fit").setFeaturesCol("features")
             .setMaxIter(p.maxIter).setMaxDepth(p.maxDepth)
             .setStepSize(p.stepSize).setSeed(42)
           val m = reg.fit(withRn.filter(col("rn") <= trainEnd))

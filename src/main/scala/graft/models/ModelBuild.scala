@@ -29,6 +29,11 @@ trait ModelBuild {
   /** Forecast `h` periods past the end of the training series. Exogenous
     * future values, when the model uses them, come from `future`. */
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame
+
+  /** Persist the FITTED state to `dir` so predict survives the session
+    * (reference `saved_model` at predict, `__init__.py:953-956`). Reload
+    * with [[ModelIO.load]] — predictions are row-identical. */
+  def save(dir: String): Unit
 }
 
 /** Collected bounded series (the unit local estimators work on — the

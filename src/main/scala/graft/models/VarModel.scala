@@ -137,4 +137,36 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
     val pred = forecastLocal(z, coefs, bestP, h, fittedDummies)
     ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigmaTarget)
   }
+
+  /** params-JSON + the coefficient matrix (row-major nested arrays). */
+  def save(dir: String): Unit = {
+    import org.json4s.JsonDSL._
+    val rows = (0 until coefs.rows).map(i =>
+      (0 until coefs.cols).map(j => coefs(i, j)).toList).toList
+    Persist.writeJson(dir,
+      ("type" -> "var") ~ ("maxP" -> maxP) ~ ("minP" -> minP) ~
+      ("seasonalM" -> seasonalM) ~ ("intervalMs" -> intervalMs) ~
+      ("series" -> Persist.seriesJson(series)) ~ ("dim" -> dim) ~
+      ("bestP" -> bestP) ~ ("coefs" -> rows) ~
+      ("sigmaTarget" -> sigmaTarget) ~ ("fittedDummies" -> fittedDummies))
+  }
+}
+
+object VarModel {
+  import Persist.formats
+
+  def load(dir: String): VarModel = {
+    val j = Persist.readJson(dir)
+    val m = new VarModel((j \ "maxP").extract[Int], (j \ "minP").extract[Int],
+      (j \ "seasonalM").extract[Int])
+    m.series = Persist.seriesFrom(j \ "series")
+    m.intervalMs = (j \ "intervalMs").extract[Long]
+    m.dim = (j \ "dim").extract[Int]
+    m.bestP = (j \ "bestP").extract[Int]
+    val rows = (j \ "coefs").extract[Array[Array[Double]]]
+    m.coefs = DenseMatrix.tabulate(rows.length, rows(0).length)((i, jj) => rows(i)(jj))
+    m.sigmaTarget = (j \ "sigmaTarget").extract[Double]
+    m.fittedDummies = (j \ "fittedDummies").extract[Int]
+    m
+  }
 }

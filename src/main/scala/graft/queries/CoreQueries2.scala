@@ -506,6 +506,38 @@ object CoreQueries2 {
        | CAST(len(regexp_extract_all(text, '$tokPattern')) AS BIGINT) AS n_tok
        |FROM documents""".stripMargin
 
+  // ---- E6: deterministic CountVectorizer bag-of-words -------------------------
+
+  /** The ML path's NLP vectorization (`ml_models.py:22,470` — see
+    * [[graft.models.NlpFeatures]]): a frozen top-10 vocabulary (count
+    * desc, token asc) over the documents corpus, then the REAL
+    * `ml.feature.CountVectorizerModel` transform, emitted long-form as
+    * (doc_id, term, cnt>0). Hash-checks both the vocabulary selection and
+    * the per-document term counts the GBT feature vectors are built
+    * from. */
+  private def e6Bow: Q = (s, d) => {
+    import graft.models.NlpFeatures
+    val docs = Tables.documents(s, d)
+    val vocab = NlpFeatures.vocabulary(docs, "text", 10)
+    val vocabArr = array(vocab.map(lit): _*)
+    NlpFeatures.withBow(docs, "text", vocab, "bow")
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("bow"))))
+      .filter(col("col") > 0.0)
+      .select(col("doc_id"), element_at(vocabArr, col("pos") + 1).as("term"),
+              col("col").cast("long").as("cnt"))
+  }
+
+  private val e6Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '${graft.models.NlpFeatures.TokenPattern}')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |v AS (SELECT tok FROM c ORDER BY cnt DESC, tok ASC LIMIT 10)
+       |SELECT doc_id, tok AS term, count(*) AS cnt
+       |FROM toks JOIN v USING (tok)
+       |GROUP BY doc_id, tok""".stripMargin
+
   // =====================  registry  =====================
 
   val queries: Map[String, Q] = Map(
@@ -525,6 +557,7 @@ object CoreQueries2 {
     "e1_label_encode"-> e1LabelEncode,
     "e3_pipeline"    -> e3Pipeline,
     "e4_scalers"     -> e4Scalers,
+    "e6_bow"         -> e6Bow,
     "i2_datetime_parse" -> i2DatetimeParse,
     "i3_datetime_multi" -> i3DatetimeMulti,
     "s1_csv_scan"    -> s1CsvScan,
@@ -550,6 +583,7 @@ object CoreQueries2 {
     "e1_label_encode"-> e1Sql,
     "e3_pipeline"    -> e3Sql,
     "e4_scalers"     -> e4Sql,
+    "e6_bow"         -> e6Sql,
     "i2_datetime_parse" -> i2Sql,
     "i3_datetime_multi" -> i3Sql,
     "s1_csv_scan"    -> s1Sql,

@@ -134,8 +134,47 @@ object ModelQueries {
     forecastOut(m.predict(s, 8))
   }
 
+  /** M6 (NLP-features branch) — a forecast whose signal lives in a TEXT
+    * column (`ml_models.py:22,470`: CountVectorizer bag-of-words over
+    * detected NLP predictors): promo months are announced only in the
+    * `note` column; the GBT must route it through the frozen-vocabulary
+    * bag-of-words to see the +40 lift. ✖est rows carry the forecast plus
+    * both CV scores (text-aware vs text-dropped) so the rows-only check
+    * sees the margin; ModelsSpec bounds it. */
+  private def m6NlpForecast: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    var st = 11L
+    def lcg(): Double = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (st >>> 11).toDouble / 9007199254740992.0 - 0.5
+    }
+    val rows = (0 until 72).map { t =>
+      val promo = t % 7 == 2
+      val txt = (if (promo)
+          "big promotion event announced with heavy discounts across all stores"
+        else
+          "ordinary trading conditions continued with no notable commercial events") +
+        s" batch x$t"
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       50.0 + (if (promo) 40.0 else 0.0) + 3.0 * lcg(), txt)
+    }
+    val df = rows.toDF("ts", "y", "note")
+    val withText = new graft.models.GbtModel(lags = 2)
+    val sWith = withText.fit(df, graft.models.TsSchema("ts", "y", Seq("note")), cv = 2, h = 8)
+    val dropped = new graft.models.GbtModel(lags = 2)
+    val sDrop = dropped.fit(df.drop("note"), graft.models.TsSchema("ts", "y"), cv = 2, h = 8)
+    withText.predict(s, 8)
+      .select(tsStr(col("ts")).as("ts"), dround(col("yhat"), 4).as("yhat"),
+              dround(lit(sWith.meanRmse), 4).as("cv_rmse_text"),
+              dround(lit(sDrop.meanRmse), 4).as("cv_rmse_dropped"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m6_ml_forecast"      -> run(Seq("ML")),
+    "m6_nlp_forecast"     -> m6NlpForecast,
     "m5_bootstrap_ci"     -> m5BootstrapCi,
     "m6_ml_classify"      -> m6MlClassify,
     "m5_prophet_forecast" -> run(Seq("Prophet")),

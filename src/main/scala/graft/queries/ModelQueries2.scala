@@ -440,7 +440,39 @@ object ModelQueries2 {
       |  CAST(floor(CASE WHEN mn < 1 THEN raw / mn ELSE raw END) AS BIGINT) AS weight
       |FROM r CROSS JOIN m""".stripMargin
 
+  // ---- m6_logy: the log_y transform's forward/backward arithmetic -------
+
+  /** The ML path's `log_y` label transform (`ml_models.py:117,136-138,
+    * 186-187` — see [[graft.models.GbtModel]]): forward = ln of the
+    * target with the reference's zero guard (y==0 ⇒ 1e-15), backward =
+    * exp. Hash-checks, per distinct quantity level (including a synthetic
+    * zero at l_quantity=1), that the guard fires exactly where it should
+    * and exp∘ln round-trips to the original value — the arithmetic every
+    * logY fit and forecast goes through. */
+  private def m6LogY: Q = (s, d) => {
+    val y = (col("l_quantity").cast("double") - lit(1.0))
+    Tables.lineitem(s, d)
+      .select(y.as("y"))
+      .withColumn("y_log", log(when(col("y") === 0.0, lit(1e-15)).otherwise(col("y"))))
+      .withColumn("y_back", exp(col("y_log")))
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+           dround(min(col("y_log")), 6).as("y_log"),
+           dround(max(col("y_back")), 6).as("y_back"))
+  }
+
+  private val m6LogYSql =
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) - 1.0 AS y FROM lineitem),
+       |t AS (SELECT y, ln(CASE WHEN y = 0.0 THEN 1e-15 ELSE y END) AS y_log
+       |      FROM b)
+       |SELECT CAST(y AS BIGINT) AS y, count(*) AS n,
+       | ${droundSql("min(y_log)", 6)} AS y_log,
+       | ${droundSql("max(exp(y_log))", 6)} AS y_back
+       |FROM t GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m6_logy"    -> m6LogY,
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
@@ -453,6 +485,7 @@ object ModelQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "m6_logy"    -> m6LogYSql,
     "m5_trend"   -> m5TrendSql,
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,

@@ -236,13 +236,18 @@ object ScaleQueries {
     * to token streams — see [[TextAnalysis.repetitionStats]]): to give
     * the filter real work, every 25th document is made degenerate by
     * replacing its text with its own first bigram repeated, so the
-    * keep flag actually fires both ways. Entirely deterministic. */
+    * keep flag actually fires both ways. Entirely deterministic. The
+    * rewrite only applies to docs with ≥2 tokens — guarded identically
+    * in BOTH engines, because a 1-token doc would otherwise hit
+    * engine-specific null handling (Spark's concat_ws skips the null
+    * second token; DuckDB list NULLs need their own skip rule). */
   private def x10Repetition: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val degenerate = concat_ws(" ", (0 until 20).map(_ =>
       concat_ws(" ", split(col("text"), " ")(0), split(col("text"), " ")(1))): _*)
     val mixed = docs.withColumn("text",
-      when(col("doc_id") % 25 === 0, degenerate).otherwise(col("text")))
+      when(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 2,
+        degenerate).otherwise(col("text")))
     TextAnalysis.repetitionStats(mixed, "text", "doc_id")
       .select(col("doc_id"), col("n_tokens"),
         dround(col("top_token_frac"), 6).as("top_token_frac"),
@@ -254,7 +259,7 @@ object ScaleQueries {
   private val x10Sql =
     s"""WITH base AS (
        |  SELECT doc_id,
-       |    CASE WHEN doc_id % 25 = 0 THEN
+       |    CASE WHEN doc_id % 25 = 0 AND len(string_split(text, ' ')) >= 2 THEN
        |      array_to_string(flatten(list_transform(generate_series(1, 20),
        |        i -> [string_split(text, ' ')[1], string_split(text, ' ')[2]])), ' ')
        |    ELSE text END AS text

@@ -296,8 +296,20 @@ object Dedup {
     // cleanup a long fixpoint run accumulates ~3 full label-table copies
     // per round in object storage. Only the NEWEST dir is retained — it
     // backs the returned DataFrame for its lifetime.
+    //
+    // setCheckpointDir is GLOBAL SparkContext state, so this call scopes
+    // itself: all checkpoints land under a per-call subdirectory of the
+    // supplied dir (cleanup never touches anything outside it), and the
+    // caller's previously-configured checkpoint dir is restored on exit.
+    // A truly concurrent checkpointing job in the same SparkContext can
+    // still interleave with the loop's setCheckpointDir calls — that race
+    // is inherent to the global setting; run components in its own
+    // session/context if another job checkpoints concurrently.
+    val perCallBase = checkpointDir.map(d =>
+      s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    val priorCkptDir = pairs.sparkSession.sparkContext.getCheckpointDir
     val ckptDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+    def truncate(df: DataFrame): DataFrame = perCallBase match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(dir)
@@ -314,6 +326,12 @@ object Dedup {
         out
       case None => df.localCheckpoint(true)
     }
+    // restore the caller's checkpoint dir (getCheckpointDir returns the
+    // UUID-resolved path, so the restored future checkpoints nest one
+    // level deeper — harmless, and the caller's cleanup scope is intact)
+    def restoreCkptDir(): Unit =
+      if (perCallBase.isDefined) priorCkptDir.foreach(
+        pairs.sparkSession.sparkContext.setCheckpointDir)
     val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
     val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
       .distinct().cache()
@@ -382,6 +400,7 @@ object Dedup {
       labelSum = probeSum
     }
     edges.unpersist()
+    restoreCkptDir()
     // with pointer jumping, non-convergence in maxIter rounds means a
     // component of diameter ~2^maxIter — at the default that is not a
     // real graph, it's a bug or adversarial input. Returning the partial

@@ -55,6 +55,71 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.forall(r => r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4)))
   }
 
+  test("GbtModel log_y: log label wins on a spiky log-normal target, zero targets guarded") {
+    import spark.implicits._
+    // stationary multiplicative series with huge unpredictable spikes in
+    // the TRAINING region only (the reference's log_y use case: a heavily
+    // right-skewed target destabilizes the squared-loss fit in raw units;
+    // in log space the spikes are mild). One y=0 row exercises the
+    // reference's zero→1e-15 guard (`ml_models.py:117`).
+    var st = 7L
+    def lcg(): Double = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (st >>> 11).toDouble / 9007199254740992.0 - 0.5
+    }
+    val rows = (0 until 72).map { t =>
+      val base = math.exp(1.0 + 0.8 * lcg())
+      val spike = if (t < 48 && t % 11 == 3) math.exp(6.0) else 0.0
+      val y = if (t == 10) 0.0 else base + spike
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant), y)
+    }
+    val df = rows.toDF("ts", "y")
+    val sLog = new GbtModel(lags = 2, logY = true).fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    val sRaw = new GbtModel(lags = 2).fit(df, TsSchema("ts", "y"), cv = 2, h = 8)
+    assert(sLog.foldRmse.forall(r => !r.isNaN), s"log_y folds NaN: ${sLog.foldRmse}")
+    assert(sLog.meanRmse < 0.7 * sRaw.meanRmse,
+      s"log_y ${sLog.meanRmse} not clearly below raw ${sRaw.meanRmse}")
+    // forecasts come back in ORIGINAL units: positive, spike-free scale
+    val mLog = new GbtModel(lags = 2, logY = true)
+    mLog.fit(df, TsSchema("ts", "y"), cv = 1, h = 8)
+    val fc = mLog.predict(spark, 8).select(col("yhat")).collect().map(_.getDouble(0))
+    assert(fc.forall(v => v > 0 && v < 50), s"yhat not in original units: ${fc.toSeq}")
+  }
+
+  test("GbtModel NLP features: bag-of-words over a text predictor beats dropping it") {
+    import spark.implicits._
+    // the +40 promo lift is announced ONLY in the text column (promo
+    // months follow t%7, invisible to calendar/lag features); the bag-of-
+    // words route must recover it — `ml_models.py:22,470`
+    var st = 11L
+    def lcg(): Double = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (st >>> 11).toDouble / 9007199254740992.0 - 0.5
+    }
+    val rows = (0 until 72).map { t =>
+      val promo = t % 7 == 2
+      val txt = (if (promo)
+          "big promotion event announced with heavy discounts across all stores"
+        else
+          "ordinary trading conditions continued with no notable commercial events") +
+        s" batch x$t"
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       50.0 + (if (promo) 40.0 else 0.0) + 3.0 * lcg(), txt)
+    }
+    val df = rows.toDF("ts", "y", "note")
+    // the note column is NLP-classified (string, >2 distinct, mean length >= 30)
+    assert(graft.models.NlpFeatures.detect(df, Seq("note")) == Seq("note"))
+    val sWith = new GbtModel(lags = 2).fit(df, TsSchema("ts", "y", Seq("note")), cv = 2, h = 8)
+    val sDrop = new GbtModel(lags = 2).fit(df.drop("note"), TsSchema("ts", "y"), cv = 2, h = 8)
+    assert(sWith.foldRmse.forall(r => !r.isNaN))
+    assert(sWith.meanRmse < 0.5 * sDrop.meanRmse,
+      s"text features ${sWith.meanRmse} not clearly below dropped ${sDrop.meanRmse}")
+  }
+
   test("ML predict consumes known future exog when provided") {
     import spark.implicits._
     val m = new GbtModel(lags = 2)
@@ -591,5 +656,82 @@ class ModelsSpec extends SparkTestBase {
       m.classes(r.getDouble(1).toInt) == truth
     }
     assert(good >= 7, s"future seasons matched $good/8")
+  }
+
+  test("model persistence: fit -> save -> load -> predict row-identical on every family") {
+    import spark.implicits._
+    import graft.models.ModelIO
+    val rows = (0 until 48).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       100.0 + 2.0 * t + 10.0 * math.sin(t * math.Pi / 6) + (t % 5) * 0.7,
+       50.0 + (t % 7).toDouble)
+    }
+    val df = rows.toDF("ts", "y", "x")
+    val schema = TsSchema("ts", "y", Seq("x"))
+    def render(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.mkString("|")).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft-models").toString
+    val families: Seq[(String, ModelBuild)] = Seq(
+      "ml"      -> new GbtModel(lags = 2, logY = true),
+      "prophet" -> new DecomposableModel(seasonalPeriod = 12,
+                     intervalMode = "bootstrap", uncertaintySamples = 50),
+      "var"     -> new VarModel(seasonalM = 12),
+      "arima"   -> new ArimaModel())
+    families.foreach { case (tag, m) =>
+      m.fit(df, schema, cv = 1, h = 4)
+      val before = render(m.predict(spark, 6))
+      m.save(s"$base/$tag")
+      val after = render(ModelIO.load(s"$base/$tag").predict(spark, 6))
+      assert(before == after, s"$tag round-trip diverged:\n$before\nvs\n$after")
+    }
+    // classification family round-trips too (OVR multi-class ensembles)
+    val seasons = Array("winter", "winter", "spring", "spring", "spring", "summer",
+                        "summer", "summer", "autumn", "autumn", "autumn", "winter")
+    val cdf = (0 until 48).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       seasons(t % 12))
+    }.toDF("ts", "season")
+    val clf = new GbtClassifyTs(lags = 2)
+    clf.fit(cdf, TsSchema("ts", "season"), cv = 1, h = 4)
+    val beforeC = render(clf.predict(spark, 6))
+    clf.save(s"$base/clf")
+    val loadedC = ModelIO.load(s"$base/clf")
+    assert(render(loadedC.predict(spark, 6)) == beforeC)
+    assert(loadedC.asInstanceOf[GbtClassifyTs].classes == clf.classes)
+    // the AutoML wrapper: leaderboard + best-model predict survive reload
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 6,
+      modelTypes = Seq("ML", "Prophet"))
+    at.fit(df, "ts", "y")
+    val lbBefore = render(at.leaderboard(spark))
+    val fcBefore = render(at.predict(spark, 6))
+    at.save(s"$base/automl")
+    val at2 = AutoTimeseries.load(s"$base/automl")
+    assert(at2.bestName == at.bestName)
+    assert(render(at2.leaderboard(spark)) == lbBefore)
+    assert(render(at2.predict(spark, 6)) == fcBefore)
+  }
+
+  test("AutoTimeseries drops regression families when a categorical target triggers classify") {
+    import spark.implicits._
+    val seasons = Array("winter", "winter", "spring", "spring", "spring", "summer",
+                        "summer", "summer", "autumn", "autumn", "autumn", "winter")
+    val df = (0 until 72).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       seasons(t % 12))
+    }.toDF("ts", "season")
+    // 'best' expands to every family, but a string target can only be
+    // fitted by the classifier — the others must be dropped up front, not
+    // crash mid-fit or rank error rates against RMSEs
+    val at = new AutoTimeseries(cv = 2, forecastPeriod = 8, modelTypes = Seq("best"))
+    at.fit(df, "ts", "season")
+    assert(at.models.keySet == Set("ML"),
+      s"expected only the classifier fitted, got ${at.models.keySet}")
+    assert(at.bestModel.isInstanceOf[GbtClassifyTs])
   }
 }

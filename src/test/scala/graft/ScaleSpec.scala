@@ -243,7 +243,8 @@ class ScaleSpec extends SparkTestBase {
     val df = Seq(
       (1L, "spark builds a plan from many distinct operator nodes here"),
       (2L, "buy now buy now buy now buy now buy now buy now"),
-      (3L, "one two three one two three one two three one two three")
+      (3L, "one two three one two three one two three one two three"),
+      (4L, "solo")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
       .collect().map(x => x.getLong(0) -> x).toMap
@@ -255,6 +256,9 @@ class ScaleSpec extends SparkTestBase {
     assert(r(2).getDouble(3) > 0.5 && !r(2).getBoolean(5))
     // repeated phrase of period 3 — dup_trigram_frac = 1 - 3/10, dropped
     assert(math.abs(r(3).getDouble(4) - 0.7) < 1e-9 && !r(3).getBoolean(5))
+    // 1-token doc: no bigrams/trigrams exist — fractions at zero, kept
+    assert(r(4).getLong(1) == 1 && r(4).getDouble(2) == 1.0 &&
+      r(4).getDouble(3) == 0.0 && r(4).getDouble(4) == 0.0 && r(4).getBoolean(5))
   }
 
   test("imageStats/extractFeatures: real pixel statistics, exact on a known fixture") {
@@ -426,9 +430,18 @@ class ScaleSpec extends SparkTestBase {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "checkpoint dir is empty — reliable checkpoint not used")
+    // ... scoped to a single per-call subdir of the supplied dir (global
+    // setCheckpointDir state never escapes the call's own namespace)
+    val bases = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val baseList = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    bases.forEachRemaining(p => baseList += p)
+    assert(baseList.size == 1 &&
+      baseList.head.getFileName.toString.startsWith("graft-cc-"),
+      s"expected one per-call graft-cc subdir, got $baseList")
     // ... and superseded rounds were cleaned up: only the NEWEST uuid
     // subdir (backing the returned labels) survives the loop
-    val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count()
+    val uuidDirs = java.nio.file.Files.list(baseList.head).count()
     assert(uuidDirs == 1, s"stale checkpoint dirs not cleaned: $uuidDirs remain")
   }
 
