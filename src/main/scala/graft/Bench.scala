@@ -20,6 +20,17 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE exchange sizing is env-tunable: SPARK_GRAFT_INIT_PARTS lifts
+      // initialPartitionNum so AQE starts wide and coalesces by runtime
+      // stats — the right shape when total cores >> this session's (a
+      // real cluster, or the sf1 soak probing scaling headroom). The
+      // DEFAULT stays at the session partition count because the lift is
+      // pure overhead at bench scale — measured at sf0.1: 32→44.8s,
+      // 64→51.4s, 256→54.9s total (map-side shuffle-block count grows
+      // with the initial partition number while every post-coalesce plan
+      // is identical).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+              sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -103,7 +114,15 @@ object Bench {
     // failed queries are excluded so the headline total equals the sum
     // of the reported per-query values
     val total = results.collect { case (_, mn, _, true) => mn }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r{N}.json keeps only a tail of stdout — persist
+    // the FULL line in-repo too, so cross-round per-query comparison
+    // doesn't depend on what survived truncation (r8 verdict ask #6).
+    // Best-effort: a read-only cwd must not fail the bench itself.
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full_latest.json"),
+      (line + "\n").getBytes("UTF-8")))
     spark.stop()
   }
 }

@@ -20,6 +20,11 @@ object ScaleSoak {
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // same AQE exchange-sizing knob as Bench (SPARK_GRAFT_INIT_PARTS):
+      // soak probes can lift initialPartitionNum to measure how a query
+      // scales when AQE, not the fixed session count, sizes the exchange
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+              sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
