@@ -37,8 +37,19 @@ object DatetimeFormatInfer {
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm",
     "dd-MM-yyyy HH:mm:ss", "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm",
     // double-space variants (`'%d/%m/%Y  %I:%M:%S %p'` family,
-    // `utils/etl.py:378`)
-    "dd/MM/yyyy  hh:mm:ss a", "dd/MM/yyyy  HH:mm", "MM/dd/yyyy  HH:mm",
+    // `utils/etl.py:378`), incl. the reference's bare 12-hour legs
+    // (`'%m/%d/%Y  %I:%M:%S'`, `'%d/%m/%Y  %I:%M'`, `'%d/%b/%Y  %I:%M'`…)
+    "dd/MM/yyyy  hh:mm:ss a", "dd/MM/yyyy  hh:mm a",
+    "dd/MM/yyyy  HH:mm", "MM/dd/yyyy  HH:mm",
+    "MM/dd/yyyy  hh:mm:ss", "dd/MM/yyyy  hh:mm:ss",
+    "MM/dd/yyyy  hh:mm", "dd/MM/yyyy  hh:mm",
+    "dd/MMM/yyyy  hh:mm", "MMM/dd/yyyy  hh:mm",
+    // numeric-offset family (`'%d %b %Y %T %z'`/`'%d-%b-%y %T %z'`…,
+    // `utils/etl.py:381-382`): %z IS representable (java.time 'Z' =
+    // RFC-822 offset like +0100); only the %Z zone-NAME family stays
+    // excluded (see note above)
+    "dd MMM yyyy HH:mm:ss Z", "dd MMM yy HH:mm:ss Z",
+    "dd/MMM/yyyy HH:mm:ss Z", "dd-MMM-yyyy HH:mm:ss Z", "dd-MMM-yy HH:mm:ss Z",
     // two-digit-year datetimes (`'%m/%d/%y %H:%M:%S'`/`'%m-%d-%y %I:%M %p'`
     // families)
     "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "MM/dd/yy HH:mm", "dd/MM/yy HH:mm",

@@ -374,8 +374,11 @@ object CoreQueries2 {
               date_format(col("o_orderdate"), "ddMMMyyyy").as("s4"),
               // time-only (is_time family, `utils/etl.py:359-362`):
               // a varying wall-clock time derived from the key
-              date_format(timestamp_seconds(col("o_orderkey") % 86400), "HH:mm:ss").as("s5"))
-    val parsed = Seq("s1", "s2", "s3", "s4", "s5").foldLeft(o) { (df, c) =>
+              date_format(timestamp_seconds(col("o_orderkey") % 86400), "HH:mm:ss").as("s5"),
+              // numeric-offset leg (`'%d %b %Y %T %z'`, r9 sweep): UTC
+              // session renders +0000; the parse must honor the offset
+              date_format(col("o_orderdate"), "dd MMM yyyy HH:mm:ss Z").as("s6"))
+    val parsed = Seq("s1", "s2", "s3", "s4", "s5", "s6").foldLeft(o) { (df, c) =>
       DatetimeFormatInfer.parseTimestamp(df, c, s"p_$c")
     }
     parsed.select(col("o_orderkey"),
@@ -383,7 +386,8 @@ object CoreQueries2 {
       tsStr(col("p_s2")).as("parsed_ampm"),
       tsStr(col("p_s3")).as("parsed_iso"),
       tsStr(col("p_s4")).as("parsed_compact"),
-      tsStr(col("p_s5")).as("parsed_time")) // anchored on the epoch date
+      tsStr(col("p_s5")).as("parsed_time"), // anchored on the epoch date
+      tsStr(col("p_s6")).as("parsed_offset"))
   }
 
   private val i3Sql =
@@ -392,7 +396,8 @@ object CoreQueries2 {
        | ${tsStrSql("o_orderdate")} AS parsed_ampm,
        | ${tsStrSql("o_orderdate")} AS parsed_iso,
        | ${tsStrSql("date_trunc('day', o_orderdate)")} AS parsed_compact,
-       | ${tsStrSql("TIMESTAMP '1970-01-01' + (o_orderkey % 86400) * INTERVAL 1 SECOND")} AS parsed_time
+       | ${tsStrSql("TIMESTAMP '1970-01-01' + (o_orderkey % 86400) * INTERVAL 1 SECOND")} AS parsed_time,
+       | ${tsStrSql("o_orderdate")} AS parsed_offset
        |FROM orders""".stripMargin
 
   // ---- S1: CSV scan with datetime parsing ------------------------------------------------------

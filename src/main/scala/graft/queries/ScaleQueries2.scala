@@ -529,7 +529,60 @@ object ScaleQueries2 {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Pigeonhole compaction over stream survivors (see
+    * [[graft.streaming.StreamDedup.compactSurvivors]]), hash-checked
+    * end-to-end: the 4-block bucket join, Hamming filter, connected
+    * components, and earliest-representative selection all replay in
+    * DuckDB. Signatures are SYNTHETIC so both engines see identical
+    * longs: group g = event_id % 5000 replicated into all four 16-bit
+    * blocks (inter-group Hamming exactly 4·popcount(g⊕g') ≥ 4 — never
+    * pairable at maxHamming=3) with the member perturbation m =
+    * k % 3 confined to block 0's low bits (intra-group Hamming
+    * ≤ 2 — always pairable), so each group compacts to its (ts, id)-
+    * earliest member and the cluster structure is provable, not
+    * incidental. The 1-in-20 subsample models the operator's real input —
+    * compaction runs over the already-thinned STREAM SURVIVORS, not the
+    * raw corpus — and keeps the synthetic clusters' pair count
+    * quasi-linear in SF (200 groups whose size grows with data, like a
+    * survivor stream's near-dup residue). */
+  private def stCompact: Q = (s, d) => {
+    val k = (col("event_id") / 20).cast("long")
+    val sig = (k % 200) * lit(281479271743492L) + (k % 3)
+    val survivors = Tables.events(s, d)
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id").cast("long").as("id"), col("ts"), sig.as("sig"))
+    graft.streaming.StreamDedup.compactSurvivors(survivors, maxHamming = 3)
+      .select(col("id"), col("sig"))
+  }
+
+  private val stCompactSql =
+    """WITH RECURSIVE sv AS (
+      |  SELECT CAST(event_id AS BIGINT) AS id, ts,
+      |         ((event_id // 20) % 200) * 281479271743492 + ((event_id // 20) % 3) AS sig
+      |  FROM events WHERE event_id % 20 = 0),
+      |bl AS (SELECT id, sig, b, (sig >> (b * 16)) & 65535 AS key
+      |       FROM sv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |          FROM bl a JOIN bl b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+      |          WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |tagged AS (SELECT sv.id, sv.ts, sv.sig, comp.component
+      |           FROM sv LEFT JOIN comp USING (id))
+      |SELECT id, sig FROM tagged WHERE component IS NULL
+      |UNION ALL
+      |SELECT id, sig FROM (
+      |  SELECT id, sig,
+      |    row_number() OVER (PARTITION BY component ORDER BY ts, id) AS rn
+      |  FROM tagged WHERE component IS NOT NULL) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st_compact"      -> stCompact,
     "q4_outliers"     -> q4Outliers,
     "sm6_hash_split"  -> sm6HashSplit,
     "x9_chunks"       -> x9Chunks,
@@ -558,6 +611,7 @@ object ScaleQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_compact"      -> stCompactSql,
     "q4_outliers"     -> q4Sql,
     "sm6_hash_split"  -> sm6Sql,
     "x9_chunks"       -> x9Sql,

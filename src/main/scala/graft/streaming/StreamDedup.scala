@@ -58,9 +58,19 @@ object StreamDedup {
     * ≤3 pairs whose differing bits all fall OUTSIDE that block (≥ 1/4 of
     * pairs by pigeonhole, ~3/4 empirically for spread bits). This is the
     * deliberate trade for O(per-block) state; the full-recall pigeonhole
-    * JOIN over all 4 blocks is the batch `Dedup.simHashPairs` →
-    * `components` compaction pass, which this operator complements on
-    * the ingest hot path. */
+    * JOIN over all 4 blocks is [[compactSurvivors]], the batch
+    * compaction pass this operator is complemented by on the ingest hot
+    * path.
+    *
+    * Cost bound, stated like the recall trade: each 16-bit block group
+    * materializes in ONE task and every doc scans that group's kept list
+    * — O(group²) comparisons and O(group) memory, group ≈ n/65536 for
+    * spread signatures. The greedy kept-list scan is inherently
+    * sequential (each verdict depends on every earlier one), so a
+    * sub-index could only shave the constant, not the bound; past the
+    * size where a ~n/65536 group fits a task (≈ billions of docs
+    * corpus-wide), route through [[compactSurvivors]]'s join form
+    * instead, whose per-bucket fan-out is pair-bounded, not group². */
   def nearDupBlockBatch(df: DataFrame, textCol: String, idCol: String,
                         tsCol: String, maxHamming: Int = 3,
                         blockIdx: Int = 3): DataFrame = {
@@ -131,5 +141,50 @@ object StreamDedup {
       }
       .toDF()
       .select(col("id"), col("ts"), col("sig"))
+  }
+
+  /** The periodic batch PIGEONHOLE COMPACTION over the stream's emitted
+    * survivors — the complement [[nearDupBlock]]'s scaladoc promises: a
+    * doc whose flipped bits land in the single routing block escapes the
+    * streaming pass; here the full 4-block pigeonhole join pairs
+    * survivors on ANY equal 16-bit block, so exactly those cross-block
+    * pairs are caught (streaming-caught ⊆ compaction-caught, because a
+    * clean routing block is one of the four).
+    *
+    * Input: the streaming output schema (id, ts, sig). Pipeline: 4-block
+    * bucket join (pair-bounded fan-out, never group²) → Hamming filter →
+    * [[graft.scale.Dedup.components]] → keep the (ts, id)-EARLIEST member
+    * per cluster — the same first-arrival policy as the streaming pass,
+    * so re-running compaction is idempotent. On transitive chains whose
+    * middle doc the stream already suppressed, the two ends stay separate
+    * clusters here if they are farther than `maxHamming` apart — batch
+    * `Dedup.simHashPairs` over the ORIGINAL corpus remains the
+    * full-lineage form when chain-exact clustering matters.
+    *
+    * 100-TB shape: survivors are the already-thinned stream output; one
+    * bucket-join shuffle + the components fixpoint — no driver state. */
+  def compactSurvivors(survivors: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocked = survivors.select(col("id"), col("ts"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")))
+      .toDF("id", "ts", "sig", "block", "key")
+    val pairs = blocked.as("l").join(blocked.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              expr("bit_count(l.sig ^ r.sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val comps = graft.scale.Dedup.components(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "cid")
+    val tagged = survivors.join(comps, col("id") === col("cid"), "left")
+    val unclustered = tagged.filter(col("component").isNull)
+      .select(col("id"), col("ts"), col("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("ts").asc, col("id").asc)
+    val reps = tagged.filter(col("component").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("ts"), col("sig"))
+    unclustered.unionByName(reps)
   }
 }

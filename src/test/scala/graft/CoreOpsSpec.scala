@@ -127,10 +127,18 @@ class CoreOpsSpec extends SparkTestBase {
     val t = DatetimeFormatInfer.parseTimestamp(Seq("13:45:10").toDF("s"), "s", "ts")
       .select($"ts".cast("string")).head().getString(0)
     assert(t == "1970-01-01 13:45:10", s"epoch-anchored time parse, got $t")
+    // the r9 numeric-offset family (`%d %b %Y %T %z`): the offset must be
+    // HONORED, not stripped — +0200 lands 2 hours earlier in UTC
+    val off = DatetimeFormatInfer.parseTimestamp(
+        Seq("05 Mar 2024 07:00:00 +0200").toDF("s"), "s", "ts")
+      .select($"ts".cast("string")).head().getString(0)
+    assert(off == "2024-03-05 05:00:00", s"offset not honored: $off")
     // every candidate must be PARSEABLE by Spark's to_timestamp (Spark 4
     // forbids E/F/q/Q in parse patterns) — probe each against a literal
+    // (formatted from a ZONED datetime so offset patterns can render)
     DatetimeFormatInfer.candidates.foreach { fmt =>
-      val now = java.time.LocalDateTime.of(2024, 3, 5, 7, 9, 11)
+      val now = java.time.ZonedDateTime.of(2024, 3, 5, 7, 9, 11, 0,
+        java.time.ZoneOffset.UTC)
       val sample = now.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
       val parsed = Seq(sample).toDF("s")
         .select(to_timestamp($"s", fmt).as("t")).head()

@@ -255,6 +255,64 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("compactSurvivors: streaming + pigeonhole compaction == full 4-block batch recall") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val min = 60000L
+    // per-k disjoint vocabularies => the only possible near-dup pair is
+    // (base_k, variant_k); TWO token edits spread the flipped bits wider,
+    // so some variants straddle the routing block and ESCAPE the
+    // streaming pass — exactly the gap the compaction must close
+    val bases = (0 until 10).map { k =>
+      (k.toLong, (1 + k) * min, (1 to 400).map(i => s"c${k}z$i").mkString(" "))
+    }
+    val variants = bases.map { case (id, ts, text) =>
+      (id + 100L, ts + 9 * min,
+       text.replaceFirst(s"c${id}z7 ", "EDITA ").replaceFirst(s"c${id}z300 ", "EDITB "))
+    }
+    val rows = bases ++ variants
+    val batch = rows.toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    // reference: the full-recall batch pipeline on the ORIGINAL docs —
+    // 4-block pigeonhole pairs -> components -> earliest rep per cluster
+    val sigs = batch.select($"doc_id".as("id"), $"ts",
+      graft.functions.SimHashSig($"text").as("sig"))
+    val fullBatch = StreamDedup.compactSurvivors(sigs, maxHamming = 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).toSet.subsetOf(fullBatch), s"a base dropped: $fullBatch")
+
+    // streaming pass (single routing block), then compaction over its output
+    val mem = MemoryStream[(Long, Long, String)]
+    val src = mem.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = StreamDedup.nearDupBlock(src, "text", "doc_id", "ts", "1 hour",
+        maxHamming = 12)
+      .writeStream.format("memory").queryName("scompact_out")
+      .outputMode("append").start()
+    mem.addData(bases: _*)
+    q.processAllAvailable()
+    mem.addData(variants: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scompact_out")
+    val streamedIds = streamed.select($"id").collect().map(_.getLong(0)).toSet
+    val compacted = StreamDedup.compactSurvivors(streamed, maxHamming = 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // recall equality: every pair the 4-block join can see is caught by
+    // stream+compaction (streaming-caught is a subset of compaction-caught)
+    assert(compacted == fullBatch,
+      s"stream+compaction $compacted != full batch $fullBatch")
+    // and the fixture did real work: the stream let escapees through
+    // (block-straddling edits) that the compaction then removed
+    assert(streamedIds.size > fullBatch.size,
+      s"fixture degenerate - no escapees: streamed=$streamedIds full=$fullBatch")
+    // idempotent: compacting the compacted set changes nothing
+    val again = StreamDedup.compactSurvivors(
+        StreamDedup.compactSurvivors(streamed, 12), 12)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == compacted)
+  }
+
   test("nearDupBlockBatch greedy chain: one representative per near-dup chain") {
     import graft.streaming.StreamDedup
     // c differs from b by one token, b from a by one token — visiting in
