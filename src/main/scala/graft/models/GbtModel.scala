@@ -179,6 +179,23 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     ForecastFrame.build(spark, lastTsMs, intervalMs, out, residSigma)
   }
 
+  /** Top-k feature importances of the fitted ensemble — the reference
+    * prints the top-10 after the full-data fit (`ml_models.py:160-177`,
+    * `feature_importances_` / `get_score(importance_type='gain')`).
+    * MLlib's normalized split-gain importances, labeled with the REAL
+    * feature names (lags, calendar, exog, and each bag-of-words term as
+    * `<col>_bow_<term>`), ordered desc with a name tie-break. */
+  def featureImportances(spark: SparkSession, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val names = featureNames ++
+      nlpCols.flatMap(c => nlpVocabs(c).map(t => s"${c}_bow_$t"))
+    val imp = model.featureImportances.toArray
+    require(imp.length == names.length,
+      s"importance vector ${imp.length} != feature names ${names.length}")
+    names.zip(imp).sortBy { case (nm, v) => (-v, nm) }.take(k)
+      .toSeq.toDF("feature", "importance")
+  }
+
   /** MLlib writer for the tree ensemble + params-JSON for the bounded
     * local state (lag tail, calendar anchor, NLP vocabularies). */
   def save(dir: String): Unit = {

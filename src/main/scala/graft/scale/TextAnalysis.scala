@@ -131,10 +131,13 @@ object TextAnalysis {
       if (topRows.isEmpty)
         return df.limit(0).select(col(idCol),
           lit(0.0).as("mean_logp"), lit(0L).as("n_tokens"))
-      val totals = countsDf.agg(sum(col("cnt")).as("n")).collect()(0)
-      val n = totals.getLong(0)
+      val keptMass = topRows.map(_.getLong(1)).sum
+      // vocab smaller than topV ⇒ nothing was pruned: the top rows ARE the
+      // whole count table, so n needs no second aggregation job
+      val n = if (topRows.length < topV) keptMass
+              else countsDf.agg(sum(col("cnt")).as("n")).collect()(0).getLong(0)
       val v = topRows.length.toLong // min(topV, |vocab|)
-      val oovMass = n - topRows.map(_.getLong(1)).sum
+      val oovMass = n - keptMass
       val denom = n + alpha * (v + 1)
       import spark.implicits._
       val vocab = topRows.map(x => (x.getString(0), x.getLong(1))).toSeq

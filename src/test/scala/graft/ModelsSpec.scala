@@ -118,6 +118,21 @@ class ModelsSpec extends SparkTestBase {
     assert(sWith.foldRmse.forall(r => !r.isNaN))
     assert(sWith.meanRmse < 0.5 * sDrop.meanRmse,
       s"text features ${sWith.meanRmse} not clearly below dropped ${sDrop.meanRmse}")
+    // feature importances (reference top-10 print, ml_models.py:160-177):
+    // the signal IS the text, so the TOP importance must be a bag-of-words
+    // feature carrying a class-separating token — a word exclusive to one
+    // of the two document templates (either direction separates equally)
+    val m = new GbtModel(lags = 2)
+    m.fit(df, TsSchema("ts", "y", Seq("note")), cv = 1, h = 8)
+    val top = m.featureImportances(spark, 5).collect()
+    assert(top.length == 5 && top.forall(r => r.getDouble(1) >= 0))
+    val separating = Set(
+      "big", "promotion", "event", "announced", "heavy", "discounts", "across", "stores",
+      "ordinary", "trading", "conditions", "continued", "no", "notable", "commercial", "events")
+    val topF = top.head.getString(0)
+    assert(topF.startsWith("note_bow_") &&
+      separating.contains(topF.stripPrefix("note_bow_")),
+      s"top importance is not a separating bow feature: ${top.map(_.getString(0)).toSeq}")
   }
 
   test("ML predict consumes known future exog when provided") {
