@@ -581,8 +581,43 @@ object ScaleQueries2 {
       |    row_number() OVER (PARTITION BY component ORDER BY ts, id) AS rn
       |  FROM tagged WHERE component IS NOT NULL) WHERE rn = 1""".stripMargin
 
+  /** C4-style line dedup (see [[graft.scale.Curation.lineDedup]]): the
+    * corpus has no newlines, so each doc is first laid out as 3-token
+    * pseudo-lines (31-word vocabulary ⇒ repeated lines genuinely occur,
+    * and the collision rate grows with SF like boilerplate on the web);
+    * then every duplicated line keeps only its corpus-wide first
+    * occurrence and docs are reassembled. Fully deterministic ⇒ the
+    * whole explode→first-occurrence→rebuild dataflow hash-checks. */
+  private def x12LineDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val withLines = docs.select(col("doc_id"), expr(
+      "concat_ws(chr(10), transform(sequence(0, int(ceil(size(split(text, ' ')) / 3.0)) - 1), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i * 3 + 1, 3))))").as("text"))
+    graft.scale.Curation.lineDedup(withLines, "text", "doc_id")
+  }
+
+  private val x12Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[(i*3+1):(i*3+3)], ' ') AS line
+      |  FROM t, (SELECT unnest(generate_series(0, 199)) AS i) s
+      |  WHERE i * 3 < len(w)),
+      |firsts AS (SELECT line, min(doc_id * 1000000 + pos) AS fk
+      |           FROM lines GROUP BY line),
+      |kept AS (SELECT l.doc_id, l.pos, l.line
+      |         FROM lines l JOIN firsts f
+      |           ON l.line = f.line AND l.doc_id * 1000000 + l.pos = f.fk),
+      |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+      |              string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |            FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+      |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+      |  CAST(ceil(len(t.w) / 3.0) AS BIGINT) AS n_lines_total
+      |FROM t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st_compact"      -> stCompact,
+    "x12_line_dedup"  -> x12LineDedup,
     "q4_outliers"     -> q4Outliers,
     "sm6_hash_split"  -> sm6HashSplit,
     "x9_chunks"       -> x9Chunks,
@@ -612,6 +647,7 @@ object ScaleQueries2 {
 
   val oracle: Map[String, String] = Map(
     "st_compact"      -> stCompactSql,
+    "x12_line_dedup"  -> x12Sql,
     "q4_outliers"     -> q4Sql,
     "sm6_hash_split"  -> sm6Sql,
     "x9_chunks"       -> x9Sql,

@@ -70,6 +70,47 @@ object Curation {
               size(col("col")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** C4-style LINE-level dedup (Raffel et al. 2020 §2.2 removed any
+    * three-sentence span occurring more than once in C4; the common
+    * production form dedups normalized lines corpus-wide): every
+    * occurrence of a duplicated line is dropped EXCEPT its corpus-wide
+    * first — first = minimum (doc id, line position), so later docs lose
+    * boilerplate that an earlier doc already carries — and each doc is
+    * reassembled from its surviving lines in original order. Emits
+    * (id, clean_text, n_lines_kept, n_lines_total); a doc whose every
+    * line was seen before comes back with an empty clean_text (filter on
+    * n_lines_kept downstream if such docs should drop entirely).
+    *
+    * 100-TB shape: first-occurrence selection is a groupBy(line) with a
+    * min(struct(id,pos)) — PARTIAL-AGGREGATED map-side, so a boilerplate
+    * line repeated a billion times costs one combiner row per input
+    * partition, never a single-task window partition (the skew that
+    * kills the row_number formulation on real web text). One join back
+    * on the line key reuses the same hash partitioning, then one
+    * groupBy(id) rebuilds documents. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                lineSep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(lineSep)
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepLit)))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("line"))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = lines.join(firsts, "line")
+      .filter(col("id") === col("first.id") && col("pos") === col("first.pos"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+           concat_ws(lineSep, expr(
+             "transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"))
+             .as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), sepLit)).cast("long").as("n_lines_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+              coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+              col("n_lines_total"))
+  }
+
   /** Sequence packing: concatenate each shard's docs in a deterministic
     * order and chunk the stream at a fixed token budget — the standard
     * "concat-then-split" LLM pretraining layout. Emits, per doc: its

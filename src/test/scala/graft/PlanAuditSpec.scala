@@ -145,6 +145,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(c) <= 1, s"centroids over-shuffle: ${shuffles(c)}")
   }
 
+  test("lineDedup: line-keyed agg + join + doc rebuild, bounded shuffle budget") {
+    val d = graft.scale.Curation.lineDedup(docs, "text", "doc_id", " ")
+    // first-occurrence selection is a partial-aggregated groupBy(line)
+    // (never a window over a skewed line partition), the join reuses the
+    // line hashing, the rebuild is one groupBy(id), plus the final left
+    // join back to the doc table — all on keyed exchanges
+    assert(keyedShuffles(d) <= 5, s"lineDedup shuffle count grew: ${keyedShuffles(d)}")
+  }
+
+  test("bag-of-words transform is map-side once the vocabulary is frozen") {
+    import graft.models.NlpFeatures
+    val vocab = NlpFeatures.vocabulary(docs, "text", 10) // bounded agg, off-plan
+    val bow = NlpFeatures.withBow(docs, "text", vocab, "bow")
+    assert(keyedShuffles(bow) == 0,
+      s"frozen-vocab transform should not shuffle: ${keyedShuffles(bow)}")
+  }
+
   test("partitioned sink: filter on the partition key prunes at planning time") {
     val path = "target/plan_audit_part_sink"
     graft.sources.PartitionedSink.write(Tables.events(spark, SF), "event_type", path)

@@ -237,6 +237,24 @@ class ScaleSpec extends SparkTestBase {
     assert(byPruned == byFull, s"rank flip: pruned=$byPruned full=$byFull")
   }
 
+  test("lineDedup: corpus-wide first occurrence wins, docs reassembled in order") {
+    import spark.implicits._
+    import graft.scale.Curation
+    val df = Seq(
+      (1L, "alpha\nboiler\nbravo"),
+      (2L, "boiler\ncharlie\nboiler"),  // head AND tail copies of doc 1's line
+      (3L, "boiler")                    // nothing but the duplicate
+    ).toDF("doc_id", "text")
+    val r = Curation.lineDedup(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1 keeps everything (it owns the first 'boiler')
+    assert(r(1L) == (("alpha\nboiler\nbravo", 3L, 3L)))
+    // doc 2 loses BOTH later copies, surviving lines keep original order
+    assert(r(2L) == (("charlie", 1L, 3L)))
+    // doc 3 empties but stays addressable with its line counts
+    assert(r(3L) == (("", 0L, 1L)))
+  }
+
   test("repetitionStats: Gopher filters flag degenerate docs, pass normal text") {
     import spark.implicits._
     import graft.scale.TextAnalysis
