@@ -14,19 +14,44 @@ import graft.models._
 /** @param scoreType best-model criterion — "rmse" or "normalized_rmse"
   *                   (reference `score_type` arg, `__init__.py:202`)
   * @param seasonalPeriod explicit seasonal period m; None ⇒ imputed from
-  *                   the inferred frequency (reference `seasonal_period`,
-  *                   `__init__.py:489-510`)
+  *                   `timeInterval` if given, else the inferred frequency
+  *                   (reference `seasonal_period`, `__init__.py:489-510`)
   * @param searchMl when true the ML family runs the randomized
   *                   hyperparameter search (the reference's
   *                   `RandomizedSearchCV` inside its ML path,
   *                   `ml_models.py:293-335`) instead of fixed defaults;
   *                   off by default — the search multiplies fit cost by
-  *                   ~nIter */
+  *                   ~nIter
+  * @param nonSeasonalPdq max (p, d, q) for the stats grid; None ⇒ the
+  *                   reference's (3, 1, 3) (`non_seasonal_pdq`,
+  *                   `__init__.py:54,108-110`)
+  * @param seasonality gates the SARIMAX seasonal stage (`seasonality`,
+  *                   `__init__.py:56`). Default TRUE here (documented
+  *                   deviation: the reference defaults False, but this
+  *                   library's established fixtures exercise the seasonal
+  *                   grid; pass false for the reference's plain-ARIMA
+  *                   default)
+  * @param lag      ML-path lag count, clamped to the reference's [2, 10]
+  *                   (`lag`, `__init__.py:61,749-754`)
+  * @param timeInterval explicit pandas-style frequency alias ('D', 'W',
+  *                   'M'/'MS', 'Q', 'Y'/'A', 'H', 'T'/'min'…) overriding
+  *                   frequency INFERENCE for the seasonal-period
+  *                   imputation (`time_interval`, `__init__.py:53,80-105`);
+  *                   unknown aliases fail loudly
+  * @param confInt  Prophet-family interval width (`conf_int`,
+  *                   `__init__.py:57`); 0.95 keeps the conventional
+  *                   ±1.96σ the twins hash-check, other widths use the
+  *                   exact normal quantile */
 class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
                      modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"),
                      scoreType: String = "rmse",
                      seasonalPeriod: Option[Int] = None,
-                     searchMl: Boolean = false) {
+                     searchMl: Boolean = false,
+                     nonSeasonalPdq: Option[(Int, Int, Int)] = None,
+                     seasonality: Boolean = true,
+                     lag: Int = 2,
+                     timeInterval: Option[String] = None,
+                     confInt: Double = 0.95) {
 
   case class Entry(name: String, model: ModelBuild, scores: CvScores)
 
@@ -36,6 +61,32 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
 
   require(Seq("rmse", "normalized_rmse").contains(scoreType),
     s"score_type must be 'rmse' or 'normalized_rmse', got '$scoreType'")
+  require(confInt > 0 && confInt < 1, s"conf_int must be in (0,1), got $confInt")
+
+  private val lags = math.min(10, math.max(2, lag)) // reference clamp `__init__.py:749-754`
+  private val (maxP, maxD, maxQ) = nonSeasonalPdq.getOrElse((3, 1, 3))
+
+  /** The reference's pandas frequency-alias vocabulary mapped onto this
+    * library's [[FreqInfer.Freq]] table (`__init__.py:80-105` lists the
+    * allowed aliases; business-day/“start”/“end” variants collapse onto
+    * their base frequency for seasonal-period purposes). */
+  private val aliasFreq: Option[FreqInfer.Freq] = timeInterval.map { raw =>
+    val a = raw.trim.toUpperCase
+    if (Seq("D", "B", "C").contains(a)) FreqInfer.Daily
+    else if (a == "W") FreqInfer.Weekly
+    else if (Seq("M", "MS", "BM", "CBM", "BMS", "CBMS").contains(a)) FreqInfer.Monthly
+    else if (Seq("SM", "SMS").contains(a)) FreqInfer.Monthly // semi-month ⇒ monthly season
+    else if (Seq("Q", "BQ", "QS", "BQS").contains(a)) FreqInfer.Quarterly
+    else if (Seq("A", "Y", "BA", "BY", "AS", "YS", "BAS", "BYS").contains(a)) FreqInfer.Annual
+    else if (Seq("H", "BH").contains(a)) FreqInfer.Hourly
+    else if (Seq("T", "MIN").contains(a)) FreqInfer.Minutely
+    else throw new IllegalArgumentException(
+      s"unknown time_interval '$raw' — allowed: D/B/C, W, M/MS/SM/BM…, Q/BQ…, A/Y…, H/BH, T/min")
+  }
+
+  /** The seasonal period m the last fit() resolved (explicit >
+    * time_interval > inferred) — exposed for introspection/specs. */
+  var resolvedSeasonalPeriod: Int = _
 
   /** The reference's `allowed_models` vocabulary (`__init__.py:174`:
     * 'best', 'prophet', 'stats', 'ml', 'arima', 'ARIMA', 'Prophet',
@@ -64,10 +115,13 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
 
   /** The reference's filename branch of fit (`__init__.py:320-332`,
     * `load_ts_data` `utils/etl.py:17-61`): CSV path + custom separator,
-    * datetime format inferred and parsed by the loader. */
+    * datetime format inferred — or forced via `strfTimeFormat`
+    * (java.time syntax; reference `strf_time_format`, `__init__.py:62`) —
+    * and parsed by the loader. */
   def fit(spark: SparkSession, path: String, tsCol: String, target: String,
-          sep: String): this.type =
-    fit(graft.infer.DatetimeFormatInfer.loadCsv(spark, path, tsCol, sep),
+          sep: String, strfTimeFormat: Option[String] = None): this.type =
+    fit(graft.infer.DatetimeFormatInfer.loadCsv(spark, path, tsCol, sep,
+          strfTimeFormat),
         tsCol, target)
 
   def fit(df: DataFrame, tsCol: String, target: String): this.type = {
@@ -78,7 +132,9 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
     // reference clamp: h >= 5, cv*h <= n (`build_arima_base.py:111-117`)
     val h = graft.cv.ExpandingWindowSplit.clampHorizon(n, math.max(cv, 1), forecastPeriod)
 
-    val m = seasonalPeriod.getOrElse(freq.seasonalPeriod)
+    val m = seasonalPeriod.orElse(aliasFreq.map(_.seasonalPeriod))
+      .getOrElse(freq.seasonalPeriod)
+    resolvedSeasonalPeriod = m
     // the reference's ML engine dispatches on analyze_problem_type
     // (`ml_models.py:306-335,570-616`): a categorical target gets
     // XGBClassifier, not a regressor — here GbtClassifyTs vs GbtModel.
@@ -104,15 +160,18 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
         Seq("ML")
       } else families
     val candidates: Seq[ModelBuild] = activeFamilies.flatMap {
-      case "ML" if classify => Some(new GbtClassifyTs(lags = 2))
+      case "ML" if classify => Some(new GbtClassifyTs(lags = lags))
       case "ML" if searchMl => Some(new SearchedGbtModel())
-      case "ML"           => Some(new GbtModel(lags = 2)) // reference default, clamp [2,10] (`__init__.py:749-754`)
+      case "ML"           => Some(new GbtModel(lags = lags))
       // nChangepoints = -1 → auto piecewise trend (Prophet fits 25
       // potential changepoints by default; auto scales that to the data)
-      case "Prophet"      => Some(new DecomposableModel(m, nChangepoints = -1))
+      case "Prophet"      => Some(new DecomposableModel(m, nChangepoints = -1,
+                                    intervalWidth = confInt))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
-      case "auto_SARIMAX" => Some(new ArimaModel(seasonalM = m))
+      // seasonality=false ⇒ the reference's plain non-seasonal grid
+      case "auto_SARIMAX" => Some(new ArimaModel(maxP, maxD, maxQ,
+                                    seasonalM = if (seasonality) m else 1))
       case other          => None
     }
 

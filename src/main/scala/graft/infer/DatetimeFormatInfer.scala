@@ -113,20 +113,25 @@ object DatetimeFormatInfer {
 
   /** S1 — CSV scan with datetime parsing (`load_ts_data`,
     * `utils/etl.py:17-61`): header on, custom separator, dedupe columns,
-    * parse ts column. */
+    * parse ts column. `fmt` forces the datetime pattern instead of
+    * inferring it (reference `strf_time_format`, `__init__.py:62`) —
+    * a forced format also bypasses the schema-inference branch, so a
+    * column Spark's CSV reader would itself parse differently still
+    * honors the caller's pattern. */
   def loadCsv(spark: SparkSession, path: String, tsColumn: String,
-              sep: String = ","): DataFrame = {
+              sep: String = ",", fmt: Option[String] = None): DataFrame = {
     val raw = spark.read
       .option("header", "true").option("sep", sep)
-      .option("inferSchema", "true")
+      .option("inferSchema", fmt.isEmpty.toString)
       .csv(path)
     val deduped = graft.core.CleanOps.dedupeColumns(raw)
     val schema = deduped.schema(tsColumn).dataType
     schema match {
-      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType =>
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType
+          if fmt.isEmpty =>
         deduped.withColumn(tsColumn, col(tsColumn).cast("timestamp"))
       case _ => parseTimestamp(deduped.withColumn(tsColumn, col(tsColumn).cast("string")),
-                               tsColumn, tsColumn)
+                               tsColumn, tsColumn, fmt)
     }
   }
 }

@@ -227,7 +227,8 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       }
       ForecastFrame.buildBands(spark, series.ts.last, intervalMs, pred, se, lo, hi)
     } else
-      ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma)
+      ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigma,
+        ForecastFrame.zFor(intervalWidth))
   }
 
   /** params-JSON + coefficient arrays: β, changepoints, residual pool,
@@ -296,18 +297,28 @@ object ForecastFrame {
     shifted.toInstant.toEpochMilli
   }
 
+  /** `z` scales the analytic CI half-width; the default keeps the
+    * conventional ±1.96σ the oracle twins hash-check. Callers honoring a
+    * non-default `conf_int` pass [[zFor]] of their width. */
   def build(spark: SparkSession, lastTsMs: Long, intervalMs: Long,
-            yhat: Array[Double], sigma: Double): DataFrame = {
+            yhat: Array[Double], sigma: Double, z: Double = 1.96): DataFrame = {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("yhat", DoubleType),
       StructField("mean_se", DoubleType),
       StructField("mean_ci_lower", DoubleType), StructField("mean_ci_upper", DoubleType)))
     val rows = yhat.zipWithIndex.map { case (p, i) =>
       Row(new java.sql.Timestamp(nextTs(lastTsMs, intervalMs, i + 1)),
-          p, sigma, p - 1.96 * sigma, p + 1.96 * sigma)
+          p, sigma, p - z * sigma, p + z * sigma)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
+
+  /** Two-sided normal critical value for an interval width. 0.95 maps to
+    * the conventional 1.96 (pinned so every recorded golden and twin
+    * stays bit-identical); other widths use the exact quantile. */
+  def zFor(intervalWidth: Double): Double =
+    if (intervalWidth == 0.95) 1.96
+    else math.sqrt(2.0) * breeze.numerics.erfinv(intervalWidth)
 
   /** Same frame with per-horizon se / lower / upper (simulation-derived
     * bands — see DecomposableModel's bootstrap interval mode). */

@@ -673,6 +673,47 @@ class ModelsSpec extends SparkTestBase {
     assert(good >= 7, s"future seasons matched $good/8")
   }
 
+  test("reference constructor knobs: non_seasonal_pdq, seasonality, lag, time_interval, conf_int") {
+    import spark.implicits._
+    val rows = (0 until 48).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       100.0 + 2.0 * t + 8.0 * math.sin(t * math.Pi / 6) + (t % 5) * 0.5)
+    }
+    val df = rows.toDF("ts", "y")
+    // non_seasonal_pdq caps the grid; seasonality=false (the reference's
+    // DEFAULT) disables the seasonal stage; time_interval='Q' overrides
+    // the inferred monthly period
+    val at = new AutoTimeseries(cv = 1, forecastPeriod = 6,
+      modelTypes = Seq("auto_SARIMAX"), nonSeasonalPdq = Some((1, 0, 1)),
+      seasonality = false, timeInterval = Some("Q"))
+    at.fit(df, "ts", "y")
+    val spec = at.model("auto_SARIMAX").asInstanceOf[ArimaModel].bestSpec
+    assert(spec.p <= 1 && spec.d == 0 && spec.q <= 1, s"grid cap violated: $spec")
+    assert(spec.m == 1 && spec.sP == 0 && spec.sQ == 0, s"seasonal stage ran: $spec")
+    assert(at.resolvedSeasonalPeriod == 4, s"time_interval Q should impute m=4, got ${at.resolvedSeasonalPeriod}")
+    // lag threads into the ML path (clamped [2,10]): 7 lags + 4 calendar
+    // features and no exog = 11 features in the fitted ensemble
+    val ml = new AutoTimeseries(cv = 1, forecastPeriod = 6,
+      modelTypes = Seq("ML"), lag = 7)
+    ml.fit(df, "ts", "y")
+    assert(ml.bestModel.asInstanceOf[GbtModel]
+      .featureImportances(spark, 50).count() == 11)
+    // conf_int: an 80% interval is narrower than the default 95% by the
+    // normal-quantile ratio z(.80)/1.96 = 1.2816/1.96
+    def width(ci: Double): Double = {
+      val a = new AutoTimeseries(cv = 1, forecastPeriod = 6,
+        modelTypes = Seq("Prophet"), confInt = ci)
+      a.fit(df, "ts", "y")
+      val r = a.predict(spark, 6).select(col("mean_ci_upper") - col("mean_ci_lower"))
+        .head().getDouble(0)
+      r
+    }
+    val ratio = width(0.80) / width(0.95)
+    assert(math.abs(ratio - 1.2816 / 1.96) < 0.01, s"CI width ratio $ratio")
+  }
+
   test("model persistence: fit -> save -> load -> predict row-identical on every family") {
     import spark.implicits._
     import graft.models.ModelIO
