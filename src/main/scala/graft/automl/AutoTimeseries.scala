@@ -159,19 +159,24 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
           s"[autots] categorical target '$target': dropping non-classifier families ${dropped.mkString(",")}")
         Seq("ML")
       } else families
+    // every family's CI half-width honors conf_int (the reference passes
+    // it to statsmodels' get_forecast and Prophet alike); 0.95 pins the
+    // conventional 1.96 the oracle twins hash-check
+    val zCi = ForecastFrame.zFor(confInt)
     val candidates: Seq[ModelBuild] = activeFamilies.flatMap {
       case "ML" if classify => Some(new GbtClassifyTs(lags = lags))
       case "ML" if searchMl => Some(new SearchedGbtModel())
-      case "ML"           => Some(new GbtModel(lags = lags))
+      case "ML"           => Some(new GbtModel(lags = lags, z = zCi))
       // nChangepoints = -1 → auto piecewise trend (Prophet fits 25
       // potential changepoints by default; auto scales that to the data)
       case "Prophet"      => Some(new DecomposableModel(m, nChangepoints = -1,
                                     intervalWidth = confInt))
-      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m)) // skip >1000 rows (`__init__.py:672-675`)
+      case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m, z = zCi)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
       // seasonality=false ⇒ the reference's plain non-seasonal grid
       case "auto_SARIMAX" => Some(new ArimaModel(maxP, maxD, maxQ,
-                                    seasonalM = if (seasonality) m else 1))
+                                    seasonalM = if (seasonality) m else 1,
+                                    z = zCi))
       case other          => None
     }
 

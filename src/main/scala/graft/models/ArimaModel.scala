@@ -510,7 +510,7 @@ object ArimaCss {
 /** ModelBuild wrapper: auto-SARIMA (two-stage grid-searched CSS) with
   * expanding CV. `seasonalM` ≤ 1 disables the seasonal stage. */
 class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
-                 seasonalM: Int = 1) extends ModelBuild {
+                 seasonalM: Int = 1, z: Double = 1.96) extends ModelBuild {
   val name = "auto_SARIMAX"
 
   private var series: LocalSeries = _
@@ -537,7 +537,7 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val pred = ArimaCss.forecast(series.y, best, h)
-    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, math.sqrt(best.sigma2))
+    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, math.sqrt(best.sigma2), z)
   }
 
   def bestOrder: (Int, Int, Int) = (best.p, best.d, best.q)
@@ -551,7 +551,7 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
     val s = best.spec
     Persist.writeJson(dir,
       ("type" -> "arima") ~ ("maxP" -> maxP) ~ ("maxD" -> maxD) ~
-      ("maxQ" -> maxQ) ~ ("seasonalM" -> seasonalM) ~
+      ("maxQ" -> maxQ) ~ ("seasonalM" -> seasonalM) ~ ("z" -> z) ~
       ("intervalMs" -> intervalMs) ~ ("series" -> Persist.seriesJson(series)) ~
       ("spec" -> (("p" -> s.p) ~ ("d" -> s.d) ~ ("q" -> s.q) ~
                   ("sP" -> s.sP) ~ ("sD" -> s.sD) ~ ("sQ" -> s.sQ) ~ ("m" -> s.m))) ~
@@ -567,7 +567,8 @@ object ArimaModel {
   def load(dir: String): ArimaModel = {
     val j = Persist.readJson(dir)
     val m = new ArimaModel((j \ "maxP").extract[Int], (j \ "maxD").extract[Int],
-      (j \ "maxQ").extract[Int], (j \ "seasonalM").extract[Int])
+      (j \ "maxQ").extract[Int], (j \ "seasonalM").extract[Int],
+      (j \ "z").extract[Double])
     m.series = Persist.seriesFrom(j \ "series")
     m.intervalMs = (j \ "intervalMs").extract[Long]
     val sj = j \ "spec"

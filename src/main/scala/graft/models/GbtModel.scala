@@ -31,7 +31,7 @@ import graft.core.{TimeSeriesOps => TS}
   * h is small, no per-step Spark job. */
 class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
                stepSize: Double = 0.1, logY: Boolean = false,
-               nlpVocabSize: Int = 50) extends ModelBuild {
+               nlpVocabSize: Int = 50, z: Double = 1.96) extends ModelBuild {
   val name = "ML"
 
   private var model: GBTRegressionModel = _
@@ -176,7 +176,7 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
       out(i) = p
       buf += p
     }
-    ForecastFrame.build(spark, lastTsMs, intervalMs, out, residSigma)
+    ForecastFrame.build(spark, lastTsMs, intervalMs, out, residSigma, z)
   }
 
   /** Top-k feature importances of the fitted ensemble — the reference
@@ -204,7 +204,7 @@ class GbtModel(lags: Int = 2, maxIter: Int = 50, maxDepth: Int = 2,
     Persist.writeJson(dir,
       ("type" -> "ml") ~ ("lags" -> lags) ~ ("maxIter" -> maxIter) ~
       ("maxDepth" -> maxDepth) ~ ("stepSize" -> stepSize) ~ ("logY" -> logY) ~
-      ("nlpVocabSize" -> nlpVocabSize) ~
+      ("nlpVocabSize" -> nlpVocabSize) ~ ("z" -> z) ~
       ("schema" -> Persist.schemaJson(schema)) ~
       ("tailY" -> tailY.toList) ~ ("lastExog" -> lastExog.toList) ~
       ("lastTsMs" -> lastTsMs) ~ ("intervalMs" -> intervalMs) ~
@@ -243,7 +243,8 @@ object GbtModel {
     val j = Persist.readJson(dir)
     val m = new GbtModel((j \ "lags").extract[Int], (j \ "maxIter").extract[Int],
       (j \ "maxDepth").extract[Int], (j \ "stepSize").extract[Double],
-      (j \ "logY").extract[Boolean], (j \ "nlpVocabSize").extract[Int])
+      (j \ "logY").extract[Boolean], (j \ "nlpVocabSize").extract[Int],
+      (j \ "z").extract[Double])
     m.model = GBTRegressionModel.load(s"$dir/gbt")
     m.schema = Persist.schemaFrom(j \ "schema")
     m.tailY = (j \ "tailY").extract[Array[Double]]

@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * express a period-12 cycle through its lag polynomial alone; dummies
   * are the standard VARX deterministic-seasonality treatment and extend
   * exactly into the forecast horizon. */
-class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBuild {
+class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
+               z: Double = 1.96) extends ModelBuild {
   val name = "VAR"
 
   private var series: LocalSeries = _
@@ -133,9 +134,9 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
   def fittedOrder: Int = bestP
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
-    val z = zRows(series.y, series.exog)
-    val pred = forecastLocal(z, coefs, bestP, h, fittedDummies)
-    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigmaTarget)
+    val hist = zRows(series.y, series.exog)
+    val pred = forecastLocal(hist, coefs, bestP, h, fittedDummies)
+    ForecastFrame.build(spark, series.ts.last, intervalMs, pred, sigmaTarget, z)
   }
 
   /** params-JSON + the coefficient matrix (row-major nested arrays). */
@@ -145,7 +146,7 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1) extends ModelBu
       (0 until coefs.cols).map(j => coefs(i, j)).toList).toList
     Persist.writeJson(dir,
       ("type" -> "var") ~ ("maxP" -> maxP) ~ ("minP" -> minP) ~
-      ("seasonalM" -> seasonalM) ~ ("intervalMs" -> intervalMs) ~
+      ("seasonalM" -> seasonalM) ~ ("z" -> z) ~ ("intervalMs" -> intervalMs) ~
       ("series" -> Persist.seriesJson(series)) ~ ("dim" -> dim) ~
       ("bestP" -> bestP) ~ ("coefs" -> rows) ~
       ("sigmaTarget" -> sigmaTarget) ~ ("fittedDummies" -> fittedDummies))
@@ -158,7 +159,7 @@ object VarModel {
   def load(dir: String): VarModel = {
     val j = Persist.readJson(dir)
     val m = new VarModel((j \ "maxP").extract[Int], (j \ "minP").extract[Int],
-      (j \ "seasonalM").extract[Int])
+      (j \ "seasonalM").extract[Int], (j \ "z").extract[Double])
     m.series = Persist.seriesFrom(j \ "series")
     m.intervalMs = (j \ "intervalMs").extract[Long]
     m.dim = (j \ "dim").extract[Int]
