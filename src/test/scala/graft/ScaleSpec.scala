@@ -255,6 +255,39 @@ class ScaleSpec extends SparkTestBase {
     assert(r(3L) == (("", 0L, 1L)))
   }
 
+  test("lineDedup: idempotent, and the cleaned corpus carries no duplicate line") {
+    import spark.implicits._
+    import graft.scale.Curation
+    // LCG corpus over a tiny line vocabulary — plenty of cross-doc dups
+    var st = 5L
+    def lcg(): Int = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 11) % 7).toInt
+    }
+    val df = (0 until 40).map { i =>
+      (i.toLong, (0 until 5).map(_ => s"line${lcg()}").mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = Curation.lineDedup(df, "text", "doc_id")
+    // the cleaned corpus has each surviving line exactly once
+    val lineCounts = once.filter(length(col("clean_text")) > 0)
+      .select(explode(split(col("clean_text"), "\n")).as("l"))
+      .groupBy("l").count().filter(col("count") > 1).count()
+    assert(lineCounts == 0, s"$lineCounts duplicate lines survive")
+    // ... so a second pass changes nothing (id is the tie-break key on
+    // both passes, and every remaining line is already unique)
+    val again = Curation.lineDedup(
+      once.select(col("id").as("doc_id"), col("clean_text").as("text")),
+      "text", "doc_id")
+    val a = once.select(col("id"), col("clean_text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = again.select(col("id"), col("clean_text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "lineDedup not idempotent")
+    // and real work happened on this corpus
+    assert(once.agg(sum(col("n_lines_kept"))).head().getLong(0) <
+           once.agg(sum(col("n_lines_total"))).head().getLong(0))
+  }
+
   test("repetitionStats: Gopher filters flag degenerate docs, pass normal text") {
     import spark.implicits._
     import graft.scale.TextAnalysis
