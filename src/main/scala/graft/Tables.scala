@@ -2,23 +2,33 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Test-table loader for the driver-generated star schema (TESTDATA.md). */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively; read nanos as long and convert to µs timestamps
-    * (the data is µs-grained, so the division is lossless). */
+  /** events.parquet's ts physical type has varied across generator
+    * versions: TIMESTAMP(NANOS) (Spark 4 reads only as long via the
+    * legacy conf), TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TIMESTAMP_NTZ), or a plain UTC timestamp. Normalize all three to
+    * TimestampType; the session timezone is pinned UTC, so the NTZ
+    * wall-clock cast yields the same instants as the nanos path did. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    normalizeEventTs(t(spark, dir, "events"))
   }
+
+  /** Shared by the batch loader and the streaming readers (which must
+    * read the parquet directory directly) — works on streaming
+    * DataFrames too, since it is a plain projection. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")

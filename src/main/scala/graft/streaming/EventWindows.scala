@@ -42,11 +42,10 @@ object EventWindows {
     val batchDf = graft.Tables.events(spark, sfDir)
     // the file stream source needs a DIRECTORY; select just the events
     // table out of the shared sf dir with a glob filter
-    val stream = spark.readStream
+    val stream = graft.Tables.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))

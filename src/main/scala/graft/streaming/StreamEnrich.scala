@@ -37,12 +37,7 @@ object StreamEnrich {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    // Same LongType guard as the batch twin Tables.eventsRaw: only the
-    // nanos-as-long schema variant needs the µs conversion.
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = graft.Tables.normalizeEventTs(raw)
     val customer = graft.Tables.customer(spark, sfDir)
     val agg = stream
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),

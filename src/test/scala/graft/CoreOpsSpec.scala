@@ -30,6 +30,14 @@ class CoreOpsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("events loader normalizes ts to TimestampType regardless of parquet physical type") {
+    // The generator has stored ts as TIMESTAMP(NANOS), as µs TIMESTAMP_NTZ,
+    // and as a UTC timestamp across rounds; every downstream cast("double")
+    // (sessionize, interval joins, StatTests) requires TimestampType.
+    import org.apache.spark.sql.types.TimestampType
+    assert(Tables.events(spark, SF).schema("ts").dataType == TimestampType)
+  }
+
   test("calendar features are in range") {
     val f = TS.calendarFeatures(Tables.events(spark, SF), "ts")
     val viol = f.filter(
