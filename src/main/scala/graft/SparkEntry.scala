@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.ModelQueries.queries ++
     graft.queries.ModelQueries2.queries ++
     graft.queries.ScaleQueries.queries ++
-    graft.queries.ScaleQueries2.queries
+    graft.queries.ScaleQueries2.queries ++
+    graft.queries.ScaleQueries3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.ModelQueries.oracle ++
     graft.queries.ModelQueries2.oracle ++
     graft.queries.ScaleQueries.oracle ++
-    graft.queries.ScaleQueries2.oracle
+    graft.queries.ScaleQueries2.oracle ++
+    graft.queries.ScaleQueries3.oracle
 }

@@ -48,6 +48,58 @@ object Curation {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Bloom-filter decontamination — the form [[decontaminate]] takes when
+    * the eval side outgrows an exact broadcast set. The eval n-grams are
+    * aggregated into a FIXED-SIZE Bloom filter (Spark's distributed
+    * sketch aggregate — ~1.2 MB per million grams at fpp 1e-2, regardless
+    * of gram length), and the train side becomes a pure map-side
+    * membership filter: NO join at all, the 100-TB corpus is never
+    * shuffled before the final per-doc count. False positives only ever
+    * OVERCOUNT `n_hit_ngrams` (bounded by fpp · doc grams) — for the
+    * standard drop-if-nonzero policy that drops a few extra docs and can
+    * never leak eval data, so the error is on the safe side. Exact hits
+    * are always a subset of Bloom hits (spec-pinned vs [[decontaminate]]).
+    * Spark's BloomFilter hashes with a fixed seed, so the result is
+    * deterministic; it is still ✖est (DuckDB cannot replay the sketch). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String, n: Int = 5,
+                         expectedGrams: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val bf = grams(eval, textCol, idCol, n).stat.bloomFilter("s", expectedGrams, fpp)
+    val hit = udf((s: String) => s != null && bf.mightContainString(s))
+    grams(train, textCol, idCol, n)
+      .filter(hit(col("s")))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
+  /** End-to-end curation pipeline fused into ONE declarative plan:
+    * quality gate (min length) → exact dedup keeping the best-scored
+    * copy per content hash → eval-set decontamination (drop any survivor
+    * sharing ≥1 word n-gram with eval) — the standard pretraining
+    * sequence. Composing it as a single DataFrame expression (rather
+    * than materializing between stages) lets Catalyst push the quality
+    * gate into the scan, reuse the dedup window's exchange for the
+    * cluster-size count, and plan the decontam hit set as a broadcast —
+    * the whole pipeline costs the dedup shuffle plus the tiny gram join.
+    * Returns surviving docs with their duplicate-cluster size. */
+  def curate(docs: DataFrame, eval: DataFrame, textCol: String,
+             idCol: String, scoreCol: String, minChars: Int,
+             ngram: Int = 5): DataFrame = {
+    val byHash = Window.partitionBy(col("__h"))
+    val deduped = docs
+      .filter(length(col(textCol)) >= minChars)
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        byHash.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+    val hits = decontaminate(deduped, eval, textCol, idCol, ngram)
+      .select(col(idCol).as("__hit_id"))
+    deduped.join(hits, deduped(idCol) === col("__hit_id"), "left_anti")
+  }
+
   /** Document chunking with overlap: split each document's token stream
     * into fixed-size windows advancing by `chunkTokens − overlapTokens`
     * (the standard retrieval / long-doc-training layout). Emits one row

@@ -72,6 +72,35 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Temperature-smoothed source mixing (the XLM-R rebalancing rule,
+    * Conneau et al. 2020 §3.1: sample sources with probability ∝ n_s^α,
+    * α<1 upsampling the tail): keep each source at rate
+    * (n_min/n_s)^(1−α), so expected kept counts are proportional to
+    * n_s^α and the SMALLEST source is kept whole. Rates quantize to
+    * permille and rows are chosen by the same deterministic id-mod rule
+    * as [[modSample]] — reproducible, no RNG. Appends `n_src` and
+    * `permille` so downstream audits see the applied rate.
+    *
+    * Plan shape at 100 TB: per-source counts are one tiny aggregate
+    * (sources ≈ dozens), rates come back as a BROADCAST join — the
+    * corpus itself never shuffles: scan → broadcast-join → filter, all
+    * map-side. α=0.5 (the common choice) goes through IEEE
+    * correctly-rounded sqrt, so the permille fences are reproducible
+    * across engines; other α use pow. */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"need alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val ratio = col("n_min").cast("double") / col("n_src").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_src")).as("n_min")))
+      .select(col(sourceCol), col("n_src"),
+              floor(rate * lit(1000) + lit(0.5)).cast("int").as("permille"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(pmod(col(idCol), lit(1000)) < col("permille"))
+  }
+
   /** Weighted corpus interleave: per-source modulus sampling driven by a
     * weight map (source -> keep-permille). The weight lookup is a CASE
     * expression, not a join — zero shuffle end-to-end. */

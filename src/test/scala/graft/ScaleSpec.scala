@@ -568,4 +568,61 @@ class ScaleSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(batch == stream, s"batch ${batch.size} windows vs stream ${stream.size}")
   }
+
+  test("temperatureSample: smallest source kept whole, rates monotone in size, mod rule exact") {
+    val out = graft.scale.Sampling.temperatureSample(docs, "source", "doc_id", 0.5)
+    val rates = out.groupBy($"source")
+      .agg(max($"n_src").as("n"), max($"permille").as("p"), count(lit(1)).as("kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // smallest source keeps everything
+    val minRow = rates.minBy(_._2)
+    assert(minRow._3 == 1000, s"smallest source permille ${minRow._3}")
+    // bigger source => lower (or equal) keep rate
+    for (pair <- rates.sortBy(_._2).sliding(2) if pair.length == 2)
+      assert(pair(0)._3 >= pair(1)._3, s"rates not monotone: ${pair.toSeq}")
+    // expected kept counts proportional to sqrt(n): kept/n == permille/1000 under mod rule
+    // mod rule exact: every kept id satisfies it
+    val bad = out.filter(pmod($"doc_id", lit(1000)) >= $"permille").count()
+    assert(bad == 0)
+    // and nothing below the fence was dropped
+    val total = rates.map(_._4).sum
+    val expect = docs.join(
+      out.select($"source", $"permille").distinct(), Seq("source"))
+      .filter(pmod($"doc_id", lit(1000)) < $"permille").count()
+    assert(total == expect)
+  }
+
+  test("decontaminateBloom: superset of exact hits, counts never undercount") {
+    val train = docs.filter($"source" =!= "src0")
+    val eval = docs.filter($"source" === "src0")
+    val exact = graft.scale.Curation.decontaminate(train, eval, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.scale.Curation.decontaminateBloom(train, eval, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exactly-contaminated doc is flagged, with at least the exact count
+    for ((id, n) <- exact)
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id: bloom ${bloom.get(id)} < exact $n")
+    // false positives exist but are bounded: flagged doc set should not explode
+    assert(bloom.size <= exact.size + math.max(5, train.count() / 10),
+      s"bloom flagged ${bloom.size} docs vs exact ${exact.size}")
+  }
+
+  test("curate: gate, dedup, and decontam invariants all hold on the output") {
+    val train = docs.filter($"source" =!= "src0")
+    val eval = docs.filter($"source" === "src0")
+    val out = graft.scale.Curation.curate(train, eval, "text", "doc_id",
+      scoreCol = "n_chars", minChars = 100, ngram = 4)
+    // gate: every survivor passes the length gate
+    assert(out.filter(length($"text") < 100).count() == 0)
+    // dedup: no two survivors share a content hash, and n_dups counts the cluster
+    assert(out.groupBy(md5($"text")).count().filter($"count" > 1).count() == 0)
+    val clusters = train.filter(length($"text") >= 100)
+      .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("n"))
+    val mismatch = out.withColumn("h", md5($"text"))
+      .join(clusters, "h").filter($"n_dups" =!= $"n").count()
+    assert(mismatch == 0)
+    // decontam: re-running exact decontamination on the output finds nothing
+    assert(graft.scale.Curation.decontaminate(out, eval, "text", "doc_id", 4).count() == 0)
+  }
 }
+
