@@ -162,6 +162,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"frozen-vocab transform should not shuffle: ${keyedShuffles(bow)}")
   }
 
+  test("temperatureSample: corpus side joins the rate table broadcast, never shuffles") {
+    val out = graft.scale.Sampling.temperatureSample(docs, "source", "doc_id", 0.5)
+    // every keyed exchange belongs to the TINY rate-table side: the
+    // per-source count agg, the global min over it, and the cross-joined
+    // rate projection — all operating on ~|sources| rows. The corpus
+    // itself reaches the filter through a BroadcastHashJoin, so its scan
+    // is exchange-free at any SF
+    assert(keyedShuffles(out) <= 3, s"rate-table agg grew: ${keyedShuffles(out)}")
+    val bcast = withAqeOff {
+      out.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+    }
+    assert(bcast >= 1, "corpus-side join must be broadcast")
+  }
+
+  test("decontaminateBloom: train side is a pure map-side filter plus one count agg") {
+    val train = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    val out = graft.scale.Curation.decontaminateBloom(train, eval, "text", "doc_id", 4)
+    // the Bloom sketch is built OFF-plan (driver-held, fixed size); the
+    // registered plan has no join at all — only the per-doc hit-count
+    // aggregation may exchange (plus the grams distinct)
+    val joins = withAqeOff {
+      out.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.size
+    }
+    assert(joins == 0, s"bloom path must not join, found $joins")
+    assert(keyedShuffles(out) <= 2, s"shuffle budget grew: ${keyedShuffles(out)}")
+  }
+
   test("partitioned sink: filter on the partition key prunes at planning time") {
     val path = "target/plan_audit_part_sink"
     graft.sources.PartitionedSink.write(Tables.events(spark, SF), "event_type", path)
