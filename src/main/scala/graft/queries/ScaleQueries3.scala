@@ -81,10 +81,28 @@ object ScaleQueries3 {
        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
   }
 
+  /** X13 — learned linear quality classifier (fastText-class, CCNet's
+    * classifier half): fit on a deterministic length-tier label (the
+    * documents' lang/source labels are synthetic noise with a shared
+    * vocabulary — no learnable signal), report the confusion summary
+    * (✖est: LBFGS coefficient bits are not SQL-replayable; accuracy
+    * bounds are spec-pinned on a vocabulary-distinct fixture). */
+  private def x13QualityLr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("tier", when(col("n_chars") >= 120, "long").otherwise("short"))
+    val m = graft.scale.QualityClassifier.fit(docs, "text", "tier",
+      vocabSize = 200, maxIter = 50)
+    graft.scale.QualityClassifier.score(docs, m, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("tier")), "doc_id")
+      .groupBy(col("tier"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sm7_temperature"    -> sm7Temperature,
     "d10_decontam_bloom" -> d10DecontamBloom,
-    "pipe1_curation"     -> pipe1Curation
+    "pipe1_curation"     -> pipe1Curation,
+    "x13_quality_lr"     -> x13QualityLr
   )
 
   val oracle: Map[String, String] = Map(

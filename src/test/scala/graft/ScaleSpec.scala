@@ -624,5 +624,34 @@ class ScaleSpec extends SparkTestBase {
     // decontam: re-running exact decontamination on the output finds nothing
     assert(graft.scale.Curation.decontaminate(out, eval, "text", "doc_id", 4).count() == 0)
   }
+
+  test("QualityClassifier: separates vocab-distinct classes near-perfectly on holdout") {
+    // two classes with genuinely distinct vocabularies (the documents
+    // table's lang/source labels share one vocabulary — no signal there)
+    val goodWords = Seq("the", "house", "garden", "morning", "coffee", "window",
+      "river", "mountain", "evening", "quiet")
+    val junkWords = Seq("zxq", "qqw", "xx9", "kl3", "vv0", "jjq", "zz7", "qp2",
+      "wwx", "b4n")
+    val r = new scala.util.Random(7)
+    def doc(words: Seq[String]) =
+      Seq.fill(12)(words(r.nextInt(words.length))).mkString(" ")
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, doc(goodWords), "good")
+      else (i.toLong, doc(junkWords), "junk")
+    }
+    val df = rows.toDF("doc_id", "text", "label")
+    val train = df.filter($"doc_id" % 4 =!= 0)
+    val hold = df.filter($"doc_id" % 4 === 0)
+    val m = graft.scale.QualityClassifier.fit(train, "text", "label",
+      vocabSize = 50, maxIter = 50)
+    assert(m.labels.sorted.sameElements(m.labels)) // deterministic geometry
+    val scored = graft.scale.QualityClassifier.score(hold, m, "text", "doc_id")
+      .join(hold.select($"doc_id", $"label"), "doc_id")
+    val n = scored.count().toDouble
+    val correct = scored.filter($"pred_label" === $"label").count().toDouble
+    assert(correct / n >= 0.9, f"holdout accuracy ${correct / n}%.3f < 0.9")
+    assert(scored.filter($"p_max" < 0 || $"p_max" > 1).count() == 0)
+  }
 }
+
 
