@@ -65,9 +65,16 @@ object DatetimeFormatInfer {
     // same as java.time/Spark parsing)
     "ddMMMyyyy", "MMMddyyyy", "MMMMyyyy",
     "MM/dd/yy", "dd/MM/yy", "dd-MM-yy", "MM-dd-yy", "dd-MMM-yy",
-    // NOTE: the reference's '%a, %d %b %Y' (weekday-prefixed) family is
-    // NOT included: Spark 4 forbids 'E' in PARSING patterns, so a format
-    // the sampler accepted would crash to_timestamp downstream
+    // weekday-prefixed family ('%a, %d %b %Y' / '%a, %d %b %y' /
+    // '%a, %d/%b/%y', `utils/etl.py:337-338`, plus the '%a, … %T %z'
+    // datetime legs at 381): Spark 4 forbids 'E' in PARSING patterns, so
+    // these are handled as a STRIP-PREFIX leg — the sampler validates a
+    // real English weekday abbreviation + ", ", and parseTimestamp
+    // removes it with a codegen'd regexp_replace before to_timestamp on
+    // the remainder. strptime parses %a but never cross-validates it
+    // against the date, so stripping matches the reference's semantics.
+    "EEE, dd MMM yyyy HH:mm:ss Z", "EEE, dd MMM yy HH:mm:ss Z",
+    "EEE, dd MMM yyyy", "EEE, dd MMM yy", "EEE, dd/MMM/yy",
     "dd MMM yyyy", "dd MMM yy", "MMM dd, yyyy", "MMMM dd, yyyy",
     "MMMM dd yyyy", "MMM dd,yyyy",
     // coarse periods
@@ -85,12 +92,20 @@ object DatetimeFormatInfer {
     "HH:mm a", "hh:mm a", "HH:mm", "hh:mm"
   )
 
-  private def matches(fmt: String, sample: Seq[String]): Boolean = {
-    val f = DateTimeFormatter.ofPattern(fmt)
-    sample.forall { s =>
-      try { f.parse(s.trim); true } catch { case _: Exception => false }
+  /** English %a vocabulary (what strptime accepts in the C locale). */
+  private val WeekdayRe = "^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun), ".r
+
+  private def matches(fmt: String, sample: Seq[String]): Boolean =
+    if (fmt.startsWith("EEE, ")) {
+      sample.forall(s => WeekdayRe.findPrefixOf(s.trim).isDefined) &&
+        matches(fmt.stripPrefix("EEE, "),
+                sample.map(s => WeekdayRe.replaceFirstIn(s.trim, "")))
+    } else {
+      val f = DateTimeFormatter.ofPattern(fmt)
+      sample.forall { s =>
+        try { f.parse(s.trim); true } catch { case _: Exception => false }
+      }
     }
-  }
 
   /** Sample `n` non-null strings to the driver and return the first
     * candidate that parses all of them (reference samples 12 rows,
@@ -108,7 +123,12 @@ object DatetimeFormatInfer {
     val f = fmt.orElse(infer(df, strCol))
       .getOrElse(throw new IllegalArgumentException(
         s"could not infer datetime format for column $strCol"))
-    df.withColumn(outCol, to_timestamp(col(strCol), f))
+    val parsed =
+      if (f.startsWith("EEE, "))
+        to_timestamp(regexp_replace(trim(col(strCol)),
+          "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), ", ""), f.stripPrefix("EEE, "))
+      else to_timestamp(col(strCol), f)
+    df.withColumn(outCol, parsed)
   }
 
   /** S1 — CSV scan with datetime parsing (`load_ts_data`,

@@ -141,15 +141,32 @@ class CoreOpsSpec extends SparkTestBase {
         Seq("05 Mar 2024 07:00:00 +0200").toDF("s"), "s", "ts")
       .select($"ts".cast("string")).head().getString(0)
     assert(off == "2024-03-05 05:00:00", s"offset not honored: $off")
-    // every candidate must be PARSEABLE by Spark's to_timestamp (Spark 4
-    // forbids E/F/q/Q in parse patterns) — probe each against a literal
-    // (formatted from a ZONED datetime so offset patterns can render)
+    // the r10 weekday-prefixed family ('%a, %d %b %Y' etc.): inferred,
+    // and parsed by stripping the validated prefix (strptime never
+    // cross-validates %a against the date, so stripping is faithful)
+    assert(DatetimeFormatInfer.infer(
+        Seq("Tue, 05 Mar 2024", "Wed, 06 Mar 2024").toDF("s"), "s")
+      .contains("EEE, dd MMM yyyy"))
+    assert(DatetimeFormatInfer.infer(Seq("Fri, 05/Jan/24").toDF("s"), "s")
+      .contains("EEE, dd/MMM/yy"))
+    // a NON-weekday prefix must not match the family
+    assert(!DatetimeFormatInfer.infer(Seq("Xyz, 05 Mar 2024").toDF("s"), "s")
+      .exists(_.startsWith("EEE")))
+    val wd = DatetimeFormatInfer.parseTimestamp(
+        Seq("Tue, 05 Mar 2024").toDF("s"), "s", "ts")
+      .select($"ts".cast("string")).head().getString(0)
+    assert(wd == "2024-03-05 00:00:00", s"weekday-prefix parse: $wd")
+    // every candidate must round-trip through the REAL parse path
+    // (parseTimestamp — to_timestamp for plain patterns, prefix-strip
+    // for the EEE family; Spark 4 forbids E/F/q/Q in parse patterns) —
+    // probe each against a literal (formatted from a ZONED datetime so
+    // offset patterns can render; java.time CAN format E)
     DatetimeFormatInfer.candidates.foreach { fmt =>
       val now = java.time.ZonedDateTime.of(2024, 3, 5, 7, 9, 11, 0,
         java.time.ZoneOffset.UTC)
       val sample = now.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
-      val parsed = Seq(sample).toDF("s")
-        .select(to_timestamp($"s", fmt).as("t")).head()
+      val parsed = DatetimeFormatInfer.parseTimestamp(
+        Seq(sample).toDF("s"), "s", "t", Some(fmt)).select($"t").head()
       assert(!parsed.isNullAt(0), s"Spark cannot parse its own format $fmt on '$sample'")
     }
   }
