@@ -98,11 +98,22 @@ object ScaleQueries3 {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** D11 — embedding cosine near-dup via banded hyperplane LSH +
+    * exact-cosine verify: the scale path d5's row cap routes to (✖est:
+    * the xorshift plane matrix is not SQL-replayable; the
+    * subset-of-exact precision property and a recall floor are
+    * spec-pinned against d5's brute-force twin). */
+  private def d11CosineLsh: Q = (s, d) =>
+    graft.scale.Dedup.cosineNearDupLsh(Tables.embeddings(s, d),
+        "embedding", "vec_id", 0.4)
+      .select(col("id_a"), col("id_b"), Det.dround(col("cosine"), 6).as("cosine"))
+
   val queries: Map[String, Q] = Map(
     "sm7_temperature"    -> sm7Temperature,
     "d10_decontam_bloom" -> d10DecontamBloom,
     "pipe1_curation"     -> pipe1Curation,
-    "x13_quality_lr"     -> x13QualityLr
+    "x13_quality_lr"     -> x13QualityLr,
+    "d11_cosine_lsh"     -> d11CosineLsh
   )
 
   val oracle: Map[String, String] = Map(

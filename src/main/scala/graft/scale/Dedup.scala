@@ -420,6 +420,65 @@ object Dedup {
     * column). For real corpora use [[simHashPairs]] (blocked Hamming) or
     * [[graft.scale.Similarity.lshTopK]]/`ivfTopK` (bucketed ANN), which
     * shuffle candidates, never the n² pair space. */
+  /** Embedding cosine near-dup AT SCALE (SemDeDup-class) — the
+    * production path [[cosineNearDup]]'s row cap points to. `bands`
+    * independent random-hyperplane signatures of `planesPerBand` sign
+    * bits each (Charikar 2002: two vectors agree on one sign bit with
+    * p = 1 − θ/π); vectors sharing ANY band bucket become candidates and
+    * every candidate is verified with the exact cosine, so PRECISION IS
+    * EXACT and only recall is probabilistic: 1 − (1 − p^r)^b (defaults
+    * r=4, b=16 target the low-threshold regime; raise r for tight
+    * thresholds to shrink buckets).
+    *
+    * 100-TB shape: signatures are one map-side UDF over the broadcast
+    * plane matrix (no explode of the vector); candidates cost one
+    * (band, bucket) self-join — bucketed, never all-pairs; verification
+    * joins vectors back on the candidate ids only, so its cost scales
+    * with the LSH-bounded candidate count, not n². */
+  def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, bands: Int = 16,
+                       planesPerBand: Int = 4, dim: Int = -1): DataFrame = {
+    import graft.functions.VectorOps
+    val d0 = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
+    val planes = Similarity.hyperplanes(bands * planesPerBand, d0)
+    val bc = df.sparkSession.sparkContext.broadcast(planes)
+    val ppb = planesPerBand
+    val nb = bands
+    val sigU = udf { (v: Seq[Double]) =>
+      val ps = bc.value
+      Array.tabulate(nb) { b =>
+        var bucket = 0L
+        var i = 0
+        while (i < ppb) {
+          val p = ps(b * ppb + i)
+          val lim = math.min(v.length, p.length)
+          var d = 0.0; var j = 0
+          while (j < lim) { d += p(j) * v(j); j += 1 }
+          if (d > 0) bucket |= 1L << i
+          i += 1
+        }
+        bucket
+      }
+    }
+    val base = df.select(col(idCol).cast("long").as("vid"),
+                         col(vecCol).cast("array<double>").as("v"))
+    val banded = base.withColumn("sig", sigU(col("v")))
+      .select(col("vid"), posexplode(col("sig"))).toDF("vid", "band", "bucket")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.vid") < col("r.vid"))
+      .select(col("l.vid").as("id_a"), col("r.vid").as("id_b")).distinct()
+    val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
+    cand
+      .join(withNorm.select(col("vid").as("id_a"), col("v").as("va"),
+                            col("norm").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("vid").as("id_b"), col("v").as("vb"),
+                            col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double, maxRows: Long = 100000L): DataFrame = {
     import graft.functions.VectorOps

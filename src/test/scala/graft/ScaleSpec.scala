@@ -652,6 +652,22 @@ class ScaleSpec extends SparkTestBase {
     assert(correct / n >= 0.9, f"holdout accuracy ${correct / n}%.3f < 0.9")
     assert(scored.filter($"p_max" < 0 || $"p_max" > 1).count() == 0)
   }
+
+  test("cosineNearDupLsh: exact precision (subset of brute-force pairs), bounded recall") {
+    val em = Tables.embeddings(spark, SF)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.cosineNearDup(em, "embedding", "vec_id", 0.4))
+    val lsh = pairs(Dedup.cosineNearDupLsh(em, "embedding", "vec_id", 0.4))
+    assert(exact.nonEmpty, "fixture should contain cosine near-dups at 0.4")
+    // verify step makes precision exact
+    assert(lsh.subsetOf(exact), s"LSH emitted ${(lsh -- exact).size} sub-threshold pairs")
+    // recall: 1-(1-p^4)^16 with p = 1-acos(0.4)/pi ~ 0.94 AT the
+    // threshold and higher above it; demand a conservative floor
+    assert(lsh.size >= exact.size * 0.6,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
 }
+
 
 
