@@ -40,7 +40,8 @@ object ArimaCss {
   }
 
   case class Fit(spec: Spec, phi: Array[Double], theta: Array[Double],
-                 c: Double, sigma2: Double, aic: Double, n: Int) {
+                 c: Double, sigma2: Double, aic: Double, n: Int,
+                 beta: Array[Double] = Array.empty) {
     def p: Int = spec.p; def d: Int = spec.d; def q: Int = spec.q
   }
 
@@ -71,6 +72,29 @@ object ArimaCss {
 
   private def diff1(y: Array[Double], lag: Int): Array[Double] =
     Array.tabulate(y.length - lag)(i => y(i + lag) - y(i))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The spec's differencing ladder applied row-wise to exogenous
+    * regressor rows — regression-with-SARIMA-errors differences BOTH
+    * sides of the mean equation (statsmodels SARIMAX `exog` semantics,
+    * the object the reference constructs at
+    * `models/ar_based/build_arima_base.py:275,298`). */
+  private def ladderRows(xs: Array[Array[Double]], spec: Spec): Array[Array[Double]] = {
+    def diffR(a: Array[Array[Double]], lag: Int): Array[Array[Double]] =
+      Array.tabulate(a.length - lag)(i =>
+        Array.tabulate(a(0).length)(k => a(i + lag)(k) - a(i)(k)))
+    var cur = xs
+    var i = 0
+    while (i < spec.sD) { cur = diffR(cur, spec.m); i += 1 }
+    i = 0
+    while (i < spec.d) { cur = diffR(cur, 1); i += 1 }
+    cur
+  }
 
   /** Differencing ladder: seasonal D times at lag m, then regular d times.
     * Returns every intermediate level (needed for exact inversion). */
@@ -241,25 +265,114 @@ object ArimaCss {
   def fitOne(y: Array[Double], p: Int, d: Int, q: Int): Fit =
     fitOne(y, Spec(p, d, q))
 
+  /** Exact QR for the regression-only cell ((0,d,0) with exog): with no
+    * ARMA terms the CSS objective IS ordinary least squares of the
+    * differenced target on [1, differenced exog] — deterministic to
+    * machine precision (the `m1x_exog` oracle twin hash-checks this path
+    * against closed-form SQL). */
+  private def fitRegressionX(w: Array[Double], v: Array[Array[Double]], spec: Spec): Fit = {
+    val n = w.length
+    val k = v(0).length
+    val x = DenseMatrix.zeros[Double](n, k + 1)
+    val yv = DenseVector.zeros[Double](n)
+    var r = 0
+    while (r < n) {
+      x(r, 0) = 1.0
+      var i = 0
+      while (i < k) { x(r, i + 1) = v(r)(i); i += 1 }
+      yv(r) = w(r)
+      r += 1
+    }
+    val b = x \ yv
+    val c = b(0)
+    val beta = Array.tabulate(k)(i => b(i + 1))
+    val e = Array.tabulate(n)(t => w(t) - c - dot(beta, v(t)))
+    val sigma2 = e.map(ev => ev * ev).sum / n
+    val aic = n * math.log(math.max(sigma2, 1e-300)) + 2.0 * (spec.nParams + k + 1)
+    Fit(spec, Array.empty, Array.empty, c, sigma2, aic, n, beta)
+  }
+
+  /** ARIMAX cell — regression with SARIMA errors, the model statsmodels
+    * estimates when the reference passes `exog=data[self.original_preds]`
+    * (`models/ar_based/build_arima_base.py:265-298`): the mean equation
+    * is w_t = β'v_t + u_t with u_t following the (seasonal) ARMA
+    * recursion, BOTH sides on the differenced scale. The free parameters
+    * (c, β, φ, Φ, θ, Θ) are minimized jointly by L-BFGS on the CSS
+    * objective with the same multiplicative cross-lag constraints as the
+    * exog-free path, warm-started from the pure-regression QR solution.
+    * Empty exog delegates to [[fitOne]] unchanged. */
+  def fitOneX(y: Array[Double], xs: Array[Array[Double]], spec: Spec): Fit = {
+    if (xs.isEmpty || xs(0).isEmpty) return fitOne(y, spec)
+    require(xs.length == y.length, s"exog rows ${xs.length} != series length ${y.length}")
+    val k = xs(0).length
+    val w = ladder(y, spec)._2.last
+    val v = ladderRows(xs, spec)
+    val n = w.length
+    val maxLag = (spec.arLags ++ spec.maLags).foldLeft(0)(math.max)
+    require(n > maxLag + spec.nParams + k + 2, s"series too short for $spec with $k exog")
+    if (spec.arLags.isEmpty && spec.maLags.isEmpty) return fitRegressionX(w, v, spec)
+    val p = spec.p; val sP = spec.sP; val q = spec.q; val sQ = spec.sQ; val m = spec.m
+    val arLags = spec.arLags; val maLags = spec.maLags
+    def split(xv: DenseVector[Double]) = (
+      xv(0),
+      Array.tabulate(k)(i => xv(1 + i)),
+      Array.tabulate(p)(i => xv(1 + k + i)),
+      Array.tabulate(sP)(i => xv(1 + k + p + i)),
+      Array.tabulate(q)(i => xv(1 + k + p + sP + i)),
+      Array.tabulate(sQ)(i => xv(1 + k + p + sP + q + i)))
+    def residuals(xv: DenseVector[Double]): Array[Double] = {
+      val (c, beta, phiR, phiS, thR, thS) = split(xv)
+      val u = Array.tabulate(n)(t => w(t) - dot(beta, v(t)))
+      cssResiduals(u, c,
+        arLags, expandAligned(arLags, phiR, phiS, m, -1.0),
+        maLags, expandAligned(maLags, thR, thS, m, +1.0))
+    }
+    val obj = new DiffFunction[DenseVector[Double]] {
+      private val inner = new ApproximateGradientFunction[Int, DenseVector[Double]](
+        (xv: DenseVector[Double]) => { val e = residuals(xv); 0.5 * e.map(ev => ev * ev).sum })
+      def calculate(xv: DenseVector[Double]): (Double, DenseVector[Double]) = inner.calculate(xv)
+    }
+    val ols = fitRegressionX(w, v, spec)
+    val init = DenseVector.zeros[Double](1 + k + p + sP + q + sQ)
+    init(0) = ols.c
+    var bi = 0
+    while (bi < k) { init(1 + bi) = ols.beta(bi); bi += 1 }
+    val lbfgs = new LBFGS[DenseVector[Double]](maxIter = 200, m = 7)
+    val xOpt = lbfgs.minimize(obj, init)
+    val (c, beta, phiR, phiS, thR, thS) = split(xOpt)
+    val phi = expandAligned(arLags, phiR, phiS, m, -1.0)
+    val theta = expandAligned(maLags, thR, thS, m, +1.0)
+    invertibilityGate(maLags, theta, spec)
+    val e = residuals(xOpt)
+    val ne = e.length
+    val sigma2 = e.map(ev => ev * ev).sum / ne
+    val aic = ne * math.log(math.max(sigma2, 1e-300)) + 2.0 * (spec.nParams + k + 1)
+    Fit(spec, phi, theta, c, sigma2, aic, ne, beta)
+  }
+
   private def parallelFit(spark: SparkSession, y: Array[Double],
-                          grid: Seq[Spec]): Seq[Fit] = {
+                          grid: Seq[Spec],
+                          xs: Array[Array[Double]] = Array.empty): Seq[Fit] = {
     val bc = spark.sparkContext.broadcast(y)
+    val bcX = spark.sparkContext.broadcast(xs)
     val fits = spark.sparkContext
       .parallelize(grid, math.max(grid.size, 1))
       .map { spec =>
-        try Some(fitOne(bc.value, spec))
+        try Some(fitOneX(bc.value, bcX.value, spec))
         catch { case _: Throwable => None }
       }
       .collect().flatten.toSeq
-    bc.destroy()
+    bc.destroy(); bcX.destroy()
     fits
   }
 
   /** Non-seasonal grid search (one Spark job, min-AIC, 100-fit budget like
-    * `param_finder.py:94-99`). */
+    * `param_finder.py:94-99`). Non-empty `xs` makes every cell an ARIMAX
+    * regression-with-ARMA-errors fit. */
   def gridSearch(spark: SparkSession, y: Array[Double],
                  maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
-                 budget: Int = 100): Fit = {
+                 budget: Int = 100,
+                 xs: Array[Array[Double]] = Array.empty): Fit = {
     // the (0,d,0) intercept-only cell is a legal candidate (the reference
     // grids p,q from 0, `build_arima.py:77-112`): on white-noise-after-
     // differencing series it should win rather than force a spurious term
@@ -267,7 +380,7 @@ object ArimaCss {
       p <- 0 to maxP; d <- 0 to maxD; q <- 0 to maxQ
       if y.length - d > p + q + 8
     } yield Spec(p, d, q)).take(budget)
-    val fits = parallelFit(spark, y, grid)
+    val fits = parallelFit(spark, y, grid, xs)
     require(fits.nonEmpty, "no ARIMA cell converged")
     fits.minBy(_.aic)
   }
@@ -289,14 +402,17 @@ object ArimaCss {
     * refit on the full series. */
   def gridSearchSeasonal(spark: SparkSession, y: Array[Double], m: Int,
                          maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
-                         budget: Int = 100, holdout: Int = 8): Fit = {
+                         budget: Int = 100, holdout: Int = 8,
+                         xs: Array[Array[Double]] = Array.empty): Fit = {
     // need at least one full season beyond the seasonal difference;
     // individually infeasible cells are rejected inside fitOne
-    if (m <= 1 || y.length < 2 * m + 4) return gridSearch(spark, y, maxP, maxD, maxQ, budget)
+    if (m <= 1 || y.length < 2 * m + 4) return gridSearch(spark, y, maxP, maxD, maxQ, budget, xs)
     val sD = if (stddev(diff1(y, m)) < 0.9 * stddev(y)) 1 else 0
     val h = math.min(holdout, y.length / 5)
     val train = y.dropRight(h)
     val value = y.takeRight(h)
+    val trainX = if (xs.isEmpty) xs else xs.dropRight(h)
+    val valX = if (xs.isEmpty) xs else xs.takeRight(h)
     val grid = (for {
       p <- 0 to math.min(maxP, 2); q <- 0 to math.min(maxQ, 2)
       d <- 0 to maxD
@@ -305,23 +421,26 @@ object ArimaCss {
       .sortBy(_.nParams).take(budget)
     val bcTrain = spark.sparkContext.broadcast(train)
     val bcVal = spark.sparkContext.broadcast(value)
+    val bcTrainX = spark.sparkContext.broadcast(trainX)
+    val bcValX = spark.sparkContext.broadcast(valX)
     val scored = spark.sparkContext
       .parallelize(grid, math.max(grid.size, 1))
       .map { spec =>
         try {
-          val f = fitOne(bcTrain.value, spec)
-          val pred = forecast(bcTrain.value, f, bcVal.value.length)
+          val f = fitOneX(bcTrain.value, bcTrainX.value, spec)
+          val pred = forecastX(bcTrain.value, bcTrainX.value, f,
+            bcVal.value.length, bcValX.value)
           val rmse = math.sqrt(pred.zip(bcVal.value)
             .map { case (a, b) => (a - b) * (a - b) }.sum / pred.length)
           if (rmse.isNaN || rmse.isInfinite) None else Some((spec, rmse, f.aic))
         } catch { case _: Throwable => None }
       }
       .collect().flatten.toSeq
-    bcTrain.destroy(); bcVal.destroy()
-    if (scored.isEmpty) return gridSearch(spark, y, maxP, maxD, maxQ, budget)
+    bcTrain.destroy(); bcVal.destroy(); bcTrainX.destroy(); bcValX.destroy()
+    if (scored.isEmpty) return gridSearch(spark, y, maxP, maxD, maxQ, budget, xs)
     val bestSpec = scored.minBy { case (_, rmse, aic) => (rmse, aic) }._1
-    scala.util.Try(fitOne(y, bestSpec)).getOrElse(
-      gridSearch(spark, y, maxP, maxD, maxQ, budget))
+    scala.util.Try(fitOneX(y, xs, bestSpec)).getOrElse(
+      gridSearch(spark, y, maxP, maxD, maxQ, budget, xs))
   }
 
   /** Lag-polynomial coefficient vector (index = lag − 1) from subset
@@ -367,13 +486,16 @@ object ArimaCss {
     * comparison an equal-n likelihood comparison, the way statsmodels'
     * `loglike` conditions every candidate on the same `k_ar` burn-in when
     * orders are compared. Returns (score, effective n). */
-  private[graft] def aiccAt(w: Array[Double], f: Fit, burn: Int): (Double, Int) = {
+  private[graft] def aiccAt(w: Array[Double], f: Fit, burn: Int,
+                            v: Array[Array[Double]] = Array.empty): (Double, Int) = {
     val ownStart = if (f.spec.arLags.isEmpty) 0 else f.spec.arLags.max
-    val e = cssResiduals(w, f.c, f.spec.arLags, f.phi, f.spec.maLags, f.theta)
+    val u = if (f.beta.isEmpty || v.isEmpty) w
+            else Array.tabulate(w.length)(t => w(t) - dot(f.beta, v(t)))
+    val e = cssResiduals(u, f.c, f.spec.arLags, f.phi, f.spec.maLags, f.theta)
     val e2 = if (burn > ownStart) e.drop(burn - ownStart) else e
     val ne = math.max(e2.length, 1)
-    val sigma2 = math.max(e2.map(v => v * v).sum / ne, 1e-300)
-    val k = f.spec.nParams + 1
+    val sigma2 = math.max(e2.map(ev => ev * ev).sum / ne, 1e-300)
+    val k = f.spec.nParams + f.beta.length + 1
     val aic = ne * math.log(sigma2) + 2.0 * k
     (aic + 2.0 * k * (k + 1) / math.max(ne - k - 1, 1), ne)
   }
@@ -404,7 +526,9 @@ object ArimaCss {
     * not O(grid). */
   def stepwiseSearch(spark: SparkSession, y: Array[Double], m: Int = 1,
                      maxP: Int = 5, maxQ: Int = 5, maxOrder: Int = 5,
-                     maxRounds: Int = 10): Fit = {
+                     maxRounds: Int = 10,
+                     xs: Array[Array[Double]] = Array.empty): Fit = {
+    val kx = if (xs.isEmpty) 0 else xs(0).length
     // D first (seasonal-strength ratio on the raw series), then the ADF
     // repeat-after-diff loop runs on the seasonally-differenced series —
     // Hyndman-Khandakar's ordering, so the unit-root test never sees the
@@ -430,7 +554,7 @@ object ArimaCss {
       s.p >= 0 && s.q >= 0 && s.sP >= 0 && s.sQ >= 0 &&
       s.p <= maxP && s.q <= maxQ && s.sP <= 2 && s.sQ <= 2 &&
       s.p + s.q + s.sP + s.sQ <= maxOrder &&
-      y.length - d - sD * m > s.nParams +
+      y.length - d - sD * m > s.nParams + kx +
         (s.arLags ++ s.maLags).foldLeft(0)(math.max) + 2
 
     val attempted = scala.collection.mutable.Set.empty[Spec]
@@ -438,7 +562,7 @@ object ArimaCss {
     def fitBatch(specs: Seq[Spec]): Unit = {
       val todo = specs.distinct.filter(s => feasible(s) && !attempted(s))
       attempted ++= todo
-      if (todo.nonEmpty) parallelFit(spark, y, todo).foreach(f => fits(f.spec) = f)
+      if (todo.nonEmpty) parallelFit(spark, y, todo, xs).foreach(f => fits(f.spec) = f)
     }
     fitBatch(seeds)
     require(fits.nonEmpty, "no stepwise seed converged")
@@ -446,8 +570,10 @@ object ArimaCss {
     // rescores ALL fitted candidates on residuals from one shared burn-in
     // — the largest conditioning lag attempted so far — so each round's
     // AICc ranking is an equal-n likelihood comparison (see [[aiccAt]]).
-    // All specs share (d, sD) fixed above, so `w` is the common series.
-    def score(f: Fit): Double = aiccAt(w, f, commonBurn(fits.keys))._1
+    // All specs share (d, sD) fixed above, so `w` (and the identically
+    // differenced exog rows `vw`) is the common frame.
+    val vw = if (xs.isEmpty) xs else ladderRows(xs, Spec(0, d, 0, 0, sD, 0, math.max(m, 1)))
+    def score(f: Fit): Double = aiccAt(w, f, commonBurn(fits.keys), vw)._1
     var best = fits.values.minBy(score)
     var improved = true
     var round = 0
@@ -472,25 +598,52 @@ object ArimaCss {
   /** Recursive h-step forecast on the fully-differenced scale, then exact
     * inversion back up the differencing ladder (regular cumsum levels,
     * then seasonal restore against the last m values of each level). */
-  def forecast(y: Array[Double], fit: Fit, h: Int): Array[Double] = {
+  def forecast(y: Array[Double], fit: Fit, h: Int): Array[Double] =
+    forecastX(y, Array.empty, fit, h, Array.empty)
+
+  /** ARIMAX h-step forecast: the ARMA recursion runs on the error series
+    * u_t = w_t − β'v_t, the regression part β'v is added back from the
+    * FUTURE exog rows (differenced through the same ladder, jointly with
+    * the training rows so the boundary differences are exact), and the
+    * result is inverted up the differencing ladder. The reference
+    * requires exog at predict (`build_arima_base.py:350`
+    * `get_forecast(..., exog=testdata)`); when fewer than h future rows
+    * are supplied the last observed exog row is held flat — the
+    * documented fallback, matching `predict(simple=True)`'s
+    * last-value-carry semantics rather than erroring. */
+  def forecastX(y: Array[Double], xs: Array[Array[Double]], fit: Fit, h: Int,
+                futureX: Array[Array[Double]] = Array.empty): Array[Double] = {
     val spec = fit.spec
     val (sLevels, rLevels) = ladder(y, spec)
     val w = rLevels.last
+    val useX = fit.beta.nonEmpty && xs.nonEmpty
+    // error series the ARMA recursion sees + future regression offsets
+    val (u, offFut) =
+      if (!useX) (w, Array.fill(h)(0.0))
+      else {
+        val fx = Array.tabulate(h)(i => if (i < futureX.length) futureX(i) else xs.last)
+        val vAll = ladderRows(xs ++ fx, spec)
+        val nW = w.length
+        val vTrain = vAll.take(nW)
+        val vFut = vAll.slice(nW, nW + h)
+        (Array.tabulate(nW)(t => w(t) - dot(fit.beta, vTrain(t))),
+         vFut.map(r => dot(fit.beta, r)))
+      }
     val arLags = spec.arLags; val maLags = spec.maLags
     val start = if (arLags.isEmpty) 0 else arLags.max
-    val e = cssResiduals(w, fit.c, arLags, fit.phi, maLags, fit.theta)
-    val wBuf = scala.collection.mutable.ArrayBuffer(w.toIndexedSeq: _*)
+    val e = cssResiduals(u, fit.c, arLags, fit.phi, maLags, fit.theta)
+    val uBuf = scala.collection.mutable.ArrayBuffer(u.toIndexedSeq: _*)
     val eBuf = scala.collection.mutable.ArrayBuffer((Array.fill(start)(0.0) ++ e).toIndexedSeq: _*)
     val out = new Array[Double](h)
     for (i <- 0 until h) {
-      val t = wBuf.length
+      val t = uBuf.length
       var pred = fit.c
-      for (j <- arLags.indices; if t - arLags(j) >= 0) pred += fit.phi(j) * wBuf(t - arLags(j))
+      for (j <- arLags.indices; if t - arLags(j) >= 0) pred += fit.phi(j) * uBuf(t - arLags(j))
       for (j <- maLags.indices; if t - maLags(j) >= 0 && t - maLags(j) < eBuf.length)
         pred += fit.theta(j) * eBuf(t - maLags(j))
-      wBuf += pred
+      uBuf += pred
       eBuf += 0.0 // future innovations have expectation 0
-      out(i) = pred
+      out(i) = pred + offFut(i) // back to the w-scale: û + β'v_future
     }
     // invert regular differences (innermost level first)
     var cur = out
@@ -516,32 +669,56 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
   private var series: LocalSeries = _
   private var intervalMs: Long = _
   private var best: ArimaCss.Fit = _
+  private var tsSchema: TsSchema = _
 
-  private def search(spark: SparkSession, y: Array[Double]): ArimaCss.Fit =
-    if (seasonalM > 1) ArimaCss.gridSearchSeasonal(spark, y, seasonalM, maxP, maxD, maxQ)
-    else ArimaCss.gridSearch(spark, y, maxP, maxD, maxQ)
+  private def xsAll: Array[Array[Double]] =
+    if (tsSchema != null && tsSchema.exog.nonEmpty) series.exog else Array.empty
 
+  private def search(spark: SparkSession, y: Array[Double],
+                     xs: Array[Array[Double]]): ArimaCss.Fit =
+    if (seasonalM > 1) ArimaCss.gridSearchSeasonal(spark, y, seasonalM, maxP, maxD, maxQ, xs = xs)
+    else ArimaCss.gridSearch(spark, y, maxP, maxD, maxQ, xs = xs)
+
+  /** Numeric exog columns become ARIMAX regressors (regression with SARIMA
+    * errors — the `exog=data[self.original_preds]` path of
+    * `build_arima_base.py:265-298`); non-numeric columns are dropped from
+    * this model's schema (statsmodels requires numeric exog; the ML leg
+    * handles NLP columns instead). CV folds forecast with the ACTUAL
+    * in-sample exog of the fold window, the reference's backtest shape
+    * (`build_arima_base.py:149-157` passes ts_test's exog at predict). */
   def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
-    series = LocalSeries.collect(df, schema)
+    val numExog = schema.exog.filter(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    tsSchema = schema.copy(exog = numExog)
+    series = LocalSeries.collect(df, tsSchema)
     intervalMs = if (series.n >= 2) series.ts(1) - series.ts(0) else 86400000L
     val spark = df.sparkSession
+    val xs = xsAll
     val scores = LocalSeries.foldBounds(series.n, cv, h).map { case (trainEnd, testEnd) =>
       val train = series.y.take(trainEnd)
-      val f = search(spark, train)
-      val pred = ArimaCss.forecast(train, f, testEnd - trainEnd)
+      val trainX = if (xs.isEmpty) xs else xs.take(trainEnd)
+      val f = search(spark, train, trainX)
+      val futX = if (xs.isEmpty) xs else xs.slice(trainEnd, testEnd)
+      val pred = ArimaCss.forecastX(train, trainX, f, testEnd - trainEnd, futX)
       LocalSeries.score(series.y.slice(trainEnd, testEnd), pred)
     }
-    best = search(spark, series.y)
+    best = search(spark, series.y, xs)
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
-    val pred = ArimaCss.forecast(series.y, best, h)
+    val futX = future match {
+      case Some(f) if tsSchema != null && tsSchema.exog.nonEmpty =>
+        FutureExog.collect(f, tsSchema.tsCol, tsSchema.exog)
+      case _ => Array.empty[Array[Double]]
+    }
+    val pred = ArimaCss.forecastX(series.y, xsAll, best, h, futX)
     ForecastFrame.build(spark, series.ts.last, intervalMs, pred, math.sqrt(best.sigma2), z)
   }
 
   def bestOrder: (Int, Int, Int) = (best.p, best.d, best.q)
   def bestSpec: ArimaCss.Spec = best.spec
+  def bestBeta: Array[Double] = best.beta
 
   /** params-JSON + coefficient arrays: the entire fitted state is the
     * chosen spec, φ/θ/c/σ², and the bounded training series tail the
@@ -553,9 +730,12 @@ class ArimaModel(maxP: Int = 3, maxD: Int = 1, maxQ: Int = 3,
       ("type" -> "arima") ~ ("maxP" -> maxP) ~ ("maxD" -> maxD) ~
       ("maxQ" -> maxQ) ~ ("seasonalM" -> seasonalM) ~ ("z" -> z) ~
       ("intervalMs" -> intervalMs) ~ ("series" -> Persist.seriesJson(series)) ~
+      ("schema" -> Persist.schemaJson(
+        if (tsSchema != null) tsSchema else TsSchema("ts", "y"))) ~
       ("spec" -> (("p" -> s.p) ~ ("d" -> s.d) ~ ("q" -> s.q) ~
                   ("sP" -> s.sP) ~ ("sD" -> s.sD) ~ ("sQ" -> s.sQ) ~ ("m" -> s.m))) ~
       ("phi" -> best.phi.toList) ~ ("theta" -> best.theta.toList) ~
+      ("beta" -> best.beta.toList) ~
       ("c" -> best.c) ~ ("sigma2" -> best.sigma2) ~ ("aic" -> best.aic) ~
       ("n" -> best.n))
   }
@@ -571,6 +751,7 @@ object ArimaModel {
       (j \ "z").extract[Double])
     m.series = Persist.seriesFrom(j \ "series")
     m.intervalMs = (j \ "intervalMs").extract[Long]
+    m.tsSchema = Persist.schemaFrom(j \ "schema")
     val sj = j \ "spec"
     m.best = ArimaCss.Fit(
       ArimaCss.Spec((sj \ "p").extract[Int], (sj \ "d").extract[Int],
@@ -579,7 +760,8 @@ object ArimaModel {
         (sj \ "m").extract[Int]),
       (j \ "phi").extract[Array[Double]], (j \ "theta").extract[Array[Double]],
       (j \ "c").extract[Double], (j \ "sigma2").extract[Double],
-      (j \ "aic").extract[Double], (j \ "n").extract[Int])
+      (j \ "aic").extract[Double], (j \ "n").extract[Int],
+      (j \ "beta").extract[Array[Double]])
     m
   }
 }

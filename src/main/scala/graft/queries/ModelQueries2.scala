@@ -471,7 +471,69 @@ object ModelQueries2 {
        | ${droundSql("max(exp(y_log))", 6)} AS y_back
        |FROM t GROUP BY 1""".stripMargin
 
+  // ---- m1x_exog: ARIMAX regression cell ≡ OLS on the exog ---------------
+
+  /** ArimaCss.fitOneX at (0,0,0) with one exog: regression-with-ARMA-errors
+    * degenerates to exact OLS of y on x (the QR `fitRegressionX` path), and
+    * the h-step forecast with no supplied future exog holds the last
+    * observed x flat — ŷ = c + β·x_last. Fit AND forecast of the REAL
+    * ARIMAX code path (`build_arima_base.py:265-298` exog semantics) are
+    * hash-checked end to end. y is dround₄'d pre-fit as in m1_ar1; x is an
+    * exact integer count scaled O(1). */
+  private def m1xExog: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val rows = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(dround(avg(col("o_totalprice")), 4).as("y0"), count(lit(1)).as("n"))
+      .orderBy(col("mo"))
+      .select((col("y0") / lit(100000.0)).as("y"), (col("n") / lit(1000.0)).as("x"))
+      .as[(Double, Double)].collect()
+    val y = rows.map(_._1)
+    val xs = rows.map(r => Array(r._2))
+    val f = graft.models.ArimaCss.fitOneX(y, xs, graft.models.ArimaCss.Spec(0, 0, 0))
+    val fc = graft.models.ArimaCss.forecastX(y, xs, f, 2, Array.empty)
+    (1 to 2).map(h => (h.toLong, r6(f.c), r6(f.beta(0)), r6(f.sigma2), r6(fc(h - 1))))
+      .toDF("h", "c0", "beta", "sigma2", "yhat")
+  }
+
+  private val m1xExogSql =
+    s"""WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+       |        ${droundSql("avg(o_totalprice)", 4)}/100000.0 AS y,
+       |        count(*)/1000.0 AS x
+       |      FROM orders GROUP BY 1),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |        sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM m),
+       |b AS (SELECT n, sx, sy, sxy, syy,
+       |        (n*sxy - sx*sy)/(n*sxx - sx*sx) AS beta FROM a),
+       |c AS (SELECT n, beta, (sy - beta*sx)/n AS c0,
+       |        ((syy - sy*sy/n) - beta*(sxy - sx*sy/n))/n AS sigma2 FROM b),
+       |l AS (SELECT x AS xl FROM m ORDER BY mo DESC LIMIT 1),
+       |f AS (SELECT h, c0, beta, sigma2, c0 + beta*xl AS yhat
+       |      FROM c, l, generate_series(1, 2) AS g(h))
+       |SELECT h, ${droundSql("c0", 6)} AS c0, ${droundSql("beta", 6)} AS beta,
+       | ${droundSql("sigma2", 6)} AS sigma2, ${droundSql("yhat", 6)} AS yhat
+       |FROM f""".stripMargin
+
+  /** m1x_forecast — the full auto-ARIMAX leg: grid search over (p,d,q)
+    * where every cell is a regression-with-ARMA-errors fit on (y = monthly
+    * mean order value, x = monthly order count), S5-sink forecast with the
+    * exog held flat past the end (✖est: L-BFGS cells aren't
+    * SQL-replayable; the beta-recovery and beats-exog-blind properties are
+    * pinned in ModelsSpec). */
+  private def m1xForecast: Q = (s, d) => {
+    val df = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("ts"))
+      .agg(avg(col("o_totalprice")).as("y"),
+           (count(lit(1)) / lit(1000.0)).as("x"))
+    val m = new graft.models.ArimaModel(maxP = 2, maxD = 1, maxQ = 1)
+    m.fit(df, TsSchema("ts", "y", Seq("x")), 2, 6)
+    m.predict(s, 6)
+  }
+
   val queries: Map[String, Q] = Map(
+    "m1x_exog"   -> m1xExog,
+    "m1x_forecast" -> m1xForecast,
     "m6_logy"    -> m6LogY,
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
@@ -485,6 +547,7 @@ object ModelQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "m1x_exog"   -> m1xExogSql,
     "m6_logy"    -> m6LogYSql,
     "m5_trend"   -> m5TrendSql,
     "m5_holiday" -> m5HolidaySql,

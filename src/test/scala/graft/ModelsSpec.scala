@@ -240,6 +240,63 @@ class ModelsSpec extends SparkTestBase {
     assert(fc.length == 5 && fc.forall(v => !v.isNaN))
   }
 
+  test("ARIMAX: recovers beta, and known-future exog beats the exog-blind forecast") {
+    // y_t = 1 + 2·x_t + u_t with u_t = 0.6·u_{t−1} + e_t — regression
+    // with AR(1) errors, the statsmodels object the reference constructs
+    // when original_preds are passed (`build_arima_base.py:265-298`).
+    val nz = graft.core.DetRandom.doubles(4242L)
+    val n = 240; val h = 24
+    val x = new Array[Double](n); val y = new Array[Double](n)
+    var xv = 0.0; var u = 0.0
+    for (t <- 0 until n) {
+      xv = 0.8 * xv + nz() * 4.0 // smooth, strongly-identified regressor
+      u = 0.6 * u + nz()
+      x(t) = xv
+      y(t) = 1.0 + 2.0 * xv + u
+    }
+    val xs = x.map(Array(_))
+    val trainY = y.dropRight(h); val trainX = xs.dropRight(h)
+    val fx = ArimaCss.gridSearch(spark, trainY, maxP = 2, maxD = 1, maxQ = 1, xs = trainX)
+    assert(fx.beta.length == 1, s"expected 1 beta, got ${fx.beta.length}")
+    assert(math.abs(fx.beta(0) - 2.0) < 0.2, s"beta=${fx.beta(0)}")
+    def rmse(p: Array[Double]): Double =
+      math.sqrt(p.zip(y.takeRight(h)).map { case (a, b) => (a - b) * (a - b) }.sum / h)
+    val withX = rmse(ArimaCss.forecastX(trainY, trainX, fx, h, xs.takeRight(h)))
+    val f0 = ArimaCss.gridSearch(spark, trainY, maxP = 2, maxD = 1, maxQ = 1)
+    val blind = rmse(ArimaCss.forecast(trainY, f0, h))
+    assert(withX < blind,
+      s"ARIMAX with known future exog ($withX) should beat exog-blind ARIMA ($blind)")
+    // stepwise with exog lands on a parsimonious error model and keeps beta
+    val sw = ArimaCss.stepwiseSearch(spark, trainY, xs = trainX)
+    assert(sw.beta.length == 1 && math.abs(sw.beta(0) - 2.0) < 0.2,
+      s"stepwise beta=${sw.beta.toSeq}")
+  }
+
+  test("ARIMAX via ArimaModel: schema exog consumed, future frame moves the forecast") {
+    import spark.implicits._
+    val nz = graft.core.DetRandom.doubles(77L)
+    val rows = (0 until 48).map { t =>
+      val x = (t % 12).toDouble
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2015, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       10.0 + 3.0 * x + nz(), x)
+    }
+    val df = rows.toDF("ts", "y", "x")
+    val m = new ArimaModel(maxP = 1, maxD = 1, maxQ = 1)
+    m.fit(df, TsSchema("ts", "y", Seq("x")), cv = 1, h = 4)
+    assert(m.bestBeta.nonEmpty, "ARIMAX fit should carry a beta")
+    val futLow = (0 until 4).map(i => (
+      java.sql.Timestamp.from(java.time.LocalDate.of(2019, 1, 1).plusMonths(i.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant), 0.0)).toDF("ts", "x")
+    val futHigh = futLow.withColumn("x", lit(11.0))
+    val pLow = m.predict(spark, 4, Some(futLow)).select("yhat").as[Double].collect()
+    val pHigh = m.predict(spark, 4, Some(futHigh)).select("yhat").as[Double].collect()
+    // β≈3 ⇒ the x=11 future sits ≈33 above the x=0 future on every step
+    pLow.zip(pHigh).foreach { case (lo, hi) =>
+      assert(hi - lo > 20.0, s"future exog ignored: lo=$lo hi=$hi") }
+  }
+
   test("common-burn AICc: candidates in a round score on IDENTICAL effective n") {
     val rnd = graft.core.DetRandom.doubles(7L)
     val n = 120
