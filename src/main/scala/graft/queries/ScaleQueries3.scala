@@ -108,12 +108,26 @@ object ScaleQueries3 {
         "embedding", "vec_id", 0.4)
       .select(col("id_a"), col("id_b"), Det.dround(col("cosine"), 6).as("cosine"))
 
+  /** D12 — SemDeDup: k-means cluster-then-prune semantic dedup over the
+    * embeddings table; per-cell kept/dropped counts (✖est: Lloyd
+    * centroids aren't SQL-replayable; the drop rule's exactness — every
+    * dropped id has a lower-id cluster-mate at ≥ threshold, and no kept
+    * pair within a cell reaches it — is spec-pinned against the
+    * brute-force twin). */
+  private def d12SemDedup: Q = (s, d) =>
+    graft.scale.Dedup.semDedup(Tables.embeddings(s, d),
+        "embedding", "vec_id", 0.4, nCells = 8, lloydIters = 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+
   val queries: Map[String, Q] = Map(
     "sm7_temperature"    -> sm7Temperature,
     "d10_decontam_bloom" -> d10DecontamBloom,
     "pipe1_curation"     -> pipe1Curation,
     "x13_quality_lr"     -> x13QualityLr,
-    "d11_cosine_lsh"     -> d11CosineLsh
+    "d11_cosine_lsh"     -> d11CosineLsh,
+    "d12_semdedup"       -> d12SemDedup
   )
 
   val oracle: Map[String, String] = Map(

@@ -495,4 +495,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * cluster-then-prune: k-means the embedding space
+    * ([[Similarity.kmeansAssign]], deterministic lowest-id seeds +
+    * distributed Lloyd), then within each cluster drop every vector whose
+    * cosine to a LOWER-id cluster-mate reaches the threshold (the paper's
+    * upper-triangular keep-one rule with a deterministic representative).
+    * Returns every input id with its cell and a `kept` flag.
+    *
+    * Cross-cluster near-dups are invisible by design — that trade IS the
+    * algorithm: candidate pairs are generated per cell, so the pair space
+    * is Σ|cell|² (bounded by choosing nCells ∝ corpus size, the paper
+    * runs k≈11k on LAION), never the global n². 100-TB shape: centroids
+    * are bounded driver state computed once; assignment is one map-side
+    * pass over broadcast centroids; the only shuffle is the per-cell
+    * self-join, keyed on cell, and the drop set joins back as a
+    * left-join on id. No corpus cache: re-evaluating the assignment
+    * repeats a cheap map-side UDF, not the clustering. */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               threshold: Double, nCells: Int = 8,
+               lloydIters: Int = 1): DataFrame = {
+    import graft.functions.VectorOps
+    val assigned = Similarity.kmeansAssign(df, vecCol, idCol, nCells, lloydIters)
+      .withColumn("norm", VectorOps.l2norm(col("v")))
+    val l = assigned.select(col("cell"), col("vid").as("id_a"),
+                            col("v").as("va"), col("norm").as("na"))
+    val r = assigned.select(col("cell"), col("vid").as("id_b"),
+                            col("v").as("vb"), col("norm").as("nb"))
+    val drops = l.join(r, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("vid")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(drops, Seq("vid"), "left")
+      .select(col("vid"), col("cell"),
+              coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
 }

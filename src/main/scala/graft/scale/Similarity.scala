@@ -136,6 +136,35 @@ object Similarity {
     v.withColumn("cell", cellOf(col("v")))
   }
 
+  /** Deterministic k-means cell assignment — the IVF coarse quantizer as
+    * a standalone operator (seeds = lowest-id vectors, `lloydIters`
+    * distributed Lloyd refinements, broadcast centroids). Returns
+    * (vid, v, cell). The centroids are computed EAGERLY here (bounded
+    * nCells × dim state on the driver), so re-evaluating the returned
+    * frame repeats only the map-side assignment, never the clustering —
+    * callers can consume it twice without caching the corpus. */
+  def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                   nCells: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v"))
+    val vc = v.cache() // pinned only across the Lloyd scans below
+    val seeds = vc.orderBy(col("vid")).limit(nCells).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def lloydStep(prev: Array[Array[Double]]): Array[Array[Double]] = {
+      val means = assignCells(vc, prev)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      prev.indices.map(c => means.getOrElse(c, prev(c))).toArray
+    }
+    val cents = (0 until math.max(lloydIters, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
+    vc.unpersist()
+    assignCells(v, cents)
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
     * (deterministic seeds = lowest ids, one distributed Lloyd refinement),
     * then each query searches only its `nProbe` nearest cells. The

@@ -667,6 +667,28 @@ class ScaleSpec extends SparkTestBase {
     assert(lsh.size >= exact.size * 0.6,
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
+
+  test("semDedup: drop set is EXACTLY the within-cell upper-triangular near-dups") {
+    val em = Tables.embeddings(spark, SF)
+    val res = Dedup.semDedup(em, "embedding", "vec_id", 0.4, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // partition property: every input id appears exactly once
+    assert(res.length == em.count())
+    assert(res.map(_._1).distinct.length == res.length)
+    val cellOf = res.map { case (vid, cell, _) => vid -> cell }.toMap
+    val dropped = res.collect { case (vid, _, kept) if !kept => vid }.toSet
+    // recompute the rule from the brute-force twin: b is dropped iff some
+    // lower-id SAME-CELL a sits at cosine >= threshold
+    val exactPairs = Dedup.cosineNearDup(em, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = exactPairs.collect {
+      case (a, b) if cellOf(a) == cellOf(b) => b
+    }.toSet
+    assert(dropped == expected,
+      s"drop set diverged: extra=${(dropped -- expected).size} " +
+      s"missing=${(expected -- dropped).size}")
+    assert(expected.nonEmpty, "fixture should produce at least one semantic drop")
+  }
 }
 
 
