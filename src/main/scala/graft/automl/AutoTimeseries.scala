@@ -41,7 +41,11 @@ import graft.models._
   * @param confInt  Prophet-family interval width (`conf_int`,
   *                   `__init__.py:57`); 0.95 keeps the conventional
   *                   ±1.96σ the twins hash-check, other widths use the
-  *                   exact normal quantile */
+  *                   exact normal quantile
+  * @param seasonalityMode Prophet-leg decomposition: 'additive' (default,
+  *                   Prophet's default) or 'multiplicative' — the
+  *                   reference forwards `seasonality_mode` kwargs to
+  *                   Prophet (`build_prophet.py:73`) */
 class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
                      modelTypes: Seq[String] = Seq("ML", "Prophet", "VAR", "auto_SARIMAX"),
                      scoreType: String = "rmse",
@@ -51,7 +55,8 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
                      seasonality: Boolean = true,
                      lag: Int = 2,
                      timeInterval: Option[String] = None,
-                     confInt: Double = 0.95) {
+                     confInt: Double = 0.95,
+                     seasonalityMode: String = "additive") {
 
   case class Entry(name: String, model: ModelBuild, scores: CvScores)
 
@@ -170,7 +175,8 @@ class AutoTimeseries(cv: Int = 2, forecastPeriod: Int = 8,
       // nChangepoints = -1 → auto piecewise trend (Prophet fits 25
       // potential changepoints by default; auto scales that to the data)
       case "Prophet"      => Some(new DecomposableModel(m, nChangepoints = -1,
-                                    intervalWidth = confInt))
+                                    intervalWidth = confInt,
+                                    seasonalityMode = seasonalityMode))
       case "VAR" if exog.nonEmpty && n <= 1000 => Some(new VarModel(seasonalM = m, z = zCi)) // skip >1000 rows (`__init__.py:672-675`)
       case "VAR"          => None
       // seasonality=false ⇒ the reference's plain non-seasonal grid

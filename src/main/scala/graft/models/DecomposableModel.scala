@@ -44,9 +44,15 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
                         intervalWidth: Double = 0.95,
                         seed: Long = 42L,
                         nChangepoints: Int = 0,
-                        changepointRange: Double = 0.8) extends ModelBuild {
+                        changepointRange: Double = 0.8,
+                        seasonalityMode: String = "additive") extends ModelBuild {
   require(intervalMode == "analytic" || intervalMode == "bootstrap",
     s"intervalMode must be analytic|bootstrap, got $intervalMode")
+  require(seasonalityMode == "additive" || seasonalityMode == "multiplicative",
+    s"seasonalityMode must be additive|multiplicative, got $seasonalityMode")
+  require(!(seasonalityMode == "multiplicative" && intervalMode == "bootstrap"),
+    "bootstrap intervals are implemented for the additive decomposition only")
+  private val multiplicative = seasonalityMode == "multiplicative"
   val name = "Prophet"
 
   private var series: LocalSeries = _
@@ -98,29 +104,128 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
 
   private def holAt(tsMs: Long): Double = if (holidays.contains(tsMs)) 1.0 else 0.0
 
-  private def fitLocal(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]],
-                       nScale: Double, cps: Array[Double]): (DenseVector[Double], Double) = {
-    val rows = y.indices.map(t => designRow(t, nScale, holAt(ts(t)), exog(t), cps))
+  // --- multiplicative decomposition (Prophet seasonality_mode =
+  // 'multiplicative', handled by the reference at `build_prophet.py:73`):
+  // y(t) = g(t)·(1 + s(t)) with g the (piecewise-)linear trend and s the
+  // Fourier/holiday/exog block — NO constant term, exactly as Prophet's
+  // seasonal component: the trend alone carries the level, otherwise the
+  // multiplicative scale is unidentified and the stages fight. Fitted by
+  // 2 backfitting rounds (trend on y/(1+s), then s on y/g − 1): the
+  // first-round trend is biased by the trend-modulated seasonal swing,
+  // and one refit on the seasonally-adjusted series removes it — a
+  // deterministic stand-in for Prophet's joint Stan MAP, same
+  // approximation class as the additive path's ridge. β is stored as the
+  // concatenation [bTrend ++ bSeas]; the split index is a pure function
+  // of the changepoint grid, so persistence carries one vector.
+
+  private val backfitRounds = 2
+
+  private def trendRow(t: Int, nScale: Double, cps: Array[Double]): Array[Double] = {
+    val b = Array.newBuilder[Double]
+    b += 1.0
+    b += t / nScale
+    cps.foreach(c => b += math.max(0.0, (t - c) / nScale))
+    b.result()
+  }
+
+  private def seasRow(hol: Double, exog: Array[Double], t: Int): Array[Double] = {
+    val b = Array.newBuilder[Double]
+    var k = 1
+    while (k <= fourierOrder) {
+      val ang = 2.0 * math.Pi * k * t / seasonalPeriod
+      b += math.sin(ang); b += math.cos(ang)
+      k += 1
+    }
+    if (holidays.nonEmpty) b += hol
+    exog.foreach(b += _)
+    b.result()
+  }
+
+  private def nTrendCols(cps: Array[Double]): Int = 2 + cps.length
+
+  /** A trend value too close to 0 makes the ratio y/g explode; clamp at a
+    * small fraction of the series scale (Prophet's multiplicative mode has
+    * the same implicit positive-trend assumption). */
+  private def clampG(g: Double, scale: Double): Double = {
+    val eps = math.max(scale * 1e-6, 1e-12)
+    if (math.abs(g) < eps) (if (g < 0) -eps else eps) else g
+  }
+
+  private def ridgeSolve(rows: IndexedSeq[Array[Double]], yv: DenseVector[Double],
+                         exemptIntercept: Boolean = true): DenseVector[Double] = {
     val x = DenseMatrix(rows: _*)
-    val yv = DenseVector(y)
     val k = x.cols
     val reg = DenseMatrix.eye[Double](k) *:* ridgeLambda
-    reg(0, 0) = 0.0 // don't shrink the intercept
-    val b = inv(x.t * x + reg) * (x.t * yv)
-    val resid = yv - x * b
-    val dof = math.max(x.rows - k, 1)
-    (b, math.sqrt((resid dot resid) / dof))
+    if (exemptIntercept) reg(0, 0) = 0.0 // don't shrink the intercept
+    inv(x.t * x + reg) * (x.t * yv)
+  }
+
+  private def dotA(b: DenseVector[Double], off: Int, row: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < row.length) { s += b(off + i) * row(i); i += 1 }
+    s
+  }
+
+  /** ŷ at index t for either mode (β layout per [[fitLocal]]). */
+  private def predictAt(b: DenseVector[Double], t: Int, nScale: Double,
+                        hol: Double, exog: Array[Double],
+                        cps: Array[Double], yScale: Double): Double =
+    if (multiplicative) {
+      val nT = nTrendCols(cps)
+      val g = dotA(b, 0, trendRow(t, nScale, cps))
+      val s = dotA(b, nT, seasRow(hol, exog, t))
+      clampG(g, yScale) * (1.0 + s)
+    } else
+      b dot DenseVector(designRow(t, nScale, hol, exog, cps))
+
+  private def fitLocal(ts: Array[Long], y: Array[Double], exog: Array[Array[Double]],
+                       nScale: Double, cps: Array[Double]): (DenseVector[Double], Double) = {
+    val yv = DenseVector(y)
+    val yScale = y.map(math.abs).sum / math.max(y.length, 1)
+    val b =
+      if (multiplicative) {
+        val trendRows = y.indices.map(t => trendRow(t, nScale, cps))
+        val seasRows = y.indices.map(t => seasRow(holAt(ts(t)), exog(t), t))
+        val kS = if (seasRows.isEmpty) 0 else seasRows.head.length
+        var sArr = Array.fill(y.length)(0.0)
+        var bT = DenseVector.zeros[Double](nTrendCols(cps))
+        var bS = DenseVector.zeros[Double](kS)
+        var r = 0
+        while (r < backfitRounds) {
+          // 1+s can graze 0 on pathological fits; the clamp keeps the
+          // adjusted series finite (inactive on any sane decomposition)
+          val yAdj = DenseVector.tabulate(y.length)(t =>
+            y(t) / math.max(1.0 + sArr(t), 0.1))
+          bT = ridgeSolve(trendRows, yAdj)
+          if (kS > 0) {
+            val ratio = DenseVector.tabulate(y.length)(t =>
+              y(t) / clampG(dotA(bT, 0, trendRows(t)), yScale) - 1.0)
+            bS = ridgeSolve(seasRows, ratio, exemptIntercept = false)
+            sArr = y.indices.map(t => dotA(bS, 0, seasRows(t))).toArray
+          }
+          r += 1
+        }
+        DenseVector(bT.toArray ++ bS.toArray)
+      } else
+        ridgeSolve(y.indices.map(t => designRow(t, nScale, holAt(ts(t)), exog(t), cps)), yv)
+    val fitted = y.indices.map(t =>
+      predictAt(b, t, nScale, holAt(ts(t)), exog(t), cps, yScale))
+    val sse = y.indices.map(t => { val e = y(t) - fitted(t); e * e }).sum
+    val dof = math.max(y.length - b.length, 1)
+    (b, math.sqrt(sse / dof))
   }
 
   private def forecastLocal(b: DenseVector[Double], from: Int, h: Int,
                             nScale: Double, tsAt: Int => Long,
                             exog: Int => Array[Double],
-                            cps: Array[Double]): Array[Double] =
+                            cps: Array[Double]): Array[Double] = {
+    val yScale = if (series != null && series.n > 0)
+      series.y.map(math.abs).sum / series.n else 1.0
     Array.tabulate(h) { i =>
       val t = from + i
-      val row = DenseVector(designRow(t, nScale, holAt(tsAt(t)), exog(t), cps))
-      b dot row
+      predictAt(b, t, nScale, holAt(tsAt(t)), exog(t), cps, yScale)
     }
+  }
 
   def fit(df: DataFrame, schema: TsSchema, cv: Int, h: Int): CvScores = {
     series = LocalSeries.collect(df, schema)
@@ -148,9 +253,10 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
     val (f, nf) = fitLocal(series.ts, series.y, series.exog, nScale, cpsFinal)
     beta = f; sigma = nf
     // in-sample residuals of the final fit — the bootstrap's noise pool
+    val yScale = series.y.map(math.abs).sum / math.max(series.n, 1)
     resid = series.y.indices.map { t =>
-      series.y(t) - (f dot DenseVector(
-        designRow(t, nScale, holAt(series.ts(t)), series.exog(t), cpsFinal)))
+      series.y(t) - predictAt(f, t, nScale, holAt(series.ts(t)),
+        series.exog(t), cpsFinal, yScale)
     }.toArray
     CvScores(scores.map(_._1), scores.map(_._2))
   }
@@ -243,6 +349,7 @@ class DecomposableModel(seasonalPeriod: Int, fourierOrder: Int = 3,
       ("uncertaintySamples" -> uncertaintySamples) ~
       ("intervalWidth" -> intervalWidth) ~ ("seed" -> seed) ~
       ("nChangepoints" -> nChangepoints) ~ ("changepointRange" -> changepointRange) ~
+      ("seasonalityMode" -> seasonalityMode) ~
       ("series" -> Persist.seriesJson(series)) ~
       ("beta" -> beta.toArray.toList) ~ ("sigma" -> sigma) ~
       ("resid" -> resid.toList) ~ ("cps" -> cpsFinal.toList) ~
@@ -263,7 +370,8 @@ object DecomposableModel {
       (j \ "intervalMode").extract[String],
       (j \ "uncertaintySamples").extract[Int],
       (j \ "intervalWidth").extract[Double], (j \ "seed").extract[Long],
-      (j \ "nChangepoints").extract[Int], (j \ "changepointRange").extract[Double])
+      (j \ "nChangepoints").extract[Int], (j \ "changepointRange").extract[Double],
+      (j \ "seasonalityMode").extract[String])
     m.series = Persist.seriesFrom(j \ "series")
     m.beta = DenseVector((j \ "beta").extract[Array[Double]])
     m.sigma = (j \ "sigma").extract[Double]

@@ -77,6 +77,74 @@ object ModelQueries2 {
        | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
        |FROM f""".stripMargin
 
+  // ---- m5_mult: multiplicative seasonality ≡ two-stage OLS ---------------
+
+  /** DecomposableModel with seasonalityMode='multiplicative',
+    * fourierOrder=1, λ=0: the 2-round backfit closes to exact OLS at
+    * every stage — round 1 fits trend g₁ on y and the no-intercept
+    * 2-column Fourier stage [sin, cos] on y/g₁ − 1 (2×2 normal
+    * equations); round 2 refits the trend on the seasonally-adjusted
+    * y/(1+s₁) and the Fourier stage on y/g₂ − 1. ŷ = g₂·(1+s₂),
+    * σ² = SSE/(n−4). Hash-checks the REAL multiplicative decomposition
+    * path (`build_prophet.py:73` seasonality_mode kwargs) end to end,
+    * backfit and all. */
+  private def m5Mult: Q = (s, d) => {
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 1,
+                                  ridgeLambda = 0.0,
+                                  seasonalityMode = "multiplicative")
+    m.fit(monthlyY(s, d), TsSchema("ts", "y"), 2, 8)
+    m.predict(s, 8).select(
+      tsStr(col("ts")).as("ts"),
+      dround(col("yhat"), 4).as("yhat"),
+      dround(col("mean_se"), 4).as("mean_se"),
+      dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+      dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+  }
+
+  /** One OLS trend leg (a + b·t on an input column yc) + one 2×2
+    * no-intercept Fourier leg, repeated twice — the SQL mirror of the
+    * model's fixed 2-round backfit. */
+  private val m5MultSql = {
+    def trendLeg(src: String, yc: String, tag: String) =
+      s"""a$tag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st,
+         |  sum(t*t) AS stt, sum($yc) AS sy, sum(t*$yc) AS sty FROM $src),
+         |c$tag AS (SELECT n, (n*sty - st*sy)/(n*stt - st*st) AS slope,
+         |  (sy - ((n*sty - st*sy)/(n*stt - st*st))*st)/n AS icept FROM a$tag)""".stripMargin
+    def fourierLeg(src: String, rc: String, tag: String) =
+      s"""q$tag AS (SELECT sum(sn*sn) AS qss, sum(cs*cs) AS qcc, sum(sn*cs) AS qsc,
+         |  sum(sn*$rc) AS qsr, sum(cs*$rc) AS qcr FROM $src),
+         |p$tag AS (SELECT (qcc*qsr - qsc*qcr)/(qss*qcc - qsc*qsc) AS ps,
+         |  (qss*qcr - qsc*qsr)/(qss*qcc - qsc*qsc) AS pc FROM q$tag)""".stripMargin
+    s"""WITH m AS ($monthlyYSql),
+       |s AS (SELECT y, CAST(row_number() OVER (ORDER BY mo) - 1 AS DOUBLE) AS t FROM m),
+       |sf AS (SELECT t, y, sin(2*pi()*t/12) AS sn, cos(2*pi()*t/12) AS cs FROM s),
+       |${trendLeg("sf", "y", "1")},
+       |g1 AS (SELECT sf.*, icept + slope*t AS gt FROM sf, c1),
+       |r1 AS (SELECT g1.*, y/gt - 1 AS ratio FROM g1),
+       |${fourierLeg("r1", "ratio", "1")},
+       |y2 AS (SELECT sf.t, sf.y, sf.sn, sf.cs,
+       |         sf.y / (1 + ps*sf.sn + pc*sf.cs) AS ya FROM sf, p1),
+       |${trendLeg("y2", "ya", "2")},
+       |g2 AS (SELECT y2.*, icept + slope*t AS gt FROM y2, c2),
+       |r2 AS (SELECT g2.*, y/gt - 1 AS ratio FROM g2),
+       |${fourierLeg("r2", "ratio", "2")},
+       |e AS (SELECT sum(pow(y - gt*(1 + ps*sn + pc*cs), 2)) AS sse
+       |      FROM r2, p2),
+       |d AS (SELECT n, slope, icept, ps, pc, sqrt(sse/(n-4)) AS sigma,
+       |        (SELECT max(mo) FROM m) AS last_mo FROM c2, p2, e),
+       |f AS (SELECT i,
+       |        (icept + slope*(n - 1 + i)) *
+       |          (1 + ps*sin(2*pi()*(n - 1 + i)/12) + pc*cos(2*pi()*(n - 1 + i)/12)) AS p,
+       |        sigma, last_mo
+       |      FROM d, generate_series(1, 8) AS gs(i))
+       |SELECT ${tsStrSql("last_mo + to_months(CAST(i AS INTEGER))")} AS ts,
+       | ${droundSql("p", 4)} AS yhat,
+       | ${droundSql("sigma", 4)} AS mean_se,
+       | ${droundSql("p - 1.96*sigma", 4)} AS mean_ci_lower,
+       | ${droundSql("p + 1.96*sigma", 4)} AS mean_ci_upper
+       |FROM f""".stripMargin
+  }
+
   // ---- m5_holiday: trend + holiday dummy ≡ 2-predictor OLS ---------------
 
   /** DecomposableModel with fourierOrder=0, λ=0 and a December-1st holiday
@@ -535,6 +603,7 @@ object ModelQueries2 {
     "m1x_exog"   -> m1xExog,
     "m1x_forecast" -> m1xForecast,
     "m6_logy"    -> m6LogY,
+    "m5_mult"    -> m5Mult,
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
@@ -549,6 +618,7 @@ object ModelQueries2 {
   val oracle: Map[String, String] = Map(
     "m1x_exog"   -> m1xExogSql,
     "m6_logy"    -> m6LogYSql,
+    "m5_mult"    -> m5MultSql,
     "m5_trend"   -> m5TrendSql,
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,

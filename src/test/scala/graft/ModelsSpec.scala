@@ -318,6 +318,37 @@ class ModelsSpec extends SparkTestBase {
     assert(scored.forall(v => !v._1.isNaN && !v._1.isInfinite))
   }
 
+  test("multiplicative seasonality: amplitude-growing series fits better than additive") {
+    import spark.implicits._
+    // y_t = (20 + 0.8t)·(1 + 0.3·sin(2πt/12)) — the seasonal swing grows
+    // with the trend, Prophet's canonical multiplicative shape
+    val rows = (0 until 60).map { t =>
+      (java.sql.Timestamp.from(
+         java.time.LocalDate.of(2014, 1, 1).plusMonths(t.toLong)
+           .atStartOfDay(java.time.ZoneOffset.UTC).toInstant),
+       (20.0 + 0.8 * t) * (1.0 + 0.3 * math.sin(2 * math.Pi * t / 12.0)))
+    }
+    val df = rows.toDF("ts", "y")
+    def cvRmse(mode: String): Double = {
+      val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 2,
+        ridgeLambda = 0.0, seasonalityMode = mode)
+      m.fit(df, TsSchema("ts", "y"), cv = 2, h = 12).meanRmse
+    }
+    val mult = cvRmse("multiplicative")
+    val add = cvRmse("additive")
+    assert(mult < add * 0.7,
+      s"multiplicative ($mult) should clearly beat additive ($add) here")
+    // the forecast's seasonal swing keeps growing with the trend
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 2,
+      ridgeLambda = 0.0, seasonalityMode = "multiplicative")
+    m.fit(df, TsSchema("ts", "y"), cv = 1, h = 6)
+    val fc = m.predict(spark, 24).select("yhat").as[Double].collect()
+    val swing1 = fc.take(12).max - fc.take(12).min
+    val swing2 = fc.drop(12).max - fc.drop(12).min
+    assert(swing2 > swing1 * 1.05,
+      s"second-year swing $swing2 should exceed first-year $swing1")
+  }
+
   test("changepoint trend: captures a slope break and extrapolates the LAST slope") {
     import spark.implicits._
     // slope 1 for 60 months, then slope 3 — a single linear trend cannot
