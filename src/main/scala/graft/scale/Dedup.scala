@@ -464,11 +464,22 @@ object Dedup {
                          col(vecCol).cast("array<double>").as("v"))
     val banded = base.withColumn("sig", sigU(col("v")))
       .select(col("vid"), posexplode(col("sig"))).toDF("vid", "band", "bucket")
-    val cand = banded.as("l").join(banded.as("r"),
+    // the bucket join EXPANDS ~|bucket| rows per probe row, so the probe
+    // side must be spread across cores BEFORE the expansion — a
+    // single-file corpus otherwise runs the whole candidate pipeline on
+    // one partition (the downstream joins broadcast and pipeline, so
+    // this is the only place parallelism can enter)
+    val probe = banded.repartition(col("vid"))
+    val cand = probe.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.vid") < col("r.vid"))
-      .select(col("l.vid").as("id_a"), col("r.vid").as("id_b")).distinct()
+      .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"))
     val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
+    // candidate pairs stay UNDEDUPED through the broadcast verify (a pair
+    // agreeing on k bands is verified k times — bounded by `bands`) and
+    // collapse in ONE distinct AFTER the threshold filter, when the set
+    // is near-dup-sized: one tiny exchange instead of shuffling the full
+    // candidate space before verification
     cand
       .join(withNorm.select(col("vid").as("id_a"), col("v").as("va"),
                             col("norm").as("na")), Seq("id_a"))
@@ -476,7 +487,7 @@ object Dedup {
                             col("norm").as("nb")), Seq("id_b"))
       .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
   }
 
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
