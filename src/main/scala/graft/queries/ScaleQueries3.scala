@@ -121,17 +121,198 @@ object ScaleQueries3 {
       .agg(count(lit(1)).as("n"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 
+  // ---- D13/D14: exact duplicated-substring (span) dedup ----------------
+
+  /** D13 — exact duplicated-span detection (Lee et al. 2022 ExactSubstr,
+    * arXiv:2107.06499): maximal token runs whose every 6-token window
+    * occurs ≥ 2 times corpus-wide. See [[graft.scale.Dedup.duplicatedSpans]]. */
+  private def d13SpanDedup: Q = (s, d) =>
+    graft.scale.Dedup.duplicatedSpans(Tables.documents(s, d), "text", "doc_id", L = 6)
+      .select(col("sid").as("doc_id"),
+              col("span_start").cast("long").as("span_start"),
+              col("span_end").cast("long").as("span_end"),
+              col("span_tokens").cast("long").as("span_tokens"))
+
+  private val spanL = 6
+  private def spanGram = (0 until spanL).map(j => s"w[pos+$j]").mkString(" || ' ' || ")
+  private def spanCte =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |we AS (SELECT doc_id, w FROM w WHERE len(w) >= $spanL),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(w) - ${spanL - 1})) AS pos, w FROM we),
+       |g2 AS (SELECT doc_id, pos, $spanGram AS s FROM g),
+       |c AS (SELECT s FROM g2 GROUP BY s HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM g2 JOIN c USING (s)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $spanL
+       |               THEN 0 ELSE 1 END AS b
+       |        FROM hits),
+       |isl AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${spanL - 1} AS span_end
+       |          FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  private val d13Sql =
+    s"""WITH $spanCte
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start + 1 AS span_tokens
+       |FROM spans""".stripMargin
+
+  /** D14 — removal companion: documents rebuilt with duplicated spans cut
+    * out (the ExactSubstr-cut policy). */
+  private def d14SpanStrip: Q = (s, d) =>
+    graft.scale.Dedup.stripDuplicatedSpans(Tables.documents(s, d), "text", "doc_id", L = 6)
+      .select(col("sid").as("doc_id"), col("n_tokens"),
+              col("n_dup_tokens"), col("clean_text"))
+
+  private val d14Sql =
+    s"""WITH $spanCte,
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM w),
+       |tok2 AS (SELECT doc_id, pos, w[pos] AS t FROM tok),
+       |cov AS (SELECT t2.doc_id, t2.pos FROM tok2 t2
+       |        JOIN spans s ON t2.doc_id = s.doc_id AND t2.pos BETWEEN s.span_start AND s.span_end),
+       |kept AS (SELECT t2.doc_id, t2.pos, t2.t FROM tok2 t2 ANTI JOIN cov USING (doc_id, pos)),
+       |clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id),
+       |dupn AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_dup_tokens,
+       |  coalesce(c.txt, '') AS clean_text
+       |FROM w LEFT JOIN clean c USING (doc_id) LEFT JOIN dupn d USING (doc_id)""".stripMargin
+
+  // ---- SM9: CCNet perplexity tiers -------------------------------------
+
+  /** SM9 — CCNet head/middle/tail split by unigram-LM score (topV=20 as
+    * x11, exact ⅓/⅔ percentile cuts, tiered keep at 1000/500/100‰ by the
+    * id-mod rule). Per-tier totals + kept counts, fully SQL-replayable. */
+  private def sm9Tiers: Q = (s, d) =>
+    graft.scale.TextAnalysis.qualityTiers(Tables.documents(s, d), "text", "doc_id",
+        topV = 20)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+
+  private val sm9Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 20),
+       |t AS (SELECT CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS n,
+       |             CAST((SELECT count(*) FROM top) AS DOUBLE) AS v,
+       |             CAST((SELECT sum(cnt) FROM c) AS DOUBLE)
+       |               - CAST((SELECT sum(cnt) FROM top) AS DOUBLE) AS oov),
+       |s AS (SELECT doc_id,
+       |        ln((coalesce(top.cnt, t.oov) + 0.5) / (t.n + 0.5 * (t.v + 1))) AS logp
+       |      FROM toks LEFT JOIN top USING (tok) CROSS JOIN t),
+       |sc AS (SELECT doc_id, ${Det.droundSql("avg(logp)", 4)} AS score
+       |       FROM s GROUP BY doc_id),
+       |cut AS (SELECT quantile_cont(score, 1.0/3.0) AS c33,
+       |               quantile_cont(score, 2.0/3.0) AS c66 FROM sc),
+       |tiered AS (SELECT doc_id, score,
+       |    CASE WHEN score >= c66 THEN 'head'
+       |         WHEN score >= c33 THEN 'middle'
+       |         ELSE 'tail' END AS tier
+       |  FROM sc CROSS JOIN cut)
+       |SELECT tier, count(*) AS n,
+       |  sum(CASE WHEN doc_id % 1000 <
+       |        (CASE tier WHEN 'head' THEN 1000 WHEN 'middle' THEN 500 ELSE 100 END)
+       |      THEN 1 ELSE 0 END) AS n_kept
+       |FROM tiered GROUP BY tier""".stripMargin
+
+  // ---- ST: streaming online per-series forecast (batch twin) -----------
+
+  /** ST_FORECAST — one-step-ahead expanding-OLS trend forecast for every
+    * event (the deterministic batch twin of
+    * [[graft.streaming.OnlineForecast.forecast]]; the streaming form is
+    * spec-pinned to agree with this on any in-order micro-batch split).
+    * Both engines accumulate the running sums in the same (ts, event_id)
+    * order; dround(4) absorbs window-aggregation-tree ulp amplified by the
+    * slope cancellation. */
+  private def stForecast: Q = (s, d) =>
+    graft.streaming.OnlineForecast.expandingTrendBatch(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+              Det.dround(col("yhat"), 4).as("yhat"))
+
+  private val stForecastSql =
+    s"""WITH r AS (SELECT event_id, user_id, value,
+       |             row_number() OVER w AS rn
+       |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT event_id, user_id, rn,
+       |        CAST(sum(CAST(${Det.droundSql("value", 2)} AS DECIMAL(18,2))) OVER pw AS DOUBLE) AS sy,
+       |        CAST(sum(CAST(${Det.droundSql("value", 2)} AS DECIMAL(18,2)) * rn) OVER pw AS DOUBLE) AS sty
+       |      FROM r WINDOW pw AS (PARTITION BY user_id ORDER BY rn
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |f AS (SELECT event_id, user_id, rn, sy, sty,
+       |        CAST(rn - 1 AS DOUBLE) AS n,
+       |        (rn - 1) * rn / 2.0 AS st,
+       |        (rn - 1) * rn * (2 * rn - 1) / 6.0 AS stt
+       |      FROM s),
+       |g AS (SELECT event_id, user_id, rn, sy, st, n,
+       |        (n * sty - st * sy) / (n * stt - st * st) AS slope
+       |      FROM f)
+       |SELECT event_id, user_id,
+       |  CASE WHEN rn = 1 THEN NULL
+       |       WHEN rn = 2 THEN ${Det.droundSql("sy", 4)}
+       |       ELSE ${Det.droundSql("(sy - slope * st) / n + slope * CAST(rn AS DOUBLE)", 4)}
+       |  END AS yhat
+       |FROM g""".stripMargin
+
+  // ---- SM8: DSIR importance-resampling scores --------------------------
+
+  /** SM8 — DSIR log importance weights (Xie et al. 2023): every raw doc
+    * (source ≠ src0) scored against the src0 target distribution under
+    * hashed unigram+bigram bag-of-ngrams models, 1024 buckets. The md5
+    * bucket hash is engine-portable, so the whole model — counts,
+    * smoothing, log-ratio, per-doc sum — is replayed in SQL. */
+  private def sm8Dsir: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Sampling.dsirLogWeights(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "text", "doc_id", buckets = 1024)
+      .select(col("fid").as("doc_id"), Det.dround(col("logw"), 4).as("logw"),
+              col("n_feats"))
+  }
+
+  private val sm8Sql = {
+    val bigrams = "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
+    val bucket = "('0x' || substr(md5(f), 1, 4))::BIGINT % 1024"
+    s"""WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+       |tf AS (SELECT unnest(list_concat(w, $bigrams)) AS f FROM tw),
+       |tb AS (SELECT $bucket AS b FROM tf),
+       |tc AS (SELECT b, count(*) AS tc FROM tb GROUP BY b),
+       |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE source <> 'src0'),
+       |rf AS (SELECT doc_id, unnest(list_concat(w, $bigrams)) AS f FROM rw),
+       |rb AS (SELECT doc_id, $bucket AS b FROM rf),
+       |rc AS (SELECT b, count(*) AS rc FROM rb GROUP BY b),
+       |t AS (SELECT CAST((SELECT count(*) FROM tb) AS DOUBLE) AS tn,
+       |             CAST((SELECT count(*) FROM rb) AS DOUBLE) AS rn),
+       |sp AS (SELECT unnest(generate_series(0, 1023)) AS b),
+       |lr AS (SELECT sp.b,
+       |         ln((coalesce(tc.tc, 0) + 0.5) / (t.tn + 512.0))
+       |         - ln((coalesce(rc.rc, 0) + 0.5) / (t.rn + 512.0)) AS lw
+       |       FROM sp LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN t)
+       |SELECT doc_id, ${Det.droundSql("sum(lw)", 4)} AS logw, count(*) AS n_feats
+       |FROM rb JOIN lr USING (b) GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sm7_temperature"    -> sm7Temperature,
     "d10_decontam_bloom" -> d10DecontamBloom,
     "pipe1_curation"     -> pipe1Curation,
     "x13_quality_lr"     -> x13QualityLr,
     "d11_cosine_lsh"     -> d11CosineLsh,
-    "d12_semdedup"       -> d12SemDedup
+    "d12_semdedup"       -> d12SemDedup,
+    "d13_span_dedup"     -> d13SpanDedup,
+    "d14_span_strip"     -> d14SpanStrip,
+    "sm8_dsir"           -> sm8Dsir,
+    "sm9_ppl_tiers"      -> sm9Tiers,
+    "st_forecast"        -> stForecast
   )
 
   val oracle: Map[String, String] = Map(
+    "sm9_ppl_tiers"   -> sm9Sql,
+    "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
-    "pipe1_curation"  -> pipe1Sql
+    "pipe1_curation"  -> pipe1Sql,
+    "d13_span_dedup"  -> d13Sql,
+    "d14_span_strip"  -> d14Sql,
+    "sm8_dsir"        -> sm8Sql
   )
 }

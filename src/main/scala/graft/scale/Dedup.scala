@@ -544,4 +544,94 @@ object Dedup {
       .select(col("vid"), col("cell"),
               coalesce(!col("dropped"), lit(true)).as("kept"))
   }
+
+  // ---- Exact duplicated-substring detection (span dedup) ---------------
+
+  /** Positional L-token gram hashes: (sid, pos, h), pos 1-based, one row
+    * per WINDOW (not distinct — position is the payload). Each word is
+    * hashed once; the L-gram hash combines the word hashes, so the
+    * shuffle key is an 8-byte long, never the gram string. */
+  private def positionalGramHashes(df: DataFrame, textCol: String,
+                                   idCol: String, L: Int): DataFrame =
+    graft.core.Par.widen(df).select(col(idCol).as("sid"),
+        expr(s"transform(split(`$textCol`, ' '), x -> xxhash64(x))").as("wh"))
+      .filter(size(col("wh")) >= L)
+      .select(col("sid"), posexplode(expr(
+        s"transform(sequence(1, size(wh) - ${L - 1}), i -> " +
+        (0 until L).map(j => s"element_at(wh, i + $j)").mkString("xxhash64(", ", ", ")") + ")"
+      )))
+      .select(col("sid"), (col("pos") + 1).as("pos"), col("col").as("h"))
+
+  /** Exact duplicated-span detection — the substring half of the dedup
+    * family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499: remove any text run appearing ≥ 2
+    * times in the corpus). The suffix-array of the paper is replaced by
+    * the shuffle-native equivalent: every positional L-token window is
+    * fingerprinted, windows whose fingerprint occurs ≥ `minCount` times
+    * corpus-wide are duplicated, and overlapping duplicated windows merge
+    * into maximal spans (two hits at p₁ < p₂ join iff p₂ − p₁ ≤ L). A
+    * span [a, b] therefore means every L-window inside it is duplicated —
+    * the same "duplicated region of ≥ L tokens" the suffix array yields,
+    * found with joins instead of a giant sorted array.
+    *
+    * Returns one row per maximal span: (sid, span_start, span_end,
+    * span_tokens), token positions 1-based inclusive.
+    *
+    * 100-TB shape: the gram explode is map-side; occurrence counting is
+    * one partial-agg shuffle on the 8-byte fingerprint; the hit join
+    * reuses the same key (identical subtrees up to the exchange →
+    * ReuseExchange); the island merge is one window shuffle on doc id.
+    * `maxDf` caps pathological stop-grams (boilerplate shared by millions
+    * of docs): grams above the cap are still *counted* but excluded from
+    * span building, so spans can only be missed, never invented. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      L: Int = 8, minCount: Int = 2,
+                      maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGramHashes(df, textCol, idCol, L)
+    val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val dup = maxDf.foldLeft(occ.filter(col("occ") >= minCount)) {
+      (d, cap) => d.filter(col("occ") <= cap)
+    }.select(col("h"))
+    val hits = grams.join(dup, Seq("h")).select(col("sid"), col("pos"))
+    val w = Window.partitionBy(col("sid")).orderBy(col("pos"))
+    val runs = Window.partitionBy(col("sid")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= L, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(runs))
+      .groupBy(col("sid"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(L - 1)).as("span_end"))
+      .select(col("sid"), col("span_start"), col("span_end"),
+              (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Removal companion to [[duplicatedSpans]]: rebuild each document with
+    * its duplicated spans cut out (the paper's ExactSubstr-cut policy).
+    * Documents with no duplicated span pass through untouched. Returns
+    * (sid, n_tokens, n_dup_tokens, clean_text).
+    *
+    * The span table is grouped to one array row per affected doc (spans
+    * per doc are bounded by len/L), joined back on the id key, and the
+    * cut itself is a map-side higher-order filter over the token array —
+    * the corpus text is never shuffled, only the id-keyed span rows. */
+  def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                           L: Int = 8, minCount: Int = 2,
+                           maxDf: Option[Long] = None): DataFrame = {
+    val spans = duplicatedSpans(df, textCol, idCol, L, minCount, maxDf)
+      .groupBy(col("sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+           sum(col("span_tokens")).as("n_dup_tokens"))
+    df.select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+      .join(spans, Seq("sid"), "left")
+      .select(col("sid"), size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("spans").isNull, array_join(col("w"), " ")).otherwise(
+          array_join(expr(
+            "filter(transform(w, (x, i) -> IF(exists(spans, s -> " +
+            "i + 1 >= s.span_start AND i + 1 <= s.span_end), NULL, x)), " +
+            "x -> x IS NOT NULL)"), " ")).as("clean_text"))
+  }
 }

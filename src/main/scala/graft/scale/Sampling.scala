@@ -111,4 +111,75 @@ object Sampling {
     }
     df.filter(pmod(col(idCol), lit(1000)) < keep)
   }
+
+  // ---- DSIR: Data Selection via Importance Resampling ------------------
+
+  /** Hashed unigram+bigram feature buckets: (fid, b), one row per token
+    * occurrence, b ∈ [0, buckets). The bucket is the first 16 bits of
+    * md5(feature) mod `buckets` — engine-portable (DuckDB replays it as
+    * ('0x'||substr(md5(f),1,4))::BIGINT % buckets), deterministic, and
+    * entirely map-side. */
+  private def hashedFeats(df: DataFrame, textCol: String, idCol: String,
+                          buckets: Int): DataFrame =
+    df.select(col(idCol).as("fid"), split(col(textCol), " ").as("w"))
+      .select(col("fid"), explode(concat(col("w"),
+        when(size(col("w")) >= 2, expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))"))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col("fid"),
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long") % buckets).as("b"))
+
+  /** DSIR log importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * fit two hashed bag-of-ngrams models — p on the TARGET corpus (the
+    * distribution you want more of) and q on the RAW corpus — and score
+    * every raw document by log w = Σ_features (ln p_b − ln q_b), add-λ
+    * smoothed over the fixed bucket space. High log-w docs look like the
+    * target; resampling by this weight is the paper's selection rule.
+    * Returns (id, logw, n_feats) for every raw document.
+    *
+    * 100-TB shape: both models are ONE partial aggregate each, bounded by
+    * `buckets` rows regardless of corpus size; their log-ratio table
+    * joins back as a BROADCAST, so the raw corpus is never shuffled for
+    * scoring — the only corpus-keyed exchange is the per-doc score
+    * aggregate, map-side combined down to one row per document. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                     idCol: String, buckets: Int = 1024,
+                     smooth: Double = 0.5): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must fit the 16-bit hash prefix, got $buckets")
+    val rawB = hashedFeats(raw, textCol, idCol, buckets)
+    val tgtB = hashedFeats(target, textCol, idCol, buckets)
+    val spine = raw.sparkSession.range(0, buckets).select(col("id").as("b"))
+    // totals derive from the B-row bucket tables via a window over the
+    // spine (≤ B rows, exact long sums) — NOT a recount of the exploded
+    // corpora, so each corpus is tokenized exactly once per model
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val tc = tgtB.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rc = rawB.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val lr = spine
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(rc), Seq("b"), "left")
+      .withColumn("tn", sum(coalesce(col("tc"), lit(0L))).over(wAll))
+      .withColumn("rn", sum(coalesce(col("rc"), lit(0L))).over(wAll))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(smooth)) /
+             (col("tn") + lit(smooth * buckets))) -
+         log((coalesce(col("rc"), lit(0L)) + lit(smooth)) /
+             (col("rn") + lit(smooth * buckets)))).as("lw"))
+    rawB.join(broadcast(lr), Seq("b"))
+      .groupBy(col("fid"))
+      .agg(sum(col("lw")).as("logw"), count(lit(1)).as("n_feats"))
+  }
+
+  /** DSIR selection: the `k` raw documents with the highest importance
+    * weight (ties broken by id — deterministic, no Gumbel noise; the
+    * paper's Gumbel top-k is a randomized tie-spreader over the same
+    * ordering). TakeOrdered on (logw desc, id asc): no global sort. */
+  def dsirTopK(raw: DataFrame, target: DataFrame, textCol: String,
+               idCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    dsirLogWeights(raw, target, textCol, idCol, buckets)
+      .orderBy(col("logw").desc, col("fid").asc)
+      .limit(k)
 }

@@ -238,4 +238,53 @@ object TextAnalysis {
     df.withColumn("fingerprint", expr(
       s"aggregate(transform(sequence(1, 64), i -> CAST(ascii(substring($textCol, i, 1)) AS BIGINT)), " +
       "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
+
+  /** CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020 §4.3:
+    * split the corpus into thirds by LM score, keep the head, downsample
+    * the rest). Scores come from [[unigramLogProb]] rounded to 4 decimals
+    * (engine-stable), tier cuts are the ⅓/⅔ percentiles of that score,
+    * and the tiered keep is the deterministic id-mod rule at the given
+    * permille per tier. Returns (id, score, tier, kept).
+    *
+    * Tier assignment is robust to cross-engine percentile ulp: an
+    * interpolated cut lies strictly inside a gap between two observed
+    * (rounded) scores, so a last-ulp difference in the cut cannot move
+    * any document across it.
+    *
+    * Scale: `exactCuts=true` (the oracle form) uses the exact percentile
+    * aggregate, which buffers the per-doc score column on one executor —
+    * fine to millions of docs, not to 100 TB; `exactCuts=false` swaps in
+    * the t-digest `approx_percentile` sketch (bounded memory at any
+    * scale), keeping everything else identical. Either way the cuts are
+    * TWO numbers broadcast back; the corpus is never globally sorted —
+    * this is the percentile-threshold form of CCNet's split, not an
+    * ntile over a single partition. */
+  def qualityTiers(df: DataFrame, textCol: String, idCol: String,
+                   topV: Int = 100000,
+                   permille: (Int, Int, Int) = (1000, 500, 100),
+                   alpha: Double = 0.5,
+                   exactCuts: Boolean = true): DataFrame = {
+    val scores = unigramLogProb(df, textCol, idCol, alpha, topV)
+      .withColumn("score", floor(col("mean_logp") * lit(1e4) + lit(0.5)) / lit(1e4))
+    val cutAgg =
+      // CAST the numerator, then divide: the probabilities must be the
+      // IEEE doubles 1/3 and 2/3 (a decimal-literal division would
+      // quantize them differently from the oracle's double arithmetic)
+      if (exactCuts)
+        expr("percentile(score, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0))")
+      else
+        expr("approx_percentile(score, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0), 10000)")
+    val cuts = scores.agg(cutAgg.as("cuts"))
+      .select(col("cuts")(0).as("c33"), col("cuts")(1).as("c66"))
+    val rate = when(col("tier") === "head", lit(permille._1))
+      .when(col("tier") === "middle", lit(permille._2))
+      .otherwise(lit(permille._3))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("score") >= col("c66"), "head")
+          .when(col("score") >= col("c33"), "middle")
+          .otherwise("tail"))
+      .withColumn("kept", pmod(col(idCol), lit(1000)) < rate)
+      .select(col(idCol), col("score"), col("tier"), col("kept"))
+  }
 }

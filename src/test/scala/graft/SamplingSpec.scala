@@ -97,4 +97,56 @@ class SamplingSpec extends SparkTestBase {
       assert(math.abs(e - a) <= math.max(20.0, 0.1 * e),
         s"$lang: approx $a vs exact $e")
   }
+
+  test("DSIR ranks target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    // target speaks vocabulary A; raw has two A-docs, two B-docs, one mixed
+    val target = Seq(
+      (100L, "alpha beta gamma delta alpha beta gamma delta"),
+      (101L, "beta gamma delta epsilon beta gamma delta epsilon"),
+      (102L, "alpha gamma epsilon delta alpha beta")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta epsilon alpha beta gamma"),
+      (2L, "gamma delta alpha epsilon beta gamma delta alpha"),
+      (3L, "zork quux blarg frobnitz zork quux blarg frobnitz"),
+      (4L, "quux frobnitz blarg zork frobnitz quux blarg zork"),
+      (5L, "alpha beta zork quux gamma delta blarg frobnitz")
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 5)
+    for (a <- Seq(1L, 2L); b <- Seq(3L, 4L))
+      assert(w(a) > w(b), s"on-target doc $a (${w(a)}) must outscore off-target $b (${w(b)})")
+    assert(w(5L) > w(3L) && w(5L) < w(1L), "mixed doc sits between")
+    val top = Sampling.dsirTopK(raw, target, "text", "doc_id", 2)
+      .select("fid").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L))
+  }
+
+  test("DSIR scoring never shuffles the raw corpus text: broadcast ratio join") {
+    val docs2 = docs.filter(col("source") =!= "src0")
+    val tgt = docs.filter(col("source") === "src0")
+    val plan = withAqeOff {
+      Sampling.dsirLogWeights(docs2, tgt, "text", "doc_id")
+        .queryExecution.executedPlan
+    }
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, "log-ratio table must join back as a broadcast")
+    // the scoring probe side (the raw corpus) must reach its broadcast
+    // join unshuffled: scan -> explode -> hash -> BHJ, all map-side
+    val outer = bcasts.head // outermost = the corpus-side scoring join
+    val probe = outer.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => outer.left
+      case _ => outer.right
+    }
+    val probeShuffles = probe.collect { case e: ShuffleExchangeLike => e }
+    assert(probeShuffles.isEmpty,
+      "corpus text must not shuffle before the log-ratio broadcast join")
+    // everything else is bounded: two B-row bucket aggs, their two
+    // single-row totals, and the one-row-per-doc score agg
+    val shuffleCnt = plan.collect { case e: ShuffleExchangeLike => e }.size
+    assert(shuffleCnt <= 5, s"expected <=5 bounded shuffles, got $shuffleCnt")
+  }
 }

@@ -689,6 +689,82 @@ class ScaleSpec extends SparkTestBase {
       s"missing=${(expected -- dropped).size}")
     assert(expected.nonEmpty, "fixture should produce at least one semantic drop")
   }
+
+  test("qualityTiers: thirds split, tiered keep rates, approx cuts agree with exact") {
+    val exact = TextAnalysis.qualityTiers(docs, "text", "doc_id", topV = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    val n = exact.size
+    assert(n == docs.count())
+    val byTier = exact.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"), s"got $byTier")
+    // percentile thirds: each tier within ±2 of n/3 (ties can shift cuts)
+    byTier.foreach { case (t, c) =>
+      assert(math.abs(c - n / 3) <= math.max(2, n / 6), s"tier $t size $c vs n=$n") }
+    // head keeps everything (1000 permille); tail keeps ~10%
+    val headDocs = exact.collect { case (id, ("head", kept)) => kept }
+    assert(headDocs.nonEmpty && headDocs.forall(identity), "head tier must keep all docs")
+    val tailKept = exact.collect { case (_, ("tail", kept)) => kept }
+    assert(tailKept.count(identity) < tailKept.size / 2, "tail tier must be downsampled")
+    // the t-digest cut path assigns the same tiers at this scale
+    val approx = TextAnalysis.qualityTiers(docs, "text", "doc_id", topV = 20,
+        exactCuts = false)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val agree = exact.count { case (id, (t, _)) => approx(id) == t }
+    assert(agree >= (n * 0.95).toInt, s"approx tiers diverge: $agree/$n agree")
+  }
+
+  test("duplicatedSpans: maximal duplicated runs on a hand-checked fixture") {
+    val docs4 = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h q r"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "a b c d e f g h z1 z2 z3 z4 c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs4, "text", "doc_id", L = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+      .toSet
+    // doc1 is covered end-to-end (its 4-grams all recur in doc4), doc2
+    // shares "c d e f g h", doc3 is clean, doc4 has the two planted runs.
+    assert(spans == Set((1L, 1, 10), (2L, 3, 8), (4L, 1, 8), (4L, 13, 20)))
+  }
+
+  test("stripDuplicatedSpans cuts exactly the duplicated spans") {
+    val docs4 = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h q r"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "a b c d e f g h z1 z2 z3 z4 c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs4, "text", "doc_id", L = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 10L, "")), "fully-duplicated doc strips to empty")
+    assert(out(2L) == ((10L, 6L, "x y q r")))
+    assert(out(3L) == ((10L, 0L, "p q r s t u v w x y")), "clean doc passes through")
+    assert(out(4L) == ((20L, 16L, "z1 z2 z3 z4")))
+  }
+
+  test("duplicatedSpans invariants on the corpus + maxDf only shrinks") {
+    val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", L = 6).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    assert(spans.nonEmpty, "fixture corpus should contain duplicated spans")
+    assert(spans.forall { case (_, a, b) => b - a + 1 >= 6 },
+      "every span covers at least L tokens")
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $id: spans not maximal/disjoint")
+        case _ => ()
+      }
+    }
+    val full = spans.map { case (id, a, b) => (id, a, b) }.toSet
+    val capped = Dedup.duplicatedSpans(docs, "text", "doc_id", L = 6, maxDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    // capping the gram document-frequency can only lose duplicated
+    // positions, so every capped span nests inside some full span
+    assert(capped.forall { case (id, a, b) =>
+      full.exists { case (fid, fa, fb) => fid == id && fa <= a && b <= fb } })
+  }
 }
 
 

@@ -437,4 +437,70 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((0L, 3L, 7.0)), s"window [0,30) wrong: $rows")
     assert(rows.contains((15L * 60 / 60, 1L, 4.0)) || rows.exists(_._1 == 15), s"missing [15,45): $rows")
   }
+
+  test("online trend forecast: streaming == batch twin across micro-batch splits") {
+    import graft.streaming.OnlineForecast
+    import graft.streaming.OnlineForecast.{Pt, Forecast}
+    // a deterministic slice of the events fixture: 3 users, all their events
+    val evs = Tables.events(spark, SF)
+      .filter(col("user_id") <= 2)
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("value"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    assert(evs.length > 20, "fixture slice too small to exercise state carry")
+
+    val batch = OnlineForecast.expandingTrendBatch(
+        Tables.events(spark, SF).filter(col("user_id") <= 2),
+        "value", "ts", Seq("user_id"), Seq("event_id"))
+      .select(col("event_id"), col("yhat")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+    for ((nSplits, seed) <- Seq((1, 0), (3, 1), (7, 2))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"trend_out_$seed"
+      val q = OnlineForecast.forecast(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      // split the GLOBALLY time-ordered feed into contiguous chunks: each
+      // series sees its events in order, state must carry across batches
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Forecast].collect()
+        .map(f => f.eventId -> f.yhat).toMap
+      assert(got.size == evs.length, s"split $nSplits: missing forecasts")
+      def diverges(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) > 1e-9
+        case _ => a.isDefined != b.isDefined
+      }
+      val diffs = got.collect { case (id, yh) if diverges(yh, batch(id)) => id }
+      assert(diffs.isEmpty,
+        s"split $nSplits: ${diffs.size} forecasts diverge from batch twin, e.g. ${diffs.take(3)}")
+    }
+  }
+
+  test("online trend forecast drops late events instead of rewinding state") {
+    import graft.streaming.OnlineForecast
+    import graft.streaming.OnlineForecast.{Pt, Forecast}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pt]
+    val q = OnlineForecast.forecast(mem.toDS()).writeStream
+      .format("memory").queryName("trend_late").outputMode("update").start()
+    mem.addData(Pt(9L, 1000L, 1L, 1.0), Pt(9L, 2000L, 2L, 2.0), Pt(9L, 3000L, 3L, 3.0))
+    q.processAllAvailable()
+    // a late arrival behind the frontier and a duplicate of the frontier row
+    mem.addData(Pt(9L, 1500L, 10L, 99.0), Pt(9L, 3000L, 3L, 3.0), Pt(9L, 4000L, 4L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trend_late").as[Forecast].collect()
+      .sortBy(f => (f.tsMs, f.eventId))
+    assert(got.map(_.eventId).toSeq == Seq(1L, 2L, 3L, 4L), s"got ${got.toSeq}")
+    // the linear series 1,2,3 predicts 4 exactly
+    assert(math.abs(got.last.yhat.get - 4.0) < 1e-9, s"got ${got.last}")
+  }
 }
