@@ -177,6 +177,44 @@ object ScaleQueries3 {
        |  coalesce(c.txt, '') AS clean_text
        |FROM w LEFT JOIN clean c USING (doc_id) LEFT JOIN dupn d USING (doc_id)""".stripMargin
 
+  // ---- S6: embedding covariance + PCA whitening ------------------------
+
+  /** S6a — exact covariance table of the embedding matrix (the input to
+    * PCA): one row per dimension pair i ≤ j. Coordinates quantize to 6
+    * decimals and accumulate in exact decimal, so both engines see
+    * bit-identical sums (see [[graft.scale.Similarity.covarianceMoments]]). */
+  private def s6EmbedCov: Q = (s, d) =>
+    graft.scale.Similarity.covarianceMoments(Tables.embeddings(s, d), "embedding", dim = 64)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+              Det.dround(col("cov"), 6).as("cov"))
+
+  private val s6CovSql =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS q
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |g AS (SELECT e.vec_id, idx.i, e.q[idx.i] AS x FROM e CROSS JOIN idx),
+       |m AS (SELECT i, CAST(sum(x) AS DOUBLE) AS s FROM g GROUP BY i),
+       |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS DOUBLE) AS sp
+       |      FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |      GROUP BY a.i, b.i)
+       |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       |  ${Det.droundSql("sp / nn.n - (mi.s / nn.n) * (mj.s / nn.n)", 6)} AS cov
+       |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN nn""".stripMargin
+
+  /** S6b — PCA whitening check: per-component variance of the whitened
+    * 8-dim projection (≈ 1.0 by construction; ✖est — eigenvectors are
+    * not SQL-replayable; identity-covariance property is spec-pinned). */
+  private def s6PcaWhiten: Q = (s, d) =>
+    graft.scale.Similarity.pcaWhiten(Tables.embeddings(s, d), "embedding", "vec_id", k = 8)
+      .select(posexplode(col("proj")).as(Seq("comp", "x")))
+      .groupBy((col("comp") + 1).cast("long").as("comp"))
+      .agg(Det.dround(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 4)
+             .as("variance"),
+           count(lit(1)).as("n"))
+
   // ---- SM9: CCNet perplexity tiers -------------------------------------
 
   /** SM9 — CCNet head/middle/tail split by unigram-LM score (topV=20 as
@@ -303,11 +341,14 @@ object ScaleQueries3 {
     "d14_span_strip"     -> d14SpanStrip,
     "sm8_dsir"           -> sm8Dsir,
     "sm9_ppl_tiers"      -> sm9Tiers,
-    "st_forecast"        -> stForecast
+    "st_forecast"        -> stForecast,
+    "s6_embed_cov"       -> s6EmbedCov,
+    "s6_pca_whiten"      -> s6PcaWhiten
   )
 
   val oracle: Map[String, String] = Map(
     "sm9_ppl_tiers"   -> sm9Sql,
+    "s6_embed_cov"    -> s6CovSql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

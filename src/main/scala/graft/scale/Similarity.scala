@@ -276,4 +276,110 @@ object Similarity {
               posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
       .groupBy(col("label"), (col("dim") + 1).as("dim"))
       .agg(avg(col("x")).as("mean"), count(lit(1)).as("n"))
+
+  // ---- PCA / whitening (embedding preprocessing) -----------------------
+
+  /** Exact second-moment table of the embedding matrix: one row per
+    * dimension pair (i ≤ j, 1-based) with the population covariance.
+    * The input coordinates are quantized to 6 decimals and accumulated
+    * in EXACT decimal arithmetic (the Det.moneySum discipline at
+    * embedding precision), so the sums — and therefore the covariance —
+    * are bit-identical in any engine regardless of summation order.
+    *
+    * 100-TB shape: the per-row upper-triangular outer product is a pure
+    * map-side higher-order transform (d(d+1)/2 entries per vector, no
+    * join, no corpus shuffle); the only exchanges carry partial
+    * aggregates keyed by the d²/2 pair space, which is independent of
+    * corpus size. Rows whose vector length ≠ dim are excluded. */
+  def covarianceMoments(df: DataFrame, vecCol: String, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val q = df.select(col(vecCol).cast("array<double>").as("e"))
+      .filter(size(col("e")) === d)
+      .select(expr(
+        "transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)))")
+        .as("q"))
+    val nDf = q.groupBy().agg(count(lit(1)).as("n"))
+    val marg = q.select(posexplode(col("q")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).as("i"))
+      .agg(sum(col("x")).cast("double").as("s"))
+    val pairs = q.select(explode(expr(
+        s"flatten(transform(sequence(1, $d), i -> " +
+        s"transform(sequence(i, $d), j -> named_struct('i', i, 'j', j, " +
+        s"'p', element_at(q, i) * element_at(q, j)))))"))
+        .as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).cast("double").as("sp"))
+    pairs
+      .join(broadcast(marg.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(nDf))
+      .select(col("i"), col("j"),
+        (col("sp") / col("n") -
+         (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
+  }
+
+  /** PCA projection with optional whitening — the standard embedding
+    * preprocessing before ANN / SemDeDup (decorrelate, equalize
+    * variance; whitened cosine ≈ Mahalanobis). The d×d covariance comes
+    * from [[covarianceMoments]] (bounded: d²/2 rows collected — driver
+    * state is O(d²), never O(corpus)); its symmetric eigendecomposition
+    * runs on the driver (Breeze `eigSym`, the same boundary where IVF
+    * keeps its centroids); the top-k component matrix broadcasts back
+    * and projection is one map-side pass. Deterministic: exact-decimal
+    * covariance, then a fixed sign convention (each component's
+    * largest-|loading| coordinate is made positive; ties → lowest index).
+    * Whitening divides each component by √λ (λ floored at 1e-12), so the
+    * projected population covariance is the k×k identity. */
+  def pcaWhiten(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                whiten: Boolean = true, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d, got $k")
+    val momRows = covarianceMoments(df, vecCol, d).collect()
+    val mean = {
+      // recover the mean from the moments input is not possible (cov only),
+      // so take one more bounded agg: d rows of per-dim averages
+      val m = df.select(col(vecCol).cast("array<double>").as("e"))
+        .filter(size(col("e")) === d)
+        .select(posexplode(expr(
+          "transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)))"))
+          .as(Seq("i0", "x")))
+        .groupBy(col("i0")).agg(avg(col("x")).cast("double").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      Array.tabulate(d)(m(_))
+    }
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    momRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      cov(i, j) = c; cov(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top k, largest first
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+    val w = Array.tabulate(k, d) { (r, c) =>
+      val v = es.eigenvectors(::, order(r))
+      // sign convention: largest-|loading| coordinate positive
+      val pivot = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+      val s = if (v(pivot) < 0) -1.0 else 1.0
+      val scale = if (whiten) 1.0 / math.sqrt(math.max(es.eigenvalues(order(r)), 1e-12)) else 1.0
+      v(c) * s * scale
+    }
+    val spark = df.sparkSession
+    val bcW = spark.sparkContext.broadcast(w)
+    val bcMean = spark.sparkContext.broadcast(mean)
+    val project = udf { (v: Seq[Double]) =>
+      val ww = bcW.value; val mu = bcMean.value
+      Array.tabulate(ww.length) { r =>
+        var s = 0.0; var i = 0
+        val lim = math.min(v.length, mu.length)
+        while (i < lim) { s += ww(r)(i) * (v(i) - mu(i)); i += 1 }
+        s
+      }
+    }
+    df.select(col(idCol).cast("long").as("vid"),
+              col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) === d)
+      .withColumn("proj", project(col("v")))
+      .select(col("vid"), col("proj"))
+  }
 }

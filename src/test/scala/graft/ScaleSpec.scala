@@ -690,6 +690,36 @@ class ScaleSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture should produce at least one semantic drop")
   }
 
+  test("pcaWhiten: whitened projection has identity covariance; sign-deterministic") {
+    val em = Tables.embeddings(spark, SF)
+    val k = 6
+    val proj = Similarity.pcaWhiten(em, "embedding", "vec_id", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size == em.count())
+    val n = proj.size.toDouble
+    val xs = proj.values.toArray
+    val mean = Array.tabulate(k)(c => xs.map(_(c)).sum / n)
+    for (a <- 0 until k; b <- a until k) {
+      val cov = xs.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum / n
+      if (a == b) assert(math.abs(cov - 1.0) < 1e-6, s"var($a)=$cov, want 1")
+      else assert(math.abs(cov) < 1e-6, s"cov($a,$b)=$cov, want 0")
+    }
+    // deterministic across invocations (fixed eigen sign convention)
+    val proj2 = Similarity.pcaWhiten(em, "embedding", "vec_id", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.forall { case (id, v) => v.sameElements(proj2(id)) })
+    // non-whitened: component variances are the top eigenvalues, descending
+    val raw = Similarity.pcaWhiten(em, "embedding", "vec_id", k, whiten = false)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rvar = Array.tabulate(k) { c =>
+      val m = raw.map(_(c)).sum / n
+      raw.map(v => (v(c) - m) * (v(c) - m)).sum / n
+    }
+    assert(rvar.sliding(2).forall { case Array(x, y) => x >= y - 1e-9 },
+      s"variances not descending: ${rvar.toSeq}")
+    assert(rvar.head > rvar.last, "top component must explain more variance than the last")
+  }
+
   test("qualityTiers: thirds split, tiered keep rates, approx cuts agree with exact") {
     val exact = TextAnalysis.qualityTiers(docs, "text", "doc_id", topV = 20)
       .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
