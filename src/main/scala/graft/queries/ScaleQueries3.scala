@@ -177,6 +177,63 @@ object ScaleQueries3 {
        |  coalesce(c.txt, '') AS clean_text
        |FROM w LEFT JOIN clean c USING (doc_id) LEFT JOIN dupn d USING (doc_id)""".stripMargin
 
+  // ---- PIPE2: fused pretraining prep -----------------------------------
+
+  /** PIPE2 — ExactSubstr-cut → min-length gate (cleaned tokens ≥ 20) →
+    * Gopher repetition gate → md5-fence train/val/test split; per-split
+    * doc and token totals, the whole chain one plan and one oracle. */
+  private def pipe2Pretrain: Q = (s, d) =>
+    Curation.pretrainPrep(Tables.documents(s, d), "text", "doc_id",
+        spanL = 6, minTokens = 20)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_clean")).as("n_tokens"))
+
+  private val pipe2Sql =
+    s"""WITH $spanCte,
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM w),
+       |tok2 AS (SELECT doc_id, pos, w[pos] AS t FROM tok),
+       |cov AS (SELECT t2.doc_id, t2.pos FROM tok2 t2
+       |        JOIN spans s ON t2.doc_id = s.doc_id AND t2.pos BETWEEN s.span_start AND s.span_end),
+       |kept AS (SELECT t2.doc_id, t2.pos, t2.t FROM tok2 t2 ANTI JOIN cov USING (doc_id, pos)),
+       |clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id),
+       |dupn AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id),
+       |docs2 AS (SELECT w.doc_id,
+       |    CAST(len(w.w) AS BIGINT) - CAST(coalesce(d.n, 0) AS BIGINT) AS n_clean,
+       |    coalesce(c.txt, '') AS ct
+       |  FROM w LEFT JOIN clean c USING (doc_id) LEFT JOIN dupn d USING (doc_id)),
+       |g0 AS (SELECT doc_id, n_clean, string_split(ct, ' ') AS cw
+       |       FROM docs2 WHERE n_clean >= 20),
+       |gg AS (SELECT doc_id, n_clean,
+       |    list_transform(generate_series(1, len(cw) - 1), i -> cw[i] || ' ' || cw[i+1]) AS bi,
+       |    list_transform(generate_series(1, len(cw) - 2), i -> cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2]) AS tri
+       |  FROM g0),
+       |f AS (SELECT doc_id, n_clean,
+       |    CASE WHEN len(bi) > 0 THEN
+       |      CAST(list_aggregate(list_transform(list_distinct(bi),
+       |        u -> len(list_filter(bi, x -> x = u))), 'max') AS DOUBLE) / len(bi)
+       |    ELSE 0.0 END AS tb,
+       |    CASE WHEN len(tri) > 0 THEN
+       |      1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+       |    ELSE 0.0 END AS dt
+       |  FROM gg),
+       |k AS (SELECT doc_id, n_clean FROM f WHERE tb <= 0.18 AND dt <= 0.30),
+       |sp AS (SELECT doc_id, n_clean,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train'
+       |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e666' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM k)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_clean) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY split""".stripMargin
+
+  // ---- A13: HLL vocabulary profile -------------------------------------
+
+  /** A13 — per-source vocabulary profile: exact distinct tokens next to
+    * the HLL++ sketch estimate (✖est: sketch bits are engine-specific;
+    * the ≤5% relative-error bound is spec-pinned; the exact columns are
+    * covered by the a7/x-family oracles). */
+  private def a13VocabProfile: Q = (s, d) =>
+    graft.scale.TextAnalysis.vocabProfile(Tables.documents(s, d), "text", "source")
+
   // ---- S6: embedding covariance + PCA whitening ------------------------
 
   /** S6a — exact covariance table of the embedding matrix (the input to
@@ -343,12 +400,15 @@ object ScaleQueries3 {
     "sm9_ppl_tiers"      -> sm9Tiers,
     "st_forecast"        -> stForecast,
     "s6_embed_cov"       -> s6EmbedCov,
-    "s6_pca_whiten"      -> s6PcaWhiten
+    "s6_pca_whiten"      -> s6PcaWhiten,
+    "pipe2_pretrain"     -> pipe2Pretrain,
+    "a13_vocab_profile"  -> a13VocabProfile
   )
 
   val oracle: Map[String, String] = Map(
     "sm9_ppl_tiers"   -> sm9Sql,
     "s6_embed_cov"    -> s6CovSql,
+    "pipe2_pretrain"  -> pipe2Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -201,4 +201,31 @@ object Curation {
         (((col("cum_end") - 1) / budget).cast("long") >
           (col("cum_start") / budget).cast("long")).as("split_across_bins"))
   }
+
+  /** Fused pretraining-prep pipeline, stage two of the curation story
+    * (stage one is [[curate]]: gate → dedup → decontam):
+    * ExactSubstr-cut ([[Dedup.stripDuplicatedSpans]]) → minimum-length
+    * gate on the CLEANED token count → Gopher repetition gate
+    * ([[TextAnalysis.repetitionStats]] over the cleaned text) →
+    * deterministic hash train/val/test split ([[Sampling.hashSplit]]).
+    * One declarative plan end to end; returns one row per surviving
+    * document: (sid, split, n_clean).
+    *
+    * Composition cost, not new cost: the span machinery's shuffles (gram
+    * count + hit join + island window), one id-keyed join to bring the
+    * gate verdict back, and the split is a pure map-side md5 fence. The
+    * repetition gate itself is map-side array HOFs over the cleaned
+    * text. */
+  def pretrainPrep(df: DataFrame, textCol: String, idCol: String,
+                   spanL: Int = 6, minTokens: Int = 20,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val stripped = Dedup.stripDuplicatedSpans(df, textCol, idCol, spanL)
+      .withColumn("n_clean", col("n_tokens") - col("n_dup_tokens"))
+      .filter(col("n_clean") >= minTokens)
+    val gate = TextAnalysis.repetitionStats(stripped, "clean_text", "sid")
+      .select(col("sid"), col("keep"))
+    val kept = stripped.join(gate, Seq("sid")).filter(col("keep"))
+    Sampling.hashSplit(kept, "sid", trainPct, valPct)
+      .select(col("sid"), col("split"), col("n_clean"))
+  }
 }

@@ -239,6 +239,23 @@ object TextAnalysis {
       s"aggregate(transform(sequence(1, 64), i -> CAST(ascii(substring($textCol, i, 1)) AS BIGINT)), " +
       "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
 
+  /** Per-group vocabulary profile with an HLL scale path: token count,
+    * EXACT distinct-token count (the oracle-checkable twin), and the
+    * HyperLogLog++ approximation (`approx_count_distinct`, rsd 2%).
+    * At 100 TB the exact count is a full distinct shuffle of the token
+    * stream; the sketch aggregates map-side into a fixed-size register
+    * set per group — this pairing is the same exact/approx duality as
+    * `Quantiles.exact/approx`, applied to cardinality profiling
+    * (distinct tokens/URLs/hashes per source is a standard corpus-audit
+    * metric). Returns (group, n_tokens, vocab_exact, vocab_hll). */
+  def vocabProfile(df: DataFrame, textCol: String, groupCol: String,
+                   rsd: Double = 0.02): DataFrame =
+    df.select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("tok")).as("vocab_exact"),
+           approx_count_distinct(col("tok"), rsd).as("vocab_hll"))
+
   /** CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020 §4.3:
     * split the corpus into thirds by LM score, keep the head, downsample
     * the rest). Scores come from [[unigramLogProb]] rounded to 4 decimals

@@ -690,6 +690,49 @@ class ScaleSpec extends SparkTestBase {
     assert(expected.nonEmpty, "fixture should produce at least one semantic drop")
   }
 
+  test("pretrainPrep: every survivor passes all three gates; splits partition survivors") {
+    import graft.scale.{Curation, Sampling}
+    val out = graft.scale.Curation.pretrainPrep(docs, "text", "doc_id",
+        spanL = 6, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.map(_._1).distinct.length == out.length, "one row per doc")
+    // recompute the stages independently and check membership + counts
+    val stripped = Dedup.stripDuplicatedSpans(docs, "text", "doc_id", L = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) - r.getLong(2), r.getString(3)))).toMap
+    val gate = TextAnalysis.repetitionStats(
+        docs.sparkSession.createDataFrame(
+          docs.sparkSession.sparkContext.parallelize(
+            stripped.toSeq.map { case (id, (_, ct)) => org.apache.spark.sql.Row(id, ct) }),
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", "long").add("ct", "string")),
+        "ct", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    for ((id, split, nClean) <- out) {
+      val (expClean, _) = stripped(id)
+      assert(nClean == expClean, s"doc $id clean-token count")
+      assert(nClean >= 20, s"doc $id under the length gate")
+      assert(gate(id), s"doc $id should have been repetition-gated")
+    }
+    // nothing that passes all gates is missing
+    val expected = stripped.collect {
+      case (id, (n, _)) if n >= 20 && gate(id) => id
+    }.toSet
+    assert(out.map(_._1).toSet == expected)
+  }
+
+  test("vocabProfile: HLL estimate within 5% of exact per group") {
+    val rows = TextAnalysis.vocabProfile(docs, "text", "source").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, hll) = (r.getLong(2), r.getLong(3))
+      assert(exact > 0)
+      assert(math.abs(hll - exact).toDouble / exact <= 0.05,
+        s"group ${r.getString(0)}: hll $hll vs exact $exact")
+    }
+  }
+
   test("pcaWhiten: whitened projection has identity covariance; sign-deterministic") {
     val em = Tables.embeddings(spark, SF)
     val k = 6
