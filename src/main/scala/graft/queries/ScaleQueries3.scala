@@ -225,6 +225,54 @@ object ScaleQueries3 {
        |SELECT split, count(*) AS n_docs, CAST(sum(n_clean) AS BIGINT) AS n_tokens
        |FROM sp GROUP BY split""".stripMargin
 
+  // ---- X14/A14: normalization + rollup profiling -----------------------
+
+  /** X14 — canonical text normalization (lowercase → punctuation to
+    * spaces → collapse runs → trim); the character class is the portable
+    * Java∩RE2 subset so both engines run the identical regexes. To make
+    * the normalization observable on the all-lowercase fixture, the doc
+    * text is first roughed up deterministically (upper-case every doc
+    * whose id is 0 mod 3, comma-join every 0 mod 7). */
+  private def x14Normalize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("  "), regexp_replace(col("text"), " ", ", "), lit("!  ")))
+          .otherwise(col("text")))
+    graft.scale.TextAnalysis.normalize(docs, "text")
+      .select(col("doc_id"), col("norm_text"), col("n_chars_raw"), col("n_chars_norm"))
+  }
+
+  private val x14Sql =
+    """WITH roughed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      '  ' || regexp_replace(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END, ' ', ', ', 'g') || '!  '
+      |    ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm_text,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+      |FROM roughed""".stripMargin
+
+  /** A14 — hierarchical corpus profile via ROLLUP(lang, source): doc
+    * counts and char sums at every aggregation level in one pass (the
+    * grouping-sets shape a corpus-audit dashboard runs at 100 TB — one
+    * shuffle, partial aggs per grouping set). */
+  private def a14Rollup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  private val a14Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+
   // ---- A13: HLL vocabulary profile -------------------------------------
 
   /** A13 — per-source vocabulary profile: exact distinct tokens next to
@@ -402,13 +450,17 @@ object ScaleQueries3 {
     "s6_embed_cov"       -> s6EmbedCov,
     "s6_pca_whiten"      -> s6PcaWhiten,
     "pipe2_pretrain"     -> pipe2Pretrain,
-    "a13_vocab_profile"  -> a13VocabProfile
+    "a13_vocab_profile"  -> a13VocabProfile,
+    "x14_normalize"      -> x14Normalize,
+    "a14_rollup"         -> a14Rollup
   )
 
   val oracle: Map[String, String] = Map(
     "sm9_ppl_tiers"   -> sm9Sql,
     "s6_embed_cov"    -> s6CovSql,
     "pipe2_pretrain"  -> pipe2Sql,
+    "x14_normalize"   -> x14Sql,
+    "a14_rollup"      -> a14Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -239,6 +239,21 @@ object TextAnalysis {
       s"aggregate(transform(sequence(1, 64), i -> CAST(ascii(substring($textCol, i, 1)) AS BIGINT)), " +
       "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"))
 
+  /** Canonical text normalization — the first stage of every web-corpus
+    * pipeline (lowercase, strip non-alphanumeric punctuation to spaces,
+    * collapse whitespace runs, trim). The character class is restricted
+    * to the Java∩RE2 portable subset (same discipline as [[redact]]) so
+    * the DuckDB oracle replays it verbatim. Pure map-side expressions —
+    * zero shuffle at any scale. Returns the input plus
+    * (norm_text, n_chars_raw, n_chars_norm). */
+  def normalize(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), "  +", " "))
+    df.withColumn("norm_text", norm)
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
   /** Per-group vocabulary profile with an HLL scale path: token count,
     * EXACT distinct-token count (the oracle-checkable twin), and the
     * HyperLogLog++ approximation (`approx_count_distinct`, rsd 2%).
