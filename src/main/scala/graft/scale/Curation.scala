@@ -212,20 +212,21 @@ object Curation {
     * document: (sid, split, n_clean).
     *
     * Composition cost, not new cost: the span machinery's shuffles (gram
-    * count + hit join + island window), one id-keyed join to bring the
-    * gate verdict back, and the split is a pure map-side md5 fence. The
-    * repetition gate itself is map-side array HOFs over the cleaned
-    * text. */
+    * count + hit join + island window); the repetition gate is appended
+    * IN PLACE by [[TextAnalysis.withRepetitionStats]] (map-side array
+    * HOFs over the cleaned text — no id self-join, which would recompute
+    * the whole span plan twice), and the split is a pure map-side md5
+    * fence. */
   def pretrainPrep(df: DataFrame, textCol: String, idCol: String,
                    spanL: Int = 6, minTokens: Int = 20,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val stripped = Dedup.stripDuplicatedSpans(df, textCol, idCol, spanL)
       .withColumn("n_clean", col("n_tokens") - col("n_dup_tokens"))
       .filter(col("n_clean") >= minTokens)
-    val gate = TextAnalysis.repetitionStats(stripped, "clean_text", "sid")
-      .select(col("sid"), col("keep"))
-    val kept = stripped.join(gate, Seq("sid")).filter(col("keep"))
-    Sampling.hashSplit(kept, "sid", trainPct, valPct)
+      .select(col("sid"), col("n_clean"), col("clean_text"))
+    val gated = TextAnalysis.withRepetitionStats(stripped, "clean_text")
+      .filter(col("keep"))
+    Sampling.hashSplit(gated, "sid", trainPct, valPct)
       .select(col("sid"), col("split"), col("n_clean"))
   }
 }

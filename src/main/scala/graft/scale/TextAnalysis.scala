@@ -62,32 +62,76 @@ object TextAnalysis {
     * plus a `keep` flag at the given thresholds.
     *
     * 100-TB shape: every statistic is an array higher-order expression
-    * over the in-row token list (`transform`/`filter`/`array_distinct`/
-    * `array_max`) — pure map-side, ZERO shuffle, stays inside
-    * whole-stage codegen. The per-doc distinct×n count is bounded by
-    * document length, not corpus size. */
+    * over the in-row token list — pure map-side, ZERO shuffle, stays
+    * inside whole-stage codegen. The top-gram count is computed as the
+    * longest equal-run of the SORTED gram array (one `array_sort` +
+    * one linear `aggregate` pass, O(n log n) per document) rather than
+    * the naive distinct×n scan — on long documents with wide
+    * vocabularies that difference is 100×, and it also bounds the
+    * re-evaluation cost when Catalyst inlines an expensive upstream
+    * text expression (e.g. a span-stripped rebuild) into the gram
+    * arrays. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String,
                       maxTopBigram: Double = 0.18,
-                      maxDupTrigram: Double = 0.30): DataFrame = {
+                      maxDupTrigram: Double = 0.30): DataFrame =
+    withRepetitionStats(df.select(col(idCol), col(textCol)), textCol,
+      maxTopBigram, maxDupTrigram).drop(textCol)
+
+  /** Column-preserving form of [[repetitionStats]]: appends
+    * (n_tokens, top_token_frac, top_bigram_frac, dup_trigram_frac,
+    * keep) to the input columns — lets a fused pipeline gate on `keep`
+    * WITHOUT the id self-join that would recompute the upstream plan
+    * twice (the shape [[Curation.pretrainPrep]] needs). */
+  def withRepetitionStats(df: DataFrame, textCol: String,
+                          maxTopBigram: Double = 0.18,
+                          maxDupTrigram: Double = 0.30): DataFrame = {
     def grams(n: Int): String = {
       val parts = (0 until n).map(j => s"w[i + $j]").mkString(", ")
       s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)) ELSE array() END"
     }
-    def topFrac(arrExpr: String): Column =
-      expr(s"""CASE WHEN size($arrExpr) > 0 THEN
-                 CAST(array_max(transform(array_distinct($arrExpr),
-                   u -> size(filter($arrExpr, x -> x = u)))) AS DOUBLE) / size($arrExpr)
-               ELSE 0.0 END""")
-    df.select(col(idCol), tokens(col(textCol)).as("w"))
-      .withColumn("bi", expr(grams(2)))
-      .withColumn("tri", expr(grams(3)))
-      .select(col(idCol),
-        size(col("w")).cast("long").as("n_tokens"),
-        topFrac("w").as("top_token_frac"),
-        topFrac("bi").as("top_bigram_frac"),
-        expr("""CASE WHEN size(tri) > 0 THEN
-                  1.0 - CAST(size(array_distinct(tri)) AS DOUBLE) / size(tri)
-                ELSE 0.0 END""").as("dup_trigram_frac"))
+    // max occurrence count of any element == longest equal-run of the
+    // SORTED array: one pass with (prev, run, best) carried through
+    // aggregate. `arr` must be a cheap reference (lambda variable /
+    // struct field), referenced 3×.
+    def topFrac(arr: String): String =
+      s"""CASE WHEN size($arr) > 0 THEN
+            CAST(aggregate(array_sort($arr),
+              named_struct('prev', CAST(NULL AS STRING),
+                           'run',  CAST(0 AS BIGINT),
+                           'best', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'prev', x,
+                'run',  IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+                'best', greatest(acc.best,
+                          IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+              acc -> acc.best) AS DOUBLE) / size($arr)
+          ELSE 0.0 END"""
+    // Evaluation discipline, load-bearing at scale: textCol may itself be
+    // an EXPENSIVE derived expression (pipe2 feeds the span-stripped text
+    // rebuild in here), and HOFs are CodegenFallback — excluded from
+    // Spark's per-project subexpression elimination — so any column
+    // referenced twice across collapsed projections is re-EVALUATED
+    // twice (measured: 27 inlined copies of the span rebuild, 30× slower
+    // pipe2). Two mechanisms fix it structurally: (a) lambda variables
+    // are true let-bindings — `transform(array(X), w -> f(w))` evaluates
+    // X once no matter how often f references w; (b) the stats are
+    // emitted through an `inline()` GENERATOR, whose outputs are
+    // materialized attributes that no downstream projection can inline
+    // back into expression form. One pass, still zero shuffle.
+    val clash = df.columns.filter(Set("n_tokens", "top_token_frac",
+      "top_bigram_frac", "dup_trigram_frac", "keep").contains)
+    val gen =
+      s"""inline(transform(array(split($textCol, ' ')), w ->
+            element_at(transform(array(named_struct('bi', ${grams(2)}, 'tri', ${grams(3)})), g ->
+              named_struct(
+                'n_tokens', CAST(size(w) AS BIGINT),
+                'top_token_frac', ${topFrac("w")},
+                'top_bigram_frac', ${topFrac("g.bi")},
+                'dup_trigram_frac',
+                  CASE WHEN size(g.tri) > 0 THEN
+                    1.0 - CAST(size(array_distinct(g.tri)) AS DOUBLE) / size(g.tri)
+                  ELSE 0.0 END)), 1)))"""
+    df.drop(clash: _*).select(col("*"), expr(gen))
       .withColumn("keep",
         (col("top_bigram_frac") <= maxTopBigram) &&
         (col("dup_trigram_frac") <= maxDupTrigram))
@@ -318,5 +362,97 @@ object TextAnalysis {
           .otherwise("tail"))
       .withColumn("kept", pmod(col(idCol), lit(1000)) < rate)
       .select(col(idCol), col("score"), col("tier"), col("kept"))
+  }
+
+  /** Character-entropy quality gate: Shannon entropy (bits) of the
+    * per-document character distribution. Gibberish and key-mash text
+    * sits far from natural-language entropy (≈3.5–4.5 bits for English);
+    * both tails are curation filter targets (low = repeated-char spam,
+    * high = base64/binary junk).
+    *
+    * Shape: pure map-side — `array_sort` over the in-row char list, then
+    * ONE linear `aggregate` pass accumulating Σ n_c·log2(n_c) over the
+    * equal-runs (same run-length discipline as [[withRepetitionStats]];
+    * never the O(distinct×n) per-char count scan). Zero shuffle.
+    * Cross-engine determinism: each run's n·log2(n) term is quantized to
+    * 1e-9 and summed as a BIGINT (order-free, exact), so the DuckDB
+    * oracle lands on the identical grid; the closed form is then
+    * H = log2(N) − (Σ n_c·log2(n_c))/N. Appends `char_entropy`
+    * (6-decimal) and `n_chars_obs`. */
+  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val gen =
+      s"""inline(transform(array(array_sort(filter(split($textCol, ''), c -> c <> ''))), cs ->
+            element_at(transform(array(aggregate(cs,
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run',  CAST(0 AS BIGINT),
+                             'acc9', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct(
+                  'prev', x,
+                  'run',  IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+                  'acc9', acc.acc9 + IF(x <=> acc.prev, CAST(0 AS BIGINT),
+                            IF(acc.run > 0,
+                               CAST(floor(acc.run * log2(acc.run) * 1e9 + 0.5) AS BIGINT),
+                               CAST(0 AS BIGINT)))),
+                acc -> acc.acc9 + IF(acc.run > 0,
+                         CAST(floor(acc.run * log2(acc.run) * 1e9 + 0.5) AS BIGINT),
+                         CAST(0 AS BIGINT)))), s9 ->
+              named_struct(
+                'n_chars_obs', CAST(size(cs) AS BIGINT),
+                'char_entropy',
+                  CASE WHEN size(cs) > 0 THEN
+                    floor((log2(size(cs)) - (CAST(s9 AS DOUBLE) / 1e9) / size(cs)) * 1e6 + 0.5) / 1e6
+                  ELSE CAST(0.0 AS DOUBLE) END)), 1)))"""
+    df.select(col("*"), expr(gen))
+  }
+
+  /** BM25 lexical top-k retrieval (Robertson–Spärck Jones; the
+    * `ln((N−df+0.5)/(df+0.5)+1)` idf with the k1/b length-normalized tf
+    * saturation — the Lucene-default scoring Spark has no native
+    * operator for). Returns (query_id, doc_id, score, rank), `k` rows
+    * per query.
+    *
+    * 100-TB shape: the query vocabulary is a driver-side constant
+    * folded into a map-side `filter` over each document's token array —
+    * only QUERY-TERM HITS are exploded and shuffled (corpus text never
+    * moves; a 3-term query shuffles ~3 longs per matching doc). Corpus
+    * stats (N, avgdl) are a one-row aggregate cross-joined broadcast;
+    * per-term df is a |terms|-row aggregate joined broadcast; the final
+    * top-k is a window over the (query, hit-doc) table. Per-term scores
+    * are quantized to 1e-9 and summed as BIGINT so ranking and the
+    * 6-decimal reported score are bit-identical cross-engine. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
+      .toDF("query_id", "t")
+    val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
+    val termSet = termList.map(t => s"'$t'").mkString(", ")
+    val hits = df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x IN ($termSet))")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n"),
+      (sum(size(tokens(col(textCol)))).cast("double") / count(lit(1))).as("avgdl"))
+    val dft = hits.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = hits
+      .join(broadcast(dft), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterm), Seq("t"))
+      .withColumn("s9", floor(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + k1 * (1 - b + b * col("dl") / col("avgdl"))) * 1e9 + 0.5)
+        .cast("long"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s9")).as("s9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s9").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (floor(col("s9") / 1e9 * 1e6 + 0.5) / 1e6).as("score"), col("rank"))
   }
 }
