@@ -273,6 +273,136 @@ object ScaleQueries3 {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
 
+  // ---- X15/S7: char entropy + BM25 retrieval ---------------------------
+
+  /** X15 — Shannon character entropy per document (quality gate: both
+    * entropy tails are filter targets). Run-length over the sorted char
+    * array, 1e-9-quantized terms summed exactly — see
+    * [[graft.scale.TextAnalysis.charEntropy]]. */
+  private def x15Entropy: Q = (s, d) =>
+    graft.scale.TextAnalysis.charEntropy(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_chars_obs"), col("char_entropy"))
+
+  private val x15Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+      |), f AS (
+      |  SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_obs,
+      |    CAST(sum(CAST(floor(n * log2(n) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM f GROUP BY 1)
+      |SELECT doc_id, n_chars_obs,
+      |  floor((log2(n_chars_obs) - (CAST(s9 AS DOUBLE) / 1e9) / n_chars_obs) * 1e6 + 0.5) / 1e6
+      |    AS char_entropy
+      |FROM agg""".stripMargin
+
+  /** The fixed probe queries for s7 — corpus-vocabulary terms, shared
+    * verbatim with the oracle's VALUES list. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "spark join performance"), (1L, "window agg order"),
+    (2L, "customer value table"))
+
+  /** S7 — BM25 lexical top-k retrieval (Lucene-default scoring; the
+    * lexical complement to the s1–s4 embedding ANN family). Only
+    * query-term hits shuffle; see [[graft.scale.TextAnalysis.bm25TopK]]. */
+  private def s7Bm25: Q = (s, d) =>
+    graft.scale.TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+      bm25Queries, k = 10)
+
+  private val s7Sql =
+    """WITH queries(query_id, qtext) AS (VALUES
+      |  (0, 'spark join performance'), (1, 'window agg order'), (2, 'customer value table')),
+      |qterm AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS t FROM queries),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT d.doc_id, tok.t, count(*)::DOUBLE AS tf
+      |  FROM documents d, unnest(string_split(d.text, ' ')) AS tok(t)
+      |  WHERE tok.t IN (SELECT DISTINCT t FROM qterm)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(floor(
+      |      ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |      * 1e9 + 0.5) AS BIGINT) AS s9
+      |  FROM qterm q JOIN tf ON q.t = tf.t
+      |  JOIN df ON df.t = q.t JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(s9) AS BIGINT) AS s9 FROM scored GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id,
+      |         floor((CAST(s9 AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk
+      |       FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
+      |FROM rk WHERE rk <= 10""".stripMargin
+
+  // ---- SM10/D15: mixture waterfill + cross-source overlap --------------
+
+  /** The sm10 target mixture — heavy weight on five sources so the
+    * waterfill visibly caps and redistributes; shared verbatim with the
+    * oracle's CASE. */
+  private val wfWeights: Map[String, Double] =
+    (0 to 19).map(i => s"src$i" -> (if (i <= 4) 0.15 else 0.0125)).toMap
+
+  /** SM10 — pretraining-mixture waterfill: 20k-token budget across the
+    * 20 sources at the wfWeights targets, 3 redistribution rounds. */
+  private def sm10Waterfill: Q = (s, d) =>
+    Sampling.waterfillMixture(Tables.documents(s, d), "source", "text",
+      wfWeights, budget = 20000L, rounds = 3)
+
+  private val sm10Sql =
+    """WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_avail
+      |           FROM documents GROUP BY 1),
+      |base AS (SELECT c.source, c.n_avail,
+      |           CAST(CASE WHEN c.source IN ('src0','src1','src2','src3','src4')
+      |                     THEN 0.15 ELSE 0.0125 END AS DOUBLE) AS wgt FROM c),
+      |s1 AS (SELECT floor((20000.0 - 0) / sum(wgt) * 1e6 + 0.5) / 1e6 AS scale FROM base),
+      |r1 AS (SELECT b.source, b.n_avail, b.wgt,
+      |         least(b.n_avail, CAST(floor(b.wgt * s1.scale) AS BIGINT)) AS alloc,
+      |         b.n_avail <= CAST(floor(b.wgt * s1.scale) AS BIGINT) AS capped
+      |       FROM base b CROSS JOIN s1),
+      |s2 AS (SELECT floor((20000.0 - sum(CASE WHEN capped THEN alloc ELSE 0 END))
+      |         / nullif(sum(CASE WHEN NOT capped THEN wgt ELSE 0 END), 0) * 1e6 + 0.5) / 1e6 AS scale FROM r1),
+      |r2 AS (SELECT r1.source, r1.n_avail, r1.wgt,
+      |         CASE WHEN r1.capped THEN r1.alloc
+      |              ELSE least(r1.n_avail, CAST(floor(r1.wgt * s2.scale) AS BIGINT)) END AS alloc,
+      |         r1.capped OR r1.n_avail <= CAST(floor(r1.wgt * s2.scale) AS BIGINT) AS capped
+      |       FROM r1 CROSS JOIN s2),
+      |s3 AS (SELECT floor((20000.0 - sum(CASE WHEN capped THEN alloc ELSE 0 END))
+      |         / nullif(sum(CASE WHEN NOT capped THEN wgt ELSE 0 END), 0) * 1e6 + 0.5) / 1e6 AS scale FROM r2),
+      |r3 AS (SELECT r2.source, r2.n_avail, r2.wgt,
+      |         CASE WHEN r2.capped THEN r2.alloc
+      |              ELSE least(r2.n_avail, CAST(floor(r2.wgt * s3.scale) AS BIGINT)) END AS alloc,
+      |         r2.capped OR r2.n_avail <= CAST(floor(r2.wgt * s3.scale) AS BIGINT) AS capped
+      |       FROM r2 CROSS JOIN s3)
+      |SELECT source, n_avail, CAST(alloc AS BIGINT) AS alloc_tokens, capped,
+      |  CAST(floor(CAST(alloc AS DOUBLE) / n_avail * 1000 + 0.5) AS BIGINT) AS rate_permille
+      |FROM r3""".stripMargin
+
+  /** D15 — cross-source 6-gram overlap matrix (containment of source A's
+    * distinct gram set in each B): the corpus-governance companion to
+    * d7/d10 decontamination. Spark fingerprints with xxhash64; the
+    * oracle replays on raw gram strings. */
+  private def d15Overlap: Q = (s, d) =>
+    graft.scale.Dedup.crossGroupOverlap(Tables.documents(s, d), "text", "source", L = 6)
+
+  private val d15Sql =
+    """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents),
+      |we AS (SELECT source, doc_id, w FROM w WHERE len(w) >= 6),
+      |g0 AS (SELECT source, doc_id, unnest(generate_series(1, len(w) - 5)) AS pos, w FROM we),
+      |g AS (SELECT DISTINCT source,
+      |        w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' ||
+      |        w[pos+3] || ' ' || w[pos+4] || ' ' || w[pos+5] AS s
+      |      FROM g0),
+      |cnt AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+      |pair AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |         FROM g a JOIN g b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+      |  floor(CAST(p.n_shared AS DOUBLE) / ca.n * 1e6 + 0.5) / 1e6 AS containment_a
+      |FROM pair p JOIN cnt ca ON ca.source = p.src_a""".stripMargin
+
   // ---- A13: HLL vocabulary profile -------------------------------------
 
   /** A13 — per-source vocabulary profile: exact distinct tokens next to
@@ -452,7 +582,11 @@ object ScaleQueries3 {
     "pipe2_pretrain"     -> pipe2Pretrain,
     "a13_vocab_profile"  -> a13VocabProfile,
     "x14_normalize"      -> x14Normalize,
-    "a14_rollup"         -> a14Rollup
+    "a14_rollup"         -> a14Rollup,
+    "x15_entropy"        -> x15Entropy,
+    "s7_bm25"            -> s7Bm25,
+    "sm10_waterfill"     -> sm10Waterfill,
+    "d15_overlap"        -> d15Overlap
   )
 
   val oracle: Map[String, String] = Map(
@@ -461,6 +595,10 @@ object ScaleQueries3 {
     "pipe2_pretrain"  -> pipe2Sql,
     "x14_normalize"   -> x14Sql,
     "a14_rollup"      -> a14Sql,
+    "x15_entropy"     -> x15Sql,
+    "s7_bm25"         -> s7Sql,
+    "sm10_waterfill"  -> sm10Sql,
+    "d15_overlap"     -> d15Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -634,4 +634,44 @@ object Dedup {
             "i + 1 >= s.span_start AND i + 1 <= s.span_end), NULL, x)), " +
             "x -> x IS NOT NULL)"), " ")).as("clean_text"))
   }
+
+  /** Cross-group n-gram overlap matrix — the corpus-governance view of
+    * contamination: for every ordered pair of groups (sources, dumps,
+    * datasets), how many DISTINCT L-gram fingerprints they share and
+    * what fraction of the first group's fingerprint set that is
+    * (containment). The per-pair containment is what mixture designers
+    * read before unioning two crawls, and what eval-set governance reads
+    * as "source A contains X% of source B's n-grams".
+    *
+    * 100-TB shape: grams are 8-byte xxhash64 fingerprints built map-side
+    * (the corpus text never shuffles); ONE distinct shuffle on
+    * (group, h); the pair join is the inverted-index self-join on h —
+    * both sides are the same distinct subtree, so ReuseExchange scans it
+    * once — and each fingerprint contributes at most |groups|²/2 join
+    * rows (stop-gram blowup is bounded by the group count, not the
+    * corpus). Output is |groups|² rows. The oracle replays with raw gram
+    * strings; 64-bit fingerprints make the distinct-count difference
+    * vanishingly improbable (~n²/2⁶⁵). */
+  def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
+                        L: Int = 6): DataFrame = {
+    val gram = (0 until L).map(j => s"element_at(wh, i + $j)")
+      .mkString("xxhash64(", ", ", ")")
+    val grams = graft.core.Par.widen(df)
+      .select(col(groupCol).as("src"),
+        expr(s"transform(split(`$textCol`, ' '), x -> xxhash64(x))").as("wh"))
+      .filter(size(col("wh")) >= L)
+      .select(col("src"), explode(
+        expr(s"transform(sequence(1, size(wh) - ${L - 1}), i -> $gram)")).as("h"))
+      .distinct()
+    val cnt = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(cnt.withColumnRenamed("src", "src_a")
+        .withColumnRenamed("n_grams", "n_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (floor(col("n_shared").cast("double") / col("n_a") * 1e6 + 0.5) / 1e6)
+          .as("containment_a"))
+  }
 }

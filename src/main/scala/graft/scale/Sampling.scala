@@ -182,4 +182,53 @@ object Sampling {
     dsirLogWeights(raw, target, textCol, idCol, buckets)
       .orderBy(col("logw").desc, col("fid").asc)
       .limit(k)
+
+  /** Pretraining-mixture waterfill: allocate a total token `budget`
+    * across sources in proportion to target `weights`, capping each
+    * source at its availability and redistributing the surplus over the
+    * uncapped sources — the standard mixture-planning step (The Pile /
+    * LLaMA-style per-source weights meet a finite crawl). `rounds`
+    * redistribution rounds are UNROLLED into the plan (a round only
+    * does work when the previous one minted new caps; `rounds` =
+    * #sources is exact, 3 suffices for real weight tables — semantics
+    * are pinned as "`rounds`-round waterfill" and the oracle replays
+    * the same unrolling).
+    *
+    * Scale shape: one partial-agg shuffle over the corpus for per-source
+    * token counts; everything after runs on the S-row source table
+    * (1-row scale agg cross-joined broadcast per round). The scale
+    * factor is quantized to 1e-6 each round so allocations are
+    * bit-identical cross-engine. Returns (source, n_avail, alloc_tokens,
+    * capped, rate_permille). */
+  def waterfillMixture(df: DataFrame, sourceCol: String, textCol: String,
+                       weights: Map[String, Double], budget: Long,
+                       rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " "))).cast("long").as("n_avail"))
+    val wdf = weights.toSeq.toDF("source", "wgt")
+    var cur = c.join(broadcast(wdf), Seq("source"))
+      .withColumn("alloc", lit(0L)).withColumn("capped", lit(false))
+    for (_ <- 1 to rounds) {
+      // nullif guard: once every source is capped the uncapped-weight sum
+      // is 0 — scale goes NULL (ANSI division would throw) and the
+      // when(capped) arms below keep all allocations unchanged
+      val scale = cur.agg(
+        (floor((lit(budget.toDouble) -
+            sum(when(col("capped"), col("alloc")).otherwise(lit(0L)))) /
+          nullif(sum(when(!col("capped"), col("wgt")).otherwise(lit(0.0))), lit(0.0)) *
+          1e6 + 0.5) / 1e6).as("scale"))
+      val fill = floor(col("wgt") * col("scale")).cast("long")
+      cur = cur.crossJoin(broadcast(scale))
+        .withColumn("alloc",
+          when(col("capped"), col("alloc")).otherwise(least(col("n_avail"), fill)))
+        .withColumn("capped", col("capped") || col("n_avail") <= fill)
+        .drop("scale")
+    }
+    cur.select(col("source"), col("n_avail"),
+      col("alloc").as("alloc_tokens"), col("capped"),
+      floor(col("alloc").cast("double") / col("n_avail") * 1000 + 0.5)
+        .cast("long").as("rate_permille"))
+  }
 }

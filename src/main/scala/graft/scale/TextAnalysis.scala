@@ -445,7 +445,7 @@ object TextAnalysis {
       .withColumn("s9", floor(
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * (k1 + 1)) /
-          (col("tf") + k1 * (1 - b + b * col("dl") / col("avgdl"))) * 1e9 + 0.5)
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) * 1e9 + 0.5)
         .cast("long"))
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s9")).as("s9"))
     val w = Window.partitionBy(col("query_id"))

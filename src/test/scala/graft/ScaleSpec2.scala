@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.{Dedup, Sampling, TextAnalysis}
+
+/** Specs for the round-10 curation additions: char entropy, BM25
+  * retrieval, mixture waterfill, cross-source overlap. */
+class ScaleSpec2 extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, SF)
+
+  test("charEntropy: closed-form values on known distributions") {
+    val df = Seq(
+      (1L, "abcd"),      // uniform over 4 chars -> exactly 2 bits
+      (2L, "aaaa"),      // degenerate -> 0 bits
+      (3L, "aabb"),      // uniform over 2 -> 1 bit
+      (4L, "")           // empty -> 0 by convention
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "text")
+      .select("doc_id", "char_entropy", "n_chars_obs")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2.0, 4L)))
+    assert(out(2L) == ((0.0, 4L)))
+    assert(out(3L) == ((1.0, 4L)))
+    assert(out(4L)._1 == 0.0)
+  }
+
+  test("charEntropy: corpus docs sit in the natural-text band, spam below") {
+    val ent = TextAnalysis.charEntropy(docs, "text")
+      .agg(min(col("char_entropy")), max(col("char_entropy"))).collect()(0)
+    assert(ent.getDouble(0) > 2.5 && ent.getDouble(1) < 5.5,
+      s"corpus entropy band unexpected: $ent")
+    val spam = TextAnalysis.charEntropy(
+      Seq((1L, "aaaaaaaaaaaaaaaaaaaaaa bbbb")).toDF("doc_id", "text"), "text")
+      .select("char_entropy").collect()(0).getDouble(0)
+    assert(spam < 1.5, s"char-spam should score far below natural text: $spam")
+  }
+
+  test("bm25TopK: planted relevant doc ranks first, scores ordered, k respected") {
+    val df = Seq(
+      (1L, "spark join performance spark join performance spark join"),
+      (2L, "spark is a data engine with good performance overall today"),
+      (3L, "gardening tips for tomatoes and herbs in small spaces"),
+      (4L, "join the club"),
+      (5L, "performance review season is upon us again this year soon")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "text", "doc_id",
+      Seq((0L, "spark join performance")), k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._3)
+    assert(out.length == 3)
+    assert(out.head._1 == 1L, s"term-dense doc must rank 1: ${out.toSeq}")
+    assert(out.map(_._1).toSet.intersect(Set(3L)).isEmpty,
+      "doc with zero query terms cannot be retrieved")
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true },
+      "scores must be non-increasing in rank")
+  }
+
+  test("bm25TopK: idf discounts ubiquitous terms") {
+    // 'common' appears everywhere, 'rare' once: for a doc holding both,
+    // the rare term must contribute more than the common one
+    val df = (1L to 20L).map(i => (i, if (i == 1) "rare common" else "common filler"))
+      .toDF("doc_id", "text")
+    val rare = TextAnalysis.bm25TopK(df, "text", "doc_id", Seq((0L, "rare")), k = 1)
+      .select("score").collect()(0).getDouble(0)
+    val comm = TextAnalysis.bm25TopK(df, "text", "doc_id", Seq((0L, "common")), k = 1)
+      .select("score").collect()(0).getDouble(0)
+    assert(rare > comm, s"idf ordering violated: rare=$rare common=$comm")
+  }
+
+  test("waterfillMixture: caps at availability, conserves budget up to floor slack") {
+    val w = (0 to 19).map(i => s"src$i" -> (if (i <= 4) 0.15 else 0.0125)).toMap
+    val out = Sampling.waterfillMixture(docs, "source", "text", w, budget = 20000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4)))
+    assert(out.length == 20)
+    assert(out.forall { case (_, avail, alloc, _, _) => alloc <= avail },
+      "allocation may never exceed availability")
+    out.foreach { case (s, avail, alloc, capped, pm) =>
+      if (capped) assert(alloc == avail, s"$s capped but alloc<avail")
+      assert(pm >= 0 && pm <= 1000, s"$s permille out of range")
+    }
+    val total = out.map(_._3).sum
+    assert(total <= 20000L, "over-allocated the budget")
+    assert(20000L - total <= out.length,
+      s"floor slack too large: ${20000L - total}")
+    assert(out.count(_._4) >= 1, "heavy-weight sources should cap on this corpus")
+  }
+
+  test("waterfillMixture: huge budget takes everything") {
+    val w = (0 to 19).map(i => s"src$i" -> 0.05).toMap
+    val out = Sampling.waterfillMixture(docs, "source", "text", w, budget = 10000000L)
+      .collect()
+    assert(out.forall(r => r.getLong(2) == r.getLong(1) && r.getBoolean(3)),
+      "with budget >> availability every source caps at its full size")
+  }
+
+  test("crossGroupOverlap: planted shared 6-gram found, disjoint groups absent") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, "g1", s"$shared tail one extra"),
+      (2L, "g2", s"prefix words $shared"),
+      (3L, "g3", "completely different vocabulary nothing shared here at all")
+    ).toDF("doc_id", "grp", "text")
+    val out = Dedup.crossGroupOverlap(df, "text", "grp", L = 6)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out.contains(("g1", "g2")), s"planted overlap missed: $out")
+    assert(out(("g1", "g2")) >= 1L)
+    assert(!out.keys.exists { case (a, b) => a == "g3" || b == "g3" },
+      "disjoint group must not appear in the overlap matrix")
+  }
+
+  test("crossGroupOverlap on the corpus: containment in (0,1], ordered pairs only") {
+    val rows = Dedup.crossGroupOverlap(docs, "text", "source", L = 6).collect()
+    assert(rows.nonEmpty, "corpus sources share boilerplate grams")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered src_a < src_b")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"containment out of range: $c")
+    }
+  }
+}
