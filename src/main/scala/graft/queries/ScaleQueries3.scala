@@ -338,6 +338,47 @@ object ScaleQueries3 {
       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
       |FROM rk WHERE rk <= 10""".stripMargin
 
+  // ---- X16: bigram LM with Stupid Backoff ------------------------------
+
+  /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
+    * the stronger perplexity proxy layered on x11's pruned-vocabulary
+    * unigram. Mean log-prob per doc, 4-decimal. */
+  private def x16BigramLm: Q = (s, d) =>
+    graft.scale.TextAnalysis.bigramLogProb(Tables.documents(s, d), "text", "doc_id",
+        alpha = 0.5, topV = 100000, topB = 200000, backoff = 0.4)
+      .select(col("doc_id"), Det.dround(col("mean_logp"), 4).as("mean_logp"),
+              col("n_tokens"))
+
+  private val x16Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
+       |uc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+       |topv AS (SELECT tok, cnt FROM uc ORDER BY cnt DESC, tok LIMIT 100000),
+       |tot AS (SELECT (SELECT sum(cnt) FROM uc) AS n,
+       |               (SELECT sum(cnt) FROM topv) AS kept,
+       |               (SELECT count(*) FROM topv) AS v),
+       |prm AS (SELECT CAST(n AS DOUBLE) AS n, CAST(n - kept AS DOUBLE) AS oov,
+       |               CAST(n AS DOUBLE) + 0.5 * (v + 1) AS denom FROM tot),
+       |pairs AS (SELECT doc_id, w[i.i - 1] AS u, w[i.i] AS v
+       |          FROM w, lateral (SELECT unnest(generate_series(2, len(w))) AS i) i
+       |          WHERE len(w) >= 2),
+       |bc AS (SELECT u, v, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+       |bcv AS (SELECT b.u, b.v, b.cnt, tu.cnt AS cu FROM bc b
+       |        JOIN topv tu ON tu.tok = b.u JOIN topv tv ON tv.tok = b.v),
+       |topb AS (SELECT u, v, ln(CAST(cnt AS DOUBLE) / cu) AS lr FROM bcv
+       |         ORDER BY cnt DESC, u, v LIMIT 200000),
+       |stream AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS u, w[1] AS v FROM w WHERE len(w) >= 1
+       |           UNION ALL SELECT doc_id, u, v FROM pairs),
+       |scored AS (SELECT s.doc_id,
+       |    CASE WHEN tb.lr IS NOT NULL THEN tb.lr
+       |         WHEN s.u IS NULL THEN ln((coalesce(tv.cnt, prm.oov) + 0.5) / prm.denom)
+       |         ELSE ln(0.4) + ln((coalesce(tv.cnt, prm.oov) + 0.5) / prm.denom) END AS lp
+       |  FROM stream s LEFT JOIN topb tb ON tb.u = s.u AND tb.v = s.v
+       |  LEFT JOIN topv tv ON tv.tok = s.v CROSS JOIN prm)
+       |SELECT doc_id, ${Det.droundSql("avg(lp)", 4)} AS mean_logp,
+       |  count(*) AS n_tokens
+       |FROM scored GROUP BY doc_id""".stripMargin
+
   // ---- SM10/D15: mixture waterfill + cross-source overlap --------------
 
   /** The sm10 target mixture — heavy weight on five sources so the
@@ -586,7 +627,8 @@ object ScaleQueries3 {
     "x15_entropy"        -> x15Entropy,
     "s7_bm25"            -> s7Bm25,
     "sm10_waterfill"     -> sm10Waterfill,
-    "d15_overlap"        -> d15Overlap
+    "d15_overlap"        -> d15Overlap,
+    "x16_bigram_lm"      -> x16BigramLm
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,6 +641,7 @@ object ScaleQueries3 {
     "s7_bm25"         -> s7Sql,
     "sm10_waterfill"  -> sm10Sql,
     "d15_overlap"     -> d15Sql,
+    "x16_bigram_lm"   -> x16Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

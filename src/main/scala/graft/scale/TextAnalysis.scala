@@ -364,6 +364,79 @@ object TextAnalysis {
       .select(col(idCol), col("score"), col("tier"), col("kept"))
   }
 
+  /** Bigram language-model quality score with Stupid Backoff (Brants et
+    * al. 2007, "Large Language Models in Machine Translation": the
+    * count-ratio score S(v|u) = c(u,v)/c(u) when the bigram is known,
+    * else λ·S(v) — no normalization, which is exactly why it scales).
+    * The unigram leg reuses [[unigramLogProb]]'s pruned-vocabulary
+    * discipline: top-V tokens keep counts, everything else scores
+    * through the OOV mass bucket with add-α smoothing. Bigrams are
+    * pruned to the top-B pairs BOTH of whose tokens are in-vocabulary
+    * (count desc, pair asc — deterministic). Per document the score is
+    * the mean log-prob over all n positions: position 1 by the unigram
+    * leg, positions ≥ 2 by S(v|u).
+    *
+    * 100-TB shape: two bounded driver collects (top-V + top-B rows — the
+    * same contract as [[unigramLogProb]], NOT the full vocabulary),
+    * broadcast back as lookup tables with the log-ratios precomputed;
+    * the corpus side is one map-side pair explode, one pair-count
+    * shuffle for the model build, and a map-side broadcast join for
+    * scoring. Returns (idCol, mean_logp, n_tokens). */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    alpha: Double = 0.5, topV: Int = 100000,
+                    topB: Int = 200000, backoff: Double = 0.4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.select(col(idCol), tokens(col(textCol)).as("w"))
+    val toks = w.select(col(idCol), explode(col("w")).as("tok"))
+    val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    uc.persist()
+    try {
+      val topRows = uc.orderBy(col("cnt").desc, col("tok").asc).limit(topV).collect()
+      if (topRows.isEmpty)
+        return df.limit(0).select(col(idCol),
+          lit(0.0).as("mean_logp"), lit(0L).as("n_tokens"))
+      val vocab = topRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keptMass = topRows.map(_.getLong(1)).sum
+      val n = if (topRows.length < topV) keptMass
+              else uc.agg(sum(col("cnt"))).collect()(0).getLong(0)
+      val v = topRows.length.toLong
+      val oovMass = n - keptMass
+      val denom = n + alpha * (v + 1)
+      val pairs = w.filter(size(col("w")) >= 2)
+        .select(col(idCol), explode(expr(
+          "transform(sequence(2, size(w)), i -> " +
+          "named_struct('u', element_at(w, i - 1), 'v', element_at(w, i)))")).as("p"))
+        .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"))
+      val uniDf = topRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("v", "vcnt")
+      // vocabulary restriction as broadcast SEMI joins (top-V rows), never
+      // a 100k-element IN literal in the plan
+      val bigRows = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(uniDf.select(col("v").as("u"))), Seq("u"), "left_semi")
+        .join(broadcast(uniDf.select(col("v"))), Seq("v"), "left_semi")
+        .orderBy(col("cnt").desc, col("u").asc, col("v").asc).limit(topB).collect()
+      val bigDf = bigRows.map { r =>
+        val (u, vv, c) = (r.getAs[String]("u"), r.getAs[String]("v"), r.getAs[Long]("cnt"))
+        (u, vv, math.log(c.toDouble / vocab(u)))
+      }.toSeq.toDF("u", "v", "lr")
+      val stream = w.filter(size(col("w")) >= 1)
+        .select(col(idCol), lit(null).cast("string").as("u"),
+          element_at(col("w"), 1).as("v"))
+        .unionByName(pairs)
+      val uniLog = log((coalesce(col("vcnt"), lit(oovMass)) + lit(alpha)) / lit(denom))
+      stream
+        .join(broadcast(bigDf), Seq("u", "v"), "left")
+        .join(broadcast(uniDf), Seq("v"), "left")
+        .withColumn("lp",
+          when(col("lr").isNotNull, col("lr"))
+            .when(col("u").isNull, uniLog)
+            .otherwise(lit(math.log(backoff)) + uniLog))
+        .groupBy(col(idCol))
+        .agg(avg(col("lp")).as("mean_logp"), count(lit(1)).as("n_tokens"))
+    } finally uc.unpersist()
+  }
+
   /** Character-entropy quality gate: Shannon entropy (bits) of the
     * per-document character distribution. Gibberish and key-mash text
     * sits far from natural-language entropy (≈3.5–4.5 bits for English);

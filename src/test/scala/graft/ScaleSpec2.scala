@@ -95,6 +95,22 @@ class ScaleSpec2 extends SparkTestBase {
       "with budget >> availability every source caps at its full size")
   }
 
+  test("bigramLogProb: fluent word order outscores shuffled words of the same doc") {
+    // same unigram bag -> identical unigram-LM scores; only the bigram
+    // model can tell the fluent variant from the scrambled one
+    val base = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val df = (base :+ (31L, "dog the lazy jumps fox quick over brown the"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(31L),
+      s"fluent=${out(1L)} must beat scrambled=${out(31L)}")
+    val uni = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(1L) - uni(31L)) < 1e-12,
+      "control: the unigram model cannot distinguish the two")
+  }
+
   test("crossGroupOverlap: planted shared 6-gram found, disjoint groups absent") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val df = Seq(
