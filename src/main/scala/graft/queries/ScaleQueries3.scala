@@ -338,6 +338,66 @@ object ScaleQueries3 {
       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rk AS BIGINT) AS rank
       |FROM rk WHERE rk <= 10""".stripMargin
 
+  // ---- S8/S9: embedding compression audits -----------------------------
+
+  /** S8 — symmetric int8 quantization audit: per-vector scale, saturated
+    * lanes, and exact 1e-9-grid dequantization error (the 4× storage cut
+    * measured, not assumed). Map-side only. */
+  private def s8Int8: Q = (s, d) =>
+    graft.scale.Similarity.int8Quantize(Tables.embeddings(s, d), "embedding", "vec_id")
+
+  private val s8Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |f AS (SELECT vec_id, e, 127.0 / list_max(list_transform(e, x -> abs(x))) AS s
+      |      FROM e WHERE list_max(list_transform(e, x -> abs(x))) > 0),
+      |err AS (SELECT vec_id, s, e,
+      |          list_transform(e, x -> x - CAST(floor(x * s + 0.5) AS BIGINT) / s) AS err
+      |        FROM f)
+      |SELECT vec_id,
+      |  floor(s * 1e6 + 0.5) / 1e6 AS scale6,
+      |  CAST(len(list_filter(e, x -> abs(CAST(floor(x * s + 0.5) AS BIGINT)) >= 127)) AS BIGINT) AS n_sat,
+      |  CAST(list_sum(list_transform(err, x -> abs(CAST(floor(x * 1e9 + 0.5) AS BIGINT)))) AS BIGINT) AS sum_abs_err9,
+      |  CAST(list_max(list_transform(err, x -> abs(CAST(floor(x * 1e9 + 0.5) AS BIGINT)))) AS BIGINT) AS max_abs_err9
+      |FROM err""".stripMargin
+
+  /** S9 — Matryoshka truncation audit: recall@10 of prefix-16 cosine
+    * top-k against full-64, per probe vector. Deterministic via the
+    * 1e-9 score grid. */
+  private def s9Matryoshka: Q = (s, d) =>
+    graft.scale.Similarity.matryoshkaRecall(Tables.embeddings(s, d), "embedding",
+      "vec_id", subDim = 16, k = 10, nProbes = 5)
+
+  private val s9Sql = {
+    def leg(normDim: String, dotDim: String, name: String) =
+      s"""norm_$name AS (
+         |  SELECT vec_id, CAST(sum(CAST(floor(e[i.i] * e[i.i] * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS n12
+         |  FROM base, lateral (SELECT unnest(generate_series(1, $normDim)) AS i) i GROUP BY vec_id),
+         |dot_$name AS (
+         |  SELECT p.vec_id AS pid, b.vec_id AS vid,
+         |    CAST(sum(CAST(floor(b.e[i.i] * p.e[i.i] * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS dot12
+         |  FROM base b JOIN probes p ON b.vec_id <> p.vec_id,
+         |       lateral (SELECT unnest(generate_series(1, $dotDim)) AS i) i
+         |  GROUP BY 1, 2),
+         |top_$name AS (
+         |  SELECT pid, vid FROM (
+         |    SELECT d.pid, d.vid,
+         |      row_number() OVER (PARTITION BY d.pid ORDER BY
+         |        CAST(floor((d.dot12 / 1e12) / sqrt(nb.n12 / 1e12) / sqrt(np.n12 / 1e12) * 1e9 + 0.5) AS BIGINT) DESC,
+         |        d.vid) AS rk
+         |    FROM dot_$name d JOIN norm_$name nb ON nb.vec_id = d.vid
+         |         JOIN norm_$name np ON np.vec_id = d.pid)
+         |  WHERE rk <= 10)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |              FROM embeddings),
+       |probes AS (SELECT vec_id, e FROM base WHERE vec_id < 5),
+       |${leg("len(e)", "len(b.e)", "full")},
+       |${leg("16", "16", "tr")}
+       |SELECT f.pid, floor(CAST(count(t.vid) AS DOUBLE) / 10 * 1e6 + 0.5) / 1e6 AS recall
+       |FROM top_full f LEFT JOIN top_tr t ON t.pid = f.pid AND t.vid = f.vid
+       |GROUP BY f.pid""".stripMargin
+  }
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -628,7 +688,9 @@ object ScaleQueries3 {
     "s7_bm25"            -> s7Bm25,
     "sm10_waterfill"     -> sm10Waterfill,
     "d15_overlap"        -> d15Overlap,
-    "x16_bigram_lm"      -> x16BigramLm
+    "x16_bigram_lm"      -> x16BigramLm,
+    "s8_int8"            -> s8Int8,
+    "s9_matryoshka"      -> s9Matryoshka
   )
 
   val oracle: Map[String, String] = Map(
@@ -642,6 +704,8 @@ object ScaleQueries3 {
     "sm10_waterfill"  -> sm10Sql,
     "d15_overlap"     -> d15Sql,
     "x16_bigram_lm"   -> x16Sql,
+    "s8_int8"         -> s8Sql,
+    "s9_matryoshka"   -> s9Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -381,5 +381,75 @@ object Similarity {
       .filter(size(col("v")) === d)
       .withColumn("proj", project(col("v")))
       .select(col("vid"), col("proj"))
+  }
+
+  /** Symmetric int8 quantization audit — the 4× embedding-storage cut
+    * every 100-TB vector corpus takes, with its error measured: per
+    * vector, scale = 127/max|x|, q_i = floor(x_i·scale + 0.5) (the
+    * pinned rounding rule, replayable in any engine), and the
+    * dequantization error x − q/scale reported as EXACT integers on the
+    * 1e-9 grid (sum of |err|, max |err|, count of saturated lanes) —
+    * no float accumulation, so the audit is bit-identical cross-engine.
+    * Pure map-side lambda work over the in-row array; zero shuffle. */
+  def int8Quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val gen =
+      s"""inline(transform(array(transform($vecCol, x -> CAST(x AS DOUBLE))), e ->
+            element_at(transform(array(127.0 / array_max(transform(e, x -> abs(x)))), s ->
+              element_at(transform(array(transform(e, x ->
+                  x - CAST(floor(x * s + 0.5) AS BIGINT) / s)), err ->
+                named_struct(
+                  'scale6', floor(s * 1e6 + 0.5) / 1e6,
+                  'n_sat', CAST(size(filter(e, x ->
+                    abs(CAST(floor(x * s + 0.5) AS BIGINT)) >= 127)) AS BIGINT),
+                  'sum_abs_err9', aggregate(err, CAST(0 AS BIGINT),
+                    (a, x) -> a + abs(CAST(floor(x * 1e9 + 0.5) AS BIGINT))),
+                  'max_abs_err9', aggregate(err, CAST(0 AS BIGINT),
+                    (a, x) -> greatest(a, abs(CAST(floor(x * 1e9 + 0.5) AS BIGINT)))))), 1)), 1)))"""
+    df.filter(expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) > 0"))
+      .select(col(idCol), expr(gen))
+  }
+
+  /** Matryoshka truncation audit: how much ANN quality survives keeping
+    * only the first `subDim` coordinates (Kusupati et al. 2022 — MRL
+    * embeddings are trained so prefixes work; this measures it on YOUR
+    * vectors). For each of the first `nProbes` ids: exact cosine top-k
+    * in full space vs in the renormalized prefix space, reported as
+    * recall@k. Scores rank on a 1e-9-quantized grid with id tiebreak, so
+    * the sets — and the recall — are deterministic cross-engine.
+    *
+    * The all-pairs probe join is the d5-style bounded oracle twin
+    * (nProbes·|corpus| rows — probes are a constant, so this is a linear
+    * scan per probe); the production path at scale is the LSH/IVF
+    * family, truncated the same way. */
+  def matryoshkaRecall(df: DataFrame, vecCol: String, idCol: String,
+                       subDim: Int, k: Int = 10, nProbes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("vid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("e"))
+    // dot and norms accumulate as 1e-12-quantized BIGINTs (order-free,
+    // exact) so the ranking grid is bit-identical in any engine
+    def s12(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(x * y * 1e12 + 0.5) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    def cos9(a: String, b: String): Column =
+      floor(expr(s"(${s12(a, b)} / 1e12) / sqrt(${s12(a, a)} / 1e12) / sqrt(${s12(b, b)} / 1e12)") *
+        1e9 + 0.5).cast("long")
+    def topk(vecs: DataFrame): DataFrame = {
+      val probes = vecs.filter(col("vid") < nProbes)
+        .select(col("vid").as("pid"), col("e").as("pe"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("c9").desc, col("vid"))
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("vid") =!= col("pid"))
+        .select(col("pid"), col("vid"), cos9("e", "pe").as("c9"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("pid"), col("vid"))
+    }
+    val full = topk(base)
+    val trunc = topk(base.select(col("vid"), expr(s"slice(e, 1, $subDim)").as("e")))
+    full.join(trunc.withColumn("hit", lit(1L)), Seq("pid", "vid"), "left")
+      .groupBy(col("pid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
+      .select(col("pid"), (floor(col("recall") * 1e6 + 0.5) / 1e6).as("recall"))
   }
 }

@@ -111,6 +111,33 @@ class ScaleSpec2 extends SparkTestBase {
       "control: the unigram model cannot distinguish the two")
   }
 
+  lazy val embs = Tables.embeddings(spark, SF)
+
+  test("int8Quantize: error bounded by half a quantization step, max lane saturates") {
+    val out = graft.scale.Similarity.int8Quantize(embs, "embedding", "vec_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (scale, nSat, maxErr9) =
+        (r.getDouble(1), r.getLong(2), r.getLong(4))
+      assert(scale > 0)
+      assert(nSat >= 1, "the max-|x| lane quantizes to exactly +-127")
+      // |x - q/scale| <= 0.5/scale for the floor(x*scale+0.5) rule
+      assert(maxErr9 <= math.ceil(0.5 / scale * 1e9).toLong + 1,
+        s"dequant error ${maxErr9} exceeds half-step bound for scale $scale")
+    }
+  }
+
+  test("matryoshkaRecall: full-dim prefix is a perfect self-recall, 16-dim degrades gracefully") {
+    val full = graft.scale.Similarity.matryoshkaRecall(embs, "embedding", "vec_id",
+      subDim = 64, k = 10, nProbes = 3).collect()
+    assert(full.length == 3)
+    assert(full.forall(_.getDouble(1) == 1.0), "subDim=dim must reproduce the full ranking")
+    val tr = graft.scale.Similarity.matryoshkaRecall(embs, "embedding", "vec_id",
+      subDim = 16, k = 10, nProbes = 3).collect()
+    assert(tr.forall { r => val x = r.getDouble(1); x >= 0.0 && x <= 1.0 })
+  }
+
   test("crossGroupOverlap: planted shared 6-gram found, disjoint groups absent") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val df = Seq(
