@@ -271,6 +271,30 @@ object ScaleQueries2 {
 
   // ---- per-series distributed trend fit ---------------------------------
 
+  /** F6 — simple exponential smoothing per series (ETS(A,N,N), α=0.5):
+    * the closed-form level as one window+agg pass; dyadic α makes every
+    * weighted term an exact exponent shift, so the 1e-9-quantized term
+    * sums are bit-identical cross-engine. Flat h-step forecast. */
+  private def f6Ses: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.sesForecast(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), 3, 0.5, Seq("event_id"))
+      .select(col("user_id"), col("h"), dround(col("yhat"), 6).as("yhat"))
+
+  private val f6Sql =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |w AS (SELECT user_id,
+       |    CAST(floor(y * (CASE WHEN t = 1 THEN pow(0.5, n - 1)
+       |                         ELSE 0.5 * pow(0.5, n - t) END) * 1e9 + 0.5) AS BIGINT) AS term9
+       |  FROM s),
+       |l AS (SELECT user_id, CAST(sum(term9) AS BIGINT) AS s9 FROM w GROUP BY 1)
+       |SELECT user_id, h, ${droundSql("s9 / 1e9", 6)} AS yhat
+       |FROM l, generate_series(1, 3) AS g(h)""".stripMargin
+
   private def f4SeriesTrend: Q = (s, d) =>
     graft.scale.PerSeriesForecast.trendForecast(
         Tables.events(s, d), "value", "ts", Seq("user_id"), 3, Seq("event_id"))
@@ -625,6 +649,7 @@ object ScaleQueries2 {
     "d9_keep_best_cluster" -> d9KeepBestCluster,
     "f4_series_trend" -> f4SeriesTrend,
     "f5_series_bands" -> f5SeriesBands,
+    "f6_ses"          -> f6Ses,
     "e2_unseen_encode" -> e2UnseenEncode,
     "sm1_mod_sample" -> sm1ModSample,
     "sm2_stratified" -> sm2Stratified,
@@ -655,6 +680,7 @@ object ScaleQueries2 {
     "d9_keep_best_cluster" -> d9Sql,
     "f4_series_trend" -> f4Sql,
     "f5_series_bands" -> f5Sql,
+    "f6_ses"          -> f6Sql,
     "e2_unseen_encode" -> e2Sql,
     "sm1_mod_sample" -> sm1Sql,
     "sm2_stratified" -> sm2Sql,

@@ -138,4 +138,37 @@ object PerSeriesForecast {
     lastSeason.join(broadcast(phase), Seq("rd"))
       .select(seriesCols.map(col) :+ col("h") :+ col("yhat"): _*)
   }
+
+  /** Simple exponential smoothing (flat-forecast ETS(A,N,N)), per series
+    * in one pass: the recursion l₁ = y₁, l_t = α·y_t + (1−α)·l_{t−1} has
+    * the closed form
+    *   l_n = (1−α)^{n−1}·y₁ + α·Σ_{t=2..n} (1−α)^{n−t}·y_t,
+    * a per-row weight — so "fit SES on every series in the warehouse" is
+    * ONE window (row index + series length) and one aggregate on the same
+    * key (single shuffle), never a per-series model object.
+    *
+    * Determinism contract: each weighted term is quantized to the 1e-9
+    * grid and summed as BIGINT (order-free). For DYADIC α (0.5, 0.25,
+    * 0.75…) the weights (1−α)^k are exact powers of two, so y·w is an
+    * exact exponent shift and the terms — hence the level — are
+    * bit-identical in any IEEE engine; that is what makes the oracle
+    * query replayable. ŷ(t+h) = l_n for every h (flat). */
+  def sesForecast(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCols: Seq[String], horizon: Int,
+                  alpha: Double = 0.5, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val wgt = when(col("t") === 1, pow(lit(1 - alpha), col("n") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("t")))
+    df.withColumn("t", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("term9",
+        floor(col(valueCol).cast("double") * wgt * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg((sum(col("term9")) / 1e9).as("level"))
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+ col("level").as("yhat"): _*)
+  }
 }

@@ -113,6 +113,21 @@ class ScaleSpec2 extends SparkTestBase {
 
   lazy val embs = Tables.embeddings(spark, SF)
 
+  test("sesForecast: closed form equals the l_t recursion; flat across horizons") {
+    val ys = Seq(10.0, 12.0, 9.0, 14.0, 11.0, 13.0)
+    val alpha = 0.25
+    val expected = ys.tail.foldLeft(ys.head)((l, y) => alpha * y + (1 - alpha) * l)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.sesForecast(
+        df, "y", "ts", Seq("sid"), horizon = 3, alpha = alpha, tieBreak = Seq("eid"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out.size == 3)
+    out.values.foreach(v => assert(math.abs(v - expected) < 1e-8,
+      s"closed form $v != recursion $expected"))
+    assert(out.values.toSet.size == 1, "SES forecast must be flat in h")
+  }
+
   test("int8Quantize: error bounded by half a quantization step, max lane saturates") {
     val out = graft.scale.Similarity.int8Quantize(embs, "embedding", "vec_id")
       .collect()
