@@ -398,6 +398,63 @@ object ScaleQueries3 {
        |GROUP BY f.pid""".stripMargin
   }
 
+  // ---- T16/T17: per-series diagnostics ---------------------------------
+
+  /** T16 — Hampel rolling-median/MAD anomaly flags over every user's
+    * event series (±5 window, 3.5 MAD): the robust outlier audit run
+    * before pointing estimators at a series. Lower-median convention
+    * pins both engines to the same element. */
+  private def t16Anomaly: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.rollingMadAnomaly(
+        Tables.events(s, d), "value", "ts", Seq("user_id"),
+        halfWin = 5, nSigmas = 3.5, tieBreak = Seq("event_id"))
+      .filter(col("is_anomaly"))
+      .select(col("user_id"), col("event_id"),
+        Det.dround(col("y"), 6).as("y"),
+        Det.dround(col("med"), 6).as("med"),
+        Det.dround(col("mad"), 6).as("mad"))
+
+  private val t16Sql =
+    s"""WITH s AS (
+       |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS y,
+       |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS arr
+       |  FROM events),
+       |m AS (SELECT user_id, event_id, y,
+       |        list_sort(arr)[(len(arr) + 1) // 2] AS med, arr FROM s),
+       |d AS (SELECT user_id, event_id, y, med,
+       |        list_sort(list_transform(arr, x -> abs(x - med)))[(len(arr) + 1) // 2] AS mad
+       |      FROM m)
+       |SELECT user_id, event_id, ${Det.droundSql("y", 6)} AS y,
+       |  ${Det.droundSql("med", 6)} AS med, ${Det.droundSql("mad", 6)} AS mad
+       |FROM d WHERE mad > 0 AND abs(y - med) > 3.5 * mad""".stripMargin
+
+  /** T17 — CUSUM mean-shift changepoint per series (Page 1954): position
+    * of the |cumsum| peak, all-integer on the 1e-6 grid (no float
+    * accumulation — engines associate window sums differently). */
+  private def t17Cusum: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.cusumChangepoint(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), Seq("event_id"))
+
+  private val t17Sql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y6,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS t,
+      |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run6,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY user_id) AS BIGINT) AS tot6
+      |  FROM events),
+      |c AS (SELECT user_id, n, t, n * run6 - t * tot6 AS s6 FROM s),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY abs(s6) DESC, t) AS rk
+      |       FROM c)
+      |SELECT user_id, n, t AS cp_t, CAST(abs(s6) AS BIGINT) AS cusum6,
+      |  CAST(CASE WHEN s6 > 0 THEN 1 WHEN s6 < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+      |FROM rk WHERE rk = 1""".stripMargin
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -690,7 +747,9 @@ object ScaleQueries3 {
     "d15_overlap"        -> d15Overlap,
     "x16_bigram_lm"      -> x16BigramLm,
     "s8_int8"            -> s8Int8,
-    "s9_matryoshka"      -> s9Matryoshka
+    "s9_matryoshka"      -> s9Matryoshka,
+    "t16_anomaly"        -> t16Anomaly,
+    "t17_cusum"          -> t17Cusum
   )
 
   val oracle: Map[String, String] = Map(
@@ -706,6 +765,8 @@ object ScaleQueries3 {
     "x16_bigram_lm"   -> x16Sql,
     "s8_int8"         -> s8Sql,
     "s9_matryoshka"   -> s9Sql,
+    "t16_anomaly"     -> t16Sql,
+    "t17_cusum"       -> t17Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -153,6 +153,34 @@ class ScaleSpec2 extends SparkTestBase {
     assert(tr.forall { r => val x = r.getDouble(1); x >= 0.0 && x <= 1.0 })
   }
 
+  test("rollingMadAnomaly: planted spike flagged, clean series clean, neighbors unmasked") {
+    val clean = (0 until 40).map(i => (1L, i.toLong, i.toLong, 10.0 + (i % 3)))
+    val spiked = clean.map { case (_, ts, eid, y) =>
+      (2L, ts, eid, if (ts == 20) 500.0 else y) }
+    val df = (clean ++ spiked).toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.SeriesDiagnostics.rollingMadAnomaly(
+        df, "y", "ts", Seq("sid"), halfWin = 5, nSigmas = 3.5, tieBreak = Seq("eid"))
+      .filter(col("is_anomaly"))
+      .select("sid", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((2L, 20L)), s"planted spike missed: $out")
+    assert(!out.exists(_._1 == 1L), "clean series must have zero flags")
+    assert(out.count(_._1 == 2L) == 1,
+      s"median robustness: the spike must not mask or flag neighbors: $out")
+  }
+
+  test("cusumChangepoint: level shift located exactly, direction encodes shift sign") {
+    val up = (1 to 20).map(i => (1L, i.toLong, i.toLong, if (i <= 10) 0.0 else 10.0))
+    val down = (1 to 20).map(i => (2L, i.toLong, i.toLong, if (i <= 10) 10.0 else 0.0))
+    val df = (up ++ down).toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.SeriesDiagnostics.cusumChangepoint(
+        df, "y", "ts", Seq("sid"), Seq("eid"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out(1L)._1 == 10L, s"upward shift peak at t=10: ${out(1L)}")
+    assert(out(1L)._2 == -1L, "upward shift -> CUSUM trough (negative) at the cp")
+    assert(out(2L)._1 == 10L)
+    assert(out(2L)._2 == 1L, "downward shift -> CUSUM crest (positive)")
+  }
+
   test("crossGroupOverlap: planted shared 6-gram found, disjoint groups absent") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val df = Seq(
