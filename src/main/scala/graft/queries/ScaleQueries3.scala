@@ -398,6 +398,25 @@ object ScaleQueries3 {
        |GROUP BY f.pid""".stripMargin
   }
 
+  // ---- ST_TOPK: heavy hitters (batch twin of StreamTopK) ---------------
+
+  /** ST_TOPK — exact token top-20 over the corpus (count desc, token
+    * asc): the batch twin / oracle for [[graft.streaming.StreamTopK]]'s
+    * sharded Space-Saving sketch; parity and error bounds are pinned in
+    * StreamingSpec. */
+  private def stTopK: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+
+  private val stTopKSql =
+    """SELECT tok, cnt FROM (
+      |  SELECT tok, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1)
+      |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
   // ---- T16/T17: per-series diagnostics ---------------------------------
 
   /** T16 — Hampel rolling-median/MAD anomaly flags over every user's
@@ -749,7 +768,8 @@ object ScaleQueries3 {
     "s8_int8"            -> s8Int8,
     "s9_matryoshka"      -> s9Matryoshka,
     "t16_anomaly"        -> t16Anomaly,
-    "t17_cusum"          -> t17Cusum
+    "t17_cusum"          -> t17Cusum,
+    "st_topk"            -> stTopK
   )
 
   val oracle: Map[String, String] = Map(
@@ -767,6 +787,7 @@ object ScaleQueries3 {
     "s9_matryoshka"   -> s9Sql,
     "t16_anomaly"     -> t16Sql,
     "t17_cusum"       -> t17Sql,
+    "st_topk"         -> stTopKSql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -503,4 +503,45 @@ class StreamingSpec extends SparkTestBase {
     // the linear series 1,2,3 predicts 4 exactly
     assert(math.abs(got.last.yhat.get - 4.0) < 1e-9, s"got ${got.last}")
   }
+
+  test("StreamTopK: exact parity with batch counts when capacity covers the vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val hh = graft.streaming.StreamTopK.heavyHitters(mem.toDS(), m = 64, nShards = 4)
+    val q = hh.writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    val b1 = Seq("a", "b", "a", "c", "a", "b")
+    val b2 = Seq("a", "c", "d", "a", "b", "e", "a")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Update mode: latest emission per (shard, key) is the live estimate
+    val rows = spark.table("topk_out")
+      .as[graft.streaming.StreamTopK.HH].collect()
+    val latest = rows.groupBy(r => (r.shard, r.key))
+      .map { case (_, v) => v.last }.map(r => r.key -> r.count).toMap
+    val exact = (b1 ++ b2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(latest == exact, s"sketch $latest != exact $exact")
+    assert(rows.forall(_.err == 0), "no evictions can occur below capacity")
+  }
+
+  test("StreamTopK: Space-Saving bounds and count conservation under tight capacity") {
+    import graft.streaming.StreamTopK
+    // single-shard deterministic replay of a skewed stream, m = 3 << vocab 6
+    val stream = Seq.fill(30)("hot") ++ (1 to 12).map(i => s"k${i % 6}") ++ Seq.fill(10)("hot")
+    var t = Map.empty[String, (Long, Long)]
+    stream.foreach(x => t = StreamTopK.offer(t, x, 3))
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(t.size <= 3)
+    t.foreach { case (k, (c, e)) =>
+      val truth = exact.getOrElse(k, 0L)
+      assert(truth <= c, s"$k: estimate $c must overcount truth $truth")
+      assert(c - e <= truth, s"$k: guaranteed count ${c - e} must undercount truth $truth")
+    }
+    assert(t.values.map(_._1).sum == stream.size,
+      "each arrival adds exactly one to some counter")
+    assert(t.contains("hot"), "a key with frequency > N/m is guaranteed tracked")
+    assert(t("hot")._1 - t("hot")._2 <= exact("hot") && exact("hot") <= t("hot")._1)
+  }
 }
