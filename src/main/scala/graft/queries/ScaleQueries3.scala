@@ -474,6 +474,328 @@ object ScaleQueries3 {
       |  CAST(CASE WHEN s6 > 0 THEN 1 WHEN s6 < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
       |FROM rk WHERE rk = 1""".stripMargin
 
+  // ---- A18/A19: funnel + cohort retention ------------------------------
+
+  /** A18 — ordered funnel view → click → purchase (earliest-completion
+    * greedy, strict timestamp order) with conversion from step 1. */
+  private def a18Funnel: Q = (s, d) =>
+    graft.scale.EventAnalytics.funnel(
+        Tables.events(s, d), "event_type", "ts", "user_id",
+        Seq("view", "click", "purchase"))
+      .select(col("step"), col("step_type"), col("users"),
+        Det.dround(col("conversion"), 6).as("conversion"))
+
+  private val a18Sql =
+    s"""WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+       |            WHERE event_type = 'view' GROUP BY 1),
+       |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       |       JOIN t1 ON e.user_id = t1.user_id
+       |       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+       |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       |       JOIN t2 ON e.user_id = t2.user_id
+       |       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+       |c AS (SELECT 1 AS step, 'view' AS step_type,
+       |        CAST((SELECT count(*) FROM t1) AS BIGINT) AS users
+       |      UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+       |      UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT))
+       |SELECT step, step_type, users,
+       |  ${Det.droundSql("CAST(users AS DOUBLE) / (SELECT users FROM c WHERE step = 1)", 6)} AS conversion
+       |FROM c""".stripMargin
+
+  /** A19 — weekly cohort retention over 8 periods: cohort by first-seen
+    * week, active = distinct (user, week) before any join. */
+  private def a19Retention: Q = (s, d) =>
+    graft.scale.EventAnalytics.retention(
+        Tables.events(s, d), "ts", "user_id",
+        periodSeconds = 604800L, maxPeriods = 8)
+      .select(col("cohort"), col("k"), col("active"), col("cohort_size"),
+        Det.dround(col("retention"), 6).as("retention"))
+
+  private val a19Sql =
+    s"""WITH p AS (SELECT user_id, CAST(floor(epoch(ts)/604800.0) AS BIGINT) AS p FROM events),
+       |fs AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY 1),
+       |a AS (SELECT DISTINCT user_id, p FROM p),
+       |sz AS (SELECT cohort, count(*) AS cohort_size FROM fs GROUP BY 1),
+       |r AS (SELECT fs.cohort, CAST(a.p - fs.cohort AS INT) AS k,
+       |        count(*) AS active
+       |      FROM a JOIN fs USING (user_id)
+       |      WHERE a.p - fs.cohort BETWEEN 0 AND 8 GROUP BY 1, 2)
+       |SELECT r.cohort, r.k, r.active, sz.cohort_size,
+       |  ${Det.droundSql("CAST(active AS DOUBLE) / cohort_size", 6)} AS retention
+       |FROM r JOIN sz USING (cohort)""".stripMargin
+
+  // ---- T18/A17: seasonality triage + lead-lag audit --------------------
+
+  /** T18 — seasonal strength at period 7 for every user series (ANOVA
+    * of OLS-detrended values over phase means): the pre-fit triage that
+    * routes series to the seasonal model family. */
+  private def t18Seasonal: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.seasonalStrength(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), m = 7,
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n"), Det.dround(col("strength"), 6).as("strength"))
+
+  private val t18Sql =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn, sum(t) AS st,
+       |        sum(t*t) AS stt, sum(y) AS sy, sum(t*y) AS sty
+       |      FROM s GROUP BY 1),
+       |f AS (SELECT user_id,
+       |        CASE WHEN nn > 1 THEN (nn*sty - st*sy)/(nn*stt - st*st) ELSE 0.0 END AS slope,
+       |        sy, st, nn FROM a),
+       |f2 AS (SELECT user_id, slope, (sy - slope*st)/nn AS icept FROM f),
+       |dd AS (SELECT s.user_id, y - (icept + slope*t) AS d,
+       |         CAST(CAST(t AS BIGINT) % 7 AS BIGINT) AS phase
+       |       FROM s JOIN f2 USING (user_id)),
+       |p AS (SELECT user_id, phase, CAST(count(*) AS DOUBLE) AS np,
+       |        sum(d) AS sd, sum(d*d) AS sdd FROM dd GROUP BY 1, 2),
+       |g AS (SELECT user_id, sum(np) AS n, sum(sdd) AS sstot_raw, sum(sd) AS sdall,
+       |        sum(sdd - sd*sd/np) AS ssw FROM p GROUP BY 1),
+       |h AS (SELECT user_id, n, ssw, sstot_raw - sdall*sdall/n AS sstot FROM g)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |  ${Det.droundSql("CASE WHEN sstot > 1e-9 THEN greatest(0.0, 1.0 - ssw/sstot) ELSE 0.0 END", 6)} AS strength
+       |FROM h""".stripMargin
+
+  /** A17 — lead-lag CCF between the hourly `click` and `purchase` value
+    * series, lags 0..6: the exogenous-regressor audit before T3
+    * alignment feeds ARIMAX/VAR. */
+  private def a17Ccf: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.scale.SeriesDiagnostics.crossCorrelation(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", "ts", maxLag = 6)
+      .select(col("lag"), col("n"), Det.dround(col("r"), 6).as("r"))
+  }
+
+  private val a17Sql =
+    s"""WITH ax AS (SELECT CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS b,
+       |              avg(CAST(value AS DOUBLE)) AS x
+       |            FROM events WHERE event_type = 'click' GROUP BY 1),
+       |byy AS (SELECT CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS b2,
+       |          avg(CAST(value AS DOUBLE)) AS y
+       |        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (SELECT lag, x, y
+       |      FROM ax CROSS JOIN generate_series(0, 6) AS g(lag)
+       |      INNER JOIN byy ON b2 = b + lag),
+       |a AS (SELECT lag, CAST(count(*) AS DOUBLE) AS nn, sum(x) AS sx,
+       |        sum(x*x) AS sxx, sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+       |      FROM j GROUP BY 1),
+       |d AS (SELECT lag, nn, nn*sxy - sx*sy AS num,
+       |        sqrt((nn*sxx - sx*sx)*(nn*syy - sy*sy)) AS den FROM a)
+       |SELECT CAST(lag AS INT) AS lag, CAST(nn AS BIGINT) AS n,
+       |  ${Det.droundSql("CASE WHEN den > 0 THEN num/den ELSE NULL END", 6)} AS r
+       |FROM d""".stripMargin
+
+  // ---- T19: classical decomposition ------------------------------------
+
+  /** T19 — per-row additive decomposition (trend/seasonal/remainder) at
+    * period 7, 1-in-10 user subset (the operator is subset-free). */
+  private def t19Decompose: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.decompose(
+        Tables.events(s, d).filter(col("user_id") % 10 === 5),
+        "value", "ts", Seq("user_id"), m = 7, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("t"), Det.dround(col("y"), 6).as("y"),
+        Det.dround(col("trend"), 6).as("trend"),
+        Det.dround(col("seasonal"), 6).as("seasonal"),
+        Det.dround(col("remainder"), 6).as("remainder"))
+
+  private val t19Sql =
+    s"""WITH e AS (SELECT * FROM events WHERE user_id % 10 = 5),
+       |s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM e),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn, sum(t) AS st,
+       |        sum(t*t) AS stt, sum(y) AS sy, sum(t*y) AS sty
+       |      FROM s GROUP BY 1),
+       |f AS (SELECT user_id,
+       |        CASE WHEN nn > 1 THEN (nn*sty - st*sy)/(nn*stt - st*st) ELSE 0.0 END AS slope,
+       |        sy, st, nn FROM a),
+       |f2 AS (SELECT user_id, slope, (sy - slope*st)/nn AS icept FROM f),
+       |dd AS (SELECT s.user_id, t, y, icept + slope*t AS trend,
+       |         y - (icept + slope*t) AS d,
+       |         CAST(CAST(t AS BIGINT) % 7 AS BIGINT) AS phase
+       |       FROM s JOIN f2 USING (user_id)),
+       |p AS (SELECT user_id, phase, sum(d)/count(*) AS seasonal
+       |      FROM dd GROUP BY 1, 2)
+       |SELECT dd.user_id, CAST(t AS BIGINT) AS t, ${Det.droundSql("y", 6)} AS y,
+       |  ${Det.droundSql("trend", 6)} AS trend,
+       |  ${Det.droundSql("seasonal", 6)} AS seasonal,
+       |  ${Det.droundSql("dd.d - seasonal", 6)} AS remainder
+       |FROM dd JOIN p USING (user_id, phase)""".stripMargin
+
+  // ---- SM11/SM12: training order + leakage-safe split ------------------
+
+  /** SM11 — deterministic global shuffle (reproducible training order):
+    * exact global rank in md5(id:seed) order, computed with fixed
+    * hex-prefix range buckets — no global window, no sampled range
+    * boundaries. */
+  private def sm11Shuffle: Q = (s, d) =>
+    Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("position"))
+
+  private val sm11Sql =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS BIGINT) AS position
+      |FROM documents""".stripMargin
+
+  /** SM12 — leakage-safe GROUP split: hash-fence splitting keyed on the
+    * GROUP (source), not the row, so every document of a source lands in
+    * the same fold — the GroupKFold discipline that stops near-dup
+    * train/test leakage through shared boilerplate. Same md5 fences as
+    * sm6_hash_split. */
+  private def sm12GroupSplit: Q = (s, d) =>
+    Sampling.hashSplit(Tables.documents(s, d), "source", 80, 10)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+
+  private val sm12Sql =
+    """SELECT source,
+      |  CASE WHEN md5(source) < 'cccc' THEN 'train'
+      |       WHEN md5(source) < 'e666' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ---- A15/A16: split-drift audits -------------------------------------
+
+  /** A15 — PSI drift audit between the `purchase` and `view` event
+    * populations over 10 shared fixed-width value bins (pooled min/max
+    * edges, Laplace-smoothed shares). One row per bin so every term is
+    * exactly replayable; Σpsi is the caller's 10-row sum. */
+  private def a15Psi: Q = (s, d) =>
+    graft.stats.DriftAudit.psiBins(
+        Tables.events(s, d).filter(col("event_type").isin("purchase", "view")),
+        "value", "event_type", bins = 10)
+      .select(col("bin"), col("n_a"), col("n_b"),
+        Det.dround(col("p_a"), 6).as("p_a"), Det.dround(col("p_b"), 6).as("p_b"),
+        Det.dround(col("psi"), 6).as("psi"))
+
+  private val a15Sql =
+    s"""WITH e AS (SELECT event_type AS sp, CAST(value AS DOUBLE) AS v
+       |           FROM events WHERE event_type IN ('purchase', 'view')),
+       |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM e),
+       |bn AS (SELECT sp, CASE WHEN hi = lo THEN 0
+       |         ELSE least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT), 9) END AS bin
+       |       FROM e, mm),
+       |c AS (SELECT bin,
+       |        CAST(sum(CASE WHEN sp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN sp = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |      FROM bn GROUP BY bin),
+       |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+       |             CAST(sum(n_b) AS BIGINT) AS tot_b FROM c),
+       |p AS (SELECT bin, n_a, n_b,
+       |        (n_a + 0.5) / (tot_a + 0.5 * 10) AS p_a,
+       |        (n_b + 0.5) / (tot_b + 0.5 * 10) AS p_b
+       |      FROM c, t)
+       |SELECT bin, n_a, n_b, ${Det.droundSql("p_a", 6)} AS p_a,
+       |  ${Det.droundSql("p_b", 6)} AS p_b,
+       |  ${Det.droundSql("(p_a - p_b) * ln(p_a / p_b)", 6)} AS psi
+       |FROM p""".stripMargin
+
+  /** A16 — exact two-sample Kolmogorov–Smirnov distance between the
+    * same two populations: D as a ratio of integer counts (no float
+    * accumulation), CDF gaps evaluated after ties. */
+  private def a16Ks: Q = (s, d) =>
+    graft.stats.DriftAudit.ksStatistic(
+        Tables.events(s, d).filter(col("event_type").isin("purchase", "view")),
+        "value", "event_type")
+      .select(Det.dround(col("ks_d"), 6).as("ks_d"), col("d_num"), col("d_den"))
+
+  private val a16Sql =
+    s"""WITH e AS (SELECT event_type AS sp, CAST(value AS DOUBLE) AS v
+       |           FROM events WHERE event_type IN ('purchase', 'view')),
+       |c AS (SELECT v AS x,
+       |        CAST(sum(CASE WHEN sp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |        CAST(sum(CASE WHEN sp = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |      FROM e GROUP BY v),
+       |r AS (SELECT x,
+       |        CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS ra,
+       |        CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS rb FROM c),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c)
+       |SELECT ${Det.droundSql("CAST(max(abs(ra*nb - rb*na)) AS DOUBLE) / CAST(na*nb AS DOUBLE)", 6)} AS ks_d,
+       |  CAST(max(abs(ra*nb - rb*na)) AS BIGINT) AS d_num,
+       |  CAST(max(na*nb) AS BIGINT) AS d_den
+       |FROM r, t GROUP BY na, nb""".stripMargin
+
+  // ---- F7: Theta-method forecast ---------------------------------------
+
+  /** F7 — Theta(0,2) per-series forecast (the M3-competition winner):
+    * average of the OLS-trend extension and the SES(α=0.5) level of the
+    * doubled-curvature theta=2 line, all from ONE window+agg pass.
+    * Exactly replayable: dyadic α, 1e-9 BIGINT term sums for the SES
+    * parts, the f4 OLS sums for the trend. */
+  private def f7Theta: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.thetaForecast(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), 3, 0.5, Seq("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 6).as("yhat"))
+
+  private val f7Sql =
+    s"""WITH s AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |w AS (SELECT user_id, CAST(t1 - 1 AS DOUBLE) AS t, y,
+       |        CASE WHEN t1 = 1 THEN pow(0.5, n - 1)
+       |             ELSE 0.5 * pow(0.5, n - t1) END AS wgt
+       |      FROM s),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn,
+       |        sum(t) AS st, sum(t*t) AS stt, sum(y) AS sy, sum(t*y) AS sty,
+       |        CAST(sum(CAST(floor(y * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swy9,
+       |        CAST(sum(CAST(floor(t * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swt9,
+       |        CAST(sum(CAST(floor(wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sw9
+       |      FROM w GROUP BY user_id),
+       |b AS (SELECT *, CASE WHEN nn > 1 THEN (nn*sty - st*sy)/(nn*stt - st*st)
+       |                     ELSE 0.0 END AS slope
+       |      FROM a),
+       |c AS (SELECT *, (sy - slope*st)/nn AS icept FROM b),
+       |l AS (SELECT *, 2.0*swy9/1e9 - icept*sw9/1e9 - slope*swt9/1e9 AS lvl2 FROM c)
+       |SELECT user_id, h,
+       |  ${Det.droundSql("(icept + slope*(nn - 1 + h) + lvl2) / 2", 6)} AS yhat
+       |FROM l, generate_series(1, 3) AS g(h)""".stripMargin
+
+  // ---- F8: Croston intermittent demand ---------------------------------
+
+  /** F8 — Croston's method per user over the INTERMITTENT demand series
+    * "purchase value, else zero": separate SES levels for demand size
+    * and inter-demand interval, flat rate forecast z/q. */
+  private def f8Croston: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.crostonForecast(
+        Tables.events(s, d).withColumn("demand",
+          when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))),
+        "demand", "ts", Seq("user_id"), 2, 0.5, Seq("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 6).as("yhat"),
+        col("n_demands"))
+
+  private val f8Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS t,
+       |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) ELSE 0.0 END AS y
+       |  FROM events),
+       |nz AS (SELECT user_id, t, y,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY t) AS i,
+       |    count(*) OVER (PARTITION BY user_id) AS nnz,
+       |    CAST(t - coalesce(lag(t) OVER (PARTITION BY user_id ORDER BY t), 0) AS DOUBLE) AS q
+       |  FROM s WHERE y <> 0.0),
+       |w AS (SELECT user_id, nnz,
+       |    CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
+       |         ELSE 0.5 * pow(0.5, nnz - i) END AS wgt, y, q
+       |  FROM nz),
+       |a AS (SELECT user_id,
+       |    CAST(sum(CAST(floor(y * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS z9,
+       |    CAST(sum(CAST(floor(q * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS q9,
+       |    CAST(max(nnz) AS BIGINT) AS n_demands
+       |  FROM w GROUP BY 1)
+       |SELECT user_id, h, ${Det.droundSql("(z9/1e9)/(q9/1e9)", 6)} AS yhat, n_demands
+       |FROM a, generate_series(1, 2) AS g(h)""".stripMargin
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -769,7 +1091,18 @@ object ScaleQueries3 {
     "s9_matryoshka"      -> s9Matryoshka,
     "t16_anomaly"        -> t16Anomaly,
     "t17_cusum"          -> t17Cusum,
-    "st_topk"            -> stTopK
+    "st_topk"            -> stTopK,
+    "f7_theta"           -> f7Theta,
+    "a15_psi"            -> a15Psi,
+    "a16_ks"             -> a16Ks,
+    "sm11_shuffle"       -> sm11Shuffle,
+    "sm12_group_split"   -> sm12GroupSplit,
+    "t18_seasonal"       -> t18Seasonal,
+    "a17_ccf"            -> a17Ccf,
+    "a18_funnel"         -> a18Funnel,
+    "a19_retention"      -> a19Retention,
+    "f8_croston"         -> f8Croston,
+    "t19_decompose"      -> t19Decompose
   )
 
   val oracle: Map[String, String] = Map(
@@ -788,6 +1121,17 @@ object ScaleQueries3 {
     "t16_anomaly"     -> t16Sql,
     "t17_cusum"       -> t17Sql,
     "st_topk"         -> stTopKSql,
+    "f7_theta"        -> f7Sql,
+    "a15_psi"         -> a15Sql,
+    "a16_ks"          -> a16Sql,
+    "sm11_shuffle"    -> sm11Sql,
+    "sm12_group_split" -> sm12Sql,
+    "t18_seasonal"    -> t18Sql,
+    "a17_ccf"         -> a17Sql,
+    "a18_funnel"      -> a18Sql,
+    "a19_retention"   -> a19Sql,
+    "f8_croston"      -> f8Sql,
+    "t19_decompose"   -> t19Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

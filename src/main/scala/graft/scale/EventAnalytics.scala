@@ -1,0 +1,82 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and cohort
+  * retention — the two queries every events warehouse runs daily.
+  * Both are expressed as per-entity aggregates on the SAME key
+  * (user), so however many billions of events arrive, the plan is a
+  * handful of user-keyed aggregates whose exchanges Spark reuses —
+  * never a per-event self-join. */
+object EventAnalytics {
+
+  /** Ordered funnel: for steps (s₁, …, s_k), a user is "at depth i"
+    * when there exist events of type s₁ < s₂ < … < s_i in STRICT
+    * timestamp order (the classic earliest-completion greedy: t₁ =
+    * min ts of s₁, t₂ = min ts of s₂ AFTER t₁, …; greedy-earliest is
+    * optimal here — choosing any later t_i only shrinks what can
+    * follow). Returns one row per step: (step, step_type, users,
+    * conversion from step 1).
+    *
+    * Shape: one filtered user-keyed aggregate per step, each joined on
+    * the user key (depth tables are |users| rows, exchanges on the
+    * same key reuse); the events table is scanned once per step with
+    * the step filter pushed to the scan. */
+  def funnel(events: DataFrame, typeCol: String, tsCol: String,
+             userCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = events.sparkSession
+    // depth(i): per-user earliest completion time of the length-i prefix
+    val depths = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val stepEvents = events.filter(col(typeCol) === step)
+        val d = prev match {
+          case None =>
+            stepEvents.groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+          case Some(p) =>
+            stepEvents.join(p.withColumnRenamed("t", "t_prev"), userCol)
+              .filter(col(tsCol) > col("t_prev"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+        }
+        Some(d)
+    }.flatten
+    val counts = depths.zip(steps).zipWithIndex.map { case ((d, st), i) =>
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(st).as("step_type"), col("users"))
+    }
+    val all = counts.reduce(_ unionByName _)
+    val base = all.filter(col("step") === 1).select(col("users").as("u0"))
+    all.crossJoin(broadcast(base))
+      .withColumn("conversion", col("users").cast("double") / col("u0"))
+      .drop("u0")
+  }
+
+  /** Cohort retention: users are cohorted by the period of their FIRST
+    * event (floor(epoch/periodSeconds)); retention(c, k) = distinct
+    * users of cohort c active in period c+k, k = 0..maxPeriods.
+    * Returns (cohort, k, active, cohort_size, retention).
+    *
+    * Shape: first-seen is one user-keyed aggregate; activity reduces
+    * to DISTINCT (user, period) before joining the |users|-row cohort
+    * table back on the user key — the billion-event table collapses
+    * BEFORE any join, and the output is |cohorts|·maxPeriods rows. */
+  def retention(events: DataFrame, tsCol: String, userCol: String,
+                periodSeconds: Long, maxPeriods: Int): DataFrame = {
+    val period = floor(col(tsCol).cast("double") / lit(periodSeconds.toDouble))
+      .cast("long")
+    val firstSeen = events
+      .groupBy(col(userCol)).agg(min(period).as("cohort"))
+    val active = events
+      .select(col(userCol), period.as("p")).distinct()
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firstSeen, userCol)
+      .withColumn("k", (col("p") - col("cohort")).cast("int"))
+      .filter(col("k") >= 0 && col("k") <= maxPeriods)
+      .groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("active"))
+      .join(broadcast(sizes), "cohort")
+      .withColumn("retention", col("active").cast("double") / col("cohort_size"))
+  }
+}

@@ -171,4 +171,106 @@ object PerSeriesForecast {
       .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
       .select(seriesCols.map(col) :+ col("h") :+ col("level").as("yhat"): _*)
   }
+
+  /** Theta method (Assimakopoulos & Nikolopoulos 2000 — the M3
+    * competition winner), classic Theta(0,2) form, per series in ONE
+    * shuffle. The two theta lines are
+    *   theta=0:  the OLS trend  A + B·t          (pure long-run signal)
+    *   theta=2:  z_t = 2·y_t − (A + B·t)          (doubled curvature)
+    * and ŷ(n+h) = ( [A + B·(n−1+h)]  +  SES_α(z) ) / 2.
+    *
+    * Scale shape: SES is linear in its inputs, so the theta=2 level
+    * never needs a second pass over z —
+    *   L(z) = 2·Σw_t·y_t − A·Σw_t − B·Σw_t·t
+    * with w_t the SES weights from [[sesForecast]]. All three weighted
+    * sums ride in the SAME aggregate as the OLS sums: one partitioned
+    * window (row index) + one aggregate on the same key, exchange
+    * reused — a million-series Theta fit costs exactly what the f4
+    * trend fit costs.
+    *
+    * Determinism: weighted terms quantized to the 1e-9 grid and summed
+    * as BIGINT (order-free); dyadic α keeps the weights exact powers of
+    * two, so the oracle replay is bit-identical. A single-observation
+    * series degrades to naive (slope 0 ⇒ both lines are y₁). */
+  def thetaForecast(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], horizon: Int,
+                    alpha: Double = 0.5, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val wgt = when(col("t1") === 1, pow(lit(1 - alpha), col("n") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("t1")))
+    df.withColumn("t1", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", (col("t1") - 1).cast("double"))
+      .withColumn("y", col(valueCol).cast("double"))
+      .withColumn("wgt", wgt)
+      .withColumn("wy9", floor(col("y") * col("wgt") * 1e9 + 0.5).cast("long"))
+      .withColumn("wt9", floor(col("t") * col("wgt") * 1e9 + 0.5).cast("long"))
+      .withColumn("w9", floor(col("wgt") * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("nn"),
+           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+           sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+           sum(col("wy9")).as("swy9"), sum(col("wt9")).as("swt9"),
+           sum(col("w9")).as("sw9"))
+      .withColumn("slope", when(col("nn") > 1,
+          (col("nn") * col("sty") - col("st") * col("sy")) /
+          (col("nn") * col("stt") - col("st") * col("st"))).otherwise(lit(0.0)))
+      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("nn"))
+      .withColumn("lvl2",
+        lit(2.0) * col("swy9") / 1e9 - col("icept") * col("sw9") / 1e9 -
+          col("slope") * col("swt9") / 1e9)
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) :+ col("h") :+
+        ((col("icept") + col("slope") * (col("nn") - 1 + col("h")) + col("lvl2")) / 2)
+          .as("yhat"): _*)
+  }
+
+  /** Croston's method (Croston 1972) — THE baseline for intermittent
+    * demand (spare parts, rare purchases: mostly-zero series where SES
+    * over the raw values just decays to noise). The series splits into
+    *   z_i — the i-th NONZERO demand size
+    *   q_i — the inter-demand interval (q₁ = position of the first
+    *          demand, counting from the series start)
+    * each smoothed with its own SES, and the flat per-period rate
+    * forecast is  ŷ = level(z) / level(q).
+    *
+    * Scale shape: one series-keyed window (position index), a nonzero
+    * filter, a second window on the SAME key (demand index + lag for
+    * the gaps — no new exchange), one aggregate. Series with no demand
+    * at all emit no row (a rate of an empty set is undefined — sparse
+    * output, like seasonalNaive with n < m).
+    *
+    * Determinism: both SES levels use the [[sesForecast]] closed form
+    * with 1e-9 BIGINT term sums; dyadic α ⇒ exact weights ⇒ replayable
+    * oracle. */
+  def crostonForecast(df: DataFrame, valueCol: String, tsCol: String,
+                      seriesCols: Seq[String], horizon: Int,
+                      alpha: Double = 0.5, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wNz = Window.partitionBy(seriesCols.map(col): _*).orderBy(col("t"))
+    val wNzAll = Window.partitionBy(seriesCols.map(col): _*)
+    val wgt = when(col("i") === 1, pow(lit(1 - alpha), col("nnz") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("nnz") - col("i")))
+    df.withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("y", col(valueCol).cast("double"))
+      .filter(col("y") =!= 0.0)
+      .withColumn("i", row_number().over(wNz))
+      .withColumn("nnz", count(lit(1)).over(wNzAll))
+      .withColumn("q", (col("t") - coalesce(lag(col("t"), 1).over(wNz), lit(0L)))
+        .cast("double"))
+      .withColumn("wgt", wgt)
+      .withColumn("wz9", floor(col("y") * col("wgt") * 1e9 + 0.5).cast("long"))
+      .withColumn("wq9", floor(col("q") * col("wgt") * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("wz9")).as("z9"), sum(col("wq9")).as("q9"),
+           max(col("nnz")).as("n_demands"))
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) ++ Seq(col("h"),
+        ((col("z9") / 1e9) / (col("q9") / 1e9)).as("yhat"), col("n_demands")): _*)
+  }
 }

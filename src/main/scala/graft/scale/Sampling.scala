@@ -112,6 +112,44 @@ object Sampling {
     df.filter(pmod(col(idCol), lit(1000)) < keep)
   }
 
+  /** Deterministic global shuffle — the reproducible training-order
+    * primitive: every epoch of a pretraining run must visit documents in
+    * a pseudo-random order that is (a) independent of ingest/file order,
+    * (b) reproducible bit-for-bit from (corpus, seed), (c) different per
+    * seed. The order key is md5(id:seed); `position` is the exact global
+    * rank in that order.
+    *
+    * Scale shape — NO global window, NO single-task sort: the key's
+    * leading `prefixLen` hex chars form 16^prefixLen contiguous,
+    * DETERMINISTIC range buckets (md5 is uniform, so buckets are
+    * balanced by construction — no sampled range boundaries, no skew).
+    * Global rank = rank within bucket + Σ counts of preceding buckets:
+    * one bucket-keyed window for the within rank, a 16^prefixLen-row
+    * count aggregate broadcast back for the offsets. One data shuffle
+    * total; at prefixLen=4 that is 65 536 buckets ≈ 1.6 GB/bucket on
+    * 100 TB. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+                           prefixLen: Int = 4): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen in [1,8], got $prefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keyed = df.withColumn("shuffle_key", key)
+      .withColumn("bucket", substring(col("shuffle_key"), 1, prefixLen))
+    val offsets = keyed.groupBy(col("bucket")).count()
+      .withColumn("offset",
+        coalesce(sum(col("count")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("position",
+        row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("shuffle_key"), col(idCol))).cast("long")
+          + col("offset") - 1L)
+      .drop("bucket", "offset")
+  }
+
   // ---- DSIR: Data Selection via Importance Resampling ------------------
 
   /** Hashed unigram+bigram feature buckets: (fid, b), one row per token

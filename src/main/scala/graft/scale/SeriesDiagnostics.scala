@@ -75,4 +75,139 @@ object SeriesDiagnostics {
         min_by(signum(col("s6")).cast("long"),
           struct((-abs(col("s6"))).as("a"), col("t").as("b"))).as("direction"))
   }
+
+  /** Seasonal-strength feature (Wang–Hyndman–Smith / `tsfeatures`
+    * seasonal_strength, ANOVA form): detrend each series with its OLS
+    * line, then measure how much of the detrended variance the seasonal
+    * phase means (t mod m) explain:
+    *   strength = max(0, 1 − SS_within / SS_total)
+    * over the detrended values — 1 ⇒ purely seasonal, 0 ⇒ the period
+    * carries no signal. The pre-fit gate for the SARIMA/seasonal-naive
+    * family: a warehouse of series is triaged to "seasonal at period m
+    * or not" in two passes, no model fit.
+    *
+    * Shape: window (row index) + agg (OLS sums) on the series key, fit
+    * joined back ON THE SAME KEY (no second data shuffle pattern: the
+    * fit table is |series| rows), residuals map-side, then one
+    * (series, phase) agg reduced to a per-series ANOVA. */
+  def seasonalStrength(df: DataFrame, valueCol: String, tsCol: String,
+                       seriesCols: Seq[String], m: Int,
+                       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(m >= 2, s"need period m >= 2, got $m")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val indexed = df
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+      .withColumn("y", col(valueCol).cast("double"))
+    val fit = indexed.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("nn"),
+           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+           sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .withColumn("slope", when(col("nn") > 1,
+          (col("nn") * col("sty") - col("st") * col("sy")) /
+          (col("nn") * col("stt") - col("st") * col("st"))).otherwise(lit(0.0)))
+      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("nn"))
+      .select(seriesCols.map(col) :+ col("slope") :+ col("icept"): _*)
+    val phase = indexed.join(fit, seriesCols)
+      .withColumn("d", col("y") - (col("icept") + col("slope") * col("t")))
+      .withColumn("phase", pmod(col("t").cast("long"), lit(m)))
+      .groupBy((seriesCols :+ "phase").map(col): _*)
+      .agg(count(lit(1)).cast("double").as("np"),
+           sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+    phase.groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("np")).as("n"),
+           sum(col("sdd")).as("sstot_raw"), sum(col("sd")).as("sdall"),
+           sum(col("sdd") - col("sd") * col("sd") / col("np")).as("ssw"))
+      .withColumn("sstot",
+        col("sstot_raw") - col("sdall") * col("sdall") / col("n"))
+      // > 1e-9, not > 0: an exactly-constant series leaves ~1e-22 of
+      // float dust in sstot (4.2 is not a dyadic rational), and a ratio
+      // of dust is noise, not seasonality. A genuine series with total
+      // detrended SS below 1e-9 is constant for every practical purpose.
+      .withColumn("strength", when(col("sstot") > 1e-9,
+          greatest(lit(0.0), lit(1.0) - col("ssw") / col("sstot")))
+        .otherwise(lit(0.0)))
+      .select(seriesCols.map(col) :+ col("n").cast("long").as("n") :+ col("strength"): _*)
+  }
+
+  /** Classical additive decomposition, per row for EVERY series (the
+    * distributed `seasonal_decompose`): trend = the series' OLS line
+    * (the global-trend variant — robust at any series length, no
+    * moving-average edge loss), seasonal = per-phase mean of the
+    * detrended values (t mod m), remainder = y − trend − seasonal.
+    * The row-level companion to [[seasonalStrength]] (which reduces the
+    * same decomposition to one ANOVA number).
+    *
+    * Shape: window (row index) + agg (OLS sums) + same-key join back,
+    * then one (series, phase) agg whose |series|·m-row output joins
+    * back broadcast-ish on the series key — the data shuffles on the
+    * series key only. */
+  def decompose(df: DataFrame, valueCol: String, tsCol: String,
+                seriesCols: Seq[String], m: Int,
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    require(m >= 2, s"need period m >= 2, got $m")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val indexed = df
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+      .withColumn("y", col(valueCol).cast("double"))
+    val fit = indexed.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("nn"),
+           sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+           sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .withColumn("slope", when(col("nn") > 1,
+          (col("nn") * col("sty") - col("st") * col("sy")) /
+          (col("nn") * col("stt") - col("st") * col("st"))).otherwise(lit(0.0)))
+      .withColumn("icept", (col("sy") - col("slope") * col("st")) / col("nn"))
+      .select(seriesCols.map(col) :+ col("slope") :+ col("icept"): _*)
+    val detrended = indexed.join(fit, seriesCols)
+      .withColumn("trend", col("icept") + col("slope") * col("t"))
+      .withColumn("d", col("y") - col("trend"))
+      .withColumn("phase", pmod(col("t").cast("long"), lit(m)))
+    val seasonal = detrended
+      .groupBy((seriesCols :+ "phase").map(col): _*)
+      .agg((sum(col("d")) / count(lit(1))).as("seasonal"))
+    detrended.join(seasonal, seriesCols :+ "phase")
+      .withColumn("remainder", col("d") - col("seasonal"))
+      .select(seriesCols.map(col) ++ Seq(col("t").cast("long").as("t"), col("y"),
+        col("trend"), col("seasonal"), col("remainder")): _*)
+  }
+
+  /** Lead–lag cross-correlation between two aligned series (the CCF):
+    * Pearson r of (x_t, y_{t+lag}) for lag = 0..maxLag, computed on
+    * hour-bucket aggregates of two event populations. Positive peaks at
+    * lag k read "x leads y by k buckets" — the audit that justifies (or
+    * kills) an exogenous regressor before T3 lag-alignment feeds it to
+    * ARIMAX/VAR.
+    *
+    * Shape: each side reduces to its bucket table first (two small
+    * shuffles on data VOLUME reduced to |buckets| rows), the lag table
+    * broadcasts, the bucket join is |buckets|·|lags| — never a row-level
+    * pairing. All sums are the f4-discipline closed-form corr. */
+  def crossCorrelation(a: DataFrame, b: DataFrame, valueCol: String,
+                       tsCol: String, maxLag: Int,
+                       bucketSeconds: Long = 3600L): DataFrame = {
+    require(maxLag >= 0, s"need maxLag >= 0, got $maxLag")
+    def buckets(df: DataFrame, out: String): DataFrame =
+      df.withColumn("b",
+          floor(col(tsCol).cast("double") / lit(bucketSeconds.toDouble)).cast("long"))
+        .groupBy(col("b")).agg(avg(col(valueCol).cast("double")).as(out))
+    val lags = a.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    buckets(a, "x").crossJoin(broadcast(lags))
+      .join(buckets(b, "y").withColumnRenamed("b", "b2"),
+            col("b2") === col("b") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("double").as("nn"),
+           sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+           sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+      .withColumn("den",
+        sqrt((col("nn") * col("sxx") - col("sx") * col("sx")) *
+             (col("nn") * col("syy") - col("sy") * col("sy"))))
+      .withColumn("r", when(col("den") > 0,
+        (col("nn") * col("sxy") - col("sx") * col("sy")) / col("den"))
+        .otherwise(lit(null).cast("double")))
+      .select(col("lag"), col("nn").cast("long").as("n"), col("r"))
+  }
 }

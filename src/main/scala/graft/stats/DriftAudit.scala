@@ -1,0 +1,98 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift audits between dataset splits — the check a
+  * training pipeline runs before trusting a train/validation split or
+  * before promoting a new data snapshot: has the feature distribution
+  * moved?  (The reference's CV machinery assumes exchangeable folds;
+  * these operators make that assumption testable at corpus scale.)
+  *
+  * Scale shape: both audits are two tiny aggregates over the full data —
+  * a 2-row min/max scan broadcast back, then one map-side bin assignment
+  * and a |bins|·|splits|-row count shuffle. The corpus itself never
+  * sorts and never moves twice; output is O(bins), driver-safe at any
+  * input size. */
+object DriftAudit {
+
+  /** Population Stability Index between the two values of `splitCol`,
+    * over fixed-width bins of `valueCol` spanning the POOLED min/max
+    * (shared edges are what make the two histograms comparable).
+    *
+    * Per bin i:  psi_i = (p_i − q_i) · ln(p_i / q_i), with Laplace-
+    * smoothed shares p_i = (n_i + ½)/(N + ½·bins) so empty bins stay
+    * finite (the standard guard).  Σ psi_i < 0.1 is the conventional
+    * "no drift" read, 0.1–0.25 moderate, > 0.25 action.
+    *
+    * Emits ONE ROW PER BIN (bin, counts, shares, psi term) rather than a
+    * pre-summed scalar — per-row arithmetic is exactly replayable
+    * cross-engine, and the caller's Σ is over `bins` rows, not data. */
+  def psiBins(df: DataFrame, valueCol: String, splitCol: String,
+              bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((v - col("lo")) / (col("hi") - col("lo")) * bins).cast("int"),
+            lit(bins - 1))))
+      .groupBy(col("bin"))
+      .pivot(splitCol)
+      .count()
+    val Array(a, b) = binned.columns.filter(_ != "bin").sorted
+    val cnt = (c: String) => coalesce(col(s"`$c`"), lit(0L))
+    val withTot = binned
+      .withColumn("n_a", cnt(a)).withColumn("n_b", cnt(b))
+      .crossJoin(broadcast(
+        df.groupBy(col(splitCol)).count()
+          .groupBy()
+          .agg(sum(when(col(splitCol) === a, col("count"))).as("tot_a"),
+               sum(when(col(splitCol) === b, col("count"))).as("tot_b"))))
+    withTot
+      .withColumn("p_a", (col("n_a") + 0.5) / (col("tot_a") + 0.5 * bins))
+      .withColumn("p_b", (col("n_b") + 0.5) / (col("tot_b") + 0.5 * bins))
+      .withColumn("psi", (col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")))
+      .select(col("bin"), col("n_a"), col("n_b"), col("p_a"), col("p_b"), col("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `splitCol`
+    * groups: D = max_x |F_a(x) − F_b(x)|, computed exactly on the pooled
+    * ORDER STATISTICS — one global sort of the (value, split) pairs, a
+    * running-count window, and a 1-row max. Ties are resolved the
+    * standard way (CDF steps AFTER all equal values: evaluate the gap at
+    * each distinct value's last row). The D statistic is a ratio of
+    * integer counts — exact cross-engine, no float accumulation.
+    *
+    * CONTRACT: the final running count is an unpartitioned window —
+    * Spark executes it in one task over the DISTINCT-VALUE table (not
+    * the corpus; ties are pre-aggregated by the grouped count). That is
+    * exact and fine up to ~10⁸ distinct values; for routine 100-TB
+    * monitoring use [[psiBins]] (fixed output size), or pre-quantize
+    * `valueCol` to a grid so the distinct table is bounded. Same
+    * oracle-twin pattern as d5: the exact form IS the contract. */
+  def ksStatistic(df: DataFrame, valueCol: String, splitCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val tots = df.groupBy(col(splitCol)).count()
+    val Array(a, b) = tots.collect().map(_.get(0).toString).sorted  // 2 labels, bounded
+    val byVal = df
+      .withColumn("ia", when(col(splitCol) === a, 1L).otherwise(0L))
+      .withColumn("ib", when(col(splitCol) === b, 1L).otherwise(0L))
+      .groupBy(v.as("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .withColumn("ra", sum(col("ca")).over(Window.orderBy(col("x"))))
+      .withColumn("rb", sum(col("cb")).over(Window.orderBy(col("x"))))
+    byVal
+      .crossJoin(broadcast(
+        tots.groupBy()
+          .agg(sum(when(col(splitCol) === a, col("count"))).as("na"),
+               sum(when(col(splitCol) === b, col("count"))).as("nb"))))
+      .select(max(abs(col("ra") * col("nb") - col("rb") * col("na"))).as("d_num"),
+              first(col("na") * col("nb")).as("d_den"))
+      .select((col("d_num").cast("double") / col("d_den")).as("ks_d"),
+              col("d_num"), col("d_den"))
+  }
+}

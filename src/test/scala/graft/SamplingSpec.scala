@@ -149,4 +149,37 @@ class SamplingSpec extends SparkTestBase {
     val shuffleCnt = plan.collect { case e: ShuffleExchangeLike => e }.size
     assert(shuffleCnt <= 5, s"expected <=5 bounded shuffles, got $shuffleCnt")
   }
+
+  test("deterministicShuffle: exact permutation, reproducible, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val p1 = Sampling.deterministicShuffle(df, "id", seed = 7L, prefixLen = 1)
+      .select("id", "position").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // positions are a bijection onto 0..n-1
+    assert(p1.map(_._2).sorted.toSeq == (0L until 300L).toSeq, "positions must be 0..n-1 exactly once")
+    // same seed reproduces bit-identically
+    val p2 = Sampling.deterministicShuffle(df, "id", seed = 7L, prefixLen = 1)
+      .select("id", "position").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(p1.toMap == p2.toMap, "same seed must reproduce the same order")
+    // a different seed produces a genuinely different permutation
+    val p3 = Sampling.deterministicShuffle(df, "id", seed = 8L, prefixLen = 1)
+      .select("id", "position").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.count { case (id, pos) => p3(id) == pos } < 30,
+      "different seeds should agree on almost no positions")
+    // prefixLen must not change the order (bucketing is an implementation detail)
+    val p4 = Sampling.deterministicShuffle(df, "id", seed = 7L, prefixLen = 3)
+      .select("id", "position").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.toMap == p4, "bucket prefix length must be invisible in the result")
+  }
+
+  test("hashSplit on a group key: every group lands in exactly one fold") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"src${i % 23}")).toDF("id", "source")
+    val folds = Sampling.hashSplit(df, "source", 80, 10)
+      .groupBy("source").agg(countDistinct(col("split")).as("k"), count(lit(1)).as("n"))
+      .collect()
+    assert(folds.length == 23)
+    assert(folds.forall(_.getLong(1) == 1L), "a group must never straddle folds")
+    assert(folds.map(_.getLong(2)).sum == 500L)
+  }
 }

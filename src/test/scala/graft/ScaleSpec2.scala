@@ -205,4 +205,163 @@ class ScaleSpec2 extends SparkTestBase {
       assert(c > 0.0 && c <= 1.0, s"containment out of range: $c")
     }
   }
+
+  test("funnel: strict order enforced, greedy-earliest completion, conversion from step 1") {
+    // u1 completes in order; u2 has all steps but out of order (purchase
+    // before click); u3 stops at click; u4 never starts
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "view", 5L), (3L, "click", 6L),
+      (4L, "click", 1L), (4L, "purchase", 2L))
+    val df = rows.toDF("user_id", "event_type", "tsec")
+      .withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.EventAnalytics.funnel(
+        df, "event_type", "ts", "user_id", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((3L, 1.0)), s"u1,u2,u3 viewed: ${out(1)}")
+    assert(out(2)._1 == 3L, "all three viewers clicked after their view")
+    assert(out(3)._1 == 1L, "only u1 purchased after a post-view click")
+    assert(math.abs(out(3)._2 - 1.0 / 3) < 1e-9)
+  }
+
+  test("funnel: same-timestamp events do not chain (strict order)") {
+    val df = Seq((1L, "view", 10L), (1L, "click", 10L))
+      .toDF("user_id", "event_type", "tsec")
+      .withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.EventAnalytics.funnel(
+        df, "event_type", "ts", "user_id", Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 1L && out(2) == 0L, s"ties must not count as progression: $out")
+  }
+
+  test("retention: cohorts by first-seen period, k=0 is always full retention") {
+    val week = 604800L
+    // u1,u2 start week 0; u2 returns weeks 1,2; u3 starts week 1, returns week 3
+    val rows = Seq((1L, 0L), (2L, week / 2), (2L, week + 1), (2L, 2 * week + 5),
+                   (3L, week + 2), (3L, 4 * week - 1))
+    val df = rows.toDF("user_id", "tsec").withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.EventAnalytics.retention(df, "ts", "user_id", week, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out((0L, 0)) == ((2L, 2L, 1.0)), "week-0 cohort: both active at k=0")
+    assert(out((0L, 1)) == ((1L, 2L, 0.5)) && out((0L, 2)) == ((1L, 2L, 0.5)))
+    assert(out((1L, 0)) == ((1L, 1L, 1.0)))
+    assert(out((1L, 2)) == ((1L, 1L, 1.0)), "u3 returns 2 periods after its week-1 start")
+    assert(!out.contains((0L, 3)), "no activity -> no row (sparse output)")
+  }
+
+  test("seasonalStrength: planted weekly pattern reads ~1, noise reads low, constant reads 0") {
+    val r = graft.core.DetRandom.doubles(11)
+    // trended + strong period-7 pattern; pure noise; constant
+    val rows =
+      (0 until 140).map { t => (1L, t.toLong, 0.1 * t + 5.0 * (t % 7) + 0.01 * r()) } ++
+      (0 until 140).map { t => (2L, t.toLong, 10.0 * r()) } ++
+      (0 until 140).map { t => (3L, t.toLong, 4.2) }
+    val df = rows.toDF("sid", "ts", "y")
+    val out = graft.scale.SeriesDiagnostics.seasonalStrength(
+        df, "y", "ts", Seq("sid"), m = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > 0.99, s"planted seasonality must read ~1, got ${out(1L)}")
+    assert(out(2L) < 0.2, s"noise must read low, got ${out(2L)}")
+    assert(out(3L) == 0.0, "constant series has no variance to explain")
+  }
+
+  test("decompose: components reassemble exactly and recover a planted trend+seasonal") {
+    // y = 2 + 0.5 t + s(t mod 4) with s = (1, -1, -1, 1): zero-mean AND
+    // orthogonal to t over complete cycles, so OLS recovers the line exactly
+    val pat = Array(1.0, -1.0, -1.0, 1.0)
+    val rows = (0 until 80).map(t => (1L, t.toLong, 2.0 + 0.5 * t + pat(t % 4)))
+    val df = rows.toDF("sid", "ts", "y")
+    val out = graft.scale.SeriesDiagnostics.decompose(df, "y", "ts", Seq("sid"), m = 4)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size == 80)
+    out.foreach { case (t, (y, trend, seasonal, rem)) =>
+      assert(math.abs(y - (trend + seasonal + rem)) < 1e-9,
+        s"t=$t: components must reassemble y")
+      // planted structure: OLS recovers the line, phase means the pattern
+      assert(math.abs(trend - (2.0 + 0.5 * t)) < 1e-6, s"t=$t trend $trend")
+      assert(math.abs(seasonal - pat((t % 4).toInt)) < 1e-6, s"t=$t seasonal $seasonal")
+      assert(math.abs(rem) < 1e-6, s"t=$t remainder should vanish, got $rem")
+    }
+  }
+
+  test("crossCorrelation: a planted 2-bucket lead peaks at lag 2 with r ~ 1") {
+    val r = graft.core.DetRandom.doubles(13)
+    val base = (0 until 200).map(_ => 10.0 + 20.0 * r())
+    // one observation per hour bucket; y(t) = x(t-2)
+    val xs = base.zipWithIndex.map { case (v, i) => (i * 3600L, v) }
+    val ys = base.zipWithIndex.map { case (v, i) => ((i + 2) * 3600L, v + 0.5) }
+    val a = xs.toDF("tsec", "value").withColumn("ts", col("tsec").cast("timestamp"))
+    val b = ys.toDF("tsec", "value").withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.SeriesDiagnostics.crossCorrelation(a, b, "value", "ts", maxLag = 4)
+      .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
+    assert(out(2) > 0.9999, s"lag-2 correlation must be ~1, got ${out(2)}")
+    assert((0 to 4).filter(_ != 2).forall(l => math.abs(out(l)) < 0.3),
+      s"off-lags must stay near 0: $out")
+  }
+
+  test("thetaForecast: single-pass algebra equals the textbook Theta(0,2) recipe") {
+    // Literal definition: OLS trend A + B*t, theta2 line z = 2y - (A+B*t),
+    // SES recursion over z, forecast = (trend(n-1+h) + L)/2.
+    val ys = Seq(10.0, 12.5, 11.0, 14.0, 13.5, 16.0, 15.0, 18.5)
+    val alpha = 0.5
+    val n = ys.length
+    val ts = ys.indices.map(_.toDouble)
+    val (st, stt) = (ts.sum, ts.map(t => t * t).sum)
+    val (sy, sty) = (ys.sum, ts.zip(ys).map { case (t, y) => t * y }.sum)
+    val slope = (n * sty - st * sy) / (n * stt - st * st)
+    val icept = (sy - slope * st) / n
+    val z = ts.zip(ys).map { case (t, y) => 2 * y - (icept + slope * t) }
+    val lvl = z.tail.foldLeft(z.head)((l, y) => alpha * y + (1 - alpha) * l)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.thetaForecast(
+        df, "y", "ts", Seq("sid"), horizon = 3, alpha = alpha, tieBreak = Seq("eid"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out.size == 3)
+    (1 to 3).foreach { h =>
+      val expected = (icept + slope * (n - 1 + h) + lvl) / 2
+      assert(math.abs(out(h) - expected) < 1e-6,
+        s"h=$h: distributed ${out(h)} != textbook $expected")
+    }
+    // the drift is half the trend slope: successive horizons step by B/2
+    assert(math.abs((out(2) - out(1)) - slope / 2) < 1e-6)
+  }
+
+  test("crostonForecast: hand-computed demand/interval smoothing, all-zero series emits nothing") {
+    // demands z=[3,6,2] at positions t=[3,7,9] -> intervals q=[3,4,2]
+    // SES(0.5): level(z) = 0.5*2 + 0.5*(0.5*6 + 0.5*3) = 3.25
+    //           level(q) = 0.5*2 + 0.5*(0.5*4 + 0.5*3) = 2.75
+    val ys = Seq(0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 6.0, 0.0, 2.0)
+    val rows = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) } ++
+      (0 until 5).map(i => (2L, i.toLong, i.toLong, 0.0))
+    val df = rows.toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.crostonForecast(
+        df, "y", "ts", Seq("sid"), horizon = 2, alpha = 0.5, tieBreak = Seq("eid"))
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L), "the all-zero series must emit no rows")
+    val byH = out.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(byH.size == 2)
+    (1 to 2).foreach { h =>
+      assert(math.abs(byH(h) - 3.25 / 2.75) < 1e-6,
+        s"h=$h: expected ${3.25 / 2.75}, got ${byH(h)}")
+    }
+    assert(out.forall(_.getLong(3) == 3L), "three demand points")
+  }
+
+  test("thetaForecast: constant series forecasts the constant; n=1 degrades to naive") {
+    val df = (Seq.fill(6)(7.5).zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      :+ ((2L, 0L, 0L, 42.0)))
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.thetaForecast(
+        df, "y", "ts", Seq("sid"), horizon = 2, alpha = 0.5, tieBreak = Seq("eid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (1 to 2).foreach { h =>
+      assert(math.abs(out((1L, h)) - 7.5) < 1e-6)
+      assert(math.abs(out((2L, h)) - 42.0) < 1e-6)
+    }
+  }
 }

@@ -142,4 +142,42 @@ class StatTestsSpec extends SparkTestBase {
     val out = StatTests.adfPerSeries(df, "value", "tsd", "sid").collect()
     assert(out.map(_.getLong(0)).toSet == Set(1L), "constant series should be skipped, good one kept")
   }
+
+  test("psiBins: identical splits read ~0, a shifted split crosses the 0.25 action line") {
+    import spark.implicits._
+    val base = noise(2000).toSeq
+    val same = base.map(v => ("a", v * 10)) ++ base.map(v => ("b", v * 10))
+    val psiSame = graft.stats.DriftAudit.psiBins(same.toDF("sp", "v"), "v", "sp", 10)
+      .collect().map(_.getDouble(5)).sum
+    assert(psiSame < 1e-9, s"identical distributions must read ~0 PSI, got $psiSame")
+    // shift split b by 40% of the range: heavy mass migration across bins
+    val drifted = base.map(v => ("a", v * 10)) ++ base.map(v => ("b", v * 10 + 4.0))
+    val psiDrift = graft.stats.DriftAudit.psiBins(drifted.toDF("sp", "v"), "v", "sp", 10)
+      .collect().map(_.getDouble(5)).sum
+    assert(psiDrift > 0.25, s"a 40%-of-range shift must cross the action line, got $psiDrift")
+  }
+
+  test("psiBins: per-bin counts conserve and shares are smoothed-normalized") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", (i % 97).toDouble))
+    val out = graft.stats.DriftAudit.psiBins(rows.toDF("sp", "v"), "v", "sp", 8).collect()
+    assert(out.map(_.getLong(1)).sum == 250 && out.map(_.getLong(2)).sum == 250)
+    val (spa, spb) = (out.map(_.getDouble(3)).sum, out.map(_.getDouble(4)).sum)
+    assert(math.abs(spa - 1.0) < 1e-9 && math.abs(spb - 1.0) < 1e-9,
+      s"smoothed shares must sum to 1 when all bins are present: $spa, $spb")
+  }
+
+  test("ksStatistic: hand-computed two-sample D, invariance to monotone transform") {
+    import spark.implicits._
+    // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b maximal at x in [2,3): |2/4 - 0/4| = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+              Seq(3, 4, 5, 6).map(v => ("b", v.toDouble))).toDF("sp", "v")
+    val r = graft.stats.DriftAudit.ksStatistic(df, "v", "sp").collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12, s"D should be 0.5, got ${r.getDouble(0)}")
+    // KS depends only on ranks: x -> exp(x) leaves D unchanged
+    val rT = graft.stats.DriftAudit.ksStatistic(
+        df.withColumn("v", org.apache.spark.sql.functions.exp($"v")), "v", "sp")
+      .collect()(0)
+    assert(rT.getDouble(0) == r.getDouble(0), "monotone transform must not move D")
+  }
 }
