@@ -44,13 +44,12 @@ object DriftAudit {
       .count()
     val Array(a, b) = binned.columns.filter(_ != "bin").sorted
     val cnt = (c: String) => coalesce(col(s"`$c`"), lit(0L))
-    val withTot = binned
-      .withColumn("n_a", cnt(a)).withColumn("n_b", cnt(b))
-      .crossJoin(broadcast(
-        df.groupBy(col(splitCol)).count()
-          .groupBy()
-          .agg(sum(when(col(splitCol) === a, col("count"))).as("tot_a"),
-               sum(when(col(splitCol) === b, col("count"))).as("tot_b"))))
+    // totals come from the O(bins) count table, NOT a second corpus
+    // scan: Σ over ≤`bins` rows is free and keeps the plan at one
+    // data-sized shuffle (the bin/pivot aggregate)
+    val withCnt = binned.withColumn("n_a", cnt(a)).withColumn("n_b", cnt(b))
+    val withTot = withCnt.crossJoin(broadcast(
+      withCnt.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))))
     withTot
       .withColumn("p_a", (col("n_a") + 0.5) / (col("tot_a") + 0.5 * bins))
       .withColumn("p_b", (col("n_b") + 0.5) / (col("tot_b") + 0.5 * bins))

@@ -211,4 +211,53 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scan.head.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned partition, got ${scan.head.selectedPartitions.partitionCount}")
   }
+
+  test("deterministicShuffle: one data shuffle (bucket window) + tiny offset agg, offsets broadcast") {
+    // the data moves ONCE (hash on the bucket prefix for the window);
+    // the offset table's own agg+window exchanges are 16^p-row traffic.
+    // The join back must be broadcast — the corpus must NOT shuffle a
+    // second time for it.
+    val df = graft.scale.Sampling.deterministicShuffle(docs, "doc_id", 42L)
+    val n = shuffles(df)
+    assert(n <= 4, s"expected the data exchange + bounded offset-table exchanges, got $n")
+    val bcast = withAqeOff {
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+    }
+    assert(bcast >= 1, "offset table must broadcast back onto the data")
+  }
+
+  test("psiBins: the corpus is binned map-side off two broadcast scalars") {
+    val ev = Tables.events(spark, SF)
+      .filter(col("event_type").isin("purchase", "view"))
+    val df = graft.stats.DriftAudit.psiBins(ev, "value", "event_type", 10)
+    // data-sized shuffles: ONE (the bin/pivot count agg). min/max and the
+    // split totals are scalar aggregates whose exchanges carry 1-2 rows.
+    assert(shuffles(df) <= 4, s"psiBins plan grew: ${shuffles(df)} shuffles")
+  }
+
+  test("retention: events collapse to distinct (user, period) before any join") {
+    val df = graft.scale.EventAnalytics.retention(
+      Tables.events(spark, SF), "ts", "user_id", 604800L, 8)
+    // all exchanges are user-keyed reductions of the events table or the
+    // |users|-row cohort table; the sizes table joins back broadcast
+    val bcast = withAqeOff {
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+    }
+    assert(bcast >= 1, "cohort sizes must broadcast")
+    assert(shuffles(df) <= 6, s"retention plan grew: ${shuffles(df)} shuffles")
+  }
+
+  test("crossCorrelation: bucket tables reduce before the lag join; lags broadcast") {
+    val ev = Tables.events(spark, SF)
+    val df = graft.scale.SeriesDiagnostics.crossCorrelation(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "value", "ts", 6)
+    // two bucket aggs + the final per-lag agg; the bucket-to-bucket join
+    // happens on already-reduced tables
+    assert(shuffles(df) <= 5, s"ccf plan grew: ${shuffles(df)} shuffles")
+  }
 }
