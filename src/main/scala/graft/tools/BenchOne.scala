@@ -25,17 +25,21 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = graft.SparkEntry.queries(qName)
-    q(spark, sfDir).count() // warmup: codegen + AQE shapes at this SF
-    spark.sharedState.cacheManager.clearCache()
-    val times = (1 to passes).map { _ =>
-      val t0 = System.nanoTime()
-      q(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
+    // comma-separated names share one JVM/session — a multi-query soak
+    // probe pays Spark startup once, not per query
+    qName.split(",").foreach { name =>
+      val q = graft.SparkEntry.queries(name)
+      q(spark, sfDir).count() // warmup: codegen + AQE shapes at this SF
       spark.sharedState.cacheManager.clearCache()
-      dt
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      println(f"""{"query":"$name","sf":"$sfDir","passes":[${times.map(t => f"$t%.3f").mkString(",")}],"min":${times.min}%.3f}""")
     }
-    println(f"""{"query":"$qName","sf":"$sfDir","passes":[${times.map(t => f"$t%.3f").mkString(",")}],"min":${times.min}%.3f}""")
     spark.stop()
   }
 }
