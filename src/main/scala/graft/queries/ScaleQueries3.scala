@@ -761,6 +761,83 @@ object ScaleQueries3 {
        |  ${Det.droundSql("(icept + slope*(nn - 1 + h) + lvl2) / 2", 6)} AS yhat
        |FROM l, generate_series(1, 3) AS g(h)""".stripMargin
 
+  // ---- ST: streaming drift monitor (batch twin) ------------------------
+
+  /** ST — per-day PSI drift against the `view` population's value
+    * distribution on a fixed [0, 500]·10 grid: the streaming drift
+    * monitor's batch twin (`streaming/StreamDrift`); the stream side is
+    * one watermarked (window, bin) count plus this exact fold. */
+  private def stDrift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val ref = graft.streaming.StreamDrift.referenceShares(
+      ev.filter(col("event_type") === "view"), "value", 0.0, 500.0, 10)
+    graft.streaming.StreamDrift.psiPerDayBatch(ev, "value", "ts", ref, 0.0, 500.0, 10)
+      .select(col("day"), col("n_events"), Det.dround(col("psi"), 6).as("psi"),
+        col("drifted"))
+  }
+
+  private val stDriftSql =
+    s"""WITH rb AS (SELECT least(greatest(
+       |      CAST(floor((CAST(value AS DOUBLE) - 0.0)/(500.0 - 0.0)*10) AS INT), 0), 9) AS bin
+       |    FROM events WHERE event_type = 'view'),
+       |rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+       |rt AS (SELECT count(*) AS tot FROM rb),
+       |q AS (SELECT g.bin, (coalesce(rc.n, 0) + 0.5)/(rt.tot + 0.5*10) AS q
+       |      FROM generate_series(0, 9) AS g(bin) LEFT JOIN rc USING (bin), rt),
+       |ev AS (SELECT CAST(floor(epoch(ts)/86400.0) AS BIGINT) AS day,
+       |         least(greatest(
+       |           CAST(floor((CAST(value AS DOUBLE) - 0.0)/(500.0 - 0.0)*10) AS INT), 0), 9) AS bin
+       |       FROM events),
+       |c AS (SELECT day, bin, count(*) AS cnt FROM ev GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day FROM c),
+       |f AS (SELECT d.day, g.bin, coalesce(c.cnt, 0) AS n
+       |      FROM days d CROSS JOIN generate_series(0, 9) AS g(bin)
+       |      LEFT JOIN c ON c.day = d.day AND c.bin = g.bin),
+       |t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM f GROUP BY 1),
+       |terms AS (SELECT f.day, t.tot,
+       |    CAST(floor(((f.n + 0.5)/(t.tot + 0.5*10) - q.q)
+       |      * ln(((f.n + 0.5)/(t.tot + 0.5*10))/q.q) * 1e9 + 0.5) AS BIGINT) AS term9
+       |  FROM f JOIN t USING (day) JOIN q USING (bin))
+       |SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
+       |  ${Det.droundSql("sum(term9)/1e9", 6)} AS psi,
+       |  sum(term9)/1e9 > 0.25 AS drifted
+       |FROM terms GROUP BY day""".stripMargin
+
+  // ---- ST: streaming expanding z-score (batch twin) --------------------
+
+  /** ST — expanding z-score anomaly flags per user series (the causal,
+    * O(1)-state streaming complement to the Hampel filter): each event
+    * scored against the exact-decimal prior mean/σ. Batch twin of
+    * `streaming/StreamAnomaly.flags`; streaming==batch parity is
+    * spec-pinned under random micro-batch splits. */
+  private def stZscore: Q = (s, d) =>
+    graft.streaming.StreamAnomaly.flagsBatch(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), Seq("event_id"), 3.0)
+      .select(col("user_id"), col("event_id"),
+        Det.dround(col("z"), 6).as("z"), col("is_anomaly"))
+
+  private val stZscoreSql =
+    s"""WITH s AS (SELECT user_id, event_id, ts,
+       |    CAST(floor(CAST(value AS DOUBLE)*100 + 0.5)/100 AS DECIMAL(18,2)) AS v2
+       |  FROM events),
+       |w AS (SELECT user_id, event_id, CAST(v2 AS DOUBLE) AS y2,
+       |    row_number() OVER win AS rn,
+       |    CAST(sum(v2) OVER winp AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(v2*v2 AS DECIMAL(38,4))) OVER winp AS DOUBLE) AS syy
+       |  FROM s
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |         winp AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |c AS (SELECT user_id, event_id, y2, rn, sy, syy,
+       |        CAST(rn - 1 AS DOUBLE) AS n FROM w),
+       |z AS (SELECT user_id, event_id, y2, rn, n,
+       |        (syy - sy*sy/n)/(n - 1.0) AS varr, sy/n AS mean FROM c)
+       |SELECT user_id, event_id,
+       |  ${Det.droundSql("CASE WHEN rn >= 3 AND varr > 0 THEN (y2 - mean)/sqrt(varr) ELSE NULL END", 6)} AS z,
+       |  coalesce(CASE WHEN rn >= 3 AND varr > 0
+       |             THEN abs((y2 - mean)/sqrt(varr)) > 3.0 ELSE NULL END, false) AS is_anomaly
+       |FROM z""".stripMargin
+
   // ---- F8: Croston intermittent demand ---------------------------------
 
   /** F8 — Croston's method per user over the INTERMITTENT demand series
@@ -1102,7 +1179,9 @@ object ScaleQueries3 {
     "a18_funnel"         -> a18Funnel,
     "a19_retention"      -> a19Retention,
     "f8_croston"         -> f8Croston,
-    "t19_decompose"      -> t19Decompose
+    "t19_decompose"      -> t19Decompose,
+    "st_zscore"          -> stZscore,
+    "st_drift"           -> stDrift
   )
 
   val oracle: Map[String, String] = Map(
@@ -1132,6 +1211,8 @@ object ScaleQueries3 {
     "a19_retention"   -> a19Sql,
     "f8_croston"      -> f8Sql,
     "t19_decompose"   -> t19Sql,
+    "st_zscore"       -> stZscoreSql,
+    "st_drift"        -> stDriftSql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

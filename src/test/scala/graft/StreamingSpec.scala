@@ -544,4 +544,119 @@ class StreamingSpec extends SparkTestBase {
     assert(t.contains("hot"), "a key with frequency > N/m is guaranteed tracked")
     assert(t("hot")._1 - t("hot")._2 <= exact("hot") && exact("hot") <= t("hot")._1)
   }
+
+  test("expanding z-score: streaming equals the batch twin under any micro-batch split") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.{Pt, Score}
+    val evs = Tables.events(spark, SF)
+      .filter(col("user_id") <= 2)
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("value"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    assert(evs.length > 20)
+
+    val batch = StreamAnomaly.flagsBatch(
+        Tables.events(spark, SF).filter(col("user_id") <= 2),
+        "value", "ts", Seq("user_id"), Seq("event_id"))
+      .select(col("event_id"), col("z"), col("is_anomaly")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))).toMap
+
+    for ((nSplits, seed) <- Seq((1, 0), (4, 1))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"zscore_out_$seed"
+      val q = StreamAnomaly.flags(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Score].collect()
+        .map(s => s.eventId -> ((s.z, s.isAnomaly))).toMap
+      assert(got.size == evs.length, s"split $nSplits: missing scores")
+      val diffs = got.collect {
+        case (id, (z, f)) if f != batch(id)._2 ||
+          ((z, batch(id)._1) match {
+            case (Some(x), Some(y)) => math.abs(x - y) > 1e-9
+            case (a, b) => a.isDefined != b.isDefined
+          }) => id
+      }
+      assert(diffs.isEmpty,
+        s"split $nSplits: ${diffs.size} scores diverge, e.g. ${diffs.take(3)}")
+    }
+  }
+
+  test("streaming drift monitor: closed-window counts + shared fold equal the batch twin") {
+    import graft.streaming.StreamDrift
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L
+    // day0: uniform over bins 0-4; day1: all mass in the top bin; day2: coarse uniform
+    val data = (0 until 100).map(i => (0L * day + i * 1000L, (i % 10) * 10.0)) ++
+               (0 until 100).map(i => (1L * day + i * 1000L, 80.0 + (i % 3))) ++
+               (0 until 100).map(i => (2L * day + i * 1000L, (i % 5) * 20.0))
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDS().toDF("tsMs", "value")
+      .withColumn("ts", timestamp_millis($"tsMs"))
+    val q = StreamDrift.dayBinCounts(stream, "value", "ts", 0.0, 100.0, 5)
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("append").start()
+    mem.addData(data.take(150))
+    q.processAllAvailable()
+    mem.addData(data.drop(150))
+    q.processAllAvailable()
+    mem.addData((10L * day, 0.0)) // sentinel advances the watermark past day 2
+    q.processAllAvailable()
+    q.stop()
+
+    val batchDf = data.toDF("tsMs", "value")
+      .withColumn("ts", timestamp_millis($"tsMs"))
+    val wantC = StreamDrift.dayBinCountsBatch(batchDf, "value", "ts", 0.0, 100.0, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val streamed = spark.table("drift_counts").filter($"day" < 10)
+    val gotC = streamed
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotC == wantC, s"closed-window counts diverge: got $gotC want $wantC")
+
+    // fold parity + the monitoring semantics: reference = day 0's own
+    // distribution, so day 0 reads clean and day 1 (top-bin pileup) alarms
+    val ref = StreamDrift.referenceShares(
+      batchDf.filter($"tsMs" < day), "value", 0.0, 100.0, 5)
+    val viaStream = StreamDrift.psiFold(streamed, ref, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val viaBatch = StreamDrift.psiPerDayBatch(batchDf, "value", "ts", ref, 0.0, 100.0, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(viaStream.keySet == viaBatch.keySet)
+    viaStream.foreach { case (d, (psi, fl)) =>
+      assert(math.abs(psi - viaBatch(d)._1) < 1e-9 && fl == viaBatch(d)._2,
+        s"day $d: stream fold $psi/$fl != batch ${viaBatch(d)}")
+    }
+    assert(!viaStream(0L)._2, "day 0 scored against itself must not alarm")
+    assert(viaStream(1L)._2, "the top-bin pileup day must cross the action line")
+  }
+
+  test("expanding z-score flags a planted spike and only the spike") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.Pt
+    implicit val sqlCtx = spark.sqlContext
+    // stable cyclic wiggle around 10 (max |z| ~ 2.1), one wild spike at t=15
+    val pts = (1 to 30).map { i =>
+      val v = if (i == 15) 500.0 else 10.0 + (i % 5) * 0.1
+      Pt(1L, i * 1000L, i.toLong, v)
+    }
+    val mem = MemoryStream[Pt]
+    val q = StreamAnomaly.flags(mem.toDS()).writeStream
+      .format("memory").queryName("zscore_spike").outputMode("update").start()
+    mem.addData(pts)
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("zscore_spike")
+      .filter(col("isAnomaly")).select("eventId")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(15L), s"only the spike should flag, got $flagged")
+  }
 }
