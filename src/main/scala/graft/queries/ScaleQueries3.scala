@@ -873,6 +873,54 @@ object ScaleQueries3 {
        |SELECT user_id, h, ${Det.droundSql("(z9/1e9)/(q9/1e9)", 6)} AS yhat, n_demands
        |FROM a, generate_series(1, 2) AS g(h)""".stripMargin
 
+  // ---- F9: Holt linear-trend forecast ----------------------------------
+
+  /** F9 — Holt's linear method per user (α=.5, β=.25): the general
+    * coupled level/trend recursion, one flatMapGroups pass. ✖est (the
+    * coupled recursion has no SQL form); the β=0 twin below is the
+    * hash-checked anchor and ScaleSpec2 pins the general fold. */
+  private def f9Holt: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 0.5, 0.25,
+        Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  /** F9b — the β=0 cross-implementation twin: the SAME Scala recursion
+    * (β=0) vs DuckDB's closed form — Holt(β=0) level is exactly a SES
+    * over z_t = y_t − b₁(t−1), so ŷ = SES(z) + b₁(n−1) + h·b₁. Checks
+    * the recursion itself, not a replay of the same algebra. 4-decimal
+    * round: recursion-vs-closed-form float drift is ~1e-12, far inside
+    * the grid. */
+  private def f9Holt0: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 0.5, 0.0,
+        Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  private val f9Holt0Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |ab AS (SELECT user_id, max(CASE WHEN rn = 1 THEN y END) AS y1,
+       |         max(CASE WHEN rn = 2 THEN y END) AS y2 FROM s GROUP BY 1),
+       |z AS (SELECT s.user_id, rn, n, y - (y2 - y1)*(rn - 1) AS z
+       |      FROM s JOIN ab USING (user_id) WHERE n >= 2),
+       |w AS (SELECT user_id, n,
+       |        z * (CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+       |             ELSE 0.5 * pow(0.5, n - rn) END) AS term
+       |      FROM z),
+       |m AS (SELECT user_id, sum(term) AS lvl, CAST(max(n) AS BIGINT) AS n
+       |      FROM w GROUP BY 1),
+       |j AS (SELECT m.user_id, lvl, n, (y2 - y1) AS b1 FROM m JOIN ab USING (user_id)),
+       |un AS (SELECT user_id, h, lvl + b1*(n - 1) + h*b1 AS yhat
+       |       FROM j, generate_series(1, 3) AS g(h)
+       |       UNION ALL
+       |       SELECT user_id, h, y AS yhat
+       |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
+       |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -1181,7 +1229,9 @@ object ScaleQueries3 {
     "f8_croston"         -> f8Croston,
     "t19_decompose"      -> t19Decompose,
     "st_zscore"          -> stZscore,
-    "st_drift"           -> stDrift
+    "st_drift"           -> stDrift,
+    "f9_holt"            -> f9Holt,
+    "f9_holt0"           -> f9Holt0
   )
 
   val oracle: Map[String, String] = Map(
@@ -1213,6 +1263,7 @@ object ScaleQueries3 {
     "t19_decompose"   -> t19Sql,
     "st_zscore"       -> stZscoreSql,
     "st_drift"        -> stDriftSql,
+    "f9_holt0"        -> f9Holt0Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

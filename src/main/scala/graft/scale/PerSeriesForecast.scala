@@ -273,4 +273,57 @@ object PerSeriesForecast {
       .select(seriesCols.map(col) ++ Seq(col("h"),
         ((col("z9") / 1e9) / (col("q9") / 1e9)).as("yhat"), col("n_demands")): _*)
   }
+
+  /** Holt's linear-trend method (ETS(A,N,N)→(A,A,N) step up from
+    * [[sesForecast]]): coupled level/trend recursions
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * initialized l₁ = y₁, b₁ = y₂ − y₁; ŷ(n+h) = l_n + h·b_n.
+    *
+    * The coupled recursion has no per-row weight independent of the
+    * rest of the series, so this is the [[PerSeriesArima]] shape: ONE
+    * `flatMapGroups` pass, each series folded locally in its task —
+    * millions of series in parallel, no collect. Series with n < 2 fall
+    * back to naive (no trend from one point).
+    *
+    * Oracle strategy (f9_holt0): at β = 0 the trend stays b₁ and the
+    * level is EXACTLY a SES over z_t = y_t − b₁(t−1) —
+    *   ŷ(n+h) = SES_α(z) + b₁(n−1) + h·b₁
+    * — so the DuckDB closed form checks this Scala RECURSION
+    * cross-implementation (stronger than replaying the same algebra);
+    * the general-β path is spec-pinned against a local fold. */
+  def holtForecast(df: DataFrame, valueCol: String, tsCol: String,
+                   seriesCol: String, horizon: Int,
+                   alpha: Double = 0.5, beta: Double = 0.25,
+                   tieBreak: Option[String] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"need 0 < alpha <= 1 and 0 <= beta <= 1, got $alpha/$beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y = it.toArray.sortBy(t => (t._2, t._3)).map(_._4)
+        if (y.isEmpty) Iterator.empty
+        else {
+          val (ln, bn) =
+            if (y.length == 1) (y(0), 0.0)
+            else {
+              var l = y(0)
+              var b = y(1) - y(0)
+              for (t <- 1 until y.length) {
+                val lNew = alpha * y(t) + (1 - alpha) * (l + b)
+                b = beta * (lNew - l) + (1 - beta) * b
+                l = lNew
+              }
+              (l, b)
+            }
+          (1 to horizon).iterator.map(h => (sid, h, ln + h * bn))
+        }
+      }
+      .toDF(seriesCol, "h", "yhat")
+  }
 }

@@ -331,6 +331,45 @@ class ScaleSpec2 extends SparkTestBase {
     assert(math.abs((out(2) - out(1)) - slope / 2) < 1e-6)
   }
 
+  test("holtForecast: distributed fold equals the local recursion; trend is linear in h") {
+    val ys = Seq(10.0, 11.5, 13.2, 12.8, 15.0, 16.1, 17.9, 18.2)
+    val (alpha, beta) = (0.4, 0.3)
+    var l = ys(0); var b = ys(1) - ys(0)
+    for (t <- 1 until ys.length) {
+      val lNew = alpha * ys(t) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.holtForecast(
+        df, "y", "ts", "sid", horizon = 3, alpha = alpha, beta = beta,
+        tieBreak = Some("eid"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (1 to 3).foreach { h =>
+      assert(math.abs(out(h) - (l + h * b)) < 1e-9,
+        s"h=$h: distributed ${out(h)} != local ${l + h * b}")
+    }
+    assert(math.abs((out(2) - out(1)) - b) < 1e-9, "forecast must step by the final trend")
+  }
+
+  test("holtForecast: n=1 degrades to naive, beta=0 freezes the initial trend") {
+    val df = (Seq((1L, 0L, 0L, 42.0)) ++
+      Seq(10.0, 12.0, 14.0, 16.0).zipWithIndex.map { case (y, i) => (2L, i.toLong, i.toLong, y) })
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.holtForecast(
+        df, "y", "ts", "sid", horizon = 2, alpha = 0.5, beta = 0.0,
+        tieBreak = Some("eid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 1)) == 42.0 && out((1L, 2)) == 42.0)
+    // exact linear series with beta=0: level tracks the line, b stays 2
+    // -> forecasts continue the line exactly
+    (1 to 2).foreach { h =>
+      assert(math.abs(out((2L, h)) - (16.0 + 2.0 * h)) < 1e-9,
+        s"pure line must extrapolate exactly: h=$h got ${out((2L, h))}")
+    }
+  }
+
   test("crostonForecast: hand-computed demand/interval smoothing, all-zero series emits nothing") {
     // demands z=[3,6,2] at positions t=[3,7,9] -> intervals q=[3,4,2]
     // SES(0.5): level(z) = 0.5*2 + 0.5*(0.5*6 + 0.5*3) = 3.25
