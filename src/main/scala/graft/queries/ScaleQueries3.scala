@@ -921,6 +921,57 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- F10: per-series backtest + model selection ----------------------
+
+  /** F10 — the AutoML leaderboard decision at warehouse scale: hold out
+    * each user series' last 5 points, fit naive/drift/SES(.5) on the
+    * rest, winner = lowest holdout MAE on an exact 1e-9 integer grid
+    * (ties break to the simpler model). Two shuffles for every series
+    * in the warehouse. */
+  private def f10Backtest: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.backtestBaselines(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), h = 5,
+        alpha = 0.5, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_train"),
+        Det.dround(col("mae_naive"), 6).as("mae_naive"),
+        Det.dround(col("mae_drift"), 6).as("mae_drift"),
+        Det.dround(col("mae_ses"), 6).as("mae_ses"),
+        col("winner"))
+
+  private val f10Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |i AS (SELECT user_id, rn, n, y, n - 5 AS ntr FROM s WHERE n - 5 >= 2),
+       |f AS (SELECT user_id, max(ntr) AS ntr,
+       |        max(CASE WHEN rn = ntr THEN y END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN y END) AS first_y,
+       |        CAST(sum(CAST(floor(y * (CASE WHEN rn = 1 THEN pow(0.5, ntr - 1)
+       |             ELSE 0.5 * pow(0.5, ntr - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM i WHERE rn <= ntr GROUP BY user_id),
+       |t AS (SELECT i.user_id, CAST(i.rn - f.ntr AS DOUBLE) AS k, i.y,
+       |        f.ntr, f.last_y, f.first_y, f.ses9
+       |      FROM i JOIN f USING (user_id) WHERE i.rn > f.ntr),
+       |e AS (SELECT user_id, ntr,
+       |        CAST(floor(abs(y - last_y) * 1e9 + 0.5) AS BIGINT) AS e_naive,
+       |        CAST(floor(abs(y - (last_y + k * (last_y - first_y) / (ntr - 1))) * 1e9 + 0.5) AS BIGINT) AS e_drift,
+       |        CAST(floor(abs(y - ses9/1e9) * 1e9 + 0.5) AS BIGINT) AS e_ses
+       |      FROM t),
+       |g AS (SELECT user_id, CAST(max(ntr) AS BIGINT) AS n_train,
+       |        CAST(sum(e_naive) AS BIGINT) AS s_naive,
+       |        CAST(sum(e_drift) AS BIGINT) AS s_drift,
+       |        CAST(sum(e_ses) AS BIGINT) AS s_ses
+       |      FROM e GROUP BY 1)
+       |SELECT user_id, n_train,
+       |  ${Det.droundSql("CAST(s_naive AS DOUBLE)/5/1e9", 6)} AS mae_naive,
+       |  ${Det.droundSql("CAST(s_drift AS DOUBLE)/5/1e9", 6)} AS mae_drift,
+       |  ${Det.droundSql("CAST(s_ses AS DOUBLE)/5/1e9", 6)} AS mae_ses,
+       |  CASE WHEN s_naive <= s_drift AND s_naive <= s_ses THEN 'naive'
+       |       WHEN s_drift <= s_ses THEN 'drift' ELSE 'ses' END AS winner
+       |FROM g""".stripMargin
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -1231,7 +1282,8 @@ object ScaleQueries3 {
     "st_zscore"          -> stZscore,
     "st_drift"           -> stDrift,
     "f9_holt"            -> f9Holt,
-    "f9_holt0"           -> f9Holt0
+    "f9_holt0"           -> f9Holt0,
+    "f10_backtest"       -> f10Backtest
   )
 
   val oracle: Map[String, String] = Map(
@@ -1264,6 +1316,7 @@ object ScaleQueries3 {
     "st_zscore"       -> stZscoreSql,
     "st_drift"        -> stDriftSql,
     "f9_holt0"        -> f9Holt0Sql,
+    "f10_backtest"    -> f10Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

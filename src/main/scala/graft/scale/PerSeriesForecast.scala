@@ -326,4 +326,70 @@ object PerSeriesForecast {
       }
       .toDF(seriesCol, "h", "yhat")
   }
+
+  /** Holdout backtest + model selection for EVERY series at once — the
+    * leaderboard decision (`automl/AutoTimeseries`) at warehouse scale:
+    * the last `h` points of each series are held out, the three
+    * closed-form baselines (naive / drift / SES_α) fit on the rest, and
+    * the per-series winner is the lowest holdout MAE. This is "which
+    * model family does each of my million series want" in TWO shuffles
+    * (the index window + the same-key aggregates), no model objects, no
+    * collect.
+    *
+    * Determinism: absolute errors quantize to the 1e-9 grid and sum as
+    * BIGINT, so the winner comparison is INTEGER — no float argmin tie
+    * ambiguity cross-engine; ties break naive < drift < ses (simpler
+    * model wins). Series shorter than h+2 are skipped (no train side to
+    * fit). Output: (series…, n_train, mae_naive, mae_drift, mae_ses,
+    * winner). */
+  def backtestBaselines(df: DataFrame, valueCol: String, tsCol: String,
+                        seriesCols: Seq[String], h: Int,
+                        alpha: Double = 0.5,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    require(h >= 1, s"need h >= 1, got $h")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val indexed = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("y", col(valueCol).cast("double"))
+      .withColumn("ntr", col("n") - h)
+      .filter(col("ntr") >= 2)
+    val sesW = when(col("rn") === 1, pow(lit(1 - alpha), col("ntr") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("ntr") - col("rn")))
+    val fit = indexed.filter(col("rn") <= col("ntr"))
+      .withColumn("ses9", floor(col("y") * sesW * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("ntr")).as("ntr"),
+           max_by(col("y"), col("rn")).as("last_y"),
+           min_by(col("y"), col("rn")).as("first_y"),
+           sum(col("ses9")).as("ses9"))
+    val err9 = (p: org.apache.spark.sql.Column) =>
+      floor(abs(col("y") - p) * 1e9 + 0.5).cast("long")
+    val scored = indexed.filter(col("rn") > col("ntr"))
+      .withColumn("k", (col("rn") - col("ntr")).cast("double"))
+      .drop("ntr")
+      .join(fit, seriesCols)
+      .withColumn("e_naive", err9(col("last_y")))
+      .withColumn("e_drift", err9(col("last_y") +
+        col("k") * (col("last_y") - col("first_y")) / (col("ntr") - 1)))
+      .withColumn("e_ses", err9(col("ses9") / 1e9))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("ntr")).as("n_train"),
+           sum(col("e_naive")).as("s_naive"),
+           sum(col("e_drift")).as("s_drift"),
+           sum(col("e_ses")).as("s_ses"))
+    scored
+      .withColumn("winner",
+        when(col("s_naive") <= col("s_drift") && col("s_naive") <= col("s_ses"), "naive")
+          .when(col("s_drift") <= col("s_ses"), "drift")
+          .otherwise("ses"))
+      .select(seriesCols.map(col) ++ Seq(col("n_train"),
+        (col("s_naive") / h / 1e9).as("mae_naive"),
+        (col("s_drift") / h / 1e9).as("mae_drift"),
+        (col("s_ses") / h / 1e9).as("mae_ses"),
+        col("winner")): _*)
+  }
 }

@@ -370,6 +370,31 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("backtestBaselines: each family wins the series shaped for it; short series skipped") {
+    val rows =
+      // sid 1: constant -> three-way tie -> 'naive' by the simpler-model rule
+      (0 until 20).map(t => (1L, t.toLong, 5.0)) ++
+      // sid 2: pure line -> drift extrapolates exactly, MAE 0
+      (0 until 20).map(t => (2L, t.toLong, 10.0 + 2.0 * t)) ++
+      // sid 3: flat at 10 with an outlier as the LAST train point ->
+      // naive anchors on the outlier, SES halves it
+      ((0 until 16).map(t => (3L, t.toLong, 10.0)) :+ ((3L, 16L, 30.0))) ++
+      (17 until 22).map(t => (3L, t.toLong, 10.0)) ++
+      // sid 4: too short (h+1 points) -> skipped entirely
+      (0 until 6).map(t => (4L, t.toLong, 1.0))
+    val df = rows.toDF("sid", "ts", "y")
+    val out = graft.scale.PerSeriesForecast.backtestBaselines(
+        df, "y", "ts", Seq("sid"), h = 5, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))).toMap
+    assert(!out.contains(4L), "series with no train side must be skipped")
+    assert(out(1L)._4 == "naive" && out(1L)._1 == 0.0)
+    assert(out(2L)._4 == "drift" && out(2L)._2 < 1e-9,
+      s"drift must nail the pure line: ${out(2L)}")
+    assert(out(3L)._4 == "ses", s"SES must beat the outlier-anchored naive: ${out(3L)}")
+    assert(out(3L)._3 < out(3L)._1, "ses MAE strictly below naive MAE")
+  }
+
   test("crostonForecast: hand-computed demand/interval smoothing, all-zero series emits nothing") {
     // demands z=[3,6,2] at positions t=[3,7,9] -> intervals q=[3,4,2]
     // SES(0.5): level(z) = 0.5*2 + 0.5*(0.5*6 + 0.5*3) = 3.25
