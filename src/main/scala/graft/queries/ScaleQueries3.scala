@@ -921,6 +921,43 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- T20: Syntetos-Boylan demand categorization ----------------------
+
+  /** T20 — SBC triage over the purchase-else-zero demand series: ADI ×
+    * CV² cut at (1.32, 0.49) routes each user to SES-class or Croston.
+    * The gate in front of f8. */
+  private def t20Sbc: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.sbcClassify(
+        Tables.events(s, d).withColumn("demand",
+          when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))),
+        "demand", "ts", Seq("user_id"))
+      .select(col("user_id"), col("n"), col("n_demands"),
+        Det.dround(col("adi"), 6).as("adi"), Det.dround(col("cv2"), 6).as("cv2"),
+        col("class"), col("recommended"))
+
+  private val t20Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) ELSE 0.0 END AS y
+       |  FROM events),
+       |a AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       |        CAST(count(*) AS BIGINT) AS n_demands,
+       |        sum(y) AS sz, sum(y*y) AS szz
+       |      FROM s WHERE y <> 0.0 GROUP BY 1),
+       |b AS (SELECT user_id, n, n_demands,
+       |        CAST(n AS DOUBLE) / n_demands AS adi,
+       |        sz / n_demands AS mu, szz, sz FROM a),
+       |c AS (SELECT user_id, n, n_demands, adi,
+       |        (szz / n_demands - mu * mu) / (mu * mu) AS cv2 FROM b)
+       |SELECT user_id, n, n_demands, ${Det.droundSql("adi", 6)} AS adi,
+       |  ${Det.droundSql("cv2", 6)} AS cv2,
+       |  CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+       |       WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+       |       WHEN adi < 1.32 THEN 'erratic'
+       |       ELSE 'lumpy' END AS class,
+       |  CASE WHEN adi >= 1.32 THEN 'croston' ELSE 'ses' END AS recommended
+       |FROM c""".stripMargin
+
   // ---- F10: per-series backtest + model selection ----------------------
 
   /** F10 — the AutoML leaderboard decision at warehouse scale: hold out
@@ -1283,7 +1320,8 @@ object ScaleQueries3 {
     "st_drift"           -> stDrift,
     "f9_holt"            -> f9Holt,
     "f9_holt0"           -> f9Holt0,
-    "f10_backtest"       -> f10Backtest
+    "f10_backtest"       -> f10Backtest,
+    "t20_sbc"            -> t20Sbc
   )
 
   val oracle: Map[String, String] = Map(
@@ -1317,6 +1355,7 @@ object ScaleQueries3 {
     "st_drift"        -> stDriftSql,
     "f9_holt0"        -> f9Holt0Sql,
     "f10_backtest"    -> f10Sql,
+    "t20_sbc"         -> t20Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -278,7 +278,12 @@ object PerSeriesForecast {
     * [[sesForecast]]): coupled level/trend recursions
     *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
     *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
-    * initialized l₁ = y₁, b₁ = y₂ − y₁; ŷ(n+h) = l_n + h·b_n.
+    * initialized l₁ = y₁, b₁ = y₂ − y₁; ŷ(n+h) = l_n + h·b_n. With
+    * `phi` < 1 this is the DAMPED-trend variant (ETS(A,Ad,N)): φ
+    * multiplies the trend in both recursions and the horizon sum
+    * becomes Σφ^i, flattening toward l + b·φ/(1−φ) — the conservative
+    * long-horizon default (Gardner & McKenzie 1985). φ=1 reproduces
+    * plain Holt exactly (the Σ stays integer-valued in IEEE).
     *
     * The coupled recursion has no per-row weight independent of the
     * rest of the series, so this is the [[PerSeriesArima]] shape: ONE
@@ -295,9 +300,11 @@ object PerSeriesForecast {
   def holtForecast(df: DataFrame, valueCol: String, tsCol: String,
                    seriesCol: String, horizon: Int,
                    alpha: Double = 0.5, beta: Double = 0.25,
-                   tieBreak: Option[String] = None): DataFrame = {
+                   tieBreak: Option[String] = None,
+                   phi: Double = 1.0): DataFrame = {
     require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
       s"need 0 < alpha <= 1 and 0 <= beta <= 1, got $alpha/$beta")
+    require(phi > 0 && phi <= 1, s"need 0 < phi <= 1 (damping), got $phi")
     val spark = df.sparkSession
     import spark.implicits._
     val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
@@ -315,13 +322,20 @@ object PerSeriesForecast {
               var l = y(0)
               var b = y(1) - y(0)
               for (t <- 1 until y.length) {
-                val lNew = alpha * y(t) + (1 - alpha) * (l + b)
-                b = beta * (lNew - l) + (1 - beta) * b
+                val lNew = alpha * y(t) + (1 - alpha) * (l + phi * b)
+                b = beta * (lNew - l) + (1 - beta) * phi * b
                 l = lNew
               }
               (l, b)
             }
-          (1 to horizon).iterator.map(h => (sid, h, ln + h * bn))
+          // damped-trend horizon: Σ_{i=1..h} φ^i (= h at φ=1, Hyndman
+          // ETS(A,Ad,N)); the forecast flattens toward l + b·φ/(1−φ)
+          var acc = 0.0
+          var pw = 1.0
+          (1 to horizon).iterator.map { h =>
+            pw *= phi; acc += pw
+            (sid, h, ln + acc * bn)
+          }
         }
       }
       .toDF(seriesCol, "h", "yhat")

@@ -181,6 +181,50 @@ object SeriesDiagnostics {
         col("trend"), col("seasonal"), col("remainder")): _*)
   }
 
+  /** Syntetos–Boylan demand categorization (SBC, 2005): routes every
+    * series in the warehouse to its forecaster family by two numbers —
+    *   ADI = n / n_demands        (average inter-demand interval)
+    *   CV² = Var(z) / Mean(z)²    (population variance of the NONZERO
+    *                               demand sizes z)
+    * cut at the standard (1.32, 0.49) thresholds:
+    *   smooth       (ADI < 1.32, CV² < 0.49) → SES-class models
+    *   intermittent (ADI ≥ 1.32, CV² < 0.49) → Croston
+    *   erratic      (ADI < 1.32, CV² ≥ 0.49) → SES-class, wide bands
+    *   lumpy        (ADI ≥ 1.32, CV² ≥ 0.49) → Croston/SBA
+    * The triage gate in front of [[PerSeriesForecast.crostonForecast]],
+    * the way [[seasonalStrength]] gates the seasonal family.
+    *
+    * One window (series length) + one aggregate on the same key.
+    * All-zero series emit nothing (no demand ⇒ nothing to classify —
+    * same sparse contract as Croston). */
+  def sbcClassify(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCols: Seq[String]): DataFrame = {
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val agg = df
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("y", col(valueCol).cast("double"))
+      .filter(col("y") =!= 0.0)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("n")).as("n"),
+           count(lit(1)).as("n_demands"),
+           sum(col("y")).as("sz"), sum(col("y") * col("y")).as("szz"))
+      .withColumn("adi", col("n").cast("double") / col("n_demands"))
+      .withColumn("mu", col("sz") / col("n_demands"))
+      .withColumn("cv2",
+        (col("szz") / col("n_demands") - col("mu") * col("mu")) /
+          (col("mu") * col("mu")))
+    agg
+      .withColumn("class",
+        when(col("adi") < 1.32 && col("cv2") < 0.49, "smooth")
+          .when(col("adi") >= 1.32 && col("cv2") < 0.49, "intermittent")
+          .when(col("adi") < 1.32, "erratic")
+          .otherwise("lumpy"))
+      .withColumn("recommended",
+        when(col("adi") >= 1.32, "croston").otherwise("ses"))
+      .select(seriesCols.map(col) ++ Seq(col("n"), col("n_demands"),
+        col("adi"), col("cv2"), col("class"), col("recommended")): _*)
+  }
+
   /** Lead–lag cross-correlation between two aligned series (the CCF):
     * Pearson r of (x_t, y_{t+lag}) for lag = 0..maxLag, computed on
     * hour-bucket aggregates of two event populations. Positive peaks at

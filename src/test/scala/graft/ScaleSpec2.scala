@@ -395,6 +395,46 @@ class ScaleSpec2 extends SparkTestBase {
     assert(out(3L)._3 < out(3L)._1, "ses MAE strictly below naive MAE")
   }
 
+  test("sbcClassify: the four quadrants land in their classes; all-zero emits nothing") {
+    val rows =
+      // sid 1 smooth: demand every period, constant size (ADI=1, CV2=0)
+      (0 until 12).map(t => (1L, t.toLong, 10.0)) ++
+      // sid 2 intermittent: demand every 3rd period, constant size (ADI=3)
+      (0 until 12).map(t => (2L, t.toLong, if (t % 3 == 0) 10.0 else 0.0)) ++
+      // sid 3 erratic: demand every period, wildly varying size
+      (0 until 12).map(t => (3L, t.toLong, if (t % 2 == 0) 1.0 else 40.0)) ++
+      // sid 4 lumpy: sparse AND wild
+      (0 until 12).map(t => (4L, t.toLong, if (t % 4 == 0) { if (t % 8 == 0) 1.0 else 50.0 } else 0.0)) ++
+      // sid 5: never any demand
+      (0 until 12).map(t => (5L, t.toLong, 0.0))
+    val out = graft.scale.SeriesDiagnostics.sbcClassify(
+        rows.toDF("sid", "ts", "y"), "y", "ts", Seq("sid"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(5), r.getString(6)))).toMap
+    assert(out == Map(
+      1L -> (("smooth", "ses")), 2L -> (("intermittent", "croston")),
+      3L -> (("erratic", "ses")), 4L -> (("lumpy", "croston"))),
+      s"got $out")
+  }
+
+  test("holtForecast damped: increments shrink by phi, phi=1 equals plain Holt") {
+    val ys = Seq(5.0, 7.0, 8.5, 11.0, 12.0, 14.5)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    def run(phi: Double) = graft.scale.PerSeriesForecast.holtForecast(
+        df, "y", "ts", "sid", horizon = 4, alpha = 0.4, beta = 0.3,
+        tieBreak = Some("eid"), phi = phi)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val damped = run(0.8)
+    val steps = (2 to 4).map(h => damped(h) - damped(h - 1))
+    steps.sliding(2).foreach { case Seq(a, b) =>
+      assert(math.abs(b / a - 0.8) < 1e-9, s"increments must damp by phi: $steps")
+    }
+    val plain = run(1.0)
+    val undampedSteps = (2 to 4).map(h => plain(h) - plain(h - 1))
+    assert(undampedSteps.forall(s => math.abs(s - undampedSteps.head) < 1e-9),
+      "phi=1 must step by a constant trend")
+  }
+
   test("crostonForecast: hand-computed demand/interval smoothing, all-zero series emits nothing") {
     // demands z=[3,6,2] at positions t=[3,7,9] -> intervals q=[3,4,2]
     // SES(0.5): level(z) = 0.5*2 + 0.5*(0.5*6 + 0.5*3) = 3.25
