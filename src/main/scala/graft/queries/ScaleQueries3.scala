@@ -921,6 +921,41 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- A20: incremental aggregation (merge == full recompute) ----------
+
+  /** A20 — incremental rollup: events sliced by day parity into two
+    * increments, each partial-aggregated, merged, finalized — and the
+    * ORACLE recomputes directly from raw rows, so the hash check IS the
+    * merge==full-recompute theorem on real data. Exact-integer sums
+    * make it slicing-invariant; the HLL distinct estimate is excluded
+    * (approx by contract, spec-bounded). */
+  private def a20Incremental: Q = (s, d) => {
+    import graft.sources.IncrementalAgg
+    val ev = Tables.events(s, d)
+    val day = floor(col("ts").cast("double") / 86400.0).cast("long")
+    val p1 = IncrementalAgg.partial(
+      ev.filter(pmod(day, lit(2)) === 0), Seq("event_type"), "value", "user_id")
+    val p2 = IncrementalAgg.partial(
+      ev.filter(pmod(day, lit(2)) === 1), Seq("event_type"), "value", "user_id")
+    IncrementalAgg.finalize(IncrementalAgg.merge(Seq(p1, p2)))
+      .select(col("event_type"), col("cnt"),
+        Det.dround(col("total"), 6).as("total"),
+        Det.dround(col("vmin"), 6).as("vmin"),
+        Det.dround(col("vmax"), 6).as("vmax"),
+        Det.dround(col("avg"), 6).as("avg"))
+  }
+
+  private val a20Sql =
+    s"""WITH v AS (SELECT event_type,
+       |    CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS v6
+       |  FROM events)
+       |SELECT event_type, count(*) AS cnt,
+       |  ${Det.droundSql("sum(v6)/1e6", 6)} AS total,
+       |  ${Det.droundSql("min(v6)/1e6", 6)} AS vmin,
+       |  ${Det.droundSql("max(v6)/1e6", 6)} AS vmax,
+       |  ${Det.droundSql("CAST(sum(v6) AS DOUBLE)/count(*)/1e6", 6)} AS avg
+       |FROM v GROUP BY 1""".stripMargin
+
   // ---- T20: Syntetos-Boylan demand categorization ----------------------
 
   /** T20 — SBC triage over the purchase-else-zero demand series: ADI ×
@@ -1321,7 +1356,8 @@ object ScaleQueries3 {
     "f9_holt"            -> f9Holt,
     "f9_holt0"           -> f9Holt0,
     "f10_backtest"       -> f10Backtest,
-    "t20_sbc"            -> t20Sbc
+    "t20_sbc"            -> t20Sbc,
+    "a20_incremental"    -> a20Incremental
   )
 
   val oracle: Map[String, String] = Map(
@@ -1356,6 +1392,7 @@ object ScaleQueries3 {
     "f9_holt0"        -> f9Holt0Sql,
     "f10_backtest"    -> f10Sql,
     "t20_sbc"         -> t20Sql,
+    "a20_incremental" -> a20Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -34,4 +34,44 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("IncrementalAgg: merge of any slicing equals the whole, in any merge order") {
+    import graft.sources.IncrementalAgg
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SF)
+    def exactCols(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("cnt"), col("sum6"), col("min6"), col("max6"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val whole = exactCols(
+      IncrementalAgg.partial(ev, Seq("event_type"), "value", "user_id"))
+    // three uneven slices by user-id mod; two different merge groupings
+    val slices = (0 to 2).map(i =>
+      IncrementalAgg.partial(ev.filter(pmod(col("user_id"), lit(3)) === i),
+        Seq("event_type"), "value", "user_id"))
+    val flat = exactCols(IncrementalAgg.merge(slices))
+    val nested = exactCols(IncrementalAgg.merge(Seq(
+      IncrementalAgg.merge(Seq(slices(2), slices(0))), slices(1))))
+    assert(flat == whole, "merged slices must equal the whole EXACTLY")
+    assert(nested == whole, "merge must be order- and grouping-invariant")
+  }
+
+  test("IncrementalAgg: HLL distinct estimate survives the merge within sketch tolerance") {
+    import graft.sources.IncrementalAgg
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SF)
+    val slices = (0 to 2).map(i =>
+      IncrementalAgg.partial(ev.filter(pmod(col("user_id"), lit(3)) === i),
+        Seq("event_type"), "value", "user_id"))
+    val est = IncrementalAgg.finalize(IncrementalAgg.merge(slices))
+      .select(col("event_type"), col("distinct_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(est(k) - d).toDouble / d < 0.05,
+        s"$k: HLL ${est(k)} vs exact $d drifted > 5%")
+    }
+  }
 }
