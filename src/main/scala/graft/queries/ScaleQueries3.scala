@@ -921,6 +921,45 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- X17: typo-pair mining (SymSpell distance-1) ---------------------
+
+  /** X17 — corpus token pairs within edit distance 1 via deletion-
+    * neighborhood candidates + exact levenshtein verify: the vocabulary
+    * normalization pass. len ≥ 4, support ≥ 3. The corpus vocabulary is
+    * clean (zero natural dist-1 pairs at any support), so every 20th
+    * doc gets its first token's 2nd-char-dropped typo appended 3×
+    * (deterministic, mirrored in the oracle) — the stNearDup injection
+    * pattern: the operator needs real work to prove itself on. */
+  private def x17Typos: Q = (s, d) => {
+    val w1 = element_at(split(col("text"), " "), 1)
+    val typo = concat(substring(w1, 1, 1), substring(w1, 3, 1000000))
+    val aug = Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") % 20 === 0,
+        concat_ws(" ", col("text"), typo, typo, typo)).otherwise(col("text")))
+    graft.scale.TextAnalysis.typoPairs(aug, "text", "doc_id")
+      .select(col("tok_a"), col("tok_b"), col("cnt_a"), col("cnt_b"))
+  }
+
+  private val x17Sql =
+    """WITH aug AS (SELECT CASE WHEN doc_id % 20 = 0 THEN
+      |    text || ' ' ||
+      |    repeat(substr(string_split(text, ' ')[1], 1, 1) || substr(string_split(text, ' ')[1], 3) || ' ', 2) ||
+      |    substr(string_split(text, ' ')[1], 1, 1) || substr(string_split(text, ' ')[1], 3)
+      |  ELSE text END AS text FROM documents),
+      |toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM aug),
+      |v AS (SELECT tok, count(*) AS cnt FROM toks WHERE length(tok) >= 4
+      |      GROUP BY 1 HAVING count(*) >= 3),
+      |d AS (SELECT DISTINCT tok, cnt,
+      |        unnest(list_transform(generate_series(0, length(tok)), j ->
+      |          CASE WHEN j = 0 THEN tok
+      |               ELSE substr(tok, 1, j - 1) || substr(tok, j + 1) END)) AS variant
+      |      FROM v),
+      |p AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+      |        a.cnt AS cnt_a, b.cnt AS cnt_b
+      |      FROM d a JOIN d b USING (variant) WHERE a.tok < b.tok)
+      |SELECT tok_a, tok_b, cnt_a, cnt_b FROM p
+      |WHERE levenshtein(tok_a, tok_b) <= 1""".stripMargin
+
   // ---- A20: incremental aggregation (merge == full recompute) ----------
 
   /** A20 — incremental rollup: events sliced by day parity into two
@@ -1357,7 +1396,8 @@ object ScaleQueries3 {
     "f9_holt0"           -> f9Holt0,
     "f10_backtest"       -> f10Backtest,
     "t20_sbc"            -> t20Sbc,
-    "a20_incremental"    -> a20Incremental
+    "a20_incremental"    -> a20Incremental,
+    "x17_typos"          -> x17Typos
   )
 
   val oracle: Map[String, String] = Map(
@@ -1393,6 +1433,7 @@ object ScaleQueries3 {
     "f10_backtest"    -> f10Sql,
     "t20_sbc"         -> t20Sql,
     "a20_incremental" -> a20Sql,
+    "x17_typos"       -> x17Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -528,4 +528,46 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"),
         (floor(col("s9") / 1e9 * 1e6 + 0.5) / 1e6).as("score"), col("rank"))
   }
+
+  /** Typo-pair mining: all corpus token pairs within edit distance 1 —
+    * the vocabulary-normalization pass (fold `recieve` into `receive`)
+    * a cleaning pipeline runs before counting anything token-shaped.
+    *
+    * SymSpell candidate generation (Garbe 2012): two tokens are within
+    * edit distance 1 iff their DELETION NEIGHBORHOODS (the token plus
+    * every single-character deletion) intersect — so candidates come
+    * from an equi-join on deletion variants, never an all-pairs scan;
+    * `levenshtein` then verifies exactly (neighborhood intersection
+    * over-generates at distance 1: e.g. swapped-adjacent pairs share a
+    * variant but sit at distance 2). Skew guards: tokens shorter than
+    * `minLen` are dropped (their neighborhoods are dense and their
+    * matches are mostly real words), and only tokens with ≥ `minCount`
+    * occurrences participate (support filter — pure predicate, no
+    * broadcast table).
+    *
+    * Shape: vocab agg (one shuffle of distinct tokens), map-side
+    * variant explode (len+1 rows per token), variant equi-join,
+    * verify, dedup. Pair volume is Σ|neighborhood ∩| — corpus text
+    * itself never joins. */
+  def typoPairs(df: DataFrame, textCol: String, idCol: String,
+                minLen: Int = 4, minCount: Int = 3): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= minLen)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val dels = vocab.select(col("tok"), col("cnt"),
+      explode(expr(
+        """transform(sequence(0, length(tok)), j ->
+          |  CASE WHEN j = 0 THEN tok
+          |       ELSE concat(substring(tok, 1, j - 1), substring(tok, j + 1)) END)
+          |""".stripMargin)).as("variant"))
+      .distinct()
+    val right = dels.toDF("tok_b", "cnt_b", "variant")
+    dels.toDF("tok_a", "cnt_a", "variant")
+      .join(right, "variant")
+      .filter(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("cnt_a"), col("cnt_b")).distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+  }
 }

@@ -395,6 +395,26 @@ class ScaleSpec2 extends SparkTestBase {
     assert(out(3L)._3 < out(3L)._1, "ses MAE strictly below naive MAE")
   }
 
+  test("typoPairs: substitution/insertion/deletion found, transposition and distance-2 excluded") {
+    val mk = (s: String) => Seq.fill(3)(s).mkString(" ") // clear the support filter
+    val df = Seq(
+      (1L, mk("receive") + " " + mk("recieve")),   // transposition: dist 2, MUST drop
+      (2L, mk("banana") + " " + mk("bananas")),    // insertion: dist 1
+      (3L, mk("orange") + " " + mk("ornge")),      // deletion: dist 1
+      (4L, mk("kitten") + " " + mk("mitten")),     // substitution: dist 1
+      (5L, mk("table") + " " + mk("chair")),       // unrelated
+      (6L, mk("cat") + " " + mk("bat")))           // below minLen, ignored
+      .toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.typoPairs(df, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("banana", "bananas"), ("orange", "ornge"), ("kitten", "mitten")),
+      s"got $got")
+    // counts carried for the fold-into-canonical decision
+    val cnts = graft.scale.TextAnalysis.typoPairs(df, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(cnts.forall { case (_, a, b) => a == 3 && b == 3 })
+  }
+
   test("sbcClassify: the four quadrants land in their classes; all-zero emits nothing") {
     val rows =
       // sid 1 smooth: demand every period, constant size (ADI=1, CV2=0)
