@@ -921,6 +921,53 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- A21/SM13: chi-square independence + weighted sampling -----------
+
+  /** A21 — χ² independence of (event_type × epoch-weekday): observed
+    * cells one shuffle, expected grid broadcast arithmetic, unobserved
+    * cells grid-completed, 1e-9 BIGINT term sums. */
+  private def a21Chi2: Q = (s, d) =>
+    graft.stats.DriftAudit.chiSquareIndependence(
+        Tables.events(s, d).withColumn("dow",
+          pmod(floor(col("ts").cast("double") / 86400.0).cast("long"), lit(7))),
+        "event_type", "dow")
+      .select(col("n"), col("r"), col("c"), col("dof"),
+        Det.dround(col("chi2"), 6).as("chi2"))
+
+  private val a21Sql =
+    s"""WITH e AS (SELECT event_type AS a,
+       |    CAST(floor(epoch(ts)/86400.0) AS BIGINT) % 7 AS b FROM events),
+       |obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+       |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+       |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+       |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |        CAST(count(DISTINCT a) AS BIGINT) AS r,
+       |        CAST(count(DISTINCT b) AS BIGINT) AS c FROM obs),
+       |g AS (SELECT rt.a, ct.b, ra, cb FROM rt CROSS JOIN ct),
+       |cells AS (SELECT g.a, g.b, ra, cb, coalesce(obs.o, 0) AS o
+       |          FROM g LEFT JOIN obs USING (a, b)),
+       |terms AS (SELECT CAST(floor((o - e)*(o - e)/e*1e9 + 0.5) AS BIGINT) AS term9
+       |          FROM (SELECT o, ra*cb/CAST(n AS DOUBLE) AS e FROM cells, t))
+       |SELECT n, r, c, CAST((r - 1)*(c - 1) AS BIGINT) AS dof,
+       |  ${Det.droundSql("sum(term9)/1e9", 6)} AS chi2
+       |FROM terms, t GROUP BY n, r, c""".stripMargin
+
+  /** SM13 — Efraimidis–Spirakis weighted sample without replacement:
+    * 100 docs weight-proportional to n_chars, reproducible from the
+    * seed, TakeOrdered — no global sort. */
+  private def sm13Weighted: Q = (s, d) =>
+    Sampling.weightedSample(Tables.documents(s, d), "doc_id", "n_chars",
+        k = 100, seed = 7L)
+      .select(col("doc_id"), col("n_chars"))
+
+  private val sm13Sql =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 13))::BIGINT + 0.5)
+      |      / 4503599627370496.0 AS u
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, n_chars FROM u
+      |ORDER BY -ln(u)/CAST(n_chars AS DOUBLE), doc_id LIMIT 100""".stripMargin
+
   // ---- X17: typo-pair mining (SymSpell distance-1) ---------------------
 
   /** X17 — corpus token pairs within edit distance 1 via deletion-
@@ -1397,7 +1444,9 @@ object ScaleQueries3 {
     "f10_backtest"       -> f10Backtest,
     "t20_sbc"            -> t20Sbc,
     "a20_incremental"    -> a20Incremental,
-    "x17_typos"          -> x17Typos
+    "x17_typos"          -> x17Typos,
+    "a21_chi2"           -> a21Chi2,
+    "sm13_weighted"      -> sm13Weighted
   )
 
   val oracle: Map[String, String] = Map(
@@ -1434,6 +1483,8 @@ object ScaleQueries3 {
     "t20_sbc"         -> t20Sql,
     "a20_incremental" -> a20Sql,
     "x17_typos"       -> x17Sql,
+    "a21_chi2"        -> a21Sql,
+    "sm13_weighted"   -> sm13Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

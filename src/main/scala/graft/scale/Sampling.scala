@@ -150,6 +150,29 @@ object Sampling {
       .drop("bucket", "offset")
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    * Spirakis 2006, exponential-clocks form): each row draws an
+    * md5-derived uniform u ∈ (0,1) and competes with key −ln(u)/w —
+    * the k smallest keys are EXACTLY a weight-proportional sample
+    * without replacement. Reproducible from (corpus, seed), no RNG.
+    *
+    * Shape: the key is map-side; the k winners come from a
+    * TakeOrdered(k) — no global sort shuffle, driver holds k rows.
+    * Non-positive weights are dropped (they can never win a
+    * proportional draw; documented, not an error). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    // 13 hex chars = 52 uniform bits; +0.5 keeps u strictly inside (0,1)
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10).cast("long") + 0.5) /
+      lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   // ---- DSIR: Data Selection via Importance Resampling ------------------
 
   /** Hashed unigram+bigram feature buckets: (fid, b), one row per token

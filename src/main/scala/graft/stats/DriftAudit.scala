@@ -57,6 +57,38 @@ object DriftAudit {
       .select(col("bin"), col("n_a"), col("n_b"), col("p_a"), col("p_b"), col("psi"))
   }
 
+  /** Chi-square test of independence between two categorical columns —
+    * the EDA association audit ("does event mix depend on weekday?").
+    * Observed cells come from ONE (a, b) count shuffle; the expected
+    * grid (row totals × column totals / N) is |a|·|b| rows of broadcast
+    * arithmetic, with UNOBSERVED cells grid-completed (they still
+    * contribute their expected mass — skipping them understates χ²).
+    * Terms quantize to the 1e-9 grid and sum as BIGINT.
+    *
+    * Emits (n, r, c, dof, chi2); get the p-value from
+    * [[StatTests.chiSquareSf]] on the driver side — the survival
+    * function is a scalar, not a dataflow. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = obs.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    rowT.crossJoin(colT)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("ra") * col("cb") / col("n").cast("double"))
+      .withColumn("term9",
+        floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e9 + 0.5)
+          .cast("long"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg((sum(col("term9")) / 1e9).as("chi2"))
+      .withColumn("dof", ((col("r") - 1) * (col("c") - 1)).cast("long"))
+      .select(col("n"), col("r"), col("c"), col("dof"), col("chi2"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `splitCol`
     * groups: D = max_x |F_a(x) − F_b(x)|, computed exactly on the pooled
     * ORDER STATISTICS — one global sort of the (value, split) pairs, a

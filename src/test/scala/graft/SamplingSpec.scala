@@ -172,6 +172,26 @@ class SamplingSpec extends SparkTestBase {
     assert(p1.toMap == p4, "bucket prefix length must be invisible in the result")
   }
 
+  test("weightedSample: exact size, reproducible, weight-dominant row wins, w<=0 dropped") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) :+ ((999L, 1e7)) :+ ((1000L, 0.0)) :+ ((1001L, -3.0)))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 50, seed = 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.size == 50, "exactly k winners")
+    assert(s1.contains(999L), "a 1e7x weight must win a 50-of-201 draw")
+    assert(!s1.contains(1000L) && !s1.contains(1001L), "non-positive weights never drawn")
+    val s2 = Sampling.weightedSample(df, "id", "w", k = 50, seed = 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must reproduce the same sample")
+    val s3 = Sampling.weightedSample(df, "id", "w", k = 50, seed = 12L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((s1 -- s3).nonEmpty, "a different seed should change the sample")
+    // k >= population: everything with positive weight
+    val all = Sampling.weightedSample(df, "id", "w", k = 500, seed = 11L).count()
+    assert(all == 201L)
+  }
+
   test("hashSplit on a group key: every group lands in exactly one fold") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, s"src${i % 23}")).toDF("id", "source")

@@ -167,6 +167,25 @@ class StatTestsSpec extends SparkTestBase {
       s"smoothed shares must sum to 1 when all bins are present: $spa, $spb")
   }
 
+  test("chiSquareIndependence: hand-computed 2x2, zero cells grid-completed, p sane") {
+    import spark.implicits._
+    // balanced 2x2 with association: every e = 20, chi2 = 4 * 100/20 = 20
+    val assoc = (Seq.fill(30)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+                 Seq.fill(10)(("y", 0)) ++ Seq.fill(30)(("y", 1))).toDF("a", "b")
+    val r1 = graft.stats.DriftAudit.chiSquareIndependence(assoc, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 80 && r1.getLong(3) == 1)
+    assert(math.abs(r1.getDouble(4) - 20.0) < 1e-6, s"chi2 ${r1.getDouble(4)} != 20")
+    assert(StatTests.chiSquareSf(r1.getDouble(4), 1) < 1e-4, "strong association, tiny p")
+    // y never appears with b in {0,1}: the zero cells MUST contribute
+    // their expected mass (hand value 30.0; skipping them gives 23.3)
+    val sparse = (Seq.fill(10)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+                  Seq.fill(10)(("y", 2))).toDF("a", "b")
+    val r2 = graft.stats.DriftAudit.chiSquareIndependence(sparse, "a", "b").collect()(0)
+    assert(math.abs(r2.getDouble(4) - 30.0) < 1e-6,
+      s"zero cells not grid-completed: chi2 ${r2.getDouble(4)} != 30")
+    assert(r2.getLong(3) == 2)
+  }
+
   test("ksStatistic: hand-computed two-sample D, invariance to monotone transform") {
     import spark.implicits._
     // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b maximal at x in [2,3): |2/4 - 0/4| = 0.5
