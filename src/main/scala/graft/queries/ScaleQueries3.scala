@@ -921,6 +921,49 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  // ---- A22/A23: Markov transitions + inter-event cadence ---------------
+
+  /** A22 — first-order transition matrix over user event sequences:
+    * P(next | current) from one lead window + one pair count. */
+  private def a22Transitions: Q = (s, d) =>
+    graft.scale.EventAnalytics.transitionMatrix(
+        Tables.events(s, d), "event_type", "ts", "user_id", Seq("event_id"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        Det.dround(col("p"), 6).as("p"))
+
+  private val a22Sql =
+    s"""WITH pr AS (SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+       |SELECT c.from_type, c.to_type, n, n_from,
+       |  ${Det.droundSql("CAST(n AS DOUBLE)/n_from", 6)} AS p
+       |FROM c JOIN r USING (from_type)""".stripMargin
+
+  /** A23 — inter-event cadence per type: mean/p50/p90 seconds between a
+    * user's consecutive same-type events (exact percentiles, the q2
+    * approx contract at 100 TB). */
+  private def a23Gaps: Q = (s, d) =>
+    graft.scale.EventAnalytics.gapProfile(
+        Tables.events(s, d), "event_type", "ts", "user_id", Seq("event_id"))
+      .select(col("event_type"), col("n_gaps"),
+        Det.dround(col("mean_gap"), 4).as("mean_gap"),
+        Det.dround(col("p50_gap"), 4).as("p50_gap"),
+        Det.dround(col("p90_gap"), 4).as("p90_gap"))
+
+  private val a23Sql =
+    s"""WITH g AS (SELECT event_type,
+       |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id, event_type
+       |                                     ORDER BY ts, event_id) AS gap
+       |  FROM events)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       |  ${Det.droundSql("avg(gap)", 4)} AS mean_gap,
+       |  ${Det.droundSql("quantile_cont(gap, 0.5)", 4)} AS p50_gap,
+       |  ${Det.droundSql("quantile_cont(gap, 0.9)", 4)} AS p90_gap
+       |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+
   // ---- A21/SM13: chi-square independence + weighted sampling -----------
 
   /** A21 — χ² independence of (event_type × epoch-weekday): observed
@@ -1446,7 +1489,9 @@ object ScaleQueries3 {
     "a20_incremental"    -> a20Incremental,
     "x17_typos"          -> x17Typos,
     "a21_chi2"           -> a21Chi2,
-    "sm13_weighted"      -> sm13Weighted
+    "sm13_weighted"      -> sm13Weighted,
+    "a22_transitions"    -> a22Transitions,
+    "a23_gaps"           -> a23Gaps
   )
 
   val oracle: Map[String, String] = Map(
@@ -1485,6 +1530,8 @@ object ScaleQueries3 {
     "x17_typos"       -> x17Sql,
     "a21_chi2"        -> a21Sql,
     "sm13_weighted"   -> sm13Sql,
+    "a22_transitions" -> a22Sql,
+    "a23_gaps"        -> a23Sql,
     "st_forecast"     -> stForecastSql,
     "sm7_temperature" -> sm7Sql,
     "pipe1_curation"  -> pipe1Sql,

@@ -79,4 +79,57 @@ object EventAnalytics {
       .join(broadcast(sizes), "cohort")
       .withColumn("retention", col("active").cast("double") / col("cohort_size"))
   }
+
+  /** First-order Markov transition matrix over each entity's event
+    * sequence: P(next = b | current = a), from consecutive
+    * (event, next-event) pairs within a user ordered by time. The
+    * "what do users do after X" staple, and the empirical transition
+    * model sequence simulators start from.
+    *
+    * Shape: one user-keyed window (lead), one (a, b) count, row
+    * totals from the O(|types|²) count table itself — the event table
+    * shuffles once. */
+  def transitionMatrix(events: DataFrame, typeCol: String, tsCol: String,
+                       userCol: String,
+                       tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val pairs = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+      .toDF("from_type2", "n_from")
+    pairs.join(broadcast(rowTot), col("from_type") === col("from_type2"))
+      .withColumn("p", col("n").cast("double") / col("n_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"), col("p"))
+  }
+
+  /** Inter-event gap profile per event type: mean / median / p90 of the
+    * seconds between an entity's consecutive events of that type — the
+    * cadence audit behind session-gap and watermark choices. Exact
+    * percentiles (oracle path); swap `percentile` for
+    * `approx_percentile` at 100 TB (q2's contract). One (user, type)
+    * window + one agg. */
+  def gapProfile(events: DataFrame, typeCol: String, tsCol: String,
+                 userCol: String,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    events
+      .withColumn("gap",
+        col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+           avg(col("gap")).as("mean_gap"),
+           expr("percentile(gap, array(0.5D, 0.9D))").as("qs"))
+      .select(col(typeCol), col("n_gaps"), col("mean_gap"),
+        element_at(col("qs"), 1).as("p50_gap"),
+        element_at(col("qs"), 2).as("p90_gap"))
+  }
 }

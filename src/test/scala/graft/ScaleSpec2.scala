@@ -235,6 +235,47 @@ class ScaleSpec2 extends SparkTestBase {
     assert(out(1) == 1L && out(2) == 0L, s"ties must not count as progression: $out")
   }
 
+  test("transitionMatrix: hand-built sequences, rows sum to 1, no cross-user pairs") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "c")) // singleton: contributes no pair
+    val df = rows.map { case (u, t, e) => (u, t, t, e) }
+      .toDF("user_id", "tsec", "event_id", "event_type")
+      .withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.EventAnalytics.transitionMatrix(
+        df, "event_type", "ts", "user_id", Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    // pairs: u1 a->b, b->a, a->b; u2 a->b  => a->b:3 (p=1), b->a:1 (p=1)
+    assert(out == Map(("a", "b") -> ((3L, 1.0)), ("b", "a") -> ((1L, 1.0))), s"got $out")
+    // row-stochastic check on the real corpus
+    val corpus = graft.scale.EventAnalytics.transitionMatrix(
+        Tables.events(spark, SF), "event_type", "ts", "user_id", Seq("event_id"))
+      .groupBy("from_type").agg(sum($"p").as("rowsum")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"${r.getString(0)} row sums to ${r.getDouble(1)}"))
+  }
+
+  test("gapProfile: hand-built cadence, per-type windows never mix users or types") {
+    val rows = Seq(
+      (1L, 0L, "a"), (1L, 10L, "a"), (1L, 30L, "a"),   // gaps 10, 20
+      (1L, 5L, "b"),                                    // no same-type successor
+      (2L, 100L, "a"), (2L, 160L, "a"))                 // gap 60
+    val df = rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+      .toDF("user_id", "tsec", "event_id", "event_type")
+      .withColumn("ts", col("tsec").cast("timestamp"))
+    val out = graft.scale.EventAnalytics.gapProfile(
+        df, "event_type", "ts", "user_id", Seq("event_id"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(!out.contains("b"), "a type with no consecutive pair has no gaps")
+    val (n, mean, p50) = out("a")
+    assert(n == 3 && math.abs(mean - 30.0) < 1e-9, s"gaps {10,20,60}: $out")
+    assert(math.abs(p50 - 20.0) < 1e-9, "median of {10,20,60} is 20")
+  }
+
   test("retention: cohorts by first-seen period, k=0 is always full retention") {
     val week = 604800L
     // u1,u2 start week 0; u2 returns weeks 1,2; u3 starts week 1, returns week 3
