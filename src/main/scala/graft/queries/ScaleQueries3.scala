@@ -921,6 +921,62 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** F11 — Holt–Winters additive seasonal (ETS(A,A,A)) per series at
+    * period 7, the seasonal completion of the ETS ladder (✖est: the
+    * coupled 3-state recursion has no closed form; spec-pinned against
+    * an independent local fold + the exact-reconstruction property on a
+    * purely seasonal series, with the β=γ=0 reduction hash-checked as
+    * `f11_hw0`). */
+  private def f11Hw: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtWintersForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 7,
+        0.5, 0.25, 0.25, Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  /** F11b — the β=γ=0 reduction of [[f11Hw]]: trend frozen at b₀ and
+    * seasonals frozen at the first-cycle profile make the level EXACTLY
+    * a SES over ζ_t = (y_t − s_phase) − b₀(t−m+1) (derivation in the
+    * [[graft.scale.PerSeriesForecast.holtWintersForecast]] scaladoc) —
+    * the closed form below checks the Scala RECURSION
+    * cross-implementation, initialization included. */
+  private def f11Hw0: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtWintersForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 7,
+        0.5, 0.0, 0.0, Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  private val f11Hw0Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS t,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(floor(CAST(value AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS y9
+       |  FROM events),
+       |g AS (SELECT * FROM s WHERE n >= 14),
+       |lm AS (SELECT user_id, CAST(sum(y9) AS DOUBLE)/7/1e9 AS lmv
+       |       FROM g WHERE t < 7 GROUP BY 1),
+       |bb AS (SELECT a.user_id, CAST(sum(b.y9 - a.y9) AS DOUBLE)/49/1e9 AS b0v
+       |       FROM g a JOIN g b ON b.user_id = a.user_id AND b.t = a.t + 7
+       |       WHERE a.t < 7 GROUP BY 1),
+       |sea AS (SELECT g.user_id, t AS phase, y9/1e9 - lmv AS sv
+       |        FROM g JOIN lm USING (user_id) WHERE t < 7),
+       |z AS (SELECT g.user_id, g.t, g.n,
+       |        (g.y9/1e9 - sea.sv) - bb.b0v*(g.t - 6) AS zeta
+       |      FROM g
+       |      JOIN sea ON sea.user_id = g.user_id AND sea.phase = g.t % 7
+       |      JOIN bb ON bb.user_id = g.user_id
+       |      WHERE g.t >= 7),
+       |w AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       |        sum(zeta * 0.5 * pow(0.5, n - 1 - t)) AS acc
+       |      FROM z GROUP BY user_id),
+       |lvl AS (SELECT w.user_id, w.n,
+       |          pow(0.5, w.n - 7)*lm.lmv + w.acc + bb.b0v*(w.n - 7) AS ln,
+       |          bb.b0v AS b0v
+       |        FROM w JOIN lm USING (user_id) JOIN bb USING (user_id))
+       |SELECT lvl.user_id, h,
+       |  ${Det.droundSql("ln + h*b0v + sea.sv", 4)} AS yhat
+       |FROM lvl CROSS JOIN generate_series(1, 3) AS g2(h)
+       |JOIN sea ON sea.user_id = lvl.user_id AND sea.phase = (lvl.n - 1 + h) % 7""".stripMargin
+
   // ---- A22/A23: Markov transitions + inter-event cadence ---------------
 
   /** A22 — first-order transition matrix over user event sequences:
@@ -1491,7 +1547,9 @@ object ScaleQueries3 {
     "a21_chi2"           -> a21Chi2,
     "sm13_weighted"      -> sm13Weighted,
     "a22_transitions"    -> a22Transitions,
-    "a23_gaps"           -> a23Gaps
+    "a23_gaps"           -> a23Gaps,
+    "f11_hw"             -> f11Hw,
+    "f11_hw0"            -> f11Hw0
   )
 
   val oracle: Map[String, String] = Map(
@@ -1537,6 +1595,7 @@ object ScaleQueries3 {
     "pipe1_curation"  -> pipe1Sql,
     "d13_span_dedup"  -> d13Sql,
     "d14_span_strip"  -> d14Sql,
-    "sm8_dsir"        -> sm8Sql
+    "sm8_dsir"        -> sm8Sql,
+    "f11_hw0"         -> f11Hw0Sql
   )
 }

@@ -406,4 +406,79 @@ object PerSeriesForecast {
         (col("s_ses") / h / 1e9).as("mae_ses"),
         col("winner")): _*)
   }
+
+  /** Holt–Winters additive seasonal (ETS(A,A,A)) — the seasonal step up
+    * from [[holtForecast]], completing the per-series ETS ladder
+    * (SES → Holt → damped → HW) that the reference's model zoo
+    * approximates with SARIMAX grids (`build_arima.py`'s seasonal
+    * orders). Coupled level/trend/seasonal recursions at period `m`:
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)·s_{t−m}
+    * with the standard two-cycle initialization: l = first-cycle mean,
+    * b = mean cycle-over-cycle step (Σ(y_{m+i}−y_i)/m²), s_i = first-
+    * cycle deviations from that mean. ŷ(n+h) = l_n + h·b_n + s_phase
+    * (latest stored seasonal for the target phase). Series shorter than
+    * 2m are SKIPPED — two full cycles are the minimum that pins both
+    * trend and a full seasonal profile (Hyndman & Athanasopoulos §8.3).
+    *
+    * Determinism: y is quantized to the 1e-9 grid at entry, so the
+    * initialization sums are exact integers and the whole recursion is
+    * a fixed-order fold over exact-decimal inputs — cross-engine
+    * reproducible to the 6-decimal output grid.
+    *
+    * Shape: the coupled recursion has no per-row closed form, so this
+    * is the [[holtForecast]] shape — ONE `flatMapGroups` pass, each
+    * series folded locally in its task; millions of series in parallel,
+    * no collect, no model objects.
+    *
+    * Oracle strategy (f11_hw0): at β = γ = 0 the trend stays b₀ and the
+    * seasonal profile stays the initial one, so the level is EXACTLY a
+    * SES over ζ_t = (y_t − s_phase) − b₀·(t−m+1) plus a b₀ ramp — a
+    * DuckDB closed form that checks this Scala RECURSION
+    * cross-implementation; the general-β/γ path is spec-pinned against
+    * an independent local fold plus the exact-reconstruction property
+    * on a purely seasonal series. */
+  def holtWintersForecast(df: DataFrame, valueCol: String, tsCol: String,
+                          seriesCol: String, horizon: Int, m: Int,
+                          alpha: Double = 0.5, beta: Double = 0.25,
+                          gamma: Double = 0.25,
+                          tieBreak: Option[String] = None): DataFrame = {
+    require(m >= 2, s"need season length m >= 2, got $m")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+            gamma >= 0 && gamma <= 1,
+      s"need 0 < alpha <= 1 and 0 <= beta,gamma <= 1, got $alpha/$beta/$gamma")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y9 = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 1e9 + 0.5).toLong)
+        val n = y9.length
+        if (n < 2 * m) Iterator.empty
+        else {
+          val yq = y9.map(_ / 1e9)
+          var sum9 = 0L; var diff9 = 0L
+          for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
+          var l = sum9.toDouble / m / 1e9
+          var b = diff9.toDouble / (m.toLong * m) / 1e9
+          val s = Array.tabulate(m)(i => yq(i) - l)
+          for (t <- m until n) {
+            val ph = t % m
+            val lNew = alpha * (yq(t) - s(ph)) + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            s(ph) = gamma * (yq(t) - lNew) + (1 - gamma) * s(ph)
+            l = lNew
+          }
+          (1 to horizon).iterator.map { h =>
+            (sid, h, l + h * b + s((n - 1 + h) % m))
+          }
+        }
+      }
+      .toDF(seriesCol, "h", "yhat")
+  }
 }

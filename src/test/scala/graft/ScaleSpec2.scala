@@ -496,6 +496,56 @@ class ScaleSpec2 extends SparkTestBase {
       "phi=1 must step by a constant trend")
   }
 
+  test("holtWintersForecast: distributed fold equals the local recursion, incl. init") {
+    val ys = Seq(10.0, 14.0, 8.0, 11.0, 16.0, 9.5, 13.0, 18.0, 10.0, 12.5,
+                 17.0, 11.0, 15.0, 20.0, 12.0)
+    val (m, alpha, beta, gamma) = (3, 0.5, 0.25, 0.25)
+    // independent local reference fold (same definitions, separate code)
+    val yq = ys.map(v => math.floor(v * 1e9 + 0.5).toLong / 1e9)
+    var l = yq.take(m).sum / m
+    var b = (0 until m).map(i => yq(m + i) - yq(i)).sum / (m * m)
+    val s = Array.tabulate(m)(i => yq(i) - l)
+    for (t <- m until ys.length) {
+      val ph = t % m
+      val lNew = alpha * (yq(t) - s(ph)) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      s(ph) = gamma * (yq(t) - lNew) + (1 - gamma) * s(ph)
+      l = lNew
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.holtWintersForecast(
+        df, "y", "ts", "sid", horizon = 4, m = m, alpha = alpha,
+        beta = beta, gamma = gamma, tieBreak = Some("eid"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (1 to 4).foreach { h =>
+      val want = l + h * b + s((ys.length - 1 + h) % m)
+      assert(math.abs(out(h) - want) < 1e-9,
+        s"h=$h: distributed ${out(h)} != local $want")
+    }
+  }
+
+  test("holtWintersForecast: purely seasonal series reconstructed exactly; short series skipped") {
+    // exact period-3 pattern, zero trend: init gives l=pattern mean, b=0,
+    // s=deviations; every recursion step is then a fixed point -> the
+    // forecast replays the pattern exactly at ANY alpha/beta/gamma
+    val pattern = Seq(4.0, 9.0, 2.0)
+    val rows = (0 until 12).map(i => (1L, i.toLong, i.toLong, pattern(i % 3))) ++
+      (0 until 5).map(i => (2L, i.toLong, i.toLong, 1.0 * i)) // n=5 < 2m=6
+    val df = rows.toDF("sid", "ts", "eid", "y")
+    val out = graft.scale.PerSeriesForecast.holtWintersForecast(
+        df, "y", "ts", "sid", horizon = 6, m = 3, alpha = 0.3,
+        beta = 0.2, gamma = 0.4, tieBreak = Some("eid"))
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L), "series shorter than 2m must be skipped")
+    val byH = out.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (1 to 6).foreach { h =>
+      val want = pattern((12 - 1 + h) % 3)
+      assert(math.abs(byH(h) - want) < 1e-9,
+        s"pure seasonal must replay the pattern: h=$h got ${byH(h)} want $want")
+    }
+  }
+
   test("crostonForecast: hand-computed demand/interval smoothing, all-zero series emits nothing") {
     // demands z=[3,6,2] at positions t=[3,7,9] -> intervals q=[3,4,2]
     // SES(0.5): level(z) = 0.5*2 + 0.5*(0.5*6 + 0.5*3) = 3.25
