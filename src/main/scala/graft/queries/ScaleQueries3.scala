@@ -921,6 +921,30 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** X18 — BPE merge step 1 at corpus scale: the top-20 adjacent
+    * character pairs over the lower-cased word-frequency table, weighted
+    * by word count — the statistic the first tokenizer merge is chosen
+    * from (Sennrich 2016). Deterministic order (count desc, pair asc). */
+  private def x18BpePairs: Q = (s, d) =>
+    graft.scale.TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", 20)
+
+  private val x18Sql =
+    """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |          FROM toks WHERE length(w) >= 2 GROUP BY 1),
+      |pairs AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+      |                   i -> substr(w, CAST(i AS INT), 2))) AS pair, cnt
+      |          FROM words)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM pairs GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
+  /** X19 — iterative BPE merge learning, 6 rounds over the corpus
+    * word-count table (✖est: the fixpoint loop is not SQL-expressible;
+    * the merge sequence is spec-pinned on the classic Sennrich fixture
+    * and round 1 is hash-checked via `x18_bpe_pairs`' top row). */
+  private def x19BpeMerges: Q = (s, d) =>
+    graft.scale.TextAnalysis.bpeLearn(Tables.documents(s, d), "text", 6)
+
   /** F11 — Holt–Winters additive seasonal (ETS(A,A,A)) per series at
     * period 7, the seasonal completion of the ETS ladder (✖est: the
     * coupled 3-state recursion has no closed form; spec-pinned against
@@ -1549,7 +1573,9 @@ object ScaleQueries3 {
     "a22_transitions"    -> a22Transitions,
     "a23_gaps"           -> a23Gaps,
     "f11_hw"             -> f11Hw,
-    "f11_hw0"            -> f11Hw0
+    "f11_hw0"            -> f11Hw0,
+    "x18_bpe_pairs"      -> x18BpePairs,
+    "x19_bpe_merges"     -> x19BpeMerges
   )
 
   val oracle: Map[String, String] = Map(
@@ -1596,6 +1622,7 @@ object ScaleQueries3 {
     "d13_span_dedup"  -> d13Sql,
     "d14_span_strip"  -> d14Sql,
     "sm8_dsir"        -> sm8Sql,
-    "f11_hw0"         -> f11Hw0Sql
+    "f11_hw0"         -> f11Hw0Sql,
+    "x18_bpe_pairs"   -> x18Sql
   )
 }

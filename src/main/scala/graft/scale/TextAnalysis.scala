@@ -570,4 +570,98 @@ object TextAnalysis {
       .select(col("tok_a"), col("tok_b"), col("cnt_a"), col("cnt_b")).distinct()
       .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
   }
+
+  /** Lower-cased word-frequency table — the structure BPE tokenizer
+    * training actually consumes (Sennrich et al. 2016 learn merges over
+    * the WORD-COUNT table, not the raw corpus): the corpus shuffles
+    * ONCE into |vocab| rows and everything downstream operates on that
+    * sublinear table. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent character-pair statistics — BPE merge step 1 as a single
+    * declarative plan: word counts (one corpus shuffle), map-side pair
+    * explode over the DISTINCT-word table (≤ len−1 rows per word), pair
+    * aggregate, deterministic top-k (count desc, pair asc). The top row
+    * is the first merge a BPE tokenizer trained on this corpus would
+    * learn. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    wordCounts(df, textCol).filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
+  /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):
+    * repeat `merges` times — count adjacent symbol pairs over the
+    * word-count table, take the most frequent (ties to the
+    * lexicographically smallest pair, so the sequence is deterministic),
+    * fuse that pair left-to-right non-overlapping in every word. Stops
+    * early when the best pair's count drops below `minCount`.
+    *
+    * 100-TB shape: the corpus shuffles once into the persisted
+    * word-count table (|vocab| rows, sublinear in corpus size); each
+    * round is ONE aggregate over that table plus a 1-row collect (the
+    * winning pair), and the merge itself is a map-side `aggregate` HOF
+    * fold — no UDF, no driver data beyond k winner rows. This is the
+    * GPT-2/SentencePiece training access pattern verbatim.
+    *
+    * The left-to-right fold is expressed as an accumulator HOF: append
+    * each symbol unless the accumulator's last element is `left` and the
+    * incoming symbol is `right`, in which case replace the last element
+    * with the fused symbol — provably equivalent to the scan-and-skip
+    * formulation for non-overlapping matches. Symbols must not contain
+    * U+0001 (used as the pair separator; raw corpus text never does).
+    *
+    * Returns (step, left, right, n) — the learned merge table, the
+    * artifact a tokenizer ships. */
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int,
+               minCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val SEP = "\u0001"
+    var vocab = wordCounts(df, textCol)
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .persist()
+    vocab.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var go = merges >= 1
+      while (go) {
+        val best = vocab.filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, i), chr(1), element_at(syms, i + 1)))")).as("pair"),
+            col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(1) < minCount) go = false
+        else {
+          val parts = best(0).getString(0).split(SEP, -1)
+          val (l, r, n) = (parts(0), parts(1), best(0).getLong(1))
+          out += ((step, l, r, n))
+          val fused = l + r
+          val next = vocab.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("cnt")).persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+          step += 1
+          if (step > merges) go = false
+        }
+      }
+    } finally vocab.unpersist()
+    out.toSeq.toDF("step", "left", "right", "n")
+  }
 }

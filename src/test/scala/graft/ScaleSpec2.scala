@@ -579,4 +579,31 @@ class ScaleSpec2 extends SparkTestBase {
       assert(math.abs(out((2L, h)) - 42.0) < 1e-6)
     }
   }
+
+  test("bpeLearn: the classic Sennrich fixture learns (e,s), (es,t), (l,o) in order") {
+    // word counts: low:5, lower:2, newest:6, widest:3 — the worked
+    // example from Sennrich et al. 2016 §3.2. Round 1: e-s and s-t tie
+    // at 9, lexicographic tie-break picks (e,s); round 2: es-t at 9;
+    // round 3: l-o and o-w tie at 7, tie-break picks (l,o).
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", merges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
+      s"got ${merges.toSeq}")
+  }
+
+  test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
+    // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", merges = 5, minCount = 2L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(("a", "b", 3L)), s"got ${merges.toSeq}")
+    val top = graft.scale.TextAnalysis.bpePairCounts(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("ab", 3L), ("cd", 1L)), s"got ${top.toSeq}")
+  }
 }
