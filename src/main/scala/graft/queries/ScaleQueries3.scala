@@ -921,6 +921,93 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** A24 — scaled forecast errors (MASE + τ=0.9 pinball) per series on
+    * a 3-point holdout: the scale-free yardstick that makes error
+    * comparable ACROSS a million series of different magnitudes
+    * (Hyndman & Koehler 2006 — `f10_backtest`'s MAEs can rank models
+    * within a series but not series against each other). */
+  private def a24Mase: Q = (s, d) =>
+    graft.stats.Metrics.scaledBacktest(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), h = 3,
+        tau = 0.9, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_train"),
+        Det.dround(col("mase"), 6).as("mase"),
+        Det.dround(col("pinball"), 6).as("pinball"))
+
+  private val a24Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |g AS (SELECT *, n - 3 AS ntr FROM s WHERE n - 3 >= 2),
+       |tr AS (SELECT *, lag(y) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+       |       FROM g WHERE rn <= ntr),
+       |fit AS (SELECT user_id, max(ntr) AS ntr, max_by(y, rn) AS last_y,
+       |          sum(CASE WHEN rn > 1
+       |                THEN CAST(floor(abs(y - prev)*1e9 + 0.5) AS BIGINT) END) AS sd9
+       |        FROM tr GROUP BY 1),
+       |qs AS (SELECT user_id, y AS q,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY y) AS qr
+       |       FROM tr),
+       |qq AS (SELECT qs.user_id, q FROM qs JOIN fit USING (user_id)
+       |       WHERE qr = greatest(1, CAST(ceil(0.9 * ntr) AS BIGINT))),
+       |ho AS (SELECT g.user_id, y, last_y, q, fit.ntr, sd9
+       |       FROM g JOIN fit USING (user_id) JOIN qq USING (user_id)
+       |       WHERE rn > g.ntr),
+       |a AS (SELECT user_id, max(ntr) AS n_train, max(sd9) AS sd9,
+       |        sum(CAST(floor(abs(y - last_y)*1e9 + 0.5) AS BIGINT)) AS se9,
+       |        sum(CAST(floor(greatest(0.9*(y - q), (0.9 - 1)*(y - q))*1e9 + 0.5) AS BIGINT)) AS spb9
+       |      FROM ho GROUP BY 1)
+       |SELECT user_id, n_train,
+       |  ${Det.droundSql("CASE WHEN sd9 > 0 THEN (CAST(se9 AS DOUBLE)/3) / (CAST(sd9 AS DOUBLE)/(n_train - 1)) END", 6)} AS mase,
+       |  ${Det.droundSql("spb9/1e9/3", 6)} AS pinball
+       |FROM a""".stripMargin
+
+  /** A25 — calibration-reliability audit of the deterministic quality
+    * score against the is-English outcome (the score's stopword battery
+    * IS an English-ness heuristic, so calibration against `lang='en'`
+    * is the meaningful check): 10 fixed-width bins, per-bin mean
+    * predicted probability vs observed fraction, gap, Brier. */
+  private def a25Calibration: Q = (s, d) =>
+    graft.stats.DriftAudit.calibrationBins(
+        graft.scale.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "quality", "is_en", bins = 10)
+      .select(col("bin"), col("n"),
+        Det.dround(col("mean_p"), 6).as("mean_p"),
+        Det.dround(col("frac_pos"), 6).as("frac_pos"),
+        Det.dround(col("gap"), 6).as("gap"),
+        Det.dround(col("brier"), 6).as("brier"))
+
+  private val a25Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH st AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT pos, (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |        + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |        + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END) AS p
+       |  FROM st),
+       |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+       |        CAST(floor(p*1e9 + 0.5) AS BIGINT) AS p9, pos,
+       |        CAST(floor(pow(p - pos, 2)*1e9 + 0.5) AS BIGINT) AS sq9
+       |      FROM q),
+       |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(p9) AS sp9,
+       |        CAST(sum(pos) AS BIGINT) AS n_pos, sum(sq9) AS ssq9
+       |      FROM b GROUP BY 1)
+       |SELECT bin, n, ${Det.droundSql("sp9/1e9/n", 6)} AS mean_p,
+       |  ${Det.droundSql("CAST(n_pos AS DOUBLE)/n", 6)} AS frac_pos,
+       |  ${Det.droundSql("abs(sp9/1e9/n - CAST(n_pos AS DOUBLE)/n)", 6)} AS gap,
+       |  ${Det.droundSql("ssq9/1e9/n", 6)} AS brier
+       |FROM a""".stripMargin
+  }
+
   /** X18 — BPE merge step 1 at corpus scale: the top-20 adjacent
     * character pairs over the lower-cased word-frequency table, weighted
     * by word count — the statistic the first tokenizer merge is chosen
@@ -1575,7 +1662,9 @@ object ScaleQueries3 {
     "f11_hw"             -> f11Hw,
     "f11_hw0"            -> f11Hw0,
     "x18_bpe_pairs"      -> x18BpePairs,
-    "x19_bpe_merges"     -> x19BpeMerges
+    "x19_bpe_merges"     -> x19BpeMerges,
+    "a24_mase"           -> a24Mase,
+    "a25_calibration"    -> a25Calibration
   )
 
   val oracle: Map[String, String] = Map(
@@ -1623,6 +1712,8 @@ object ScaleQueries3 {
     "d14_span_strip"  -> d14Sql,
     "sm8_dsir"        -> sm8Sql,
     "f11_hw0"         -> f11Hw0Sql,
-    "x18_bpe_pairs"   -> x18Sql
+    "x18_bpe_pairs"   -> x18Sql,
+    "a24_mase"        -> a24Sql,
+    "a25_calibration" -> a25Sql
   )
 }

@@ -126,4 +126,39 @@ object DriftAudit {
       .select((col("d_num").cast("double") / col("d_den")).as("ks_d"),
               col("d_num"), col("d_den"))
   }
+
+  /** Calibration-reliability bins (Murphy 1973 reliability diagram +
+    * per-bin Brier decomposition): a probability-like score in [0,1]
+    * against a binary outcome, fixed-width deciles. Per bin:
+    * n, mean predicted probability, observed positive fraction, the
+    * |mean_p − frac_pos| reliability gap, and the bin's mean Brier
+    * contribution. Σ(n·gap)/Σn is ECE; Σ(n·brier)/Σn is the corpus
+    * Brier score — both one more tiny agg over these `bins` rows.
+    *
+    * The audit a curation stack runs on any learned quality/domain
+    * classifier before thresholding on its probabilities (a
+    * miscalibrated score makes "keep everything above 0.8" meaningless).
+    *
+    * Determinism: per-row terms quantize to the 1e-9 grid and sum as
+    * BIGINT before the final divisions. Shape: pure map-side binning +
+    * ONE O(bins) count shuffle — the [[psiBins]] shape. */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val p = col(probCol).cast("double")
+    val l = col(labelCol).cast("double")
+    df.withColumn("bin", least(floor(p * bins), lit(bins - 1)).cast("int"))
+      .withColumn("p9", floor(p * 1e9 + 0.5).cast("long"))
+      .withColumn("pos", col(labelCol).cast("long"))
+      .withColumn("sq9", floor(pow(p - l, 2) * 1e9 + 0.5).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p9")).as("sp9"),
+           sum(col("pos")).as("n_pos"), sum(col("sq9")).as("ssq9"))
+      .select(col("bin"), col("n"),
+        (col("sp9") / 1e9 / col("n")).as("mean_p"),
+        (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+        abs(col("sp9") / 1e9 / col("n") -
+            col("n_pos").cast("double") / col("n")).as("gap"),
+        (col("ssq9") / 1e9 / col("n")).as("brier"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Error-metric aggregations (SURVEY §2.5, `auto_ts/utils/metrics.py`).
@@ -49,5 +50,75 @@ object Metrics {
       count(lit(1)).as("n"))
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pinball (quantile) loss at level τ: the scoring rule for quantile
+    * forecasts (Koenker & Bassett 1978) — τ·(y−q) when under-forecast,
+    * (τ−1)·(y−q) when over. */
+  def pinball(y: Column, q: Column, tau: Double): Column =
+    avg(greatest(lit(tau) * (y - q), lit(tau - 1) * (y - q)))
+
+  /** Scaled forecast errors per series — MASE (Hyndman & Koehler 2006)
+    * plus pinball loss, on a last-`h` holdout: the naive forecast's
+    * holdout MAE scaled by the TRAIN one-step naive MAE (MASE > 1 ⇒
+    * worse than in-sample naive — the scale-free cross-series yardstick
+    * the plain per-series RMSE table can't give you), and the pinball
+    * loss of the train τ-quantile as a constant quantile forecast.
+    *
+    * The train quantile is pinned to the ⌈τ·n_train⌉-th SMALLEST train
+    * value (quantile_disc semantics — an order statistic, no
+    * interpolation), so both engines select the same element. Errors
+    * quantize to the 1e-9 grid and sum as BIGINT; MASE is then a ratio
+    * of exact integers. Series with a constant train side (zero scale
+    * denominator) get a null MASE. Series shorter than h+2 are skipped.
+    *
+    * Shape: one row-index window + train-side lag on the SAME key +
+    * same-key aggregates + same-key holdout join — a single exchange
+    * end-to-end (the [[graft.scale.PerSeriesForecast.backtestBaselines]]
+    * shape). The per-series `sort_array(collect_list)` for the order
+    * statistic holds one series in one task — O(series length) state,
+    * the same contract as every per-series fold in this repo. */
+  def scaledBacktest(df: DataFrame, valueCol: String, tsCol: String,
+                     seriesCols: Seq[String], h: Int, tau: Double = 0.9,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    require(h >= 1, s"need h >= 1, got $h")
+    require(tau > 0 && tau < 1, s"need 0 < tau < 1, got $tau")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val indexed = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("y", col(valueCol).cast("double"))
+      .withColumn("ntr", col("n") - h)
+      .filter(col("ntr") >= 2)
+    val train = indexed.filter(col("rn") <= col("ntr"))
+      .withColumn("prev", lag(col("y"), 1).over(wOrd))
+      .withColumn("d9", when(col("rn") > 1,
+        floor(abs(col("y") - col("prev")) * 1e9 + 0.5).cast("long")))
+    val fit = train
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("ntr")).as("ntr"),
+           max_by(col("y"), col("rn")).as("last_y"),
+           sum(col("d9")).as("sd9"),
+           sort_array(collect_list(col("y"))).as("ys"))
+      .withColumn("qidx",
+        greatest(lit(1L), ceil(lit(tau) * col("ntr"))).cast("int"))
+      .withColumn("q", element_at(col("ys"), col("qidx")))
+      .drop("ys")
+    indexed.filter(col("rn") > col("ntr")).drop("ntr")
+      .join(fit, seriesCols)
+      .withColumn("e9", floor(abs(col("y") - col("last_y")) * 1e9 + 0.5).cast("long"))
+      .withColumn("pb9", floor(greatest(
+          lit(tau) * (col("y") - col("q")),
+          lit(tau - 1) * (col("y") - col("q"))) * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("ntr")).as("n_train"), max(col("sd9")).as("sd9"),
+           sum(col("e9")).as("se9"), sum(col("pb9")).as("spb9"))
+      .select(seriesCols.map(col) ++ Seq(col("n_train"),
+        when(col("sd9") > 0,
+          (col("se9").cast("double") / h) /
+          (col("sd9").cast("double") / (col("n_train") - 1))).as("mase"),
+        (col("spb9") / 1e9 / h).as("pinball")): _*)
   }
 }

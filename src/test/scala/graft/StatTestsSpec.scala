@@ -199,4 +199,46 @@ class StatTestsSpec extends SparkTestBase {
       .collect()(0)
     assert(rT.getDouble(0) == r.getDouble(0), "monotone transform must not move D")
   }
+
+  test("scaledBacktest: hand-computed MASE and pinball; constant train gives null MASE") {
+    import spark.implicits._
+    // series 1: train [1,2,4,7] (one-step MAE 2), holdout [8,9,10] vs
+    // naive 7 (MAE 2) -> MASE 1.0; q(0.9) = 4th smallest = 7 ->
+    // pinball = 0.9*(1+2+3)/3 = 1.8
+    // series 2: constant train [5,5,5] -> null MASE; q = 5 ->
+    // pinball vs holdout [6,6,6] = 0.9*1 = 0.9
+    val rows = Seq(1.0, 2.0, 4.0, 7.0, 8.0, 9.0, 10.0).zipWithIndex
+      .map { case (y, i) => (1L, i.toLong, i.toLong, y) } ++
+      Seq(5.0, 5.0, 5.0, 6.0, 6.0, 6.0).zipWithIndex
+        .map { case (y, i) => (2L, i.toLong, i.toLong, y) }
+    val out = graft.stats.Metrics.scaledBacktest(
+        rows.toDF("sid", "ts", "eid", "y"), "y", "ts", Seq("sid"), h = 3,
+        tau = 0.9, tieBreak = Seq("eid"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2.get - 1.0) < 1e-9, s"MASE: ${out(1L)._2}")
+    assert(math.abs(out(1L)._3 - 1.8) < 1e-9, s"pinball: ${out(1L)._3}")
+    assert(out(2L)._2.isEmpty, "constant train must yield null MASE")
+    assert(math.abs(out(2L)._3 - 0.9) < 1e-9)
+  }
+
+  test("calibrationBins: hand-computed bins, p=1.0 clamps into the top bin") {
+    import spark.implicits._
+    val df = Seq((0.95, 1), (0.85, 1), (0.85, 0), (0.05, 0), (1.0, 1))
+      .toDF("p", "label")
+    val out = graft.stats.DriftAudit.calibrationBins(df, "p", "label", 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set(0, 8, 9))
+    val (n9, mp9, fp9, gap9, br9) = out(9)
+    assert(n9 == 2L && math.abs(mp9 - 0.975) < 1e-9 && fp9 == 1.0)
+    assert(math.abs(gap9 - 0.025) < 1e-9 && math.abs(br9 - 0.00125) < 1e-9)
+    val (n8, mp8, fp8, gap8, br8) = out(8)
+    assert(n8 == 2L && math.abs(mp8 - 0.85) < 1e-9 && fp8 == 0.5)
+    assert(math.abs(gap8 - 0.35) < 1e-9 && math.abs(br8 - 0.3725) < 1e-9)
+    val (n0, mp0, fp0, _, br0) = out(0)
+    assert(n0 == 1L && math.abs(mp0 - 0.05) < 1e-9 && fp0 == 0.0 &&
+      math.abs(br0 - 0.0025) < 1e-9)
+  }
 }
