@@ -921,6 +921,74 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** PIPE3 — the fused forecasting pipeline: Hampel-clean → per-series
+    * model selection → winner refit + h-step forecast, one plan,
+    * hash-checked END TO END as a CTE chain (the forecasting sibling of
+    * `pipe1_curation`: composition, not just components, is under
+    * oracle). */
+  private def pipe3Forecast: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.cleanSelectForecast(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), h = 3,
+        halfWin = 5, nSigmas = 3.5, alpha = 0.5, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("winner"), col("h"),
+        Det.dround(col("yhat"), 6).as("yhat"))
+
+  private val pipe3Sql =
+    s"""WITH s0 AS (
+       |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS y,
+       |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS arr
+       |  FROM events),
+       |m AS (SELECT user_id, ts, event_id, y,
+       |        list_sort(arr)[(len(arr) + 1) // 2] AS med, arr FROM s0),
+       |c AS (SELECT user_id, ts, event_id, y, med,
+       |        list_sort(list_transform(arr, x -> abs(x - med)))[(len(arr) + 1) // 2] AS mad
+       |      FROM m),
+       |cl AS (SELECT user_id, ts, event_id,
+       |         CASE WHEN mad > 0 AND abs(y - med) > 3.5*mad THEN med ELSE y END AS y
+       |       FROM c),
+       |s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n, y
+       |  FROM cl),
+       |i AS (SELECT user_id, rn, n, y, n - 3 AS ntr FROM s WHERE n - 3 >= 2),
+       |f AS (SELECT user_id, max(ntr) AS ntr,
+       |        max(CASE WHEN rn = ntr THEN y END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN y END) AS first_y,
+       |        CAST(sum(CAST(floor(y * (CASE WHEN rn = 1 THEN pow(0.5, ntr - 1)
+       |             ELSE 0.5 * pow(0.5, ntr - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM i WHERE rn <= ntr GROUP BY user_id),
+       |t AS (SELECT i.user_id, CAST(i.rn - f.ntr AS DOUBLE) AS k, i.y,
+       |        f.ntr, f.last_y, f.first_y, f.ses9
+       |      FROM i JOIN f USING (user_id) WHERE i.rn > f.ntr),
+       |e AS (SELECT user_id, ntr,
+       |        CAST(floor(abs(y - last_y) * 1e9 + 0.5) AS BIGINT) AS e_naive,
+       |        CAST(floor(abs(y - (last_y + k * (last_y - first_y) / (ntr - 1))) * 1e9 + 0.5) AS BIGINT) AS e_drift,
+       |        CAST(floor(abs(y - ses9/1e9) * 1e9 + 0.5) AS BIGINT) AS e_ses
+       |      FROM t),
+       |g AS (SELECT user_id,
+       |        CAST(sum(e_naive) AS BIGINT) AS s_naive,
+       |        CAST(sum(e_drift) AS BIGINT) AS s_drift,
+       |        CAST(sum(e_ses) AS BIGINT) AS s_ses
+       |      FROM e GROUP BY 1),
+       |w AS (SELECT user_id,
+       |        CASE WHEN s_naive <= s_drift AND s_naive <= s_ses THEN 'naive'
+       |             WHEN s_drift <= s_ses THEN 'drift' ELSE 'ses' END AS winner
+       |      FROM g),
+       |ff AS (SELECT user_id, max(n) AS n,
+       |        max(CASE WHEN rn = n THEN y END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN y END) AS first_y,
+       |        CAST(sum(CAST(floor(y * (CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+       |             ELSE 0.5 * pow(0.5, n - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM i GROUP BY user_id)
+       |SELECT ff.user_id, winner, h,
+       |  ${Det.droundSql(
+             "CASE winner WHEN 'naive' THEN last_y " +
+             "WHEN 'drift' THEN last_y + h*(last_y - first_y)/(n - 1) " +
+             "ELSE ses9/1e9 END", 6)} AS yhat
+       |FROM ff JOIN w USING (user_id)
+       |CROSS JOIN generate_series(1, 3) AS gs(h)""".stripMargin
+
   /** A24 — scaled forecast errors (MASE + τ=0.9 pinball) per series on
     * a 3-point holdout: the scale-free yardstick that makes error
     * comparable ACROSS a million series of different magnitudes
@@ -1664,7 +1732,8 @@ object ScaleQueries3 {
     "x18_bpe_pairs"      -> x18BpePairs,
     "x19_bpe_merges"     -> x19BpeMerges,
     "a24_mase"           -> a24Mase,
-    "a25_calibration"    -> a25Calibration
+    "a25_calibration"    -> a25Calibration,
+    "pipe3_forecast"     -> pipe3Forecast
   )
 
   val oracle: Map[String, String] = Map(
@@ -1714,6 +1783,7 @@ object ScaleQueries3 {
     "f11_hw0"         -> f11Hw0Sql,
     "x18_bpe_pairs"   -> x18Sql,
     "a24_mase"        -> a24Sql,
-    "a25_calibration" -> a25Sql
+    "a25_calibration" -> a25Sql,
+    "pipe3_forecast"  -> pipe3Sql
   )
 }

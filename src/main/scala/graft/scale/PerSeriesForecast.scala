@@ -407,6 +407,66 @@ object PerSeriesForecast {
         col("winner")): _*)
   }
 
+  /** The fused per-series forecasting pipeline — clean → select →
+    * forecast for EVERY series in one plan (the reference's
+    * fit-then-predict lifecycle, `auto_ts/__init__.py:202,910`, at
+    * warehouse scale):
+    *  1. Hampel-clean: anomalous points (rolling-MAD flag,
+    *     [[SeriesDiagnostics.rollingMadAnomaly]]) are replaced by their
+    *     rolling median — fit on wild points, garbage out;
+    *  2. model-select: [[backtestBaselines]] on the CLEANED series
+    *     picks naive/drift/SES per series on a last-`h` holdout;
+    *  3. forecast: the winner is refit on the FULL cleaned series
+    *     (standard practice — the holdout was for selection only) and
+    *     extended `h` steps, all three closed forms computed in ONE
+    *     aggregate and the winner's taken per series.
+    *
+    * Scale shape: every stage keys on the SAME series columns, so the
+    * Hampel window's exchange is reused by the backtest window, the
+    * refit aggregate, and the winner join — the t19/pipe1 lesson
+    * (never introduce a second data-sized exchange on a different key)
+    * applied from the start. The horizon table joins broadcast.
+    * Output: (series…, winner, h, yhat). */
+  def cleanSelectForecast(df: DataFrame, valueCol: String, tsCol: String,
+                          seriesCols: Seq[String], h: Int,
+                          halfWin: Int = 5, nSigmas: Double = 3.5,
+                          alpha: Double = 0.5,
+                          tieBreak: Seq[String] = Nil): DataFrame = {
+    require(h >= 1, s"need h >= 1, got $h")
+    val cleaned = SeriesDiagnostics.rollingMadAnomaly(
+        df, valueCol, tsCol, seriesCols, halfWin, nSigmas, tieBreak)
+      .withColumn("y_clean",
+        when(col("is_anomaly"), col("med")).otherwise(col("y")))
+    val winners = backtestBaselines(cleaned, "y_clean", tsCol, seriesCols,
+        h, alpha, tieBreak)
+      .select(seriesCols.map(col) :+ col("winner"): _*)
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val indexed = cleaned
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("yc", col("y_clean").cast("double"))
+      .filter(col("nn") >= h + 2)
+    val sesW = when(col("rn") === 1, pow(lit(1 - alpha), col("nn") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("nn") - col("rn")))
+    val fit = indexed
+      .withColumn("ses9", floor(col("yc") * sesW * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("nn")).as("nn"),
+           max_by(col("yc"), col("rn")).as("last_y"),
+           min_by(col("yc"), col("rn")).as("first_y"),
+           sum(col("ses9")).as("ses9"))
+    fit.join(winners, seriesCols)
+      .crossJoin(broadcast(horizons(df.sparkSession, h)))
+      .select(seriesCols.map(col) ++ Seq(col("winner"), col("h"),
+        when(col("winner") === "naive", col("last_y"))
+          .when(col("winner") === "drift", col("last_y") +
+            col("h") * (col("last_y") - col("first_y")) / (col("nn") - 1))
+          .otherwise(col("ses9") / 1e9)
+          .as("yhat")): _*)
+  }
+
   /** Holt–Winters additive seasonal (ETS(A,A,A)) — the seasonal step up
     * from [[holtForecast]], completing the per-series ETS ladder
     * (SES → Holt → damped → HW) that the reference's model zoo

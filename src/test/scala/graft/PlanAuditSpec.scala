@@ -260,4 +260,45 @@ class PlanAuditSpec extends SparkTestBase {
     // happens on already-reduced tables
     assert(shuffles(df) <= 5, s"ccf plan grew: ${shuffles(df)} shuffles")
   }
+
+  test("holtWintersForecast: one series-keyed exchange, nothing else") {
+    val df = graft.scale.PerSeriesForecast.holtWintersForecast(
+      Tables.events(spark, SF), "value", "ts", "user_id", 3, 7,
+      tieBreak = Some("event_id"))
+    assert(keyedShuffles(df) == 1,
+      s"hw must be exactly the groupByKey exchange: ${keyedShuffles(df)}")
+  }
+
+  test("bpePairCounts: word agg + pair agg, top-k without a global sort exchange") {
+    val df = graft.scale.TextAnalysis.bpePairCounts(docs, "text", 20)
+    // corpus -> word counts (1 keyed shuffle), words -> pair counts (1);
+    // the limit is TakeOrdered, not a range-partitioned sort
+    assert(keyedShuffles(df) == 2, s"bpe pair plan grew: ${keyedShuffles(df)}")
+  }
+
+  test("calibrationBins: map-side binning, one O(bins) aggregate shuffle") {
+    val df = graft.stats.DriftAudit.calibrationBins(
+      docs.withColumn("p", col("n_chars").cast("double") / 1000)
+        .withColumn("lbl", (col("lang") === "en").cast("int")),
+      "p", "lbl", 10)
+    assert(shuffles(df) == 1, s"calibration plan grew: ${shuffles(df)}")
+  }
+
+  test("cleanSelectForecast: every stage keys on the series — bounded exchanges, horizons broadcast") {
+    val df = graft.scale.PerSeriesForecast.cleanSelectForecast(
+      Tables.events(spark, SF), "value", "ts", Seq("user_id"), 3,
+      tieBreak = Seq("event_id"))
+    // Hampel window + backtest branch + refit branch: all on user_id.
+    // The identical exchange under both branches dedupes via
+    // ReusedExchange; budget pins that no stage introduced a second
+    // data-sized key.
+    assert(shuffles(df) <= 5, s"pipe3 plan grew: ${shuffles(df)} shuffles")
+  }
+
+  test("scaledBacktest: window/lag/aggs/join all reuse the series key") {
+    val df = graft.stats.Metrics.scaledBacktest(
+      Tables.events(spark, SF), "value", "ts", Seq("user_id"), 3,
+      tieBreak = Seq("event_id"))
+    assert(shuffles(df) <= 4, s"scaledBacktest plan grew: ${shuffles(df)}")
+  }
 }

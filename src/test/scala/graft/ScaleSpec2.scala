@@ -580,6 +580,31 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("cleanSelectForecast: spike is cleaned so drift wins and extends the line; constant ties to naive") {
+    // series 1: the line 1..20 with a wild spike (100) at position 10.
+    // Uncleaned, the spike sits in the drift train window and wrecks it;
+    // Hampel replaces it with the rolling median (11), the endpoints
+    // stay on the line, drift wins the backtest with ZERO holdout error
+    // and the full-series refit extends the exact line: yhat = 20 + h.
+    val rows = (1 to 20).map(i =>
+        (1L, i.toLong, i.toLong, if (i == 10) 100.0 else i.toDouble)) ++
+      (1 to 10).map(i => (2L, i.toLong, i.toLong, 7.0))
+    val out = graft.scale.PerSeriesForecast.cleanSelectForecast(
+        rows.toDF("sid", "ts", "eid", "y"), "y", "ts", Seq("sid"), h = 3,
+        tieBreak = Seq("eid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getString(1), r.getDouble(3)))
+      .toMap
+    (1 to 3).foreach { h =>
+      val (w1, y1) = out((1L, h))
+      assert(w1 == "drift", s"spiked line must select drift, got $w1")
+      assert(math.abs(y1 - (20.0 + h)) < 1e-6, s"h=$h: $y1")
+      val (w2, y2) = out((2L, h))
+      assert(w2 == "naive", "exact tie must break to the simplest model")
+      assert(y2 == 7.0)
+    }
+  }
+
   test("bpeLearn: the classic Sennrich fixture learns (e,s), (es,t), (l,o) in order") {
     // word counts: low:5, lower:2, newest:6, widest:3 — the worked
     // example from Sennrich et al. 2016 §3.2. Round 1: e-s and s-t tie
