@@ -921,6 +921,71 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** F12 — rolling-origin 3-fold CV per series (h=3): the reference's
+    * expanding-window model selection (T12+A8) distributed, K fold fits
+    * as conditional agg columns in one series-keyed pass. */
+  private def f12RollingCv: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.rollingOriginCv(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), h = 3,
+        folds = 3, alpha = 0.5, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n"),
+        Det.dround(col("mae_naive"), 6).as("mae_naive"),
+        Det.dround(col("mae_drift"), 6).as("mae_drift"),
+        Det.dround(col("mae_ses"), 6).as("mae_ses"),
+        col("winner"))
+
+  private val f12Sql = {
+    def ntr(k: Int) = s"(n - 3*${3 - k + 1})"
+    def sesTerm(k: Int) =
+      s"""sum(CASE WHEN rn <= ${ntr(k)} THEN CAST(floor(y * (
+         |      CASE WHEN rn = 1 THEN pow(0.5, ${ntr(k)} - 1)
+         |           ELSE 0.5 * pow(0.5, ${ntr(k)} - rn) END) * 1e9 + 0.5) AS BIGINT) END)""".stripMargin
+    def byK(f: Int => String) =
+      s"CASE k WHEN 1 THEN ${f(1)} WHEN 2 THEN ${f(2)} ELSE ${f(3)} END"
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |i AS (SELECT * FROM s WHERE n >= 3*3 + 2),
+       |f AS (SELECT user_id, max(n) AS n,
+       |        max(CASE WHEN rn = ${ntr(1)} THEN y END) AS last_1,
+       |        max(CASE WHEN rn = ${ntr(2)} THEN y END) AS last_2,
+       |        max(CASE WHEN rn = ${ntr(3)} THEN y END) AS last_3,
+       |        ${sesTerm(1)} AS ses9_1,
+       |        ${sesTerm(2)} AS ses9_2,
+       |        ${sesTerm(3)} AS ses9_3,
+       |        max(CASE WHEN rn = 1 THEN y END) AS first_y
+       |      FROM i GROUP BY user_id),
+       |ho AS (SELECT i.user_id, i.rn, i.y,
+       |         CAST(3 - floor((i.n - i.rn)/3) AS INT) AS k,
+       |         f.n, f.last_1, f.last_2, f.last_3,
+       |         f.ses9_1, f.ses9_2, f.ses9_3, f.first_y
+       |       FROM i JOIN f USING (user_id) WHERE i.rn > i.n - 9),
+       |x AS (SELECT user_id, n, rn, y,
+       |        ${byK(k => s"last_$k")} AS last_y,
+       |        ${byK(k => s"ses9_$k/1e9")} AS ses,
+       |        ${byK(ntr)} AS ntr, first_y
+       |      FROM ho),
+       |e AS (SELECT user_id, n,
+       |        CAST(floor(abs(y - last_y) * 1e9 + 0.5) AS BIGINT) AS e_naive,
+       |        CAST(floor(abs(y - (last_y + CAST(rn - ntr AS DOUBLE) * (last_y - first_y) / (ntr - 1))) * 1e9 + 0.5) AS BIGINT) AS e_drift,
+       |        CAST(floor(abs(y - ses) * 1e9 + 0.5) AS BIGINT) AS e_ses
+       |      FROM x),
+       |g AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       |        CAST(sum(e_naive) AS BIGINT) AS s_naive,
+       |        CAST(sum(e_drift) AS BIGINT) AS s_drift,
+       |        CAST(sum(e_ses) AS BIGINT) AS s_ses
+       |      FROM e GROUP BY 1)
+       |SELECT user_id, n,
+       |  ${Det.droundSql("CAST(s_naive AS DOUBLE)/9/1e9", 6)} AS mae_naive,
+       |  ${Det.droundSql("CAST(s_drift AS DOUBLE)/9/1e9", 6)} AS mae_drift,
+       |  ${Det.droundSql("CAST(s_ses AS DOUBLE)/9/1e9", 6)} AS mae_ses,
+       |  CASE WHEN s_naive <= s_drift AND s_naive <= s_ses THEN 'naive'
+       |       WHEN s_drift <= s_ses THEN 'drift' ELSE 'ses' END AS winner
+       |FROM g""".stripMargin
+  }
+
   /** PIPE3 — the fused forecasting pipeline: Hampel-clean → per-series
     * model selection → winner refit + h-step forecast, one plan,
     * hash-checked END TO END as a CTE chain (the forecasting sibling of
@@ -1733,7 +1798,8 @@ object ScaleQueries3 {
     "x19_bpe_merges"     -> x19BpeMerges,
     "a24_mase"           -> a24Mase,
     "a25_calibration"    -> a25Calibration,
-    "pipe3_forecast"     -> pipe3Forecast
+    "pipe3_forecast"     -> pipe3Forecast,
+    "f12_rolling_cv"     -> f12RollingCv
   )
 
   val oracle: Map[String, String] = Map(
@@ -1784,6 +1850,7 @@ object ScaleQueries3 {
     "x18_bpe_pairs"   -> x18Sql,
     "a24_mase"        -> a24Sql,
     "a25_calibration" -> a25Sql,
-    "pipe3_forecast"  -> pipe3Sql
+    "pipe3_forecast"  -> pipe3Sql,
+    "f12_rolling_cv"  -> f12Sql
   )
 }

@@ -407,6 +407,93 @@ object PerSeriesForecast {
         col("winner")): _*)
   }
 
+  /** Rolling-origin K-fold cross-validation for EVERY series — the
+    * reference's expanding-window CV (`utils/val.py`, T12 + A8: score
+    * each model on K successive holdouts, average, pick) distributed
+    * per series. Fold k trains on rows 1..n−h·(K−k+1) and tests the
+    * next h rows, so the K test windows tile the series tail
+    * disjointly; each of the three closed-form baselines
+    * (naive / drift / SES_α) is fit per fold and the winner minimizes
+    * the TOTAL holdout error across folds (equal-n comparison by
+    * construction — every model sees the same K×h test points).
+    *
+    * Scale shape — deliberately NOT the explode-by-fold form: K is a
+    * plan-time constant, so the K fold fits become K conditional agg
+    * columns in ONE series-keyed aggregate (`sum(when(rn ≤ ntr_k, …))`)
+    * and each holdout row computes its own fold id arithmetically —
+    * window, fit aggregate, holdout join, and error aggregate all key
+    * on the series: a single data exchange, data never multiplies by K.
+    * Same integer-quantization discipline as [[backtestBaselines]];
+    * ties break naive < drift < ses. Series shorter than h·K+2 are
+    * skipped (every fold needs ≥2 train rows).
+    *
+    * Output: (series…, n, mae_naive, mae_drift, mae_ses, winner) with
+    * maes averaged over all K·h holdout points. */
+  def rollingOriginCv(df: DataFrame, valueCol: String, tsCol: String,
+                      seriesCols: Seq[String], h: Int, folds: Int,
+                      alpha: Double = 0.5,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(h >= 1 && folds >= 1, s"need h, folds >= 1, got $h/$folds")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val K = folds
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val indexed = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("y", col(valueCol).cast("double"))
+      .filter(col("n") >= h.toLong * K + 2)
+    def ntrK(k: Int) = col("n") - h.toLong * (K - k + 1)
+    val sesW = (k: Int) =>
+      when(col("rn") === 1, pow(lit(1 - alpha), ntrK(k) - 1))
+        .otherwise(lit(alpha) * pow(lit(1 - alpha), ntrK(k) - col("rn")))
+    val fitCols = (1 to K).flatMap { k =>
+      val inTrain = col("rn") <= ntrK(k)
+      Seq(
+        max_by(when(inTrain, col("y")), when(inTrain, col("rn"))).as(s"last_$k"),
+        sum(when(inTrain,
+          floor(col("y") * sesW(k) * 1e9 + 0.5).cast("long"))).as(s"ses9_$k"))
+    } ++ Seq(min_by(col("y"), col("rn")).as("first_y"), max(col("n")).as("n"))
+    val fit = indexed.groupBy(seriesCols.map(col): _*)
+      .agg(fitCols.head, fitCols.tail: _*)
+    // holdout rows: fold id is pure arithmetic (test windows tile the tail)
+    val hold = indexed.filter(col("rn") > col("n") - h.toLong * K)
+      .withColumn("k", (lit(K) - floor((col("n") - col("rn")) / h)).cast("int"))
+      .drop("n")
+      .join(fit, seriesCols)
+    def byK(f: Int => org.apache.spark.sql.Column) =
+      (2 to K).foldLeft(when(col("k") === 1, f(1))) { (acc, k) =>
+        acc.when(col("k") === k, f(k))
+      }
+    val ntr = byK(k => ntrK(k))
+    val lastY = byK(k => col(s"last_$k"))
+    val ses = byK(k => col(s"ses9_$k") / 1e9)
+    val kk = (col("rn") - ntr).cast("double")
+    val err9 = (p: org.apache.spark.sql.Column) =>
+      floor(abs(col("y") - p) * 1e9 + 0.5).cast("long")
+    val scored = hold
+      .withColumn("e_naive", err9(lastY))
+      .withColumn("e_drift", err9(lastY + kk * (lastY - col("first_y")) / (ntr - 1)))
+      .withColumn("e_ses", err9(ses))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("n")).as("n"),
+           sum(col("e_naive")).as("s_naive"),
+           sum(col("e_drift")).as("s_drift"),
+           sum(col("e_ses")).as("s_ses"))
+    val denom = h.toLong * K
+    scored
+      .withColumn("winner",
+        when(col("s_naive") <= col("s_drift") && col("s_naive") <= col("s_ses"), "naive")
+          .when(col("s_drift") <= col("s_ses"), "drift")
+          .otherwise("ses"))
+      .select(seriesCols.map(col) ++ Seq(col("n"),
+        (col("s_naive") / denom / 1e9).as("mae_naive"),
+        (col("s_drift") / denom / 1e9).as("mae_drift"),
+        (col("s_ses") / denom / 1e9).as("mae_ses"),
+        col("winner")): _*)
+  }
+
   /** The fused per-series forecasting pipeline — clean → select →
     * forecast for EVERY series in one plan (the reference's
     * fit-then-predict lifecycle, `auto_ts/__init__.py:202,910`, at

@@ -284,6 +284,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(df) == 1, s"calibration plan grew: ${shuffles(df)}")
   }
 
+  test("rollingOriginCv: K fold fits are agg columns — data never multiplies by K, one series key") {
+    val df = graft.scale.PerSeriesForecast.rollingOriginCv(
+      Tables.events(spark, SF), "value", "ts", Seq("user_id"), 3, 3,
+      tieBreak = Seq("event_id"))
+    // window + fit agg + holdout join + error agg, all on user_id — the
+    // explode-by-fold alternative would shuffle K x data on a wider key
+    assert(shuffles(df) <= 4, s"rollingOriginCv plan grew: ${shuffles(df)} shuffles")
+  }
+
   test("cleanSelectForecast: every stage keys on the series — bounded exchanges, horizons broadcast") {
     val df = graft.scale.PerSeriesForecast.cleanSelectForecast(
       Tables.events(spark, SF), "value", "ts", Seq("user_id"), 3,

@@ -580,6 +580,25 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("rollingOriginCv: hand-computed fold fits on the line 1..6; short series skipped") {
+    // h=1, K=2 on [1..6]: fold1 trains 1..4 (tests 5), fold2 trains 1..5
+    // (tests 6). Drift is exact (errors 0) and wins; naive errs 1 per
+    // fold; SES_0.5 levels are 3.125 and 4.0625 -> mae_ses = 1.90625.
+    val rows = (1 to 6).map(i => (1L, i.toLong, i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => (2L, i.toLong, i.toLong, 5.0)) // n=3 < h*K+2=4
+    val out = graft.scale.PerSeriesForecast.rollingOriginCv(
+        rows.toDF("sid", "ts", "eid", "y"), "y", "ts", Seq("sid"), h = 1,
+        folds = 2, alpha = 0.5, tieBreak = Seq("eid"))
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L), "series shorter than h*K+2 must be skipped")
+    val r = out.head
+    assert(r.getLong(1) == 6L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, s"mae_naive ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.0, s"mae_drift ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.90625) < 1e-9, s"mae_ses ${r.getDouble(4)}")
+    assert(r.getString(5) == "drift")
+  }
+
   test("cleanSelectForecast: spike is cleaned so drift wins and extends the line; constant ties to naive") {
     // series 1: the line 1..20 with a wild spike (100) at position 10.
     // Uncleaned, the spike sits in the drift train window and wrecks it;
