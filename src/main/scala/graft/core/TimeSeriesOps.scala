@@ -205,6 +205,36 @@ object TimeSeriesOps {
     * recursive forecasting (`models/build_ml.py:84,394,411,526`).
     * `tieBreak` makes the tail deterministic on duplicate timestamps
     * (same contract as every other operator in this module). */
+  /** Trailing TIME-RANGE rolling aggregates: count/sum/avg of the value
+    * over the last `windowSec` seconds per series — the time-correct
+    * sibling of [[rollingStats]] (a ROWS frame silently changes meaning
+    * on irregular cadence: "last 5 rows" is not "last hour"; a RANGE
+    * frame on epoch seconds is). Peers at the same second share one
+    * frame in any engine, so the result is tie-safe by construction.
+    *
+    * Determinism: the value quantizes to the 1e-6 grid and the frame
+    * sum is an exact BIGINT (windowed double sums are
+    * association-order-dependent across engines — the `Det.moneySum`
+    * discipline). Shape: ONE series-keyed window exchange; the frame is
+    * evaluated with a sliding two-pointer over the sorted partition,
+    * O(n) per series. */
+  def timeWindowAgg(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"need windowSec >= 1, got $windowSec")
+    val w = seriesCols match {
+      case Nil => Window.orderBy(col("__sec"))
+      case s   => Window.partitionBy(s.map(col): _*).orderBy(col("__sec"))
+    }
+    val frame = w.rangeBetween(-windowSec, Window.currentRow)
+    df.withColumn("__sec", col(tsCol).cast("long"))
+      .withColumn("__y6", floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long"))
+      .withColumn("roll_n", count(lit(1)).over(frame))
+      .withColumn("roll_sum", sum(col("__y6")).over(frame) / 1e6)
+      .withColumn("roll_avg",
+        (sum(col("__y6")).over(frame) / 1e6) / count(lit(1)).over(frame))
+      .drop("__sec", "__y6")
+  }
+
   def prependBuffer(train: DataFrame, test: DataFrame, lags: Int,
                     tsCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (tsCol +: tieBreak).map(c => col(c).desc)

@@ -921,6 +921,68 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** T22 — trailing 1-hour TIME-RANGE rolling aggregates per user: the
+    * time-correct rolling window (`w3_rolling`'s ROWS frame means "last
+    * k events"; this means "last hour" regardless of cadence). */
+  private def t22TimeWindow: Q = (s, d) =>
+    graft.core.TimeSeriesOps.timeWindowAgg(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), windowSec = 3600L)
+      .select(col("user_id"), col("event_id"), col("roll_n"),
+        Det.dround(col("roll_sum"), 6).as("roll_sum"),
+        Det.dround(col("roll_avg"), 6).as("roll_avg"))
+
+  private val t22Sql =
+    s"""WITH s AS (SELECT user_id, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |    CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS y6
+       |  FROM events)
+       |SELECT user_id, event_id,
+       |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       |  ${Det.droundSql("sum(y6) OVER w / 1e6", 6)} AS roll_sum,
+       |  ${Det.droundSql("(sum(y6) OVER w / 1e6) / (count(*) OVER w)", 6)} AS roll_avg
+       |FROM s
+       |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** A26 — trend-strength triage per series at period 7 (the companion
+    * of `t18_seasonal`: together they place every series on the
+    * tsfeatures trend×seasonal map before any estimator runs). */
+  private def a26TrendStrength: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.trendStrength(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), m = 7,
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n"),
+        Det.dround(col("strength"), 6).as("strength"))
+
+  private val a26Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn, sum(t) AS st,
+       |        sum(t*t) AS stt, sum(y) AS sy, sum(t*y) AS sty
+       |      FROM s GROUP BY 1),
+       |f AS (SELECT user_id,
+       |        CASE WHEN nn > 1 THEN (nn*sty - st*sy)/(nn*stt - st*st) ELSE 0.0 END AS slope,
+       |        sy, st, nn FROM a),
+       |f2 AS (SELECT user_id, slope, (sy - slope*st)/nn AS icept FROM f),
+       |dd AS (SELECT s.user_id, t, y,
+       |         y - (icept + slope*t) AS d,
+       |         CAST(CAST(t AS BIGINT) % 7 AS BIGINT) AS phase
+       |       FROM s JOIN f2 USING (user_id)),
+       |p AS (SELECT user_id, phase, sum(d)/count(*) AS seasonal
+       |      FROM dd GROUP BY 1, 2),
+       |j AS (SELECT dd.user_id, dd.d - p.seasonal AS r, dd.y - p.seasonal AS ta
+       |      FROM dd JOIN p USING (user_id, phase)),
+       |g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn,
+       |        sum(r) AS sr, sum(r*r) AS srr,
+       |        sum(ta) AS sa, sum(ta*ta) AS saa
+       |      FROM j GROUP BY 1)
+       |SELECT user_id, CAST(nn AS BIGINT) AS n,
+       |  ${Det.droundSql(
+           "CASE WHEN nn*saa - sa*sa > 1e-9 THEN greatest(0.0, 1.0 - (nn*srr - sr*sr)/(nn*saa - sa*sa)) ELSE 0.0 END", 6)} AS strength
+       |FROM g""".stripMargin
+
   /** F12 — rolling-origin 3-fold CV per series (h=3): the reference's
     * expanding-window model selection (T12+A8) distributed, K fold fits
     * as conditional agg columns in one series-keyed pass. */
@@ -1799,7 +1861,9 @@ object ScaleQueries3 {
     "a24_mase"           -> a24Mase,
     "a25_calibration"    -> a25Calibration,
     "pipe3_forecast"     -> pipe3Forecast,
-    "f12_rolling_cv"     -> f12RollingCv
+    "f12_rolling_cv"     -> f12RollingCv,
+    "t22_time_window"    -> t22TimeWindow,
+    "a26_trend_strength" -> a26TrendStrength
   )
 
   val oracle: Map[String, String] = Map(
@@ -1851,6 +1915,8 @@ object ScaleQueries3 {
     "a24_mase"        -> a24Sql,
     "a25_calibration" -> a25Sql,
     "pipe3_forecast"  -> pipe3Sql,
-    "f12_rolling_cv"  -> f12Sql
+    "f12_rolling_cv"  -> f12Sql,
+    "t22_time_window" -> t22Sql,
+    "a26_trend_strength" -> a26Sql
   )
 }

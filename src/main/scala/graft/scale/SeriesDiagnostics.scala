@@ -181,6 +181,35 @@ object SeriesDiagnostics {
         col("trend"), col("seasonal"), col("remainder")): _*)
   }
 
+  /** Trend-strength feature (Wang–Hyndman–Smith / `tsfeatures`
+    * trend-strength): F_trend = max(0, 1 − Var(R)/Var(T+R)) over the
+    * [[decompose]] components — the companion of [[seasonalStrength]]
+    * that completes the per-series triage pair ("is this series worth a
+    * trend model at all" before pointing the estimator zoo at a million
+    * series). T+R = y − S, so the statistic needs no extra pass over
+    * the trend column; the variances reduce to raw sums and the n²
+    * denominators cancel in the ratio: 1 − (nΣr²−(Σr)²)/(nΣa²−(Σa)²).
+    * Residuals are near-zero-mean by construction, which keeps the
+    * classic sum-of-squares cancellation benign at the 6-decimal output
+    * grid. Shape: the decompose plan + ONE same-key aggregate — no new
+    * exchange. Output: (series…, n, strength). */
+  def trendStrength(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], m: Int,
+                    tieBreak: Seq[String] = Nil): DataFrame =
+    decompose(df, valueCol, tsCol, seriesCols, m, tieBreak)
+      .withColumn("ta", col("y") - col("seasonal"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("nn"),
+           sum(col("remainder")).as("sr"),
+           sum(col("remainder") * col("remainder")).as("srr"),
+           sum(col("ta")).as("sa"), sum(col("ta") * col("ta")).as("saa"))
+      .select(seriesCols.map(col) ++ Seq(col("nn").cast("long").as("n"),
+        when(col("nn") * col("saa") - col("sa") * col("sa") > 1e-9,
+          greatest(lit(0.0), lit(1.0) -
+            (col("nn") * col("srr") - col("sr") * col("sr")) /
+            (col("nn") * col("saa") - col("sa") * col("sa"))))
+          .otherwise(lit(0.0)).as("strength")): _*)
+
   /** Syntetos–Boylan demand categorization (SBC, 2005): routes every
     * series in the warehouse to its forecaster family by two numbers —
     *   ADI = n / n_demands        (average inter-demand interval)

@@ -580,6 +580,36 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("timeWindowAgg: RANGE frame means 'last hour', not 'last k rows'; same-second peers share a frame") {
+    val rows = Seq((1L, 0L, 1.0), (1L, 1800L, 2.0), (1L, 3600L, 3.0), (1L, 7300L, 4.0),
+                   (2L, 10L, 5.0), (2L, 10L, 7.0), (2L, 5000L, 9.0))
+      .map { case (u, sec, y) => (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), y) }
+    val out = graft.core.TimeSeriesOps.timeWindowAgg(
+        rows.toDF("uid", "ts", "y"), "y", "ts", Seq("uid"), 3600L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond, r.getDouble(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, 0L, 1.0)) == (1L, 1.0))
+    assert(out((1L, 1800L, 2.0)) == (2L, 3.0))
+    assert(out((1L, 3600L, 3.0)) == (3L, 6.0), "3600-preceding frame is inclusive")
+    assert(out((1L, 7300L, 4.0)) == (1L, 4.0), "events older than the window must fall out")
+    assert(out((2L, 10L, 5.0)) == (2L, 12.0) && out((2L, 10L, 7.0)) == (2L, 12.0),
+      "same-second peers share one frame")
+  }
+
+  test("trendStrength: pure line scores ~1, constant scores 0, line beats pure seasonal") {
+    val line = (0 until 21).map(i => (1L, i.toLong, 2.0 * i))
+    val const = (0 until 21).map(i => (2L, i.toLong, 5.0))
+    val seas = (0 until 21).map(i => (3L, i.toLong, Seq(1.0, 8.0, 3.0)(i % 3)))
+    val df = (line ++ const ++ seas).map { case (u, t, y) => (u, t, t, y) }
+      .toDF("uid", "ts", "eid", "y")
+    val out = graft.scale.SeriesDiagnostics.trendStrength(
+        df, "y", "ts", Seq("uid"), m = 3, tieBreak = Seq("eid"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > 0.999, s"pure line: ${out(1L)}")
+    assert(out(2L) == 0.0, s"constant (zero variance) must score 0: ${out(2L)}")
+    assert(out(3L) < out(1L) && out(3L) < 0.5, s"pure seasonal: ${out(3L)}")
+  }
+
   test("rollingOriginCv: hand-computed fold fits on the line 1..6; short series skipped") {
     // h=1, K=2 on [1..6]: fold1 trains 1..4 (tests 5), fold2 trains 1..5
     // (tests 6). Drift is exact (errors 0) and wins; naive errs 1 per
