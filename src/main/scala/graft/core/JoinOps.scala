@@ -65,4 +65,43 @@ object JoinOps {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bucketized point-in-interval (range) join — the relational
+    * primitive Spark lacks at scale: `points.p BETWEEN intervals.lo AND
+    * intervals.hi` plans natively as a BroadcastNestedLoopJoin (dies
+    * when the intervals side outgrows one broadcast) or a sort-merge on
+    * an inequality (a full cross within each key). The scale form
+    * decomposes the value axis into fixed-width buckets: every interval
+    * explodes into the buckets it overlaps, every point maps to exactly
+    * ONE bucket, and the join becomes a plain hash equi-join on
+    * (keys…, bucket) — shuffled, partition-parallel, AQE/skew-eligible
+    * — followed by the exact range predicate to discard bucket-level
+    * false positives. (The same trick range-join-optimized engines —
+    * e.g. Databricks' range-join hints — apply internally.)
+    *
+    * Cost model the caller controls: the intervals side multiplies by
+    * ≈ width/bucketWidth + 1 rows per interval; the points side NEVER
+    * multiplies. Pick bucketWidth near the typical interval width.
+    * Contract: inner join; intervals with lo > hi are dropped; non-key
+    * column names must be disjoint across the two sides (same as any
+    * Spark equi-join). `inclusiveHi=false` gives the half-open
+    * lo ≤ p < hi form. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double, keys: Seq[String] = Nil,
+                inclusiveHi: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, s"need bucketWidth > 0, got $bucketWidth")
+    val iv = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val pt = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val hiPred =
+      if (inclusiveHi) col(pointCol) <= col(hiCol)
+      else col(pointCol) < col(hiCol)
+    pt.join(iv, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(loCol) && hiPred)
+      .drop("__bucket")
+  }
 }

@@ -921,6 +921,44 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** J7 — bucketized range join: every event joined to the [p25, p75]
+    * IQR band of every event type its value falls inside (pinned
+    * order-statistic quantiles), counted per (type, band). The join
+    * runs through [[graft.core.JoinOps.rangeJoin]]'s bucket
+    * decomposition — a hash equi-join on the bucket id, never a
+    * nested-loop — while the oracle states the naive BETWEEN join. */
+  private def j7RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_type")).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_type"))
+    val bands = ev.select(col("event_type").as("band_type"), col("v"))
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("band_type"))
+      .agg(min(when(col("r") === ceil(lit(0.25) * col("n")), col("v"))).as("lo"),
+           max(when(col("r") === ceil(lit(0.75) * col("n")), col("v"))).as("hi"))
+    graft.core.JoinOps.rangeJoin(ev, "v", bands, "lo", "hi", bucketWidth = 50.0)
+      .groupBy(col("event_type"), col("band_type"))
+      .agg(count(lit(1)).as("n_in"))
+  }
+
+  private val j7Sql =
+    """WITH e AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
+      |r AS (SELECT event_type AS band_type, v,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM e),
+      |b AS (SELECT band_type,
+      |        min(CASE WHEN r = CAST(ceil(0.25*n) AS BIGINT) THEN v END) AS lo,
+      |        max(CASE WHEN r = CAST(ceil(0.75*n) AS BIGINT) THEN v END) AS hi
+      |      FROM r GROUP BY 1)
+      |SELECT e.event_type, b.band_type, CAST(count(*) AS BIGINT) AS n_in
+      |FROM e JOIN b ON e.v >= b.lo AND e.v <= b.hi
+      |GROUP BY 1, 2""".stripMargin
+
   /** T22 — trailing 1-hour TIME-RANGE rolling aggregates per user: the
     * time-correct rolling window (`w3_rolling`'s ROWS frame means "last
     * k events"; this means "last hour" regardless of cadence). */
@@ -1863,7 +1901,8 @@ object ScaleQueries3 {
     "pipe3_forecast"     -> pipe3Forecast,
     "f12_rolling_cv"     -> f12RollingCv,
     "t22_time_window"    -> t22TimeWindow,
-    "a26_trend_strength" -> a26TrendStrength
+    "a26_trend_strength" -> a26TrendStrength,
+    "j7_range_join"      -> j7RangeJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -1917,6 +1956,7 @@ object ScaleQueries3 {
     "pipe3_forecast"  -> pipe3Sql,
     "f12_rolling_cv"  -> f12Sql,
     "t22_time_window" -> t22Sql,
-    "a26_trend_strength" -> a26Sql
+    "a26_trend_strength" -> a26Sql,
+    "j7_range_join"   -> j7Sql
   )
 }

@@ -284,6 +284,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(df) == 1, s"calibration plan grew: ${shuffles(df)}")
   }
 
+  test("rangeJoin: bucket decomposition plans as a hash join, never a nested loop") {
+    val ev = Tables.events(spark, SF)
+      .select(col("event_id"), col("value").cast("double").as("v"))
+    val iv = Tables.events(spark, SF).groupBy(col("event_type").as("bt"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val df = graft.core.JoinOps.rangeJoin(ev, "v", iv, "lo", "hi", 50.0)
+    val plan = withAqeOff(df.queryExecution.executedPlan)
+    val nested = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, s"range join must not plan a nested loop:\n$plan")
+  }
+
   test("rollingOriginCv: K fold fits are agg columns — data never multiplies by K, one series key") {
     val df = graft.scale.PerSeriesForecast.rollingOriginCv(
       Tables.events(spark, SF), "value", "ts", Seq("user_id"), 3, 3,

@@ -580,6 +580,26 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("rangeJoin: boundary semantics, bucket false positives filtered, lo>hi dropped, keys respected") {
+    val points = Seq((1L, "a", -5.0), (2L, "a", 0.0), (3L, "a", 10.0),
+                     (4L, "a", 10.5), (5L, "b", 10.0))
+      .toDF("pid", "k", "v")
+    val intervals = Seq(("a", "i1", -10.0, 0.0), ("a", "i2", 10.0, 10.0),
+                        ("a", "bad", 5.0, 1.0), ("b", "i3", 9.0, 11.0))
+      .toDF("k", "iv", "lo", "hi")
+    // bucketWidth 3 => interval [-10,0] spans buckets -4..0: point 0.0
+    // shares bucket 0 but 10.5 (bucket 3) must not leak into i2 (10,10)
+    val got = graft.core.JoinOps.rangeJoin(points, "v", intervals, "lo", "hi",
+        bucketWidth = 3.0, keys = Seq("k"))
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "i1"), (2L, "i1"), (3L, "i2"), (5L, "i3")), s"got $got")
+    // half-open form drops the hi-boundary match
+    val halfOpen = graft.core.JoinOps.rangeJoin(points, "v", intervals, "lo", "hi",
+        bucketWidth = 3.0, keys = Seq("k"), inclusiveHi = false)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(halfOpen == Set((1L, "i1"), (5L, "i3")), s"got $halfOpen")
+  }
+
   test("timeWindowAgg: RANGE frame means 'last hour', not 'last k rows'; same-second peers share a frame") {
     val rows = Seq((1L, 0L, 1.0), (1L, 1800L, 2.0), (1L, 3600L, 3.0), (1L, 7300L, 4.0),
                    (2L, 10L, 5.0), (2L, 10L, 7.0), (2L, 5000L, 9.0))
