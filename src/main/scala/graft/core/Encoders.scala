@@ -62,4 +62,47 @@ object Encoders {
         (v - min(v).over(w)) / (max(v).over(w) - min(v).over(w)))
       .withColumn(s"${valueCol}_maxabs", v / max(abs(v)).over(w))
   }
+
+  /** Out-of-fold target (mean) encoding with m-estimate smoothing — the
+    * high-cardinality categorical encoder AutoML stacks pair with label
+    * encoding (E1): each row's category becomes the target mean of the
+    * OTHER folds, shrunk toward the global prior,
+    *   enc = ((S_cat − S_cat,fold) + m·prior) / ((N_cat − N_cat,fold) + m)
+    * so a row never sees its own fold's targets (the leave-fold-out
+    * discipline that stops target leakage — Micci-Barreca 2001). Folds
+    * are `idCol % folds` (the sm1 deterministic-mod rule; swap in a
+    * hash-fence upstream if ids correlate with the target).
+    *
+    * Determinism: targets quantize to the 1e-6 grid and every S is an
+    * exact BIGINT; enc is then a fixed double expression over exact
+    * inputs. A category entirely inside one fold degrades to the prior
+    * (denominator = m) rather than NaN.
+    *
+    * Shape: ONE aggregate on (cat, fold) — a |cats|·folds-row table —
+    * from which per-cat totals and the global prior derive without
+    * touching the corpus again; the encode join back is BROADCAST
+    * (bounded by |cats|·folds), so the corpus itself never shuffles.
+    * Appends `<cat>_te` and `__fold`. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   idCol: String, folds: Int = 5,
+                   smoothing: Double = 20.0): DataFrame = {
+    require(folds >= 2, s"need folds >= 2, got $folds")
+    require(smoothing > 0, s"need smoothing > 0, got $smoothing")
+    val y6 = floor(col(targetCol).cast("double") * 1e6 + 0.5).cast("long")
+    val cellAgg = df
+      .withColumn("__fold", pmod(col(idCol).cast("long"), lit(folds)).cast("int"))
+      .groupBy(col(catCol), col("__fold"))
+      .agg(sum(y6).as("s6"), count(lit(1)).as("cn"))
+    val catAgg = cellAgg.groupBy(col(catCol))
+      .agg(sum(col("s6")).as("cs6"), sum(col("cn")).as("ccn"))
+    val prior = cellAgg.groupBy()
+      .agg((sum(col("s6")) / 1e6 / sum(col("cn"))).as("__prior"))
+    val enc = cellAgg.join(catAgg, Seq(catCol)).crossJoin(broadcast(prior))
+      .select(col(catCol), col("__fold"),
+        (((col("cs6") - col("s6")) / 1e6 + lit(smoothing) * col("__prior")) /
+         ((col("ccn") - col("cn")).cast("double") + lit(smoothing)))
+          .as(s"${catCol}_te"))
+    df.withColumn("__fold", pmod(col(idCol).cast("long"), lit(folds)).cast("int"))
+      .join(broadcast(enc), Seq(catCol, "__fold"))
+  }
 }

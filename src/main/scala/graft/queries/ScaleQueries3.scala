@@ -921,6 +921,28 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** E7 — out-of-fold target encoding of event_type against value
+    * (m-estimate smoothing, leave-fold-out): shown as the distinct
+    * (category, fold, encoding) table the broadcast join carries. */
+  private def e7TargetEncode: Q = (s, d) =>
+    graft.core.Encoders.targetEncode(
+        Tables.events(s, d), "event_type", "value", "event_id",
+        folds = 5, smoothing = 20.0)
+      .select(col("event_type"), col("__fold").as("fold"),
+        Det.dround(col("event_type_te"), 6).as("te"))
+      .distinct()
+
+  private val e7Sql =
+    s"""WITH c AS (SELECT event_type, CAST(event_id % 5 AS INT) AS fold,
+       |             sum(CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS s6,
+       |             CAST(count(*) AS BIGINT) AS cn
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, sum(s6) AS cs6, sum(cn) AS ccn FROM c GROUP BY 1),
+       |p AS (SELECT sum(s6)/1e6/sum(cn) AS prior FROM c)
+       |SELECT c.event_type, fold,
+       |  ${Det.droundSql("((cs6 - s6)/1e6 + 20.0*prior) / (CAST(ccn - cn AS DOUBLE) + 20.0)", 6)} AS te
+       |FROM c JOIN t USING (event_type) CROSS JOIN p""".stripMargin
+
   /** J7 — bucketized range join: every event joined to the [p25, p75]
     * IQR band of every event type its value falls inside (pinned
     * order-statistic quantiles), counted per (type, band). The join
@@ -1902,7 +1924,8 @@ object ScaleQueries3 {
     "f12_rolling_cv"     -> f12RollingCv,
     "t22_time_window"    -> t22TimeWindow,
     "a26_trend_strength" -> a26TrendStrength,
-    "j7_range_join"      -> j7RangeJoin
+    "j7_range_join"      -> j7RangeJoin,
+    "e7_target_encode"   -> e7TargetEncode
   )
 
   val oracle: Map[String, String] = Map(
@@ -1957,6 +1980,7 @@ object ScaleQueries3 {
     "f12_rolling_cv"  -> f12Sql,
     "t22_time_window" -> t22Sql,
     "a26_trend_strength" -> a26Sql,
-    "j7_range_join"   -> j7Sql
+    "j7_range_join"   -> j7Sql,
+    "e7_target_encode" -> e7Sql
   )
 }

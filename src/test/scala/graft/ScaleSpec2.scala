@@ -580,6 +580,39 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("targetEncode: hand-computed leave-fold-out means; singleton-fold category degrades to prior") {
+    // cat a: ids 0..3 y=10/20/30/40, 2 folds; cat b: id 4 y=100.
+    // prior = 200/5 = 40, m = 2.
+    // enc(a, f0) = ((100-40) + 2*40)/((4-2)+2) = 35
+    // enc(a, f1) = ((100-60) + 2*40)/4 = 30
+    // enc(b, f0) = ((100-100) + 2*40)/((1-1)+2) = 40 = prior
+    val df = Seq((0L, "a", 10.0), (1L, "a", 20.0), (2L, "a", 30.0),
+                 (3L, "a", 40.0), (4L, "b", 100.0))
+      .toDF("id", "cat", "y")
+    val out = graft.core.Encoders.targetEncode(df, "cat", "y", "id",
+        folds = 2, smoothing = 2.0)
+      .select("cat", "__fold", "cat_te").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("a", 0)) - 35.0) < 1e-9, s"${out(("a", 0))}")
+    assert(math.abs(out(("a", 1)) - 30.0) < 1e-9, s"${out(("a", 1))}")
+    assert(math.abs(out(("b", 0)) - 40.0) < 1e-9, "singleton fold must fall back to the prior")
+    // leakage check: a row's own fold's targets never enter its encoding —
+    // perturbing fold-1 targets must leave fold-1's OWN encoding of the
+    // other rows... i.e. fold-0 rows' encoding changes, fold-1's does not
+    // change through its own values: enc(a, f1) depends only on folds != 1.
+    val df2 = Seq((0L, "a", 10.0), (1L, "a", 999.0), (2L, "a", 30.0),
+                  (3L, "a", 999.0), (4L, "b", 100.0))
+      .toDF("id", "cat", "y") // perturb only fold-1 rows (ids 1, 3)
+    val out2 = graft.core.Encoders.targetEncode(df2, "cat", "y", "id",
+        folds = 2, smoothing = 2.0)
+      .select("cat", "__fold", "cat_te").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // fold-1's encoding uses fold-0 sums (10+30 unchanged) + prior shift only
+    val prior2 = (10.0 + 999.0 + 30.0 + 999.0 + 100.0) / 5
+    assert(math.abs(out2(("a", 1)) - ((10 + 30 + 2 * prior2) / 4)) < 1e-9,
+      "fold-1 encoding must not contain fold-1 targets")
+  }
+
   test("rangeJoin: boundary semantics, bucket false positives filtered, lo>hi dropped, keys respected") {
     val points = Seq((1L, "a", -5.0), (2L, "a", 0.0), (3L, "a", 10.0),
                      (4L, "a", 10.5), (5L, "b", 10.0))
