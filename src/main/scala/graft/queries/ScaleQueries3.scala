@@ -921,6 +921,20 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** ST_HW — per-event one-step-ahead Holt–Winters forecasts (m=7) via
+    * the batch one-shot twin of the streaming fold (✖est: the recursion
+    * is not SQL-expressible; streaming==fold parity, micro-batch-split
+    * invariance, and frontier==batch-estimator-h1 are spec-pinned, and
+    * the estimator itself is hash-checked through `f11_hw0`). */
+  private def stHw: Q = (s, d) =>
+    graft.streaming.StreamHoltWinters.oneStepBatch(
+        Tables.events(s, d), "value", "ts", "user_id", "event_id", m = 7)
+      .toDF()
+      .filter(col("yhat").isNotNull)
+      .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+        Det.dround(col("y"), 6).as("y"),
+        Det.dround(col("yhat"), 4).as("yhat"))
+
   /** E7 — out-of-fold target encoding of event_type against value
     * (m-estimate smoothing, leave-fold-out): shown as the distinct
     * (category, fold, encoding) table the broadcast join carries. */
@@ -1925,7 +1939,8 @@ object ScaleQueries3 {
     "t22_time_window"    -> t22TimeWindow,
     "a26_trend_strength" -> a26TrendStrength,
     "j7_range_join"      -> j7RangeJoin,
-    "e7_target_encode"   -> e7TargetEncode
+    "e7_target_encode"   -> e7TargetEncode,
+    "st_hw"              -> stHw
   )
 
   val oracle: Map[String, String] = Map(

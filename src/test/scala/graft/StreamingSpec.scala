@@ -659,4 +659,48 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(flagged == Set(15L), s"only the spike should flag, got $flagged")
   }
+
+  test("streaming Holt-Winters equals the shared fold across micro-batch splits; warm-up emits null") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamHoltWinters
+    import graft.streaming.StreamHoltWinters.{Out, Pt}
+    val ys = Seq(4.0, 9.0, 2.0, 5.0, 10.0, 3.0, 6.2, 11.1, 3.9, 7.0,
+                 12.3, 4.8, 8.1, 13.0)
+    val pts = ys.zipWithIndex.map { case (y, i) => Pt(1L, i.toLong * 1000, i.toLong, y) }
+    val (_, want) = StreamHoltWinters.foldSeries(3, 0.5, 0.25, 0.25)(
+      1L, pts.iterator, StreamHoltWinters.empty)
+    val mem = MemoryStream[Pt]
+    val q = StreamHoltWinters.forecast(mem.toDS(), m = 3).writeStream
+      .format("memory").queryName("hw_out").outputMode("update").start()
+    mem.addData(pts.take(4): _*); q.processAllAvailable()
+    mem.addData(pts.slice(4, 9): _*); q.processAllAvailable()
+    mem.addData(pts.drop(9): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hw_out").as[Out].collect().sortBy(_.eventId).toSeq
+    assert(got == want, s"streaming must replay the one-shot fold:\n$got\nvs\n$want")
+    assert(got.take(6).forall(_.yhat.isEmpty), "first 2m events have no defined HW state")
+    assert(got.drop(6).forall(_.yhat.isDefined))
+  }
+
+  test("Holt-Winters one-step frontier forecast equals the batch estimator at h=1") {
+    import graft.streaming.StreamHoltWinters
+    import graft.streaming.StreamHoltWinters.Pt
+    val ys = Seq(4.0, 9.0, 2.0, 5.0, 10.0, 3.0, 6.2, 11.1, 3.9, 7.0,
+                 12.3, 4.8, 8.1, 13.0)
+    val pts = ys.zipWithIndex.map { case (y, i) => Pt(1L, i.toLong * 1000, i.toLong, y) }
+    // stream the full series: the LAST event's pre-absorption forecast
+    // was made from exactly the first n-1 points
+    val (_, folded) = StreamHoltWinters.foldSeries(3, 0.5, 0.25, 0.25)(
+      1L, pts.iterator, StreamHoltWinters.empty)
+    val streamed = folded.last.yhat.get
+    val prefix = ys.dropRight(1).zipWithIndex
+      .map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("sid", "ts", "eid", "y")
+    val batch = graft.scale.PerSeriesForecast.holtWintersForecast(
+        prefix, "y", "ts", "sid", horizon = 1, m = 3, alpha = 0.5,
+        beta = 0.25, gamma = 0.25, tieBreak = Some("eid"))
+      .collect().head.getDouble(2)
+    assert(math.abs(streamed - batch) < 1e-12,
+      s"stream frontier $streamed != batch h=1 $batch")
+  }
 }
