@@ -921,6 +921,39 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** A27 — per-series ACF at lags 1..6: the m10_acf statistic for every
+    * series at once (seasonality triage / SARIMA order screening input
+    * at warehouse scale). */
+  private def a27AcfSeries: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.acfPerSeries(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), maxLag = 6,
+        tieBreak = Seq("event_id"))
+      .select(Seq(col("user_id"), col("n")) ++
+        (1 to 6).map(k => Det.dround(col(s"r$k"), 6).as(s"r$k")): _*)
+
+  private val a27Sql = {
+    val lagCols = (1 to 6).map(k =>
+      s"lag(y, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yl$k").mkString(",\n|    ")
+    val sumCols = (1 to 6).map(k =>
+      s"""sum(y*yl$k) AS p$k, sum(CASE WHEN yl$k IS NOT NULL THEN y END) AS a$k,
+         |        sum(yl$k) AS b$k, CAST(count(yl$k) AS DOUBLE) AS c$k""".stripMargin)
+      .mkString(",\n|        ")
+    val rCols = (1 to 6).map(k => Det.droundSql(
+      s"CASE WHEN c$k > 0 AND denom > 1e-12 THEN (p$k - ybar*(a$k + b$k) + c$k*ybar*ybar)/denom END", 6) +
+      s" AS r$k").mkString(",\n|  ")
+    s"""WITH s AS (SELECT user_id, CAST(value AS DOUBLE) AS y,
+       |    $lagCols
+       |  FROM events),
+       |g AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS nn,
+       |        sum(y) AS sy, sum(y*y) AS ss,
+       |        $sumCols
+       |      FROM s GROUP BY 1),
+       |f AS (SELECT *, sy/nn AS ybar, ss - sy*sy/nn AS denom FROM g)
+       |SELECT user_id, CAST(nn AS BIGINT) AS n,
+       |  $rCols
+       |FROM f""".stripMargin
+  }
+
   /** ST_HW — per-event one-step-ahead Holt–Winters forecasts (m=7) via
     * the batch one-shot twin of the streaming fold (✖est: the recursion
     * is not SQL-expressible; streaming==fold parity, micro-batch-split
@@ -1940,7 +1973,8 @@ object ScaleQueries3 {
     "a26_trend_strength" -> a26TrendStrength,
     "j7_range_join"      -> j7RangeJoin,
     "e7_target_encode"   -> e7TargetEncode,
-    "st_hw"              -> stHw
+    "st_hw"              -> stHw,
+    "a27_acf_series"     -> a27AcfSeries
   )
 
   val oracle: Map[String, String] = Map(
@@ -1996,6 +2030,7 @@ object ScaleQueries3 {
     "t22_time_window" -> t22Sql,
     "a26_trend_strength" -> a26Sql,
     "j7_range_join"   -> j7Sql,
-    "e7_target_encode" -> e7Sql
+    "e7_target_encode" -> e7Sql,
+    "a27_acf_series"  -> a27Sql
   )
 }

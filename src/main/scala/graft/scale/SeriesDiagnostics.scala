@@ -181,6 +181,54 @@ object SeriesDiagnostics {
         col("trend"), col("seasonal"), col("remainder")): _*)
   }
 
+  /** Per-series ACF at lags 1..maxLag — the distributed form of the
+    * single-series `StatTests.acf` (`m10_acf` pins that one to
+    * statsmodels' convention; this computes the SAME statistic for
+    * every series in the warehouse, the input to seasonality triage and
+    * SARIMA order screening at scale). Convention: deviations from the
+    * FULL-series mean, denominator Σ(y−ȳ)² over all n (statsmodels
+    * `acf`), numerator expanded to raw sums so everything reduces in
+    * one aggregate:
+    *   r_k = (Σy_t·y_{t−k} − ȳ(A_k + B_k) + c_k·ȳ²) / (Σy² − S²/n).
+    *
+    * Scale shape — the f12 trick again: maxLag is a plan-time constant,
+    * so the k lag columns ride ONE series-keyed window (same exchange)
+    * and the per-k sums are conditional agg columns — a single
+    * exchange, output one row per series, wide (r1..rL). Constant
+    * series (zero denominator) and lags with no pairs give null. */
+  def acfPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                   seriesCols: Seq[String], maxLag: Int,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val lagged = (1 to maxLag).foldLeft(
+      df.withColumn("y", col(valueCol).cast("double"))) { (d, k) =>
+        d.withColumn(s"yl$k", lag(col("y"), k).over(wOrd))
+    }
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("nn"),
+      sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss")) ++
+      (1 to maxLag).flatMap { k =>
+        val l = col(s"yl$k")
+        Seq(sum(col("y") * l).as(s"p$k"),
+            sum(when(l.isNotNull, col("y"))).as(s"a$k"),
+            sum(l).as(s"b$k"),
+            count(l).cast("double").as(s"c$k"))
+      }
+    val fit = lagged.groupBy(seriesCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("ybar", col("s") / col("nn"))
+      .withColumn("denom", col("ss") - col("s") * col("s") / col("nn"))
+    val rCols = (1 to maxLag).map { k =>
+      when(col(s"c$k") > 0 && col("denom") > 1e-12,
+        (col(s"p$k") - col("ybar") * (col(s"a$k") + col(s"b$k")) +
+         col(s"c$k") * col("ybar") * col("ybar")) / col("denom"))
+        .as(s"r$k")
+    }
+    fit.select(seriesCols.map(col) ++
+      Seq(col("nn").cast("long").as("n")) ++ rCols: _*)
+  }
+
   /** Trend-strength feature (Wang–Hyndman–Smith / `tsfeatures`
     * trend-strength): F_trend = max(0, 1 − Var(R)/Var(T+R)) over the
     * [[decompose]] components — the companion of [[seasonalStrength]]

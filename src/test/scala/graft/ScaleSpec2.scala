@@ -580,6 +580,26 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("acfPerSeries agrees with the single-series StatTests.acf; constant series gives nulls") {
+    val r = graft.core.DetRandom.doubles(7)
+    val ys = Array.fill(60)(r() * 10)
+    val want = graft.stats.StatTests.acf(ys, 6)
+    val rows = ys.toSeq.zipWithIndex.map { case (y, i) => (1L, i.toLong, i.toLong, y) } ++
+      (0 until 10).map(i => (2L, i.toLong, i.toLong, 3.0))
+    val out = graft.scale.SeriesDiagnostics.acfPerSeries(
+        rows.toDF("sid", "ts", "eid", "y"), "y", "ts", Seq("sid"), maxLag = 6,
+        tieBreak = Seq("eid"))
+      .collect().map(r0 => r0.getLong(0) -> r0).toMap
+    (1 to 6).foreach { k =>
+      val got = out(1L).getDouble(1 + k)
+      assert(math.abs(got - want(k)) < 1e-9,
+        s"lag $k: distributed $got != StatTests ${want(k)}")
+    }
+    (1 to 6).foreach { k =>
+      assert(out(2L).isNullAt(1 + k), "constant series must yield null ACF")
+    }
+  }
+
   test("targetEncode: hand-computed leave-fold-out means; singleton-fold category degrades to prior") {
     // cat a: ids 0..3 y=10/20/30/40, 2 folds; cat b: id 4 y=100.
     // prior = 200/5 = 40, m = 2.
