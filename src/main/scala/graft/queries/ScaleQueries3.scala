@@ -921,6 +921,86 @@ object ScaleQueries3 {
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
 
+  /** SM14 — dedup-aware split: hashSplit keyed on the near-dup
+    * component (same pair source as `d8_components`), so near-copies
+    * never straddle the train/test fence. Output: per-split counts,
+    * replayed end-to-end (recursive-CTE closure + md5 fences). */
+  private def sm14ClusterSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = graft.scale.Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5)
+    graft.scale.Sampling.clusterSplit(docs, "doc_id", pairs, "id_a", "id_b")
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+  }
+
+  private val sm14Sql =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |e AS (SELECT id_a AS src, id_b AS t FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS skey
+       |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT CASE WHEN md5(CAST(skey AS VARCHAR)) < 'cccc' THEN 'train'
+       |            WHEN md5(CAST(skey AS VARCHAR)) < 'e666' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM k GROUP BY 1""".stripMargin
+
+  /** A28 — exact AUC of the deterministic quality score against the
+    * is-English outcome: the threshold-free twin of `a25_calibration`
+    * (same score, same label — gap says "is 0.8 really 80%?", AUC says
+    * "does the score rank English above non-English at all?"). */
+  private def a28Auc: Q = (s, d) =>
+    graft.stats.Metrics.binaryAuc(
+        graft.scale.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select(Det.dround(col("quality"), 6).as("q"),
+                  (col("lang") === "en").cast("int").as("is_en")),
+        "q", "is_en")
+      .select(col("n_pos"), col("n_neg"), Det.dround(col("auc"), 6).as("auc"))
+
+  private val a28Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH st AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT pos, ${Det.droundSql(
+            "CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END " +
+            "+ CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END " +
+            "+ CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END", 6)} AS x
+       |  FROM st),
+       |g AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+       |        CAST(sum(pos) AS BIGINT) AS np
+       |      FROM q GROUP BY 1),
+       |r AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS cum FROM g),
+       |u AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |        CAST(sum(cnt) - sum(np) AS BIGINT) AS n_neg,
+       |        CAST(sum(np * (2*cum - cnt + 1)) AS BIGINT) AS u2
+       |      FROM r)
+       |SELECT n_pos, n_neg,
+       |  ${Det.droundSql(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+            "CAST(u2 - n_pos*(n_pos + 1) AS DOUBLE) / (2*n_pos*n_neg) END", 6)} AS auc
+       |FROM u""".stripMargin
+  }
+
   /** A27 — per-series ACF at lags 1..6: the m10_acf statistic for every
     * series at once (seasonality triage / SARIMA order screening input
     * at warehouse scale). */
@@ -1974,7 +2054,9 @@ object ScaleQueries3 {
     "j7_range_join"      -> j7RangeJoin,
     "e7_target_encode"   -> e7TargetEncode,
     "st_hw"              -> stHw,
-    "a27_acf_series"     -> a27AcfSeries
+    "a27_acf_series"     -> a27AcfSeries,
+    "sm14_cluster_split" -> sm14ClusterSplit,
+    "a28_auc"            -> a28Auc
   )
 
   val oracle: Map[String, String] = Map(
@@ -2031,6 +2113,8 @@ object ScaleQueries3 {
     "a26_trend_strength" -> a26Sql,
     "j7_range_join"   -> j7Sql,
     "e7_target_encode" -> e7Sql,
-    "a27_acf_series"  -> a27Sql
+    "a27_acf_series"  -> a27Sql,
+    "sm14_cluster_split" -> sm14Sql,
+    "a28_auc"         -> a28Sql
   )
 }

@@ -292,4 +292,29 @@ object Sampling {
       floor(col("alloc").cast("double") / col("n_avail") * 1000 + 0.5)
         .cast("long").as("rate_permille"))
   }
+
+  /** Dedup-aware train/val/test split — [[hashSplit]] keyed on the
+    * NEAR-DUP COMPONENT instead of the row: every member of a near-dup
+    * cluster lands in the same fold, closing the leakage channel a
+    * row-keyed split leaves open when near-copies straddle the fence
+    * (the contamination critique of C4-era splits; `sm12_group_split`
+    * fences by a KNOWN group column — this one fences by the DISCOVERED
+    * duplicate structure). Documents in no pair key on their own id
+    * (singleton cluster), so the output is a total split of the corpus.
+    *
+    * Shape: the [[Dedup.components]] fixpoint runs over the PAIRS table
+    * (tiny next to the corpus), the corpus left-joins the
+    * |members|-row component map once on the id, and the md5 fences are
+    * map-side — same split vocabulary and fences as [[hashSplit]]. */
+  def clusterSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String, bCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = Dedup.components(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cid")
+    val keyed = df
+      .join(comp, df(idCol).cast("long") === comp("__cid"), "left")
+      .withColumn("__skey", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cid", "component")
+    hashSplit(keyed, "__skey", trainPct, valPct).drop("__skey")
+  }
 }

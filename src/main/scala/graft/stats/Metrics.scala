@@ -52,6 +52,39 @@ object Metrics {
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact binary AUC via the Mann–Whitney rank-sum with tie-averaged
+    * ranks — the threshold-free companion of
+    * [[graft.stats.DriftAudit.calibrationBins]] for auditing a learned
+    * quality/domain score: AUC = P(score⁺ > score⁻) + ½P(tie).
+    *
+    * Integer-exact: scores collapse to the distinct-value table
+    * (cnt, n_pos per score), the tie-averaged rank is carried DOUBLED
+    * (rank2 = 2·cum − cnt + 1, an exact BIGINT) and
+    * AUC = (Σ n_pos·rank2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) is a ratio of exact
+    * integers — no float rank arithmetic, any engine lands on the same
+    * value. The running-rank window runs over the DISTINCT-SCORE table
+    * (the `ksStatistic` bounded-cardinality contract — scores are
+    * rounded/bucketed in practice; pre-round a continuous score).
+    * Returns one row: (n_pos, n_neg, auc); degenerate single-class
+    * input gives null. */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).cast("double").as("x"),
+              col(labelCol).cast("long").as("pos"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("x"))))
+      .withColumn("rank2", lit(2L) * col("cum") - col("cnt") + 1)
+    byScore
+      .agg(sum(col("np")).as("n_pos"),
+           (sum(col("cnt")) - sum(col("np"))).as("n_neg"),
+           sum(col("np") * col("rank2")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
   /** Pinball (quantile) loss at level τ: the scoring rule for quantile
     * forecasts (Koenker & Bassett 1978) — τ·(y−q) when under-forecast,
     * (τ−1)·(y−q) when over. */

@@ -580,6 +580,35 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("clusterSplit: a near-dup cluster never straddles the fence; singletons match hashSplit") {
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.scale.Sampling.clusterSplit(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 5, "split must be total over the corpus")
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      s"cluster {1,2,3} must share a split: $out")
+    val solo = graft.scale.Sampling.hashSplit(
+        Seq(4L, 5L).toDF("id"), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L) == solo(4L) && out(5L) == solo(5L),
+      "unpaired docs must split exactly as row-keyed hashSplit")
+  }
+
+  test("binaryAuc: perfect ranking is 1, inverted is 0, ties contribute half; single class is null") {
+    def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val r = graft.stats.Metrics.binaryAuc(rows.toDF("s", "l"), "s", "l")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))).contains(1.0))
+    assert(auc(Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0))).contains(0.0))
+    // tie case: (0.5,1),(0.5,0),(0.8,1) -> pairs: tie 0.5 + win = 0.75
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.8, 1))).contains(0.75))
+    assert(auc(Seq((0.5, 1), (0.8, 1))).isEmpty, "single-class input must be null")
+  }
+
   test("acfPerSeries agrees with the single-series StatTests.acf; constant series gives nulls") {
     val r = graft.core.DetRandom.doubles(7)
     val ys = Array.fill(60)(r() * 10)
