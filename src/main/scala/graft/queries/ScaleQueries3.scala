@@ -99,14 +99,27 @@ object ScaleQueries3 {
   }
 
   /** D11 — embedding cosine near-dup via banded hyperplane LSH +
-    * exact-cosine verify: the scale path d5's row cap routes to (✖est:
-    * the xorshift plane matrix is not SQL-replayable; the
-    * subset-of-exact precision property and a recall floor are
-    * spec-pinned against d5's brute-force twin). */
-  private def d11CosineLsh: Q = (s, d) =>
-    graft.scale.Dedup.cosineNearDupLsh(Tables.embeddings(s, d),
-        "embedding", "vec_id", 0.4)
+    * exact-cosine verify, in the NEAR-DUP regime the operator is built
+    * for: the corpus is the embeddings table UNIONED with a
+    * deterministic multiplicative perturbation of itself (±30% per
+    * alternating coordinate ⇒ cos(v, v′) ≈ 0.957 — the augmented-copy
+    * detection scenario), threshold 0.9. High threshold ⇒ per-plane
+    * match odds p = 1−θ/π ≈ 0.86, so the adaptive bucket resolution can
+    * grow with n at held recall — the linear-candidates path (✖est: the
+    * xorshift plane matrix is not SQL-replayable; subset-of-exact
+    * precision and a recall floor are spec-pinned against d5's
+    * brute-force twin; low-threshold mining routes to d12/SemDeDup). */
+  private def d11CosineLsh: Q = (s, d) => {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val offset = 1L << 40
+    val twins = em.select((col("vec_id") + offset).as("vec_id"),
+      expr("transform(embedding, (x, j) -> x * CASE WHEN j % 2 = 0 THEN 1.3 ELSE 0.7 END)")
+        .as("embedding"))
+    graft.scale.Dedup.cosineNearDupLsh(em.unionByName(twins),
+        "embedding", "vec_id", 0.9)
       .select(col("id_a"), col("id_b"), Det.dround(col("cosine"), 6).as("cosine"))
+  }
 
   /** D12 — SemDeDup: k-means cluster-then-prune semantic dedup over the
     * embeddings table; per-cell kept/dropped counts (✖est: Lloyd
@@ -920,6 +933,70 @@ object ScaleQueries3 {
        |       SELECT user_id, h, y AS yhat
        |       FROM s, generate_series(1, 3) AS g(h) WHERE n = 1)
        |SELECT user_id, h, ${Det.droundSql("yhat", 4)} AS yhat FROM un""".stripMargin
+
+  /** MM6 — perceptual image hash (dHash) over the REAL codec path: the
+    * mm5 PNG fixtures (ImageIO encode → ImageIO decode) hashed to 64
+    * gradient bits; the oracle replays the LCG pixel stream and the
+    * integer-NN 9×8 luma grid in SQL — codec-true, like mm5. The output
+    * hash is the image-side SimHash key: Hamming matching via the
+    * d4/StreamDedup block machinery applies verbatim. */
+  private def mm6Phash: Q = (s, d) => {
+    val toPng = org.apache.spark.sql.functions.udf { (id: Long) =>
+      graft.scale.Multimodal.encodePng(
+        (8 + id % 8).toInt, (8 + (id * 3) % 8).toInt, seed = id)
+    }
+    val ph = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      graft.scale.Multimodal.dHash(bytes).map(java.lang.Long.valueOf).orNull
+    }
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("dhash", ph(toPng(col("doc_id"))))
+  }
+
+  private val mm6Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w,
+      |         CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS h
+      |  FROM documents),
+      |init AS (
+      |  SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS np,
+      |    (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+      |      % 18446744073709551616 AS s0
+      |  FROM d),
+      |px(doc_id, i, s) AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT),
+      |    (s0 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM init
+      |  UNION ALL
+      |  SELECT p.doc_id, p.i + 1,
+      |    (p.s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM px p JOIN init q ON p.doc_id = q.doc_id
+      |  WHERE p.i < q.np),
+      |pix AS (SELECT doc_id, i, (s // 1099511627776) % 16777216 AS p FROM px),
+      |grid AS (SELECT d.doc_id, gx.x, gy.y,
+      |           (CAST(gy.y AS BIGINT) * d.h // 8) * d.w
+      |             + (CAST(gx.x AS BIGINT) * d.w // 9) + 1 AS i
+      |         FROM d
+      |         CROSS JOIN generate_series(0, 8) AS gx(x)
+      |         CROSS JOIN generate_series(0, 7) AS gy(y)),
+      |lum AS (SELECT g.doc_id, g.x, g.y,
+      |          299*(p.p // 65536) + 587*((p.p // 256) % 256) + 114*(p.p % 256) AS l
+      |        FROM grid g JOIN pix p ON p.doc_id = g.doc_id AND p.i = g.i),
+      |bits AS (SELECT a.doc_id, CAST(a.y*8 + a.x AS INT) AS bit,
+      |           CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+      |         FROM lum a
+      |         JOIN lum b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |         WHERE a.x < 8),
+      |halves AS (SELECT doc_id,
+      |             CAST(sum(CASE WHEN bit < 32
+      |               THEN v * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+      |             CAST(sum(CASE WHEN bit >= 32
+      |               THEN v * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |           FROM bits GROUP BY 1),
+      |h2 AS (SELECT doc_id, CAST(hi AS HUGEINT)*4294967296 + lo AS hu FROM halves)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+      |            ELSE hu END AS BIGINT) AS dhash
+      |FROM h2""".stripMargin
 
   /** SM14 — dedup-aware split: hashSplit keyed on the near-dup
     * component (same pair source as `d8_components`), so near-copies
@@ -2056,7 +2133,8 @@ object ScaleQueries3 {
     "st_hw"              -> stHw,
     "a27_acf_series"     -> a27AcfSeries,
     "sm14_cluster_split" -> sm14ClusterSplit,
-    "a28_auc"            -> a28Auc
+    "a28_auc"            -> a28Auc,
+    "mm6_phash"          -> mm6Phash
   )
 
   val oracle: Map[String, String] = Map(
@@ -2115,6 +2193,7 @@ object ScaleQueries3 {
     "e7_target_encode" -> e7Sql,
     "a27_acf_series"  -> a27Sql,
     "sm14_cluster_split" -> sm14Sql,
-    "a28_auc"         -> a28Sql
+    "a28_auc"         -> a28Sql,
+    "mm6_phash"       -> mm6Sql
   )
 }

