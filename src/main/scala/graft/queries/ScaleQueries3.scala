@@ -998,6 +998,87 @@ object ScaleQueries3 {
       |            ELSE hu END AS BIGINT) AS dhash
       |FROM h2""".stripMargin
 
+  /** D16 — image near-dup END TO END: the mm6 corpus plus a clamped
+    * +10-brightness variant of every image (dHash-invariant except
+    * where a channel clamps), dHashed through the REAL codec and
+    * matched with the 4-block pigeonhole Hamming join — EXACT at
+    * maxHamming ≤ 3, so Spark's bucketed matcher and the oracle's
+    * naive all-pairs `bit_count` filter must agree pair-for-pair. */
+  private def d16PhashPairs: Q = (s, d) => {
+    val png = org.apache.spark.sql.functions.udf { (id: Long, shift: Int) =>
+      graft.scale.Multimodal.encodePng(
+        (8 + id % 8).toInt, (8 + (id * 3) % 8).toInt, seed = id, shift = shift)
+    }
+    val ph = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      graft.scale.Multimodal.dHash(bytes).map(java.lang.Long.valueOf).orNull
+    }
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val both = ids.select(col("doc_id"), col("doc_id").as("vid"), lit(0).as("shift"))
+      .unionByName(ids.select(col("doc_id"),
+        (col("doc_id") + lit(1L << 40)).as("vid"), lit(10).as("shift")))
+    graft.scale.Dedup.hammingPairs(
+        both.withColumn("dhash", ph(png(col("doc_id"), col("shift")))),
+        "dhash", "vid", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  private val d16Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w,
+      |         CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS h
+      |  FROM documents),
+      |init AS (
+      |  SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS np,
+      |    (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+      |      % 18446744073709551616 AS s0
+      |  FROM d),
+      |px(doc_id, i, s) AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT),
+      |    (s0 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM init
+      |  UNION ALL
+      |  SELECT p.doc_id, p.i + 1,
+      |    (p.s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM px p JOIN init q ON p.doc_id = q.doc_id
+      |  WHERE p.i < q.np),
+      |pix AS (SELECT doc_id, i, (s // 1099511627776) % 16777216 AS p FROM px),
+      |grid AS (SELECT d.doc_id, gx.x, gy.y,
+      |           (CAST(gy.y AS BIGINT) * d.h // 8) * d.w
+      |             + (CAST(gx.x AS BIGINT) * d.w // 9) + 1 AS i
+      |         FROM d
+      |         CROSS JOIN generate_series(0, 8) AS gx(x)
+      |         CROSS JOIN generate_series(0, 7) AS gy(y)),
+      |variants AS (SELECT doc_id, doc_id AS vid, 0 AS shift FROM d
+      |             UNION ALL
+      |             SELECT doc_id, doc_id + 1099511627776, 10 FROM d),
+      |lum AS (SELECT v.vid, g.x, g.y,
+      |          299*least(p.p // 65536 + v.shift, 255)
+      |        + 587*least((p.p // 256) % 256 + v.shift, 255)
+      |        + 114*least(p.p % 256 + v.shift, 255) AS l
+      |        FROM grid g
+      |        JOIN pix p ON p.doc_id = g.doc_id AND p.i = g.i
+      |        JOIN variants v ON v.doc_id = g.doc_id),
+      |bits AS (SELECT a.vid, CAST(a.y*8 + a.x AS INT) AS bit,
+      |           CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS v
+      |         FROM lum a
+      |         JOIN lum b ON b.vid = a.vid AND b.y = a.y AND b.x = a.x + 1
+      |         WHERE a.x < 8),
+      |halves AS (SELECT vid,
+      |             CAST(sum(CASE WHEN bit < 32
+      |               THEN v * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+      |             CAST(sum(CASE WHEN bit >= 32
+      |               THEN v * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |           FROM bits GROUP BY 1),
+      |hh AS (SELECT vid,
+      |         CAST(CASE WHEN CAST(hi AS HUGEINT)*4294967296 + lo >= 9223372036854775808
+      |                   THEN CAST(hi AS HUGEINT)*4294967296 + lo - 18446744073709551616
+      |                   ELSE CAST(hi AS HUGEINT)*4294967296 + lo END AS BIGINT) AS dhash
+      |       FROM halves)
+      |SELECT a.vid AS id_a, b.vid AS id_b,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      |FROM hh a JOIN hh b ON a.vid < b.vid
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
   /** SM14 — dedup-aware split: hashSplit keyed on the near-dup
     * component (same pair source as `d8_components`), so near-copies
     * never straddle the train/test fence. Output: per-split counts,
@@ -2134,7 +2215,8 @@ object ScaleQueries3 {
     "a27_acf_series"     -> a27AcfSeries,
     "sm14_cluster_split" -> sm14ClusterSplit,
     "a28_auc"            -> a28Auc,
-    "mm6_phash"          -> mm6Phash
+    "mm6_phash"          -> mm6Phash,
+    "d16_phash_pairs"    -> d16PhashPairs
   )
 
   val oracle: Map[String, String] = Map(
@@ -2194,6 +2276,7 @@ object ScaleQueries3 {
     "a27_acf_series"  -> a27Sql,
     "sm14_cluster_split" -> sm14Sql,
     "a28_auc"         -> a28Sql,
-    "mm6_phash"       -> mm6Sql
+    "mm6_phash"       -> mm6Sql,
+    "d16_phash_pairs" -> d16Sql
   )
 }

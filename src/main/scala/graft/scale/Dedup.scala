@@ -245,22 +245,36 @@ object Dedup {
       .agg(simhashUdaf(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs via 4-block LSH (hamming ≤ 3 ⇒ at least one
-    * identical 16-bit block — pigeonhole). */
-  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+  /** Generic Hamming near-dup pairs over ANY 64-bit signature column —
+    * the 4-block pigeonhole matcher factored out of [[simHashPairs]] so
+    * it serves every 64-bit perceptual key (text SimHash, image dHash
+    * — `Multimodal.dHash` — audio chromaprints…). For maxHamming ≤ 3
+    * the pigeonhole is EXACT, not probabilistic: hamming ≤ 3 across 4
+    * blocks forces at least one identical 16-bit block, so the bucketed
+    * join provably finds every qualifying pair and the exact
+    * `bit_count` filter discards the rest. One (block, key) self-join —
+    * bucketed, never all-pairs. */
+  def hammingPairs(df: DataFrame, hashCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, textCol, idCol)
-    val blocked = sh.select(col("sid"), col("simhash"), posexplode(expr(
-      "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")))
-      .toDF("sid", "simhash", "block", "key")
+    val sh = df.select(col(idCol).cast("long").as("sid"),
+                       col(hashCol).cast("long").as("__sig"))
+    val blocked = sh.select(col("sid"), col("__sig"), posexplode(expr(
+      "transform(sequence(0, 3), b -> (__sig >> (b * 16)) & 65535)")))
+      .toDF("sid", "__sig", "block", "key")
     blocked.as("l").join(blocked.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
         col("l.sid") < col("r.sid"))
       .select(col("l.sid").as("id_a"), col("r.sid").as("id_b"),
-              expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+              expr("bit_count(l.__sig ^ r.__sig)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs via 4-block LSH (hamming ≤ 3 ⇒ at least one
+    * identical 16-bit block — pigeonhole). */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simHash(df, textCol, idCol), "simhash", "sid", maxHamming)
 
   /** Near-dup CLUSTERS from a pair list — the production step after any
     * pair generator ([[ngramJaccard]], [[minHashLsh]], [[simHashPairs]]):

@@ -131,7 +131,7 @@ object Multimodal {
   /** Deterministic PNG fixture encoder (real codec, both directions): a
     * w×h RGB image with an LCG pixel fill, encoded by `ImageIO.write`.
     * Used by the decode-path oracle query and specs. */
-  def encodePng(w: Int, h: Int, seed: Long = 0L): Array[Byte] = {
+  def encodePng(w: Int, h: Int, seed: Long = 0L, shift: Int = 0): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var s = seed * 6364136223846793005L + 1442695040888963407L
     var y = 0
@@ -139,7 +139,14 @@ object Multimodal {
       var x = 0
       while (x < w) {
         s = s * 6364136223846793005L + 1442695040888963407L
-        img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+        val p = ((s >>> 40) & 0xFFFFFF).toInt
+        // optional clamped brightness shift: the near-identical-variant
+        // generator for perceptual-hash fixtures (dHash is invariant
+        // except where a channel clamps at 255)
+        val r = math.min((p >> 16) + shift, 255)
+        val g = math.min(((p >> 8) & 0xFF) + shift, 255)
+        val b = math.min((p & 0xFF) + shift, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
       y += 1

@@ -580,6 +580,17 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("hammingPairs: pigeonhole finds hamming<=3, excludes spread-out 4-bit differences") {
+    // 1 vs 2: hamming 3 (bits 0-2) -> must be found via the shared upper
+    // blocks; 1 vs 3: hamming 4 spread one bit per 16-bit block -> no
+    // shared block AND above the filter; 2 vs 3: hamming 7 -> excluded.
+    val df = Seq((1L, 0L), (2L, 7L), (3L, 0x0001000100010001L))
+      .toDF("id", "sig")
+    val got = graft.scale.Dedup.hammingPairs(df, "sig", "id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)), s"got $got")
+  }
+
   test("clusterSplit: a near-dup cluster never straddles the fence; singletons match hashSplit") {
     val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
