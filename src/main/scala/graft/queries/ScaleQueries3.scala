@@ -1159,6 +1159,50 @@ object ScaleQueries3 {
        |FROM u""".stripMargin
   }
 
+  /** A29 — cumulative gains/lift curve of the quality score against
+    * is-English: the threshold-planning view (what does "keep ≥ c" buy
+    * in recall/precision/lift), one row per distinct score cutoff. */
+  private def a29Gains: Q = (s, d) =>
+    graft.stats.Metrics.gainsCurve(
+        graft.scale.TextAnalysis.qualityScore(Tables.documents(s, d), "text")
+          .select(Det.dround(col("quality"), 6).as("q"),
+                  (col("lang") === "en").cast("int").as("is_en")),
+        "q", "is_en")
+      .select(col("cutoff"), col("cum_n"), col("cum_pos"),
+        Det.dround(col("recall"), 6).as("recall"),
+        Det.dround(col("precision"), 6).as("precision"),
+        Det.dround(col("lift"), 6).as("lift"))
+
+  private val a29Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH st AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT pos, ${Det.droundSql(
+            "CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END " +
+            "+ CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END " +
+            "+ CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END", 6)} AS x
+       |  FROM st),
+       |g AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+       |        CAST(sum(pos) AS BIGINT) AS np
+       |      FROM q GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+       |        CAST(sum(np) AS BIGINT) AS pos_tot FROM g),
+       |r AS (SELECT x, CAST(sum(cnt) OVER (ORDER BY x DESC) AS BIGINT) AS cum_n,
+       |        CAST(sum(np) OVER (ORDER BY x DESC) AS BIGINT) AS cum_pos
+       |      FROM g)
+       |SELECT x AS cutoff, cum_n, cum_pos,
+       |  ${Det.droundSql("CASE WHEN pos_tot > 0 THEN CAST(cum_pos AS DOUBLE)/pos_tot END", 6)} AS recall,
+       |  ${Det.droundSql("CAST(cum_pos AS DOUBLE)/cum_n", 6)} AS precision,
+       |  ${Det.droundSql("CASE WHEN pos_tot > 0 THEN (CAST(cum_pos AS DOUBLE)/cum_n)/(CAST(pos_tot AS DOUBLE)/n_tot) END", 6)} AS lift
+       |FROM r CROSS JOIN t""".stripMargin
+  }
+
   /** A27 — per-series ACF at lags 1..6: the m10_acf statistic for every
     * series at once (seasonality triage / SARIMA order screening input
     * at warehouse scale). */
@@ -2216,7 +2260,8 @@ object ScaleQueries3 {
     "sm14_cluster_split" -> sm14ClusterSplit,
     "a28_auc"            -> a28Auc,
     "mm6_phash"          -> mm6Phash,
-    "d16_phash_pairs"    -> d16PhashPairs
+    "d16_phash_pairs"    -> d16PhashPairs,
+    "a29_gains"          -> a29Gains
   )
 
   val oracle: Map[String, String] = Map(
@@ -2277,6 +2322,7 @@ object ScaleQueries3 {
     "sm14_cluster_split" -> sm14Sql,
     "a28_auc"         -> a28Sql,
     "mm6_phash"       -> mm6Sql,
-    "d16_phash_pairs" -> d16Sql
+    "d16_phash_pairs" -> d16Sql,
+    "a29_gains"       -> a29Sql
   )
 }

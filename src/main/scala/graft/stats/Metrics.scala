@@ -85,6 +85,37 @@ object Metrics {
           (lit(2L) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Cumulative gains curve over the distinct-score table — the
+    * "keep everything above cutoff c" planning view that completes the
+    * score-audit trio ([[DriftAudit.calibrationBins]]: is the score a
+    * probability; [[binaryAuc]]: does it rank; this: what does a
+    * THRESHOLD buy). One row per distinct score value, descending:
+    * cum_n / cum_pos above-or-at the cutoff, recall, precision, and
+    * lift = precision / base-rate. All counts are exact BIGINTs; the
+    * ratios are fixed expressions over them. Distinct-score reduce +
+    * bounded descending window (the ksStatistic cardinality contract).
+    */
+  def gainsCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).cast("double").as("score"),
+              col(labelCol).cast("long").as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np"))
+    val wDesc = Window.orderBy(col("score").desc)
+    byScore
+      .withColumn("cum_n", sum(col("cnt")).over(wDesc))
+      .withColumn("cum_pos", sum(col("np")).over(wDesc))
+      .crossJoin(broadcast(byScore.agg(
+        sum(col("cnt")).as("n_tot"), sum(col("np")).as("pos_tot"))))
+      .select(col("score").as("cutoff"), col("cum_n"), col("cum_pos"),
+        when(col("pos_tot") > 0,
+          col("cum_pos").cast("double") / col("pos_tot")).as("recall"),
+        (col("cum_pos").cast("double") / col("cum_n")).as("precision"),
+        when(col("pos_tot") > 0,
+          (col("cum_pos").cast("double") / col("cum_n")) /
+          (col("pos_tot").cast("double") / col("n_tot"))).as("lift"))
+  }
+
   /** Pinball (quantile) loss at level τ: the scoring rule for quantile
     * forecasts (Koenker & Bassett 1978) — τ·(y−q) when under-forecast,
     * (τ−1)·(y−q) when over. */

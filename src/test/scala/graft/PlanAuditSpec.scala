@@ -284,6 +284,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(df) == 1, s"calibration plan grew: ${shuffles(df)}")
   }
 
+  test("registry-wide: no unplanned cartesian product in ANY query plan") {
+    // Every registered query's physical plan is swept for
+    // CartesianProductExec — the one join shape that is never
+    // acceptable at 100 TB unless a documented contract says so.
+    // Excluded: the model-fit registries (estimator constructions run
+    // full fits; their outputs are bounded result frames) and the
+    // queries whose CONSTRUCTION is an iterative job at test scale.
+    val skip = graft.queries.ModelQueries.queries.keySet ++
+      graft.queries.ModelQueries2.queries.keySet ++
+      Set("d5_cosine_neardup",   // all-pairs by documented API-capped contract
+          "x19_bpe_merges",      // merge-loop actions at construction
+          "sm14_cluster_split",  // components fixpoint at construction
+          "d12_semdedup", "s3_ann_ivf", // Lloyd iterations at construction
+          "x13_quality_lr",      // LBFGS fit at construction
+          "f3_series_arima")     // per-series CSS fits
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      val carts = withAqeOff(q(spark, SF).queryExecution.executedPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      })
+      if (carts.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("rangeJoin: bucket decomposition plans as a hash join, never a nested loop") {
     val ev = Tables.events(spark, SF)
       .select(col("event_id"), col("value").cast("double").as("v"))

@@ -223,6 +223,23 @@ class StatTestsSpec extends SparkTestBase {
     assert(math.abs(out(2L)._3 - 0.9) < 1e-9)
   }
 
+  test("gainsCurve: hand-computed cumulative recall/precision/lift at each cutoff") {
+    import spark.implicits._
+    // scores desc: 0.9 (1 pos), 0.5 (1 pos + 1 neg), 0.1 (1 neg)
+    // cutoff 0.9: cum 1/1 pos -> recall .5, precision 1, lift 2
+    // cutoff 0.5: cum 3/2 pos -> recall 1, precision 2/3, lift 4/3
+    // cutoff 0.1: cum 4/2 pos -> recall 1, precision .5, lift 1
+    val df = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)).toDF("s", "l")
+    val out = graft.stats.Metrics.gainsCurve(df, "s", "l")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(0.9) == ((1L, 1L, 0.5, 1.0, 2.0)), s"${out(0.9)}")
+    val (n5, p5, r5, pr5, l5) = out(0.5)
+    assert(n5 == 3L && p5 == 2L && r5 == 1.0)
+    assert(math.abs(pr5 - 2.0 / 3) < 1e-12 && math.abs(l5 - 4.0 / 3) < 1e-12)
+    assert(out(0.1) == ((4L, 2L, 1.0, 0.5, 1.0)), s"${out(0.1)}")
+  }
+
   test("calibrationBins: hand-computed bins, p=1.0 clamps into the top bin") {
     import spark.implicits._
     val df = Seq((0.95, 1), (0.85, 1), (0.85, 0), (0.05, 0), (1.0, 1))
