@@ -1616,6 +1616,17 @@ object ScaleQueries3 {
   private def x19BpeMerges: Q = (s, d) =>
     graft.scale.TextAnalysis.bpeLearn(Tables.documents(s, d), "text", 6)
 
+  /** X20 — tokenize the corpus with the 6 learned BPE merges and count
+    * tokens: the train→apply round trip (x19 learns the artifact, this
+    * consumes it — ✖est: the ordered-merge fold is not SQL-expressible;
+    * spec-pinned on the Sennrich fixture where the token set after 3
+    * merges is known, and the pair stage is hash-checked via x18). */
+  private def x20BpeTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", 6)
+    graft.scale.TextAnalysis.bpeTokenCounts(docs, "text", merges, 20)
+  }
+
   /** F11 — Holt–Winters additive seasonal (ETS(A,A,A)) per series at
     * period 7, the seasonal completion of the ETS ladder (✖est: the
     * coupled 3-state recursion has no closed form; spec-pinned against
@@ -2261,7 +2272,8 @@ object ScaleQueries3 {
     "a28_auc"            -> a28Auc,
     "mm6_phash"          -> mm6Phash,
     "d16_phash_pairs"    -> d16PhashPairs,
-    "a29_gains"          -> a29Gains
+    "a29_gains"          -> a29Gains,
+    "x20_bpe_tokens"     -> x20BpeTokens
   )
 
   val oracle: Map[String, String] = Map(

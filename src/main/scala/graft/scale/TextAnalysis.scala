@@ -596,6 +596,56 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Apply a learned BPE merge table: every word of the corpus is
+    * tokenized by replaying the merges IN LEARNED ORDER with the same
+    * left-to-right non-overlapping semantics [[bpeLearn]] uses — one
+    * sequential pass per merge inside a single closure (NOT a chained
+    * `aggregate`-HOF stack: the expression tree would be merge-count
+    * deep, and a real tokenizer has 10⁴–10⁵ merges — Catalyst
+    * optimization time alone blows up past a handful of layers; a
+    * closure fold over the broadcast merge list is the only shape that
+    * survives real vocabularies. For large k the per-word cost is the
+    * rank-heap apply of production tokenizers; at small k the k-pass
+    * form below is both simpler and bit-identical to training).
+    *
+    * Scale shape mirrors training: the corpus shuffles once into the
+    * DISTINCT-word table, the k-row merge table is collected (it IS the
+    * tokenizer artifact) and rides the closure, tokenization runs over
+    * the vocab table only. Returns (token, n) corpus token counts in
+    * deterministic top-k order. */
+  def bpeTokenCounts(df: DataFrame, textCol: String, merges: DataFrame,
+                     k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val ms: Array[(String, String)] = merges
+      .select(col("step").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val tokenize = udf { (w: String) =>
+      var syms: List[String] = w.split("").toList
+      ms.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) {
+          rest match {
+            case a :: b :: tail if a == l && b == r =>
+              out += l + r; rest = tail
+            case a :: tail =>
+              out += a; rest = tail
+            case Nil => ()
+          }
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    wordCounts(df, textCol)
+      .select(explode(tokenize(col("w"))).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):
     * repeat `merges` times — count adjacent symbol pairs over the
     * word-count table, take the most frequent (ties to the

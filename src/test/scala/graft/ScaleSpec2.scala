@@ -783,6 +783,25 @@ class ScaleSpec2 extends SparkTestBase {
       s"got ${merges.toSeq}")
   }
 
+  test("bpeTokenCounts: applying the learned merges reproduces the Sennrich tokenization") {
+    // after merges (e,s), (es,t), (l,o): newest -> n e w est,
+    // widest -> w i d est, low -> lo w, lower -> lo w e r
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", merges = 3)
+    val got = graft.scale.TextAnalysis.bpeTokenCounts(docs, "text", merges, 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map(
+      "est" -> 9L,            // newest x6 + widest x3
+      "lo" -> 7L,             // low x5 + lower x2
+      "w" -> 16L,             // newest 6 + widest 3 + low 5 + lower 2
+      "n" -> 6L, "e" -> 8L,   // newest 6 + lower 2
+      "i" -> 3L, "d" -> 3L, "r" -> 2L)
+    assert(got == want, s"got $got")
+  }
+
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
     val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
     // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
