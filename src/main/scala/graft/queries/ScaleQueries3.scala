@@ -1159,6 +1159,32 @@ object ScaleQueries3 {
        |FROM u""".stripMargin
   }
 
+  /** D17 — semantic eval decontamination: every non-eval embedding
+    * scored against the broadcast eval set (vec_id % 20 = 0), flagged
+    * at cosine ≥ 0.4 — the paraphrase-leakage complement of d7's
+    * n-gram overlap. */
+  private def d17SemDecontam: Q = (s, d) => {
+    val em = Tables.embeddings(s, d)
+    graft.scale.Curation.semDecontaminate(
+        em.filter(col("vec_id") % 20 =!= 0),
+        em.filter(col("vec_id") % 20 === 0),
+        "embedding", threshold = 0.4)
+      .select(col("vec_id"), Det.dround(col("max_eval_cos"), 6).as("max_eval_cos"),
+        col("contaminated"))
+  }
+
+  private val d17Sql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ev AS (SELECT e FROM v WHERE vec_id % 20 = 0),
+       |tr AS (SELECT vec_id, e FROM v WHERE vec_id % 20 <> 0),
+       |m AS (SELECT tr.vec_id,
+       |        max(list_dot_product(tr.e, ev.e) /
+       |            (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(ev.e, ev.e)))) AS mc
+       |      FROM tr CROSS JOIN ev GROUP BY 1)
+       |SELECT vec_id, ${Det.droundSql("mc", 6)} AS max_eval_cos,
+       |  mc >= 0.4 AS contaminated
+       |FROM m""".stripMargin
+
   /** A29 — cumulative gains/lift curve of the quality score against
     * is-English: the threshold-planning view (what does "keep ≥ c" buy
     * in recall/precision/lift), one row per distinct score cutoff. */
@@ -2273,7 +2299,8 @@ object ScaleQueries3 {
     "mm6_phash"          -> mm6Phash,
     "d16_phash_pairs"    -> d16PhashPairs,
     "a29_gains"          -> a29Gains,
-    "x20_bpe_tokens"     -> x20BpeTokens
+    "x20_bpe_tokens"     -> x20BpeTokens,
+    "d17_sem_decontam"   -> d17SemDecontam
   )
 
   val oracle: Map[String, String] = Map(
@@ -2335,6 +2362,7 @@ object ScaleQueries3 {
     "a28_auc"         -> a28Sql,
     "mm6_phash"       -> mm6Sql,
     "d16_phash_pairs" -> d16Sql,
-    "a29_gains"       -> a29Sql
+    "a29_gains"       -> a29Sql,
+    "d17_sem_decontam" -> d17Sql
   )
 }

@@ -229,4 +229,49 @@ object Curation {
     Sampling.hashSplit(gated, "sid", trainPct, valPct)
       .select(col("sid"), col("split"), col("n_clean"))
   }
+
+  /** Semantic (embedding-space) eval-set decontamination — the
+    * [[decontaminate]] complement for PARAPHRASED leakage that n-gram
+    * overlap can't catch (an eval question rewritten in different words
+    * shares no 5-grams but sits next to the original in embedding
+    * space): flag every train row whose embedding reaches cosine ≥
+    * `threshold` against ANY eval row.
+    *
+    * Shape: the eval side is collected, L2-normalized, and broadcast —
+    * the SAME bounded-eval contract as [[decontaminate]]'s broadcast
+    * n-gram set (an eval benchmark is thousands of rows, not a corpus);
+    * the train side scores map-side in one pass over the broadcast
+    * matrix — no shuffle, no join, the corpus is touched once. Appends
+    * (max_eval_cos, contaminated); callers filter on the flag. */
+  def semDecontaminate(train: DataFrame, eval: DataFrame, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val spark = train.sparkSession
+    val evalVecs: Array[Array[Double]] = eval
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    val bc = spark.sparkContext.broadcast(evalVecs)
+    val maxCos = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+      val n = math.sqrt(s)
+      var best = -1.0
+      if (n > 0) {
+        for (e <- bc.value) {
+          var d = 0.0; var j = 0
+          val lim = math.min(arr.length, e.length)
+          while (j < lim) { d += arr(j) * e(j); j += 1 }
+          if (d / n > best) best = d / n
+        }
+      }
+      best
+    }
+    train
+      .withColumn("max_eval_cos", maxCos(col(vecCol).cast("array<double>")))
+      .withColumn("contaminated", col("max_eval_cos") >= threshold)
+  }
 }

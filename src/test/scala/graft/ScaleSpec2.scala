@@ -580,6 +580,22 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("semDecontaminate: exact-copy and scaled-copy flagged, orthogonal vector clean") {
+    val eval = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact copy -> cos 1
+      (2L, Seq(5.0, 0.0, 0.0)),   // scaled copy -> cos 1 (paraphrase analogue)
+      (3L, Seq(0.0, 1.0, 0.0)),   // orthogonal -> cos 0
+      (4L, Seq(1.0, 1.0, 0.0)))   // 45 degrees -> cos ~0.707
+      .toDF("vec_id", "embedding")
+    val out = graft.scale.Curation.semDecontaminate(train, eval, "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._2 && math.abs(out(1L)._1 - 1.0) < 1e-12)
+    assert(out(2L)._2, "magnitude must not matter — cosine is scale-free")
+    assert(!out(3L)._2 && math.abs(out(3L)._1) < 1e-12)
+    assert(!out(4L)._2 && math.abs(out(4L)._1 - math.sqrt(0.5)) < 1e-12)
+  }
+
   test("hammingPairs: pigeonhole finds hamming<=3, excludes spread-out 4-bit differences") {
     // 1 vs 2: hamming 3 (bits 0-2) -> must be found via the shared upper
     // blocks; 1 vs 3: hamming 4 spread one bit per 16-bit block -> no
