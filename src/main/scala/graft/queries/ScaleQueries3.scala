@@ -1022,7 +1022,9 @@ object ScaleQueries3 {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
-  private val d16Sql =
+  /** Shared CTE prefix for d16/pipe4: LCG pixel stream → NN grid →
+    * per-variant luma → gradient bits → packed signed-64 dhash (`hh`). */
+  private val phashCte =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w,
       |         CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS h
@@ -1073,11 +1075,56 @@ object ScaleQueries3 {
       |         CAST(CASE WHEN CAST(hi AS HUGEINT)*4294967296 + lo >= 9223372036854775808
       |                   THEN CAST(hi AS HUGEINT)*4294967296 + lo - 18446744073709551616
       |                   ELSE CAST(hi AS HUGEINT)*4294967296 + lo END AS BIGINT) AS dhash
-      |       FROM halves)
-      |SELECT a.vid AS id_a, b.vid AS id_b,
-      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
-      |FROM hh a JOIN hh b ON a.vid < b.vid
-      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+      |       FROM halves)""".stripMargin
+
+  private val d16Sql =
+    s"""$phashCte
+       |SELECT a.vid AS id_a, b.vid AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM hh a JOIN hh b ON a.vid < b.vid
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
+  /** PIPE4 — image curation end-to-end: real-codec dHash → pigeonhole
+    * Hamming pairs → connected components → keep the min-id
+    * representative per cluster. The image sibling of pipe1 (text) and
+    * pipe3 (forecast): the COMPOSITION is under oracle, replayed as
+    * pixel stream → bit packing → bit_count join → recursive-CTE
+    * closure → per-component counts. */
+  private def pipe4Image: Q = (s, d) => {
+    val png = org.apache.spark.sql.functions.udf { (id: Long, shift: Int) =>
+      graft.scale.Multimodal.encodePng(
+        (8 + id % 8).toInt, (8 + (id * 3) % 8).toInt, seed = id, shift = shift)
+    }
+    val ph = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      graft.scale.Multimodal.dHash(bytes).map(java.lang.Long.valueOf).orNull
+    }
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val both = ids.select(col("doc_id"), col("doc_id").as("vid"), lit(0).as("shift"))
+      .unionByName(ids.select(col("doc_id"),
+        (col("doc_id") + lit(1L << 40)).as("vid"), lit(10).as("shift")))
+    val pairs = graft.scale.Dedup.hammingPairs(
+      both.withColumn("dhash", ph(png(col("doc_id"), col("shift")))),
+      "dhash", "vid", maxHamming = 3)
+    graft.scale.Dedup.components(pairs, "id_a", "id_b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+  }
+
+  private val pipe4Sql =
+    s"""$phashCte,
+       |pairs AS (SELECT a.vid AS id_a, b.vid AS id_b
+       |          FROM hh a JOIN hh b ON a.vid < b.vid
+       |          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |e AS (SELECT id_a AS src, id_b AS t FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.src),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(id) AS keep_id
+       |FROM comp GROUP BY 1""".stripMargin
 
   /** SM14 — dedup-aware split: hashSplit keyed on the near-dup
     * component (same pair source as `d8_components`), so near-copies
@@ -2300,7 +2347,8 @@ object ScaleQueries3 {
     "d16_phash_pairs"    -> d16PhashPairs,
     "a29_gains"          -> a29Gains,
     "x20_bpe_tokens"     -> x20BpeTokens,
-    "d17_sem_decontam"   -> d17SemDecontam
+    "d17_sem_decontam"   -> d17SemDecontam,
+    "pipe4_image"        -> pipe4Image
   )
 
   val oracle: Map[String, String] = Map(
@@ -2363,6 +2411,7 @@ object ScaleQueries3 {
     "mm6_phash"       -> mm6Sql,
     "d16_phash_pairs" -> d16Sql,
     "a29_gains"       -> a29Sql,
-    "d17_sem_decontam" -> d17Sql
+    "d17_sem_decontam" -> d17Sql,
+    "pipe4_image"     -> pipe4Sql
   )
 }

@@ -298,7 +298,8 @@ class PlanAuditSpec extends SparkTestBase {
           "sm14_cluster_split",  // components fixpoint at construction
           "d12_semdedup", "s3_ann_ivf", // Lloyd iterations at construction
           "x13_quality_lr",      // LBFGS fit at construction
-          "f3_series_arima")     // per-series CSS fits
+          "f3_series_arima",     // per-series CSS fits
+          "pipe4_image")         // components fixpoint at construction
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val carts = withAqeOff(q(spark, SF).queryExecution.executedPlan.collect {
