@@ -1206,6 +1206,68 @@ object ScaleQueries3 {
        |FROM u""".stripMargin
   }
 
+  /** A30 — RFM segmentation per user with deterministic quintile scores
+    * (recency to the corpus frontier, frequency, 1e-6-grid monetary;
+    * rank-pinned scores, never ntile). */
+  private def a30Rfm: Q = (s, d) =>
+    graft.scale.EventAnalytics.rfm(Tables.events(s, d), "user_id", "ts", "value")
+      .select(col("user_id"), col("recency_s"), col("frequency"),
+        Det.dround(col("monetary"), 6).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
+
+  private val a30Sql =
+    s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |             CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS v6
+       |           FROM events),
+       |u AS (SELECT user_id, max(sec) AS last_sec,
+       |        CAST(count(*) AS BIGINT) AS frequency,
+       |        CAST(sum(v6) AS BIGINT) AS m6
+       |      FROM e GROUP BY 1),
+       |fr AS (SELECT max(sec) AS frontier FROM e),
+       |p AS (SELECT user_id, frontier - last_sec AS recency_s, frequency, m6
+       |      FROM u CROSS JOIN fr),
+       |sc AS (SELECT *,
+       |  CAST(ceil(5.0 * row_number() OVER (ORDER BY recency_s DESC, user_id)
+       |       / count(*) OVER ()) AS INT) AS r_score,
+       |  CAST(ceil(5.0 * row_number() OVER (ORDER BY frequency, user_id)
+       |       / count(*) OVER ()) AS INT) AS f_score,
+       |  CAST(ceil(5.0 * row_number() OVER (ORDER BY m6, user_id)
+       |       / count(*) OVER ()) AS INT) AS m_score
+       |  FROM p)
+       |SELECT user_id, recency_s, frequency,
+       |  ${Det.droundSql("CAST(m6 AS DOUBLE)/1e6", 6)} AS monetary,
+       |  r_score, f_score, m_score
+       |FROM sc""".stripMargin
+
+  /** J8 — semi/anti-join surface on the TPC-H side: customers that DID
+    * order but never had a returned line item, counted per market
+    * segment — `LEFT SEMI` + `LEFT ANTI` as first-class relational
+    * citizens (EXISTS / NOT EXISTS in the oracle). */
+  private def j8SemiAnti: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val custWithReturn = Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_custkey"))
+    cust
+      .join(ord.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(custWithReturn, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val j8Sql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
   /** D17 — semantic eval decontamination: every non-eval embedding
     * scored against the broadcast eval set (vec_id % 20 = 0), flagged
     * at cosine ≥ 0.4 — the paraphrase-leakage complement of d7's
@@ -2348,7 +2410,9 @@ object ScaleQueries3 {
     "a29_gains"          -> a29Gains,
     "x20_bpe_tokens"     -> x20BpeTokens,
     "d17_sem_decontam"   -> d17SemDecontam,
-    "pipe4_image"        -> pipe4Image
+    "pipe4_image"        -> pipe4Image,
+    "a30_rfm"            -> a30Rfm,
+    "j8_semi_anti"       -> j8SemiAnti
   )
 
   val oracle: Map[String, String] = Map(
@@ -2412,6 +2476,8 @@ object ScaleQueries3 {
     "d16_phash_pairs" -> d16Sql,
     "a29_gains"       -> a29Sql,
     "d17_sem_decontam" -> d17Sql,
-    "pipe4_image"     -> pipe4Sql
+    "pipe4_image"     -> pipe4Sql,
+    "a30_rfm"         -> a30Sql,
+    "j8_semi_anti"    -> j8Sql
   )
 }

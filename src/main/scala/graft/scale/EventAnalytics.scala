@@ -1,6 +1,7 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream product analytics: ordered funnels and cohort
@@ -131,5 +132,44 @@ object EventAnalytics {
       .select(col(typeCol), col("n_gaps"), col("mean_gap"),
         element_at(col("qs"), 1).as("p50_gap"),
         element_at(col("qs"), 2).as("p90_gap"))
+  }
+
+  /** RFM segmentation — recency / frequency / monetary per entity plus
+    * deterministic quintile scores (the classic behavioral-cohort
+    * operator; Hughes 1994). Recency is seconds from the entity's last
+    * event to the corpus frontier (max ts — no wall clock, so the
+    * result is a pure function of the data); monetary sums on the
+    * 1e-6 BIGINT grid.
+    *
+    * Scoring discipline: quintiles are NOT `ntile` (tie order is
+    * engine-dependent) — each metric ranks by (value, entity-id) [value
+    * DESC for recency, so fresher = higher score] and the score is
+    * ⌈5·rank/n⌉, a pure integer function of the deterministic rank.
+    * The rank windows run over the |entities|-row aggregate table, not
+    * the corpus (the ksStatistic bounded-reduce contract: entities
+    * reduce first, the global windows see one row per entity).
+    * Output: (entity, recency_s, frequency, monetary, r_score, f_score,
+    * m_score). */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol), col(tsCol).cast("long").as("sec"),
+        floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("v6"))
+      .groupBy(col(userCol))
+      .agg(max(col("sec")).as("last_sec"), count(lit(1)).as("frequency"),
+           sum(col("v6")).as("m6"))
+      .crossJoin(broadcast(events.agg(
+        max(col(tsCol).cast("long")).as("frontier_sec"))))
+      .select(col(userCol), (col("frontier_sec") - col("last_sec")).as("recency_s"),
+        col("frequency"), (col("m6") / 1e6).as("monetary"), col("m6"))
+    val n = Window.partitionBy()
+    def score(ord: Column*) =
+      ceil(lit(5) * row_number().over(Window.orderBy(ord: _*)).cast("double") /
+        count(lit(1)).over(n)).cast("int")
+    perUser
+      .withColumn("r_score", score(col("recency_s").desc, col(userCol)))
+      .withColumn("f_score", score(col("frequency"), col(userCol)))
+      .withColumn("m_score", score(col("m6"), col(userCol)))
+      .drop("m6")
   }
 }

@@ -580,6 +580,24 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("rfm: hand-computed recency/frequency/monetary and rank-pinned quintiles") {
+    val ev = Seq(
+      (1L, 100L, 1.0), (1L, 200L, 2.0),
+      (2L, 300L, 10.0),
+      (3L, 10L, 0.5), (3L, 20L, 0.5), (3L, 30L, 0.5))
+      .map { case (u, sec, v) =>
+        (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), v) }
+      .toDF("uid", "ts", "v")
+    val out = graft.scale.EventAnalytics.rfm(ev, "uid", "ts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    // frontier = 300; quintile of rank k among 3 = ceil(5k/3) in {2,4,5}
+    assert(out(1L) == ((100L, 2L, 3.0, 4, 4, 4)), s"u1 ${out(1L)}")
+    assert(out(2L) == ((0L, 1L, 10.0, 5, 2, 5)), s"u2 ${out(2L)}")
+    assert(out(3L) == ((270L, 3L, 1.5, 2, 5, 2)), s"u3 ${out(3L)}")
+  }
+
   test("semDecontaminate: exact-copy and scaled-copy flagged, orthogonal vector clean") {
     val eval = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
     val train = Seq(
