@@ -235,6 +235,28 @@ object TimeSeriesOps {
       .drop("__sec", "__y6")
   }
 
+  /** Fourier seasonal features (the Prophet/harmonic-regression basis —
+    * the smooth alternative to one-hot calendar dummies for ML models,
+    * `build_ml.py`'s calendar block re-expressed): per series,
+    * sin/cos(2πk·t/m) for k = 1..K on the row index t. The phase is
+    * computed on t mod m BEFORE the multiply, so the trig arguments
+    * stay in [0, 2πK) regardless of series length — unreduced large
+    * arguments are where cross-engine libm drift lives. One series
+    * window for the index; the features themselves are pure map-side
+    * expressions. Appends t and sin_k/cos_k columns. */
+  def fourierFeatures(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+                      m: Int, harmonics: Int,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(m >= 2 && harmonics >= 1, s"need m >= 2, K >= 1, got $m/$harmonics")
+    val w = seriesWindow(tsCol, seriesCols, tieBreak)
+    val base = df.withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__ph", pmod(col("t"), lit(m)).cast("double") / m)
+    (1 to harmonics).foldLeft(base) { (d, k) =>
+      d.withColumn(s"sin_$k", sin(lit(2 * math.Pi * k) * col("__ph")))
+        .withColumn(s"cos_$k", cos(lit(2 * math.Pi * k) * col("__ph")))
+    }.drop("__ph")
+  }
+
   def prependBuffer(train: DataFrame, test: DataFrame, lags: Int,
                     tsCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (tsCol +: tieBreak).map(c => col(c).desc)

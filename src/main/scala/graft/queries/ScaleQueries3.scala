@@ -1206,6 +1206,56 @@ object ScaleQueries3 {
        |FROM u""".stripMargin
   }
 
+  /** T23 — Fourier seasonal features at period 7, K=3 harmonics: the
+    * smooth calendar basis for seasonal ML (phase reduced mod m before
+    * the trig, so arguments never grow with series length). */
+  private def t23Fourier: Q = (s, d) =>
+    graft.core.TimeSeriesOps.fourierFeatures(
+        Tables.events(s, d), "ts", Seq("user_id"), m = 7, harmonics = 3,
+        tieBreak = Seq("event_id"))
+      .select(Seq(col("user_id"), col("event_id"), col("t")) ++
+        (1 to 3).flatMap(k => Seq(
+          Det.dround(col(s"sin_$k"), 6).as(s"sin_$k"),
+          Det.dround(col(s"cos_$k"), 6).as(s"cos_$k"))): _*)
+
+  private val t23Sql = {
+    val cols = (1 to 3).flatMap(k => Seq(
+      Det.droundSql(s"sin(2*pi()*$k * phase)", 6) + s" AS sin_$k",
+      Det.droundSql(s"cos(2*pi()*$k * phase)", 6) + s" AS cos_$k")).mkString(",\n|  ")
+    s"""WITH s AS (SELECT user_id, event_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS t
+       |  FROM events),
+       |p AS (SELECT user_id, event_id, t, CAST(t % 7 AS DOUBLE) / 7 AS phase FROM s)
+       |SELECT user_id, event_id, t,
+       |  $cols
+       |FROM p""".stripMargin
+  }
+
+  /** X21 — language-ID confusion matrix: the deterministic stopword
+    * classifier (x2) scored against the corpus lang label — per (true,
+    * predicted) counts, the eval every curation langid gate needs. */
+  private def x21LangConfusion: Q = (s, d) =>
+    graft.scale.TextAnalysis.languageId(Tables.documents(s, d), "text")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  private val x21Sql = {
+    val langs = graft.scale.TextAnalysis.stopwordLists.keys.toSeq.sorted
+    val hits = langs.map { l =>
+      val list = graft.scale.TextAnalysis.stopwordLists(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($list))) AS hits_$l"
+    }.mkString(",\n    ")
+    val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val caseChain = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT lang,
+       |    $hits
+       |  FROM documents),
+       |g AS (SELECT lang, $m AS m, * FROM h)
+       |SELECT lang, CASE $caseChain END AS pred_lang,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM g GROUP BY 1, 2""".stripMargin
+  }
+
   /** A30 — RFM segmentation per user with deterministic quintile scores
     * (recency to the corpus frontier, frequency, 1e-6-grid monetary;
     * rank-pinned scores, never ntile). */
@@ -1240,21 +1290,21 @@ object ScaleQueries3 {
        |FROM sc""".stripMargin
 
   /** J8 — semi/anti-join surface on the TPC-H side: customers that DID
-    * order but never had a returned line item, counted per market
-    * segment — `LEFT SEMI` + `LEFT ANTI` as first-class relational
-    * citizens (EXISTS / NOT EXISTS in the oracle). */
+    * order but never urgently, counted per market segment — `LEFT SEMI`
+    * + `LEFT ANTI` as first-class relational citizens (EXISTS /
+    * NOT EXISTS in the oracle; the urgent-priority predicate keeps the
+    * result non-empty at every test SF, unlike returned-line variants
+    * that saturate on dense data). */
   private def j8SemiAnti: Q = (s, d) => {
     val cust = Tables.customer(s, d)
     val ord = Tables.orders(s, d)
-    val returned = Tables.lineitem(s, d)
-      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
-    val custWithReturn = Tables.orders(s, d)
-      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
     cust
       .join(ord.select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_semi")
-      .join(custWithReturn, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
   }
@@ -1264,8 +1314,8 @@ object ScaleQueries3 {
       |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |  AND NOT EXISTS (
-      |    SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      |    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
 
   /** D17 — semantic eval decontamination: every non-eval embedding
@@ -2412,7 +2462,9 @@ object ScaleQueries3 {
     "d17_sem_decontam"   -> d17SemDecontam,
     "pipe4_image"        -> pipe4Image,
     "a30_rfm"            -> a30Rfm,
-    "j8_semi_anti"       -> j8SemiAnti
+    "j8_semi_anti"       -> j8SemiAnti,
+    "t23_fourier"        -> t23Fourier,
+    "x21_lang_confusion" -> x21LangConfusion
   )
 
   val oracle: Map[String, String] = Map(
@@ -2478,6 +2530,8 @@ object ScaleQueries3 {
     "d17_sem_decontam" -> d17Sql,
     "pipe4_image"     -> pipe4Sql,
     "a30_rfm"         -> a30Sql,
-    "j8_semi_anti"    -> j8Sql
+    "j8_semi_anti"    -> j8Sql,
+    "t23_fourier"     -> t23Sql,
+    "x21_lang_confusion" -> x21Sql
   )
 }

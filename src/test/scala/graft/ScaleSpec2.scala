@@ -580,6 +580,21 @@ class ScaleSpec2 extends SparkTestBase {
     }
   }
 
+  test("fourierFeatures: exact quarter-cycle values, phase wraps at the period") {
+    val df = (0 until 8).map(i => (1L, i.toLong, i.toLong)).toDF("sid", "ts", "eid")
+    val out = graft.core.TimeSeriesOps.fourierFeatures(
+        df, "ts", Seq("sid"), m = 4, harmonics = 1, tieBreak = Seq("eid"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val wantSin = Seq(0.0, 1.0, 0.0, -1.0)
+    val wantCos = Seq(1.0, 0.0, -1.0, 0.0)
+    out.foreach { case (t, s, c) =>
+      assert(math.abs(s - wantSin((t % 4).toInt)) < 1e-12, s"sin(t=$t)=$s")
+      assert(math.abs(c - wantCos((t % 4).toInt)) < 1e-12, s"cos(t=$t)=$c")
+    }
+    assert(out.map(_._1).toSeq == (0L to 7L), "row index must be dense per series")
+  }
+
   test("rfm: hand-computed recency/frequency/monetary and rank-pinned quintiles") {
     val ev = Seq(
       (1L, 100L, 1.0), (1L, 200L, 2.0),
