@@ -2276,8 +2276,10 @@ object ScaleQueries3 {
   // ---- SM9: CCNet perplexity tiers -------------------------------------
 
   /** SM9 — CCNet head/middle/tail split by unigram-LM score (topV=20 as
-    * x11, exact ⅓/⅔ percentile cuts, tiered keep at 1000/500/100‰ by the
-    * id-mod rule). Per-tier totals + kept counts, fully SQL-replayable. */
+    * x11, ⅓/⅔ ORDER-STATISTIC cuts — the ⌈n/3⌉-th/⌈2n/3⌉-th smallest
+    * score, values present in the data so both engines agree exactly —
+    * tiered keep at 1000/500/100‰ by the id-mod rule). Per-tier totals +
+    * kept counts, fully SQL-replayable. */
   private def sm9Tiers: Q = (s, d) =>
     graft.scale.TextAnalysis.qualityTiers(Tables.documents(s, d), "text", "doc_id",
         topV = 20)
@@ -2299,8 +2301,14 @@ object ScaleQueries3 {
        |      FROM toks LEFT JOIN top USING (tok) CROSS JOIN t),
        |sc AS (SELECT doc_id, ${Det.droundSql("avg(logp)", 4)} AS score
        |       FROM s GROUP BY doc_id),
-       |cut AS (SELECT quantile_cont(score, 1.0/3.0) AS c33,
-       |               quantile_cont(score, 2.0/3.0) AS c66 FROM sc),
+       |-- order-statistic cuts (⌈n/3⌉-th / ⌈2n/3⌉-th smallest score):
+       |-- values PRESENT in the data, so both engines agree bit-for-bit
+       |ranked AS (SELECT score, row_number() OVER (ORDER BY score) AS r,
+       |                  count(*) OVER () AS n
+       |           FROM sc),
+       |cut AS (SELECT
+       |    (SELECT score FROM ranked WHERE r = CAST(ceil(n/3.0) AS BIGINT) LIMIT 1) AS c33,
+       |    (SELECT score FROM ranked WHERE r = CAST(ceil(2.0*n/3.0) AS BIGINT) LIMIT 1) AS c66),
        |tiered AS (SELECT doc_id, score,
        |    CASE WHEN score >= c66 THEN 'head'
        |         WHEN score >= c33 THEN 'middle'

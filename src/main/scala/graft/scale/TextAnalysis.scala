@@ -322,19 +322,23 @@ object TextAnalysis {
     * and the tiered keep is the deterministic id-mod rule at the given
     * permille per tier. Returns (id, score, tier, kept).
     *
-    * Tier assignment is robust to cross-engine percentile ulp: an
-    * interpolated cut lies strictly inside a gap between two observed
-    * (rounded) scores, so a last-ulp difference in the cut cannot move
-    * any document across it.
+    * The cuts are ORDER STATISTICS, not interpolated percentiles: c33 is
+    * the ⌈n/3⌉-th smallest score, c66 the ⌈2n/3⌉-th. An interpolated cut
+    * lies between two grid scores and its value depends on the engine's
+    * float arithmetic (the r10 `sm9_ppl_tiers` hash-red was exactly this:
+    * Spark `percentile` vs DuckDB `quantile_cont` disagreed in the last
+    * ulp and boundary docs flipped tiers); an order statistic is a value
+    * PRESENT in the data, identical on any engine by construction.
     *
-    * Scale: `exactCuts=true` (the oracle form) uses the exact percentile
-    * aggregate, which buffers the per-doc score column on one executor —
-    * fine to millions of docs, not to 100 TB; `exactCuts=false` swaps in
-    * the t-digest `approx_percentile` sketch (bounded memory at any
-    * scale), keeping everything else identical. Either way the cuts are
-    * TWO numbers broadcast back; the corpus is never globally sorted —
-    * this is the percentile-threshold form of CCNet's split, not an
-    * ntile over a single partition. */
+    * Scale: `exactCuts=true` (the oracle form) computes the k-th smallest
+    * via a cumulative sum over the grouped (score → count) table — scores
+    * live on a 1e-4 grid, so that table is bounded (≲ a few hundred
+    * thousand rows at any corpus size) and the single-task window over it
+    * is safe; the corpus itself is never globally sorted. `exactCuts=
+    * false` swaps in the t-digest `approx_percentile` sketch (bounded
+    * memory, no reduced table), keeping everything else identical. Either
+    * way the cuts are TWO numbers broadcast back — the percentile-
+    * threshold form of CCNet's split, not an ntile over one partition. */
   def qualityTiers(df: DataFrame, textCol: String, idCol: String,
                    topV: Int = 100000,
                    permille: (Int, Int, Int) = (1000, 500, 100),
@@ -342,16 +346,27 @@ object TextAnalysis {
                    exactCuts: Boolean = true): DataFrame = {
     val scores = unigramLogProb(df, textCol, idCol, alpha, topV)
       .withColumn("score", floor(col("mean_logp") * lit(1e4) + lit(0.5)) / lit(1e4))
-    val cutAgg =
-      // CAST the numerator, then divide: the probabilities must be the
-      // IEEE doubles 1/3 and 2/3 (a decimal-literal division would
-      // quantize them differently from the oracle's double arithmetic)
-      if (exactCuts)
-        expr("percentile(score, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0))")
-      else
-        expr("approx_percentile(score, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0), 10000)")
-    val cuts = scores.agg(cutAgg.as("cuts"))
-      .select(col("cuts")(0).as("c33"), col("cuts")(1).as("c66"))
+    val cuts =
+      if (exactCuts) {
+        // k-th-smallest over the bounded grouped-score table: cum counts
+        // ascending by score, then the first score whose cumulative count
+        // reaches ⌈n/3⌉ / ⌈2n/3⌉. ceil over doubles is exact for any
+        // count below 2^52.
+        import org.apache.spark.sql.expressions.Window
+        val grouped = scores.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        val cum = grouped.withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
+          .agg(min(when(col("cum") >= ceil(col("n") / lit(3.0)), col("score")))
+                 .as("c33"),
+               min(when(col("cum") >= ceil(col("n") * lit(2.0) / lit(3.0)), col("score")))
+                 .as("c66"))
+      } else
+        scores.agg(expr(
+            "approx_percentile(score, array(CAST(1.0 AS DOUBLE)/3.0, CAST(2.0 AS DOUBLE)/3.0), 10000)")
+            .as("cuts"))
+          .select(col("cuts")(0).as("c33"), col("cuts")(1).as("c66"))
     val rate = when(col("tier") === "head", lit(permille._1))
       .when(col("tier") === "middle", lit(permille._2))
       .otherwise(lit(permille._3))
