@@ -47,6 +47,23 @@ object Encoders {
       .drop("__dict_code")
   }
 
+  /** E1 — inverse label encoding (`My_LabelEncoder.inverse_transform`,
+    * `utils/my_encoders.py:97-105`): map integer codes back to their
+    * labels through the fitted dictionary. The reference routes through
+    * pandas `.map(inverse_transformer)`, whose missing-key rule yields
+    * NaN — so codes absent from the dictionary (including the null code
+    * -1 and any grown-on-unseen code the dict never saw) decode to null
+    * here. Broadcast join on the bounded dictionary; the corpus never
+    * shuffles. */
+  def labelDecode(df: DataFrame, codeCol: String, dict: DataFrame,
+                  outCol: String): DataFrame = {
+    val valueName = dict.columns.head
+    val d = dict.select(col("code").cast("int").as("__dec_code"),
+                        col(valueName).as(outCol))
+    df.join(broadcast(d), col(codeCol).cast("int") === col("__dec_code"), "left")
+      .drop("__dec_code")
+  }
+
   /** E4 — the reference's three scaler choices
     * (`ml_models.py:82-91,488-492`) as per-series window columns:
     * standard ((x−μ)/σ), min-max ((x−min)/(max−min)), max-abs (x/max|x|).

@@ -16,8 +16,9 @@ object DatetimeFormatInfer {
 
   /** Candidate patterns in java.time syntax — the reference's ~30 date /
     * ~13 time / ~60 datetime strptime vocabulary (`utils/etl.py:336-391`)
-    * re-expressed, minus the %Z%z timezone-suffix family (unrepresentable
-    * without a fixed zone registry) and concatenated oddities. Order =
+    * re-expressed, including the %Z/%Z%z zone-NAME family (as validate-
+    * and-strip legs against a fixed name vocabulary — see `@Z`/`@ZZ`
+    * below), minus only concatenated oddities. Order =
     * precedence, first FULL match of all samples wins; specific (longer)
     * patterns sort first, and MM/dd precedes dd/MM (documented deviation:
     * the reference prefers day-first — both are guesses on ambiguous
@@ -50,6 +51,20 @@ object DatetimeFormatInfer {
     // excluded (see note above)
     "dd MMM yyyy HH:mm:ss Z", "dd MMM yy HH:mm:ss Z",
     "dd/MMM/yyyy HH:mm:ss Z", "dd-MMM-yyyy HH:mm:ss Z", "dd-MMM-yy HH:mm:ss Z",
+    // zone-NAME family (`'%Y-%m-%d %H:%M:%S %Z%z'` etc, `utils/etl.py:
+    // 382-385`): java.time has no locale-free NAME parser, so — exactly
+    // like the weekday EEE prefix — these are STRIP legs. `@ZZ` = a
+    // validated zone-name token concatenated with a numeric %z offset
+    // ("UTC+0100"): the name is stripped, the offset parsed (strptime
+    // itself takes the instant from %z and only validates %Z). `@Z` =
+    // name alone ("… UTC"): strptime yields a naive datetime, so the
+    // name is validated and stripped and the remainder parses naive.
+    "yyyy-MM-dd HH:mm:ss @ZZ", "yyyy/MM/dd HH:mm:ss @ZZ",
+    "MM/dd/yy HH:mm:ss @ZZ", "dd/MM/yyyy HH:mm:ss @ZZ",
+    "MM/dd/yyyy HH:mm:ss @ZZ", "dd/MM/yy HH:mm:ss @ZZ",
+    "yyyy-MMM-dd HH:mm:ss @ZZ", "yyyy-MMMM-dd HH:mm:ss @ZZ",
+    "dd-MMM-yyyy HH:mm:ss @ZZ", "dd-MM-yy HH:mm:ss @ZZ",
+    "yyyy-MM-dd HH:mm:ss @Z",
     // two-digit-year datetimes (`'%m/%d/%y %H:%M:%S'`/`'%m-%d-%y %I:%M %p'`
     // families)
     "MM/dd/yy HH:mm:ss", "dd/MM/yy HH:mm:ss", "MM/dd/yy HH:mm", "dd/MM/yy HH:mm",
@@ -95,11 +110,30 @@ object DatetimeFormatInfer {
   /** English %a vocabulary (what strptime accepts in the C locale). */
   private val WeekdayRe = "^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun), ".r
 
+  /** Zone-NAME vocabulary for the %Z strip legs: a superset of what
+    * CPython's C-locale strptime validates (UTC/GMT + the platform tz
+    * names), fixed here so inference is machine-independent. */
+  private val ZoneNames =
+    "UTC|GMT|UT|Z|EST|EDT|CST|CDT|MST|MDT|PST|PDT|AKST|AKDT|HST|" +
+      "CET|CEST|EET|EEST|WET|WEST|BST|IST|JST|KST|AEST|AEDT|NZST|NZDT"
+  /** `%Z%z` suffix: " UTC+0100" → keep the offset, drop the name. */
+  private val ZoneOffsetRe = (s" (?:$ZoneNames)([+-]\\d{4})$$").r
+  /** bare `%Z` suffix: " UTC" → drop entirely (naive parse). */
+  private val ZoneOnlyRe = (s" (?:$ZoneNames)$$").r
+
   private def matches(fmt: String, sample: Seq[String]): Boolean =
     if (fmt.startsWith("EEE, ")) {
       sample.forall(s => WeekdayRe.findPrefixOf(s.trim).isDefined) &&
         matches(fmt.stripPrefix("EEE, "),
                 sample.map(s => WeekdayRe.replaceFirstIn(s.trim, "")))
+    } else if (fmt.endsWith(" @ZZ")) {
+      sample.forall(s => ZoneOffsetRe.findFirstIn(s.trim).isDefined) &&
+        matches(fmt.stripSuffix(" @ZZ") + " Z",
+                sample.map(s => ZoneOffsetRe.replaceFirstIn(s.trim, " $1")))
+    } else if (fmt.endsWith(" @Z")) {
+      sample.forall(s => ZoneOnlyRe.findFirstIn(s.trim).isDefined) &&
+        matches(fmt.stripSuffix(" @Z"),
+                sample.map(s => ZoneOnlyRe.replaceFirstIn(s.trim, "")))
     } else {
       val f = DateTimeFormatter.ofPattern(fmt)
       sample.forall { s =>
@@ -127,6 +161,14 @@ object DatetimeFormatInfer {
       if (f.startsWith("EEE, "))
         to_timestamp(regexp_replace(trim(col(strCol)),
           "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), ", ""), f.stripPrefix("EEE, "))
+      else if (f.endsWith(" @ZZ"))
+        // zone-name+offset suffix: strip the NAME, keep the offset —
+        // one codegen'd regexp_replace, then the plain %z leg
+        to_timestamp(regexp_replace(trim(col(strCol)),
+          s" (?:$ZoneNames)([+-]\\d{4})$$", " $1"), f.stripSuffix(" @ZZ") + " Z")
+      else if (f.endsWith(" @Z"))
+        to_timestamp(regexp_replace(trim(col(strCol)),
+          s" (?:$ZoneNames)$$", ""), f.stripSuffix(" @Z"))
       else to_timestamp(col(strCol), f)
     df.withColumn(outCol, parsed)
   }

@@ -358,9 +358,10 @@ object CoreQueries2 {
     s"""SELECT o_orderkey, ${tsStrSql("o_orderdate")} AS parsed_ts FROM orders""".stripMargin
 
   /** Multi-format round trip (separate from i2 so that query keeps its
-    * recorded single-format cost): the same timestamp rendered in four
+    * recorded single-format cost): the same timestamp rendered in seven
     * distinct string vocabularies (24h slash, 12h AM/PM month-name,
-    * ISO-T, compact `%d%b%Y`), each independently run through format
+    * ISO-T, compact `%d%b%Y`, time-only, numeric-offset `%z`, and the
+    * `%Z%z` zone-name leg), each independently run through format
     * INFERENCE + parse — every leg must land back on the original value
     * (day-truncated for the date-only leg). Two-digit-year formats are
     * inference-covered in CoreOpsSpec but excluded here: the `yy` pivot
@@ -377,8 +378,12 @@ object CoreQueries2 {
               date_format(timestamp_seconds(col("o_orderkey") % 86400), "HH:mm:ss").as("s5"),
               // numeric-offset leg (`'%d %b %Y %T %z'`, r9 sweep): UTC
               // session renders +0000; the parse must honor the offset
-              date_format(col("o_orderdate"), "dd MMM yyyy HH:mm:ss Z").as("s6"))
-    val parsed = Seq("s1", "s2", "s3", "s4", "s5", "s6").foldLeft(o) { (df, c) =>
+              date_format(col("o_orderdate"), "dd MMM yyyy HH:mm:ss Z").as("s6"),
+              // zone-NAME leg (`'%Y-%m-%d %H:%M:%S %Z%z'`, utils/etl.py:
+              // 383): name validated+stripped, instant from the offset
+              concat(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                     lit(" UTC"), date_format(col("o_orderdate"), "Z")).as("s7"))
+    val parsed = Seq("s1", "s2", "s3", "s4", "s5", "s6", "s7").foldLeft(o) { (df, c) =>
       DatetimeFormatInfer.parseTimestamp(df, c, s"p_$c")
     }
     parsed.select(col("o_orderkey"),
@@ -387,7 +392,8 @@ object CoreQueries2 {
       tsStr(col("p_s3")).as("parsed_iso"),
       tsStr(col("p_s4")).as("parsed_compact"),
       tsStr(col("p_s5")).as("parsed_time"), // anchored on the epoch date
-      tsStr(col("p_s6")).as("parsed_offset"))
+      tsStr(col("p_s6")).as("parsed_offset"),
+      tsStr(col("p_s7")).as("parsed_zname"))
   }
 
   private val i3Sql =
@@ -397,7 +403,8 @@ object CoreQueries2 {
        | ${tsStrSql("o_orderdate")} AS parsed_iso,
        | ${tsStrSql("date_trunc('day', o_orderdate)")} AS parsed_compact,
        | ${tsStrSql("TIMESTAMP '1970-01-01' + (o_orderkey % 86400) * INTERVAL 1 SECOND")} AS parsed_time,
-       | ${tsStrSql("o_orderdate")} AS parsed_offset
+       | ${tsStrSql("o_orderdate")} AS parsed_offset,
+       | ${tsStrSql("o_orderdate")} AS parsed_zname
        |FROM orders""".stripMargin
 
   // ---- S1: CSV scan with datetime parsing ------------------------------------------------------

@@ -396,6 +396,44 @@ object ScaleQueries2 {
       |LEFT JOIN unseen ON d.lang = unseen.v
       |CROSS JOIN mx""".stripMargin
 
+  /** e8_label_decode — `inverse_transform` round trip: fit the dictionary
+    * WITHOUT de/zh (as e2), encode the full corpus (de/zh get grown
+    * codes), then decode through the ORIGINAL dictionary. Seen codes
+    * recover their label; grown codes and the null code -1 decode to null
+    * (the reference's pandas `.map` missing-key rule,
+    * `my_encoders.py:97-105`). */
+  private def e8LabelDecode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(!col("lang").isin("de", "zh"))
+    val dict = graft.core.Encoders.labelDictionary(train, "lang")
+    val enc = graft.core.Encoders.labelEncode(docs, "lang", dict, "lang_code")
+    graft.core.Encoders.labelDecode(enc, "lang_code", dict, "lang_decoded")
+      .select(col("doc_id"), col("lang"),
+              col("lang_code").cast("long").as("lang_code"), col("lang_decoded"))
+  }
+
+  private val e8Sql =
+    """WITH dict AS (
+      |  SELECT lang AS v, dense_rank() OVER (ORDER BY lang) - 1 AS id
+      |  FROM (SELECT DISTINCT lang FROM documents
+      |        WHERE lang IS NOT NULL AND lang NOT IN ('de', 'zh'))),
+      |mx AS (SELECT max(id) AS m FROM dict),
+      |unseen AS (
+      |  SELECT v, row_number() OVER (ORDER BY v) AS rk
+      |  FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL) u
+      |  WHERE v NOT IN (SELECT v FROM dict)),
+      |enc AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(CASE WHEN d.lang IS NULL THEN -1
+      |         WHEN dict.id IS NOT NULL THEN dict.id
+      |         ELSE mx.m + unseen.rk END AS BIGINT) AS lang_code
+      |  FROM documents d
+      |  LEFT JOIN dict ON d.lang = dict.v
+      |  LEFT JOIN unseen ON d.lang = unseen.v
+      |  CROSS JOIN mx)
+      |SELECT enc.doc_id, enc.lang, enc.lang_code, dec.v AS lang_decoded
+      |FROM enc LEFT JOIN dict dec ON enc.lang_code = dec.id""".stripMargin
+
   // ---- decontamination / packing ----------------------------------------
 
   /** D7 — eval-set decontamination: train = documents outside src0, eval
@@ -651,6 +689,7 @@ object ScaleQueries2 {
     "f5_series_bands" -> f5SeriesBands,
     "f6_ses"          -> f6Ses,
     "e2_unseen_encode" -> e2UnseenEncode,
+    "e8_label_decode" -> e8LabelDecode,
     "sm1_mod_sample" -> sm1ModSample,
     "sm2_stratified" -> sm2Stratified,
     "sm3_interleave" -> sm3Interleave,
@@ -682,6 +721,7 @@ object ScaleQueries2 {
     "f5_series_bands" -> f5Sql,
     "f6_ses"          -> f6Sql,
     "e2_unseen_encode" -> e2Sql,
+    "e8_label_decode" -> e8Sql,
     "sm1_mod_sample" -> sm1Sql,
     "sm2_stratified" -> sm2Sql,
     "sm3_interleave" -> sm3Sql,

@@ -152,6 +152,26 @@ class CoreOpsSpec extends SparkTestBase {
     // a NON-weekday prefix must not match the family
     assert(!DatetimeFormatInfer.infer(Seq("Xyz, 05 Mar 2024").toDF("s"), "s")
       .exists(_.startsWith("EEE")))
+    // the r11 zone-NAME family ('%Y-%m-%d %H:%M:%S %Z%z' etc,
+    // etl.py:382-385): the name is validated+stripped; with a %z offset
+    // the INSTANT comes from the offset (strptime semantics), name-only
+    // parses naive. An unknown name must not match.
+    assert(DatetimeFormatInfer.infer(
+        Seq("2024-03-05 07:00:00 CET+0100", "2024-03-06 08:00:00 UTC+0000")
+          .toDF("s"), "s")
+      .contains("yyyy-MM-dd HH:mm:ss @ZZ"))
+    assert(DatetimeFormatInfer.infer(Seq("2024-03-05 07:00:00 UTC").toDF("s"), "s")
+      .contains("yyyy-MM-dd HH:mm:ss @Z"))
+    assert(!DatetimeFormatInfer.infer(Seq("2024-03-05 07:00:00 XQZ+0100").toDF("s"), "s")
+      .exists(_.contains("@Z")))
+    val zn = DatetimeFormatInfer.parseTimestamp(
+        Seq("2024-03-05 07:00:00 CET+0100").toDF("s"), "s", "ts")
+      .select($"ts".cast("string")).head().getString(0)
+    assert(zn == "2024-03-05 06:00:00", s"zone-name offset not honored: $zn")
+    val zo = DatetimeFormatInfer.parseTimestamp(
+        Seq("2024-03-05 07:00:00 UTC").toDF("s"), "s", "ts")
+      .select($"ts".cast("string")).head().getString(0)
+    assert(zo == "2024-03-05 07:00:00", s"name-only parse: $zo")
     val wd = DatetimeFormatInfer.parseTimestamp(
         Seq("Tue, 05 Mar 2024").toDF("s"), "s", "ts")
       .select($"ts".cast("string")).head().getString(0)
@@ -164,7 +184,16 @@ class CoreOpsSpec extends SparkTestBase {
     DatetimeFormatInfer.candidates.foreach { fmt =>
       val now = java.time.ZonedDateTime.of(2024, 3, 5, 7, 9, 11, 0,
         java.time.ZoneOffset.UTC)
-      val sample = now.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+      // the @Z/@ZZ markers aren't java.time letters — render the base
+      // and append a representative zone-name (+offset) token
+      val sample =
+        if (fmt.endsWith(" @ZZ"))
+          now.format(java.time.format.DateTimeFormatter.ofPattern(
+            fmt.stripSuffix(" @ZZ"))) + " UTC+0000"
+        else if (fmt.endsWith(" @Z"))
+          now.format(java.time.format.DateTimeFormatter.ofPattern(
+            fmt.stripSuffix(" @Z"))) + " UTC"
+        else now.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
       val parsed = DatetimeFormatInfer.parseTimestamp(
         Seq(sample).toDF("s"), "s", "t", Some(fmt)).select($"t").head()
       assert(!parsed.isNullAt(0), s"Spark cannot parse its own format $fmt on '$sample'")
@@ -245,6 +274,25 @@ class CoreOpsSpec extends SparkTestBase {
     val enc2 = Encoders.labelEncode(df2, "v", dict, "code")
       .select($"v", $"code").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(enc2 == Map("a" -> 0, "x" -> 3, "z" -> 4), s"got $enc2")
+  }
+
+  test("labelDecode round-trips seen codes; unseen/grown/null codes decode to null") {
+    import graft.core.Encoders
+    val df = Seq(Some("b"), Some("a"), Some("c"), None).map(Tuple1(_)).toDF("v")
+    val dict = Encoders.labelDictionary(df, "v")
+    // round trip: every seen value decodes back to itself, null (-1) → null
+    val rt = Encoders.labelDecode(
+        Encoders.labelEncode(df, "v", dict, "code"), "code", dict, "back")
+      .select($"v", $"back").collect()
+      .map(r => Option(r.getString(0)) -> Option(r.getString(1)))
+    rt.foreach { case (v, back) => assert(back == v, s"round trip $v -> $back") }
+    // grown-on-unseen codes are absent from the ORIGINAL dict → null
+    // (the reference's pandas .map missing-key rule, my_encoders.py:97-105)
+    val grown = Encoders.labelEncode(Seq("a", "z").toDF("v"), "v", dict, "code")
+    val dec = Encoders.labelDecode(grown, "code", dict, "back")
+      .select($"v", $"back").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(dec == Map("a" -> Some("a"), "z" -> None), s"got $dec")
   }
 
   test("dropZeroVariance drops constants, keeps varying columns") {
