@@ -114,7 +114,22 @@ object Bench {
     // failed queries are excluded so the headline total equals the sum
     // of the reported per-query values
     val total = results.collect { case (_, mn, _, true) => mn }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"sf":"$sfDir"}"""
+    // pinned ISOLATED probes (min-of-5, measured alone after the packed
+    // passes) for the queries whose packed-bench timings sit in
+    // AQE-exchange-noise regimes: the isolated figure in the same
+    // artifact is the ground truth for scaling adjudication, so soak
+    // reads stop re-deriving it every round.
+    val isolated = Seq("j3_zip", "m6_logy").filter(headline.contains).map { name =>
+      val vs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        try headline(name)(spark, sfDir).count() catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      f""""$name":${vs.min}%.4f"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"isolated":$isolated,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r{N}.json keeps only a tail of stdout — persist
     // the FULL line in-repo too, so cross-round per-query comparison

@@ -97,9 +97,11 @@ object Encoders {
     *
     * Shape: ONE aggregate on (cat, fold) — a |cats|·folds-row table —
     * from which per-cat totals and the global prior derive without
-    * touching the corpus again; the encode join back is BROADCAST
-    * (bounded by |cats|·folds), so the corpus itself never shuffles.
-    * Appends `<cat>_te` and `__fold`. */
+    * touching the corpus again; the encode join back is BROADCAST LEFT
+    * (bounded by |cats|·folds), so the corpus itself never shuffles and
+    * the row count is PRESERVED: a null category or null id can never
+    * equi-match, so those rows coalesce to the global prior instead of
+    * silently dropping. Appends `<cat>_te` and `__fold`. */
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
                    idCol: String, folds: Int = 5,
                    smoothing: Double = 20.0): DataFrame = {
@@ -120,6 +122,9 @@ object Encoders {
          ((col("ccn") - col("cn")).cast("double") + lit(smoothing)))
           .as(s"${catCol}_te"))
     df.withColumn("__fold", pmod(col(idCol).cast("long"), lit(folds)).cast("int"))
-      .join(broadcast(enc), Seq(catCol, "__fold"))
+      .join(broadcast(enc), Seq(catCol, "__fold"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn(s"${catCol}_te", coalesce(col(s"${catCol}_te"), col("__prior")))
+      .drop("__prior")
   }
 }

@@ -217,10 +217,23 @@ object TimeSeriesOps {
     * association-order-dependent across engines — the `Det.moneySum`
     * discipline). Shape: ONE series-keyed window exchange; the frame is
     * evaluated with a sliding two-pointer over the sorted partition,
-    * O(n) per series. */
+    * O(n) per series.
+    *
+    * `seriesCols = Nil` builds an UNPARTITIONED window — a single-task
+    * global sort over the whole input. That form is for BOUNDED inputs
+    * only (a single already-reduced series, a driver-sized table); on a
+    * corpus-sized frame always pass series keys. The require below makes
+    * the contract explicit: callers must opt in with
+    * `allowUnpartitioned = true` rather than fall into a global sort by
+    * passing Nil accidentally (ADVICE r10). */
   def timeWindowAgg(df: DataFrame, valueCol: String, tsCol: String,
-                    seriesCols: Seq[String], windowSec: Long): DataFrame = {
+                    seriesCols: Seq[String], windowSec: Long,
+                    allowUnpartitioned: Boolean = false): DataFrame = {
     require(windowSec >= 1, s"need windowSec >= 1, got $windowSec")
+    require(seriesCols.nonEmpty || allowUnpartitioned,
+      "seriesCols is empty: an unpartitioned RANGE window is a single-task " +
+      "global sort — pass series keys, or allowUnpartitioned = true for a " +
+      "bounded input")
     val w = seriesCols match {
       case Nil => Window.orderBy(col("__sec"))
       case s   => Window.partitionBy(s.map(col): _*).orderBy(col("__sec"))

@@ -116,8 +116,12 @@ object ScaleQueries3 {
     val twins = em.select((col("vec_id") + offset).as("vec_id"),
       expr("transform(embedding, (x, j) -> x * CASE WHEN j % 2 = 0 THEN 1.3 ELSE 0.7 END)")
         .as("embedding"))
+    // knownRows: the union is exactly 2× the base table, and a raw
+    // parquet count() is metadata-cheap — the union+transform lineage is
+    // never computed twice (ADVICE r10)
     graft.scale.Dedup.cosineNearDupLsh(em.unionByName(twins),
-        "embedding", "vec_id", 0.9)
+        "embedding", "vec_id", 0.9,
+        knownRows = 2L * Tables.embeddings(s, d).count())
       .select(col("id_a"), col("id_b"), Det.dround(col("cosine"), 6).as("cosine"))
   }
 
@@ -2071,54 +2075,144 @@ object ScaleQueries3 {
 
   // ---- F10: per-series backtest + model selection ----------------------
 
-  /** F10 — the AutoML leaderboard decision at warehouse scale: hold out
-    * each user series' last 5 points, fit naive/drift/SES(.5) on the
-    * rest, winner = lowest holdout MAE on an exact 1e-9 integer grid
-    * (ties break to the simpler model). Two shuffles for every series
-    * in the warehouse. */
+  /** F10 — the AutoML leaderboard decision at warehouse scale, over the
+    * FULL model zoo (r10 verdict #8): hold out each user series' last 5
+    * points, fit naive/drift/SES(.5)/Holt(β=0)/Theta/Croston/HW(m=7) on
+    * the rest, winner = lowest holdout MAE on an exact 1e-9 integer grid
+    * (ties break to the simpler model). One groupByKey fold for every
+    * series in the warehouse; the oracle replays Croston/Theta through
+    * the same closed forms and the HW recursion through a recursive
+    * CTE. */
   private def f10Backtest: Q = (s, d) =>
-    graft.scale.PerSeriesForecast.backtestBaselines(
-        Tables.events(s, d), "value", "ts", Seq("user_id"), h = 5,
-        alpha = 0.5, tieBreak = Seq("event_id"))
+    graft.scale.PerSeriesForecast.backtestZoo(
+        Tables.events(s, d), "value", "ts", "user_id", h = 5, m = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.25, tieBreak = Some("event_id"))
       .select(col("user_id"), col("n_train"),
         Det.dround(col("mae_naive"), 6).as("mae_naive"),
         Det.dround(col("mae_drift"), 6).as("mae_drift"),
         Det.dround(col("mae_ses"), 6).as("mae_ses"),
+        Det.dround(col("mae_holt"), 6).as("mae_holt"),
+        Det.dround(col("mae_theta"), 6).as("mae_theta"),
+        Det.dround(col("mae_croston"), 6).as("mae_croston"),
+        Det.dround(col("mae_hw"), 6).as("mae_hw"),
         col("winner"))
 
   private val f10Sql =
-    s"""WITH s AS (SELECT user_id,
+    s"""WITH RECURSIVE s AS (SELECT user_id,
        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
-       |    CAST(value AS DOUBLE) AS y
+       |    CAST(floor(CAST(value AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS y9
        |  FROM events),
-       |i AS (SELECT user_id, rn, n, y, n - 5 AS ntr FROM s WHERE n - 5 >= 2),
+       |i AS (SELECT user_id, rn, n, y9, y9/1e9 AS yq, n - 5 AS ntr FROM s WHERE n - 5 >= 2),
+       |tr AS (SELECT *,
+       |    CASE WHEN rn = 1 THEN pow(0.5, ntr - 1) ELSE 0.5*pow(0.5, ntr - rn) END AS w
+       |  FROM i WHERE rn <= ntr),
+       |te AS (SELECT user_id, rn, yq, ntr, CAST(rn - ntr AS DOUBLE) AS k FROM i WHERE rn > ntr),
        |f AS (SELECT user_id, max(ntr) AS ntr,
-       |        max(CASE WHEN rn = ntr THEN y END) AS last_y,
-       |        max(CASE WHEN rn = 1 THEN y END) AS first_y,
-       |        CAST(sum(CAST(floor(y * (CASE WHEN rn = 1 THEN pow(0.5, ntr - 1)
-       |             ELSE 0.5 * pow(0.5, ntr - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
-       |      FROM i WHERE rn <= ntr GROUP BY user_id),
-       |t AS (SELECT i.user_id, CAST(i.rn - f.ntr AS DOUBLE) AS k, i.y,
-       |        f.ntr, f.last_y, f.first_y, f.ses9
-       |      FROM i JOIN f USING (user_id) WHERE i.rn > f.ntr),
-       |e AS (SELECT user_id, ntr,
-       |        CAST(floor(abs(y - last_y) * 1e9 + 0.5) AS BIGINT) AS e_naive,
-       |        CAST(floor(abs(y - (last_y + k * (last_y - first_y) / (ntr - 1))) * 1e9 + 0.5) AS BIGINT) AS e_drift,
-       |        CAST(floor(abs(y - ses9/1e9) * 1e9 + 0.5) AS BIGINT) AS e_ses
-       |      FROM t),
-       |g AS (SELECT user_id, CAST(max(ntr) AS BIGINT) AS n_train,
-       |        CAST(sum(e_naive) AS BIGINT) AS s_naive,
-       |        CAST(sum(e_drift) AS BIGINT) AS s_drift,
-       |        CAST(sum(e_ses) AS BIGINT) AS s_ses
-       |      FROM e GROUP BY 1)
+       |        max(CASE WHEN rn = ntr THEN yq END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN yq END) AS first_y,
+       |        max(CASE WHEN rn = 2 THEN yq END) - max(CASE WHEN rn = 1 THEN yq END) AS b1,
+       |        CAST(sum(CAST(floor(yq * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM tr GROUP BY user_id),
+       |hz AS (SELECT tr.user_id,
+       |        CAST(sum(CAST(floor((tr.yq - f.b1*(tr.rn - 1)) * tr.w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hz9
+       |      FROM tr JOIN f USING (user_id) GROUP BY tr.user_id),
+       |th AS (SELECT user_id, max(ntr) AS ntr,
+       |        CAST(sum(rn - 1) AS BIGINT) AS st,
+       |        CAST(sum((rn - 1)*(rn - 1)) AS BIGINT) AS stt,
+       |        sum(CAST(y9 AS HUGEINT)) AS sy9,
+       |        sum(CAST(rn - 1 AS HUGEINT) * y9) AS sty9,
+       |        CAST(sum(CAST(floor(yq * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swy9,
+       |        CAST(sum(CAST(floor((rn - 1) * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swt9,
+       |        CAST(sum(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sw9
+       |      FROM tr GROUP BY user_id),
+       |thp AS (SELECT user_id, ntr,
+       |        CASE WHEN ntr > 1 THEN
+       |          CAST(ntr*sty9 - st*sy9 AS DOUBLE) / CAST(ntr*stt - st*st AS DOUBLE) / 1e9
+       |        ELSE 0.0 END AS slope,
+       |        (CAST(sy9 AS DOUBLE)/1e9) AS sy, st, swy9, swt9, sw9
+       |      FROM th),
+       |thq AS (SELECT user_id, ntr, slope,
+       |        (sy - slope*st)/ntr AS icept, swy9, swt9, sw9 FROM thp),
+       |thf AS (SELECT user_id, slope, icept,
+       |        2.0*swy9/1e9 - icept*sw9/1e9 - slope*swt9/1e9 AS lvl2 FROM thq),
+       |nz AS (SELECT user_id, rn, yq,
+       |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS i,
+       |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nnz,
+       |        rn - coalesce(lag(rn) OVER (PARTITION BY user_id ORDER BY rn), 0) AS g
+       |      FROM tr WHERE yq <> 0),
+       |cr AS (SELECT user_id,
+       |        CAST(sum(CAST(floor(yq * w2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS z9,
+       |        CAST(sum(CAST(floor(g * w2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g9
+       |      FROM (SELECT *, CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
+       |                           ELSE 0.5*pow(0.5, nnz - i) END AS w2 FROM nz)
+       |      GROUP BY user_id),
+       |hw0 AS (SELECT user_id, max(ntr) AS ntr,
+       |        CAST(sum(CASE WHEN rn <= 7 THEN y9 ELSE 0 END) AS BIGINT) AS sum9,
+       |        CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN y9 ELSE -y9 END)
+       |             FILTER (rn <= 14) AS BIGINT) AS diff9
+       |      FROM tr WHERE ntr >= 14 GROUP BY user_id),
+       |hwb AS (SELECT hw0.user_id, hw0.ntr,
+       |        CAST(sum9 AS DOUBLE)/7/1e9 AS l0, CAST(diff9 AS DOUBLE)/49/1e9 AS b0
+       |      FROM hw0),
+       |hws AS (SELECT hwb.user_id,
+       |        list(tr.yq - hwb.l0 ORDER BY tr.rn) AS s0
+       |      FROM hwb JOIN tr ON tr.user_id = hwb.user_id AND tr.rn <= 7
+       |      GROUP BY hwb.user_id),
+       |hwrec AS (
+       |  SELECT hwb.user_id, CAST(7 AS BIGINT) AS t, hwb.ntr, hwb.l0 AS l,
+       |         hwb.b0 AS b, hws.s0 AS sl
+       |  FROM hwb JOIN hws USING (user_id)
+       |  UNION ALL
+       |  SELECT r.user_id, r.t + 1, r.ntr,
+       |    0.5*(tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b) AS l,
+       |    0.25*((0.5*(tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b AS b,
+       |    list_concat(list_concat(
+       |      CASE WHEN r.t % 7 = 0 THEN [] ELSE r.sl[1:CAST(r.t % 7 AS INT)] END,
+       |      [0.25*(tr.yq - (0.5*(tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b)))
+       |        + 0.75*r.sl[CAST(r.t % 7 AS INT) + 1]]),
+       |      CASE WHEN r.t % 7 = 6 THEN [] ELSE r.sl[CAST(r.t % 7 AS INT) + 2:7] END) AS sl
+       |  FROM hwrec r JOIN tr ON tr.user_id = r.user_id AND tr.rn = r.t + 1
+       |  WHERE r.t < r.ntr),
+       |hwf AS (SELECT user_id, l, b, sl FROM hwrec WHERE t = ntr),
+       |er AS (SELECT te.user_id,
+       |    CAST(sum(CAST(floor(abs(te.yq - f.last_y)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_naive,
+       |    CAST(sum(CAST(floor(abs(te.yq - (f.last_y + te.k*(f.last_y - f.first_y)/(f.ntr - 1)))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_drift,
+       |    CAST(sum(CAST(floor(abs(te.yq - f.ses9/1e9)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_ses,
+       |    CAST(sum(CAST(floor(abs(te.yq - (hz.hz9/1e9 + f.b1*(f.ntr - 1) + te.k*f.b1))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_holt,
+       |    CAST(sum(CAST(floor(abs(te.yq - (thf.icept + thf.slope*(f.ntr - 1 + te.k) + thf.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
+       |    CAST(sum(CAST(floor(abs(te.yq - (cr.z9/1e9)/(cr.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
+       |    CAST(sum(CAST(floor(abs(te.yq - (hwf.l + te.k*hwf.b + hwf.sl[CAST((f.ntr - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
+       |    max(CASE WHEN cr.user_id IS NULL THEN 0 ELSE 1 END) AS has_cro,
+       |    max(CASE WHEN hwf.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw,
+       |    CAST(max(f.ntr) AS BIGINT) AS n_train
+       |  FROM te JOIN f USING (user_id) JOIN hz USING (user_id)
+       |    JOIN thf USING (user_id)
+       |    LEFT JOIN cr ON cr.user_id = te.user_id
+       |    LEFT JOIN hwf ON hwf.user_id = te.user_id
+       |  GROUP BY te.user_id),
+       |wn AS (SELECT *,
+       |    coalesce(e_cro, 9223372036854775807) AS ec,
+       |    coalesce(e_hw, 9223372036854775807) AS eh FROM er)
        |SELECT user_id, n_train,
-       |  ${Det.droundSql("CAST(s_naive AS DOUBLE)/5/1e9", 6)} AS mae_naive,
-       |  ${Det.droundSql("CAST(s_drift AS DOUBLE)/5/1e9", 6)} AS mae_drift,
-       |  ${Det.droundSql("CAST(s_ses AS DOUBLE)/5/1e9", 6)} AS mae_ses,
-       |  CASE WHEN s_naive <= s_drift AND s_naive <= s_ses THEN 'naive'
-       |       WHEN s_drift <= s_ses THEN 'drift' ELSE 'ses' END AS winner
-       |FROM g""".stripMargin
+       |  ${Det.droundSql("CAST(e_naive AS DOUBLE)/5/1e9", 6)} AS mae_naive,
+       |  ${Det.droundSql("CAST(e_drift AS DOUBLE)/5/1e9", 6)} AS mae_drift,
+       |  ${Det.droundSql("CAST(e_ses AS DOUBLE)/5/1e9", 6)} AS mae_ses,
+       |  ${Det.droundSql("CAST(e_holt AS DOUBLE)/5/1e9", 6)} AS mae_holt,
+       |  ${Det.droundSql("CAST(e_theta AS DOUBLE)/5/1e9", 6)} AS mae_theta,
+       |  CASE WHEN has_cro = 1 THEN ${Det.droundSql("CAST(e_cro AS DOUBLE)/5/1e9", 6)} END AS mae_croston,
+       |  CASE WHEN has_hw = 1 THEN ${Det.droundSql("CAST(e_hw AS DOUBLE)/5/1e9", 6)} END AS mae_hw,
+       |  CASE
+       |    WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
+       |     AND e_naive <= e_theta AND e_naive <= ec AND e_naive <= eh THEN 'naive'
+       |    WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_theta
+       |     AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |    WHEN e_ses <= e_holt AND e_ses <= e_theta AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |    WHEN e_holt <= e_theta AND e_holt <= ec AND e_holt <= eh THEN 'holt'
+       |    WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
+       |    WHEN ec <= eh THEN 'croston'
+       |    ELSE 'hw' END AS winner
+       |FROM wn""".stripMargin
 
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 

@@ -452,7 +452,8 @@ object Dedup {
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bands: Int = 16,
                        planesPerBand: Int = 4, dim: Int = -1,
-                       targetBucket: Int = 32): DataFrame = {
+                       targetBucket: Int = 32,
+                       knownRows: Long = -1L): DataFrame = {
     import graft.functions.VectorOps
     val d0 = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     // ADAPTIVE bucket resolution — the scale-critical knob: with a FIXED
@@ -467,8 +468,12 @@ object Dedup {
     // > 0.95 up to r ≈ 11 ⇒ n ≈ 65M·targetBucket). For low-threshold
     // "broadly similar" mining (p ≪ 1) no hyperplane scheme is cheap —
     // route to [[semDedup]]/IVF, which candidate-generate by clustering
-    // instead. The n lookup is one count() over a projected column.
-    val n = math.max(1L, df.select(col(idCol)).count())
+    // instead. The n lookup is one count() over a projected column —
+    // callers who already know n (or whose input lineage is expensive to
+    // recompute) pass `knownRows` and the extra pass disappears; the
+    // plan stays a lazy builder in that form.
+    val n = math.max(1L,
+      if (knownRows > 0) knownRows else df.select(col(idCol)).count())
     val ppb = math.max(planesPerBand,
       math.ceil(math.log(n.toDouble / math.max(1, targetBucket)) / math.log(2)).toInt)
     val planes = Similarity.hyperplanes(bands * ppb, d0)

@@ -586,6 +586,156 @@ object PerSeriesForecast {
     * cross-implementation; the general-β/γ path is spec-pinned against
     * an independent local fold plus the exact-reconstruction property
     * on a purely seasonal series. */
+  /** Holdout backtest + model selection over the FULL per-series zoo —
+    * [[backtestBaselines]] widened from the three closed-form baselines
+    * to the whole ETS ladder: naive / drift / SES_α / Holt(β=0, the
+    * closed-form damped-none variant of [[holtForecast]]) / Theta /
+    * Croston / Holt–Winters(m). "Which model family does each of my
+    * million series want", one `groupByKey` fold — each series scores
+    * all seven candidates locally in one O(n) pass, no model objects,
+    * no collect, no per-candidate shuffle.
+    *
+    * Determinism contract (the whole point of this variant): inputs
+    * quantize to the 1e-9 grid at entry; every candidate's fit uses
+    * either (a) order-free exact-integer sums (SES/Croston/Theta weight
+    * sums as BIGINT; Theta's OLS moments as exact BigInt so the
+    * slope/intercept doubles are identical on any engine at any scale)
+    * or (b) a sequential recursion replayed identically cross-engine
+    * (HW — the oracle runs the same recursion as a recursive CTE).
+    * Holdout errors quantize per test point and sum as BIGINT, so the
+    * winner argmin is INTEGER; ties break simplest-first in the order
+    * naive < drift < ses < holt < theta < croston < hw.
+    *
+    * Candidate eligibility: Croston needs ≥1 nonzero train demand, HW
+    * needs ntr ≥ 2m; ineligible candidates emit null MAE and can't win.
+    * Series shorter than h+2 are skipped. Output: (series, n_train,
+    * mae_naive, mae_drift, mae_ses, mae_holt, mae_theta, mae_croston,
+    * mae_hw, winner). */
+  def backtestZoo(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCol: String, h: Int, m: Int = 7,
+                  alpha: Double = 0.5, beta: Double = 0.25,
+                  gamma: Double = 0.25,
+                  tieBreak: Option[String] = None): DataFrame = {
+    require(h >= 1 && m >= 2, s"need h >= 1 and m >= 2, got $h/$m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y9 = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 1e9 + 0.5).toLong)
+        val n = y9.length
+        val ntr = n - h
+        if (ntr < 2) Iterator.empty
+        else {
+          val yq = y9.map(_ / 1e9)
+          // SES weights over the train prefix (w1 = (1-a)^(ntr-1),
+          // else a(1-a)^(ntr-t)) — dyadic alpha keeps them exact
+          def sesW(t: Int, len: Int): Double = // t 1-based
+            if (t == 1) math.pow(1 - alpha, len - 1)
+            else alpha * math.pow(1 - alpha, len - t)
+          def q9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+          // --- fits ---------------------------------------------------
+          val lastY = yq(ntr - 1); val firstY = yq(0)
+          var ses9 = 0L
+          for (t <- 1 to ntr) ses9 += q9(yq(t - 1) * sesW(t, ntr))
+          val sesLvl = ses9 / 1e9
+          // holt0: b1 frozen at y2-y1, level = SES over detrended z
+          val b1 = yq(1) - yq(0)
+          var hz9 = 0L
+          for (t <- 1 to ntr) hz9 += q9((yq(t - 1) - b1 * (t - 1)) * sesW(t, ntr))
+          val holtLvl = hz9 / 1e9 + b1 * (ntr - 1)
+          // theta: exact-integer OLS moments + SES-weighted sums
+          var st = 0L; var stt = 0L
+          var sy9 = BigInt(0); var sty9 = BigInt(0)
+          var swy9 = 0L; var swt9 = 0L; var sw9 = 0L
+          for (t <- 1 to ntr) {
+            val ti = t - 1L
+            st += ti; stt += ti * ti
+            sy9 += y9(t - 1); sty9 += BigInt(ti) * y9(t - 1)
+            val w = sesW(t, ntr)
+            swy9 += q9(yq(t - 1) * w); swt9 += q9(ti * w); sw9 += q9(w)
+          }
+          val slope =
+            if (ntr > 1)
+              (BigInt(ntr) * sty9 - BigInt(st) * sy9).toDouble /
+                (ntr * stt - st * st).toDouble / 1e9
+            else 0.0
+          val icept = (sy9.toDouble / 1e9 - slope * st) / ntr
+          val lvl2 = 2.0 * swy9 / 1e9 - icept * sw9 / 1e9 - slope * swt9 / 1e9
+          // croston: SES over nonzero demand sizes + inter-demand gaps
+          val nzIdx = (1 to ntr).filter(t => yq(t - 1) != 0.0)
+          val crostonRate: Option[Double] =
+            if (nzIdx.isEmpty) None
+            else {
+              val nnz = nzIdx.length
+              var z9 = 0L; var g9 = 0L; var prev = 0L
+              for ((t, i0) <- nzIdx.zipWithIndex) {
+                val w = sesW(i0 + 1, nnz)
+                z9 += q9(yq(t - 1) * w)
+                g9 += q9((t - prev) * w)
+                prev = t
+              }
+              Some((z9 / 1e9) / (g9 / 1e9))
+            }
+          // holt-winters: the batch recursion verbatim (2-cycle init)
+          val hwState: Option[(Double, Double, Array[Double])] =
+            if (ntr < 2 * m) None
+            else {
+              var sum9 = 0L; var diff9 = 0L
+              for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
+              var l = sum9.toDouble / m / 1e9
+              var b = diff9.toDouble / (m.toLong * m) / 1e9
+              val s = Array.tabulate(m)(i => yq(i) - l)
+              for (t <- m until ntr) {
+                val ph = t % m
+                val lNew = alpha * (yq(t) - s(ph)) + (1 - alpha) * (l + b)
+                b = beta * (lNew - l) + (1 - beta) * b
+                s(ph) = gamma * (yq(t) - lNew) + (1 - gamma) * s(ph)
+                l = lNew
+              }
+              Some((l, b, s))
+            }
+          // --- holdout errors (exact-integer sums) --------------------
+          var eNaive = 0L; var eDrift = 0L; var eSes = 0L; var eHolt = 0L
+          var eTheta = 0L; var eCro = 0L; var eHw = 0L
+          for (k <- 1 to h) {
+            val yt = yq(ntr - 1 + k)
+            def e(p: Double): Long = math.floor(math.abs(yt - p) * 1e9 + 0.5).toLong
+            eNaive += e(lastY)
+            eDrift += e(lastY + k * (lastY - firstY) / (ntr - 1))
+            eSes += e(sesLvl)
+            eHolt += e(holtLvl + k * b1)
+            eTheta += e((icept + slope * (ntr - 1 + k) + lvl2) / 2)
+            crostonRate.foreach(r => eCro += e(r))
+            hwState.foreach { case (l, b, s) =>
+              eHw += e(l + k * b + s((ntr - 1 + k) % m)) }
+          }
+          val cands = Seq(
+            "naive" -> Some(eNaive), "drift" -> Some(eDrift),
+            "ses" -> Some(eSes), "holt" -> Some(eHolt),
+            "theta" -> Some(eTheta),
+            "croston" -> crostonRate.map(_ => eCro),
+            "hw" -> hwState.map(_ => eHw))
+          val best = cands.flatMap { case (nm, e) => e.map(nm -> _) }
+            .minBy(_._2)._2
+          val winner = cands.collectFirst {
+            case (nm, Some(e)) if e == best => nm }.get
+          def mae(e: Option[Long]): Option[Double] = e.map(_ / h.toDouble / 1e9)
+          Iterator.single((sid, ntr.toLong,
+            mae(Some(eNaive)), mae(Some(eDrift)), mae(Some(eSes)),
+            mae(Some(eHolt)), mae(Some(eTheta)),
+            mae(crostonRate.map(_ => eCro)), mae(hwState.map(_ => eHw)),
+            winner))
+        }
+      }
+      .toDF(seriesCol, "n_train", "mae_naive", "mae_drift", "mae_ses",
+            "mae_holt", "mae_theta", "mae_croston", "mae_hw", "winner")
+  }
+
   def holtWintersForecast(df: DataFrame, valueCol: String, tsCol: String,
                           seriesCol: String, horizon: Int, m: Int,
                           alpha: Double = 0.5, beta: Double = 0.25,

@@ -25,7 +25,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamHoltWinters {
 
   case class Pt(userId: Long, tsMs: Long, eventId: Long, value: Double)
-  case class HwState(warm: List[Double], l: Double, b: Double,
+  /** `warm` holds the 1e-9-grid quantized values as EXACT longs so the
+    * 2m-point initialization can sum them in integer arithmetic exactly
+    * as the batch estimator does (same last-ulp result on any value). */
+  case class HwState(warm: List[Long], l: Double, b: Double,
                      s: List[Double], n: Long,
                      lastTsMs: Long, lastEventId: Long)
   case class Out(userId: Long, tsMs: Long, eventId: Long,
@@ -47,25 +50,31 @@ object StreamHoltWinters {
       val late = e.tsMs < st.lastTsMs ||
         (e.tsMs == st.lastTsMs && e.eventId <= st.lastEventId)
       if (!late) {
-        val yq = math.floor(e.value * 1e9 + 0.5).toLong / 1e9
+        val y9 = math.floor(e.value * 1e9 + 0.5).toLong
+        val yq = y9 / 1e9
         if (st.n < 2L * m - 1) {
           // warm-up: no defined HW state yet
           out += Out(userId, e.tsMs, e.eventId, e.value, None)
-          st = st.copy(warm = st.warm :+ yq, n = st.n + 1,
+          st = st.copy(warm = st.warm :+ y9, n = st.n + 1,
             lastTsMs = e.tsMs, lastEventId = e.eventId)
         } else if (st.n == 2L * m - 1) {
           // 2m-th point: the last warm-up event still has no forecast;
-          // initialize from the full two cycles, then fold cycle two
+          // initialize from the full two cycles, then fold cycle two —
+          // integer sums over the grid longs, IDENTICAL arithmetic to
+          // the batch estimator (PerSeriesForecast.scala:612-623)
           out += Out(userId, e.tsMs, e.eventId, e.value, None)
-          val y = (st.warm :+ yq).toArray
-          var l = y.take(m).sum / m
-          var b = (0 until m).map(i => y(m + i) - y(i)).sum / (m.toLong * m)
-          val s = Array.tabulate(m)(i => y(i) - l)
+          val w9 = (st.warm :+ y9).toArray
+          val w = w9.map(_ / 1e9)
+          var sum9 = 0L; var diff9 = 0L
+          for (i <- 0 until m) { sum9 += w9(i); diff9 += w9(m + i) - w9(i) }
+          var l = sum9.toDouble / m / 1e9
+          var b = diff9.toDouble / (m.toLong * m) / 1e9
+          val s = Array.tabulate(m)(i => w(i) - l)
           for (t <- m until 2 * m) {
             val ph = t % m
-            val lNew = alpha * (y(t) - s(ph)) + (1 - alpha) * (l + b)
+            val lNew = alpha * (w(t) - s(ph)) + (1 - alpha) * (l + b)
             b = beta * (lNew - l) + (1 - beta) * b
-            s(ph) = gamma * (y(t) - lNew) + (1 - gamma) * s(ph)
+            s(ph) = gamma * (w(t) - lNew) + (1 - gamma) * s(ph)
             l = lNew
           }
           st = HwState(Nil, l, b, s.toList, st.n + 1, e.tsMs, e.eventId)

@@ -200,6 +200,18 @@ class CoreOpsSpec extends SparkTestBase {
     }
   }
 
+  test("every table loads to its canonical logical schema (drift guard)") {
+    // r9 lost 10 queries to the driver regenerating testdata with a
+    // different timestamp physical type; this pins the LOGICAL schema of
+    // every table so a future regeneration fails the suite loudly here,
+    // not obscurely in the correctness run.
+    Tables.canonicalSchemas.foreach { case (name, want) =>
+      val got = Tables.t(spark, SF, name).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      assert(got == want, s"table $name drifted: $got vs canonical $want")
+    }
+  }
+
   test("all registered queries return rows at sf0.001 and have matching oracle keys") {
     val qs = SparkEntry.queries
     qs.foreach { case (name, fn) =>

@@ -720,6 +720,20 @@ class ScaleSpec2 extends SparkTestBase {
     val prior2 = (10.0 + 999.0 + 30.0 + 999.0 + 100.0) / 5
     assert(math.abs(out2(("a", 1)) - ((10 + 30 + 2 * prior2) / 4)) < 1e-9,
       "fold-1 encoding must not contain fold-1 targets")
+    // null category / null id rows are PRESERVED and encode to the prior
+    // (null keys never equi-match; the left join + coalesce rule)
+    val df3 = Seq((Some(0L), Some("a"), 10.0), (Some(1L), None, 20.0),
+                  (None, Some("a"), 30.0))
+      .toDF("id", "cat", "y")
+    val out3 = graft.core.Encoders.targetEncode(df3, "cat", "y", "id",
+        folds = 2, smoothing = 2.0)
+    assert(out3.count() == 3, "null-key rows must not be dropped")
+    val prior3 = 60.0 / 3
+    val nullRows = out3.filter($"cat".isNull || $"id".isNull)
+      .select($"cat_te").collect().map(_.getDouble(0))
+    assert(nullRows.length == 2 &&
+      nullRows.forall(v => math.abs(v - prior3) < 1e-9),
+      s"null-key rows must encode to the prior, got ${nullRows.toSeq}")
   }
 
   test("rangeJoin: boundary semantics, bucket false positives filtered, lo>hi dropped, keys respected") {

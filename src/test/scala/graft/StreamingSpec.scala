@@ -700,7 +700,41 @@ class StreamingSpec extends SparkTestBase {
         prefix, "y", "ts", "sid", horizon = 1, m = 3, alpha = 0.5,
         beta = 0.25, gamma = 0.25, tieBreak = Some("eid"))
       .collect().head.getDouble(2)
-    assert(math.abs(streamed - batch) < 1e-12,
-      s"stream frontier $streamed != batch h=1 $batch")
+    // identical integer-grid init + identical recursion → EXACT equality,
+    // not epsilon parity (the warm-up longs make this structural)
+    assert(streamed == batch, s"stream frontier $streamed != batch h=1 $batch")
+  }
+
+  test("streaming Holt-Winters is split-invariant: 20 random micro-batch splits") {
+    // the st_zscore property pattern: the emitted forecasts must be
+    // IDENTICAL under any in-order micro-batch partitioning of the
+    // arrivals — state handoff across batches can't change a value
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamHoltWinters
+    import graft.streaming.StreamHoltWinters.{Out, Pt}
+    // two interleaved series, awkward lengths (one mid-warm-up at most cuts)
+    val pts = (0 until 23).map { i =>
+      Pt(1L + i % 2, i.toLong * 1000, i.toLong, 4.0 + 3.1 * (i % 3) + 0.21 * i)
+    }
+    val want = pts.groupBy(_.userId).toSeq.flatMap { case (uid, ps) =>
+      StreamHoltWinters.foldSeries(3, 0.5, 0.25, 0.25)(
+        uid, ps.iterator, StreamHoltWinters.empty)._2
+    }.sortBy(_.eventId)
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 1 + rnd.nextInt(5)
+      val cuts = (Seq(0, pts.length) ++ Seq.fill(nCuts)(rnd.nextInt(pts.length))).sorted
+      val mem = MemoryStream[Pt]
+      val name = s"hw_prop_$seed"
+      val q = StreamHoltWinters.forecast(mem.toDS(), m = 3).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(pts.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Out].collect().sortBy(_.eventId).toSeq
+      assert(got == want, s"seed $seed (cuts $cuts): split changed the output")
+    }
   }
 }
