@@ -436,6 +436,56 @@ class ScaleSpec2 extends SparkTestBase {
     assert(out(3L)._3 < out(3L)._1, "ses MAE strictly below naive MAE")
   }
 
+  test("backtestZoo: every family wins the series shaped for it; eligibility rules hold") {
+    val h = 5
+    def ser(sid: Long, ys: Seq[Double]): Seq[(Long, Long, Double)] =
+      ys.zipWithIndex.map { case (y, t) => (sid, t.toLong, y) }
+    val rows =
+      // sid 1: constant -> all-candidate tie -> 'naive' by simplest-first
+      ser(1L, Seq.fill(25)(5.0)) ++
+      // sid 2: pure line -> drift/holt/theta all exact, 'drift' wins priority
+      ser(2L, (0 until 25).map(t => 10.0 + 2.0 * t)) ++
+      // sid 3: flat 10, outlier as the LAST train point, short enough to
+      // exclude HW (ntr = 12 < 2m) -> naive anchors on the outlier,
+      // drift/holt tilt on it, SES halves it
+      ser(3L, (0 until 11).map(_ => 10.0) ++ Seq(30.0) ++ Seq.fill(h)(10.0)) ++
+      // sid 4: trend with a mid-series LEVEL SHIFT -> holt's adaptive
+      // level (SES on the detrended series) absorbs the shift; drift's
+      // endpoint slope and theta's OLS line are both polluted by it
+      ser(4L, (0 until 20).map(t => 10.0 * t + (if (t >= 12) 25.0 else 0.0)) ++
+              (20 until 25).map(t => 10.0 * t + 25.0)) ++
+      // sid 5: line + equal-and-opposite endpoint outliers, ntr = 13
+      // (HW excluded) -> OLS shrugs the outliers off, endpoints
+      // (naive/drift/holt-b1) all anchored wrong -> 'theta'
+      ser(5L, { val base = (0 until 13).map(t => 2.0 * t)
+                val tr = base.updated(0, base(0) + 8.0).updated(12, base(12) - 8.0)
+                tr ++ (13 until 18).map(t => 2.0 * t) }) ++
+      // sid 6: intermittent demand 6-every-3rd, test = the demand RATE ->
+      // croston forecasts 2/period, everything else tracks the raw zeros
+      ser(6L, (0 until 12).map(t => if (t % 3 == 0) 6.0 else 0.0) ++ Seq.fill(h)(2.0)) ++
+      // sid 7: PURE additive seasonality (m=7, zero trend — the exact-
+      // reconstruction regime: the 2-cycle init recovers level and
+      // profile exactly and the recursion preserves them) -> 'hw';
+      // nothing else tracks the phase
+      ser(7L, (0 until 26).map { t =>
+        20.0 + Seq(10.0, -5.0, 0.0, 7.0, -8.0, 3.0, -7.0)(t % 7) })
+    val df = rows.toDF("sid", "ts", "y")
+    val out = graft.scale.PerSeriesForecast.backtestZoo(
+        df, "y", "ts", "sid", h = h, m = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val winners = out.view.mapValues(_.getString(9)).toMap
+    assert(winners == Map(1L -> "naive", 2L -> "drift", 3L -> "ses",
+                          4L -> "holt", 5L -> "theta", 6L -> "croston",
+                          7L -> "hw"), s"got $winners")
+    // eligibility: HW null on short series, present on long ones
+    assert(out(3L).isNullAt(8), "ntr < 2m must exclude HW")
+    assert(!out(7L).isNullAt(8))
+    // croston present even on dense series (all-nonzero is a valid
+    // demand pattern), and the exact winners carry ~zero MAE
+    assert(out(2L).getDouble(3) < 1e-8, "drift must nail the pure line")
+    assert(out(7L).getDouble(8) < 1e-6, "HW must reconstruct pure seasonality+trend")
+  }
+
   test("typoPairs: substitution/insertion/deletion found, transposition and distance-2 excluded") {
     val mk = (s: String) => Seq.fill(3)(s).mkString(" ") // clear the support filter
     val df = Seq(
