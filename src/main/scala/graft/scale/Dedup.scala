@@ -449,12 +449,56 @@ object Dedup {
     * (band, bucket) self-join — bucketed, never all-pairs; verification
     * joins vectors back on the candidate ids only, so its cost scales
     * with the LSH-bounded candidate count, not n². */
+  /** The candidate stage of [[cosineNearDupLsh]] alone — (id_a, id_b)
+    * pairs sharing any band bucket, pre-verification and undeduped.
+    * Public so scale soaks can MEASURE the candidate volume (the
+    * linearity invariant: ≈ bands·n·targetBucket/2) instead of inferring
+    * it from wall time. */
+  def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
+                          bands: Int = 16, planesPerBand: Int = 4,
+                          dim: Int = -1, targetBucket: Int = 32,
+                          knownRows: Long = -1L): DataFrame =
+    lshStages(df, vecCol, idCol, bands, planesPerBand, dim, targetBucket,
+              knownRows)._1
+
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bands: Int = 16,
                        planesPerBand: Int = 4, dim: Int = -1,
                        targetBucket: Int = 32,
                        knownRows: Long = -1L): DataFrame = {
     import graft.functions.VectorOps
+    val (cand, base, d0, n) = lshStages(df, vecCol, idCol, bands, planesPerBand,
+                                        dim, targetBucket, knownRows)
+    val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
+    // candidate pairs stay UNDEDUPED through the broadcast verify (a pair
+    // agreeing on k bands is verified k times — bounded by `bands`) and
+    // collapse in ONE distinct AFTER the threshold filter, when the set
+    // is near-dup-sized: one tiny exchange instead of shuffling the full
+    // candidate space before verification. The vector lookups must never
+    // SORT-MERGE: SMJ sorts the candidate stream — bands·n·targetBucket/2
+    // rows × ~0.5 KB of carried vector payload — twice, and that sort is
+    // what turned super-linear at the 20× soak point (34.8 s → 23 s with
+    // hash lookups). Small vector tables broadcast (the planner's own
+    // choice, kept explicit so the hint can't suppress it); big ones
+    // build per-partition hash maps via SHUFFLE_HASH.
+    val vecBytes = n * (d0 * 8L + 24L)
+    val lookupHint = if (vecBytes < (8L << 20)) "broadcast" else "shuffle_hash"
+    cand
+      .join(withNorm.select(col("vid").as("id_a"), col("v").as("va"),
+                            col("norm").as("na")).hint(lookupHint),
+            Seq("id_a"))
+      .join(withNorm.select(col("vid").as("id_b"), col("v").as("vb"),
+                            col("norm").as("nb")).hint(lookupHint),
+            Seq("id_b"))
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
+  }
+
+  private def lshStages(df: DataFrame, vecCol: String, idCol: String,
+                        bands: Int, planesPerBand: Int, dim: Int,
+                        targetBucket: Int,
+                        knownRows: Long): (DataFrame, DataFrame, Int, Long) = {
     val d0 = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     // ADAPTIVE bucket resolution — the scale-critical knob: with a FIXED
     // planesPerBand the band has 2^r buckets forever, occupancy grows
@@ -509,20 +553,7 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.vid") < col("r.vid"))
       .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"))
-    val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
-    // candidate pairs stay UNDEDUPED through the broadcast verify (a pair
-    // agreeing on k bands is verified k times — bounded by `bands`) and
-    // collapse in ONE distinct AFTER the threshold filter, when the set
-    // is near-dup-sized: one tiny exchange instead of shuffling the full
-    // candidate space before verification
-    cand
-      .join(withNorm.select(col("vid").as("id_a"), col("v").as("va"),
-                            col("norm").as("na")), Seq("id_a"))
-      .join(withNorm.select(col("vid").as("id_b"), col("v").as("vb"),
-                            col("norm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
+    (cand, base, d0, n)
   }
 
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
@@ -641,6 +672,28 @@ object Dedup {
            (max(col("pos")) + lit(L - 1)).as("span_end"))
       .select(col("sid"), col("span_start"), col("span_end"),
               (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Measurement companion to [[duplicatedSpans]] for scale soaks: the
+    * same gram → occurrence → hit pipeline, reduced to the three volume
+    * counters that drive its cost — total positional grams (map-side
+    * explode volume), duplicated fingerprints after the minCount/maxDf
+    * filters, and HIT rows (the gram⋈dup join output, the quantity whose
+    * growth under duplicate-density stress the maxDf cap is there to
+    * bound). Actions inside — a probe, not a plan builder. */
+  def spanDedupStats(df: DataFrame, textCol: String, idCol: String,
+                     L: Int = 8, minCount: Int = 2,
+                     maxDf: Option[Long] = None): (Long, Long, Long) = {
+    val grams = positionalGramHashes(df, textCol, idCol, L).cache()
+    val nGrams = grams.count()
+    val occ = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val dup = maxDf.foldLeft(occ.filter(col("occ") >= minCount)) {
+      (d, cap) => d.filter(col("occ") <= cap)
+    }.select(col("h")).cache()
+    val nDupFps = dup.count()
+    val nHits = grams.join(dup, Seq("h")).count()
+    grams.unpersist(); dup.unpersist()
+    (nGrams, nDupFps, nHits)
   }
 
   /** Removal companion to [[duplicatedSpans]]: rebuild each document with
