@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-11 additions: semi-structured (JSON) column handling and
+  * pretraining sequence packing. */
+object ScaleQueries4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- V1: semi-structured JSON extraction ------------------------------
+
+  /** V1 — typed extraction from a JSON payload column (`events.props`):
+    * per event type, count/sum/min/max of `$.k` plus distinct high-k
+    * users. `get_json_object` is codegen'd path extraction — no UDF, no
+    * driver parsing; at 100 TB the JSON stays in the scan task and only
+    * the extracted long shuffles to the 5-group aggregate. */
+  private def v1JsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           countDistinct(when(col("k") > 50, col("user_id"))).as("hi_users"))
+
+  private val v1Sql =
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(count(DISTINCT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |                           THEN user_id END) AS BIGINT) AS hi_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---- PK1: greedy sequence packing -------------------------------------
+
+  /** PK1 — greedy fixed-budget sequence packing per (source, shard):
+    * one row per packed training sequence with its doc count and token
+    * fill. See [[graft.scale.Packing.packGreedy]] for the 100-TB shape
+    * (text never shuffles; shard fan-out bounds the sequential fold). */
+  private def pk1SeqPack: Q = (s, d) =>
+    graft.scale.Packing.packGreedy(
+      Tables.documents(s, d), "text", "doc_id", "source",
+      budget = 512L, shards = 8)
+
+  private val pk1Sql =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT source, doc_id % 8 AS shard, doc_id,
+       |         CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |         row_number() OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM documents
+       |),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                         AND d.rn = p.rn + 1
+       |)
+       |SELECT source, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM pack GROUP BY source, shard, seq_id""".stripMargin
+
+  // ---- PK2: token-budget corpus selection --------------------------------
+
+  /** PK2 — keep the highest-quality 40% of corpus tokens: docs ranked by
+    * (quality DESC, md5(id), id), longest prefix within the token
+    * budget. The Spark side is the sort-free three-level threshold
+    * refinement ([[graft.scale.Packing.budgetSelect]]); the oracle is
+    * the same SEMANTICS as one naive ranked window — hash equality
+    * proves the refinement exact, not just close. */
+  private def pk2BudgetSelect: Q = (s, d) =>
+    graft.scale.Packing.budgetSelect(Tables.documents(s, d), "text",
+                                     "doc_id", "source")
+
+  private val pk2Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH s AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, doc_id, toks, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) / 100.0 AS q
+       |  FROM s),
+       |t AS (SELECT CAST(floor(CAST(sum(toks) AS DOUBLE) * 2.0 / 5.0) AS BIGINT) AS budget FROM qd),
+       |r AS (
+       |  SELECT source, toks, t.budget,
+       |    sum(toks) OVER (ORDER BY q DESC, h, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM qd, t)
+       |SELECT source, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS tok_kept
+       |FROM r WHERE cum <= budget GROUP BY source""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v1_json_extract"   -> v1JsonExtract,
+    "pk1_seq_pack"      -> pk1SeqPack,
+    "pk2_budget_select" -> pk2BudgetSelect
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_json_extract"   -> v1Sql,
+    "pk1_seq_pack"      -> pk1Sql,
+    "pk2_budget_select" -> pk2Sql
+  )
+}

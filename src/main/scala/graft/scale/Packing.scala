@@ -1,0 +1,166 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batch construction: greedily pack
+  * documents into fixed-token-budget training sequences (the step after
+  * curation/dedup that turns a document corpus into model inputs; see
+  * e.g. the packing discussion in Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning", arXiv:1910.10683 §2.2 — examples are
+  * concatenated and split to fill the sequence length).
+  *
+  * Greedy first-fit in a FIXED document order is the deterministic,
+  * shardable form: within each (group, shard) the docs are visited in
+  * ascending id and a new sequence starts whenever adding the next doc
+  * would overflow `budget` (a doc longer than the budget gets a
+  * sequence of its own — packing never truncates; truncation is the
+  * trainer's policy decision).
+  *
+  * 100-TB shape: the token count is computed MAP-SIDE from the text and
+  * only (group, shard, id, n_tok) — ~40 bytes/doc — ever shuffles; the
+  * document text itself never moves. The greedy fold is inherently
+  * sequential per shard, so parallelism comes from the shard fan-out:
+  * `shards` is the knob that bounds docs-per-task (pick shards ≈
+  * corpusDocs / 10M for ~10M-doc tasks of 40 MB each). Sharding changes
+  * WHICH docs pack together — any fixed partition of the corpus is an
+  * equally valid packing universe; what matters is determinism, which
+  * `pmod(id, shards)` gives independent of cluster layout. */
+object Packing {
+
+  /** The §2.8 BPE-ish token pattern shared with `x4_token_count` —
+    * alnum runs or single non-space symbols. */
+  val tokPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(tokPattern), lit(0))).cast("long")
+
+  /** Per-sequence packing stats: (group, shard, seq_id, n_docs,
+    * n_tokens), seq_id 1-based in doc-id order within its shard. */
+  def packGreedy(df: DataFrame, textCol: String, idCol: String,
+                 groupCol: String, budget: Long,
+                 shards: Int = 8): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("grp"),
+              pmod(col(idCol), lit(shards.toLong)).as("shard"),
+              col(idCol).cast("long").as("id"),
+              tokenCount(col(textCol)).as("toks"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (grp, shard) = key
+        // one shard folds in one task; memory = 16 B/doc, bounded by the
+        // shard fan-out contract above
+        val docs = it.map(t => (t._3, t._4)).toArray.sortBy(_._1)
+        var seq = 0L; var acc = 0L; var nDocs = 0L
+        val out = Iterator.newBuilder[(String, Long, Long, Long, Long)]
+        for ((_, toks) <- docs) {
+          if (seq == 0L || acc + toks > budget) {
+            if (seq > 0L) out += ((grp, shard, seq, nDocs, acc))
+            seq += 1; acc = toks; nDocs = 1
+          } else { acc += toks; nDocs += 1 }
+        }
+        if (seq > 0L) out += ((grp, shard, seq, nDocs, acc))
+        out.result()
+      }
+      .toDF("grp", "shard", "seq_id", "n_docs", "n_tokens")
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Token-budget corpus selection (the FineWeb/DataComp-style step:
+    * given a training-token budget, keep the highest-quality slice of
+    * the corpus). SEMANTICS: rank every doc by (quality DESC, md5(id)
+    * ASC, id ASC) — quality on [[TextAnalysis.qualityScore]]'s 2-decimal
+    * grid, the content hash breaking score ties as an unbiased draw —
+    * and keep the longest prefix whose running token total stays within
+    * `budgetNum/budgetDen` of the corpus's total tokens.
+    *
+    * 100-TB shape: exact prefix selection WITHOUT a global sort, by
+    * three-level threshold refinement (the `sm9` order-statistic
+    * discipline, applied twice more at the boundary):
+    *   L1 — cumulative over the ≤ 101-row distinct-score grid finds the
+    *        boundary score q*; groups strictly inside the budget keep
+    *        every doc.
+    *   L2 — the q* group alone is histogrammed by its md5 3-hex-char
+    *        prefix (4096 buckets, lexicographic = hash order); the
+    *        bucket cumulative finds the boundary bucket b*.
+    *   L3 — only the (q*, b*) docs — corpus/4096 of one score group —
+    *        take a real (hash, id)-ordered window to cut the prefix
+    *        exactly.
+    * Every reduced table broadcasts back; the corpus itself is scanned
+    * map-side, shuffled only for the final per-group aggregate.
+    *
+    * Returns one row per `groupCol` value: docs and tokens kept. */
+  def budgetSelect(df: DataFrame, textCol: String, idCol: String,
+                   groupCol: String, budgetNum: Long = 2L,
+                   budgetDen: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
+    val q = floor(col("quality") * lit(100.0) + lit(0.5)) / lit(100.0)
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"), q.as("q"),
+              tokenCount(col(textCol)).as("toks"),
+              md5(col(idCol).cast("string")).as("h"))
+    // The scored lineage re-runs the text regexes on every consumer, so
+    // everything that CAN come from an aggregate does: one full-corpus
+    // pass reduces to the (grp, q) grid (|grp|·101 rows) and L1/L2 whole
+    // keeps are grid joins, never corpus rescans. Only the boundary
+    // group (one q value) and the boundary bucket (1/4096 of it) pay a
+    // second/third text pass, with the q/bkt filter pushed into it.
+    val gridG = scored.groupBy(col("grp"), col("q"))
+      .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
+    val budgetCol = floor(col("total") * lit(budgetNum.toDouble) /
+                          lit(budgetDen.toDouble)).cast("long")
+    val total = gridG.agg(sum(col("gtok")).as("total"))
+      .select(budgetCol.as("budget"))
+    // L1: score grid (≤ 101 rows; single-task window over the GRID only)
+    val wq = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = gridG.groupBy(col("q")).agg(sum(col("gtok")).as("gtok"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("gtok")).over(wq))
+      .withColumn("prev", col("cum") - col("gtok"))
+    val keepQ = grid.filter(col("cum") <= col("budget")).select(col("q"))
+    // 0 or 1 row: the score group straddling the budget + its remainder
+    val qBound = grid.filter(col("cum") > col("budget") &&
+                             col("prev") <= col("budget"))
+      .select(col("q").as("qb"), (col("budget") - col("prev")).as("rem"))
+    val keep1 = gridG.join(broadcast(keepQ), Seq("q"))
+      .select(col("grp"), col("gn"), col("gtok"))
+    // L2: boundary group histogram over the 4096 md5-prefix buckets
+    // (prefix order = hash order, so bucket cumulation preserves rank);
+    // again reduced per (grp, bkt) in ONE pass over the boundary group
+    val bdocs = scored.join(broadcast(qBound), col("q") === col("qb"))
+      .withColumn("bkt", substring(col("h"), 1, 3))
+    val bg = bdocs.groupBy(col("grp"), col("bkt"), col("rem"))
+      .agg(count(lit(1)).as("bn"), sum(col("toks")).as("btok"))
+    val wb = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = bg.groupBy(col("bkt"), col("rem"))
+      .agg(sum(col("btok")).as("htok"))
+      .withColumn("cum2", sum(col("htok")).over(wb))
+      .withColumn("prev2", col("cum2") - col("htok"))
+    val keepB = hist.filter(col("cum2") <= col("rem")).select(col("bkt"))
+    val bBound = hist.filter(col("cum2") > col("rem") &&
+                             col("prev2") <= col("rem"))
+      .select(col("bkt").as("bb"), (col("rem") - col("prev2")).as("rem2"))
+    val keep2 = bg.join(broadcast(keepB), Seq("bkt"))
+      .select(col("grp"), col("bn").as("gn"), col("btok").as("gtok"))
+    // L3: exact cut inside the single boundary bucket (bounded partition)
+    val w3 = Window.partitionBy(col("bkt")).orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val keep3 = bdocs.join(broadcast(bBound), col("bkt") === col("bb"))
+      .withColumn("cum3", sum(col("toks")).over(w3))
+      .filter(col("cum3") <= col("rem2"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
+    keep1.unionByName(keep2).unionByName(keep3)
+      .groupBy(col("grp"))
+      .agg(sum(col("gn")).as("n_kept"), sum(col("gtok")).as("tok_kept"))
+      .withColumnRenamed("grp", groupCol)
+  }
+}

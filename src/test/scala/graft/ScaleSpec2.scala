@@ -915,6 +915,66 @@ class ScaleSpec2 extends SparkTestBase {
     assert(got == want, s"got $got")
   }
 
+  test("packGreedy: hand fixture packs first-fit in id order; overflow doc gets its own sequence") {
+    // single group, single shard; budget 10. token counts: 4, 4, 4, 13, 2
+    // greedy: [4,4] (8) | [4] then 13 overflows -> [4],[13] | [2]
+    // wait - 4+4=8, +4=12>10 -> seq1=[4,4]=8; seq2=[4]... +13>10 -> seq3=[13]; seq4=[2]
+    val docs = Seq(
+      (0L, "a b c d"), (8L, "e f g h"), (16L, "i j k l"),
+      (24L, "m n o p q r s t u v w x y"), (32L, "z zz")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = graft.scale.Packing.packGreedy(docs, "text", "doc_id", "source",
+        budget = 10L, shards = 8)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 8L), (2L, 1L, 4L), (3L, 1L, 13L), (4L, 1L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("packGreedy corpus invariants: token mass preserved; multi-doc sequences within budget") {
+    val docs = graft.Tables.documents(spark, SF)
+    val budget = 512L
+    val packed = graft.scale.Packing.packGreedy(docs, "text", "doc_id", "source",
+      budget, shards = 8).cache()
+    val totalPacked = packed.agg(sum("n_tokens")).head().getLong(0)
+    val totalDocs = docs.select(graft.scale.Packing.tokenCount(col("text")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(totalPacked == totalDocs,
+      s"token mass changed: packed $totalPacked vs docs $totalDocs")
+    val over = packed.filter(col("n_docs") >= 2 && col("n_tokens") > budget).count()
+    assert(over == 0L, s"$over multi-doc sequences exceed the budget")
+    val singles = packed.filter(col("n_docs") === 1 && col("n_tokens") > budget)
+    // overflow singles are allowed (doc longer than budget) - and each such
+    // doc must really be longer than the budget
+    val fakeOver = singles.count() -
+      docs.filter(graft.scale.Packing.tokenCount(col("text")) > budget).count()
+    assert(fakeOver <= 0L, s"singleton sequences over budget without an overflow doc")
+    packed.unpersist()
+  }
+
+  test("budgetSelect: three-level refinement equals the naive ranked prefix, exactly") {
+    val docs = graft.Tables.documents(spark, SF)
+    val got = graft.scale.Packing.budgetSelect(docs, "text", "doc_id", "source")
+      .agg(sum("n_kept"), sum("tok_kept")).head()
+    val (nKept, tokKept) = (got.getLong(0), got.getLong(1))
+    // naive re-derivation: full sort by (q desc, md5, id), prefix <= budget
+    val scored = graft.scale.TextAnalysis.qualityScore(docs, "text")
+      .select((floor(col("quality") * 100.0 + 0.5) / 100.0).as("q"),
+              md5(col("doc_id").cast("string")).as("h"), col("doc_id"),
+              graft.scale.Packing.tokenCount(col("text")).as("toks"))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = math.floor(scored.map(_._4).sum * 2.0 / 5.0).toLong
+    val ranked = scored.sortBy { case (q, h, id, _) => (-q, h, id) }
+    var cum = 0L; var wantN = 0L; var wantTok = 0L; var stopped = false
+    for ((_, _, _, toks) <- ranked if !stopped) {
+      if (cum + toks <= budget) { cum += toks; wantN += 1; wantTok += toks }
+      else stopped = true
+    }
+    assert((nKept, tokKept) == ((wantN, wantTok)),
+      s"got ($nKept, $tokKept), want ($wantN, $wantTok), budget $budget")
+    assert(tokKept <= budget && tokKept > 0, "kept mass out of range")
+  }
+
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
     val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
     // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
