@@ -110,15 +110,81 @@ object ScaleQueries4 {
        |FROM r WHERE cum <= budget GROUP BY source""".stripMargin
   }
 
+  // ---- PIPE5: selection → packing, end to end ----------------------------
+
+  /** PIPE5 — the token-pipeline composition: budget-select the
+    * highest-quality 40% of corpus tokens (pk2's exact ranked prefix),
+    * then greedily pack the survivors into 512-token training sequences
+    * (pk1's shard fold over PRE-COMPUTED counts — the text is tokenized
+    * exactly once across the whole pipeline). Per-source sequence
+    * counts/fill hash-check the full chain in one oracle. */
+  private def pipe5Tokens: Q = (s, d) => {
+    val kept = graft.scale.Packing.budgetSelectDocs(
+      Tables.documents(s, d), "text", "doc_id", "source")
+    graft.scale.Packing.packGreedyCounts(kept, "toks", "id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  private val pipe5Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH RECURSIVE s AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, doc_id, toks, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) / 100.0 AS q
+       |  FROM s),
+       |t AS (SELECT CAST(floor(CAST(sum(toks) AS DOUBLE) * 2.0 / 5.0) AS BIGINT) AS budget FROM qd),
+       |r AS (
+       |  SELECT source, doc_id, toks, t.budget,
+       |    sum(toks) OVER (ORDER BY q DESC, h, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM qd, t),
+       |kept AS (
+       |  SELECT source, doc_id % 8 AS shard, doc_id, toks,
+       |    row_number() OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM r WHERE cum <= budget),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM kept WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN kept d ON d.source = p.source AND d.shard = p.shard
+       |                         AND d.rn = p.rn + 1),
+       |seqs AS (
+       |  SELECT source, shard, seq_id, count(*) AS sd, sum(toks) AS st
+       |  FROM pack GROUP BY source, shard, seq_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       |       CAST(sum(sd) AS BIGINT) AS n_docs,
+       |       CAST(sum(st) AS BIGINT) AS n_tokens
+       |FROM seqs GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_json_extract"   -> v1JsonExtract,
     "pk1_seq_pack"      -> pk1SeqPack,
-    "pk2_budget_select" -> pk2BudgetSelect
+    "pk2_budget_select" -> pk2BudgetSelect,
+    "pipe5_tokens"      -> pipe5Tokens
   )
 
   val oracle: Map[String, String] = Map(
     "v1_json_extract"   -> v1Sql,
     "pk1_seq_pack"      -> pk1Sql,
-    "pk2_budget_select" -> pk2Sql
+    "pk2_budget_select" -> pk2Sql,
+    "pipe5_tokens"      -> pipe5Sql
   )
 }

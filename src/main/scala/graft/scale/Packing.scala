@@ -39,7 +39,17 @@ object Packing {
     * n_tokens), seq_id 1-based in doc-id order within its shard. */
   def packGreedy(df: DataFrame, textCol: String, idCol: String,
                  groupCol: String, budget: Long,
-                 shards: Int = 8): DataFrame = {
+                 shards: Int = 8): DataFrame =
+    packGreedyCounts(
+      df.withColumn("__toks", tokenCount(col(textCol))),
+      "__toks", idCol, groupCol, budget, shards)
+
+  /** [[packGreedy]] over PRE-COMPUTED token counts — the composition
+    * point for pipelines that already carry `n_tok` (selection →
+    * packing chains tokenize once). */
+  def packGreedyCounts(df: DataFrame, toksCol: String, idCol: String,
+                       groupCol: String, budget: Long,
+                       shards: Int = 8): DataFrame = {
     require(budget >= 1, s"need budget >= 1, got $budget")
     require(shards >= 1, s"need shards >= 1, got $shards")
     val spark = df.sparkSession
@@ -47,7 +57,7 @@ object Packing {
     df.select(col(groupCol).cast("string").as("grp"),
               pmod(col(idCol), lit(shards.toLong)).as("shard"),
               col(idCol).cast("long").as("id"),
-              tokenCount(col(textCol)).as("toks"))
+              col(toksCol).cast("long").as("toks"))
       .as[(String, Long, Long, Long)]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
@@ -97,6 +107,52 @@ object Packing {
   def budgetSelect(df: DataFrame, textCol: String, idCol: String,
                    groupCol: String, budgetNum: Long = 2L,
                    budgetDen: Long = 5L): DataFrame = {
+    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen)
+    // aggregate form: L1/L2 whole keeps come from the (grp, ·) grids —
+    // the corpus pays ONE full text pass (gridG) plus the boundary-group
+    // and boundary-bucket passes, never a per-doc keep1/keep2 rescan
+    val keep1 = c.gridG.join(broadcast(c.keepQ), Seq("q"))
+      .select(col("grp"), col("gn"), col("gtok"))
+    val keep2 = c.bg.join(broadcast(c.keepB), Seq("bkt"))
+      .select(col("grp"), col("bn").as("gn"), col("btok").as("gtok"))
+    val keep3 = boundaryCut(c)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
+    keep1.unionByName(keep2).unionByName(keep3)
+      .groupBy(col("grp"))
+      .agg(sum(col("gn")).as("n_kept"), sum(col("gtok")).as("tok_kept"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** [[budgetSelect]]'s doc-level form: the kept rows themselves as
+    * (groupCol, id, toks) — the composition point for selection →
+    * packing pipelines. Same semantics, same cut frames; the whole-keep
+    * legs join the corpus against the broadcast grids instead of
+    * pre-aggregating (per-doc output forces the rescan). */
+  def budgetSelectDocs(df: DataFrame, textCol: String, idCol: String,
+                       groupCol: String, budgetNum: Long = 2L,
+                       budgetDen: Long = 5L): DataFrame = {
+    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen)
+    val keep1 = c.scored.join(broadcast(c.keepQ), Seq("q"))
+      .select(col("grp"), col("id"), col("toks"))
+    val keep2 = c.bdocs.join(broadcast(c.keepB), Seq("bkt"))
+      .select(col("grp"), col("id"), col("toks"))
+    val keep3 = boundaryCut(c).select(col("grp"), col("id"), col("toks"))
+    keep1.unionByName(keep2).unionByName(keep3)
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  private case class CutFrames(scored: DataFrame, gridG: DataFrame,
+                               keepQ: DataFrame, bdocs: DataFrame,
+                               bg: DataFrame, keepB: DataFrame,
+                               bBound: DataFrame)
+
+  /** The shared three-level cut: score the corpus, find the boundary
+    * score group (L1) and boundary hash bucket (L2), and hand back the
+    * tiny keep/boundary frames both output forms assemble from. */
+  private def cutFrames(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, budgetNum: Long,
+                        budgetDen: Long): CutFrames = {
     import org.apache.spark.sql.expressions.Window
     require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
       s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
@@ -105,12 +161,6 @@ object Packing {
       .select(col(groupCol).as("grp"), col(idCol).as("id"), q.as("q"),
               tokenCount(col(textCol)).as("toks"),
               md5(col(idCol).cast("string")).as("h"))
-    // The scored lineage re-runs the text regexes on every consumer, so
-    // everything that CAN come from an aggregate does: one full-corpus
-    // pass reduces to the (grp, q) grid (|grp|·101 rows) and L1/L2 whole
-    // keeps are grid joins, never corpus rescans. Only the boundary
-    // group (one q value) and the boundary bucket (1/4096 of it) pay a
-    // second/third text pass, with the q/bkt filter pushed into it.
     val gridG = scored.groupBy(col("grp"), col("q"))
       .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
     val budgetCol = floor(col("total") * lit(budgetNum.toDouble) /
@@ -129,11 +179,9 @@ object Packing {
     val qBound = grid.filter(col("cum") > col("budget") &&
                              col("prev") <= col("budget"))
       .select(col("q").as("qb"), (col("budget") - col("prev")).as("rem"))
-    val keep1 = gridG.join(broadcast(keepQ), Seq("q"))
-      .select(col("grp"), col("gn"), col("gtok"))
     // L2: boundary group histogram over the 4096 md5-prefix buckets
-    // (prefix order = hash order, so bucket cumulation preserves rank);
-    // again reduced per (grp, bkt) in ONE pass over the boundary group
+    // (prefix order = hash order, so bucket cumulation preserves rank),
+    // reduced per (grp, bkt) in ONE pass over the boundary group
     val bdocs = scored.join(broadcast(qBound), col("q") === col("qb"))
       .withColumn("bkt", substring(col("h"), 1, 3))
     val bg = bdocs.groupBy(col("grp"), col("bkt"), col("rem"))
@@ -148,19 +196,18 @@ object Packing {
     val bBound = hist.filter(col("cum2") > col("rem") &&
                              col("prev2") <= col("rem"))
       .select(col("bkt").as("bb"), (col("rem") - col("prev2")).as("rem2"))
-    val keep2 = bg.join(broadcast(keepB), Seq("bkt"))
-      .select(col("grp"), col("bn").as("gn"), col("btok").as("gtok"))
-    // L3: exact cut inside the single boundary bucket (bounded partition)
+    CutFrames(scored, gridG, keepQ, bdocs, bg, keepB, bBound)
+  }
+
+  /** L3: the exact (hash, id)-ordered prefix cut inside the single
+    * boundary bucket — a bounded partition (corpus/4096 of one score
+    * group). Returns the kept boundary-bucket rows. */
+  private def boundaryCut(c: CutFrames): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w3 = Window.partitionBy(col("bkt")).orderBy(col("h"), col("id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val keep3 = bdocs.join(broadcast(bBound), col("bkt") === col("bb"))
+    c.bdocs.join(broadcast(c.bBound), col("bkt") === col("bb"))
       .withColumn("cum3", sum(col("toks")).over(w3))
       .filter(col("cum3") <= col("rem2"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
-    keep1.unionByName(keep2).unionByName(keep3)
-      .groupBy(col("grp"))
-      .agg(sum(col("gn")).as("n_kept"), sum(col("gtok")).as("tok_kept"))
-      .withColumnRenamed("grp", groupCol)
   }
 }
