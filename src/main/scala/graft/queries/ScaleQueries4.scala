@@ -110,6 +110,92 @@ object ScaleQueries4 {
        |FROM r WHERE cum <= budget GROUP BY source""".stripMargin
   }
 
+  // ---- PK3: balanced token sharding --------------------------------------
+
+  /** PK3 — snake-deal the corpus into 8 training shards balanced by
+    * token count (imbalance bounded by the largest doc). The oracle is
+    * the naive global ranked window with the same snake arithmetic —
+    * hash equality proves the grid-offset rank decomposition exact. */
+  private def pk3ShardSnake: Q = (s, d) =>
+    graft.scale.Packing.snakeShard(Tables.documents(s, d), "text",
+                                   "doc_id", nShards = 8)
+
+  private val pk3Sql =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT toks,
+       |    row_number() OVER (ORDER BY toks DESC, h, doc_id) - 1 AS r
+       |  FROM s),
+       |a AS (
+       |  SELECT toks, r % 8 AS pos,
+       |    CAST((r - (r % 8)) / 8 AS BIGINT) % 2 AS par
+       |  FROM r)
+       |SELECT CAST(CASE WHEN par = 0 THEN pos ELSE 7 - pos END AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM a GROUP BY 1""".stripMargin
+
+  // ---- S10/S11: product-quantization ANN ---------------------------------
+
+  private val pqQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  /** S10 — PQ/ADC ANN with one distributed Lloyd refinement of the
+    * per-subspace codebooks (the production form: 4 bytes/vector scan).
+    * Trained quantizer ⇒ rows-only; recall vs exact L2 is spec-bound. */
+  private def s10AnnPq: Q = (s, d) =>
+    graft.scale.ProductQuant.pqTopK(Tables.embeddings(s, d), pqQueryIds, 5,
+      "embedding", "vec_id", m = 4, ks = 16, lloydIters = 1)
+
+  /** S11 — the hash-checkable PQ twin: `lloydIters = 0` keeps the
+    * deterministic seed codebooks (lowest-16-id vectors, sliced), so
+    * encode + ADC + ranking are pure data-derived arithmetic the oracle
+    * reproduces exactly — the whole PQ pipeline minus k-means is
+    * hash-checked, and s10 layers only Lloyd refinement on top. */
+  private def s11PqAdc: Q = (s, d) =>
+    graft.scale.ProductQuant.pqTopK(Tables.embeddings(s, d), pqQueryIds, 5,
+      "embedding", "vec_id", m = 4, ks = 16, lloydIters = 0)
+
+  private val s11Sql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS sid, e FROM v ORDER BY vec_id LIMIT 16),
+      |cb AS (
+      |  SELECT s.i AS sub,
+      |         row_number() OVER (PARTITION BY s.i ORDER BY sid) - 1 AS code,
+      |         e[s.i*16 + 1 : s.i*16 + 16] AS cw
+      |  FROM seeds, (SELECT unnest(range(4)) AS i) s),
+      |encd AS (
+      |  SELECT v.vec_id, cb.sub, cb.code,
+      |    CAST(floor(list_sum(list_transform(range(1, 17),
+      |      j -> (v.e[cb.sub*16 + j] - cb.cw[j]) * (v.e[cb.sub*16 + j] - cb.cw[j])))
+      |      * 1e9 + 0.5) AS BIGINT) AS dq
+      |  FROM v, cb),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dq, code) AS rn
+      |    FROM encd) WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, sub, code, dq FROM encd
+      |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |adc AS (
+      |  SELECT l.qid, e.vec_id AS vid, CAST(sum(l.dq) AS BIGINT) AS t
+      |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+      |  WHERE e.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, vid,
+      |         CAST((t + 500) // 1000 AS DOUBLE) / 1e6 AS adist,
+      |         row_number() OVER (PARTITION BY qid ORDER BY t, vid) AS rk
+      |  FROM adc)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vid, adist
+      |FROM ranked WHERE rk <= 5""".stripMargin
+
   // ---- PIPE5: selection → packing, end to end ----------------------------
 
   /** PIPE5 — the token-pipeline composition: budget-select the
@@ -178,6 +264,9 @@ object ScaleQueries4 {
     "v1_json_extract"   -> v1JsonExtract,
     "pk1_seq_pack"      -> pk1SeqPack,
     "pk2_budget_select" -> pk2BudgetSelect,
+    "pk3_shard_snake"   -> pk3ShardSnake,
+    "s10_ann_pq"        -> s10AnnPq,
+    "s11_pq_adc"        -> s11PqAdc,
     "pipe5_tokens"      -> pipe5Tokens
   )
 
@@ -185,6 +274,8 @@ object ScaleQueries4 {
     "v1_json_extract"   -> v1Sql,
     "pk1_seq_pack"      -> pk1Sql,
     "pk2_budget_select" -> pk2Sql,
+    "pk3_shard_snake"   -> pk3Sql,
+    "s11_pq_adc"        -> s11Sql,
     "pipe5_tokens"      -> pipe5Sql
   )
 }

@@ -210,4 +210,50 @@ object Packing {
       .withColumn("cum3", sum(col("toks")).over(w3))
       .filter(col("cum3") <= col("rem2"))
   }
+
+  /** PK3 — deterministic balanced token sharding for training-shard
+    * output: rank every doc by (toks DESC, md5(id), id) and deal the
+    * ranks onto `nShards` in a snake (boustrophedon) pattern — block b
+    * deals ranks b·N..b·N+N−1 left-to-right when b is even, right-to-
+    * left when odd — so every shard takes one doc per size block and
+    * the final token imbalance is bounded by the largest single
+    * document, independent of corpus size (LPT-style balance without
+    * LPT's sequential bin state).
+    *
+    * The global rank is computed WITHOUT a global single-task sort (the
+    * d11 lesson): a (toks → count) grid — bounded by distinct doc
+    * lengths, thousands of rows at any corpus size — gives every toks
+    * value its global rank offset via one tiny unpartitioned window,
+    * and docs then rank only WITHIN their toks group (partitioned
+    * window on a bounded key). The corpus shuffles once, carrying
+    * ~40 bytes/doc; text never moves — shard writing joins the
+    * (id → shard) map back hash-partitioned on id.
+    *
+    * Returns one row per shard: (shard, n_docs, n_tokens). */
+  def snakeShard(df: DataFrame, textCol: String, idCol: String,
+                 nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val docs = df.select(col(idCol).cast("long").as("id"),
+                         tokenCount(col(textCol)).as("toks"),
+                         md5(col(idCol).cast("string")).as("h"))
+    val grid = docs.groupBy(col("toks")).agg(count(lit(1)).as("n"))
+    // bounded input: |grid| = distinct token counts, not corpus rows
+    val wg = Window.orderBy(col("toks").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grid
+      .withColumn("off", coalesce(sum(col("n")).over(wg), lit(0L)))
+      .select(col("toks"), col("off"))
+    val wt = Window.partitionBy(col("toks")).orderBy(col("h"), col("id"))
+    val n = lit(nShards.toLong)
+    val ranked = docs.join(broadcast(offs), Seq("toks"))
+      .withColumn("r", row_number().over(wt).cast("long") + col("off") - 1L)
+    val pos = pmod(col("r"), n)
+    val block = ((col("r") - pos) / n).cast("long")
+    val shard = when(pmod(block, lit(2L)) === 0L, pos)
+      .otherwise(n - 1L - pos)
+    ranked.withColumn("shard", shard.cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
 }

@@ -975,6 +975,59 @@ class ScaleSpec2 extends SparkTestBase {
     assert(tokKept <= budget && tokKept > 0, "kept mass out of range")
   }
 
+  test("snakeShard: token imbalance bounded by the largest doc; all docs dealt") {
+    val docs = graft.Tables.documents(spark, SF)
+    val shards = graft.scale.Packing.snakeShard(docs, "text", "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shards.map(_._1).sorted.toSeq == (0L until 8L), "missing shard ids")
+    val totalDocs = docs.count()
+    assert(shards.map(_._2).sum == totalDocs, "doc count not preserved")
+    val toks = shards.map(_._3)
+    val maxDoc = docs
+      .select(graft.scale.Packing.tokenCount(col("text")).as("t"))
+      .agg(max("t")).head().getLong(0)
+    assert(toks.max - toks.min <= maxDoc,
+      s"imbalance ${toks.max - toks.min} exceeds largest doc $maxDoc")
+  }
+
+  test("budgetSelectDocs: doc-level keeps aggregate to budgetSelect exactly") {
+    val docs = graft.Tables.documents(spark, SF)
+    val agg = graft.scale.Packing.budgetSelect(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromDocs = graft.scale.Packing
+      .budgetSelectDocs(docs, "text", "doc_id", "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("toks").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromDocs == agg, s"doc-level form diverges: $fromDocs vs $agg")
+  }
+
+  test("pqTopK: valid pairings, recall@5 vs exact L2, refinement no worse than seeds") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val em = graft.Tables.embeddings(spark, SF)
+    val vecs = em.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => { val t = a(i) - b(i); t * t }).sum
+    val exact = ids.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2sq(vecs(q), v), id) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recallOf(iters: Int): Double = {
+      val got = graft.scale.ProductQuant.pqTopK(em, ids, 5, "embedding",
+          "vec_id", m = 4, ks = 16, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.length == 25 && got.forall { case (q, v) => q != v })
+      got.count { case (q, v) => exact(q)(v) }.toDouble / 25.0
+    }
+    val seedR = recallOf(0); val lloydR = recallOf(1)
+    assert(lloydR >= 0.3, s"PQ recall@5 after Lloyd too low: $lloydR (seed $seedR)")
+    assert(lloydR >= seedR - 0.12,
+      s"Lloyd refinement degraded recall: $lloydR vs seed $seedR")
+  }
+
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
     val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
     // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
