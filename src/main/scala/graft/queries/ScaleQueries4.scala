@@ -159,6 +159,15 @@ object ScaleQueries4 {
     graft.scale.ProductQuant.pqTopK(Tables.embeddings(s, d), pqQueryIds, 5,
       "embedding", "vec_id", m = 4, ks = 16, lloydIters = 0)
 
+  /** S12 — IVF+PQ: coarse cells prune the corpus to each query's 3
+    * nearest of 8, then only those cells' 4-byte codes are ADC-scored —
+    * the composed big-corpus ANN layout. Two trained quantizers ⇒
+    * rows-only; recall spec-bound alongside s10. */
+  private def s12IvfPq: Q = (s, d) =>
+    graft.scale.ProductQuant.ivfPqTopK(Tables.embeddings(s, d), pqQueryIds, 5,
+      "embedding", "vec_id", nCells = 8, nProbe = 3, m = 4, ks = 16,
+      lloydIters = 1)
+
   private val s11Sql =
     """WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -267,6 +276,7 @@ object ScaleQueries4 {
     "pk3_shard_snake"   -> pk3ShardSnake,
     "s10_ann_pq"        -> s10AnnPq,
     "s11_pq_adc"        -> s11PqAdc,
+    "s12_ivfpq"         -> s12IvfPq,
     "pipe5_tokens"      -> pipe5Tokens
   )
 

@@ -134,4 +134,63 @@ object ProductQuant {
     v.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), result.schema)
   }
+
+  /** IVF+PQ — the composed big-corpus ANN layout (IVFADC in Jégou et
+    * al. 2011 §V, raw-vector variant): a coarse k-means router prunes
+    * the corpus to each query's `nProbe` nearest cells, and only those
+    * cells' PQ codes are ADC-scored. At 100 TB this is the architecture
+    * that works: the index scan touches nProbe/nCells of the corpus and
+    * reads m bytes per touched vector — both knobs independent of
+    * corpus size — while every unbounded structure (cell assignment,
+    * code table) stays partitioned; driver/broadcast state is
+    * nCells·dim + m·ks·(dim/m) + |queries|·(m·ks + nProbe). */
+  def ivfPqTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                vecCol: String, idCol: String,
+                nCells: Int = 8, nProbe: Int = 2,
+                m: Int = 4, ks: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    require(nProbe >= 1 && nProbe <= nCells, s"need 1 <= nProbe <= nCells")
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v")).cache()
+    val cents = Similarity.trainCentroids(v, nCells, lloydIters)
+    val cbs = (0 until math.max(lloydIters, 0))
+      .foldLeft(seedCodebooks(v, m, ks))((c, _) => lloydStep(v, c, m))
+    val qVecs = v.filter(col("vid").isin(queryIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // probe plan: each query's nProbe max-cosine cells (driver-side;
+    // queryIds bounded, cents tiny) — the ivfTopK routing discipline
+    val probes = qVecs.flatMap { case (qid, qv) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        var dot = 0.0; var nc = 0.0; var j = 0
+        val lim = math.min(qv.length, cent.length)
+        while (j < lim) { dot += cent(j) * qv(j); nc += cent(j) * cent(j); j += 1 }
+        (qid, c, if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc))
+      }.sortBy(-_._3).take(nProbe).map { case (q, c, _) => (q, c) }
+    }
+    val w = cbs(0)(0).length
+    val luts: Map[Long, Array[Array[Long]]] = qVecs.map { case (qid, qv) =>
+      qid -> Array.tabulate(m)(s => cbs(s).map(cw => subDist9(qv, s * w, cw)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val lut = bc.value(qid)
+      var t = 0L; var s = 0
+      while (s < codes.length) { t += lut(s)(codes(s)); s += 1 }
+      ((t + 500L) / 1000L) / 1e6
+    }
+    import spark.implicits._
+    val probeDf = probes.toSeq.toDF("qid", "cell")
+    val scored = withCodes(Similarity.assignCells(v, cents), cbs)
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("adist", adc(col("qid"), col("codes")))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+    val result = scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+              col("vid"), col("adist"))
+    val rows = result.collect().toSeq
+    v.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), result.schema)
+  }
 }

@@ -116,7 +116,7 @@ object Similarity {
   }
 
   /** Assign every vector to its max-cosine centroid (broadcast, one scan). */
-  private def assignCells(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private[scale] def assignCells(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val bc = v.sparkSession.sparkContext.broadcast(centroids)
     val cellOf = udf { (vec: Seq[Double]) =>
       val cs = bc.value
@@ -147,7 +147,22 @@ object Similarity {
                    nCells: Int = 8, lloydIters: Int = 1): DataFrame = {
     val v = corpus.select(col(idCol).cast("long").as("vid"),
                           col(vecCol).cast("array<double>").as("v"))
-    val vc = v.cache() // pinned only across the Lloyd scans below
+    assignCells(v, trainCentroids(v, nCells, lloydIters))
+  }
+
+  /** The shared coarse quantizer: deterministic seeds (lowest-id
+    * vectors) refined by `lloydIters` distributed Lloyd steps — per-cell
+    * means via a (cell, position) partial aggregation, never collecting
+    * the corpus; a cell that loses all members keeps its previous
+    * centroid. Expects `v` as (vid, v: array<double>). Bounded driver
+    * state: nCells × dim. */
+  private[scale] def trainCentroids(v: DataFrame, nCells: Int,
+                                    lloydIters: Int): Array[Array[Double]] = {
+    // pin only across the Lloyd scans below — and only if the caller
+    // hasn't already cached v (unpersisting a borrowed cache would cost
+    // the caller its pinned corpus)
+    val weOwnCache = v.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val vc = if (weOwnCache) v.cache() else v
     val seeds = vc.orderBy(col("vid")).limit(nCells).collect()
       .map(_.getSeq[Double](1).toArray)
     def lloydStep(prev: Array[Array[Double]]): Array[Array[Double]] = {
@@ -161,8 +176,8 @@ object Similarity {
       prev.indices.map(c => means.getOrElse(c, prev(c))).toArray
     }
     val cents = (0 until math.max(lloydIters, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
-    vc.unpersist()
-    assignCells(v, cents)
+    if (weOwnCache) vc.unpersist()
+    cents
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nCells` cells
@@ -179,24 +194,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).cast("long").as("vid"),
                           col(vecCol).cast("array<double>").as("v")).cache()
-    // deterministic seeds; TakeOrdered, no full sort
-    val seeds = v.orderBy(col("vid")).limit(nCells).collect()
-      .map(_.getSeq[Double](1).toArray)
-    // Lloyd refinement: per-cell mean vector, computed distributed via
-    // (cell, position) partial aggregation — never collects the corpus;
-    // a cell that loses all members keeps its previous centroid
-    def lloydStep(prev: Array[Array[Double]]): Array[Array[Double]] = {
-      val means = assignCells(v, prev)
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      prev.indices.map(c => means.getOrElse(c, prev(c))).toArray
-    }
-    val cents = (0 until math.max(lloydIters, 0))
-      .foldLeft(seeds)((c, _) => lloydStep(c))
+    val cents = trainCentroids(v, nCells, lloydIters)
     val assigned = assignCells(v, cents)
       .withColumn("norm", graft.functions.VectorOps.l2norm(col("v"))).cache()
     // probe plan: per query, its nProbe max-cosine cells (driver-side —

@@ -1026,6 +1026,23 @@ class ScaleSpec2 extends SparkTestBase {
     assert(lloydR >= 0.3, s"PQ recall@5 after Lloyd too low: $lloydR (seed $seedR)")
     assert(lloydR >= seedR - 0.12,
       s"Lloyd refinement degraded recall: $lloydR vs seed $seedR")
+    // composed IVF+PQ: valid pairings; pruning costs recall vs full-scan
+    // PQ but must keep a usable floor, and exhaustive probing must
+    // reproduce full-scan PQ exactly (pruning is the ONLY approximation
+    // IVF adds on top of the code quantization)
+    val ivfpq = graft.scale.ProductQuant.ivfPqTopK(em, ids, 5, "embedding",
+        "vec_id", nCells = 8, nProbe = 3, m = 4, ks = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivfpq.length == 25 && ivfpq.forall { case (q, v) => q != v })
+    val ivfR = ivfpq.count { case (q, v) => exact(q)(v) }.toDouble / 25.0
+    assert(ivfR >= 0.2, s"IVF+PQ recall@5 too low: $ivfR (full-scan PQ $lloydR)")
+    val exhaustive = graft.scale.ProductQuant.ivfPqTopK(em, ids, 5, "embedding",
+        "vec_id", nCells = 8, nProbe = 8, m = 4, ks = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullPq = graft.scale.ProductQuant.pqTopK(em, ids, 5, "embedding",
+        "vec_id", m = 4, ks = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exhaustive == fullPq, "exhaustive-probe IVF+PQ != full-scan PQ")
   }
 
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
