@@ -110,6 +110,20 @@ object ScaleQueries4 {
        |FROM r WHERE cum <= budget GROUP BY source""".stripMargin
   }
 
+  /** ST — streaming packing's batch twin: the shared per-shard fold,
+    * aggregated per sequence. Hash-checked against the SAME oracle as
+    * pk1 — the assignment stream provably reconstructs the batch
+    * packing (split-invariance of the streaming path is spec-pinned in
+    * StreamingSpec). */
+  private def stPack: Q = (s, d) =>
+    graft.streaming.StreamPack.assignBatch(
+        Tables.documents(s, d), "text", "doc_id", "source", budget = 512L,
+        shards = 8)
+      .toDF()
+      .groupBy(col("grp").as("source"), col("shard"),
+               col("seqId").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+
   // ---- PK3: balanced token sharding --------------------------------------
 
   /** PK3 — snake-deal the corpus into 8 training shards balanced by
@@ -277,6 +291,7 @@ object ScaleQueries4 {
     "s10_ann_pq"        -> s10AnnPq,
     "s11_pq_adc"        -> s11PqAdc,
     "s12_ivfpq"         -> s12IvfPq,
+    "st_pack"           -> stPack,
     "pipe5_tokens"      -> pipe5Tokens
   )
 
@@ -286,6 +301,7 @@ object ScaleQueries4 {
     "pk2_budget_select" -> pk2Sql,
     "pk3_shard_snake"   -> pk3Sql,
     "s11_pq_adc"        -> s11Sql,
+    "st_pack"           -> pk1Sql,
     "pipe5_tokens"      -> pipe5Sql
   )
 }

@@ -737,4 +737,48 @@ class StreamingSpec extends SparkTestBase {
       assert(got == want, s"seed $seed (cuts $cuts): split changed the output")
     }
   }
+
+  test("streaming packing is split-invariant and equals batch packGreedy per sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamPack
+    import graft.streaming.StreamPack.{Assign, Doc}
+    // two (grp, shard) keys, budget 10; sizes force mid-sequence cuts
+    val docs = (0 until 17).map { i =>
+      Doc(if (i % 3 == 0) "a" else "b", i.toLong % 2, i.toLong, 2L + i % 6)
+    }
+    val want = docs.groupBy(d => (d.grp, d.shard)).toSeq.flatMap { case (k, ds) =>
+      StreamPack.foldShard(10L)(k, ds.iterator, StreamPack.empty)._2
+    }.sortBy(_.id)
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, docs.length) ++ Seq.fill(nCuts)(rnd.nextInt(docs.length))).sorted
+      val mem = MemoryStream[Doc]
+      val name = s"pack_prop_$seed"
+      val q = StreamPack.assign(mem.toDS(), budget = 10L).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(docs.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Assign].collect().sortBy(_.id).toSeq
+      assert(got == want, s"seed $seed (cuts $cuts): split changed the packing")
+    }
+    // the assignment stream aggregates to the batch packer, row-for-row
+    val corpus = graft.Tables.documents(spark, SF)
+    val viaStream = StreamPack.assignBatch(corpus, "text", "doc_id", "source",
+        budget = 512L, shards = 8)
+      .toDF().groupBy("grp", "shard", "seqId")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val viaBatch = graft.scale.Packing.packGreedy(corpus, "text", "doc_id",
+        "source", budget = 512L, shards = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(viaStream == viaBatch, "assignment aggregation != packGreedy")
+  }
 }
