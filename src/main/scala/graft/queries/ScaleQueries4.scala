@@ -124,6 +124,35 @@ object ScaleQueries4 {
                col("seqId").as("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
 
+  // ---- T24: time-series → token ids (Chronos-style) ----------------------
+
+  /** T24 — mean-scale + uniform-bin tokenization of every event series
+    * (the Chronos vocabulary bridge: forecasting data as packer-ready
+    * token ids). Exact integer scale sums ⇒ hash-checked per point. */
+  private def t24TsTokens: Q = (s, d) =>
+    graft.scale.TsTokens.meanScaleTokens(
+        Tables.events(s, d), "value", "event_id", "user_id",
+        bins = 64, clip = 15.0)
+      .select(col("sid").as("user_id"), col("id").as("event_id"),
+              col("token"))
+
+  private val t24Sql =
+    """WITH b AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS y6
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, CAST(sum(abs(y6)) AS BIGINT) AS s6,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1)
+      |SELECT b.user_id, b.event_id,
+      |  CAST(CASE WHEN s6 = 0 THEN 32
+      |       ELSE least(63, greatest(0,
+      |         CAST(floor((CAST(y6 AS DOUBLE)*CAST(n AS DOUBLE)/CAST(s6 AS DOUBLE)
+      |                     + 15.0) / 30.0 * 64.0) AS BIGINT)))
+      |  END AS BIGINT) AS token
+      |FROM b JOIN s USING (user_id)""".stripMargin
+
   // ---- PK3: balanced token sharding --------------------------------------
 
   /** PK3 — snake-deal the corpus into 8 training shards balanced by
@@ -292,6 +321,7 @@ object ScaleQueries4 {
     "s11_pq_adc"        -> s11PqAdc,
     "s12_ivfpq"         -> s12IvfPq,
     "st_pack"           -> stPack,
+    "t24_ts_tokens"     -> t24TsTokens,
     "pipe5_tokens"      -> pipe5Tokens
   )
 
@@ -302,6 +332,7 @@ object ScaleQueries4 {
     "pk3_shard_snake"   -> pk3Sql,
     "s11_pq_adc"        -> s11Sql,
     "st_pack"           -> pk1Sql,
+    "t24_ts_tokens"     -> t24Sql,
     "pipe5_tokens"      -> pipe5Sql
   )
 }

@@ -1045,6 +1045,26 @@ class ScaleSpec2 extends SparkTestBase {
     assert(exhaustive == fullPq, "exhaustive-probe IVF+PQ != full-scan PQ")
   }
 
+  test("meanScaleTokens: hand fixture bins, flat series centers, extremes clip") {
+    // series 1: values (1, 2, 3) -> mean |y| = 2, ratios (0.5, 1, 1.5)
+    //   token = floor((r+15)/30*64): 0.5->33, 1.0->34, 1.5->35
+    // series 2: flat zeros -> center token 32
+    // series 3: 30 zeros + (+1, -1) -> scale 2/32, ratio ±16 > clip 15
+    //   -> the positive point clips to 63, the negative to 0
+    val s3 = (0 until 30).map(i => (3L, 30L + i, 0.0)) ++
+      Seq((3L, 62L, 1.0), (3L, 63L, -1.0))
+    val df = (Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0),
+      (2L, 20L, 0.0), (2L, 21L, 0.0)
+    ) ++ s3).toDF("sid", "id", "y")
+    val got = graft.scale.TsTokens.meanScaleTokens(df, "y", "id", "sid")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(got(10L) == 33L && got(11L) == 34L && got(12L) == 35L,
+      s"series-1 bins wrong: $got")
+    assert(got(20L) == 32L && got(21L) == 32L, s"flat series must center: $got")
+    assert(got(62L) == 63L && got(63L) == 0L, s"extremes must clip: $got")
+  }
+
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
     val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
     // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
