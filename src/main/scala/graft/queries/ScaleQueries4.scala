@@ -153,6 +153,39 @@ object ScaleQueries4 {
       |  END AS BIGINT) AS token
       |FROM b JOIN s USING (user_id)""".stripMargin
 
+  /** T25 — the decode leg: every point reconstructed from its token's
+    * bin center with the encoder's exact-integer scale. Half-bin error
+    * bound is spec-pinned; the arithmetic is hash-checked here. */
+  private def t25Detokenize: Q = (s, d) =>
+    graft.scale.TsTokens.reconstruct(
+        Tables.events(s, d), "value", "event_id", "user_id",
+        bins = 64, clip = 15.0)
+      .select(col("sid").as("user_id"), col("id").as("event_id"),
+              col("token"), Det.dround(col("y_hat"), 6).as("y_hat"))
+
+  private val t25Sql =
+    """WITH b AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS y6
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, CAST(sum(abs(y6)) AS BIGINT) AS s6,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT b.user_id, b.event_id, s6, n,
+      |    CAST(CASE WHEN s6 = 0 THEN 32
+      |         ELSE least(63, greatest(0,
+      |           CAST(floor((CAST(y6 AS DOUBLE)*CAST(n AS DOUBLE)/CAST(s6 AS DOUBLE)
+      |                       + 15.0) / 30.0 * 64.0) AS BIGINT)))
+      |    END AS BIGINT) AS token
+      |  FROM b JOIN s USING (user_id))
+      |SELECT user_id, event_id, token,
+      |  floor((CAST(s6 AS DOUBLE)/(CAST(n AS DOUBLE)*1e6)
+      |         * ((CAST(token AS DOUBLE)+0.5)*(30.0/64.0) - 15.0))*1e6 + 0.5)/1e6
+      |    AS y_hat
+      |FROM t""".stripMargin
+
   // ---- PK3: balanced token sharding --------------------------------------
 
   /** PK3 — snake-deal the corpus into 8 training shards balanced by
@@ -322,6 +355,7 @@ object ScaleQueries4 {
     "s12_ivfpq"         -> s12IvfPq,
     "st_pack"           -> stPack,
     "t24_ts_tokens"     -> t24TsTokens,
+    "t25_detokenize"    -> t25Detokenize,
     "pipe5_tokens"      -> pipe5Tokens
   )
 
@@ -333,6 +367,7 @@ object ScaleQueries4 {
     "s11_pq_adc"        -> s11Sql,
     "st_pack"           -> pk1Sql,
     "t24_ts_tokens"     -> t24Sql,
+    "t25_detokenize"    -> t25Sql,
     "pipe5_tokens"      -> pipe5Sql
   )
 }

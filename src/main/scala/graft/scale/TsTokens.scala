@@ -46,4 +46,27 @@ object TsTokens {
     base.join(sc, Seq("sid"))
       .select(col("sid"), col("id"), col("y"), token.as("token"))
   }
+
+  /** Decode leg: reconstruct each point from its token's bin center —
+    * ŷ = scale · ((token + ½) · 2·clip/bins − clip), scale = the same
+    * exact-integer mean |y| the encoder used. The round trip bounds
+    * reconstruction error at scale·clip/bins for unclipped points (the
+    * quantization half-bin), which the spec pins. Returns (series, id,
+    * y, token, y_hat). */
+  def reconstruct(df: DataFrame, valueCol: String, idCol: String,
+                  seriesCol: String, bins: Int = 64,
+                  clip: Double = 15.0): DataFrame = {
+    val toks = meanScaleTokens(df, valueCol, idCol, seriesCol, bins, clip)
+    val base = df.select(col(seriesCol).cast("long").as("sid"),
+      floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("y6"))
+    val sc = base.groupBy(col("sid"))
+      .agg(sum(abs(col("y6"))).as("s6"), count(lit(1)).as("n"))
+    val scale = col("s6").cast("double") /
+      (col("n").cast("double") * lit(1e6))
+    val yHat = scale * ((col("token").cast("double") + lit(0.5)) *
+      lit(2 * clip / bins) - lit(clip))
+    toks.join(sc, Seq("sid"))
+      .select(col("sid"), col("id"), col("y"), col("token"),
+              yHat.as("y_hat"))
+  }
 }

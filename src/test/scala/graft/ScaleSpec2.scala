@@ -1065,6 +1065,26 @@ class ScaleSpec2 extends SparkTestBase {
     assert(got(62L) == 63L && got(63L) == 0L, s"extremes must clip: $got")
   }
 
+  test("reconstruct: round-trip error within half a bin for unclipped points") {
+    val ev = graft.Tables.events(spark, SF)
+    val rec = graft.scale.TsTokens.reconstruct(ev, "value", "event_id",
+        "user_id", bins = 64, clip = 15.0)
+    // per-series scale for the bound: mean |y| on the 1e-6 grid
+    val scales = ev.select(col("user_id").cast("long").as("sid"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("y6"))
+      .groupBy("sid").agg((sum(abs(col("y6"))) / count(lit(1)) / 1e6).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = rec.collect().map(r =>
+      (r.getLong(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val halfBin = 15.0 / 64.0 // clip/bins = half of the 2*clip/bins bin width
+    for ((sid, y, token, yHat) <- rows if token > 0 && token < 63) {
+      val bound = scales(sid) * halfBin + 1e-6
+      assert(math.abs(y - yHat) <= bound,
+        s"series $sid: |$y - $yHat| > $bound (token $token)")
+    }
+  }
+
   test("bpeLearn: minCount stops early; bpePairCounts top row is round-1's winner") {
     val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
     // pair counts: a-b: 3, c-d: 1. minCount=2 -> only (a,b) learned.
