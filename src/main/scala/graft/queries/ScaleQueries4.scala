@@ -186,6 +186,203 @@ object ScaleQueries4 {
       |    AS y_hat
       |FROM t""".stripMargin
 
+  /** PIPE6 — the TS→LLM bridge end-to-end: tokenize every event series
+    * (t24), then cut each series' token stream into fixed 512-token
+    * training windows in time order. Per-window stats hash-check the
+    * composed chain. The window index is a per-series row_number — a
+    * partitioned window on the series key, the t1/t2 discipline. */
+  private def pipe6TsWindows: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.scale.TsTokens.meanScaleTokens(
+      Tables.events(s, d), "value", "event_id", "user_id",
+      bins = 64, clip = 15.0)
+    val w = Window.partitionBy(col("sid")).orderBy(col("id"))
+    toks
+      .withColumn("win", ((row_number().over(w) - 1) / 512).cast("long"))
+      .groupBy(col("sid").as("user_id"), col("win"))
+      .agg(count(lit(1)).as("n_points"),
+           countDistinct(col("token")).as("n_vocab"),
+           sum(col("token")).as("sum_token"))
+  }
+
+  private val pipe6Sql =
+    """WITH b AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(CAST(value AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS y6
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, CAST(sum(abs(y6)) AS BIGINT) AS s6,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT b.user_id, b.event_id,
+      |    CAST(CASE WHEN s6 = 0 THEN 32
+      |         ELSE least(63, greatest(0,
+      |           CAST(floor((CAST(y6 AS DOUBLE)*CAST(n AS DOUBLE)/CAST(s6 AS DOUBLE)
+      |                       + 15.0) / 30.0 * 64.0) AS BIGINT)))
+      |    END AS BIGINT) AS token
+      |  FROM b JOIN s USING (user_id)),
+      |wi AS (
+      |  SELECT user_id, token,
+      |    CAST((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+      |         // 512 AS BIGINT) AS win
+      |  FROM t)
+      |SELECT user_id, win,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
+      |       CAST(sum(token) AS BIGINT) AS sum_token
+      |FROM wi GROUP BY 1, 2""".stripMargin
+
+  // ---- SM16: two-phase curriculum (anneal) mixture -----------------------
+
+  /** SM16 — split a 40%-of-corpus token budget into a main phase over
+    * all sources and a 20% anneal phase over the top half by mean
+    * quality (the midtraining-mix discipline). Exact integer aggregates
+    * + single-division allocations ⇒ fully hash-checked. */
+  private def sm16Anneal: Q = (s, d) =>
+    graft.scale.Sampling.annealMixture(
+      Tables.documents(s, d), "source", "text",
+      budgetNum = 2L, budgetDen = 5L, annealPct = 20)
+
+  private val sm16Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH sdoc AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, toks,
+       |    CAST(floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) AS BIGINT) AS q100
+       |  FROM sdoc),
+       |src AS (
+       |  SELECT source, CAST(sum(toks) AS BIGINT) AS n_avail,
+       |         CAST(sum(q100) AS BIGINT) AS sq,
+       |         CAST(count(*) AS BIGINT) AS nd
+       |  FROM qd GROUP BY 1),
+       |rk AS (
+       |  SELECT source, n_avail,
+       |    row_number() OVER (ORDER BY CAST(sq AS DOUBLE)/CAST(nd AS DOUBLE) DESC,
+       |                                source) AS rk,
+       |    count(*) OVER () AS ns
+       |  FROM src),
+       |mem AS (SELECT source, n_avail, rk * 2 <= ns AS in_anneal FROM rk),
+       |tot AS (
+       |  SELECT CAST(sum(n_avail) AS BIGINT) AS tot,
+       |    CAST(sum(CASE WHEN in_anneal THEN n_avail ELSE 0 END) AS BIGINT) AS totA
+       |  FROM mem),
+       |bud AS (
+       |  SELECT tot, totA,
+       |    CAST(floor(CAST(tot AS DOUBLE) * 2.0 / 5.0) AS BIGINT) AS budget
+       |  FROM tot),
+       |bud2 AS (
+       |  SELECT tot, totA, budget,
+       |    CAST(floor(CAST(budget AS DOUBLE) * 0.8) AS BIGINT) AS mainB,
+       |    budget - CAST(floor(CAST(budget AS DOUBLE) * 0.8) AS BIGINT) AS annealB
+       |  FROM bud)
+       |SELECT m.source, m.n_avail,
+       |  least(m.n_avail,
+       |    CAST(floor(CAST(b.mainB AS DOUBLE) * CAST(m.n_avail AS DOUBLE)
+       |               / CAST(b.tot AS DOUBLE)) AS BIGINT)) AS main_tokens,
+       |  CAST(CASE WHEN NOT m.in_anneal OR b.totA = 0 THEN 0
+       |       ELSE least(m.n_avail,
+       |         CAST(floor(CAST(b.annealB AS DOUBLE) * CAST(m.n_avail AS DOUBLE)
+       |                    / CAST(b.totA AS DOUBLE)) AS BIGINT))
+       |  END AS BIGINT) AS anneal_tokens
+       |FROM mem m, bud2 b""".stripMargin
+  }
+
+  // ---- X22: Zipf rank-frequency slope per source ---------------------------
+
+  /** X22 — per-source Zipf fit over the top-200 vocabulary: OLS slope and
+    * intercept of ln(freq) on ln(rank). Natural text sits near slope −1;
+    * the per-source value is a corpus-mix health diagnostic. Exact-count
+    * ranks, 1e-9-grid OLS terms, 1e-6 outputs. */
+  private def x22Zipf: Q = (s, d) =>
+    graft.scale.TextAnalysis.zipfSlope(
+      Tables.documents(s, d), "text", "source", topV = 200)
+
+  private val x22Sql =
+    """WITH toks AS (
+      |  SELECT source, w
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |cnts AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk
+      |  FROM cnts),
+      |terms AS (
+      |  SELECT source,
+      |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS x9,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS y9,
+      |    CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS xx9,
+      |    CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS xy9
+      |  FROM rk WHERE rk <= 200),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+      |    CAST(sum(xx9) AS BIGINT) AS sxx, CAST(sum(xy9) AS BIGINT) AS sxy
+      |  FROM terms GROUP BY 1),
+      |fit AS (
+      |  SELECT source, n_terms,
+      |    floor((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) / 1e9
+      |           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+      |          / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) / 1e9
+      |             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+      |          * 1e6 + 0.5) / 1e6 AS slope,
+      |    sy, sx
+      |  FROM agg)
+      |SELECT source, n_terms, slope,
+      |  floor((CAST(sy AS DOUBLE) / 1e9 - slope * CAST(sx AS DOUBLE) / 1e9)
+      |        / CAST(n_terms AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
+      |FROM fit""".stripMargin
+
+  // ---- SM17: deterministic training-mix schedule --------------------------
+
+  /** SM17 — the anneal mixture's MAIN-phase allocation cut into 512-token
+    * chunks and every chunk assigned its global training step by the
+    * closed-form interleave rank (no global sort — see
+    * [[graft.scale.Sampling.mixSchedule]]). Composes sm16 → sm17: the
+    * full "decide the mix, then emit the run order" path under one hash. */
+  private def sm17Schedule: Q = (s, d) => {
+    val alloc = graft.scale.Sampling.annealMixture(
+      Tables.documents(s, d), "source", "text",
+      budgetNum = 2L, budgetDen = 5L, annealPct = 20)
+    graft.scale.Sampling.mixSchedule(alloc, "source", "main_tokens",
+      chunkTokens = 512L)
+  }
+
+  private val sm17Sql = {
+    // the oracle computes the SAME rank the honest way — a global
+    // row_number over (chunk_idx/n_chunks, source, chunk_idx); the two
+    // formulations agreeing IS the correctness claim for the closed form
+    val anneal = sm16Sql
+    s"""WITH alloc AS ($anneal),
+       |nc AS (
+       |  SELECT source,
+       |    CAST(ceil(CAST(main_tokens AS DOUBLE) / 512.0) AS BIGINT) AS n_chunks
+       |  FROM alloc WHERE main_tokens > 0),
+       |chunks AS (
+       |  SELECT source, n_chunks,
+       |    CAST(unnest(generate_series(1, n_chunks)) AS BIGINT) AS chunk_idx
+       |  FROM nc)
+       |SELECT source, chunk_idx, n_chunks,
+       |  CAST(row_number() OVER (
+       |    ORDER BY CAST(chunk_idx AS DOUBLE) / CAST(n_chunks AS DOUBLE),
+       |             source, chunk_idx) AS BIGINT) AS step
+       |FROM chunks""".stripMargin
+  }
+
   // ---- PK3: balanced token sharding --------------------------------------
 
   /** PK3 — snake-deal the corpus into 8 training shards balanced by
@@ -356,7 +553,11 @@ object ScaleQueries4 {
     "st_pack"           -> stPack,
     "t24_ts_tokens"     -> t24TsTokens,
     "t25_detokenize"    -> t25Detokenize,
-    "pipe5_tokens"      -> pipe5Tokens
+    "sm16_anneal"       -> sm16Anneal,
+    "sm17_schedule"     -> sm17Schedule,
+    "x22_zipf"          -> x22Zipf,
+    "pipe5_tokens"      -> pipe5Tokens,
+    "pipe6_ts_windows"  -> pipe6TsWindows
   )
 
   val oracle: Map[String, String] = Map(
@@ -368,6 +569,10 @@ object ScaleQueries4 {
     "st_pack"           -> pk1Sql,
     "t24_ts_tokens"     -> t24Sql,
     "t25_detokenize"    -> t25Sql,
-    "pipe5_tokens"      -> pipe5Sql
+    "sm16_anneal"       -> sm16Sql,
+    "sm17_schedule"     -> sm17Sql,
+    "x22_zipf"          -> x22Sql,
+    "pipe5_tokens"      -> pipe5Sql,
+    "pipe6_ts_windows"  -> pipe6Sql
   )
 }

@@ -317,4 +317,129 @@ object Sampling {
       .drop("__cid", "component")
     hashSplit(keyed, "__skey", trainPct, valPct).drop("__skey")
   }
+
+  /** Two-phase curriculum (anneal) mixture: split a total token budget
+    * into a main phase over every source and an anneal phase restricted
+    * to the top half of sources by mean quality — the
+    * "midtraining/anneal" discipline of modern pretraining runs (e.g.
+    * the staged data mixes described for MiniCPM, Zhu et al. 2024,
+    * arXiv:2404.06395 §4: a final decay phase upweights the
+    * highest-quality subset). Within each phase, allocation is
+    * availability-proportional and capped at availability (single-round
+    * cap — the iterated redistribution variant is [[waterfillMixture]];
+    * composing the two is the caller's policy).
+    *
+    * Determinism: per-source availability and quality come from exact
+    * integer aggregates (token counts as longs, the 2-decimal quality
+    * grid summed as 1e2-grid longs); each allocation is ONE
+    * floor(double·mult/div) of identical operands cross-engine; the
+    * anneal membership rank orders by (exact mean-quality division,
+    * source) — the sm9 order-statistic discipline, no interpolation.
+    *
+    * Scale shape: one partial-agg shuffle over the corpus; everything
+    * after runs on the |sources|-row table (1-row totals broadcast
+    * back). Returns (source, n_avail, main_tokens, anneal_tokens). */
+  def annealMixture(df: DataFrame, sourceCol: String, textCol: String,
+                    budgetNum: Long = 2L, budgetDen: Long = 5L,
+                    annealPct: Int = 20): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
+    require(annealPct >= 0 && annealPct <= 100,
+      s"need annealPct in [0,100], got $annealPct")
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("toks"),
+        floor(col("quality") * 100.0 + 0.5).cast("long").as("q100"))
+    val src = scored.groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_avail"), sum(col("q100")).as("sq"),
+           count(lit(1)).as("nd"))
+      .withColumn("mq", col("sq").cast("double") / col("nd").cast("double"))
+    // bounded |sources|-row windows: anneal membership + totals
+    val wq = Window.orderBy(col("mq").desc, col("source"))
+    val ranked = src
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("inAnneal", col("rk") * 2L <= col("ns"))
+    // the budget derives in-plan from the corpus total (no eager action;
+    // the d11 lesson): budget = floor(tot·num/den), then an exact
+    // integer split between the phases
+    val totals = ranked.groupBy()
+      .agg(sum(col("n_avail")).as("tot"),
+           sum(when(col("inAnneal"), col("n_avail")).otherwise(0L)).as("totA"))
+      .withColumn("budget",
+        floor(col("tot").cast("double") * lit(budgetNum.toDouble) /
+              lit(budgetDen.toDouble)).cast("long"))
+      .withColumn("mainB",
+        floor(col("budget").cast("double") *
+              lit((100 - annealPct).toDouble / 100.0)).cast("long"))
+      .withColumn("annealB", col("budget") - col("mainB"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("main_tokens",
+        least(col("n_avail"), floor(col("mainB").cast("double") *
+          col("n_avail").cast("double") / col("tot").cast("double"))
+          .cast("long")))
+      .withColumn("anneal_tokens",
+        when(!col("inAnneal") || col("totA") === 0L, lit(0L))
+          .otherwise(least(col("n_avail"), floor(col("annealB").cast("double") *
+            col("n_avail").cast("double") / col("totA").cast("double"))
+            .cast("long"))))
+      .select(col("source"), col("n_avail"), col("main_tokens"),
+              col("anneal_tokens"))
+  }
+
+  /** Deterministic training-mix SCHEDULE: given a per-source token
+    * allocation (the output of [[annealMixture]] / [[waterfillMixture]]),
+    * cut each source into fixed-size chunks and assign every chunk a
+    * global training step so that each source's chunks are evenly
+    * interleaved across the run — the "don't front-load one source"
+    * discipline of multi-corpus pretraining (chunk k of a source with n
+    * chunks sits at fractional position k/n of the run).
+    *
+    * The naive form — row_number over a global ORDER BY (k/n, source) —
+    * is a single-task sort over a DATA-SIZED table (one row per training
+    * chunk; at 100 TB that is billions of rows). Instead the step is
+    * computed in CLOSED FORM: step(s,k) = 1 + (k−1) +
+    * Σ_{t≠s} |{j ≤ n_t : j/n_t < k/n_s}| + ties-before, and the inner
+    * count is pure integer arithmetic, |{j : j·n_s < k·n_t}| =
+    * floor((k·n_t − 1)/n_s), with the tie j·n_s = k·n_t (at most one j)
+    * ordered by source name. So the schedule is one broadcast of the
+    * |sources|-row chunk-count table against the exploded chunk list —
+    * map-side, no sort, no window — and exactly equals the rank the
+    * global sort would produce (spec-pinned). Tie detection is exact
+    * integer equality j·n_s = k·n_t; a sort over double fractions agrees
+    * because distinct chunk fractions differ by ≥ 1/(n_s·n_t), far above
+    * double ulp for any per-source chunk count below ~2²⁶.
+    *
+    * Returns (source, chunk_idx 1-based, n_chunks, step 1-based); steps
+    * are a permutation of 1..Σn_chunks. */
+  def mixSchedule(alloc: DataFrame, sourceCol: String, allocCol: String,
+                  chunkTokens: Long = 4096L): DataFrame = {
+    require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
+    val nchunks = alloc
+      .select(col(sourceCol).as("source"),
+        ceil(col(allocCol).cast("double") / chunkTokens.toDouble)
+          .cast("long").as("n_chunks"))
+      .filter(col("n_chunks") > 0L)
+    val chunks = nchunks
+      .withColumn("chunk_idx", explode(sequence(lit(1L), col("n_chunks"))))
+    val other = nchunks.select(col("source").as("t_source"),
+                               col("n_chunks").as("t_n"))
+    // one broadcast nested-loop over the |sources|-row counts table:
+    // each chunk row meets every OTHER source once, then one partial-agg
+    // groupBy on the chunk key — no global sort anywhere
+    val contrib = chunks.join(
+        broadcast(other), col("source") =!= col("t_source"))
+      .withColumn("before",
+        expr("(chunk_idx * t_n - 1) div n_chunks"))
+      .withColumn("tie",
+        when(((col("chunk_idx") * col("t_n")) % col("n_chunks") === 0L) &&
+             (col("chunk_idx") * col("t_n") / col("n_chunks") <= col("t_n")) &&
+             (col("t_source") < col("source")), 1L).otherwise(0L))
+      .groupBy(col("source"), col("chunk_idx"), col("n_chunks"))
+      .agg(sum(col("before") + col("tie")).as("cross_before"))
+    contrib
+      .withColumn("step", col("chunk_idx") + col("cross_before"))
+      .select(col("source"), col("chunk_idx"), col("n_chunks"), col("step"))
+  }
 }

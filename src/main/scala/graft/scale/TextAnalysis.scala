@@ -729,4 +729,60 @@ object TextAnalysis {
     } finally vocab.unpersist()
     out.toSeq.toDF("step", "left", "right", "n")
   }
+
+  /** Per-group Zipf fit: OLS of ln(freq) on ln(rank) over the top-V
+    * vocabulary — the rank–frequency power-law diagnostic (Zipf's law:
+    * natural text has slope ≈ −1; templated/boilerplate corpora flatten
+    * toward 0, spam steepens). A per-source slope is a cheap corpus-mix
+    * health check a pretraining pipeline runs after every big filter.
+    *
+    * Determinism: counts are exact; the rank is a row_number over
+    * (count desc, word) — total order, no ties left to the engine; each
+    * OLS term (x, y, x², xy with x=ln rank, y=ln cnt) quantizes to the
+    * 1e-9 grid as a BIGINT before the sum (the `term9` discipline —
+    * unordered double sums differ across engines in the last ulp,
+    * integer sums cannot), and the closed-form slope/intercept round to
+    * 1e-6 at the end.
+    *
+    * Scale shape: one corpus shuffle to (group, word) counts, a window
+    * over the REDUCED vocab table partitioned by group for the rank,
+    * then a ≤V-row-per-group aggregate. The corpus is never sorted;
+    * driver sees nothing. */
+  def zipfSlope(df: DataFrame, textCol: String, groupCol: String,
+                topV: Int = 200): DataFrame = {
+    require(topV >= 3, s"need topV >= 3 for a 2-parameter fit, got $topV")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("g"), explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("cnt").desc, col("w"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topV)
+      .withColumn("x", log(col("rk").cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+      .select(col("g"),
+        floor(col("x") * 1e9 + 0.5).cast("long").as("x9"),
+        floor(col("y") * 1e9 + 0.5).cast("long").as("y9"),
+        floor(col("x") * col("x") * 1e9 + 0.5).cast("long").as("xx9"),
+        floor(col("x") * col("y") * 1e9 + 0.5).cast("long").as("xy9"))
+    ranked.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+           sum(col("xx9")).as("sxx"), sum(col("xy9")).as("sxy"))
+      .withColumn("den",
+        col("n_terms").cast("double") * col("sxx").cast("double") / 1e9 -
+        (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9))
+      .withColumn("slope", graft.queries.Det.dround(
+        (col("n_terms").cast("double") * col("sxy").cast("double") / 1e9 -
+         (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
+        col("den"), 6))
+      .withColumn("intercept", graft.queries.Det.dround(
+        (col("sy").cast("double") / 1e9 -
+         col("slope") * col("sx").cast("double") / 1e9) /
+        col("n_terms").cast("double"), 6))
+      .select(col(groupCol), col("n_terms"), col("slope"), col("intercept"))
+  }
 }

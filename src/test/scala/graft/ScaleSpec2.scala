@@ -1095,4 +1095,94 @@ class ScaleSpec2 extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(top.toSeq == Seq(("ab", 3L), ("cd", 1L)), s"got ${top.toSeq}")
   }
+
+  test("annealMixture: budget conservation, caps, and anneal membership = top half by quality") {
+    val out = Sampling.annealMixture(docs, "source", "text",
+        budgetNum = 2L, budgetDen = 5L, annealPct = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    out.foreach { case (s, avail, m, a) =>
+      assert(m >= 0 && a >= 0, s"$s negative allocation")
+      assert(m <= avail, s"$s main alloc exceeds availability")
+      assert(a <= avail, s"$s anneal alloc exceeds availability")
+    }
+    val tot = out.map(_._2).sum
+    val budget = math.floor(tot.toDouble * 2.0 / 5.0).toLong
+    val mainB = math.floor(budget.toDouble * 0.8).toLong
+    val annealB = budget - mainB
+    // proportional-with-floor conservation: each phase within |sources| slack
+    val mainTot = out.map(_._3).sum; val annTot = out.map(_._4).sum
+    assert(mainTot <= mainB && mainB - mainTot <= out.length,
+      s"main phase slack: alloc=$mainTot budget=$mainB")
+    assert(annTot <= annealB && annealB - annTot <= out.length,
+      s"anneal phase slack: alloc=$annTot budget=$annealB")
+    // exactly half the sources participate in the anneal phase
+    assert(out.count(_._4 > 0) == 10,
+      s"anneal membership should be the top 10 of 20 sources, got ${out.count(_._4 > 0)}")
+    // membership is quality-ranked: anneal sources have mean quality >=
+    // every non-anneal source's (ties broken by name, so compare the cut)
+    val q = TextAnalysis.qualityScore(docs, "text")
+      .groupBy("source").agg(avg("quality").as("mq"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val inA = out.filter(_._4 > 0).map(t => q(t._1)).min
+    val outA = out.filter(_._4 == 0).map(t => q(t._1)).max
+    assert(inA >= outA - 1e-9,
+      s"anneal cut not quality-ranked: min-in=$inA max-out=$outA")
+  }
+
+  test("zipfSlope: recovers the exponent of a planted power law; corpus in natural band") {
+    // word i repeated round(1e5 / i^1.0) times -> ln(cnt) = ln(1e5) - 1.0*ln(rank)
+    val rows = (1 to 50).flatMap { i =>
+      val c = math.round(1e5 / i).toInt
+      Seq.fill(c)(("p", f"w$i%03d"))   // zero-padded so count desc == name asc on ties
+    }
+    val df = rows.grouped(5000).zipWithIndex.map { case (g, j) =>
+      (j.toLong, "p", g.map(_._2).mkString(" "))
+    }.toSeq.toDF("doc_id", "source", "text")
+    val fit = TextAnalysis.zipfSlope(df, "text", "source", topV = 50)
+      .collect()(0)
+    val slope = fit.getDouble(2); val icept = fit.getDouble(3)
+    assert(math.abs(slope - (-1.0)) < 0.01, s"planted slope -1, fit $slope")
+    assert(math.abs(icept - math.log(1e5)) < 0.05, s"intercept off: $icept")
+    // the real corpus: every source fits a decaying power law, not flat
+    val corp = TextAnalysis.zipfSlope(docs, "text", "source", topV = 200)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    assert(corp.length == 20)
+    corp.foreach { case (s, sl) =>
+      assert(sl < -0.1 && sl > -3.0, s"source $s slope $sl outside natural band") }
+  }
+
+  test("mixSchedule: closed-form rank == global-sort rank, permutation, even spacing") {
+    val alloc = Seq(("a", 3000L), ("b", 1000L), ("c", 500L), ("z", 3000L))
+      .toDF("source", "alloc")   // a and z have IDENTICAL chunk counts ->
+                                 // every fraction ties; name order must decide
+    val out = Sampling.mixSchedule(alloc, "source", "alloc", chunkTokens = 500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = out.groupBy(_._1).map(_._2.head._3).sum
+    assert(out.length == total, s"one row per chunk: ${out.length} vs $total")
+    assert(out.map(_._4).sorted.toSeq == (1L to total).toSeq,
+      "steps must be a permutation of 1..N")
+    // twin: the honest global sort over (k/n, source, k)
+    val twin = out.sortBy { case (s, k, nc, _) => (k.toDouble / nc, s, k) }
+      .zipWithIndex.map { case ((s, k, _, _), i) => (s, k) -> (i + 1L) }.toMap
+    out.foreach { case (s, k, _, step) =>
+      assert(twin((s, k)) == step,
+        s"closed form disagrees with sort at ($s,$k): $step vs ${twin((s, k))}") }
+    // even interleave: source a (6 chunks of 18 total) gaps within ceil(18/6)+2
+    val aSteps = out.filter(_._1 == "a").sortBy(_._2).map(_._4)
+    val gaps = aSteps.zip(aSteps.drop(1)).map { case (x, y) => y - x }
+    assert(gaps.forall(_ <= (total / aSteps.length) + 2),
+      s"schedule front-loads source a: gaps=${gaps.toSeq}")
+  }
+
+  test("annealMixture: annealPct=0 degenerates to a single availability-proportional phase") {
+    val out = Sampling.annealMixture(docs, "source", "text",
+        budgetNum = 1L, budgetDen = 2L, annealPct = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._4 == 0L), "annealPct=0 must allocate zero anneal tokens")
+    val tot = out.map(_._2).sum
+    val budget = math.floor(tot.toDouble / 2.0).toLong
+    val mainTot = out.map(_._3).sum
+    assert(mainTot <= budget && budget - mainTot <= out.length)
+  }
 }
