@@ -298,6 +298,32 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- S13: hard-negative mining -------------------------------------------
+
+  /** S13 — per-anchor top-10 hard negatives: cosine in [0.20, 0.35), the
+    * contrastive-training band below this corpus's near-duplicate line. Exact twin;
+    * corpus-wide mining routes through the IVF cells. */
+  private def s13HardNegatives: Q = (s, d) =>
+    graft.scale.Similarity.hardNegatives(
+      Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      lo = 0.20, hi = 0.35, "embedding", "vec_id")
+
+  private val s13Sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS vid,
+      |    floor(list_dot_product(v.e, q.qe) /
+      |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      |  FROM v JOIN q ON v.vec_id <> q.qid),
+      |band AS (SELECT * FROM scored WHERE cosine >= 0.20 AND cosine < 0.35),
+      |ranked AS (
+      |  SELECT qid, vid, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rank
+      |  FROM band)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   // ---- X22: Zipf rank-frequency slope per source ---------------------------
 
   /** X22 — per-source Zipf fit over the top-200 vocabulary: OLS slope and
@@ -556,6 +582,7 @@ object ScaleQueries4 {
     "sm16_anneal"       -> sm16Anneal,
     "sm17_schedule"     -> sm17Schedule,
     "x22_zipf"          -> x22Zipf,
+    "s13_hard_negatives" -> s13HardNegatives,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -572,6 +599,7 @@ object ScaleQueries4 {
     "sm16_anneal"       -> sm16Sql,
     "sm17_schedule"     -> sm17Sql,
     "x22_zipf"          -> x22Sql,
+    "s13_hard_negatives" -> s13Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

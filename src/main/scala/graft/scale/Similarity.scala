@@ -30,6 +30,38 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k corpus vectors whose cosine falls in the band [lo, hi) —
+    * similar enough to be informative negatives, below the near-duplicate
+    * line so they aren't false negatives (the in-batch/mined-negative
+    * recipe of DPR, Karpukhin et al. 2020 §4.2, and SimCSE-style
+    * pipelines). The band filter runs BEFORE the per-anchor top-k, so
+    * near-dups never occupy negative slots.
+    *
+    * Same 100-TB shape as [[bruteForceTopK]]: bounded anchor set
+    * broadcast against a partitioned corpus scan, one per-anchor window
+    * over band survivors. For corpus-wide mining (every doc an anchor),
+    * route through the IVF cells ([[ivfTopK]]) instead — this form is the
+    * exact oracle twin. Ranking deterministic: (rounded cosine desc, vid). */
+  def hardNegatives(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                    lo: Double, hi: Double,
+                    vecCol: String, idCol: String): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
+    val q = v.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q), col("vid") =!= col("qid"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
+      .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
+  }
+
   /** A10 (row-transpose form) — top-k rows most Pearson-correlated to one
     * selected row (`utils/eda.py:124-191` `top_correlation_to_name`: rows
     * are entities — stocks/funds/products — columns are time periods; the

@@ -861,6 +861,32 @@ class ScaleSpec extends SparkTestBase {
     assert(capped.forall { case (id, a, b) =>
       full.exists { case (fid, fa, fb) => fid == id && fa <= a && b <= fb } })
   }
+
+  test("hardNegatives: band respected, near-dups excluded, ranks contiguous") {
+    val em = Tables.embeddings(spark, SF)
+    val ids = Seq(0L, 1L, 2L)
+    val hn = Similarity.hardNegatives(em, ids, 10, lo = 0.20, hi = 0.35,
+        "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hn.nonEmpty, "band [0.20, 0.35) should be populated on this corpus")
+    hn.foreach { case (q, _, v, c) =>
+      assert(c >= 0.20 && c < 0.35, s"($q,$v) cosine $c outside the band")
+      assert(q != v) }
+    // ranks are 1..n per anchor with no holes, ordered by cosine desc
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq,
+        s"anchor $q ranks not contiguous")
+      assert(sorted.map(-_._4).toSeq == sorted.map(-_._4).toSeq.sorted,
+        s"anchor $q not cosine-ordered") }
+    // disjoint from the near-duplicate set ABOVE the ceiling: a mined
+    // negative that is actually a dup would poison contrastive training
+    val top = Similarity.bruteForceTopK(em, ids, 50, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._3 >= 0.35).map(t => (t._1, t._2)).toSet
+    assert(hn.forall { case (q, _, v, _) => !top.contains((q, v)) },
+      "a near-duplicate leaked into the hard-negative set")
+  }
 }
 
 
