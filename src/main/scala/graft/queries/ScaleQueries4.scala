@@ -298,6 +298,41 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- SM18: UniMax uniform mixture with epoch cap ---------------------------
+
+  /** SM18 — UniMax: a 60k-token budget spread uniformly over sources,
+    * each capped at 1.5 epochs of its availability, surplus redistributed
+    * over 4 rounds. Pure integer arithmetic end to end. */
+  private def sm18Unimax: Q = (s, d) =>
+    graft.scale.Sampling.unimaxMixture(
+      Tables.documents(s, d), "source", "text",
+      budget = 60000L, epochsNum = 3L, epochsDen = 2L, rounds = 4)
+
+  private val sm18Sql = {
+    def round(prev: String, i: Int): String =
+      s"""s$i AS (SELECT CAST(60000 - sum(CASE WHEN capped THEN alloc ELSE 0 END) AS BIGINT) AS remaining,
+         |  CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS BIGINT) AS n_unc FROM $prev),
+         |r$i AS (SELECT p.source, p.n_avail, p.cap_tokens,
+         |  CASE WHEN p.capped THEN p.alloc
+         |       ELSE least(p.cap_tokens,
+         |         CASE WHEN s$i.n_unc > 0 THEN s$i.remaining // s$i.n_unc ELSE 0 END) END AS alloc,
+         |  p.capped OR p.cap_tokens <=
+         |    CASE WHEN s$i.n_unc > 0 THEN s$i.remaining // s$i.n_unc ELSE 0 END AS capped
+         |  FROM $prev p CROSS JOIN s$i)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_avail,
+       |    (CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 3) // 2 AS cap_tokens,
+       |    CAST(0 AS BIGINT) AS alloc, false AS capped
+       |  FROM documents GROUP BY 1),
+       |${round("base", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)},
+       |${round("r3", 4)}
+       |SELECT source, n_avail, cap_tokens, CAST(alloc AS BIGINT) AS alloc_tokens, capped,
+       |  CAST(floor(CAST(alloc AS DOUBLE) / CAST(n_avail AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS epochs_micro
+       |FROM r4""".stripMargin
+  }
+
   // ---- S13: hard-negative mining -------------------------------------------
 
   /** S13 — per-anchor top-10 hard negatives: cosine in [0.20, 0.35), the
@@ -583,6 +618,7 @@ object ScaleQueries4 {
     "sm17_schedule"     -> sm17Schedule,
     "x22_zipf"          -> x22Zipf,
     "s13_hard_negatives" -> s13HardNegatives,
+    "sm18_unimax"       -> sm18Unimax,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -600,6 +636,7 @@ object ScaleQueries4 {
     "sm17_schedule"     -> sm17Sql,
     "x22_zipf"          -> x22Sql,
     "s13_hard_negatives" -> s13Sql,
+    "sm18_unimax"       -> sm18Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

@@ -293,6 +293,52 @@ object Sampling {
         .cast("long").as("rate_permille"))
   }
 
+  /** UniMax mixture (Chung et al. 2023, arXiv:2304.09151): distribute a
+    * token budget UNIFORMLY across sources, capping each at `maxEpochs`
+    * passes over its availability and redistributing surplus over the
+    * uncapped sources — the language-sampling fix for weight-proportional
+    * mixtures that over-repeat small sources. [[waterfillMixture]] is the
+    * weighted sibling capped at 1 epoch; this one is uniform with a
+    * rational epoch cap.
+    *
+    * Every round is EXACT integer arithmetic (uniform fills need no
+    * float scale): cap = (n_avail·eNum) div eDen, fill = remaining div
+    * n_uncapped. `rounds` redistribution rounds unroll into the plan;
+    * the oracle replays the same unrolling. Scale shape: one partial-agg
+    * corpus shuffle, then S-row algebra with 1-row broadcast aggregates
+    * per round. Returns (source, n_avail, cap_tokens, alloc_tokens,
+    * capped, epochs_micro). */
+  def unimaxMixture(df: DataFrame, sourceCol: String, textCol: String,
+                    budget: Long, epochsNum: Long = 4L, epochsDen: Long = 1L,
+                    rounds: Int = 4): DataFrame = {
+    require(budget >= 0 && epochsNum >= 1 && epochsDen >= 1 && rounds >= 1,
+      s"need budget>=0, epochs>0, rounds>=1; got $budget, $epochsNum/$epochsDen, $rounds")
+    var cur = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " "))).cast("long").as("n_avail"))
+      .withColumn("cap_tokens",
+        expr(s"(n_avail * ${epochsNum}L) div ${epochsDen}L"))
+      .withColumn("alloc", lit(0L)).withColumn("capped", lit(false))
+    for (_ <- 1 to rounds) {
+      // remaining budget and uncapped count: exact longs, 1-row broadcast
+      val scale = cur.agg(
+        (lit(budget) - sum(when(col("capped"), col("alloc")).otherwise(lit(0L))))
+          .as("remaining"),
+        sum(when(!col("capped"), 1L).otherwise(0L)).as("n_unc"))
+      cur = cur.crossJoin(broadcast(scale))
+        .withColumn("fill",
+          when(col("n_unc") > 0L, expr("remaining div n_unc")).otherwise(lit(0L)))
+        .withColumn("alloc",
+          when(col("capped"), col("alloc"))
+            .otherwise(least(col("cap_tokens"), col("fill"))))
+        .withColumn("capped", col("capped") || col("cap_tokens") <= col("fill"))
+        .drop("remaining", "n_unc", "fill")
+    }
+    cur.select(col("source"), col("n_avail"), col("cap_tokens"),
+      col("alloc").as("alloc_tokens"), col("capped"),
+      floor(col("alloc").cast("double") / col("n_avail").cast("double") * 1e6 + 0.5)
+        .cast("long").as("epochs_micro"))
+  }
+
   /** Dedup-aware train/val/test split — [[hashSplit]] keyed on the
     * NEAR-DUP COMPONENT instead of the row: every member of a near-dup
     * cluster lands in the same fold, closing the leakage channel a

@@ -1130,6 +1130,41 @@ class ScaleSpec2 extends SparkTestBase {
       s"anneal cut not quality-ranked: min-in=$inA max-out=$outA")
   }
 
+  test("unimaxMixture: uniform fill, epoch cap bites on small sources, surplus redistributes") {
+    // three sources: tiny (10 tokens), small (100), huge (10000);
+    // budget 600, cap 2 epochs -> tiny caps at 20, small caps at 200,
+    // huge absorbs the rest uniformly
+    val df = Seq(
+      (1L, "tiny", Seq.fill(10)("w").mkString(" ")),
+      (2L, "small", Seq.fill(100)("w").mkString(" ")),
+      (3L, "huge", Seq.fill(10000)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.unimaxMixture(df, "source", "text",
+        budget = 600L, epochsNum = 2L, epochsDen = 1L, rounds = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    val (_, tCap, tAlloc, tCapped, tEp) = out("tiny")
+    assert(tCap == 20L && tAlloc == 20L && tCapped, s"tiny should cap at 2 epochs: $tAlloc")
+    assert(tEp == 2000000L, s"tiny epochs_micro should be exactly 2.0: $tEp")
+    val (_, _, sAlloc, sCapped, _) = out("small")
+    assert(sAlloc == 200L && sCapped, s"small should cap at 200: $sAlloc")
+    // huge gets the remainder of the uniform redistribution: round 1 gives
+    // everyone 200; rounds 2+ push tiny's surplus (180) to huge
+    val (_, _, hAlloc, hCapped, _) = out("huge")
+    assert(!hCapped && hAlloc >= 200L && hAlloc <= 400L,
+      s"huge should absorb redistributed surplus uncapped: $hAlloc")
+    val total = tAlloc + sAlloc + hAlloc
+    assert(total <= 600L && 600L - total <= 3L,
+      s"budget conservation up to div slack: $total")
+    // the no-cap control: with a huge epoch allowance nothing caps and the
+    // fill is exactly uniform
+    val flat = Sampling.unimaxMixture(df, "source", "text",
+        budget = 300L, epochsNum = 1000L, epochsDen = 1L, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(flat.forall(t => t._2 == 100L && !t._3),
+      s"uniform no-cap fill should be budget/3 each: ${flat.toSeq}")
+  }
+
   test("zipfSlope: recovers the exponent of a planted power law; corpus in natural band") {
     // word i repeated round(1e5 / i^1.0) times -> ln(cnt) = ln(1e5) - 1.0*ln(rank)
     val rows = (1 to 50).flatMap { i =>
