@@ -298,6 +298,64 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- ST_BUDGET: streaming token-budget gate ---------------------------------
+
+  /** ST_BUDGET — the streaming budget gate's batch twin: per-source
+    * strict-stop prefix at a 2000-token cap. kept ⟺ running cumsum ≤ cap,
+    * so the whole stateful fold is hash-checked against one SQL window. */
+  private def stBudget: Q = (s, d) =>
+    graft.streaming.StreamBudget.assignBatch(
+        Tables.documents(s, d), "text", "doc_id", "source", cap = 2000L)
+      .toDF()
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+              col("toks"), col("kept"), col("cumTokens").as("cum_tokens"))
+
+  private val stBudgetSql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT source, doc_id, toks,
+       |  sum(toks) OVER w <= 2000 AS kept,
+       |  CAST(sum(toks) OVER w AS BIGINT) AS cum_tokens
+       |FROM t
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- PK4: packing efficiency accounting ------------------------------------
+
+  /** PK4 — padding-waste accounting over the pk1 packer: per source, the
+    * sequence count, packed token mass, oversize sequences (single doc >
+    * budget), and the fill rate vs the 512-token budget — the utilization
+    * number a pretraining run reports per corpus slice. Waste only counts
+    * sequences BELOW budget (an oversize sequence is truncation debt, not
+    * padding). Same plan as pk1 plus one 20-row aggregate. */
+  private def pk4PackStats: Q = (s, d) =>
+    graft.scale.Packing.packGreedy(
+        Tables.documents(s, d), "text", "doc_id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_tokens")).as("tok_packed"),
+           sum(when(col("n_tokens") > 512L, 1L).otherwise(0L)).as("oversize_seqs"),
+           sum(when(col("n_tokens") <= 512L, lit(512L) - col("n_tokens"))
+             .otherwise(0L)).as("pad_tokens"))
+      .withColumn("fill_micro",
+        floor(col("tok_packed").cast("double") /
+              (col("n_seqs").cast("double") * 512.0) * 1e6 + 0.5).cast("long"))
+
+  private val pk4Sql =
+    s"""WITH packed AS (${pk1Sql.replace("\n", "\n       |")})
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_packed,
+       |  CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS oversize_seqs,
+       |  CAST(sum(CASE WHEN n_tokens <= 512 THEN 512 - n_tokens ELSE 0 END) AS BIGINT) AS pad_tokens,
+       |  CAST(floor(CAST(sum(n_tokens) AS DOUBLE)
+       |             / (CAST(count(*) AS DOUBLE) * 512.0) * 1e6 + 0.5) AS BIGINT) AS fill_micro
+       |FROM packed GROUP BY source""".stripMargin
+
   // ---- SM18: UniMax uniform mixture with epoch cap ---------------------------
 
   /** SM18 — UniMax: a 60k-token budget spread uniformly over sources,
@@ -619,6 +677,8 @@ object ScaleQueries4 {
     "x22_zipf"          -> x22Zipf,
     "s13_hard_negatives" -> s13HardNegatives,
     "sm18_unimax"       -> sm18Unimax,
+    "pk4_pack_stats"    -> pk4PackStats,
+    "st_budget"         -> stBudget,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -637,6 +697,8 @@ object ScaleQueries4 {
     "x22_zipf"          -> x22Sql,
     "s13_hard_negatives" -> s13Sql,
     "sm18_unimax"       -> sm18Sql,
+    "pk4_pack_stats"    -> pk4Sql,
+    "st_budget"         -> stBudgetSql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

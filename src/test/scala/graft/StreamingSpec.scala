@@ -781,4 +781,38 @@ class StreamingSpec extends SparkTestBase {
       .toSet
     assert(viaStream == viaBatch, "assignment aggregation != packGreedy")
   }
+
+  test("streaming budget gate is split-invariant; strict-stop prefix semantics hold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamBudget
+    import graft.streaming.StreamBudget.{Decision, Doc}
+    // two sources; source a overflows at doc 6, a later SMALLER doc (id 8,
+    // 1 token) must STAY dropped — strict stop, not greedy knapsack
+    val docs = Seq(
+      Doc("a", 1L, 4L), Doc("a", 2L, 4L), Doc("a", 6L, 5L), Doc("a", 8L, 1L),
+      Doc("b", 3L, 9L), Doc("b", 5L, 1L), Doc("b", 7L, 1L))
+    val want = docs.groupBy(_.grp).toSeq.flatMap { case (k, ds) =>
+      StreamBudget.foldGrp(10L)(k, ds.iterator, StreamBudget.empty)._2
+    }.sortBy(_.id)
+    assert(want.filter(_.grp == "a").map(_.kept) == Seq(true, true, false, false),
+      "strict-stop: the would-have-fit doc 8 stays dropped")
+    assert(want.filter(_.grp == "b").map(_.kept) == Seq(true, true, false),
+      "b overflows exactly at the 11th token")
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, docs.length) ++ Seq.fill(nCuts)(rnd.nextInt(docs.length))).sorted
+      val mem = MemoryStream[Doc]
+      val name = s"budget_prop_$seed"
+      val q = StreamBudget.assign(mem.toDS(), cap = 10L).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(docs.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Decision].collect().sortBy(_.id).toSeq
+      assert(got == want, s"seed $seed (cuts $cuts): split changed the decisions")
+    }
+  }
 }
