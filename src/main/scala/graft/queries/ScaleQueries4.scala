@@ -298,6 +298,32 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- X23: fill-in-the-middle transformation ---------------------------------
+
+  /** X23 — FIM/PSM rewrite of every even-id document at the middle-third
+    * token cuts; odd ids and short docs pass through. Map-side only; the
+    * rewritten text itself is hash-checked. */
+  private def x23Fim: Q = (s, d) =>
+    graft.scale.Curation.fimTransform(
+      Tables.documents(s, d), "text", "doc_id", modulus = 2L, minTokens = 6)
+
+  private val x23Sql =
+    """WITH t AS (
+      |  SELECT doc_id AS id, string_split(text, ' ') AS tk, text,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT id, tk, text, n, n // 3 AS p, (n * 2) // 3 AS q,
+      |    (id % 2 = 0) AND (n >= 6) AS fim_applied
+      |  FROM t)
+      |SELECT id, fim_applied,
+      |  CASE WHEN fim_applied THEN
+      |    '<PRE> ' || array_to_string(list_slice(tk, 1, p), ' ') ||
+      |    ' <SUF> ' || array_to_string(list_slice(tk, q + 1, n), ' ') ||
+      |    ' <MID> ' || array_to_string(list_slice(tk, p + 1, q), ' ')
+      |  ELSE text END AS out_text
+      |FROM c""".stripMargin
+
   // ---- ST_BUDGET: streaming token-budget gate ---------------------------------
 
   /** ST_BUDGET — the streaming budget gate's batch twin: per-source
@@ -416,6 +442,41 @@ object ScaleQueries4 {
       |  FROM band)
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  // ---- SM19: full two-phase curriculum order ---------------------------------
+
+  /** SM19 — the complete curriculum: sm16's mix decision expanded into the
+    * global step order, main phase then anneal phase (steps offset by the
+    * main total). The composed sm16 → sm17 → phase-union chain under one
+    * hash. */
+  private def sm19Curriculum: Q = (s, d) => {
+    val alloc = graft.scale.Sampling.annealMixture(
+      Tables.documents(s, d), "source", "text",
+      budgetNum = 2L, budgetDen = 5L, annealPct = 20)
+    graft.scale.Sampling.curriculumSchedule(
+      alloc, "source", "main_tokens", "anneal_tokens", chunkTokens = 512L)
+  }
+
+  private val sm19Sql = {
+    def phaseSched(allocCol: String, phase: String, offsetExpr: String) =
+      s"""  SELECT source, '$phase' AS phase, chunk_idx, n_chunks,
+         |    CAST(row_number() OVER (
+         |      ORDER BY CAST(chunk_idx AS DOUBLE) / CAST(n_chunks AS DOUBLE),
+         |               source, chunk_idx) + $offsetExpr AS BIGINT) AS step
+         |  FROM (
+         |    SELECT source, n_chunks,
+         |      CAST(unnest(generate_series(1, n_chunks)) AS BIGINT) AS chunk_idx
+         |    FROM (SELECT source,
+         |            CAST(ceil(CAST($allocCol AS DOUBLE) / 512.0) AS BIGINT) AS n_chunks
+         |          FROM alloc WHERE $allocCol > 0))""".stripMargin
+    s"""WITH alloc AS (${sm16Sql}),
+       |off AS (
+       |  SELECT coalesce(sum(CAST(ceil(CAST(main_tokens AS DOUBLE) / 512.0) AS BIGINT)), 0) AS o
+       |  FROM alloc WHERE main_tokens > 0)
+       |${phaseSched("main_tokens", "main", "0")}
+       |UNION ALL
+       |${phaseSched("anneal_tokens", "anneal", "(SELECT o FROM off)")}""".stripMargin
+  }
 
   // ---- X22: Zipf rank-frequency slope per source ---------------------------
 
@@ -679,6 +740,8 @@ object ScaleQueries4 {
     "sm18_unimax"       -> sm18Unimax,
     "pk4_pack_stats"    -> pk4PackStats,
     "st_budget"         -> stBudget,
+    "x23_fim"           -> x23Fim,
+    "sm19_curriculum"   -> sm19Curriculum,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -699,6 +762,8 @@ object ScaleQueries4 {
     "sm18_unimax"       -> sm18Sql,
     "pk4_pack_stats"    -> pk4Sql,
     "st_budget"         -> stBudgetSql,
+    "x23_fim"           -> x23Sql,
+    "sm19_curriculum"   -> sm19Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

@@ -274,4 +274,33 @@ object Curation {
       .withColumn("max_eval_cos", maxCos(col(vecCol).cast("array<double>")))
       .withColumn("contaminated", col("max_eval_cos") >= threshold)
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255): rewrite a deterministic fraction of documents
+    * into PSM order — prefix, suffix, middle with sentinel tokens — so an
+    * autoregressive model learns infilling "for free". Cuts are the
+    * middle third at integer token positions (p = ⌊n/3⌋, q = ⌊2n/3⌋);
+    * the doc-id mod picks which docs transform (the sm1 determinism
+    * discipline — a hash/RNG rate would not be oracle-replayable). Docs
+    * under `minTokens` or off-rate pass through unchanged.
+    *
+    * Pure map-side array ops (split/slice/join) — zero shuffle, scales
+    * as a scan. Returns (id, fim_applied, out_text). */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+                   modulus: Long = 2L, minTokens: Int = 6): DataFrame = {
+    require(modulus >= 1, s"need modulus >= 1, got $modulus")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val p = (n / 3).cast("int")
+    val q = (n * 2 / 3).cast("int")
+    val psm = concat(
+      lit("<PRE> "), array_join(slice(toks, lit(1), p), " "),
+      lit(" <SUF> "), array_join(slice(toks, q + 1, n - q), " "),
+      lit(" <MID> "), array_join(slice(toks, p + 1, q - p), " "))
+    val applied = pmod(col(idCol).cast("long"), lit(modulus)) === 0L &&
+      n >= minTokens
+    df.select(col(idCol).cast("long").as("id"),
+      applied.as("fim_applied"),
+      when(applied, psm).otherwise(col(textCol)).as("out_text"))
+  }
 }

@@ -339,6 +339,35 @@ object Sampling {
         .cast("long").as("epochs_micro"))
   }
 
+  /** The complete two-phase curriculum ORDER: [[mixSchedule]] over the
+    * main-phase allocation, then the anneal-phase schedule appended with
+    * its steps offset by the main phase's total — the full "decide the
+    * mix, then emit the run order, phase by phase" path of an
+    * anneal-style pretraining run ([[annealMixture]] decides the token
+    * split; this emits the global step sequence). The offset is a 1-row
+    * broadcast aggregate over the |sources|-row allocation table; both
+    * phases keep the closed-form (sort-free) step rank. Returns
+    * (source, phase, chunk_idx, n_chunks, step) — steps are a
+    * permutation of 1..(mainChunks+annealChunks). */
+  def curriculumSchedule(alloc: DataFrame, sourceCol: String,
+                         mainCol: String, annealCol: String,
+                         chunkTokens: Long = 4096L): DataFrame = {
+    val main = mixSchedule(alloc, sourceCol, mainCol, chunkTokens)
+      .withColumn("phase", lit("main"))
+    val offset = alloc.groupBy()
+      .agg(sum(when(col(mainCol) > 0L,
+        ceil(col(mainCol).cast("double") / chunkTokens.toDouble).cast("long"))
+        .otherwise(0L)).as("__off"))
+    val ann = mixSchedule(alloc, sourceCol, annealCol, chunkTokens)
+      .crossJoin(broadcast(offset))
+      .withColumn("step", col("step") + coalesce(col("__off"), lit(0L)))
+      .drop("__off")
+      .withColumn("phase", lit("anneal"))
+    main.unionByName(ann)
+      .select(col("source"), col("phase"), col("chunk_idx"),
+              col("n_chunks"), col("step"))
+  }
+
   /** Dedup-aware train/val/test split — [[hashSplit]] keyed on the
     * NEAR-DUP COMPONENT instead of the row: every member of a near-dup
     * cluster lands in the same fold, closing the leakage channel a

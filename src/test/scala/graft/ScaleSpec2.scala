@@ -1130,6 +1130,35 @@ class ScaleSpec2 extends SparkTestBase {
       s"anneal cut not quality-ranked: min-in=$inA max-out=$outA")
   }
 
+  test("fimTransform: exact PSM layout, pass-through off-rate/short, lossless reassembly") {
+    val df = Seq(
+      (2L, "a b c d e f g h i"),   // 9 tokens, even id -> PSM at p=3, q=6
+      (3L, "a b c d e f g h i"),   // odd id -> unchanged
+      (4L, "a b c")                // short -> unchanged
+    ).toDF("doc_id", "text")
+    val out = graft.scale.Curation.fimTransform(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(2L) == ((true, "<PRE> a b c <SUF> g h i <MID> d e f")))
+    assert(out(3L) == ((false, "a b c d e f g h i")))
+    assert(out(4L) == ((false, "a b c")))
+    // corpus-wide: the transform is lossless — PSM pieces reassemble to
+    // the original token sequence for every transformed doc
+    val both = graft.scale.Curation.fimTransform(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id").as("id"), col("text")), Seq("id"))
+      .filter(col("fim_applied"))
+      .select(col("out_text"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(both.nonEmpty)
+    both.foreach { case (psm, orig) =>
+      val m = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+      psm match {
+        case m(p, sfx, mid) =>
+          assert(Seq(p, mid, sfx).mkString(" ") == orig, "reassembly mismatch")
+        case _ => fail(s"PSM layout broken: ${psm.take(60)}")
+      }
+    }
+  }
+
   test("unimaxMixture: uniform fill, epoch cap bites on small sources, surplus redistributes") {
     // three sources: tiny (10 tokens), small (100), huge (10000);
     // budget 600, cap 2 epochs -> tiny caps at 20, small caps at 200,
@@ -1208,6 +1237,24 @@ class ScaleSpec2 extends SparkTestBase {
     val gaps = aSteps.zip(aSteps.drop(1)).map { case (x, y) => y - x }
     assert(gaps.forall(_ <= (total / aSteps.length) + 2),
       s"schedule front-loads source a: gaps=${gaps.toSeq}")
+  }
+
+  test("curriculumSchedule: global permutation, every main step precedes every anneal step") {
+    val alloc = Seq(("a", 2000L, 500L), ("b", 1000L, 0L), ("c", 1500L, 1000L))
+      .toDF("source", "main_tokens", "anneal_tokens")
+    val out = Sampling.curriculumSchedule(alloc, "source",
+        "main_tokens", "anneal_tokens", chunkTokens = 500L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // chunks: main a=4 b=2 c=3 (9), anneal a=1 c=2 (3)
+    assert(out.length == 12)
+    assert(out.map(_._4).sorted.toSeq == (1L to 12L).toSeq,
+      "steps must be a permutation of 1..N across phases")
+    val maxMain = out.filter(_._2 == "main").map(_._4).max
+    val minAnneal = out.filter(_._2 == "anneal").map(_._4).min
+    assert(maxMain == 9L && minAnneal == 10L,
+      s"anneal must start after the last main step: $maxMain vs $minAnneal")
+    assert(!out.exists(t => t._2 == "anneal" && t._1 == "b"),
+      "a zero-anneal source emits no anneal chunks")
   }
 
   test("annealMixture: annealPct=0 degenerates to a single availability-proportional phase") {
