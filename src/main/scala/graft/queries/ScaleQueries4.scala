@@ -382,6 +382,17 @@ object ScaleQueries4 {
        |             / (CAST(count(*) AS DOUBLE) * 512.0) * 1e6 + 0.5) AS BIGINT) AS fill_micro
        |FROM packed GROUP BY source""".stripMargin
 
+  // ---- S14: MMR diversified top-k (✖est: sequential greedy) -------------------
+
+  /** S14 — diversity-aware retrieval: MMR re-rank of the top-50 candidate
+    * pool per anchor, k=5, λ=0.7. Deterministic (1e-6-grid scores, vid
+    * ties) but sequentially greedy, so rows-checked with the λ=1 ≡ top-k
+    * identity and cluster-alternation properties spec-pinned. */
+  private def s14Mmr: Q = (s, d) =>
+    graft.scale.Similarity.mmrTopK(
+      Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+      lambda = 0.7, candN = 50, "embedding", "vec_id")
+
   // ---- SM18: UniMax uniform mixture with epoch cap ---------------------------
 
   /** SM18 — UniMax: a 60k-token budget spread uniformly over sources,
@@ -742,6 +753,7 @@ object ScaleQueries4 {
     "st_budget"         -> stBudget,
     "x23_fim"           -> x23Fim,
     "sm19_curriculum"   -> sm19Curriculum,
+    "s14_mmr"           -> s14Mmr,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )

@@ -62,6 +62,70 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * per anchor, greedily select k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+    * diversity-aware top-k for retrieval-augmented pipelines (a plain
+    * top-k returns k near-copies when the corpus has duplicate clusters;
+    * MMR spends the slots on distinct regions).
+    *
+    * Shape: the candidate pool is the bounded brute-force/IVF top-`candN`
+    * per anchor; candidate vectors join back broadcast (|anchors|·candN
+    * rows), and the O(candN²·k) greedy runs LOCALLY per anchor inside one
+    * flatMapGroups — the corpus is scanned once and never re-shuffled.
+    * Determinism: all cosines round to the 1e-6 grid before comparison
+    * and ties break by vid, so the greedy is engine-reproducible;
+    * sequential argmax still isn't one SQL window, so the query contract
+    * is ✖est with the λ=1 ≡ top-k identity and cluster-alternation
+    * properties spec-pinned. Returns (qid, sel_rank, vid, mmr6). */
+  def mmrTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              lambda: Double, candN: Int,
+              vecCol: String, idCol: String): DataFrame = {
+    require(k >= 1 && candN >= k, s"need 1 <= k <= candN, got k=$k candN=$candN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"need lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
+    val cands = bruteForceTopK(corpus, queryIds, candN, vecCol, idCol)
+    val withVec = cands.join(v.hint("broadcast"), Seq("vid"))
+      .select(col("qid"), col("vid"), col("cosine"), col("v"), col("norm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(t => (-t._3, t._2)) // (rel desc, vid)
+      def sim(a: Int, b: Int): Double = {
+        var acc = 0.0; val x = cs(a)._4; val y = cs(b)._4
+        var i = 0; val n = math.min(x.length, y.length)
+        while (i < n) { acc += x(i) * y(i); i += 1 }
+        math.floor(acc / (cs(a)._5 * cs(b)._5) * 1e6 + 0.5) / 1e6
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var r = 1
+      while (r <= math.min(k, cs.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          if (!selected.contains(c)) {
+            val maxSim = if (selected.isEmpty) 0.0 else selected.map(sim(c, _)).max
+            val score =
+              math.floor((lambda * cs(c)._3 - (1 - lambda) * maxSim) * 1e6 + 0.5) / 1e6
+            if (score > bestScore ||
+                (score == bestScore && best >= 0 && cs(c)._2 < cs(best)._2)) {
+              best = c; bestScore = score
+            }
+          }
+          c += 1
+        }
+        selected += best
+        out += ((qid, r.toLong, cs(best)._2, bestScore))
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("qid", "sel_rank", "vid", "mmr6")
+  }
+
   /** A10 (row-transpose form) — top-k rows most Pearson-correlated to one
     * selected row (`utils/eda.py:124-191` `top_correlation_to_name`: rows
     * are entities — stocks/funds/products — columns are time periods; the

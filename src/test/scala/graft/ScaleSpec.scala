@@ -862,6 +862,42 @@ class ScaleSpec extends SparkTestBase {
       full.exists { case (fid, fa, fb) => fid == id && fa <= a && b <= fb } })
   }
 
+  test("mmrTopK: lambda=1 is exactly top-k; low lambda alternates planted clusters") {
+    val em = Tables.embeddings(spark, SF)
+    val ids = Seq(0L, 1L, 2L)
+    val mmr1 = Similarity.mmrTopK(em, ids, k = 5, lambda = 1.0, candN = 50,
+        "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(em, ids, 5, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mmr1.toSet == bf.toSet, "lambda=1 must reduce to the plain top-k")
+    // planted clusters: A = {1, 2} near-identical and most relevant to the
+    // anchor, B = {3} orthogonal-ish. Plain top-2 stays inside A; MMR at
+    // lambda=0.3 spends slot 2 on B.
+    val fix = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.10, 0.0, 0.0)),
+      (2L, Array(1.0, 0.11, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val top2 = Similarity.bruteForceTopK(fix, Seq(0L), 2, "embedding", "vec_id")
+      .collect().map(_.getLong(2)).toSet
+    assert(top2 == Set(1L, 2L), s"plain top-2 should stay in cluster A: $top2")
+    val div = Similarity.mmrTopK(fix, Seq(0L), k = 2, lambda = 0.3, candN = 3,
+        "embedding", "vec_id")
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(div(0) == 1L && div(1) == 3L,
+      s"MMR should pick one per cluster (1 then 3): ${div.toSeq}")
+    // determinism: a second run is row-identical
+    val again = Similarity.mmrTopK(em, ids, k = 5, lambda = 0.7, candN = 50,
+        "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val first = Similarity.mmrTopK(em, ids, k = 5, lambda = 0.7, candN = 50,
+        "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(again == first, "MMR must be deterministic across runs")
+  }
+
   test("hardNegatives: band respected, near-dups excluded, ranks contiguous") {
     val em = Tables.embeddings(spark, SF)
     val ids = Seq(0L, 1L, 2L)
