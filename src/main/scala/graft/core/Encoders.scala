@@ -127,4 +127,30 @@ object Encoders {
       .withColumn(s"${catCol}_te", coalesce(col(s"${catCol}_te"), col("__prior")))
       .drop("__prior")
   }
+
+  /** Hashing-trick encoder (the sklearn `FeatureHasher` / VW hashing
+    * shape): each categorical value maps to a bucket in [0, `buckets`)
+    * via the first 16 bits of md5("col=value"), with a ±1 sign from the
+    * next hex digit's parity so colliding features cancel in expectation
+    * rather than pile up (Weinberger et al. 2009, §3). Unlike
+    * [[labelDictionary]]/[[labelEncode]] there is NO vocabulary state:
+    * the encoding is a pure map-side expression — nothing to fit, ship,
+    * or grow on unseen values — which is the whole point at 100 TB
+    * (a billion-key dictionary join vs zero shuffle). Null values get a
+    * null bucket/sign (the E1 missing-key discipline). Appends
+    * `<col>_fh` and `<col>_fsign` per input column; md5 keeps it
+    * engine-portable (DuckDB: ('0x'||substr(md5(...),1,4))::BIGINT). */
+  def featureHash(df: DataFrame, cols: Seq[String], buckets: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to hash")
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    cols.foldLeft(df) { (d, c) =>
+      val h = md5(concat(lit(c + "="), col(c).cast("string")))
+      d.withColumn(s"${c}_fh",
+          when(col(c).isNotNull,
+            conv(substring(h, 1, 4), 16, 10).cast("long") % buckets))
+        .withColumn(s"${c}_fsign",
+          when(col(c).isNotNull,
+            (conv(substring(h, 5, 1), 16, 10).cast("long") % 2L) * 2L - 1L))
+    }
+  }
 }

@@ -298,6 +298,27 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- E9: hashing-trick encoder -----------------------------------------------
+
+  /** E9 — stateless feature hashing of customer categoricals into 64
+    * signed buckets: no vocabulary to fit or join, pure map-side md5
+    * arithmetic. */
+  private def e9FeatureHash: Q = (s, d) =>
+    graft.core.Encoders.featureHash(
+        Tables.customer(s, d), Seq("c_mktsegment", "c_nationkey"), buckets = 64)
+      .select(col("c_custkey"), col("c_mktsegment_fh"), col("c_mktsegment_fsign"),
+              col("c_nationkey_fh"), col("c_nationkey_fsign"))
+
+  private val e9Sql = {
+    def fh(c: String) =
+      s"""CAST(('0x' || substr(md5('$c=' || CAST($c AS VARCHAR)), 1, 4))::BIGINT % 64 AS BIGINT) AS ${c}_fh,
+         |  CAST((('0x' || substr(md5('$c=' || CAST($c AS VARCHAR)), 5, 1))::BIGINT % 2) * 2 - 1 AS BIGINT) AS ${c}_fsign""".stripMargin
+    s"""SELECT c_custkey,
+       |  ${fh("c_mktsegment")},
+       |  ${fh("c_nationkey")}
+       |FROM customer""".stripMargin
+  }
+
   // ---- X23: fill-in-the-middle transformation ---------------------------------
 
   /** X23 — FIM/PSM rewrite of every even-id document at the middle-third
@@ -754,6 +775,7 @@ object ScaleQueries4 {
     "x23_fim"           -> x23Fim,
     "sm19_curriculum"   -> sm19Curriculum,
     "s14_mmr"           -> s14Mmr,
+    "e9_feature_hash"   -> e9FeatureHash,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -776,6 +798,7 @@ object ScaleQueries4 {
     "st_budget"         -> stBudgetSql,
     "x23_fim"           -> x23Sql,
     "sm19_curriculum"   -> sm19Sql,
+    "e9_feature_hash"   -> e9Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )
