@@ -298,6 +298,88 @@ object ScaleQueries4 {
        |FROM mem m, bud2 b""".stripMargin
   }
 
+  // ---- PIPE7: select → FIM → pack (batch-construction tail) -------------------
+
+  /** PIPE7 — the batch-construction tail of the pretraining pipeline in
+    * one plan: keep the top-40% quality tokens (pk2's sort-free
+    * selection), FIM-rewrite the even-id survivors (x23), pack the
+    * rewritten stream into 512-token sequences (pk1), and report pk4's
+    * per-source utilization. PSM adds exactly 3 whitespace tokens, so the
+    * packer's counts derive in-plan without re-tokenizing; the oracle
+    * replays the whole chain as ranked-prefix → CASE render → recursive
+    * CTE → aggregate under ONE hash. */
+  private def pipe7FimPack: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kept = graft.scale.Packing.budgetSelectDocs(docs, "text", "doc_id", "source")
+    val kd = docs.join(kept.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val fim = graft.scale.Curation.fimTransform(kd, "text", "doc_id",
+      modulus = 2L, minTokens = 6)
+    val counted = fim
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .withColumn("toks", size(split(col("out_text"), " ")).cast("long"))
+    graft.scale.Packing.packGreedyCounts(counted, "toks", "id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_tokens")).as("tok_packed"),
+           sum(when(col("n_tokens") <= 512L, lit(512L) - col("n_tokens"))
+             .otherwise(0L)).as("pad_tokens"))
+  }
+
+  private val pipe7Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH RECURSIVE sdoc AS (
+       |  SELECT source, doc_id, text,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nws,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, doc_id, text, toks, nws, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) / 100.0 AS q
+       |  FROM sdoc),
+       |t AS (SELECT CAST(floor(CAST(sum(toks) AS DOUBLE) * 2.0 / 5.0) AS BIGINT) AS budget FROM qd),
+       |r AS (
+       |  SELECT source, doc_id, nws, t.budget,
+       |    sum(toks) OVER (ORDER BY q DESC, h, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM qd, t),
+       |kept AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN doc_id % 2 = 0 AND nws >= 6 THEN nws + 3 ELSE nws END AS toks
+       |  FROM r WHERE cum <= budget),
+       |docs AS (
+       |  SELECT source, doc_id % 8 AS shard, doc_id, toks,
+       |         row_number() OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM kept),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                         AND d.rn = p.rn + 1
+       |),
+       |seqs AS (
+       |  SELECT source, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(toks) AS BIGINT) AS n_tokens
+       |  FROM pack GROUP BY 1, 2, 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_packed,
+       |  CAST(sum(CASE WHEN n_tokens <= 512 THEN 512 - n_tokens ELSE 0 END) AS BIGINT) AS pad_tokens
+       |FROM seqs GROUP BY source""".stripMargin
+  }
+
   // ---- E9: hashing-trick encoder -----------------------------------------------
 
   /** E9 — stateless feature hashing of customer categoricals into 64
@@ -776,6 +858,7 @@ object ScaleQueries4 {
     "sm19_curriculum"   -> sm19Curriculum,
     "s14_mmr"           -> s14Mmr,
     "e9_feature_hash"   -> e9FeatureHash,
+    "pipe7_fim_pack"    -> pipe7FimPack,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -799,6 +882,7 @@ object ScaleQueries4 {
     "x23_fim"           -> x23Sql,
     "sm19_curriculum"   -> sm19Sql,
     "e9_feature_hash"   -> e9Sql,
+    "pipe7_fim_pack"    -> pipe7Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )
