@@ -39,6 +39,38 @@ object ScaleQueries4 {
       |                           THEN user_id END) AS BIGINT) AS hi_users
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- V2: JSON key profile (schema discovery) ----------------------------
+
+  /** V2 — schema discovery over the semi-structured column: per event
+    * type, every JSON key's occurrence count and presence rate — the
+    * "what fields does this feed actually carry" profile run before
+    * wiring typed extraction (v1). `json_object_keys` is codegen'd; keys
+    * explode map-side and only (type, key) pairs shuffle. */
+  private def v2JsonKeys: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    ev.select(col("event_type"),
+        explode(json_object_keys(col("props"))).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_present"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("present_permille",
+        floor(col("n_present").cast("double") / col("n_events") * 1000 + 0.5)
+          .cast("long"))
+  }
+
+  private val v2Sql =
+    """WITH k AS (
+      |  SELECT event_type, unnest(json_keys(props)) AS key FROM events),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM events GROUP BY 1)
+      |SELECT k.event_type, k.key, CAST(count(*) AS BIGINT) AS n_present,
+      |  t.n_events,
+      |  CAST(floor(CAST(count(*) AS DOUBLE) / t.n_events * 1000 + 0.5) AS BIGINT)
+      |    AS present_permille
+      |FROM k JOIN t USING (event_type)
+      |GROUP BY k.event_type, k.key, t.n_events""".stripMargin
+
   // ---- PK1: greedy sequence packing -------------------------------------
 
   /** PK1 — greedy fixed-budget sequence packing per (source, shard):
@@ -557,6 +589,44 @@ object ScaleQueries4 {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // ---- SM20: per-source quality rank normalization -----------------------------
+
+  /** SM20 — cross-source quality calibration: every doc's quality mapped
+    * to its within-source mid-rank percentile via the bounded score-grid
+    * histogram (never a data-sized window). Integer-exact. */
+  private def sm20RankNorm: Q = (s, d) =>
+    graft.scale.Sampling.qualityRankNorm(
+      Tables.documents(s, d), "text", "doc_id", "source")
+
+  private val sm20Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH sdoc AS (
+       |  SELECT source, doc_id AS id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, id,
+       |    CAST(floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) AS BIGINT) AS q100
+       |  FROM sdoc),
+       |grid AS (SELECT source, q100, CAST(count(*) AS BIGINT) AS eq
+       |         FROM qd GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, q100, eq,
+       |    CAST(coalesce(sum(eq) OVER (PARTITION BY source ORDER BY q100
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+       |    CAST(sum(eq) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM grid)
+       |SELECT qd.id, qd.source, qd.q100,
+       |  CAST(((2 * c.below + c.eq) * 1000000) // (2 * c.n) AS BIGINT) AS pct_micro
+       |FROM qd JOIN cum c ON c.source = qd.source AND c.q100 = qd.q100""".stripMargin
+  }
+
   // ---- SM19: full two-phase curriculum order ---------------------------------
 
   /** SM19 — the complete curriculum: sm16's mix decision expanded into the
@@ -859,6 +929,8 @@ object ScaleQueries4 {
     "s14_mmr"           -> s14Mmr,
     "e9_feature_hash"   -> e9FeatureHash,
     "pipe7_fim_pack"    -> pipe7FimPack,
+    "v2_json_keys"      -> v2JsonKeys,
+    "sm20_rank_norm"    -> sm20RankNorm,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -883,6 +955,8 @@ object ScaleQueries4 {
     "sm19_curriculum"   -> sm19Sql,
     "e9_feature_hash"   -> e9Sql,
     "pipe7_fim_pack"    -> pipe7Sql,
+    "v2_json_keys"      -> v2Sql,
+    "sm20_rank_norm"    -> sm20Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

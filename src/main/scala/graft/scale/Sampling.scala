@@ -339,6 +339,42 @@ object Sampling {
         .cast("long").as("epochs_micro"))
   }
 
+  /** Per-source mid-rank percentile normalization of the quality score —
+    * cross-source calibration before mixing (a 0.6 from a clean source
+    * and a 0.6 from a boilerplate farm are not the same signal; each
+    * source's scores map to their within-source percentile, making
+    * thresholds comparable across sources — the per-domain-normalization
+    * step of mixture curation).
+    *
+    * Scale shape: quality lives on the 1e-2 grid, so the per-source
+    * score HISTOGRAM is bounded (≤101 rows/source); the cumulative-below
+    * table computes on that reduced grid (tiny window), broadcasts back,
+    * and every doc gets its mid-rank percentile map-side — never a
+    * row_number over a data-sized source partition (20 sources of a
+    * 100 TB corpus = 5 TB single-task partitions the naive window form
+    * would create). Mid-rank = below + (eq+1)/2, emitted as
+    * pct_micro = ⌊(2·below + eq)·10⁶ / (2·n)⌋ (the (below + eq/2)/n CDF) — pure integer div.
+    * Returns (id, source, q100, pct_micro). */
+  def qualityRankNorm(df: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("source"),
+        floor(col("quality") * 100.0 + 0.5).cast("long").as("q100"))
+    val grid = scored.groupBy(col("source"), col("q100"))
+      .agg(count(lit(1)).as("eq"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q100"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("below", coalesce(sum(col("eq")).over(w), lit(0L)))
+      .withColumn("n", sum(col("eq")).over(Window.partitionBy(col("source"))))
+    scored.join(broadcast(cum), Seq("source", "q100"))
+      .withColumn("pct_micro",
+        expr("((2 * below + eq) * 1000000) div (2 * n)"))
+      .select(col("id"), col("source"), col("q100"), col("pct_micro"))
+  }
+
   /** The complete two-phase curriculum ORDER: [[mixSchedule]] over the
     * main-phase allocation, then the anneal-phase schedule appended with
     * its steps offset by the main phase's total — the full "decide the

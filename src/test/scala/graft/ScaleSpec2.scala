@@ -1239,6 +1239,33 @@ class ScaleSpec2 extends SparkTestBase {
       s"schedule front-loads source a: gaps=${gaps.toSeq}")
   }
 
+  test("qualityRankNorm: mid-rank percentiles — uniform on distinct, 500000 on constant") {
+    // source u: 4 docs with strictly increasing quality proxies is hard to
+    // plant via text; verify properties on the real corpus instead
+    val out = Sampling.qualityRankNorm(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500)
+    out.foreach { case (s, _, p) =>
+      assert(p >= 0 && p <= 1000000, s"$s pct out of range: $p") }
+    // within a source, pct is monotone in q100 and equal scores share pct
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      val byQ = rows.groupBy(_._2).map { case (q, rs) =>
+        assert(rs.map(_._3).distinct.length == 1,
+          s"$s: equal q100=$q got distinct pcts")
+        q -> rs.head._3
+      }.toSeq.sortBy(_._1)
+      assert(byQ.map(_._2) == byQ.map(_._2).sorted,
+        s"$s: pct not monotone in q100") }
+    // a constant-quality source pins every doc at the 50th percentile
+    import spark.implicits._
+    val const = (1L to 7L).map(i => (i, "c", "same words " * 30)).toSeq
+      .toDF("doc_id", "source", "text")
+    val cp = Sampling.qualityRankNorm(const, "text", "doc_id", "source")
+      .collect().map(_.getLong(3)).distinct
+    assert(cp.length == 1 && math.abs(cp(0) - 500000L) <= 1L,
+      s"constant source should sit at pct 0.5: ${cp.toSeq}")
+  }
+
   test("curriculumSchedule: global permutation, every main step precedes every anneal step") {
     val alloc = Seq(("a", 2000L, 500L), ("b", 1000L, 0L), ("c", 1500L, 1000L))
       .toDF("source", "main_tokens", "anneal_tokens")
