@@ -589,6 +589,30 @@ object ScaleQueries4 {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // ---- D18: incremental (batch-vs-corpus) exact dedup --------------------------
+
+  /** D18 — ingest-time dedup: docs with id%10 ∈ {8,9} arrive as the new
+    * batch, the rest are the standing corpus; a batch doc survives iff
+    * its content hash is novel to the corpus and first within the batch.
+    * Corpus side contributes only distinct hashes (anti-join). */
+  private def d18Incremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.scale.Dedup.incrementalDedup(
+      docs.filter(pmod(col("doc_id"), lit(10L)) >= 8L),
+      docs.filter(pmod(col("doc_id"), lit(10L)) < 8L),
+      "text", "doc_id")
+  }
+
+  private val d18Sql =
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 10 < 8),
+      |batch AS (
+      |  SELECT doc_id AS id, md5(text) AS text_hash FROM documents WHERE doc_id % 10 >= 8)
+      |SELECT CAST(min(id) AS BIGINT) AS id, text_hash
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
+      |GROUP BY text_hash""".stripMargin
+
   // ---- SM20: per-source quality rank normalization -----------------------------
 
   /** SM20 — cross-source quality calibration: every doc's quality mapped
@@ -931,6 +955,7 @@ object ScaleQueries4 {
     "pipe7_fim_pack"    -> pipe7FimPack,
     "v2_json_keys"      -> v2JsonKeys,
     "sm20_rank_norm"    -> sm20RankNorm,
+    "d18_incremental"   -> d18Incremental,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -957,6 +982,7 @@ object ScaleQueries4 {
     "pipe7_fim_pack"    -> pipe7Sql,
     "v2_json_keys"      -> v2Sql,
     "sm20_rank_norm"    -> sm20Sql,
+    "d18_incremental"   -> d18Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

@@ -16,6 +16,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the ingest-time form of [[exact]]: a NEW
+    * batch checked against the EXISTING corpus (and against itself, in
+    * id order). A new doc survives iff its content hash appears nowhere
+    * in the corpus and it is the first occurrence within the batch —
+    * the "only add novel documents" rule every continuously-ingesting
+    * pipeline runs, without ever re-deduplicating the corpus.
+    *
+    * Shape: the corpus contributes only its DISTINCT hash set (at rest
+    * this is the stored fingerprint index, not a text scan); the batch
+    * left-anti-joins that set on the hash, then keeps min-id per
+    * surviving hash. Both joins are hash-equi on md5 — corpus text never
+    * moves, batch text never shuffles (only its 16-byte hashes do).
+    * Returns the surviving (id, text_hash) pairs. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("text_hash")).distinct()
+    batch.select(col(idCol).cast("long").as("id"),
+                 md5(col(textCol)).as("text_hash"))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("text_hash"))
+  }
+
   /** Exact dedup with a QUALITY policy: within each duplicate cluster
     * keep the row maximizing `scoreCol` (ties → smallest id) — the
     * curation variant of [[exact]] ("keep the best copy", e.g. longest /

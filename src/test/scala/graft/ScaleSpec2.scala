@@ -1239,6 +1239,19 @@ class ScaleSpec2 extends SparkTestBase {
       s"schedule front-loads source a: gaps=${gaps.toSeq}")
   }
 
+  test("incrementalDedup: corpus hits drop, within-batch dups collapse to min id, novel survive") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text"),   // exact corpus dup -> dropped
+      (11L, "gamma text"),   // novel, first in batch -> kept
+      (12L, "gamma text"),   // within-batch dup -> collapsed into 11
+      (13L, "delta text")    // novel -> kept
+    ).toDF("doc_id", "text")
+    val out = graft.scale.Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L, 13L), s"expected ids 11,13 to survive, got $out")
+  }
+
   test("qualityRankNorm: mid-rank percentiles — uniform on distinct, 500000 on constant") {
     // source u: 4 docs with strictly increasing quality proxies is hard to
     // plant via text; verify properties on the real corpus instead
