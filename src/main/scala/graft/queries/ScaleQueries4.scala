@@ -589,6 +589,34 @@ object ScaleQueries4 {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // ---- PIPE8: session → conversation document assembly --------------------------
+
+  /** PIPE8 — event logs assembled into ordered conversation documents:
+    * 30-minute gap sessions, event types concatenated in (ts, event_id)
+    * order. The rendered text itself is hash-checked, so the in-group
+    * time ordering is provably exact. */
+  private def pipe8Conversations: Q = (s, d) =>
+    graft.scale.EventAnalytics.conversations(
+      Tables.events(s, d), "event_type", "ts", "event_id", "user_id")
+
+  private val pipe8Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  CAST(count(*) AS BIGINT) AS n_turns,
+      |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS convo
+      |FROM t GROUP BY user_id, session_id""".stripMargin
+
   // ---- D18: incremental (batch-vs-corpus) exact dedup --------------------------
 
   /** D18 — ingest-time dedup: docs with id%10 ∈ {8,9} arrive as the new
@@ -956,6 +984,7 @@ object ScaleQueries4 {
     "v2_json_keys"      -> v2JsonKeys,
     "sm20_rank_norm"    -> sm20RankNorm,
     "d18_incremental"   -> d18Incremental,
+    "pipe8_conversations" -> pipe8Conversations,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -983,6 +1012,7 @@ object ScaleQueries4 {
     "v2_json_keys"      -> v2Sql,
     "sm20_rank_norm"    -> sm20Sql,
     "d18_incremental"   -> d18Sql,
+    "pipe8_conversations" -> pipe8Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )

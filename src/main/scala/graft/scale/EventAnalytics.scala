@@ -172,4 +172,38 @@ object EventAnalytics {
       .withColumn("m_score", score(col("m6"), col(userCol)))
       .drop("m6")
   }
+
+  /** Conversation/session assembly — event logs rendered into ordered
+    * training documents: gap-sessionize per user, then concatenate each
+    * session's event types in (ts, event_id) order into one text — the
+    * "assemble dialogue/behavioral sequences from an event stream" step
+    * of a chat-style or recsys pretraining pipeline.
+    *
+    * Time-ordering inside an aggregate is done the deterministic Spark
+    * way: sort_array over collect_list of (ts, id, type) structs — the
+    * sort happens per group AFTER the partial-agg shuffle of already
+    * grouped rows, not as a corpus-wide orderBy. One shuffle on
+    * (user, session); gap detection shares the user-keyed window with
+    * the session assignment. Returns (user_id, session_id, n_turns,
+    * convo). */
+  def conversations(events: DataFrame, typeCol: String, tsCol: String,
+                    idCol: String, userCol: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("gap_s",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > gapMinutes * 60, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wCum))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+           array_join(
+             transform(
+               sort_array(collect_list(struct(col(tsCol).as("t"),
+                 col(idCol).as("i"), col(typeCol).as("e")))),
+               x => x.getField("e")), " ").as("convo"))
+  }
 }
