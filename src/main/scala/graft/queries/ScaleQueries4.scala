@@ -343,7 +343,11 @@ object ScaleQueries4 {
   private def pipe7FimPack: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val kept = graft.scale.Packing.budgetSelectDocs(docs, "text", "doc_id", "source")
-    val kd = docs.join(kept.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // the survivor-id stream is 8 bytes/row — build the semi-join hash map
+    // from it (SHUFFLE_HASH) instead of letting SMJ sort the full corpus
+    // AND the id stream (the d11 verify-stage lesson)
+    val kd = docs.join(kept.select(col("id").as("doc_id")).hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
     val fim = graft.scale.Curation.fimTransform(kd, "text", "doc_id",
       modulus = 2L, minTokens = 6)
     val counted = fim
