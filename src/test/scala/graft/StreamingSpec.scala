@@ -782,6 +782,50 @@ class StreamingSpec extends SparkTestBase {
     assert(viaStream == viaBatch, "assignment aggregation != packGreedy")
   }
 
+  test("streaming conversation assembly: closed sessions equal batch docs under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamConversations
+    import graft.streaming.StreamConversations.{ConvDoc, Ev}
+    val min = 60000L
+    // user 1: two sessions (gap 40 min between), user 2: one session;
+    // a far-future sentinel per user closes the final sessions
+    val evs = Seq(
+      Ev(1L, 0 * min, 1L, "view"), Ev(1L, 5 * min, 2L, "click"),
+      Ev(1L, 10 * min, 3L, "buy"),
+      Ev(1L, 50 * min, 4L, "view"), Ev(1L, 55 * min, 5L, "click"),
+      Ev(2L, 0 * min, 6L, "signup"), Ev(2L, 20 * min, 7L, "view"),
+      Ev(1L, 10000 * min, 98L, "sentinel"), Ev(2L, 10000 * min, 99L, "sentinel"))
+    // batch twin over the same events (sentinels form their own trailing
+    // session, excluded from the comparison)
+    val batchDf = evs.map(e => (e.userId, e.tsMs, e.eventId, e.eventType))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val want = graft.scale.EventAnalytics.conversations(
+        batchDf, "event_type", "ts", "event_id", "user_id", gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(!_._4.contains("sentinel")).toSet
+    assert(want == Set(
+      (1L, 1L, 3L, "view click buy"), (1L, 2L, 2L, "view click"),
+      (2L, 1L, 2L, "signup view")), s"batch fixture sanity: $want")
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(1 + rnd.nextInt(4))(
+        rnd.nextInt(evs.length))).sorted
+      val mem = MemoryStream[Ev]
+      val name = s"conv_prop_$seed"
+      val q = StreamConversations.assemble(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[ConvDoc].collect()
+        .map(d => (d.userId, d.sessionId, d.nTurns, d.convo)).toSet
+      assert(got == want, s"seed $seed (cuts $cuts): streaming $got != batch $want")
+    }
+  }
+
   test("streaming budget gate is split-invariant; strict-stop prefix semantics hold") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamBudget
