@@ -5,8 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Round-11 additions: semi-structured (JSON) column handling and
-  * pretraining sequence packing. */
+/** Round-11 additions — the mixture-planning / batch-construction /
+  * retrieval-prep surface: semi-structured JSON handling (v1/v2),
+  * sequence packing and its accounting (pk1–pk4, st_pack, st_budget),
+  * TS tokenization (t24/t25, pipe6), curriculum mixtures and schedules
+  * (sm16–sm20), corpus diagnostics (x22), FIM rewrites (x23), dedup and
+  * retrieval mining (d18, s13, s14), the hashing-trick encoder (e9),
+  * and the composed pipelines (pipe5–pipe8). Every ✔dt query pairs a
+  * Spark plan with a DuckDB oracle below. */
 object ScaleQueries4 {
 
   type Q = (SparkSession, String) => DataFrame
