@@ -538,6 +538,18 @@ object ScaleQueries4 {
       Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), k = 5,
       lambda = 0.7, candN = 50, "embedding", "vec_id")
 
+  // ---- S15: IVF-routed hard negatives (✖est: cell-routing recall) -------------
+
+  /** S15 — the corpus-scale hard-negative path: candidates from the
+    * anchor's 3 probed IVF cells, band [0.20, 0.35), k=10. Precision
+    * exact (true cosines), recall is the IVF contract; the exact twin
+    * s13 hash-checks the semantics and the spec pins
+    * exhaustive-probe == twin. */
+  private def s15HardNegIvf: Q = (s, d) =>
+    graft.scale.Similarity.hardNegativesIvf(
+      Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      lo = 0.20, hi = 0.35, "embedding", "vec_id", nCells = 8, nProbe = 3)
+
   // ---- SM18: UniMax uniform mixture with epoch cap ---------------------------
 
   /** SM18 — UniMax: a 60k-token budget spread uniformly over sources,
@@ -990,6 +1002,7 @@ object ScaleQueries4 {
     "sm19_curriculum"   -> sm19Curriculum,
     "s14_mmr"           -> s14Mmr,
     "e9_feature_hash"   -> e9FeatureHash,
+    "s15_hard_neg_ivf"  -> s15HardNegIvf,
     "pipe7_fim_pack"    -> pipe7FimPack,
     "v2_json_keys"      -> v2JsonKeys,
     "sm20_rank_norm"    -> sm20RankNorm,

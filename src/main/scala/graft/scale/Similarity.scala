@@ -283,10 +283,26 @@ object Similarity {
     * is scanned, never collected — the standard big-corpus ANN layout
     * (inverted file), trading recall for a ~nCells/nProbe candidate
     * reduction. Approximate ⇒ rows-only; recall is property-tested. */
+  /** [[hardNegatives]] routed through the IVF cells — the corpus-scale
+    * production path the exact-twin form documents: candidates come from
+    * the query's nProbe cells (nProbe/nCells of the corpus scored, not
+    * all of it), the band filter applies before the per-anchor top-k.
+    * Recall is the IVF contract (probabilistic, cell-routing); precision
+    * is exact — every returned pair carries its true cosine. */
+  def hardNegativesIvf(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                       lo: Double, hi: Double, vecCol: String, idCol: String,
+                       nCells: Int = 8, nProbe: Int = 2,
+                       lloydIters: Int = 1): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    ivfTopK(corpus, queryIds, k, vecCol, idCol, nCells, nProbe, lloydIters,
+            band = Some((lo, hi)))
+  }
+
   def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
               vecCol: String, idCol: String,
               nCells: Int = 8, nProbe: Int = 2,
-              lloydIters: Int = 1): DataFrame = {
+              lloydIters: Int = 1,
+              band: Option[(Double, Double)] = None): DataFrame = {
     val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).cast("long").as("vid"),
                           col(vecCol).cast("array<double>").as("v")).cache()
@@ -316,8 +332,12 @@ object Similarity {
       .join(broadcast(qDf), Seq("qid"))
       .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
       .withColumn("cosine", floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
+    val banded = band match {
+      case Some((lo, hi)) => scored.filter(col("cosine") >= lo && col("cosine") < hi)
+      case None           => scored
+    }
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
-    val result = scored.withColumn("rank", row_number().over(w))
+    val result = banded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"), col("cosine"))
     // the top-k result is bounded (|queries|·k rows): materialize it, then

@@ -110,4 +110,26 @@ class PropertySpec extends SparkTestBase {
       assert(got((k, t)) == want, s"asof mismatch at key=$k t=$t")
     }
   }
+
+  test("property: mixSchedule closed-form rank == global-sort rank on random allocations") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 2 + rnd.nextInt(6)
+      val alloc = (0 until nSrc).map { i =>
+        (f"s$i%02d", (1 + rnd.nextInt(40)) * 100L)   // 1..40 chunks at 100
+      }.toDF("source", "alloc")
+      val chunk = 100L
+      val out = graft.scale.Sampling.mixSchedule(alloc, "source", "alloc", chunk)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val total = out.groupBy(_._1).map(_._2.head._3).sum
+      assert(out.map(_._4).sorted.toSeq == (1L to total).toSeq,
+        s"seed $seed: steps not a permutation of 1..$total")
+      val twin = out.sortBy { case (s, k, n, _) => (k.toDouble / n, s, k) }
+        .zipWithIndex.map { case ((s, k, _, _), i) => (s, k) -> (i + 1L) }.toMap
+      out.foreach { case (s, k, _, step) =>
+        assert(twin((s, k)) == step,
+          s"seed $seed: closed form != sort at ($s,$k): $step vs ${twin((s, k))}") }
+    }
+  }
 }

@@ -898,6 +898,28 @@ class ScaleSpec extends SparkTestBase {
     assert(again == first, "MMR must be deterministic across runs")
   }
 
+  test("hardNegativesIvf: subset of the exact band; exhaustive probing == exact twin") {
+    val em = Tables.embeddings(spark, SF)
+    val ids = Seq(0L, 1L, 2L)
+    val exact = Similarity.hardNegatives(em, ids, 10, lo = 0.20, hi = 0.35,
+        "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exhaustive probing partitions the corpus, so the routed form must
+    // reproduce the exact twin row-for-row
+    val full = Similarity.hardNegativesIvf(em, ids, 10, lo = 0.20, hi = 0.35,
+        "embedding", "vec_id", nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSet == exact.toSet,
+      s"exhaustive-probe IVF hard negatives != exact twin")
+    // partial probing: every hit is a genuine band member (precision exact)
+    val routed = Similarity.hardNegativesIvf(em, ids, 10, lo = 0.20, hi = 0.35,
+        "embedding", "vec_id", nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(routed.nonEmpty)
+    routed.foreach { case (q, v, c) =>
+      assert(c >= 0.20 && c < 0.35 && q != v, s"($q,$v) cosine $c out of band") }
+  }
+
   test("hardNegatives: band respected, near-dups excluded, ranks contiguous") {
     val em = Tables.embeddings(spark, SF)
     val ids = Seq(0L, 1L, 2L)
