@@ -514,10 +514,11 @@ object Sampling {
     * Σ_{t≠s} |{j ≤ n_t : j/n_t < k/n_s}| + ties-before, and the inner
     * count is pure integer arithmetic, |{j : j·n_s < k·n_t}| =
     * floor((k·n_t − 1)/n_s), with the tie j·n_s = k·n_t (at most one j)
-    * ordered by source name. So the schedule is one broadcast of the
-    * |sources|-row chunk-count table against the exploded chunk list —
-    * map-side, no sort, no window — and exactly equals the rank the
-    * global sort would produce (spec-pinned). Tie detection is exact
+    * ordered by source name. The |sources|-row chunk-count table folds as
+    * one broadcast ARRAY inside a single map-side aggregate expression
+    * over the exploded chunk list — no join, no row expansion, no
+    * shuffle, no window — and exactly equals the rank the global sort
+    * would produce (spec- and property-pinned). Tie detection is exact
     * integer equality j·n_s = k·n_t; a sort over double fractions agrees
     * because distinct chunk fractions differ by ≥ 1/(n_s·n_t), far above
     * double ulp for any per-source chunk count below ~2²⁶.
@@ -534,22 +535,21 @@ object Sampling {
       .filter(col("n_chunks") > 0L)
     val chunks = nchunks
       .withColumn("chunk_idx", explode(sequence(lit(1L), col("n_chunks"))))
-    val other = nchunks.select(col("source").as("t_source"),
-                               col("n_chunks").as("t_n"))
-    // one broadcast nested-loop over the |sources|-row counts table:
-    // each chunk row meets every OTHER source once, then one partial-agg
-    // groupBy on the chunk key — no global sort anywhere
-    val contrib = chunks.join(
-        broadcast(other), col("source") =!= col("t_source"))
-      .withColumn("before",
-        expr("(chunk_idx * t_n - 1) div n_chunks"))
-      .withColumn("tie",
-        when(((col("chunk_idx") * col("t_n")) % col("n_chunks") === 0L) &&
-             (col("chunk_idx") * col("t_n") / col("n_chunks") <= col("t_n")) &&
-             (col("t_source") < col("source")), 1L).otherwise(0L))
-      .groupBy(col("source"), col("chunk_idx"), col("n_chunks"))
-      .agg(sum(col("before") + col("tie")).as("cross_before"))
-    contrib
+    // the |sources|-row counts table folds as ONE broadcast array inside a
+    // single map-side aggregate expression — no ×(S−1) row expansion, no
+    // re-shuffle of the chunk stream, no sort anywhere
+    val countsArr = nchunks.agg(
+      collect_list(struct(col("source").as("s"), col("n_chunks").as("n")))
+        .as("cs"))
+    chunks.crossJoin(broadcast(countsArr))
+      .withColumn("cross_before", expr(
+        """aggregate(cs, 0L, (acc, x) -> acc +
+          |  CASE WHEN x.s = source THEN 0L
+          |       ELSE (chunk_idx * x.n - 1) div n_chunks +
+          |            (CASE WHEN (chunk_idx * x.n) % n_chunks = 0
+          |                   AND (chunk_idx * x.n) div n_chunks <= x.n
+          |                   AND x.s < source THEN 1L ELSE 0L END)
+          |  END)""".stripMargin))
       .withColumn("step", col("chunk_idx") + col("cross_before"))
       .select(col("source"), col("chunk_idx"), col("n_chunks"), col("step"))
   }
