@@ -469,6 +469,41 @@ object ScaleQueries4 {
       |  ELSE text END AS out_text
       |FROM c""".stripMargin
 
+  // ---- X24: T5-style span corruption --------------------------------------------
+
+  /** X24 — denoising-objective pair construction: 3-token spans every 10
+    * tokens (start at 1 + id mod 5) masked with numbered sentinels; both
+    * the corrupted input and the sentinel-delimited target are
+    * hash-checked. Map-side only. */
+  private def x24SpanCorrupt: Q = (s, d) =>
+    graft.scale.Curation.spanCorrupt(
+      Tables.documents(s, d), "text", "doc_id", spanLen = 3, stride = 10)
+
+  private val x24Sql =
+    """WITH t AS (
+      |  SELECT doc_id AS id, text, string_split(text, ' ') AS tk,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    1 + doc_id % 5 AS start
+      |  FROM documents),
+      |c AS (SELECT *, start + 2 <= n AS corrupted FROM t)
+      |SELECT id, corrupted,
+      |  CASE WHEN corrupted THEN
+      |    array_to_string(list_filter(list_transform(generate_series(1, n), i ->
+      |      CASE WHEN i >= start AND ((i - start) % 10) = 0 AND i + 2 <= n
+      |           THEN '<X' || CAST((i - start) // 10 AS VARCHAR) || '>'
+      |           WHEN i >= start AND ((i - start) % 10) <= 2
+      |                AND (i - ((i - start) % 10)) + 2 <= n
+      |           THEN NULL
+      |           ELSE tk[CAST(i AS INT)] END),
+      |      x -> x IS NOT NULL), ' ')
+      |  ELSE text END AS input,
+      |  CASE WHEN corrupted THEN
+      |    array_to_string(flatten(list_transform(generate_series(start, n - 2, 10), s ->
+      |      list_concat(['<X' || CAST((s - start) // 10 AS VARCHAR) || '>'],
+      |                  list_slice(tk, CAST(s AS INT), CAST(s + 2 AS INT))))), ' ')
+      |  ELSE '' END AS target
+      |FROM c""".stripMargin
+
   // ---- ST_BUDGET: streaming token-budget gate ---------------------------------
 
   /** ST_BUDGET — the streaming budget gate's batch twin: per-source
@@ -999,6 +1034,7 @@ object ScaleQueries4 {
     "pk4_pack_stats"    -> pk4PackStats,
     "st_budget"         -> stBudget,
     "x23_fim"           -> x23Fim,
+    "x24_span_corrupt"  -> x24SpanCorrupt,
     "sm19_curriculum"   -> sm19Curriculum,
     "s14_mmr"           -> s14Mmr,
     "e9_feature_hash"   -> e9FeatureHash,
@@ -1029,6 +1065,7 @@ object ScaleQueries4 {
     "pk4_pack_stats"    -> pk4Sql,
     "st_budget"         -> stBudgetSql,
     "x23_fim"           -> x23Sql,
+    "x24_span_corrupt"  -> x24Sql,
     "sm19_curriculum"   -> sm19Sql,
     "e9_feature_hash"   -> e9Sql,
     "pipe7_fim_pack"    -> pipe7Sql,

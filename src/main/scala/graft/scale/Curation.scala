@@ -275,6 +275,50 @@ object Curation {
       .withColumn("contaminated", col("max_eval_cos") >= threshold)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683
+    * §3.1.4): mask fixed-length token spans with numbered sentinels and
+    * emit the (input, target) denoising pair — input keeps the
+    * uncorrupted tokens with one `<Xj>` per masked span, target is the
+    * sentinel-delimited concatenation of the masked spans. Spans start at
+    * token position 1 + (id mod 5), repeat every `stride` tokens, and are
+    * `spanLen` long; only FULL spans mask (a truncated tail span stays in
+    * the input). Deterministic by
+    * construction — the span layout is integer arithmetic on (id,
+    * position), no RNG — so the rendered pair is oracle-replayable.
+    *
+    * Pure map-side array HOFs over the token array: zero shuffle, scales
+    * as a scan. Docs shorter than the first full span pass through with
+    * `corrupted = false` and an empty target. Returns (id, corrupted,
+    * input, target). */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  spanLen: Int = 3, stride: Int = 10): DataFrame = {
+    require(spanLen >= 1 && stride > spanLen,
+      s"need 1 <= spanLen < stride, got spanLen=$spanLen stride=$stride")
+    val prep = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"),
+      split(col(textCol), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("start", lit(1L) + pmod(col("id"), lit(5L)))
+      .withColumn("corrupted", col("start") + (spanLen - 1) <= col("n"))
+    val L = spanLen; val S = stride
+    val inputExpr =
+      s"""array_join(filter(transform(sequence(1L, n), i ->
+         |  CASE WHEN i >= start AND ((i - start) % $S) = 0 AND i + ${L - 1} <= n
+         |       THEN concat('<X', CAST((i - start) div $S AS STRING), '>')
+         |       WHEN i >= start AND ((i - start) % $S) <= ${L - 1}
+         |            AND (i - ((i - start) % $S)) + ${L - 1} <= n
+         |       THEN NULL
+         |       ELSE element_at(tk, CAST(i AS INT)) END),
+         |  x -> x IS NOT NULL), ' ')""".stripMargin
+    val targetExpr =
+      s"""array_join(flatten(transform(sequence(start, n - ${L - 1}L, $S), s ->
+         |  concat(array(concat('<X', CAST((s - start) div $S AS STRING), '>')),
+         |         slice(tk, CAST(s AS INT), $L)))), ' ')""".stripMargin
+    prep.select(col("id"), col("corrupted"),
+      when(col("corrupted"), expr(inputExpr)).otherwise(col("__text")).as("input"),
+      when(col("corrupted"), expr(targetExpr)).otherwise(lit("")).as("target"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * arXiv:2207.14255): rewrite a deterministic fraction of documents
     * into PSM order — prefix, suffix, middle with sentinel tokens — so an

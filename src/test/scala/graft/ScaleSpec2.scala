@@ -1130,6 +1130,37 @@ class ScaleSpec2 extends SparkTestBase {
       s"anneal cut not quality-ranked: min-in=$inA max-out=$outA")
   }
 
+  test("spanCorrupt: exact sentinel layout, pass-through shorts, lossless reconstruction") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j k l m"),  // start=1: spans at 1 and 11
+      (2L, "a b c d e f g h i j k l m"),  // start=3: spans at 3 and 13? 13+2>13 -> only 3
+      (1L, "a b")                          // too short -> pass-through
+    ).toDF("doc_id", "text")
+    val out = graft.scale.Curation.spanCorrupt(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(0L) == ((true, "<X0> d e f g h i j <X1>",
+                        "<X0> a b c <X1> k l m")), s"got ${out(0L)}")
+    assert(out(2L) == ((true, "a b <X0> f g h i j k l m",
+                        "<X0> c d e")), s"got ${out(2L)}")
+    assert(out(1L) == ((false, "a b", "")))
+    // corpus-wide: splicing each target span back over its sentinel in the
+    // input reconstructs the original token stream exactly
+    val both = graft.scale.Curation.spanCorrupt(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id").as("id"), col("text")), Seq("id"))
+      .filter(col("corrupted"))
+      .select(col("input"), col("target"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(both.nonEmpty)
+    both.foreach { case (inp, tgt, orig) =>
+      val spans = tgt.split("<X\\d+> ").filter(_.nonEmpty).map(_.stripSuffix(" "))
+      var rebuilt = inp
+      spans.zipWithIndex.foreach { case (sp, j) =>
+        rebuilt = rebuilt.replace(s"<X$j>", sp) }
+      assert(rebuilt == orig, s"reconstruction mismatch: ${rebuilt.take(60)}")
+    }
+  }
+
   test("fimTransform: exact PSM layout, pass-through off-rate/short, lossless reassembly") {
     val df = Seq(
       (2L, "a b c d e f g h i"),   // 9 tokens, even id -> PSM at p=3, q=6
