@@ -469,6 +469,33 @@ object ScaleQueries4 {
       |  ELSE text END AS out_text
       |FROM c""".stripMargin
 
+  // ---- X25: deterministic word dropout --------------------------------------------
+
+  /** X25 — epoch-reproducible word dropout at 1/10 rate: token i of doc d
+    * drops iff (d + i) % 10 = 0; docs under 8 tokens pass through whole.
+    * The augmented text itself hash-checks. */
+  private def x25WordDropout: Q = (s, d) =>
+    graft.scale.Curation.wordDropout(
+      Tables.documents(s, d), "text", "doc_id", modulus = 10L, phase = 0L)
+
+  private val x25Sql =
+    """WITH t AS (
+      |  SELECT doc_id AS id, text, string_split(text, ' ') AS tk,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT *, n >= 8 AS dropped FROM t),
+      |k AS (
+      |  SELECT id, dropped, n, text,
+      |    list_filter(list_transform(generate_series(1, n), i ->
+      |      CASE WHEN (id + i) % 10 = 0 THEN NULL
+      |           ELSE tk[CAST(i AS INT)] END),
+      |      x -> x IS NOT NULL) AS kept
+      |  FROM c)
+      |SELECT id, dropped,
+      |  CAST(CASE WHEN dropped THEN n - len(kept) ELSE 0 END AS BIGINT) AS n_dropped,
+      |  CASE WHEN dropped THEN array_to_string(kept, ' ') ELSE text END AS out_text
+      |FROM k""".stripMargin
+
   // ---- X24: T5-style span corruption --------------------------------------------
 
   /** X24 — denoising-objective pair construction: 3-token spans every 10
@@ -1035,6 +1062,7 @@ object ScaleQueries4 {
     "st_budget"         -> stBudget,
     "x23_fim"           -> x23Fim,
     "x24_span_corrupt"  -> x24SpanCorrupt,
+    "x25_word_dropout"  -> x25WordDropout,
     "sm19_curriculum"   -> sm19Curriculum,
     "s14_mmr"           -> s14Mmr,
     "e9_feature_hash"   -> e9FeatureHash,
@@ -1066,6 +1094,7 @@ object ScaleQueries4 {
     "st_budget"         -> stBudgetSql,
     "x23_fim"           -> x23Sql,
     "x24_span_corrupt"  -> x24Sql,
+    "x25_word_dropout"  -> x25Sql,
     "sm19_curriculum"   -> sm19Sql,
     "e9_feature_hash"   -> e9Sql,
     "pipe7_fim_pack"    -> pipe7Sql,

@@ -319,6 +319,37 @@ object Curation {
       when(col("corrupted"), expr(targetExpr)).otherwise(lit("")).as("target"))
   }
 
+  /** Deterministic word dropout — the classic denoising augmentation
+    * (word-level input dropout, Iyyer et al. 2015 §3; Bowman et al. 2016
+    * decoder-input dropout): drop each token whose (id + position) lands
+    * on the modulus, keeping documents below `minTokens` whole so short
+    * inputs never collapse. The drop layout is integer arithmetic on
+    * (doc id, 1-based token position) — no RNG — so the augmented text is
+    * oracle-replayable and a fixed epoch's augmentation is reproducible
+    * bit-for-bit (vary `phase` per epoch for fresh masks).
+    *
+    * Map-side filter over the token array, zero shuffle. Returns
+    * (id, dropped, n_dropped, out_text). */
+  def wordDropout(df: DataFrame, textCol: String, idCol: String,
+                  modulus: Long = 10L, phase: Long = 0L,
+                  minTokens: Int = 8): DataFrame = {
+    require(modulus >= 2, s"need modulus >= 2, got $modulus")
+    val prep = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text"), split(col(textCol), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("dropped", col("n") >= minTokens)
+    val keepExpr =
+      s"""filter(transform(sequence(1L, n), i ->
+         |  CASE WHEN (id + i + ${phase}L) % ${modulus}L = 0 THEN NULL
+         |       ELSE element_at(tk, CAST(i AS INT)) END),
+         |  x -> x IS NOT NULL)""".stripMargin
+    prep.select(col("id"), col("dropped"),
+      when(col("dropped"), col("n") - size(expr(keepExpr)).cast("long"))
+        .otherwise(0L).as("n_dropped"),
+      when(col("dropped"), expr(s"array_join($keepExpr, ' ')"))
+        .otherwise(col("__text")).as("out_text"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * arXiv:2207.14255): rewrite a deterministic fraction of documents
     * into PSM order — prefix, suffix, middle with sentinel tokens — so an

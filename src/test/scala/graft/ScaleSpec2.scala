@@ -1130,6 +1130,35 @@ class ScaleSpec2 extends SparkTestBase {
       s"anneal cut not quality-ranked: min-in=$inA max-out=$outA")
   }
 
+  test("wordDropout: exact drop layout, phase varies the mask, short docs pass through") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),  // id 0: drop positions 10 -> "j"
+      (9L, "a b c d e f g h i j"),  // id 9: drop i where (9+i)%10=0 -> i=1 "a"
+      (1L, "a b c")                  // short -> untouched
+    ).toDF("doc_id", "text")
+    val out = graft.scale.Curation.wordDropout(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((true, 1L, "a b c d e f g h i")), s"got ${out(0L)}")
+    assert(out(9L) == ((true, 1L, "b c d e f g h i j")), s"got ${out(9L)}")
+    assert(out(1L) == ((false, 0L, "a b c")))
+    // a different phase produces a different mask on the same doc
+    val p1 = graft.scale.Curation.wordDropout(df, "text", "doc_id", phase = 1L)
+      .filter(col("id") === 0L).collect()(0).getString(3)
+    assert(p1 != out(0L)._3 && p1 == "a b c d e f g h j",
+      s"phase=1 should shift the mask: $p1")
+    // corpus-wide: drop rate is ~1/modulus, never more than ceil(n/10)
+    val rates = graft.scale.Curation.wordDropout(docs, "text", "doc_id")
+      .filter(col("dropped"))
+      .select(col("n_dropped"),
+        size(split(col("out_text"), " ")).cast("long").as("n_kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rates.nonEmpty)
+    rates.foreach { case (nd, nk) =>
+      val n = nd + nk
+      assert(nd <= n / 10 + 1, s"drop count $nd too high for n=$n") }
+  }
+
   test("spanCorrupt: exact sentinel layout, pass-through shorts, lossless reconstruction") {
     val df = Seq(
       (0L, "a b c d e f g h i j k l m"),  // start=1: spans at 1 and 11
