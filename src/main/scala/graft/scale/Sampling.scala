@@ -457,7 +457,6 @@ object Sampling {
       s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
     require(annealPct >= 0 && annealPct <= 100,
       s"need annealPct in [0,100], got $annealPct")
-    import org.apache.spark.sql.expressions.Window
     val scored = TextAnalysis.qualityScore(df, textCol)
       .select(col(sourceCol).as("source"),
         size(split(col(textCol), " ")).cast("long").as("toks"),
@@ -466,12 +465,19 @@ object Sampling {
       .agg(sum(col("toks")).as("n_avail"), sum(col("q100")).as("sq"),
            count(lit(1)).as("nd"))
       .withColumn("mq", col("sq").cast("double") / col("nd").cast("double"))
-    // bounded |sources|-row windows: anneal membership + totals
-    val wq = Window.orderBy(col("mq").desc, col("source"))
-    val ranked = src
-      .withColumn("rk", row_number().over(wq).cast("long"))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    // anneal membership rank via the broadcast array fold (the mixSchedule
+    // discipline) — same (mq desc, source) order a row_number would give,
+    // with no unpartitioned window even on this |sources|-row table
+    val srcArr = src.agg(
+      collect_list(struct(col("mq").as("m"), col("source").as("s"))).as("all"))
+    val ranked = src.crossJoin(broadcast(srcArr))
+      .withColumn("rk", expr(
+        """aggregate(all, 1L, (acc, x) -> acc +
+          |  CASE WHEN x.m > mq OR (x.m = mq AND x.s < source)
+          |       THEN 1L ELSE 0L END)""".stripMargin))
+      .withColumn("ns", size(col("all")).cast("long"))
       .withColumn("inAnneal", col("rk") * 2L <= col("ns"))
+      .drop("all")
     // the budget derives in-plan from the corpus total (no eager action;
     // the d11 lesson): budget = floor(tot·num/den), then an exact
     // integer split between the phases
