@@ -9,8 +9,9 @@ import graft.Tables
   * retrieval-prep surface: semi-structured JSON handling (v1/v2),
   * sequence packing and its accounting (pk1–pk4, st_pack, st_budget),
   * TS tokenization (t24/t25, pipe6), curriculum mixtures and schedules
-  * (sm16–sm20), corpus diagnostics (x22), FIM rewrites (x23), dedup and
-  * retrieval mining (d18, s13, s14), the hashing-trick encoder (e9),
+  * (sm16–sm20), corpus diagnostics (x22), objective-construction
+  * transforms (x23 FIM, x24 span corruption, x25 word dropout), dedup
+  * and retrieval mining (d18, s13–s15), the hashing-trick encoder (e9),
   * and the composed pipelines (pipe5–pipe8). Every ✔dt query pairs a
   * Spark plan with a DuckDB oracle below. */
 object ScaleQueries4 {
