@@ -674,6 +674,78 @@ object ScaleQueries4 {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, cosine
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // ---- A30: per-source dataset card ---------------------------------------------
+
+  /** A30 — the governance summary a corpus release ships, one row per
+    * source: volume (docs, whitespace tokens, chars), mean quality on the
+    * 1e-2 grid, language spread (distinct langs + majority lang by
+    * (count desc, lang) — exact argmax via max_by-free struct max),
+    * exact-duplicate pressure (docs minus distinct texts). One pass over
+    * the corpus plus a per-(source, lang) reduced table; every column is
+    * integer/grid-exact. */
+  private def a30DatasetCard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = graft.scale.TextAnalysis.qualityScore(docs, "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+           sum(length(col("text"))).cast("long").as("n_chars"),
+           sum(floor(col("quality") * 100.0 + 0.5).cast("long")).as("q100sum"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(md5(col("text"))).as("n_distinct"))
+      .withColumn("mean_q_micro",
+        expr("(q100sum * 10000) div n_docs"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+      .drop("q100sum", "n_distinct")
+    // majority language: exact argmax by (count desc, lang asc) via a
+    // struct max over the reduced (source, lang) table — no window
+    val langTop = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("cnt"),
+        expr("transform(sequence(1, length(lang)), i -> 255 - ascii(substring(lang, i, 1)))").as("inv"),
+        col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+              col("m.cnt").as("top_lang_docs"))
+    base.join(langTop, Seq("source"))
+  }
+
+  private val a30Sql = {
+    val stop = graft.scale.TextAnalysis.qualityStopwordsSql
+    s"""WITH sdoc AS (
+       |  SELECT source, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopword_ratio
+       |  FROM documents),
+       |qd AS (
+       |  SELECT source, lang, text, toks,
+       |    CAST(floor((CASE WHEN n_tokens >= 20 THEN 0.4 ELSE n_tokens / 50 END
+       |         + CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END
+       |         + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+       |          * 100.0 + 0.5) AS BIGINT) AS q100
+       |  FROM sdoc),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |    CAST((sum(q100) * 10000) // count(*) AS BIGINT) AS mean_q_micro,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+       |  FROM qd GROUP BY 1),
+       |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM documents GROUP BY 1, 2),
+       |lt AS (
+       |  SELECT source, lang AS top_lang, cnt AS top_lang_docs,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+       |  FROM lc)
+       |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.mean_q_micro,
+       |       b.n_langs, b.dup_docs, lt.top_lang, lt.top_lang_docs
+       |FROM base b JOIN lt ON lt.source = b.source AND lt.rk = 1""".stripMargin
+  }
+
   // ---- PIPE8: session → conversation document assembly --------------------------
 
   /** PIPE8 — event logs assembled into ordered conversation documents:
@@ -1073,6 +1145,7 @@ object ScaleQueries4 {
     "sm20_rank_norm"    -> sm20RankNorm,
     "d18_incremental"   -> d18Incremental,
     "pipe8_conversations" -> pipe8Conversations,
+    "a30_dataset_card"  -> a30DatasetCard,
     "pipe5_tokens"      -> pipe5Tokens,
     "pipe6_ts_windows"  -> pipe6TsWindows
   )
@@ -1103,6 +1176,7 @@ object ScaleQueries4 {
     "sm20_rank_norm"    -> sm20Sql,
     "d18_incremental"   -> d18Sql,
     "pipe8_conversations" -> pipe8Sql,
+    "a30_dataset_card"  -> a30Sql,
     "pipe5_tokens"      -> pipe5Sql,
     "pipe6_ts_windows"  -> pipe6Sql
   )
