@@ -120,14 +120,19 @@ object Bench {
     // artifact is the ground truth for scaling adjudication, so soak
     // reads stop re-deriving it every round.
     val isolated = Seq("j3_zip", "m6_logy").filter(headline.contains).map { name =>
+      // a failed probe run must not publish its near-zero plan-build
+      // time as the min — mark it -1 and exclude, like the packed pass
       val vs = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        try headline(name)(spark, sfDir).count() catch { case _: Throwable => () }
+        val ok = try { headline(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
-      f""""$name":${vs.min}%.4f"""
+      val good = vs.filter(_ >= 0)
+      if (good.isEmpty) s""""$name":null"""
+      else f""""$name":${good.min}%.4f"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"pass_order":"rotated","pass_values":$perPass,"failures":$failures,"isolated":$isolated,"sf":"$sfDir"}"""
     println(line)
@@ -138,6 +143,13 @@ object Bench {
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full_latest.json"),
       (line + "\n").getBytes("UTF-8")))
+    // append-only history so round-over-round per-query diffs never
+    // depend on the mutable "latest" file (r11 verdict ask #9)
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full_history.jsonl"),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND))
     spark.stop()
   }
 }

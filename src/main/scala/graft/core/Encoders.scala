@@ -30,30 +30,49 @@ object Encoders {
     * column's cardinality, like the dictionary itself). */
   def labelEncode(df: DataFrame, colName: String, dict: DataFrame,
                   outCol: String): DataFrame = {
-    val d = dict.withColumnRenamed(dict.columns.head, colName)
+    val full = grownDictionary(df, colName, dict)
+      .withColumnRenamed(dict.columns.head, colName)
       .withColumnRenamed("code", "__dict_code")
-    val maxCode = d.agg(max(col("__dict_code"))).head() match {
-      case r if r.isNullAt(0) => -1
-      case r => r.getInt(0)
-    }
-    val unseen = df.select(col(colName)).na.drop().distinct()
-      .join(d.select(col(colName)), Seq(colName), "left_anti")
-      .withColumn("__dict_code",
-        (row_number().over(Window.orderBy(col(colName))) + maxCode).cast("int"))
-    val full = d.select(col(colName), col("__dict_code")).unionByName(unseen)
     df.join(broadcast(full), Seq(colName), "left")
       .withColumn(outCol,
         when(col(colName).isNull, lit(-1)).otherwise(col("__dict_code")))
       .drop("__dict_code")
   }
 
+  /** E1 — the dictionary AFTER a grow-on-unseen transform over `df`: the
+    * fitted dict plus (value → maxCode + rank) rows for `df`'s unseen
+    * values — exactly the state the reference's `transform` leaves in
+    * `self.transformer`/`self.inverse_transformer`
+    * (`my_encoders.py:74-78`). Same (value, code) schema as the input
+    * dict; bounded by the column's cardinality. Feed this to
+    * [[labelDecode]] to recover grown labels the way the reference's
+    * `inverse_transform` does. */
+  def grownDictionary(df: DataFrame, colName: String,
+                      dict: DataFrame): DataFrame = {
+    val valueName = dict.columns.head
+    val d = dict.select(col(valueName), col("code").cast("int").as("code"))
+    val maxCode = d.agg(max(col("code"))).head() match {
+      case r if r.isNullAt(0) => -1
+      case r => r.getInt(0)
+    }
+    val unseen = df.select(col(colName).as(valueName)).na.drop().distinct()
+      .join(d.select(col(valueName)), Seq(valueName), "left_anti")
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col(valueName))) + maxCode).cast("int"))
+    d.unionByName(unseen)
+  }
+
   /** E1 — inverse label encoding (`My_LabelEncoder.inverse_transform`,
     * `utils/my_encoders.py:97-105`): map integer codes back to their
-    * labels through the fitted dictionary. The reference routes through
-    * pandas `.map(inverse_transformer)`, whose missing-key rule yields
-    * NaN — so codes absent from the dictionary (including the null code
-    * -1 and any grown-on-unseen code the dict never saw) decode to null
-    * here. Broadcast join on the bounded dictionary; the corpus never
+    * labels through a dictionary. The reference decodes via pandas
+    * `.map(inverse_transformer)` where `inverse_transformer` includes
+    * every grown-on-unseen code inserted at transform time
+    * (`my_encoders.py:77`) — to reproduce that, pass
+    * [[grownDictionary]](encodeData, colName, dict) as `dict`; grown
+    * codes then recover their labels. Passing the bare fitted dict
+    * instead decodes only fit-time codes, and codes it never saw
+    * (including the null code -1) hit pandas' missing-key rule → null.
+    * Broadcast join on the bounded dictionary; the corpus never
     * shuffles. */
   def labelDecode(df: DataFrame, codeCol: String, dict: DataFrame,
                   outCol: String): DataFrame = {

@@ -398,16 +398,19 @@ object ScaleQueries2 {
 
   /** e8_label_decode — `inverse_transform` round trip: fit the dictionary
     * WITHOUT de/zh (as e2), encode the full corpus (de/zh get grown
-    * codes), then decode through the ORIGINAL dictionary. Seen codes
-    * recover their label; grown codes and the null code -1 decode to null
-    * (the reference's pandas `.map` missing-key rule,
+    * codes), then decode through the GROWN dictionary — the reference
+    * inserts grown codes into `inverse_transformer` at transform time
+    * (`my_encoders.py:77`), so its `inverse_transform` recovers grown
+    * labels too. Every non-null lang round-trips; only the null code -1
+    * decodes to null (pandas `.map` missing-key rule,
     * `my_encoders.py:97-105`). */
   private def e8LabelDecode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val train = docs.filter(!col("lang").isin("de", "zh"))
     val dict = graft.core.Encoders.labelDictionary(train, "lang")
     val enc = graft.core.Encoders.labelEncode(docs, "lang", dict, "lang_code")
-    graft.core.Encoders.labelDecode(enc, "lang_code", dict, "lang_decoded")
+    val grown = graft.core.Encoders.grownDictionary(docs, "lang", dict)
+    graft.core.Encoders.labelDecode(enc, "lang_code", grown, "lang_decoded")
       .select(col("doc_id"), col("lang"),
               col("lang_code").cast("long").as("lang_code"), col("lang_decoded"))
   }
@@ -430,9 +433,13 @@ object ScaleQueries2 {
       |  FROM documents d
       |  LEFT JOIN dict ON d.lang = dict.v
       |  LEFT JOIN unseen ON d.lang = unseen.v
-      |  CROSS JOIN mx)
+      |  CROSS JOIN mx),
+      |grown AS (
+      |  SELECT v, id FROM dict
+      |  UNION ALL
+      |  SELECT unseen.v, mx.m + unseen.rk AS id FROM unseen CROSS JOIN mx)
       |SELECT enc.doc_id, enc.lang, enc.lang_code, dec.v AS lang_decoded
-      |FROM enc LEFT JOIN dict dec ON enc.lang_code = dec.id""".stripMargin
+      |FROM enc LEFT JOIN grown dec ON enc.lang_code = dec.id""".stripMargin
 
   // ---- decontamination / packing ----------------------------------------
 

@@ -2270,7 +2270,7 @@ object ScaleQueries3 {
       wfWeights, budget = 20000L, rounds = 3)
 
   private val sm10Sql =
-    """WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_avail
+    s"""WITH c AS (SELECT source, CAST(sum(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}'))) AS BIGINT) AS n_avail
       |           FROM documents GROUP BY 1),
       |base AS (SELECT c.source, c.n_avail,
       |           CAST(CASE WHEN c.source IN ('src0','src1','src2','src3','src4')
@@ -2409,9 +2409,9 @@ object ScaleQueries3 {
        |         ELSE 'tail' END AS tier
        |  FROM sc CROSS JOIN cut)
        |SELECT tier, count(*) AS n,
-       |  sum(CASE WHEN doc_id % 1000 <
+       |  CAST(sum(CASE WHEN doc_id % 1000 <
        |        (CASE tier WHEN 'head' THEN 1000 WHEN 'middle' THEN 500 ELSE 100 END)
-       |      THEN 1 ELSE 0 END) AS n_kept
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM tiered GROUP BY tier""".stripMargin
 
   // ---- ST: streaming online per-series forecast (batch twin) -----------

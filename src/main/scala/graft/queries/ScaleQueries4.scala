@@ -287,7 +287,7 @@ object ScaleQueries4 {
     val stop = graft.scale.TextAnalysis.qualityStopwordsSql
     s"""WITH sdoc AS (
        |  SELECT source,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
@@ -635,8 +635,8 @@ object ScaleQueries4 {
          |    CASE WHEN s$i.n_unc > 0 THEN s$i.remaining // s$i.n_unc ELSE 0 END AS capped
          |  FROM $prev p CROSS JOIN s$i)""".stripMargin
     s"""WITH base AS (
-       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_avail,
-       |    (CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 3) // 2 AS cap_tokens,
+       |  SELECT source, CAST(sum(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}'))) AS BIGINT) AS n_avail,
+       |    (CAST(sum(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}'))) AS BIGINT) * 3) // 2 AS cap_tokens,
        |    CAST(0 AS BIGINT) AS alloc, false AS capped
        |  FROM documents GROUP BY 1),
        |${round("base", 1)},
@@ -703,7 +703,12 @@ object ScaleQueries4 {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))
       .agg(max(struct(col("cnt"),
-        expr("transform(sequence(1, length(lang)), i -> 255 - ascii(substring(lang, i, 1)))").as("inv"),
+        // inverted bytes + a 256 sentinel: on a cnt tie the
+        // lexicographically SMALLEST lang must win the max, including
+        // when one code is a strict prefix of another ("en" vs "eng") —
+        // without the sentinel Spark's array compare ranks the shorter
+        // (prefix) array lower and the max would pick the larger lang
+        expr("concat(transform(sequence(1, length(lang)), i -> 255 - ascii(substring(lang, i, 1))), array(256))").as("inv"),
         col("lang"))).as("m"))
       .select(col("source"), col("m.lang").as("top_lang"),
               col("m.cnt").as("top_lang_docs"))
@@ -910,8 +915,8 @@ object ScaleQueries4 {
       |  SELECT source, n_terms,
       |    floor((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) / 1e9
       |           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
-      |          / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) / 1e9
-      |             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+      |          / nullif(CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) / 1e9
+      |             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9), 0)
       |          * 1e6 + 0.5) / 1e6 AS slope,
       |    sy, sx
       |  FROM agg)

@@ -113,19 +113,22 @@ object ProductQuant {
       qid -> Array.tabulate(m)(s => cbs(s).map(cw => subDist9(qv, s * w, cw)))
     }.toMap
     val bc = spark.sparkContext.broadcast(luts)
-    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+    // exact 1e-9-grid ADC total: the ranking key (ties broken by vid)
+    // matches the oracle's ORDER BY t, vid — never the rounded double,
+    // which can merge distinct totals into one 1e-6 bucket
+    val adc9 = udf { (qid: Long, codes: Seq[Int]) =>
       val lut = bc.value(qid)
       var t = 0L; var s = 0
       while (s < codes.length) { t += lut(s)(codes(s)); s += 1 }
-      // 1e-9-grid total -> 1e-6-grid double, integer rounding only
-      ((t + 500L) / 1000L) / 1e6
+      t
     }
     import spark.implicits._
     val qDf = qVecs.map(_._1).toSeq.toDF("qid")
     val scored = withCodes(v, cbs)
       .join(broadcast(qDf), col("vid") =!= col("qid"))
-      .withColumn("adist", adc(col("qid"), col("codes")))
-    val wk = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+      .withColumn("t9", adc9(col("qid"), col("codes")))
+      .withColumn("adist", expr("((t9 + 500L) div 1000L) / 1e6"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("t9"), col("vid"))
     val result = scored.withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
@@ -172,19 +175,22 @@ object ProductQuant {
       qid -> Array.tabulate(m)(s => cbs(s).map(cw => subDist9(qv, s * w, cw)))
     }.toMap
     val bc = spark.sparkContext.broadcast(luts)
-    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+    // rank on the exact 1e-9-grid total (see pqTopK) — rounded adist is
+    // display-only
+    val adc9 = udf { (qid: Long, codes: Seq[Int]) =>
       val lut = bc.value(qid)
       var t = 0L; var s = 0
       while (s < codes.length) { t += lut(s)(codes(s)); s += 1 }
-      ((t + 500L) / 1000L) / 1e6
+      t
     }
     import spark.implicits._
     val probeDf = probes.toSeq.toDF("qid", "cell")
     val scored = withCodes(Similarity.assignCells(v, cents), cbs)
       .join(broadcast(probeDf), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("adist", adc(col("qid"), col("codes")))
-    val wk = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+      .withColumn("t9", adc9(col("qid"), col("codes")))
+      .withColumn("adist", expr("((t9 + 500L) div 1000L) / 1e6"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("t9"), col("vid"))
     val result = scored.withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),

@@ -261,13 +261,17 @@ object Sampling {
     * factor is quantized to 1e-6 each round so allocations are
     * bit-identical cross-engine. Returns (source, n_avail, alloc_tokens,
     * capped, rate_permille). */
+  // Token counts across ALL token-budget operators (waterfill, unimax,
+  // anneal, packing, budget-select) share Packing.tokenCount — a mixture
+  // planned on one tokenizer and packed on another silently mis-budgets
+  // (r11 ADVICE/task #8).
   def waterfillMixture(df: DataFrame, sourceCol: String, textCol: String,
                        weights: Map[String, Double], budget: Long,
                        rounds: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val c = df.groupBy(col(sourceCol).as("source"))
-      .agg(sum(size(split(col(textCol), " "))).cast("long").as("n_avail"))
+      .agg(sum(Packing.tokenCount(col(textCol))).as("n_avail"))
     val wdf = weights.toSeq.toDF("source", "wgt")
     var cur = c.join(broadcast(wdf), Seq("source"))
       .withColumn("alloc", lit(0L)).withColumn("capped", lit(false))
@@ -314,7 +318,7 @@ object Sampling {
     require(budget >= 0 && epochsNum >= 1 && epochsDen >= 1 && rounds >= 1,
       s"need budget>=0, epochs>0, rounds>=1; got $budget, $epochsNum/$epochsDen, $rounds")
     var cur = df.groupBy(col(sourceCol).as("source"))
-      .agg(sum(size(split(col(textCol), " "))).cast("long").as("n_avail"))
+      .agg(sum(Packing.tokenCount(col(textCol))).as("n_avail"))
       .withColumn("cap_tokens",
         expr(s"(n_avail * ${epochsNum}L) div ${epochsDen}L"))
       .withColumn("alloc", lit(0L)).withColumn("capped", lit(false))
@@ -459,7 +463,7 @@ object Sampling {
       s"need annealPct in [0,100], got $annealPct")
     val scored = TextAnalysis.qualityScore(df, textCol)
       .select(col(sourceCol).as("source"),
-        size(split(col(textCol), " ")).cast("long").as("toks"),
+        Packing.tokenCount(col(textCol)).as("toks"),
         floor(col("quality") * 100.0 + 0.5).cast("long").as("q100"))
     val src = scored.groupBy(col("source"))
       .agg(sum(col("toks")).as("n_avail"), sum(col("q100")).as("sq"),

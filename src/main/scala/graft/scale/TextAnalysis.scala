@@ -775,10 +775,14 @@ object TextAnalysis {
       .withColumn("den",
         col("n_terms").cast("double") * col("sxx").cast("double") / 1e9 -
         (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9))
-      .withColumn("slope", graft.queries.Det.dround(
-        (col("n_terms").cast("double") * col("sxy").cast("double") / 1e9 -
-         (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
-        col("den"), 6))
+      // den = 0 (a single distinct rank — e.g. one-word vocabulary) has
+      // no 2-parameter fit: emit null rather than 0/0 = NaN, whose
+      // rendering differs across engines
+      .withColumn("slope", when(col("den") === 0.0, lit(null).cast("double"))
+        .otherwise(graft.queries.Det.dround(
+          (col("n_terms").cast("double") * col("sxy").cast("double") / 1e9 -
+           (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
+          col("den"), 6)))
       .withColumn("intercept", graft.queries.Det.dround(
         (col("sy").cast("double") / 1e9 -
          col("slope") * col("sx").cast("double") / 1e9) /

@@ -288,7 +288,7 @@ class CoreOpsSpec extends SparkTestBase {
     assert(enc2 == Map("a" -> 0, "x" -> 3, "z" -> 4), s"got $enc2")
   }
 
-  test("labelDecode round-trips seen codes; unseen/grown/null codes decode to null") {
+  test("labelDecode round-trips seen codes; grown codes recover via grownDictionary") {
     import graft.core.Encoders
     val df = Seq(Some("b"), Some("a"), Some("c"), None).map(Tuple1(_)).toDF("v")
     val dict = Encoders.labelDictionary(df, "v")
@@ -300,11 +300,19 @@ class CoreOpsSpec extends SparkTestBase {
     rt.foreach { case (v, back) => assert(back == v, s"round trip $v -> $back") }
     // grown-on-unseen codes are absent from the ORIGINAL dict → null
     // (the reference's pandas .map missing-key rule, my_encoders.py:97-105)
-    val grown = Encoders.labelEncode(Seq("a", "z").toDF("v"), "v", dict, "code")
+    val test2 = Seq("a", "z").toDF("v")
+    val grown = Encoders.labelEncode(test2, "v", dict, "code")
     val dec = Encoders.labelDecode(grown, "code", dict, "back")
       .select($"v", $"back").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(dec == Map("a" -> Some("a"), "z" -> None), s"got $dec")
+    // the reference's inverse_transform sees the GROWN inverse_transformer
+    // (my_encoders.py:77): decoding through grownDictionary recovers z
+    val gdict = Encoders.grownDictionary(test2, "v", dict)
+    val dec2 = Encoders.labelDecode(grown, "code", gdict, "back")
+      .select($"v", $"back").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(dec2 == Map("a" -> Some("a"), "z" -> Some("z")), s"got $dec2")
   }
 
   test("dropZeroVariance drops constants, keeps varying columns") {

@@ -53,9 +53,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
-            want = canon(con.sql(oracle[name]).df())
+            raw = con.sql(oracle[name]).df()
         except Exception as ex:
             print(f"[FAIL] {name}: oracle SQL error: {ex}"); fails += 1; continue
+        # dtype audit BEFORE canon widens everything: a Spark integral
+        # column whose oracle comes back float is the DuckDB
+        # sum(INTEGER)->HUGEINT->float64 trap — the driver's hash is
+        # type-sensitive, so this is a real red even when values match
+        # (r11's sm9_ppl_tiers). Fix is CAST(... AS BIGINT) in the SQL.
+        raw_got = pd.concat([pd.read_parquet(f) for f in files])
+        tfails = []
+        for c in raw_got.columns:
+            if c in raw.columns:
+                gi = pd.api.types.is_integer_dtype(raw_got[c])
+                wf = pd.api.types.is_float_dtype(raw[c])
+                if gi and wf:
+                    tfails.append(f"{c}: spark {raw_got[c].dtype} vs oracle {raw[c].dtype}")
+        if tfails:
+            print(f"[TYPE] {name}: " + "; ".join(tfails)); fails += 1; continue
+        want = canon(raw)
         if list(got.columns) != list(want.columns):
             print(f"[FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}"); fails += 1; continue
         if len(got) != len(want):
