@@ -1799,17 +1799,19 @@ object ScaleQueries3 {
       |FROM pairs GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
   /** X19 — iterative BPE merge learning, 6 rounds over the corpus
-    * word-count table (✖est: the fixpoint loop is not SQL-expressible;
-    * the merge sequence is spec-pinned on the classic Sennrich fixture
-    * and round 1 is hash-checked via `x18_bpe_pairs`' top row). */
+    * word-count table. Hash-checked since r12: the train loop IS
+    * SQL-expressible — [[graft.queries.BpeSql]] unrolls each round as
+    * (pair-count → top-1 → `list_reduce` string-accumulator fold) and
+    * the full 6-round merge table matches bit-for-bit. (Also
+    * spec-pinned on the classic Sennrich fixture.) */
   private def x19BpeMerges: Q = (s, d) =>
     graft.scale.TextAnalysis.bpeLearn(Tables.documents(s, d), "text", 6)
 
   /** X20 — tokenize the corpus with the 6 learned BPE merges and count
     * tokens: the train→apply round trip (x19 learns the artifact, this
-    * consumes it — ✖est: the ordered-merge fold is not SQL-expressible;
-    * spec-pinned on the Sennrich fixture where the token set after 3
-    * merges is known, and the pair stage is hash-checked via x18). */
+    * consumes it). Hash-checked since r12 via the same
+    * [[graft.queries.BpeSql]] fold replay; the Sennrich-fixture spec
+    * stays as the independent pin. */
   private def x20BpeTokens: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", 6)
@@ -2634,6 +2636,8 @@ object ScaleQueries3 {
     "a30_rfm"         -> a30Sql,
     "j8_semi_anti"    -> j8Sql,
     "t23_fourier"     -> t23Sql,
-    "x21_lang_confusion" -> x21Sql
+    "x21_lang_confusion" -> x21Sql,
+    "x19_bpe_merges"  -> BpeSql.mergesSql(6),
+    "x20_bpe_tokens"  -> BpeSql.tokenCountsSql(6, 20)
   )
 }

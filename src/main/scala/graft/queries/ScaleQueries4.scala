@@ -1120,8 +1120,57 @@ object ScaleQueries4 {
        |FROM seqs GROUP BY source""".stripMargin
   }
 
+  // ---- PIPE9: trained-tokenizer packing (BPE -> counts -> pack) -----------
+
+  /** PIPE9 — the GPT-2-style tokenizer-aware batch construction a
+    * training pipeline actually runs (r11 task #4): learn a BPE merge
+    * table on the corpus (x19), count each document's tokens under the
+    * TRAINED tokenizer (map-side memoized fold — the text never
+    * shuffles), then greedy-pack per (source, shard) at a 512-token
+    * budget (pk1's fold over the BPE counts). The oracle replays
+    * training + tokenization in SQL ([[BpeSql]]) and the pk1 recursive
+    * CTE over those counts — the whole chain under one hash. */
+  private def pipe9BpePack: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", 6)
+    val counted = graft.scale.TextAnalysis.bpeDocTokenCount(
+      docs, "text", merges, "n_tok")
+    graft.scale.Packing.packGreedyCounts(
+      counted, "n_tok", "doc_id", "source", budget = 512L, shards = 8)
+  }
+
+  private val pipe9Sql =
+    s"""WITH RECURSIVE ${BpeSql.learnCtes(6)},
+       |wlen AS (SELECT w, CAST(len(syms) AS BIGINT) AS wt FROM v6),
+       |dcnt AS (
+       |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, w FROM (
+       |          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |          FROM documents) x
+       |        WHERE length(w) > 0) dw
+       |  JOIN wlen USING (w) GROUP BY 1),
+       |docs2 AS (
+       |  SELECT d.source, d.doc_id % 8 AS shard, d.doc_id,
+       |         coalesce(c.toks, 0) AS toks,
+       |         row_number() OVER (PARTITION BY d.source, d.doc_id % 8
+       |                            ORDER BY d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN dcnt c ON d.doc_id = c.doc_id),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs2 d ON d.source = p.source AND d.shard = p.shard
+       |                          AND d.rn = p.rn + 1)
+       |SELECT source, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM pack GROUP BY source, shard, seq_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "v1_json_extract"   -> v1JsonExtract,
+    "pipe9_bpe_pack"    -> pipe9BpePack,
     "pk1_seq_pack"      -> pk1SeqPack,
     "pk2_budget_select" -> pk2BudgetSelect,
     "pk3_shard_snake"   -> pk3ShardSnake,
@@ -1157,6 +1206,7 @@ object ScaleQueries4 {
 
   val oracle: Map[String, String] = Map(
     "v1_json_extract"   -> v1Sql,
+    "pipe9_bpe_pack"    -> pipe9Sql,
     "pk1_seq_pack"      -> pk1Sql,
     "pk2_budget_select" -> pk2Sql,
     "pk3_shard_snake"   -> pk3Sql,

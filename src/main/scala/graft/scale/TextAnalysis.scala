@@ -661,6 +661,54 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document token count under a learned BPE merge table — the
+    * tokenizer-aware volume a packing/budget pipeline actually needs
+    * (pk1/pk2 count with the §2.8 regex; this is the trained-tokenizer
+    * form: pipe9). Appends `outCol` = Σ over the doc's words of the
+    * word's BPE token count, words as in [[bpeLearn]] (lower-cased,
+    * whitespace-split, empties dropped).
+    *
+    * 100-TB shape: entirely MAP-SIDE — the merge table (the tokenizer
+    * artifact, k rows) rides the closure and each task memoizes
+    * word → token-count in a per-executor cache, so the corpus text
+    * never shuffles and repeated words tokenize once per task. The
+    * doc-explode + vocab-join alternative would shuffle every word
+    * occurrence of the corpus; tokenizer CPU is the thing a cluster
+    * parallelizes for free. */
+  def bpeDocTokenCount(df: DataFrame, textCol: String, merges: DataFrame,
+                       outCol: String = "n_tok"): DataFrame = {
+    val ms: Array[(String, String)] = merges
+      .select(col("step").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val nTokWord = (w: String) => {
+      var syms: List[String] = w.split("").toList
+      ms.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) {
+          rest match {
+            case a :: b :: tail if a == l && b == r =>
+              out += l + r; rest = tail
+            case a :: tail =>
+              out += a; rest = tail
+            case Nil => ()
+          }
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val docToks = udf { (text: String) =>
+      if (text == null) 0L
+      else text.toLowerCase.split(" ").iterator.filter(_.nonEmpty)
+        .map(w => cache.computeIfAbsent(w, w2 => nTokWord(w2)).toLong).sum
+    }
+    df.withColumn(outCol, docToks(col(textCol)))
+  }
+
   /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):
     * repeat `merges` times — count adjacent symbol pairs over the
     * word-count table, take the most frequent (ties to the
