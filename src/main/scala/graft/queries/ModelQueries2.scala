@@ -599,8 +599,53 @@ object ModelQueries2 {
     m.predict(s, 6)
   }
 
+  // ---- m5_boot0: bootstrap intervals on a noiseless series ---------------
+
+  /** M5 bootstrap hash twin (r11 task #6c): DecomposableModel in
+    * `intervalMode = "bootstrap"` (fourierOrder = 0, λ = 0) fit on a
+    * NOISELESS linear series y = 100 + 2.5·t over the orders months. The
+    * residual pool is the deterministic all-≈0 sequence, so every
+    * resampled path refits to the same β and every draw equals the point
+    * forecast — the type-7 quantile band is the order statistic of a
+    * constant sample: lo = hi = ŷ, se = 0, at dround(4). This runs the
+    * REAL bootstrap machinery end-to-end (resample, k×n refit operator,
+    * per-horizon quantiles, band assembly) and hash-checks its collapse
+    * to the closed-form trend extrapolation; the random-pool behavior
+    * (coverage ≈ nominal) stays pinned in ModelsSpec. */
+  private def m5Boot0: Q = (s, d) => {
+    val series = TS.resampleMean(Tables.orders(s, d), "o_orderdate", "month",
+        Seq("o_totalprice"))
+      .select(col("ts_bucket").as("ts"))
+      .withColumn("t",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))) - 1)
+      .select(col("ts"), (lit(100.0) + lit(2.5) * col("t")).as("y"))
+    val m = new DecomposableModel(seasonalPeriod = 12, fourierOrder = 0,
+      ridgeLambda = 0.0, intervalMode = "bootstrap", uncertaintySamples = 200)
+    m.fit(series, TsSchema("ts", "y"), 2, 8)
+    m.predict(s, 8).select(
+      tsStr(col("ts")).as("ts"),
+      dround(col("yhat"), 4).as("yhat"),
+      dround(col("mean_se"), 4).as("mean_se"),
+      dround(col("mean_ci_lower"), 4).as("mean_ci_lower"),
+      dround(col("mean_ci_upper"), 4).as("mean_ci_upper"))
+  }
+
+  private val m5Boot0Sql =
+    s"""WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo
+       |           FROM orders GROUP BY 1),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, max(mo) AS last_mo FROM m),
+       |f AS (SELECT i, 100.0 + 2.5 * (n - 1 + i) AS p, last_mo
+       |      FROM a, generate_series(1, 8) AS g(i))
+       |SELECT ${tsStrSql("last_mo + to_months(CAST(i AS INTEGER))")} AS ts,
+       | ${droundSql("p", 4)} AS yhat,
+       | 0.0 AS mean_se,
+       | ${droundSql("p", 4)} AS mean_ci_lower,
+       | ${droundSql("p", 4)} AS mean_ci_upper
+       |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m1x_exog"   -> m1xExog,
+    "m5_boot0"   -> m5Boot0,
     "m1x_forecast" -> m1xForecast,
     "m6_logy"    -> m6LogY,
     "m5_mult"    -> m5Mult,
@@ -617,6 +662,7 @@ object ModelQueries2 {
 
   val oracle: Map[String, String] = Map(
     "m1x_exog"   -> m1xExogSql,
+    "m5_boot0"   -> m5Boot0Sql,
     "m6_logy"    -> m6LogYSql,
     "m5_mult"    -> m5MultSql,
     "m5_trend"   -> m5TrendSql,

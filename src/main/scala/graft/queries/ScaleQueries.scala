@@ -53,6 +53,46 @@ object ScaleQueries {
     Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id", 3, 16, 8, 0.5)
       .select(col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
 
+  /** D3 hash twin (r11 task #6b) — [[Dedup.minHashLshR1]]: bands = k
+    * makes candidate = "any permutation min agrees", replayed in DuckDB
+    * over the same md5 hash family and the same coefficient sequence;
+    * the full candidate + verify pipeline is hash-checked. The
+    * production d3 path's xxhash64 signature is separately pinned
+    * against the SQL-primitive signature path in FunctionsSpec. */
+  private def d3MinHashR1: Q = (s, d) =>
+    Dedup.minHashLshR1(Tables.documents(s, d), "text", "doc_id", 3, 16, 0.5)
+      .select(col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
+
+  private val d3R1Sql = {
+    val p = 2147483647L
+    val coef = graft.scale.Dedup.hashCoefficients(16, p)
+    val coVals = coef.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS x
+       |       FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |             FROM toks WHERE len(w) >= 3)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |co AS (SELECT * FROM (VALUES $coVals) t(i, a, b)),
+       |sig AS (SELECT doc_id, co.i AS band, min((x * a + b) % $p) AS v
+       |        FROM sh CROSS JOIN co GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |         FROM sig l JOIN sig r ON l.band = r.band AND l.v = r.v
+       |                              AND l.doc_id < r.doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
+       |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |                      JOIN sh b ON b.doc_id = c.id_b AND b.x = a.x
+       |          GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |        CAST(ic AS DOUBLE) / (sa.n + sb.n - ic) AS jaccard
+       |      FROM inter JOIN sz sa ON id_a = sa.doc_id
+       |                 JOIN sz sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, ${droundSql("jaccard", 6)} AS jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
   private def d4SimHash: Q = (s, d) =>
     Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", 3)
 
@@ -121,6 +161,14 @@ object ScaleQueries {
 
   private def s2AnnLsh: Q = (s, d) =>
     Similarity.lshTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id")
+
+  /** S2 hash twin (r11 task #6a, the s4_ann_ivf_full pattern): with
+    * nPlanes = 0 every vector lands in bucket 0, so the LSH pipeline
+    * (bucketing, bucket-equality join, scoring, ranking) MUST return the
+    * exact brute-force top-k — hash-checked against the s1 oracle. */
+  private def s2AnnLshFull: Q = (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding",
+      "vec_id", nPlanes = 0)
 
   private def s3AnnIvf: Q = (s, d) =>
     Similarity.ivfTopK(Tables.embeddings(s, d), annQueryIds, 5, "embedding", "vec_id",
@@ -579,12 +627,14 @@ object ScaleQueries {
     "d1_exact_dedup"   -> d1Exact,
     "d2_ngram_jaccard" -> d2Jaccard,
     "d3_minhash_lsh"   -> d3MinHashLsh,
+    "d3_minhash_r1"    -> d3MinHashR1,
     "d4_simhash"       -> d4SimHash,
     "d5_cosine_neardup"-> d5Cosine,
     "a10_rowcorr"      -> a10RowCorr,
     "d8_components"    -> d8Components,
     "s1_ann_topk"      -> s1TopK,
     "s2_ann_lsh"       -> s2AnnLsh,
+    "s2_ann_lsh_full"  -> s2AnnLshFull,
     "s3_ann_ivf"       -> s3AnnIvf,
     "s4_ann_ivf_full"  -> s4AnnIvfExhaustive,
     "f1_drift_forecast"-> f1Drift,
@@ -611,11 +661,13 @@ object ScaleQueries {
     "f2_seasonal_naive"-> f2Sql,
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
+    "d3_minhash_r1"    -> d3R1Sql,
     "d5_cosine_neardup"-> d5Sql,
     "a10_rowcorr"      -> a10RowCorrSql,
     "d8_components"    -> d8Sql,
     "s1_ann_topk"      -> s1Sql,
     "s4_ann_ivf_full"  -> s1Sql,
+    "s2_ann_lsh_full"  -> s1Sql,
     "x1_text_stats"    -> x1Sql,
     "x2_lang_id"       -> x2Sql,
     "x3_fingerprint"   -> x3Sql,

@@ -220,6 +220,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** r = 1 corner of [[minHashLsh]] over the engine-portable md5 shingle
+    * hash (r11 task #6b): with bands = k (one signature row per band)
+    * the LSH candidate rule degenerates to "ANY of the k permutation
+    * mins agree" — fully SQL-replayable, so the whole candidate + verify
+    * pipeline hash-checks cross-engine. Same [[hashCoefficients]]
+    * permutation family and the same band-bucket-join / exact-jaccard
+    * verify shape as the production path; only the base shingle hash is
+    * md5 instead of xxhash64 (DuckDB has no xxhash64). Returns
+    * (id_a, id_b, jaccard ≥ threshold). */
+  def minHashLshR1(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val p = 2147483647L
+    val coef = hashCoefficients(k, p)
+    val words = graft.core.Par.widen(df)
+      .select(col(idCol).as("sid"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    val shing = words.select(col("sid"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
+      .select(col("sid"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % p).as("x"))
+    // one aggregation builds each doc's DISTINCT shingle-hash set + size
+    // (the ngramJaccard discipline); both the signature mins and the
+    // verify join read from this exploded set
+    val sets = shing.groupBy(col("sid")).agg(collect_set(col("x")).as("hs"))
+      .select(col("sid"), explode(col("hs")).as("x"), size(col("hs")).as("nsh"))
+      .cache()
+    val sigCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * lit(a) + lit(b)) % lit(p)).as(s"h$i") }
+    val sig = sets.groupBy(col("sid")).agg(sigCols.head, sigCols.tail: _*)
+    val bandRows = sig.select(col("sid"),
+      posexplode(array((0 until k).map(i => col(s"h$i")): _*)).as(Seq("band", "v")))
+    val cand = bandRows.as("l").join(bandRows.as("r"),
+        col("l.band") === col("r.band") && col("l.v") === col("r.v") &&
+        col("l.sid") < col("r.sid"))
+      .select(col("l.sid").as("id_a"), col("r.sid").as("id_b")).distinct()
+    cand
+      .join(sets.toDF("id_a", "x", "na"), Seq("id_a"))
+      .join(sets.toDF("id_b", "x", "nb"), Seq("id_b", "x"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Typed SimHash aggregator (SURVEY §2.11 UDAF surface): buffer = 64
     * bit-counters, reduce = one tight loop per token hash — a single
     * partial+final aggregation pass instead of 64 separate sum(when)
