@@ -2216,6 +2216,178 @@ object ScaleQueries3 {
        |    ELSE 'hw' END AS winner
        |FROM wn""".stripMargin
 
+  // ---- PIPE3_ZOO: clean -> full-zoo select -> winner refit --------------
+
+  /** The seven-candidate fit CTE block over `$tr` (rows 1..`$len` of
+    * each cleaned series with SES weight `w`), names suffixed `$tag` —
+    * shared between the SELECT stage (len = ntr) and the REFIT stage
+    * (len = n) of the pipe3_zoo oracle, mirroring how the Scala side
+    * shares [[graft.scale.PerSeriesForecast.zooFit]] between selection
+    * and refit. HW is the recursive-CTE replay of the batch recursion
+    * (the f10 discipline); m = 7 fixed. */
+  private def zooFitCtes(tag: String, tr: String, len: String): String =
+    s"""f$tag AS (SELECT user_id, max($len) AS len,
+       |        max(CASE WHEN rn = $len THEN yq END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN yq END) AS first_y,
+       |        max(CASE WHEN rn = 2 THEN yq END) - max(CASE WHEN rn = 1 THEN yq END) AS b1,
+       |        CAST(sum(CAST(floor(yq * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM $tr GROUP BY user_id),
+       |hz$tag AS (SELECT $tr.user_id,
+       |        CAST(sum(CAST(floor(($tr.yq - f$tag.b1*($tr.rn - 1)) * $tr.w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hz9
+       |      FROM $tr JOIN f$tag USING (user_id) GROUP BY $tr.user_id),
+       |th$tag AS (SELECT user_id, max($len) AS len,
+       |        CAST(sum(rn - 1) AS BIGINT) AS st,
+       |        CAST(sum((rn - 1)*(rn - 1)) AS BIGINT) AS stt,
+       |        sum(CAST(y9 AS HUGEINT)) AS sy9,
+       |        sum(CAST(rn - 1 AS HUGEINT) * y9) AS sty9,
+       |        CAST(sum(CAST(floor(yq * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swy9,
+       |        CAST(sum(CAST(floor((rn - 1) * w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS swt9,
+       |        CAST(sum(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sw9
+       |      FROM $tr GROUP BY user_id),
+       |thp$tag AS (SELECT user_id, len,
+       |        CASE WHEN len > 1 THEN
+       |          CAST(len*sty9 - st*sy9 AS DOUBLE) / CAST(len*stt - st*st AS DOUBLE) / 1e9
+       |        ELSE 0.0 END AS slope,
+       |        (CAST(sy9 AS DOUBLE)/1e9) AS sy, st, swy9, swt9, sw9
+       |      FROM th$tag),
+       |thf$tag AS (SELECT user_id, slope,
+       |        (sy - slope*st)/len AS icept,
+       |        2.0*swy9/1e9 - ((sy - slope*st)/len)*sw9/1e9 - slope*swt9/1e9 AS lvl2
+       |      FROM thp$tag),
+       |nz$tag AS (SELECT user_id, rn, yq,
+       |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS i,
+       |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nnz,
+       |        rn - coalesce(lag(rn) OVER (PARTITION BY user_id ORDER BY rn), 0) AS g
+       |      FROM $tr WHERE yq <> 0),
+       |cr$tag AS (SELECT user_id,
+       |        CAST(sum(CAST(floor(yq * w2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS z9,
+       |        CAST(sum(CAST(floor(g * w2 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS g9
+       |      FROM (SELECT *, CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
+       |                           ELSE 0.5*pow(0.5, nnz - i) END AS w2 FROM nz$tag)
+       |      GROUP BY user_id),
+       |hw0$tag AS (SELECT user_id, max($len) AS len,
+       |        CAST(sum(CASE WHEN rn <= 7 THEN y9 ELSE 0 END) AS BIGINT) AS sum9,
+       |        CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN y9 ELSE -y9 END)
+       |             FILTER (rn <= 14) AS BIGINT) AS diff9
+       |      FROM $tr WHERE $len >= 14 GROUP BY user_id),
+       |hwb$tag AS (SELECT hw0$tag.user_id, hw0$tag.len,
+       |        CAST(sum9 AS DOUBLE)/7/1e9 AS l0, CAST(diff9 AS DOUBLE)/49/1e9 AS b0
+       |      FROM hw0$tag),
+       |hws$tag AS (SELECT hwb$tag.user_id,
+       |        list($tr.yq - hwb$tag.l0 ORDER BY $tr.rn) AS s0
+       |      FROM hwb$tag JOIN $tr ON $tr.user_id = hwb$tag.user_id AND $tr.rn <= 7
+       |      GROUP BY hwb$tag.user_id),
+       |hwrec$tag AS (
+       |  SELECT hwb$tag.user_id, CAST(7 AS BIGINT) AS t, hwb$tag.len, hwb$tag.l0 AS l,
+       |         hwb$tag.b0 AS b, hws$tag.s0 AS sl
+       |  FROM hwb$tag JOIN hws$tag USING (user_id)
+       |  UNION ALL
+       |  SELECT r.user_id, r.t + 1, r.len,
+       |    0.5*($tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b) AS l,
+       |    0.25*((0.5*($tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b AS b,
+       |    list_concat(list_concat(
+       |      CASE WHEN r.t % 7 = 0 THEN [] ELSE r.sl[1:CAST(r.t % 7 AS INT)] END,
+       |      [0.25*($tr.yq - (0.5*($tr.yq - r.sl[CAST(r.t % 7 AS INT) + 1]) + 0.5*(r.l + r.b)))
+       |        + 0.75*r.sl[CAST(r.t % 7 AS INT) + 1]]),
+       |      CASE WHEN r.t % 7 = 6 THEN [] ELSE r.sl[CAST(r.t % 7 AS INT) + 2:7] END) AS sl
+       |  FROM hwrec$tag r JOIN $tr ON $tr.user_id = r.user_id AND $tr.rn = r.t + 1
+       |  WHERE r.t < r.len),
+       |hwf$tag AS (SELECT user_id, l, b, sl FROM hwrec$tag WHERE t = len)""".stripMargin
+
+  /** PIPE3_ZOO — the fused pipeline widened to the full model zoo (r11
+    * task #7): Hampel-clean → 7-candidate holdout selection → WINNER
+    * refit on the full cleaned series → h-step forecast, one plan, one
+    * hash. The oracle chains the pipe3 clean CTEs into TWO copies of
+    * [[zooFitCtes]] (select at ntr, refit at n) plus the f10 winner
+    * CASE — proving selection and refit are the same estimator at two
+    * train lengths, HW recursion included. */
+  private def pipe3Zoo: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.cleanSelectForecastZoo(
+        Tables.events(s, d), "value", "ts", "user_id", h = 3, m = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.25, halfWin = 5, nSigmas = 3.5,
+        tieBreak = Some("event_id"))
+      .select(col("user_id"), col("n"), col("winner"), col("h"),
+        Det.dround(col("yhat"), 6).as("yhat"))
+
+  private val pipe3ZooSql =
+    s"""WITH RECURSIVE s0 AS (
+       |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS y,
+       |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS arr
+       |  FROM events),
+       |mm AS (SELECT user_id, ts, event_id, y,
+       |        list_sort(arr)[(len(arr) + 1) // 2] AS med, arr FROM s0),
+       |cc AS (SELECT user_id, ts, event_id, y, med,
+       |        list_sort(list_transform(arr, x -> abs(x - med)))[(len(arr) + 1) // 2] AS mad
+       |      FROM mm),
+       |cl AS (SELECT user_id, ts, event_id,
+       |         CASE WHEN mad > 0 AND abs(y - med) > 3.5*mad THEN med ELSE y END AS y
+       |       FROM cc),
+       |sq AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(floor(y*1e9 + 0.5) AS BIGINT) AS y9
+       |  FROM cl),
+       |i AS (SELECT user_id, rn, n, y9, y9/1e9 AS yq, n - 3 AS ntr
+       |      FROM sq WHERE n - 3 >= 2),
+       |trA AS (SELECT *,
+       |    CASE WHEN rn = 1 THEN pow(0.5, ntr - 1) ELSE 0.5*pow(0.5, ntr - rn) END AS w
+       |  FROM i WHERE rn <= ntr),
+       |trB AS (SELECT *,
+       |    CASE WHEN rn = 1 THEN pow(0.5, n - 1) ELSE 0.5*pow(0.5, n - rn) END AS w
+       |  FROM i),
+       |te AS (SELECT user_id, rn, yq, ntr, CAST(rn - ntr AS DOUBLE) AS k
+       |       FROM i WHERE rn > ntr),
+       |${zooFitCtes("A", "trA", "ntr")},
+       |${zooFitCtes("B", "trB", "n")},
+       |er AS (SELECT te.user_id,
+       |    CAST(sum(CAST(floor(abs(te.yq - fA.last_y)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_naive,
+       |    CAST(sum(CAST(floor(abs(te.yq - (fA.last_y + te.k*(fA.last_y - fA.first_y)/(fA.len - 1)))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_drift,
+       |    CAST(sum(CAST(floor(abs(te.yq - fA.ses9/1e9)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_ses,
+       |    CAST(sum(CAST(floor(abs(te.yq - (hzA.hz9/1e9 + fA.b1*(fA.len - 1) + te.k*fA.b1))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_holt,
+       |    CAST(sum(CAST(floor(abs(te.yq - (thfA.icept + thfA.slope*(fA.len - 1 + te.k) + thfA.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
+       |    CAST(sum(CAST(floor(abs(te.yq - (crA.z9/1e9)/(crA.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
+       |    CAST(sum(CAST(floor(abs(te.yq - (hwfA.l + te.k*hwfA.b + hwfA.sl[CAST((fA.len - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
+       |    max(CASE WHEN crA.user_id IS NULL THEN 0 ELSE 1 END) AS has_cro,
+       |    max(CASE WHEN hwfA.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw
+       |  FROM te JOIN fA USING (user_id) JOIN hzA USING (user_id)
+       |    JOIN thfA USING (user_id)
+       |    LEFT JOIN crA ON crA.user_id = te.user_id
+       |    LEFT JOIN hwfA ON hwfA.user_id = te.user_id
+       |  GROUP BY te.user_id),
+       |wn AS (SELECT user_id,
+       |    CASE
+       |      WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
+       |       AND e_naive <= e_theta AND e_naive <= ec AND e_naive <= eh THEN 'naive'
+       |      WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_theta
+       |       AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |      WHEN e_ses <= e_holt AND e_ses <= e_theta AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |      WHEN e_holt <= e_theta AND e_holt <= ec AND e_holt <= eh THEN 'holt'
+       |      WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
+       |      WHEN ec <= eh THEN 'croston'
+       |      ELSE 'hw' END AS winner
+       |  FROM (SELECT *,
+       |          coalesce(e_cro, 9223372036854775807) AS ec,
+       |          coalesce(e_hw, 9223372036854775807) AS eh FROM er)),
+       |fc AS (SELECT fB.user_id, fB.len AS n, wn.winner, gs.h,
+       |    CASE wn.winner
+       |      WHEN 'naive' THEN fB.last_y
+       |      WHEN 'drift' THEN fB.last_y + gs.h*(fB.last_y - fB.first_y)/(fB.len - 1)
+       |      WHEN 'ses' THEN fB.ses9/1e9
+       |      WHEN 'holt' THEN hzB.hz9/1e9 + fB.b1*(fB.len - 1) + gs.h*fB.b1
+       |      WHEN 'theta' THEN (thfB.icept + thfB.slope*(fB.len - 1 + gs.h) + thfB.lvl2)/2
+       |      WHEN 'croston' THEN (crB.z9/1e9)/(crB.g9/1e9)
+       |      ELSE hwfB.l + gs.h*hwfB.b + hwfB.sl[CAST((fB.len - 1 + gs.h) % 7 AS INT) + 1]
+       |    END AS yhat
+       |  FROM fB JOIN wn USING (user_id) JOIN hzB USING (user_id)
+       |    JOIN thfB USING (user_id)
+       |    LEFT JOIN crB ON crB.user_id = fB.user_id
+       |    LEFT JOIN hwfB ON hwfB.user_id = fB.user_id
+       |  CROSS JOIN generate_series(1, 3) AS gs(h))
+       |SELECT user_id, CAST(n AS BIGINT) AS n, winner, CAST(h AS BIGINT) AS h,
+       |  ${Det.droundSql("yhat", 6)} AS yhat
+       |FROM fc""".stripMargin
+
   // ---- X16: bigram LM with Stupid Backoff ------------------------------
 
   /** X16 — bigram Stupid-Backoff LM quality score (Brants et al. 2007):
@@ -2550,6 +2722,7 @@ object ScaleQueries3 {
     "a24_mase"           -> a24Mase,
     "a25_calibration"    -> a25Calibration,
     "pipe3_forecast"     -> pipe3Forecast,
+    "pipe3_zoo"          -> pipe3Zoo,
     "f12_rolling_cv"     -> f12RollingCv,
     "t22_time_window"    -> t22TimeWindow,
     "a26_trend_strength" -> a26TrendStrength,
@@ -2620,6 +2793,7 @@ object ScaleQueries3 {
     "a24_mase"        -> a24Sql,
     "a25_calibration" -> a25Sql,
     "pipe3_forecast"  -> pipe3Sql,
+    "pipe3_zoo"       -> pipe3ZooSql,
     "f12_rolling_cv"  -> f12Sql,
     "t22_time_window" -> t22Sql,
     "a26_trend_strength" -> a26Sql,

@@ -611,6 +611,98 @@ object PerSeriesForecast {
     * Series shorter than h+2 are skipped. Output: (series, n_train,
     * mae_naive, mae_drift, mae_ses, mae_holt, mae_theta, mae_croston,
     * mae_hw, winner). */
+  /** The seven zoo candidates fit on the first `len` points of a
+    * series — the per-series local math shared VERBATIM between
+    * [[backtestZoo]] (len = ntr, holdout selection) and
+    * [[cleanSelectForecastZoo]] (len = n, winner refit): identical
+    * arithmetic order, so selection and refit are the same estimator. */
+  private[scale] final case class ZooFit(
+      lastY: Double, firstY: Double, sesLvl: Double, b1: Double,
+      holtLvl: Double, slope: Double, icept: Double, lvl2: Double,
+      crostonRate: Option[Double], hwState: Option[(Double, Double, Array[Double])]) {
+    /** k-step-ahead prediction of candidate `name` from this fit. */
+    def predict(name: String, len: Int, k: Int, m: Int): Option[Double] = name match {
+      case "naive"   => Some(lastY)
+      case "drift"   => Some(lastY + k * (lastY - firstY) / (len - 1))
+      case "ses"     => Some(sesLvl)
+      case "holt"    => Some(holtLvl + k * b1)
+      case "theta"   => Some((icept + slope * (len - 1 + k) + lvl2) / 2)
+      case "croston" => crostonRate
+      case "hw"      => hwState.map { case (l, b, s) => l + k * b + s((len - 1 + k) % m) }
+    }
+  }
+
+  private[scale] def zooFit(y9: Array[Long], len: Int, m: Int,
+                            alpha: Double, beta: Double,
+                            gamma: Double): ZooFit = {
+    val yq = y9.map(_ / 1e9)
+    def sesW(t: Int, l: Int): Double = // t 1-based
+      if (t == 1) math.pow(1 - alpha, l - 1)
+      else alpha * math.pow(1 - alpha, l - t)
+    def q9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val lastY = yq(len - 1); val firstY = yq(0)
+    var ses9 = 0L
+    for (t <- 1 to len) ses9 += q9(yq(t - 1) * sesW(t, len))
+    val sesLvl = ses9 / 1e9
+    val b1 = yq(1) - yq(0)
+    var hz9 = 0L
+    for (t <- 1 to len) hz9 += q9((yq(t - 1) - b1 * (t - 1)) * sesW(t, len))
+    val holtLvl = hz9 / 1e9 + b1 * (len - 1)
+    var st = 0L; var stt = 0L
+    var sy9 = BigInt(0); var sty9 = BigInt(0)
+    var swy9 = 0L; var swt9 = 0L; var sw9 = 0L
+    for (t <- 1 to len) {
+      val ti = t - 1L
+      st += ti; stt += ti * ti
+      sy9 += y9(t - 1); sty9 += BigInt(ti) * y9(t - 1)
+      val w = sesW(t, len)
+      swy9 += q9(yq(t - 1) * w); swt9 += q9(ti * w); sw9 += q9(w)
+    }
+    val slope =
+      if (len > 1)
+        (BigInt(len) * sty9 - BigInt(st) * sy9).toDouble /
+          (len * stt - st * st).toDouble / 1e9
+      else 0.0
+    val icept = (sy9.toDouble / 1e9 - slope * st) / len
+    val lvl2 = 2.0 * swy9 / 1e9 - icept * sw9 / 1e9 - slope * swt9 / 1e9
+    val nzIdx = (1 to len).filter(t => yq(t - 1) != 0.0)
+    val crostonRate: Option[Double] =
+      if (nzIdx.isEmpty) None
+      else {
+        val nnz = nzIdx.length
+        var z9 = 0L; var g9 = 0L; var prev = 0L
+        for ((t, i0) <- nzIdx.zipWithIndex) {
+          val w = sesW(i0 + 1, nnz)
+          z9 += q9(yq(t - 1) * w)
+          g9 += q9((t - prev) * w)
+          prev = t
+        }
+        Some((z9 / 1e9) / (g9 / 1e9))
+      }
+    val hwState: Option[(Double, Double, Array[Double])] =
+      if (len < 2 * m) None
+      else {
+        var sum9 = 0L; var diff9 = 0L
+        for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
+        var l = sum9.toDouble / m / 1e9
+        var b = diff9.toDouble / (m.toLong * m) / 1e9
+        val s = Array.tabulate(m)(i => yq(i) - l)
+        for (t <- m until len) {
+          val ph = t % m
+          val lNew = alpha * (yq(t) - s(ph)) + (1 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1 - beta) * b
+          s(ph) = gamma * (yq(t) - lNew) + (1 - gamma) * s(ph)
+          l = lNew
+        }
+        Some((l, b, s))
+      }
+    ZooFit(lastY, firstY, sesLvl, b1, holtLvl, slope, icept, lvl2,
+           crostonRate, hwState)
+  }
+
+  private[scale] val zooOrder =
+    Seq("naive", "drift", "ses", "holt", "theta", "croston", "hw")
+
   def backtestZoo(df: DataFrame, valueCol: String, tsCol: String,
                   seriesCol: String, h: Int, m: Int = 7,
                   alpha: Double = 0.5, beta: Double = 0.25,
@@ -632,108 +724,111 @@ object PerSeriesForecast {
         if (ntr < 2) Iterator.empty
         else {
           val yq = y9.map(_ / 1e9)
-          // SES weights over the train prefix (w1 = (1-a)^(ntr-1),
-          // else a(1-a)^(ntr-t)) — dyadic alpha keeps them exact
-          def sesW(t: Int, len: Int): Double = // t 1-based
-            if (t == 1) math.pow(1 - alpha, len - 1)
-            else alpha * math.pow(1 - alpha, len - t)
-          def q9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
-          // --- fits ---------------------------------------------------
-          val lastY = yq(ntr - 1); val firstY = yq(0)
-          var ses9 = 0L
-          for (t <- 1 to ntr) ses9 += q9(yq(t - 1) * sesW(t, ntr))
-          val sesLvl = ses9 / 1e9
-          // holt0: b1 frozen at y2-y1, level = SES over detrended z
-          val b1 = yq(1) - yq(0)
-          var hz9 = 0L
-          for (t <- 1 to ntr) hz9 += q9((yq(t - 1) - b1 * (t - 1)) * sesW(t, ntr))
-          val holtLvl = hz9 / 1e9 + b1 * (ntr - 1)
-          // theta: exact-integer OLS moments + SES-weighted sums
-          var st = 0L; var stt = 0L
-          var sy9 = BigInt(0); var sty9 = BigInt(0)
-          var swy9 = 0L; var swt9 = 0L; var sw9 = 0L
-          for (t <- 1 to ntr) {
-            val ti = t - 1L
-            st += ti; stt += ti * ti
-            sy9 += y9(t - 1); sty9 += BigInt(ti) * y9(t - 1)
-            val w = sesW(t, ntr)
-            swy9 += q9(yq(t - 1) * w); swt9 += q9(ti * w); sw9 += q9(w)
-          }
-          val slope =
-            if (ntr > 1)
-              (BigInt(ntr) * sty9 - BigInt(st) * sy9).toDouble /
-                (ntr * stt - st * st).toDouble / 1e9
-            else 0.0
-          val icept = (sy9.toDouble / 1e9 - slope * st) / ntr
-          val lvl2 = 2.0 * swy9 / 1e9 - icept * sw9 / 1e9 - slope * swt9 / 1e9
-          // croston: SES over nonzero demand sizes + inter-demand gaps
-          val nzIdx = (1 to ntr).filter(t => yq(t - 1) != 0.0)
-          val crostonRate: Option[Double] =
-            if (nzIdx.isEmpty) None
-            else {
-              val nnz = nzIdx.length
-              var z9 = 0L; var g9 = 0L; var prev = 0L
-              for ((t, i0) <- nzIdx.zipWithIndex) {
-                val w = sesW(i0 + 1, nnz)
-                z9 += q9(yq(t - 1) * w)
-                g9 += q9((t - prev) * w)
-                prev = t
-              }
-              Some((z9 / 1e9) / (g9 / 1e9))
-            }
-          // holt-winters: the batch recursion verbatim (2-cycle init)
-          val hwState: Option[(Double, Double, Array[Double])] =
-            if (ntr < 2 * m) None
-            else {
-              var sum9 = 0L; var diff9 = 0L
-              for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
-              var l = sum9.toDouble / m / 1e9
-              var b = diff9.toDouble / (m.toLong * m) / 1e9
-              val s = Array.tabulate(m)(i => yq(i) - l)
-              for (t <- m until ntr) {
-                val ph = t % m
-                val lNew = alpha * (yq(t) - s(ph)) + (1 - alpha) * (l + b)
-                b = beta * (lNew - l) + (1 - beta) * b
-                s(ph) = gamma * (yq(t) - lNew) + (1 - gamma) * s(ph)
-                l = lNew
-              }
-              Some((l, b, s))
-            }
+          // all seven candidates fit on the train prefix — the shared
+          // [[zooFit]] local math (SES weights dyadic-exact, Theta
+          // moments exact-integer, HW the batch recursion verbatim)
+          val fit = zooFit(y9, ntr, m, alpha, beta, gamma)
           // --- holdout errors (exact-integer sums) --------------------
-          var eNaive = 0L; var eDrift = 0L; var eSes = 0L; var eHolt = 0L
-          var eTheta = 0L; var eCro = 0L; var eHw = 0L
+          val errs = scala.collection.mutable.LinkedHashMap(
+            zooOrder.map(_ -> 0L): _*)
           for (k <- 1 to h) {
             val yt = yq(ntr - 1 + k)
             def e(p: Double): Long = math.floor(math.abs(yt - p) * 1e9 + 0.5).toLong
-            eNaive += e(lastY)
-            eDrift += e(lastY + k * (lastY - firstY) / (ntr - 1))
-            eSes += e(sesLvl)
-            eHolt += e(holtLvl + k * b1)
-            eTheta += e((icept + slope * (ntr - 1 + k) + lvl2) / 2)
-            crostonRate.foreach(r => eCro += e(r))
-            hwState.foreach { case (l, b, s) =>
-              eHw += e(l + k * b + s((ntr - 1 + k) % m)) }
+            for (nm <- zooOrder; p <- fit.predict(nm, ntr, k, m))
+              errs(nm) += e(p)
           }
-          val cands = Seq(
-            "naive" -> Some(eNaive), "drift" -> Some(eDrift),
-            "ses" -> Some(eSes), "holt" -> Some(eHolt),
-            "theta" -> Some(eTheta),
-            "croston" -> crostonRate.map(_ => eCro),
-            "hw" -> hwState.map(_ => eHw))
+          val cands = zooOrder.map { nm =>
+            val eligible = nm match {
+              case "croston" => fit.crostonRate.isDefined
+              case "hw"      => fit.hwState.isDefined
+              case _         => true
+            }
+            nm -> (if (eligible) Some(errs(nm)) else None)
+          }
           val best = cands.flatMap { case (nm, e) => e.map(nm -> _) }
             .minBy(_._2)._2
           val winner = cands.collectFirst {
             case (nm, Some(e)) if e == best => nm }.get
           def mae(e: Option[Long]): Option[Double] = e.map(_ / h.toDouble / 1e9)
+          val em = cands.toMap
           Iterator.single((sid, ntr.toLong,
-            mae(Some(eNaive)), mae(Some(eDrift)), mae(Some(eSes)),
-            mae(Some(eHolt)), mae(Some(eTheta)),
-            mae(crostonRate.map(_ => eCro)), mae(hwState.map(_ => eHw)),
+            mae(em("naive")), mae(em("drift")), mae(em("ses")),
+            mae(em("holt")), mae(em("theta")),
+            mae(em("croston")), mae(em("hw")),
             winner))
         }
       }
       .toDF(seriesCol, "n_train", "mae_naive", "mae_drift", "mae_ses",
             "mae_holt", "mae_theta", "mae_croston", "mae_hw", "winner")
+  }
+
+  /** [[cleanSelectForecast]] widened to the FULL per-series zoo (r11
+    * task #7): Hampel-clean → [[backtestZoo]]-select on the cleaned
+    * series → the WINNER family refit on the full cleaned series and
+    * extended `h` steps. Selection and refit share [[zooFit]] verbatim,
+    * so "the model the backtest chose" and "the model the pipeline
+    * ships" are the same estimator at two train lengths.
+    *
+    * Scale shape: ONE clean pass (the Hampel window exchange) feeds ONE
+    * `groupByKey` fold per series that does select + refit + forecast
+    * locally — no second data-sized exchange, no winner join, no model
+    * objects. Output: (series, n, winner, h, yhat). */
+  def cleanSelectForecastZoo(df: DataFrame, valueCol: String, tsCol: String,
+                             seriesCol: String, h: Int, m: Int = 7,
+                             alpha: Double = 0.5, beta: Double = 0.25,
+                             gamma: Double = 0.25,
+                             halfWin: Int = 5, nSigmas: Double = 3.5,
+                             tieBreak: Option[String] = None): DataFrame = {
+    require(h >= 1 && m >= 2, s"need h >= 1 and m >= 2, got $h/$m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cleaned = SeriesDiagnostics.rollingMadAnomaly(
+        df, valueCol, tsCol, Seq(seriesCol), halfWin, nSigmas, tieBreak.toSeq)
+      .withColumn("y_clean",
+        when(col("is_anomaly"), col("med")).otherwise(col("y")))
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    cleaned.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col("y_clean").cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y9 = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 1e9 + 0.5).toLong)
+        val n = y9.length
+        val ntr = n - h
+        if (ntr < 2) Iterator.empty
+        else {
+          val yq = y9.map(_ / 1e9)
+          val sel = zooFit(y9, ntr, m, alpha, beta, gamma)
+          val errs = scala.collection.mutable.LinkedHashMap(
+            zooOrder.map(_ -> 0L): _*)
+          for (k <- 1 to h) {
+            val yt = yq(ntr - 1 + k)
+            def e(p: Double): Long = math.floor(math.abs(yt - p) * 1e9 + 0.5).toLong
+            for (nm <- zooOrder; p <- sel.predict(nm, ntr, k, m))
+              errs(nm) += e(p)
+          }
+          val cands = zooOrder.map { nm =>
+            val eligible = nm match {
+              case "croston" => sel.crostonRate.isDefined
+              case "hw"      => sel.hwState.isDefined
+              case _         => true
+            }
+            nm -> (if (eligible) Some(errs(nm)) else None)
+          }
+          val best = cands.flatMap { case (nm, e) => e.map(nm -> _) }
+            .minBy(_._2)._2
+          val winner = cands.collectFirst {
+            case (nm, Some(e)) if e == best => nm }.get
+          // winner refit on the FULL cleaned series — same local math
+          val refit = zooFit(y9, n, m, alpha, beta, gamma)
+          (1 to h).iterator.map { k =>
+            (sid, n.toLong, winner, k.toLong,
+             refit.predict(winner, n, k, m).get)
+          }
+        }
+      }
+      .toDF(seriesCol, "n", "winner", "h", "yhat")
   }
 
   def holtWintersForecast(df: DataFrame, valueCol: String, tsCol: String,

@@ -486,6 +486,35 @@ class ScaleSpec2 extends SparkTestBase {
     assert(out(7L).getDouble(8) < 1e-6, "HW must reconstruct pure seasonality+trend")
   }
 
+  test("cleanSelectForecastZoo: HW-seasonal series wins and is REFIT as HW (r11 task #7 fixture)") {
+    val h = 3
+    val season = Seq(10.0, -5.0, 0.0, 7.0, -8.0, 3.0, -7.0)
+    def ser(sid: Long, ys: Seq[Double]): Seq[(Long, Long, Double)] =
+      ys.zipWithIndex.map { case (y, t) => (sid, t.toLong, y) }
+    val rows =
+      // sid 1: pure additive m=7 seasonality, long enough for HW at both
+      // train lengths (ntr = 25 >= 14) -> winner 'hw'
+      ser(1L, (0 until 28).map(t => 20.0 + season(t % 7))) ++
+      // sid 2: constant -> 'naive' by simplest-first
+      ser(2L, Seq.fill(20)(5.0))
+    val df = rows.toDF("sid", "ts", "y")
+    val out = graft.scale.PerSeriesForecast.cleanSelectForecastZoo(
+        df, "y", "ts", "sid", h = h, m = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r).toMap
+    assert(out((1L, 1L)).getString(2) == "hw", "seasonal series must pick hw")
+    assert(out((2L, 1L)).getString(2) == "naive")
+    // the REFIT is hw too: its forecast must reconstruct the seasonal
+    // pattern at the right phase (exact-reconstruction regime), which
+    // no non-seasonal family could do
+    for (k <- 1 to h) {
+      val want = 20.0 + season((28 - 1 + k) % 7)
+      val got = out((1L, k.toLong)).getDouble(4)
+      assert(math.abs(got - want) < 1e-6, s"h=$k: $got vs $want")
+    }
+    // the constant series refits to the constant
+    assert(math.abs(out((2L, 1L)).getDouble(4) - 5.0) < 1e-9)
+  }
+
   test("typoPairs: substitution/insertion/deletion found, transposition and distance-2 excluded") {
     val mk = (s: String) => Seq.fill(3)(s).mkString(" ") // clear the support filter
     val df = Seq(
