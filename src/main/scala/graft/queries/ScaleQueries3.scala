@@ -2094,6 +2094,7 @@ object ScaleQueries3 {
         Det.dround(col("mae_drift"), 6).as("mae_drift"),
         Det.dround(col("mae_ses"), 6).as("mae_ses"),
         Det.dround(col("mae_holt"), 6).as("mae_holt"),
+        Det.dround(col("mae_damped"), 6).as("mae_damped"),
         Det.dround(col("mae_theta"), 6).as("mae_theta"),
         Det.dround(col("mae_croston"), 6).as("mae_croston"),
         Det.dround(col("mae_hw"), 6).as("mae_hw"),
@@ -2106,6 +2107,11 @@ object ScaleQueries3 {
        |    CAST(floor(CAST(value AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS y9
        |  FROM events),
        |i AS (SELECT user_id, rn, n, y9, y9/1e9 AS yq, n - 5 AS ntr FROM s WHERE n - 5 >= 2),
+       |ph(k, p, cum) AS (
+       |  SELECT CAST(1 AS BIGINT), CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT k + 1, p * CAST(0.8 AS DOUBLE), cum + p * CAST(0.8 AS DOUBLE) FROM ph
+       |  WHERE k < (SELECT greatest(max(ntr), 5) FROM i)),
        |tr AS (SELECT *,
        |    CASE WHEN rn = 1 THEN pow(0.5, ntr - 1) ELSE 0.5*pow(0.5, ntr - rn) END AS w
        |  FROM i WHERE rn <= ntr),
@@ -2149,6 +2155,12 @@ object ScaleQueries3 {
        |      FROM (SELECT *, CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
        |                           ELSE 0.5*pow(0.5, nnz - i) END AS w2 FROM nz)
        |      GROUP BY user_id),
+       |dr AS (SELECT tr.user_id,
+       |        CAST(sum(CASE WHEN tr.rn >= 2
+       |          THEN CAST(floor(0.5 * f.b1 * ph.p * pow(0.5, tr.ntr - tr.rn) * 1e9 + 0.5) AS BIGINT)
+       |          ELSE 0 END) AS BIGINT) AS dr9
+       |      FROM tr JOIN f USING (user_id) LEFT JOIN ph ON ph.k = tr.rn - 1
+       |      GROUP BY tr.user_id),
        |hw0 AS (SELECT user_id, max(ntr) AS ntr,
        |        CAST(sum(CASE WHEN rn <= 7 THEN y9 ELSE 0 END) AS BIGINT) AS sum9,
        |        CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN y9 ELSE -y9 END)
@@ -2182,6 +2194,7 @@ object ScaleQueries3 {
        |    CAST(sum(CAST(floor(abs(te.yq - (f.last_y + te.k*(f.last_y - f.first_y)/(f.ntr - 1)))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_drift,
        |    CAST(sum(CAST(floor(abs(te.yq - f.ses9/1e9)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_ses,
        |    CAST(sum(CAST(floor(abs(te.yq - (hz.hz9/1e9 + f.b1*(f.ntr - 1) + te.k*f.b1))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_holt,
+       |    CAST(sum(CAST(floor(abs(te.yq - ((f.ses9 + dr.dr9)/1e9 + f.b1*phn.p*phk.cum))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_damped,
        |    CAST(sum(CAST(floor(abs(te.yq - (thf.icept + thf.slope*(f.ntr - 1 + te.k) + thf.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
        |    CAST(sum(CAST(floor(abs(te.yq - (cr.z9/1e9)/(cr.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
        |    CAST(sum(CAST(floor(abs(te.yq - (hwf.l + te.k*hwf.b + hwf.sl[CAST((f.ntr - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
@@ -2189,7 +2202,9 @@ object ScaleQueries3 {
        |    max(CASE WHEN hwf.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw,
        |    CAST(max(f.ntr) AS BIGINT) AS n_train
        |  FROM te JOIN f USING (user_id) JOIN hz USING (user_id)
-       |    JOIN thf USING (user_id)
+       |    JOIN thf USING (user_id) JOIN dr USING (user_id)
+       |    JOIN ph AS phn ON phn.k = f.ntr - 1
+       |    JOIN ph AS phk ON phk.k = CAST(te.k AS BIGINT)
        |    LEFT JOIN cr ON cr.user_id = te.user_id
        |    LEFT JOIN hwf ON hwf.user_id = te.user_id
        |  GROUP BY te.user_id),
@@ -2201,16 +2216,21 @@ object ScaleQueries3 {
        |  ${Det.droundSql("CAST(e_drift AS DOUBLE)/5/1e9", 6)} AS mae_drift,
        |  ${Det.droundSql("CAST(e_ses AS DOUBLE)/5/1e9", 6)} AS mae_ses,
        |  ${Det.droundSql("CAST(e_holt AS DOUBLE)/5/1e9", 6)} AS mae_holt,
+       |  ${Det.droundSql("CAST(e_damped AS DOUBLE)/5/1e9", 6)} AS mae_damped,
        |  ${Det.droundSql("CAST(e_theta AS DOUBLE)/5/1e9", 6)} AS mae_theta,
        |  CASE WHEN has_cro = 1 THEN ${Det.droundSql("CAST(e_cro AS DOUBLE)/5/1e9", 6)} END AS mae_croston,
        |  CASE WHEN has_hw = 1 THEN ${Det.droundSql("CAST(e_hw AS DOUBLE)/5/1e9", 6)} END AS mae_hw,
        |  CASE
        |    WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
-       |     AND e_naive <= e_theta AND e_naive <= ec AND e_naive <= eh THEN 'naive'
-       |    WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_theta
-       |     AND e_drift <= ec AND e_drift <= eh THEN 'drift'
-       |    WHEN e_ses <= e_holt AND e_ses <= e_theta AND e_ses <= ec AND e_ses <= eh THEN 'ses'
-       |    WHEN e_holt <= e_theta AND e_holt <= ec AND e_holt <= eh THEN 'holt'
+       |     AND e_naive <= e_damped AND e_naive <= e_theta AND e_naive <= ec
+       |     AND e_naive <= eh THEN 'naive'
+       |    WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_damped
+       |     AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |    WHEN e_ses <= e_holt AND e_ses <= e_damped AND e_ses <= e_theta
+       |     AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |    WHEN e_holt <= e_damped AND e_holt <= e_theta AND e_holt <= ec
+       |     AND e_holt <= eh THEN 'holt'
+       |    WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh THEN 'damped'
        |    WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
        |    WHEN ec <= eh THEN 'croston'
        |    ELSE 'hw' END AS winner
@@ -2218,7 +2238,7 @@ object ScaleQueries3 {
 
   // ---- PIPE3_ZOO: clean -> full-zoo select -> winner refit --------------
 
-  /** The seven-candidate fit CTE block over `$tr` (rows 1..`$len` of
+  /** The eight-candidate fit CTE block over `$tr` (rows 1..`$len` of
     * each cleaned series with SES weight `w`), names suffixed `$tag` —
     * shared between the SELECT stage (len = ntr) and the REFIT stage
     * (len = n) of the pipe3_zoo oracle, mirroring how the Scala side
@@ -2265,6 +2285,12 @@ object ScaleQueries3 {
        |      FROM (SELECT *, CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
        |                           ELSE 0.5*pow(0.5, nnz - i) END AS w2 FROM nz$tag)
        |      GROUP BY user_id),
+       |dr$tag AS (SELECT $tr.user_id,
+       |        CAST(sum(CASE WHEN $tr.rn >= 2
+       |          THEN CAST(floor(0.5 * f$tag.b1 * ph.p * pow(0.5, $tr.$len - $tr.rn) * 1e9 + 0.5) AS BIGINT)
+       |          ELSE 0 END) AS BIGINT) AS dr9
+       |      FROM $tr JOIN f$tag USING (user_id) LEFT JOIN ph ON ph.k = $tr.rn - 1
+       |      GROUP BY $tr.user_id),
        |hw0$tag AS (SELECT user_id, max($len) AS len,
        |        CAST(sum(CASE WHEN rn <= 7 THEN y9 ELSE 0 END) AS BIGINT) AS sum9,
        |        CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN y9 ELSE -y9 END)
@@ -2295,7 +2321,7 @@ object ScaleQueries3 {
        |hwf$tag AS (SELECT user_id, l, b, sl FROM hwrec$tag WHERE t = len)""".stripMargin
 
   /** PIPE3_ZOO — the fused pipeline widened to the full model zoo (r11
-    * task #7): Hampel-clean → 7-candidate holdout selection → WINNER
+    * task #7): Hampel-clean → 8-candidate holdout selection → WINNER
     * refit on the full cleaned series → h-step forecast, one plan, one
     * hash. The oracle chains the pipe3 clean CTEs into TWO copies of
     * [[zooFitCtes]] (select at ntr, refit at n) plus the f10 winner
@@ -2330,6 +2356,11 @@ object ScaleQueries3 {
        |  FROM cl),
        |i AS (SELECT user_id, rn, n, y9, y9/1e9 AS yq, n - 3 AS ntr
        |      FROM sq WHERE n - 3 >= 2),
+       |ph(k, p, cum) AS (
+       |  SELECT CAST(1 AS BIGINT), CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT k + 1, p * CAST(0.8 AS DOUBLE), cum + p * CAST(0.8 AS DOUBLE) FROM ph
+       |  WHERE k < (SELECT greatest(max(n), 3) FROM i)),
        |trA AS (SELECT *,
        |    CASE WHEN rn = 1 THEN pow(0.5, ntr - 1) ELSE 0.5*pow(0.5, ntr - rn) END AS w
        |  FROM i WHERE rn <= ntr),
@@ -2345,24 +2376,31 @@ object ScaleQueries3 {
        |    CAST(sum(CAST(floor(abs(te.yq - (fA.last_y + te.k*(fA.last_y - fA.first_y)/(fA.len - 1)))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_drift,
        |    CAST(sum(CAST(floor(abs(te.yq - fA.ses9/1e9)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_ses,
        |    CAST(sum(CAST(floor(abs(te.yq - (hzA.hz9/1e9 + fA.b1*(fA.len - 1) + te.k*fA.b1))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_holt,
+       |    CAST(sum(CAST(floor(abs(te.yq - ((fA.ses9 + drA.dr9)/1e9 + fA.b1*phn.p*phk.cum))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_damped,
        |    CAST(sum(CAST(floor(abs(te.yq - (thfA.icept + thfA.slope*(fA.len - 1 + te.k) + thfA.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
        |    CAST(sum(CAST(floor(abs(te.yq - (crA.z9/1e9)/(crA.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
        |    CAST(sum(CAST(floor(abs(te.yq - (hwfA.l + te.k*hwfA.b + hwfA.sl[CAST((fA.len - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
        |    max(CASE WHEN crA.user_id IS NULL THEN 0 ELSE 1 END) AS has_cro,
        |    max(CASE WHEN hwfA.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw
        |  FROM te JOIN fA USING (user_id) JOIN hzA USING (user_id)
-       |    JOIN thfA USING (user_id)
+       |    JOIN thfA USING (user_id) JOIN drA USING (user_id)
+       |    JOIN ph AS phn ON phn.k = fA.len - 1
+       |    JOIN ph AS phk ON phk.k = CAST(te.k AS BIGINT)
        |    LEFT JOIN crA ON crA.user_id = te.user_id
        |    LEFT JOIN hwfA ON hwfA.user_id = te.user_id
        |  GROUP BY te.user_id),
        |wn AS (SELECT user_id,
        |    CASE
        |      WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
-       |       AND e_naive <= e_theta AND e_naive <= ec AND e_naive <= eh THEN 'naive'
-       |      WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_theta
-       |       AND e_drift <= ec AND e_drift <= eh THEN 'drift'
-       |      WHEN e_ses <= e_holt AND e_ses <= e_theta AND e_ses <= ec AND e_ses <= eh THEN 'ses'
-       |      WHEN e_holt <= e_theta AND e_holt <= ec AND e_holt <= eh THEN 'holt'
+       |       AND e_naive <= e_damped AND e_naive <= e_theta AND e_naive <= ec
+       |       AND e_naive <= eh THEN 'naive'
+       |      WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_damped
+       |       AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |      WHEN e_ses <= e_holt AND e_ses <= e_damped AND e_ses <= e_theta
+       |       AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |      WHEN e_holt <= e_damped AND e_holt <= e_theta AND e_holt <= ec
+       |       AND e_holt <= eh THEN 'holt'
+       |      WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh THEN 'damped'
        |      WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
        |      WHEN ec <= eh THEN 'croston'
        |      ELSE 'hw' END AS winner
@@ -2375,15 +2413,18 @@ object ScaleQueries3 {
        |      WHEN 'drift' THEN fB.last_y + gs.h*(fB.last_y - fB.first_y)/(fB.len - 1)
        |      WHEN 'ses' THEN fB.ses9/1e9
        |      WHEN 'holt' THEN hzB.hz9/1e9 + fB.b1*(fB.len - 1) + gs.h*fB.b1
+       |      WHEN 'damped' THEN (fB.ses9 + drB.dr9)/1e9 + fB.b1*phn.p*phk.cum
        |      WHEN 'theta' THEN (thfB.icept + thfB.slope*(fB.len - 1 + gs.h) + thfB.lvl2)/2
        |      WHEN 'croston' THEN (crB.z9/1e9)/(crB.g9/1e9)
        |      ELSE hwfB.l + gs.h*hwfB.b + hwfB.sl[CAST((fB.len - 1 + gs.h) % 7 AS INT) + 1]
        |    END AS yhat
        |  FROM fB JOIN wn USING (user_id) JOIN hzB USING (user_id)
-       |    JOIN thfB USING (user_id)
+       |    JOIN thfB USING (user_id) JOIN drB USING (user_id)
        |    LEFT JOIN crB ON crB.user_id = fB.user_id
        |    LEFT JOIN hwfB ON hwfB.user_id = fB.user_id
-       |  CROSS JOIN generate_series(1, 3) AS gs(h))
+       |  CROSS JOIN generate_series(1, 3) AS gs(h)
+       |  JOIN ph AS phn ON phn.k = fB.len - 1
+       |  JOIN ph AS phk ON phk.k = gs.h)
        |SELECT user_id, CAST(n AS BIGINT) AS n, winner, CAST(h AS BIGINT) AS h,
        |  ${Det.droundSql("yhat", 6)} AS yhat
        |FROM fc""".stripMargin

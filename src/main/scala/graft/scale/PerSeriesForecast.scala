@@ -274,6 +274,60 @@ object PerSeriesForecast {
         ((col("z9") / 1e9) / (col("q9") / 1e9)).as("yhat"), col("n_demands")): _*)
   }
 
+  /** TSB intermittent-demand method (Teunter, Syntetos & Babai 2011,
+    * "Intermittent demand: Linking forecasting to inventory
+    * obsolescence", EJOR 214) — the bias-corrected successor to
+    * Croston: instead of smoothing the inter-demand INTERVAL it smooths
+    * the demand PROBABILITY every period,
+    *   p_t = p_{t−1} + β(d_t − p_{t−1})   (d_t = 1{y_t > 0}, all periods)
+    *   z_t = z_{t−1} + α(y_t − z_{t−1})   (demand periods only)
+    * with p₁ = d₁, z₁ = first demand size; flat ŷ = p_n·z_n. Unlike
+    * Croston, p decays through demand-free tails, so obsolete items
+    * forecast toward 0.
+    *
+    * Same closed-weight shape as [[crostonForecast]]: both recursions
+    * are SES folds, so every period's contribution is an independent
+    * pow() weight — and since d_t = 0 periods contribute nothing to
+    * EITHER sum, the plan only materializes demand rows: the global
+    * period index `t` and count `n` come from the pre-filter window,
+    * then the corpus reduces to nonzero rows. Weights quantize to the
+    * 1e-9 BIGINT grid per row, so both engine's sums are exact-integer
+    * and the p·z product is deterministic. Series with no demand at all
+    * are dropped (z undefined — the Croston contract). */
+  def tsbForecast(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCols: Seq[String], horizon: Int,
+                  alpha: Double = 0.5, beta: Double = 0.2,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(beta > 0 && beta <= 1, s"need 0 < beta <= 1, got $beta")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val wNz = Window.partitionBy(seriesCols.map(col): _*).orderBy(col("t"))
+    // probability weights over ALL periods (p₁ = d₁ ⇒ the t=1 row keeps
+    // the init weight); zero-demand rows contribute 0 to both sums, so
+    // they are filtered before any weight materializes
+    val wgtP = when(col("t") === 1L, pow(lit(1 - beta), col("n") - 1))
+      .otherwise(lit(beta) * pow(lit(1 - beta), col("n") - col("t")))
+    val wgtZ = when(col("i") === 1, pow(lit(1 - alpha), col("nnz") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("nnz") - col("i")))
+    df.withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("y", col(valueCol).cast("double"))
+      .filter(col("y") =!= 0.0)
+      .withColumn("i", row_number().over(wNz))
+      .withColumn("nnz", count(lit(1)).over(wAll))
+      .withColumn("wp9", floor(wgtP * 1e9 + 0.5).cast("long"))
+      .withColumn("wz9", floor(col("y") * wgtZ * 1e9 + 0.5).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("wp9")).as("p9"), sum(col("wz9")).as("z9"),
+           max(col("nnz")).as("n_demands"))
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .select(seriesCols.map(col) ++ Seq(col("h"),
+        ((col("p9") / 1e9) * (col("z9") / 1e9)).as("yhat"),
+        (col("p9") / 1e9).as("p_demand"), col("n_demands")): _*)
+  }
+
   /** Holt's linear-trend method (ETS(A,N,N)→(A,A,N) step up from
     * [[sesForecast]]): coupled level/trend recursions
     *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
@@ -592,7 +646,7 @@ object PerSeriesForecast {
     * closed-form damped-none variant of [[holtForecast]]) / Theta /
     * Croston / Holt–Winters(m). "Which model family does each of my
     * million series want", one `groupByKey` fold — each series scores
-    * all seven candidates locally in one O(n) pass, no model objects,
+    * all eight candidates locally in one O(n) pass, no model objects,
     * no collect, no per-candidate shuffle.
     *
     * Determinism contract (the whole point of this variant): inputs
@@ -611,21 +665,36 @@ object PerSeriesForecast {
     * Series shorter than h+2 are skipped. Output: (series, n_train,
     * mae_naive, mae_drift, mae_ses, mae_holt, mae_theta, mae_croston,
     * mae_hw, winner). */
-  /** The seven zoo candidates fit on the first `len` points of a
+  /** The eight zoo candidates fit on the first `len` points of a
     * series — the per-series local math shared VERBATIM between
     * [[backtestZoo]] (len = ntr, holdout selection) and
     * [[cleanSelectForecastZoo]] (len = n, winner refit): identical
     * arithmetic order, so selection and refit are the same estimator. */
+  /** Fixed damping rate for the zoo's damped-trend member (Gardner &
+    * McKenzie; 0.8 is the conservative end of the standard 0.8–0.98
+    * band). φ-powers are built by REPEATED MULTIPLICATION of the
+    * literal — never `pow` — because libm `pow(0.8, k)` is not
+    * guaranteed bit-identical between the JVM and DuckDB; the oracle
+    * replays the same multiply chain in a recursive CTE, so every
+    * power is the identical double on both engines. */
+  private[scale] val zooPhi = 0.8
+
   private[scale] final case class ZooFit(
       lastY: Double, firstY: Double, sesLvl: Double, b1: Double,
       holtLvl: Double, slope: Double, icept: Double, lvl2: Double,
-      crostonRate: Option[Double], hwState: Option[(Double, Double, Array[Double])]) {
+      crostonRate: Option[Double], hwState: Option[(Double, Double, Array[Double])],
+      dampedLvl: Double, phiN1: Double) {
     /** k-step-ahead prediction of candidate `name` from this fit. */
     def predict(name: String, len: Int, k: Int, m: Int): Option[Double] = name match {
       case "naive"   => Some(lastY)
       case "drift"   => Some(lastY + k * (lastY - firstY) / (len - 1))
       case "ses"     => Some(sesLvl)
       case "holt"    => Some(holtLvl + k * b1)
+      case "damped"  =>
+        // Σ_{i=1..k} φ^i by the same multiply chain as the oracle's CTE
+        var pw = 1.0; var acc = 0.0
+        for (_ <- 1 to k) { pw *= zooPhi; acc += pw }
+        Some(dampedLvl + b1 * phiN1 * acc)
       case "theta"   => Some((icept + slope * (len - 1 + k) + lvl2) / 2)
       case "croston" => crostonRate
       case "hw"      => hwState.map { case (l, b, s) => l + k * b + s((len - 1 + k) % m) }
@@ -696,12 +765,23 @@ object PerSeriesForecast {
         }
         Some((l, b, s))
       }
+    // damped-trend (β=0, φ = zooPhi) level: the SES sum plus the
+    // φ-geometric drip, both on the 1e-9 grid (the f13_damped0 algebra);
+    // φ^j from the multiply chain, never pow — see zooPhi
+    val phiPow = new Array[Double](len)
+    if (len > 0) { phiPow(0) = 1.0
+      for (j <- 1 until len) phiPow(j) = phiPow(j - 1) * zooPhi }
+    var drip9 = 0L
+    for (t <- 2 to len)
+      drip9 += q9((1 - alpha) * b1 * phiPow(t - 1) * math.pow(1 - alpha, len - t))
+    val dampedLvl = (ses9 + drip9) / 1e9
+    val phiN1 = if (len > 1) phiPow(len - 1) else 1.0
     ZooFit(lastY, firstY, sesLvl, b1, holtLvl, slope, icept, lvl2,
-           crostonRate, hwState)
+           crostonRate, hwState, dampedLvl, phiN1)
   }
 
   private[scale] val zooOrder =
-    Seq("naive", "drift", "ses", "holt", "theta", "croston", "hw")
+    Seq("naive", "drift", "ses", "holt", "damped", "theta", "croston", "hw")
 
   def backtestZoo(df: DataFrame, valueCol: String, tsCol: String,
                   seriesCol: String, h: Int, m: Int = 7,
@@ -724,7 +804,7 @@ object PerSeriesForecast {
         if (ntr < 2) Iterator.empty
         else {
           val yq = y9.map(_ / 1e9)
-          // all seven candidates fit on the train prefix — the shared
+          // all eight candidates fit on the train prefix — the shared
           // [[zooFit]] local math (SES weights dyadic-exact, Theta
           // moments exact-integer, HW the batch recursion verbatim)
           val fit = zooFit(y9, ntr, m, alpha, beta, gamma)
@@ -753,13 +833,14 @@ object PerSeriesForecast {
           val em = cands.toMap
           Iterator.single((sid, ntr.toLong,
             mae(em("naive")), mae(em("drift")), mae(em("ses")),
-            mae(em("holt")), mae(em("theta")),
+            mae(em("holt")), mae(em("damped")), mae(em("theta")),
             mae(em("croston")), mae(em("hw")),
             winner))
         }
       }
       .toDF(seriesCol, "n_train", "mae_naive", "mae_drift", "mae_ses",
-            "mae_holt", "mae_theta", "mae_croston", "mae_hw", "winner")
+            "mae_holt", "mae_damped", "mae_theta", "mae_croston", "mae_hw",
+            "winner")
   }
 
   /** [[cleanSelectForecast]] widened to the FULL per-series zoo (r11

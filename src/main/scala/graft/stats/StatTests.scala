@@ -340,4 +340,346 @@ object StatTests {
       }
       .toDF(seriesCol, "dw", "lb_stat", "lb_p", "jb_stat", "jb_p", "het_ratio")
   }
+
+  /** KPSS level-stationarity statistic (Kwiatkowski, Phillips, Schmidt
+    * & Shin 1992, J. Econometrics 54) on a bounded series — the
+    * complement of [[adf]]: its null is STATIONARITY, so the pair
+    * disambiguates "unit root" from "trend-stationary" the way the
+    * classic ADF+KPSS decision table does.
+    *   η = n⁻² Σ_t S_t² / s²(l),  S_t = Σ_{i≤t} e_i,  e_i = y_i − ȳ,
+    *   s²(l) = γ₀ + 2 Σ_{j=1..l} (1 − j/(l+1)) γ_j  (Bartlett window)
+    * with a FIXED lag l (no data-driven bandwidth — the choice is part
+    * of the operator contract so both engines compute the identical
+    * statistic).
+    *
+    * Cross-engine determinism: inputs quantize to integer cents, the
+    * demeaned values to the 1e-9 grid, and both quadratic-form sums
+    * accumulate per-term-floored 1e-6 integers — every aggregate is
+    * exact, so η is bit-identical regardless of engine or partition
+    * order. Returns None for series too short (n ≤ l+2) or with zero
+    * long-run variance (constant series: 0/0 has no test value). */
+  def kpss(cents: Array[Long], lag: Int): Option[(Double, Long)] = {
+    val n = cents.length
+    if (n <= lag + 2) return None
+    val sumC = cents.sum
+    val mean = (sumC / 100.0) / n
+    // e on the 1e-9 grid: both engines see the identical integers
+    val e9 = cents.map(c => math.floor((c / 100.0 - mean) * 1e9 + 0.5).toLong)
+    val ed = e9.map(_ / 1e9)
+    var s9 = 0L
+    var a6 = 0L // Σ (S_t/n)² on the 1e-6 grid
+    var t = 0
+    while (t < n) {
+      s9 += e9(t)
+      val sn = s9 / 1e9 / n
+      a6 += math.floor(sn * sn * 1e6 + 0.5).toLong
+      t += 1
+    }
+    // γ_j numerators on the 1e-6 grid
+    val g6 = Array.tabulate(lag + 1) { j =>
+      var acc = 0L
+      var i = j
+      while (i < n) { acc += math.floor(ed(i) * ed(i - j) * 1e6 + 0.5).toLong; i += 1 }
+      acc
+    }
+    val gamma = g6.map(g => (g / 1e6) / n)
+    var lrv = gamma(0)
+    var j = 1
+    while (j <= lag) { lrv += 2.0 * (1.0 - j.toDouble / (lag + 1)) * gamma(j); j += 1 }
+    if (lrv <= 0) None else Some(((a6 / 1e6) / lrv, n.toLong))
+  }
+
+  /** KPSS per series — one `flatMapGroups` pass (millions of series),
+    * fixed Bartlett lag. `reject_*` flags compare η to the published
+    * level-stationarity critical values (KPSS 1992, Table 1:
+    * 0.347 / 0.463 / 0.739 at 10% / 5% / 1%) — η ABOVE the bar rejects
+    * stationarity. */
+  def kpssPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCol: String, lag: Int = 4,
+                    tieBreak: Option[String] = None): DataFrame = {
+    require(lag >= 0, s"need lag >= 0, got $lag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val cents = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 100 + 0.5).toLong)
+        kpss(cents, lag) match {
+          case Some((eta, n)) =>
+            Iterator((sid, n, eta, eta > 0.347, eta > 0.463, eta > 0.739))
+          case None => Iterator.empty
+        }
+      }
+      .toDF(seriesCol, "n", "eta", "reject_10pct", "reject_5pct", "reject_1pct")
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) on a bounded
+    * series — the nonparametric trend detector (no linearity or
+    * normality assumption):
+    *   S = Σ_{i<j} sgn(y_j − y_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+    * (tie-corrected), z = (S∓1)/√Var(S) with the continuity
+    * correction.
+    *
+    * S is computed in O(n log n) — NOT the naive O(n²) pair scan — as
+    * P − Q with Q the strict-inversion count from a counting merge
+    * sort and P = C(n,2) − Q − T (T = same-value pairs from the tie
+    * groups). Values compare on exact integer cents, so S, Var(S) and
+    * T are exact integers on both engines and the only float ops are
+    * one division and one sqrt. */
+  def mannKendall(cents: Array[Long]): (Long, Double, Option[Double]) = {
+    val (s, varNum) = mkCore(cents)
+    val varS = varNum / 18.0
+    val z = if (varS > 0) Some(
+      if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS)
+      else 0.0) else None
+    (s, varS, z)
+  }
+
+  /** (S, 18·Var(S)) with the variance numerator as an EXACT integer —
+    * [[seasonalMannKendallPerSeries]] sums numerators across seasons and
+    * divides once, so the cross-engine value never depends on
+    * float-addition order. */
+  private def mkCore(cents: Array[Long]): (Long, Long) = {
+    val n = cents.length
+    // counting merge sort: Q = #(i < j with a_i > a_j), strict
+    def countInv(a: Array[Long]): Long = {
+      val buf = new Array[Long](a.length)
+      def go(lo: Int, hi: Int): Long = { // [lo, hi)
+        if (hi - lo <= 1) 0L
+        else {
+          val mid = (lo + hi) >>> 1
+          var inv = go(lo, mid) + go(mid, hi)
+          var i = lo; var j = mid; var k = lo
+          while (i < mid && j < hi) {
+            if (a(j) < a(i)) { inv += mid - i; buf(k) = a(j); j += 1 }
+            else { buf(k) = a(i); i += 1 }
+            k += 1
+          }
+          while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+          while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+          System.arraycopy(buf, lo, a, lo, hi - lo)
+          inv
+        }
+      }
+      go(0, a.length)
+    }
+    val q = countInv(cents.clone())
+    val total = n.toLong * (n - 1) / 2
+    // tie groups from the sorted copy
+    val sorted = cents.clone(); java.util.Arrays.sort(sorted)
+    var ties = 0L; var tieVar = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && sorted(j) == sorted(i)) j += 1
+      val t = (j - i).toLong
+      ties += t * (t - 1) / 2
+      tieVar += t * (t - 1) * (2 * t + 5)
+      i = j
+    }
+    val s = (total - q - ties) - q
+    (s, n.toLong * (n - 1) * (2L * n + 5) - tieVar)
+  }
+
+  /** Mann–Kendall per series — one `flatMapGroups` pass; `trend` labels
+    * the two-sided 5% decision (|z| > 1.96). Degenerate series
+    * (Var(S) = 0: constant, or n < 2) emit null z / no_trend. */
+  def mannKendallPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                           seriesCol: String,
+                           tieBreak: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val cents = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 100 + 0.5).toLong)
+        if (cents.isEmpty) Iterator.empty
+        else {
+          val (s, varS, zOpt) = mannKendall(cents)
+          val trend = zOpt match {
+            case Some(z) if z > 1.96  => "increasing"
+            case Some(z) if z < -1.96 => "decreasing"
+            case Some(_)              => "no_trend"
+            case None                 => null
+          }
+          Iterator((sid, cents.length.toLong, s, varS, zOpt,
+                    Option(trend)))
+        }
+      }
+      .toDF(seriesCol, "n", "s", "var_s", "z", "trend")
+  }
+
+  /** Pettitt changepoint test (Pettitt 1979, "A non-parametric approach
+    * to the change-point problem", JRSS C 28) on a bounded series — the
+    * rank-based single-changepoint locator that pairs with
+    * [[mannKendall]] (same sign-pair machinery, split statistic instead
+    * of global):
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i),  K = max_t |U_t|,
+    *   τ = first argmax,  p ≈ min(1, 2·exp(−6K² / (n³ + n²))).
+    * Computed in O(n log n): U_t = U_{t−1} + V_t with
+    * V_t = #{x_j > x_t} − #{x_j < x_t} read off one sorted copy —
+    * never the O(n²·n) per-split scan. All counts are exact integers
+    * on cents. Returns (K, τ, p); None for n < 2. */
+  def pettitt(cents: Array[Long]): Option[(Long, Long, Double)] = {
+    val n = cents.length
+    if (n < 2) return None
+    val sorted = cents.clone(); java.util.Arrays.sort(sorted)
+    def lessThan(v: Long): Int = { // # strictly less via binary search
+      var lo = 0; var hi = n
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    def atMost(v: Long): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    var u = 0L; var k = 0L; var tau = 1L
+    var t = 0
+    while (t < n - 1) { // splits after positions 1..n-1 (1-based t)
+      val v = cents(t)
+      val less = lessThan(v)
+      val greater = n - atMost(v)
+      u += greater - less
+      if (math.abs(u) > k) { k = math.abs(u); tau = t + 1L }
+      t += 1
+    }
+    val nd = n.toDouble
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * k * k / (nd * nd * nd + nd * nd)))
+    Some((k, tau, p))
+  }
+
+  /** Pettitt per series — one `flatMapGroups` pass; `changepoint` flags
+    * p < 0.05. */
+  def pettittPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                       seriesCol: String,
+                       tieBreak: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val cents = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 100 + 0.5).toLong)
+        pettitt(cents).map { case (k, tau, p) =>
+          (sid, cents.length.toLong, k, tau, p, p < 0.05)
+        }.iterator
+      }
+      .toDF(seriesCol, "n", "k_stat", "tau", "p_approx", "changepoint")
+  }
+
+  /** Theil–Sen estimator (Theil 1950; Sen 1968) on a bounded series —
+    * the robust nonparametric slope completing the trend battery
+    * ([[mannKendall]] decides DIRECTION, this measures MAGNITUDE,
+    * both outlier-proof where OLS isn't):
+    *   slope = median over pairs i<j of (y_j − y_i)/(j − i),
+    *   intercept = median of (y_i − slope·i).
+    * Medians are ORDER STATISTICS (the lower median at even counts,
+    * ties broken by pair position) — never an interpolated percentile,
+    * so both engines pick the identical element. O(n²) pairs per
+    * series, bounded by the per-series contract (the oracle replays
+    * the same pair set). Returns (slope, intercept, nPairs); None for
+    * n < 2. */
+  def theilSen(cents: Array[Long]): Option[(Double, Double, Long)] = {
+    val n = cents.length
+    if (n < 2) return None
+    val slopes = new scala.collection.mutable.ArrayBuffer[(Double, Int, Int)](n * (n - 1) / 2)
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        slopes += (((cents(j) - cents(i)) / 100.0 / (j - i), i + 1, j + 1))
+        j += 1
+      }
+      i += 1
+    }
+    val sorted = slopes.sortBy(identity)
+    val slope = sorted((sorted.length - 1) / 2)._1
+    val resid = Array.tabulate(n)(t => (cents(t) / 100.0 - slope * (t + 1), t + 1))
+    val rSorted = resid.sortBy(identity)
+    val icept = rSorted((n - 1) / 2)._1
+    Some((slope, icept, slopes.length.toLong))
+  }
+
+  /** Theil–Sen per series — one `flatMapGroups` pass. */
+  def theilSenPerSeries(df: DataFrame, valueCol: String, tsCol: String,
+                        seriesCol: String,
+                        tieBreak: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val cents = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 100 + 0.5).toLong)
+        theilSen(cents).map { case (slope, icept, np) =>
+          (sid, cents.length.toLong, np, slope, icept)
+        }.iterator
+      }
+      .toDF(seriesCol, "n", "n_pairs", "slope", "intercept")
+  }
+
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984, Water Resources Res.
+    * 20): the [[mannKendall]] statistic computed WITHIN each season and
+    * summed — trend detection that a strong seasonal cycle can't fool,
+    * because no cross-season pair is ever compared:
+    *   S = Σ_g S_g,  Var = Σ_g Var_g,  z = (S∓1)/√Var.
+    * Input rows carry an integer season label (e.g. day-of-week from
+    * portable epoch arithmetic); within a season the time order is the
+    * global order restricted to that season. One `flatMapGroups` pass
+    * per series, [[mannKendall]] per season group inside. */
+  def seasonalMannKendallPerSeries(df: DataFrame, valueCol: String,
+                                   tsCol: String, seasonCol: String,
+                                   seriesCol: String,
+                                   tieBreak: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(seasonCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(t => (t._2, t._3))
+        if (rows.isEmpty) Iterator.empty
+        else {
+          var sTot = 0L; var varNum = 0L; var nSeasons = 0L
+          rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+            val cents = grp.map(t => math.floor(t._5 * 100 + 0.5).toLong)
+            val (s, v18) = mkCore(cents)
+            sTot += s; varNum += v18; nSeasons += 1
+          }
+          val varTot = varNum / 18.0
+          val z = if (varTot > 0) Some(
+            if (sTot > 0) (sTot - 1) / math.sqrt(varTot)
+            else if (sTot < 0) (sTot + 1) / math.sqrt(varTot)
+            else 0.0) else None
+          val trend = z match {
+            case Some(zz) if zz > 1.96  => "increasing"
+            case Some(zz) if zz < -1.96 => "decreasing"
+            case Some(_)                => "no_trend"
+            case None                   => null
+          }
+          Iterator((sid, rows.length.toLong, nSeasons, sTot, varTot, z,
+                    Option(trend)))
+        }
+      }
+      .toDF(seriesCol, "n", "n_seasons", "s", "var_s", "z", "trend")
+  }
 }

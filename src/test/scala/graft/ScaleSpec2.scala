@@ -468,22 +468,46 @@ class ScaleSpec2 extends SparkTestBase {
       // profile exactly and the recursion preserves them) -> 'hw';
       // nothing else tracks the phase
       ser(7L, (0 until 26).map { t =>
-        20.0 + Seq(10.0, -5.0, 0.0, 7.0, -8.0, 3.0, -7.0)(t % 7) })
+        20.0 + Seq(10.0, -5.0, 0.0, 7.0, -8.0, 3.0, -7.0)(t % 7) }) ++
+      // sid 8: flattening curve whose holdout IS the damped-Holt(β=0,
+      // φ=0.8) extrapolation of the train (closed-form replica below) —
+      // damped nails it; holt/drift over-extrapolate the early slope,
+      // SES misses the drip, naive misses the residual climb
+      ser(8L, {
+        val tr = Seq(10.0, 18.0, 24.0, 27.0, 29.0, 30.5, 31.0, 31.5, 31.8, 32.0)
+        val (alpha, phi) = (0.5, 0.8)
+        val n = tr.length
+        val b1 = tr(1) - tr(0)
+        var lvl = math.pow(1 - alpha, n - 1) * tr(0)
+        for (k <- 1 until n)
+          lvl += alpha * math.pow(1 - alpha, n - 1 - k) * tr(k) +
+            (1 - alpha) * b1 * math.pow(phi, k) * math.pow(1 - alpha, n - 1 - k)
+        val preds = (1 to h).map { k =>
+          var pw = 1.0; var acc = 0.0
+          for (_ <- 1 to k) { pw *= phi; acc += pw }
+          lvl + b1 * math.pow(phi, n - 1) * acc
+        }
+        tr ++ preds
+      })
     val df = rows.toDF("sid", "ts", "y")
     val out = graft.scale.PerSeriesForecast.backtestZoo(
         df, "y", "ts", "sid", h = h, m = 7)
       .collect().map(r => r.getLong(0) -> r).toMap
-    val winners = out.view.mapValues(_.getString(9)).toMap
+    val winners = out.view.mapValues(_.getString(10)).toMap
     assert(winners == Map(1L -> "naive", 2L -> "drift", 3L -> "ses",
                           4L -> "holt", 5L -> "theta", 6L -> "croston",
-                          7L -> "hw"), s"got $winners")
+                          7L -> "hw", 8L -> "damped"), s"got $winners")
     // eligibility: HW null on short series, present on long ones
-    assert(out(3L).isNullAt(8), "ntr < 2m must exclude HW")
-    assert(!out(7L).isNullAt(8))
+    assert(out(3L).isNullAt(9), "ntr < 2m must exclude HW")
+    assert(!out(7L).isNullAt(9))
     // croston present even on dense series (all-nonzero is a valid
     // demand pattern), and the exact winners carry ~zero MAE
     assert(out(2L).getDouble(3) < 1e-8, "drift must nail the pure line")
-    assert(out(7L).getDouble(8) < 1e-6, "HW must reconstruct pure seasonality+trend")
+    assert(out(7L).getDouble(9) < 1e-6, "HW must reconstruct pure seasonality+trend")
+    // (1e-6 band: zooFit's per-term 1e-9 grids vs the spec's ungridded
+    // closed form differ by a few 1e-8 — the margin to every other
+    // family is orders larger)
+    assert(out(8L).getDouble(6) < 1e-6, "damped must nail its own extrapolation")
   }
 
   test("cleanSelectForecastZoo: HW-seasonal series wins and is REFIT as HW (r11 task #7 fixture)") {
