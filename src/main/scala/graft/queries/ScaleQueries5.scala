@@ -390,6 +390,208 @@ object ScaleQueries5 {
        |       ELSE 'no_trend' END AS trend
        |FROM z""".stripMargin
 
+  // ---- F15: Holt–Winters multiplicative seasonal -----------------------
+
+  /** F15 — Holt–Winters MULTIPLICATIVE (ETS(A,A,M)) per user at period
+    * 7: the seasonal effect scales with the level. ✖est like f11_hw
+    * (coupled 3-state recursion); the β=γ=0 twin below is the
+    * hash-checked anchor, and the spec pins the general path against an
+    * independent fold + exact reconstruction of a pure multiplicative
+    * cycle. */
+  private def f15HwMult: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtWintersMultForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 7,
+        0.5, 0.25, 0.25, Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  /** F15b — the β=γ=0 reduction: trend frozen at b₀, seasonal RATIOS
+    * frozen at the first-cycle profile, so the level recursion is the
+    * SAME linear form as the additive f11_hw0 twin with x_t = y_t /
+    * s_phase — the closed form transfers verbatim with division for
+    * subtraction and the forecast multiplied by the frozen ratio. */
+  private def f15Hwm0: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.holtWintersMultForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3, 7,
+        0.5, 0.0, 0.0, Some("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 4).as("yhat"))
+
+  private val f15Hwm0Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS t,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(floor(CAST(value AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS y9
+       |  FROM events),
+       |pos AS (SELECT user_id FROM s GROUP BY 1
+       |        HAVING min(y9) > 0 AND max(n) >= 14),
+       |g AS (SELECT s.* FROM s JOIN pos USING (user_id)),
+       |lm AS (SELECT user_id, CAST(sum(y9) AS DOUBLE)/7/1e9 AS lmv
+       |       FROM g WHERE t < 7 GROUP BY 1),
+       |bb AS (SELECT a.user_id, CAST(sum(b.y9 - a.y9) AS DOUBLE)/49/1e9 AS b0v
+       |       FROM g a JOIN g b ON b.user_id = a.user_id AND b.t = a.t + 7
+       |       WHERE a.t < 7 GROUP BY 1),
+       |sea AS (SELECT g.user_id, t AS phase, (y9/1e9)/lmv AS sv
+       |        FROM g JOIN lm USING (user_id) WHERE t < 7),
+       |z AS (SELECT g.user_id, g.t, g.n,
+       |        (g.y9/1e9)/sea.sv - bb.b0v*(g.t - 6) AS zeta
+       |      FROM g
+       |      JOIN sea ON sea.user_id = g.user_id AND sea.phase = g.t % 7
+       |      JOIN bb ON bb.user_id = g.user_id
+       |      WHERE g.t >= 7),
+       |w AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       |        sum(zeta * 0.5 * pow(0.5, n - 1 - t)) AS acc
+       |      FROM z GROUP BY user_id),
+       |lvl AS (SELECT w.user_id, w.n,
+       |          pow(0.5, w.n - 7)*lm.lmv + w.acc + bb.b0v*(w.n - 7) AS ln,
+       |          bb.b0v AS b0v
+       |        FROM w JOIN lm USING (user_id) JOIN bb USING (user_id))
+       |SELECT lvl.user_id, h,
+       |  ${Det.droundSql("(ln + h*b0v)*sea.sv", 4)} AS yhat
+       |FROM lvl CROSS JOIN generate_series(1, 3) AS g2(h)
+       |JOIN sea ON sea.user_id = lvl.user_id AND sea.phase = (lvl.n - 1 + h) % 7""".stripMargin
+
+  // ---- PK5: first-fit-decreasing packing -------------------------------
+
+  /** PK5 — FFD sequence packing per (source, shard) at the pk1 budget:
+    * the bin-packing quality upgrade (11/9·OPT vs next-fit's ~2·OPT).
+    * The oracle replays the EXACT placement in a recursive CTE whose
+    * state is the open-bin fill/count lists — hash equality proves the
+    * first-fit index scan, not just the totals. */
+  private def pk5FfdPack: Q = (s, d) =>
+    graft.scale.Packing.packFfd(
+      Tables.documents(s, d), "text", "doc_id", "source",
+      budget = 512L, shards = 8)
+
+  private val pk5Sql =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT source, shard, doc_id, toks,
+       |         row_number() OVER (PARTITION BY source, shard
+       |                            ORDER BY toks DESC, doc_id) AS rn
+       |  FROM (SELECT source, doc_id % 8 AS shard, doc_id,
+       |          CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks
+       |        FROM documents)),
+       |nsh AS (SELECT source, shard, CAST(max(rn) AS BIGINT) AS nd
+       |        FROM docs GROUP BY 1, 2),
+       |pack AS (
+       |  SELECT source, shard, nd, CAST(0 AS BIGINT) AS rn,
+       |         CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS cnts
+       |  FROM nsh
+       |  UNION ALL
+       |  SELECT source, shard, nd, rn,
+       |    CASE WHEN coalesce(idx, 0) < 1 THEN list_append(fills, toks)
+       |         ELSE list_concat(list_concat(
+       |                fills[1:CAST(idx AS INT) - 1],
+       |                [fills[CAST(idx AS INT)] + toks]),
+       |              fills[CAST(idx AS INT) + 1:]) END,
+       |    CASE WHEN coalesce(idx, 0) < 1 THEN list_append(cnts, CAST(1 AS BIGINT))
+       |         ELSE list_concat(list_concat(
+       |                cnts[1:CAST(idx AS INT) - 1],
+       |                [cnts[CAST(idx AS INT)] + 1]),
+       |              cnts[CAST(idx AS INT) + 1:]) END
+       |  FROM (
+       |    SELECT p.source, p.shard, p.nd, p.rn + 1 AS rn, d.toks,
+       |           p.fills, p.cnts,
+       |           list_position(list_transform(p.fills, f -> f + d.toks <= 512), true) AS idx
+       |    FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                           AND d.rn = p.rn + 1
+       |    WHERE p.rn < p.nd)),
+       |fin AS (SELECT source, shard, fills, cnts FROM pack WHERE rn = nd)
+       |SELECT source, shard,
+       |  unnest(generate_series(1, CAST(len(fills) AS BIGINT))) AS seq_id,
+       |  unnest(cnts) AS n_docs,
+       |  unnest(fills) AS n_tokens
+       |FROM fin""".stripMargin
+
+  // ---- PIPE10: quality gate → FFD packing -------------------------------
+
+  /** PIPE10 — the rule-gated batch-construction pipeline: Gopher rules
+    * (x26) gate the corpus, survivors tokenize ONCE and pack FFD (pk5)
+    * at the pk1 budget, with pk4-style per-source padding accounting.
+    * One plan: the filter is a map-side scan predicate fused under the
+    * token count, so rejected docs never tokenize and text never
+    * shuffles — the shape a pre-training data engine actually runs. */
+  private def pipe10GopherPack: Q = (s, d) => {
+    val kept = graft.scale.QualityFilters.gopherRules(
+        Tables.documents(s, d), "text", minStopwords = 1L)
+      .filter(col("keep"))
+      .withColumn("toks", graft.scale.Packing.tokenCount(col("text")))
+    graft.scale.Packing.packFfdCounts(kept, "toks", "doc_id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(when(col("n_tokens") <= 512L, lit(512L) - col("n_tokens"))
+             .otherwise(0L)).as("pad_tokens"))
+  }
+
+  private val pipe10Sql = {
+    val stops = graft.scale.QualityFilters.gopherStopwordsSql
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, source, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |s0 AS (SELECT doc_id, source, text,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS chars_sum,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter([$stops], t -> list_contains(w, t))) AS BIGINT) AS n_stopwords
+       |  FROM d0),
+       |kept AS (SELECT doc_id, source, text FROM s0
+       |  WHERE coalesce(n_words BETWEEN 50 AND 100000
+       |    AND (CASE WHEN n_words > 0 THEN ${Det.droundSql("CAST(chars_sum AS DOUBLE) / n_words", 6)} END) BETWEEN 3.0 AND 10.0
+       |    AND (CASE WHEN n_words > 0 THEN ${Det.droundSql("CAST(n_symbols AS DOUBLE) / n_words", 6)} END) < 0.1
+       |    AND (CASE WHEN n_lines > 0 THEN ${Det.droundSql("CAST(n_bullet AS DOUBLE) / n_lines", 6)} END) < 0.9
+       |    AND (CASE WHEN n_lines > 0 THEN ${Det.droundSql("CAST(n_ell AS DOUBLE) / n_lines", 6)} END) < 0.3
+       |    AND (CASE WHEN n_words > 0 THEN ${Det.droundSql("CAST(n_alpha AS DOUBLE) / n_words", 6)} END) > 0.8
+       |    AND n_stopwords >= 1, false)),
+       |docs AS (
+       |  SELECT source, shard, doc_id, toks,
+       |         row_number() OVER (PARTITION BY source, shard
+       |                            ORDER BY toks DESC, doc_id) AS rn
+       |  FROM (SELECT source, doc_id % 8 AS shard, doc_id,
+       |          CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks
+       |        FROM kept)),
+       |nsh AS (SELECT source, shard, CAST(max(rn) AS BIGINT) AS nd
+       |        FROM docs GROUP BY 1, 2),
+       |pack AS (
+       |  SELECT source, shard, nd, CAST(0 AS BIGINT) AS rn,
+       |         CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS cnts
+       |  FROM nsh
+       |  UNION ALL
+       |  SELECT source, shard, nd, rn,
+       |    CASE WHEN coalesce(idx, 0) < 1 THEN list_append(fills, toks)
+       |         ELSE list_concat(list_concat(
+       |                fills[1:CAST(idx AS INT) - 1],
+       |                [fills[CAST(idx AS INT)] + toks]),
+       |              fills[CAST(idx AS INT) + 1:]) END,
+       |    CASE WHEN coalesce(idx, 0) < 1 THEN list_append(cnts, CAST(1 AS BIGINT))
+       |         ELSE list_concat(list_concat(
+       |                cnts[1:CAST(idx AS INT) - 1],
+       |                [cnts[CAST(idx AS INT)] + 1]),
+       |              cnts[CAST(idx AS INT) + 1:]) END
+       |  FROM (
+       |    SELECT p.source, p.shard, p.nd, p.rn + 1 AS rn, d.toks,
+       |           p.fills, p.cnts,
+       |           list_position(list_transform(p.fills, f -> f + d.toks <= 512), true) AS idx
+       |    FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                           AND d.rn = p.rn + 1
+       |    WHERE p.rn < p.nd)),
+       |bins AS (SELECT source, shard,
+       |    unnest(cnts) AS n_docs, unnest(fills) AS n_tokens
+       |  FROM pack WHERE rn = nd)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN n_tokens <= 512 THEN 512 - n_tokens ELSE 0 END) AS BIGINT) AS pad_tokens
+       |FROM bins GROUP BY source""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -401,7 +603,11 @@ object ScaleQueries5 {
     "f14_tsb"          -> f14Tsb,
     "a33_pettitt"      -> a33Pettitt,
     "a34_theil_sen"    -> a34TheilSen,
-    "a35_seasonal_mk"  -> a35SeasonalMk)
+    "a35_seasonal_mk"  -> a35SeasonalMk,
+    "f15_hw_mult"      -> f15HwMult,
+    "f15_hwm0"         -> f15Hwm0,
+    "pk5_ffd_pack"     -> pk5FfdPack,
+    "pipe10_gopher_pack" -> pipe10GopherPack)
 
   def oracle: Map[String, String] = Map(
     "x26_gopher_rules" -> x26Sql,
@@ -411,5 +617,8 @@ object ScaleQueries5 {
     "f14_tsb"          -> f14Sql,
     "a33_pettitt"      -> a33Sql,
     "a34_theil_sen"    -> a34Sql,
-    "a35_seasonal_mk"  -> a35Sql)
+    "a35_seasonal_mk"  -> a35Sql,
+    "f15_hwm0"         -> f15Hwm0Sql,
+    "pk5_ffd_pack"     -> pk5Sql,
+    "pipe10_gopher_pack" -> pipe10Sql)
 }

@@ -954,4 +954,69 @@ object PerSeriesForecast {
       }
       .toDF(seriesCol, "h", "yhat")
   }
+
+  /** Holt–Winters MULTIPLICATIVE seasonal (the ETS(A,A,M) classic,
+    * Hyndman & Athanasopoulos fpp3 §8.3) — the seasonal effect scales
+    * WITH the level (retail/traffic shapes) where [[holtWintersForecast]]
+    * adds a fixed offset:
+    *   l_t = α·(y_t / s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ·(y_t / l_t) + (1−γ)s_{t−m}
+    *   ŷ(n+h) = (l_n + h·b_n) · s_{n+h−m}
+    * Init mirrors the additive form: l₀ = mean of the first season,
+    * b₀ = Σ(y_{m+i} − y_i)/m², s_i = y_i / l₀ (RATIOS, not offsets).
+    *
+    * Multiplicative decomposition requires strictly positive data —
+    * series with any y ≤ 0 are skipped (the standard contract; ratios
+    * to zero/negative levels are undefined), as are series shorter
+    * than 2m (no second cycle to estimate trend).
+    *
+    * Same [[holtWintersForecast]] shape: ONE flatMapGroups pass.
+    * Oracle strategy (f15_hwm0): at β = γ = 0 the level recursion is
+    * the SAME linear form as the additive twin with x_t = y_t/s_phase,
+    * so the f11_hw0 closed form transfers verbatim with division in
+    * place of subtraction and the forecast multiplied by the frozen
+    * ratio. */
+  def holtWintersMultForecast(df: DataFrame, valueCol: String, tsCol: String,
+                              seriesCol: String, horizon: Int, m: Int,
+                              alpha: Double = 0.5, beta: Double = 0.25,
+                              gamma: Double = 0.25,
+                              tieBreak: Option[String] = None): DataFrame = {
+    require(m >= 2, s"need season length m >= 2, got $m")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+            gamma >= 0 && gamma <= 1,
+      s"need 0 < alpha <= 1 and 0 <= beta,gamma <= 1, got $alpha/$beta/$gamma")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0))
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              tie, col(valueCol).cast("double"))
+      .as[(Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val y9 = it.toArray.sortBy(t => (t._2, t._3))
+          .map(t => math.floor(t._4 * 1e9 + 0.5).toLong)
+        val n = y9.length
+        if (n < 2 * m || y9.exists(_ <= 0L)) Iterator.empty
+        else {
+          val yq = y9.map(_ / 1e9)
+          var sum9 = 0L; var diff9 = 0L
+          for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
+          var l = sum9.toDouble / m / 1e9
+          var b = diff9.toDouble / (m.toLong * m) / 1e9
+          val s = Array.tabulate(m)(i => yq(i) / l)
+          for (t <- m until n) {
+            val ph = t % m
+            val lNew = alpha * (yq(t) / s(ph)) + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            s(ph) = gamma * (yq(t) / lNew) + (1 - gamma) * s(ph)
+            l = lNew
+          }
+          (1 to horizon).iterator.map { h =>
+            (sid, h, (l + h * b) * s((n - 1 + h) % m))
+          }
+        }
+      }
+      .toDF(seriesCol, "h", "yhat")
+  }
 }

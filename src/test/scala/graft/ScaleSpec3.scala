@@ -294,6 +294,88 @@ class ScaleSpec3 extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("var_s") - (vA + vB)) < 1e-9)
   }
 
+  // ---- multiplicative Holt–Winters -------------------------------------
+
+  test("holtWintersMult: exact reconstruction of a pure multiplicative cycle") {
+    // y = L * r_phase, zero trend: init recovers L and the ratio
+    // profile exactly, the recursion preserves them, the forecast is
+    // exact at every phase
+    val ratios = Seq(1.5, 0.8, 1.0, 1.2, 0.6, 1.3, 0.6)
+    val y = (0 until 28).map(t => 40.0 * ratios(t % 7))
+    val df = y.zipWithIndex.map { case (v, i) => (1L, i.toDouble, v) }
+      .toSeq.toDF("sid", "ts", "y")
+    val out = PerSeriesForecast.holtWintersMultForecast(df, "y", "ts", "sid", 7, 7)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (h <- 1 to 7) {
+      val want = 40.0 * ratios((28 - 1 + h) % 7)
+      assert(math.abs(out(h) - want) < 1e-6, s"h=$h: ${out(h)} vs $want")
+    }
+  }
+
+  test("holtWintersMult: equals an independent fold on a noisy fixture") {
+    val (alpha, beta, gamma, m) = (0.5, 0.25, 0.25, 7)
+    val y = lcg(53L, 40).map(v => 50.0 + v * 30.0)
+    val y9 = y.map(v => math.floor(v * 1e9 + 0.5).toLong)
+    val yq = y9.map(_ / 1e9)
+    val n = yq.length
+    var sum9 = 0L; var diff9 = 0L
+    for (i <- 0 until m) { sum9 += y9(i); diff9 += y9(m + i) - y9(i) }
+    var l = sum9.toDouble / m / 1e9
+    var b = diff9.toDouble / (m.toLong * m) / 1e9
+    val s = Array.tabulate(m)(i => yq(i) / l)
+    for (t <- m until n) {
+      val ph = t % m
+      val lNew = alpha * (yq(t) / s(ph)) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      s(ph) = gamma * (yq(t) / lNew) + (1 - gamma) * s(ph)
+      l = lNew
+    }
+    val df = y.zipWithIndex.map { case (v, i) => (1L, i.toDouble, v) }
+      .toSeq.toDF("sid", "ts", "y")
+    val out = PerSeriesForecast.holtWintersMultForecast(df, "y", "ts", "sid", 2, m)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (h <- 1 to 2)
+      assert(math.abs(out(h) - (l + h * b) * s((n - 1 + h) % m)) < 1e-9)
+  }
+
+  test("holtWintersMult: non-positive and short series are skipped") {
+    val bad = (0 until 20).map(t => (1L, t.toDouble, if (t == 5) 0.0 else 10.0)) ++
+      (0 until 10).map(t => (2L, t.toDouble, 10.0)) // n < 2m
+    val df = bad.toSeq.toDF("sid", "ts", "y")
+    assert(PerSeriesForecast.holtWintersMultForecast(df, "y", "ts", "sid", 2, 7).count() == 0L)
+  }
+
+  // ---- FFD packing -----------------------------------------------------
+
+  test("packFfd: hand fixture places first-fit-decreasing exactly") {
+    // toks [6,5,4,3,2,1], budget 9, one shard:
+    // 6->b1, 5->b2, 4->b2 (=9), 3->b1 (=9), 2->b3, 1->b3 (=3)
+    val df = Seq((0L, 6L), (1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L), (5L, 1L))
+      .map { case (id, tk) => (id, tk, "g") }.toDF("doc_id", "toks", "source")
+    val out = graft.scale.Packing.packFfdCounts(df, "toks", "doc_id", "source", 9L, 1)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out == Map(1L -> ((2L, 9L)), 2L -> ((2L, 9L)), 3L -> ((2L, 3L))))
+  }
+
+  test("packFfd: over-budget docs open their own sequence (pk1 rule)") {
+    val df = Seq((0L, 600L, "g"), (1L, 100L, "g")).toDF("doc_id", "toks", "source")
+    val out = graft.scale.Packing.packFfdCounts(df, "toks", "doc_id", "source", 512L, 1)
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(out == Map(1L -> 600L, 2L -> 100L))
+  }
+
+  test("packFfd: never more bins than next-fit on the corpus, same token mass") {
+    val docs = Tables.documents(spark, SF)
+    val ffd = graft.scale.Packing.packFfd(docs, "text", "doc_id", "source", 512L, 8)
+      .agg(count(lit(1)), sum(col("n_tokens"))).collect().head
+    val nf = graft.scale.Packing.packGreedy(docs, "text", "doc_id", "source", 512L, 8)
+      .agg(count(lit(1)), sum(col("n_tokens"))).collect().head
+    assert(ffd.getLong(1) == nf.getLong(1), "token mass must be conserved")
+    assert(ffd.getLong(0) <= nf.getLong(0),
+      s"FFD bins ${ffd.getLong(0)} must not exceed next-fit ${nf.getLong(0)}")
+  }
+
   // ---- Gopher rules ----------------------------------------------------
 
   test("gopherRules: each rule trips on its designed offender") {
