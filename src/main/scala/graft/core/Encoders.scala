@@ -172,4 +172,26 @@ object Encoders {
             (conv(substring(h, 5, 1), 16, 10).cast("long") % 2L) * 2L - 1L))
     }
   }
+
+  /** Frequency (count) encoding — the zero-leakage workhorse between
+    * label codes and target encoding: each category becomes its corpus
+    * count and its frequency share. Exact-integer counts, the ratio one
+    * double division; nulls encode as the null-group count (a real
+    * category, the pandas `value_counts(dropna=False)` stance). 100-TB
+    * shape: one groupBy on the category (the reduced |categories| table
+    * broadcasts back), the corpus never moves. */
+  def frequencyEncode(df: DataFrame, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as(s"${catCol}_count"))
+      .withColumnRenamed(catCol, "__cat")
+    // total from the reduced table, IN-PLAN (no eager count() action —
+    // the targetEncode prior discipline); the join is NULL-SAFE so the
+    // null category carries its own count
+    val total = counts.groupBy().agg(sum(col(s"${catCol}_count")).as("__total"))
+    df.join(broadcast(counts), col(catCol) <=> col("__cat"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(s"${catCol}_freq",
+        col(s"${catCol}_count").cast("double") / col("__total"))
+      .drop("__cat", "__total")
+  }
 }

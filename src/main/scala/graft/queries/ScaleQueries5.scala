@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Round-12 additions — the stationarity-testing / nonparametric-trend /
-  * intermittent-demand / document-rule-filter surface: the KPSS
-  * complement to ADF (m13), the Mann–Kendall trend test (a32), TSB
-  * intermittent demand (f14) and the damped-trend Holt pair (f13), and
-  * Gopher's rule battery for corpus filtering (x26). Every ✔dt query
-  * pairs a Spark plan with a DuckDB oracle below; f13_damped is the
-  * ✖est general recursion with its β=0 closed-form hash twin. */
+/** Round-12 additions — the stationarity / nonparametric-trend /
+  * intermittent-demand / document-rule-filter / packing-quality
+  * surface: the KPSS complement to ADF (m13); the trend-audit battery
+  * (Mann–Kendall a32, Pettitt a33, Theil–Sen a34, seasonal MK a35 —
+  * each oracle replays the O(n²) pair DEFINITION against the Spark
+  * side's O(n log n) decomposition); TSB intermittent demand (f14);
+  * the damped-trend Holt pair (f13) and multiplicative Holt–Winters
+  * pair (f15); Gopher's rule battery (x26); first-fit-decreasing
+  * packing (pk5, list-state recursive-CTE oracle) and the rule-gated
+  * packing pipeline (pipe10). Every ✔dt query pairs a Spark plan with
+  * a DuckDB oracle below; f13_damped / f15_hw_mult are the ✖est
+  * general recursions with their frozen-parameter closed-form hash
+  * twins. */
 object ScaleQueries5 {
 
   type Q = (SparkSession, String) => DataFrame
@@ -592,6 +598,74 @@ object ScaleQueries5 {
        |FROM bins GROUP BY source""".stripMargin
   }
 
+  // ---- E10: frequency encoding -----------------------------------------
+
+  /** E10 — frequency (count) encoding of a categorical column: exact
+    * corpus counts + frequency share per category, the zero-leakage
+    * member of the encoder family (e1 label / e7 target / e9 hash).
+    * One groupBy on the reduced category table, broadcast back — the
+    * corpus never moves. */
+  private def e10FreqEncode: Q = (s, d) =>
+    graft.core.Encoders.frequencyEncode(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment")
+      .select(col("c_custkey"), col("c_mktsegment"),
+              col("c_mktsegment_count"),
+              Det.dround(col("c_mktsegment_freq"), 6).as("c_mktsegment_freq"))
+
+  private val e10Sql =
+    s"""WITH c AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+       |           FROM customer GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+       |SELECT c_custkey, customer.c_mktsegment,
+       |  cnt AS c_mktsegment_count,
+       |  ${Det.droundSql("CAST(cnt AS DOUBLE)/total", 6)} AS c_mktsegment_freq
+       |FROM customer JOIN c USING (c_mktsegment) CROSS JOIN t""".stripMargin
+
+  // ---- ST_TSB: streaming intermittent-demand forecast ------------------
+
+  /** ST — online TSB per user: each event emitted with the one-step
+    * forecast made before it was absorbed (probability decays through
+    * demand-free stretches — the obsolescence signal). Batch twin of
+    * `streaming/StreamTsb.forecast`; the oracle replays the SAME
+    * recursion as a recursive CTE (cents inputs + α=β=0.5 halves make
+    * both engines' op chains bit-identical); streaming == batch parity
+    * is spec-pinned under random micro-batch splits. */
+  private def stTsb: Q = (s, d) =>
+    graft.streaming.StreamTsb.tsbExpandingBatch(
+        Tables.events(s, d).withColumn("demand",
+          when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))),
+        "demand", "ts", "user_id", "event_id")
+      .select(col("user_id"), col("event_id"),
+              Det.dround(col("yhat"), 6).as("yhat"),
+              Det.dround(col("p_demand"), 6).as("p_demand"))
+
+  private val stTsbSql =
+    s"""WITH RECURSIVE s AS (SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN floor(CAST(value AS DOUBLE)*100 + 0.5)/100 ELSE 0.0 END AS y2
+       |  FROM events),
+       |st(user_id, rn, p, z, seen) AS (
+       |  SELECT user_id, rn,
+       |    CAST(CASE WHEN y2 <> 0 THEN 1.0 ELSE 0.0 END AS DOUBLE),
+       |    CAST(CASE WHEN y2 <> 0 THEN y2 ELSE 0.0 END AS DOUBLE),
+       |    y2 <> 0
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st.user_id, s.rn,
+       |    st.p + 0.5*((CASE WHEN s.y2 <> 0 THEN 1.0 ELSE 0.0 END) - st.p),
+       |    CASE WHEN s.y2 <> 0 THEN
+       |      CASE WHEN st.seen THEN st.z + 0.5*(s.y2 - st.z) ELSE s.y2 END
+       |    ELSE st.z END,
+       |    st.seen OR s.y2 <> 0
+       |  FROM st JOIN s ON s.user_id = st.user_id AND s.rn = st.rn + 1)
+       |SELECT s.user_id, s.event_id,
+       |  ${Det.droundSql("CASE WHEN prior.seen THEN prior.p * prior.z END", 6)} AS yhat,
+       |  ${Det.droundSql("prior.p", 6)} AS p_demand
+       |FROM s LEFT JOIN st prior
+       |  ON prior.user_id = s.user_id AND prior.rn = s.rn - 1""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -607,7 +681,9 @@ object ScaleQueries5 {
     "f15_hw_mult"      -> f15HwMult,
     "f15_hwm0"         -> f15Hwm0,
     "pk5_ffd_pack"     -> pk5FfdPack,
-    "pipe10_gopher_pack" -> pipe10GopherPack)
+    "pipe10_gopher_pack" -> pipe10GopherPack,
+    "e10_freq_encode"  -> e10FreqEncode,
+    "st_tsb"           -> stTsb)
 
   def oracle: Map[String, String] = Map(
     "x26_gopher_rules" -> x26Sql,
@@ -620,5 +696,7 @@ object ScaleQueries5 {
     "a35_seasonal_mk"  -> a35Sql,
     "f15_hwm0"         -> f15Hwm0Sql,
     "pk5_ffd_pack"     -> pk5Sql,
-    "pipe10_gopher_pack" -> pipe10Sql)
+    "pipe10_gopher_pack" -> pipe10Sql,
+    "e10_freq_encode"  -> e10Sql,
+    "st_tsb"           -> stTsbSql)
 }

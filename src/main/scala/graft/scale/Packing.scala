@@ -297,13 +297,36 @@ object Packing {
         val (grp, shard) = key
         val docs = it.map(t => (t._3, t._4)).toArray
           .sortBy { case (id, toks) => (-toks, id) }
+        // first-fit via a max-remaining segment tree over bins: the
+        // FIRST bin with room is found in O(log B), not O(B) — the
+        // naive scan is O(n·B) per shard, quadratic as the shard grows,
+        // and placement is IDENTICAL (leftmost feasible bin either way,
+        // which is what the oracle's list_position replay checks)
         val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
         val cnts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var cap = 1
+        var mx = new Array[Long](2 * cap) // max remaining per subtree
+        def place(i: Int, rem: Long): Unit = {
+          var n = cap + i; mx(n) = rem; n >>= 1
+          while (n >= 1) { mx(n) = math.max(mx(2 * n), mx(2 * n + 1)); n >>= 1 }
+        }
         for ((_, toks) <- docs) {
-          var i = 0
-          while (i < fills.length && fills(i) + toks > budget) i += 1
-          if (i < fills.length) { fills(i) += toks; cnts(i) += 1 }
-          else { fills += toks; cnts += 1L }
+          if (fills.nonEmpty && mx(1) >= toks) {
+            var n = 1 // descend to the LEFTMOST leaf with remaining >= toks
+            while (n < cap) n = if (mx(2 * n) >= toks) 2 * n else 2 * n + 1
+            val i = n - cap
+            fills(i) += toks; cnts(i) += 1
+            place(i, budget - fills(i))
+          } else {
+            if (fills.length == cap) { // grow: rebuild the doubled tree
+              cap *= 2
+              mx = new Array[Long](2 * cap)
+              for (j <- fills.indices) mx(cap + j) = budget - fills(j)
+              for (n <- cap - 1 to 1 by -1) mx(n) = math.max(mx(2 * n), mx(2 * n + 1))
+            }
+            fills += toks; cnts += 1L
+            place(fills.length - 1, budget - toks)
+          }
         }
         fills.indices.iterator.map { i =>
           (grp, shard, (i + 1).toLong, cnts(i), fills(i))

@@ -365,6 +365,29 @@ class ScaleSpec3 extends SparkTestBase {
     assert(out == Map(1L -> 600L, 2L -> 100L))
   }
 
+  test("packFfd: segment-tree first-fit equals the naive linear scan") {
+    // 300 random docs through both the production fold and an
+    // independent O(n·B) reference placement
+    val toks = lcg(59L, 300).map(v => 1L + (v * 700).toLong) // some over 512
+    val df = toks.zipWithIndex.map { case (tk, i) => (i.toLong, tk, "g") }
+      .toSeq.toDF("doc_id", "toks", "source")
+    val got = graft.scale.Packing.packFfdCounts(df, "toks", "doc_id", "source", 512L, 1)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1).toSeq
+    val sorted = toks.zipWithIndex.map { case (tk, i) => (i.toLong, tk) }
+      .sortBy { case (id, tk) => (-tk, id) }
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cnts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((_, tk) <- sorted) {
+      var i = 0
+      while (i < fills.length && fills(i) + tk > 512L) i += 1
+      if (i < fills.length) { fills(i) += tk; cnts(i) += 1 }
+      else { fills += tk; cnts += 1L }
+    }
+    val want = fills.indices.map(i => ((i + 1).toLong, cnts(i), fills(i)))
+    assert(got == want)
+  }
+
   test("packFfd: never more bins than next-fit on the corpus, same token mass") {
     val docs = Tables.documents(spark, SF)
     val ffd = graft.scale.Packing.packFfd(docs, "text", "doc_id", "source", 512L, 8)
@@ -374,6 +397,20 @@ class ScaleSpec3 extends SparkTestBase {
     assert(ffd.getLong(1) == nf.getLong(1), "token mass must be conserved")
     assert(ffd.getLong(0) <= nf.getLong(0),
       s"FFD bins ${ffd.getLong(0)} must not exceed next-fit ${nf.getLong(0)}")
+  }
+
+  // ---- frequency encoding ----------------------------------------------
+
+  test("frequencyEncode: exact counts and shares, nulls are a real category") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, None, None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.orNull) }
+      .toDF("id", "cat")
+    val out = graft.core.Encoders.frequencyEncode(df, "cat")
+      .collect().map(r => Option(r.getAs[String]("cat")) ->
+        ((r.getAs[Long]("cat_count"), r.getAs[Double]("cat_freq")))).toMap
+    assert(out(Some("a")) == ((2L, 2.0 / 6)))
+    assert(out(Some("b")) == ((1L, 1.0 / 6)))
+    assert(out(None) == ((3L, 3.0 / 6)), "null group must carry its count")
   }
 
   // ---- Gopher rules ----------------------------------------------------

@@ -859,4 +859,66 @@ class StreamingSpec extends SparkTestBase {
       assert(got == want, s"seed $seed (cuts $cuts): split changed the decisions")
     }
   }
+
+  test("online TSB: streaming == batch twin across micro-batch splits") {
+    import graft.streaming.StreamTsb
+    import graft.streaming.StreamTsb.{Pt, Out}
+    val src = Tables.events(spark, SF)
+      .filter(col("user_id") <= 2)
+      .withColumn("demand",
+        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+    val evs = src
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("demand"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    assert(evs.length > 20, "fixture slice too small")
+    val batch = StreamTsb.tsbExpandingBatch(src, "demand", "ts", "user_id", "event_id")
+      .select(col("event_id"), col("yhat")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    for ((nSplits, seed) <- Seq((1, 0), (4, 1), (9, 2))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"tsb_out_$seed"
+      val q = StreamTsb.forecast(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Out].collect()
+        .map(o => o.eventId -> o.yhat).toMap
+      assert(got.size == evs.length, s"split $nSplits: missing emissions")
+      val diffs = got.collect { case (id, yh) if yh != batch(id) => id }
+      assert(diffs.isEmpty,
+        s"split $nSplits: ${diffs.size} forecasts diverge, e.g. ${diffs.take(3)}")
+    }
+  }
+
+  test("online TSB: probability decays on zeros, late events dropped") {
+    import graft.streaming.StreamTsb
+    import graft.streaming.StreamTsb.{Pt, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pt]
+    val q = StreamTsb.forecast(mem.toDS()).writeStream
+      .format("memory").queryName("tsb_late").outputMode("update").start()
+    // demand 8 at t1, zeros after: p halves each zero event
+    mem.addData(Pt(9L, 1000L, 1L, 8.0), Pt(9L, 2000L, 2L, 0.0),
+                Pt(9L, 3000L, 3L, 0.0))
+    q.processAllAvailable()
+    // late arrival behind the frontier must be dropped
+    mem.addData(Pt(9L, 1500L, 10L, 99.0), Pt(9L, 4000L, 4L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tsb_late").as[Out].collect().sortBy(_.eventId)
+    assert(!got.exists(_.eventId == 10L), "late event must be dropped")
+    val byId = got.map(o => o.eventId -> o.yhat).toMap
+    assert(byId(1L).isEmpty, "no forecast before any state")
+    assert(byId(2L) == Some(8.0), "after the demand: p=1, z=8")
+    assert(byId(3L) == Some(4.0), "one zero: p=0.5")
+    assert(byId(4L) == Some(2.0), "two zeros: p=0.25")
+  }
 }
