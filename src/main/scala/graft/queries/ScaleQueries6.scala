@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 session-2 additions — the state-space / distribution-free /
+  * hierarchical forecasting surface plus the training-data operators the
+  * first pass left open: local-level Kalman filtering (f16, exact
+  * recursive-CTE oracle — the st_tsb pattern), split-conformal intervals
+  * (f17, order-statistic quantile), hierarchical reconciliation (f18,
+  * bottom-up + top-down over customer → nation → total). Every query
+  * pairs a Spark plan with a DuckDB oracle below. */
+object ScaleQueries6 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- F16: local-level Kalman filter ------------------------------------
+
+  /** F16 — per-event Kalman filter over every user series: one-step
+    * prediction, posterior level/variance, gain. The oracle replays the
+    * EXACT (a, p) recursion as a recursive CTE — q = 1/4 and r = 1 are
+    * binary fractions, inputs are cents, so every op is one IEEE-754
+    * instruction on both engines and the hash check covers the whole
+    * filter trajectory, not summary statistics. */
+  private def f16Kalman: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.kalmanLocalLevel(
+        Tables.events(s, d), "value", "ts", "user_id", "event_id",
+        q = 0.25, r = 1.0)
+      .select(col("user_id"), col("event_id"),
+              Det.dround(col("yhat_prior"), 6).as("yhat_prior"),
+              Det.dround(col("level"), 6).as("level"),
+              Det.dround(col("p_var"), 6).as("p_var"),
+              Det.dround(col("k_gain"), 6).as("k_gain"))
+
+  private val f16Sql =
+    s"""WITH RECURSIVE s AS (SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    floor(CAST(value AS DOUBLE)*100 + 0.5)/100 AS y2
+       |  FROM events),
+       |st(user_id, rn, a, p) AS (
+       |  -- CAST the anchor literal: DuckDB would type the whole recursive
+       |  -- p column DECIMAL(2,1) from a bare 1.0 and round every step
+       |  SELECT user_id, rn, y2, CAST(1.0 AS DOUBLE) FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st.user_id, s.rn,
+       |    st.a + ((st.p + 0.25)/(st.p + 0.25 + 1.0))*(s.y2 - st.a),
+       |    (1.0 - (st.p + 0.25)/(st.p + 0.25 + 1.0))*(st.p + 0.25)
+       |  FROM st JOIN s ON s.user_id = st.user_id AND s.rn = st.rn + 1)
+       |SELECT s.user_id, s.event_id,
+       |  ${Det.droundSql("prior.a", 6)} AS yhat_prior,
+       |  ${Det.droundSql("cur.a", 6)} AS level,
+       |  ${Det.droundSql("cur.p", 6)} AS p_var,
+       |  ${Det.droundSql("(prior.p + 0.25)/(prior.p + 0.25 + 1.0)", 6)} AS k_gain
+       |FROM s
+       |JOIN st cur ON cur.user_id = s.user_id AND cur.rn = s.rn
+       |LEFT JOIN st prior ON prior.user_id = s.user_id AND prior.rn = s.rn - 1""".stripMargin
+
+  // ---- F17: split-conformal forecast intervals ---------------------------
+
+  /** F17 — split-conformal bands per user series at 80% target coverage:
+    * calibration = last ⌊n/4⌋ points, base = drift through the TRAIN
+    * endpoints, q̂ = the ⌈(c+1)·0.8⌉-th smallest absolute calibration
+    * residual (an order statistic with (score, rn) tie-break — both
+    * engines select the identical element). */
+  private def f17Conformal: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.conformalForecast(
+        Tables.events(s, d), "value", "ts", "user_id", 3,
+        covNum = 8, covDen = 10, tieBreak = Some("event_id"))
+      .select(col("user_id"), col("h"), col("n"), col("c"),
+              Det.dround(col("qhat"), 6).as("qhat"),
+              Det.dround(col("yhat"), 6).as("yhat"),
+              Det.dround(col("lo"), 6).as("lo"),
+              Det.dround(col("hi"), 6).as("hi"))
+
+  private val f17Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events),
+       |g AS (SELECT user_id, rn, n, y FROM s WHERE n >= 16),
+       |f AS (SELECT user_id, max(n) AS n, max(n // 4) AS c,
+       |        max(n - n // 4) AS m,
+       |        max(CASE WHEN rn = 1 THEN y END) AS y1,
+       |        max(CASE WHEN rn = n - n // 4 THEN y END) AS ym
+       |      FROM g GROUP BY 1),
+       |fit AS (SELECT user_id, n, c, m, ym, (ym - y1)/(m - 1) AS slope FROM f),
+       |cal AS (SELECT g.user_id, g.rn,
+       |          floor(abs(g.y - (fit.ym + (g.rn - fit.m)*fit.slope))*1000000.0 + 0.5)/1000000.0 AS score
+       |        FROM g JOIN fit USING (user_id) WHERE g.rn > fit.m),
+       |rk AS (SELECT user_id, score,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY score, rn) AS rk
+       |       FROM cal),
+       |q AS (SELECT rk.user_id,
+       |        max(CASE WHEN rk.rk = least(fit.c, (8*(fit.c+1) + 9) // 10)
+       |            THEN rk.score END) AS qhat
+       |      FROM rk JOIN fit USING (user_id) GROUP BY 1)
+       |SELECT fit.user_id, h, fit.n, fit.c,
+       |  ${Det.droundSql("qhat", 6)} AS qhat,
+       |  ${Det.droundSql("fit.ym + (fit.n - fit.m + h)*fit.slope", 6)} AS yhat,
+       |  ${Det.droundSql("(fit.ym + (fit.n - fit.m + h)*fit.slope) - qhat", 6)} AS lo,
+       |  ${Det.droundSql("(fit.ym + (fit.n - fit.m + h)*fit.slope) + qhat", 6)} AS hi
+       |FROM fit JOIN q USING (user_id)
+       |CROSS JOIN generate_series(1, 3) AS gs(h)""".stripMargin
+
+  // ---- F18: hierarchical forecast reconciliation --------------------------
+
+  /** F18 — bottom-up + top-down reconciliation of naive daily-total
+    * forecasts over customer → nation → total. Exact cents end to end;
+    * the coherence gap column IS the point of the operator (base
+    * forecasts at different levels anchor on different last days). */
+  private def f18Reconcile: Q = (s, d) =>
+    graft.scale.Reconcile.naiveDaily(
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))
+      .select(col("n_name"),
+              Det.dround(col("yhat_base"), 2).as("yhat_base"),
+              Det.dround(col("yhat_bu"), 2).as("yhat_bu"),
+              Det.dround(col("yhat_td"), 6).as("yhat_td"),
+              Det.dround(col("gap_bu"), 2).as("gap_bu"))
+
+  private val f18Sql =
+    s"""WITH daily AS (
+       |  SELECT c_nationkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |    CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS c2
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2, 3),
+       |custfc AS (SELECT c_nationkey, o_custkey,
+       |             arg_max(c2, day) AS fc, CAST(sum(c2) AS BIGINT) AS hist
+       |           FROM daily GROUP BY 1, 2),
+       |bu AS (SELECT c_nationkey, CAST(sum(fc) AS BIGINT) AS bu_cents,
+       |         CAST(sum(hist) AS BIGINT) AS hist_cents
+       |       FROM custfc GROUP BY 1),
+       |natd AS (SELECT c_nationkey, day, CAST(sum(c2) AS BIGINT) AS c2
+       |         FROM daily GROUP BY 1, 2),
+       |natfc AS (SELECT c_nationkey, arg_max(c2, day) AS base_cents
+       |          FROM natd GROUP BY 1),
+       |topd AS (SELECT day, CAST(sum(c2) AS BIGINT) AS c2 FROM daily GROUP BY 1),
+       |topfc AS (SELECT arg_max(c2, day) AS top_cents FROM topd),
+       |toph AS (SELECT CAST(sum(c2) AS BIGINT) AS top_hist FROM daily)
+       |SELECT n_name,
+       |  ${Det.droundSql("base_cents/100.0", 2)} AS yhat_base,
+       |  ${Det.droundSql("bu_cents/100.0", 2)} AS yhat_bu,
+       |  ${Det.droundSql("floor(top_cents/100.0 * (CAST(hist_cents AS DOUBLE)/top_hist) * 1000000.0 + 0.5)/1000000.0", 6)} AS yhat_td,
+       |  ${Det.droundSql("(bu_cents - base_cents)/100.0", 2)} AS gap_bu
+       |FROM bu JOIN natfc USING (c_nationkey)
+       |CROSS JOIN topfc CROSS JOIN toph
+       |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  // ---- PK6: packed-sequence manifest --------------------------------------
+
+  /** PK6 — the manifest a trainer actually consumes from packing: per
+    * packed sequence, the ordered doc ids and each doc's start offset
+    * (the position-id reset / attention-segment boundaries), alongside
+    * the pk1 fill stats. Composes the SAME shared fold as pk1/st_pack
+    * (per-doc assignments), then one window on the same partitioning for
+    * the exclusive prefix offsets — the oracle replays pk1's recursive
+    * CTE and reads the offsets off the running fill (acc − toks), so
+    * hash equality proves the boundary geometry, not just the totals. */
+  private def pk6Manifest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val asg = graft.streaming.StreamPack.assignBatch(
+        Tables.documents(s, d), "text", "doc_id", "source",
+        budget = 512L, shards = 8).toDF()
+    val wSeq = Window.partitionBy(col("grp"), col("shard"), col("seqId"))
+      .orderBy(col("id"))
+    asg.withColumn("start", coalesce(
+        sum(col("toks")).over(wSeq.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col("grp").as("source"), col("shard"),
+               col("seqId").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+           array_join(transform(
+             sort_array(collect_list(struct(col("id"), col("start")))),
+             x => x.getField("id").cast("string")), ",").as("doc_ids"),
+           array_join(transform(
+             sort_array(collect_list(struct(col("id"), col("start")))),
+             x => x.getField("start").cast("string")), ",").as("starts"))
+  }
+
+  private val pk6Sql =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT source, doc_id % 8 AS shard, doc_id,
+       |         CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |         row_number() OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM documents
+       |),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                         AND d.rn = p.rn + 1
+       |)
+       |SELECT p.source, p.shard, p.seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(p.toks) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY p.rn) AS doc_ids,
+       |  string_agg(CAST(p.acc - p.toks AS VARCHAR), ',' ORDER BY p.rn) AS starts
+       |FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                       AND d.rn = p.rn
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- X27: SFT loss-mask construction -------------------------------------
+
+  /** X27 — completion-only loss masking over sessionized event
+    * conversations: the rendered role-templated doc plus the exact
+    * character spans (`start:end;…`) a trainer's loss should keep —
+    * assistant-turn content only. The mask geometry (every offset) is
+    * hash-checked, not just counts. */
+  private def x27LossMask: Q = (s, d) =>
+    graft.scale.EventAnalytics.sftLossMask(
+        Tables.events(s, d), "event_type", "ts", "event_id", "user_id",
+        assistantTypes = Seq("purchase", "error"))
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+              col("n_turns"), col("doc"), col("train_spans"),
+              col("n_train_chars"), col("n_total_chars"))
+
+  private val x27Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+      |    CASE WHEN event_type IN ('purchase', 'error')
+      |         THEN 'assistant' ELSE 'user' END AS role
+      |  FROM g),
+      |seg AS (
+      |  SELECT user_id, session_id, ts, event_id, event_type, role,
+      |    '<' || role || '>' || event_type AS seg,
+      |    CAST(length('<' || role || '>' || event_type) AS BIGINT) AS seg_len
+      |  FROM t),
+      |off AS (
+      |  SELECT *, CAST(coalesce(sum(seg_len + 1) OVER (
+      |      PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+      |  FROM seg)
+      |SELECT user_id, session_id,
+      |  CAST(count(*) AS BIGINT) AS n_turns,
+      |  string_agg(seg, chr(10) ORDER BY ts, event_id) AS doc,
+      |  -- all-user sessions: Spark's array_join over an empty collect_list
+      |  -- is '', DuckDB's string_agg over all-NULL is NULL — coalesce
+      |  coalesce(string_agg(CASE WHEN role = 'assistant'
+      |    THEN CAST(strt + length(role) + 2 AS VARCHAR) || ':' ||
+      |         CAST(strt + seg_len AS VARCHAR) END, ';' ORDER BY ts, event_id), '')
+      |    AS train_spans,
+      |  CAST(sum(CASE WHEN role = 'assistant' THEN length(event_type) ELSE 0 END) AS BIGINT)
+      |    AS n_train_chars,
+      |  CAST(sum(seg_len) + count(*) - 1 AS BIGINT) AS n_total_chars
+      |FROM off GROUP BY 1, 2""".stripMargin
+
+  // ---- S16: margin-based bitext mining --------------------------------------
+
+  /** S16 — margin-scored parallel-pair mining (the LASER/CCMatrix rule):
+    * each anchor's best cross-label match by cosine normalized against
+    * BOTH sides' k-NN neighborhood density. Forward and backward means
+    * divide exact integer sums of 1e-6-grid cosines; the argmax ties
+    * break by vid on both engines. */
+  private def s16Bitext: Q = (s, d) =>
+    graft.scale.Similarity.bitextMargin(
+        Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 4,
+        "embedding", "vec_id", "label")
+
+  private val s16Sql =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlbl, e AS qe FROM v
+      |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS vid,
+      |    floor(list_dot_product(v.e, q.qe) /
+      |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+      |      * 1000000.0 + 0.5)/1000000.0 AS cos6
+      |  FROM v JOIN q ON v.vec_id <> q.qid AND v.label <> q.qlbl),
+      |fwd AS (SELECT qid,
+      |    (CAST(sum(CAST(floor(cos6*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*))/1000000.0 AS a_fwd
+      |  FROM (SELECT qid, cos6,
+      |          row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, vid) AS rk
+      |        FROM scored)
+      |  WHERE rk <= 4 GROUP BY 1),
+      |bwd AS (SELECT vid,
+      |    (CAST(sum(CAST(floor(cos6*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/count(*))/1000000.0 AS a_bwd
+      |  FROM (SELECT vid, cos6,
+      |          row_number() OVER (PARTITION BY vid ORDER BY cos6 DESC, qid) AS rk
+      |        FROM scored)
+      |  WHERE rk <= 4 GROUP BY 1),
+      |m AS (SELECT s.qid, s.vid, s.cos6,
+      |        floor(s.cos6 / ((f.a_fwd + b.a_bwd)/2.0) * 1000000.0 + 0.5)/1000000.0 AS margin6
+      |      FROM scored s JOIN fwd f USING (qid) JOIN bwd b USING (vid)),
+      |r AS (SELECT qid, vid, cos6, margin6,
+      |        row_number() OVER (PARTITION BY qid ORDER BY margin6 DESC, vid) AS rk
+      |      FROM m)
+      |SELECT qid, vid, cos6, margin6 AS margin FROM r WHERE rk = 1""".stripMargin
+
+  // ---- SM21: DoReMi domain reweighting --------------------------------------
+
+  /** SM21 — the DoReMi mirror-descent mixture fold over (step × domain)
+    * excess losses: the trajectory of domain weights after each of 8
+    * Hedge updates. The fold itself runs over a bounded config-sized
+    * table; the oracle UNROLLS the 8 steps as chained CTEs with exact
+    * 1e-12-integer mass sums — hash equality proves the update rule. */
+  private def sm21Doremi: Q = (s, d) =>
+    graft.scale.Sampling.doremiWeights(
+        Tables.documents(s, d), "source", "doc_id", "n_chars", steps = 8)
+
+  private val sm21Sql = {
+    val base =
+      """WITH d AS (SELECT source, doc_id % 8 AS step,
+        |    CAST(floor(CAST(n_chars AS DOUBLE)/(n_chars + 1000)*1000000.0 + 0.5) AS BIGINT) AS loss6
+        |  FROM documents),
+        |a AS (SELECT step, source, CAST(sum(loss6) AS BIGINT) AS s6,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2),
+        |g AS (SELECT step, CAST(sum(s6) AS BIGINT) AS gs6,
+        |        CAST(sum(c) AS BIGINT) AS gc FROM a GROUP BY 1),
+        |srcs AS (SELECT source, row_number() OVER (ORDER BY source) AS i,
+        |           CAST(count(*) OVER () AS BIGINT) AS nd
+        |         FROM (SELECT DISTINCT source FROM documents)),
+        |grid AS (SELECT s.source, s.i, s.nd, t.step
+        |         FROM srcs s CROSS JOIN generate_series(0, 7) AS t(step)),
+        |ex AS (SELECT grid.step, grid.i, grid.source, grid.nd,
+        |         CASE WHEN a.c IS NULL OR g.gc IS NULL OR g.gc = 0 THEN 0.0
+        |              ELSE floor(greatest(CAST(a.s6 AS DOUBLE)/a.c/1000000.0
+        |                   - CAST(g.gs6 AS DOUBLE)/g.gc/1000000.0, 0.0)*1000000.0 + 0.5)/1000000.0
+        |         END AS exv
+        |       FROM grid LEFT JOIN a ON a.step = grid.step AND a.source = grid.source
+        |                 LEFT JOIN g ON g.step = grid.step),
+        |w0 AS (SELECT i, source, nd,
+        |         floor(1.0/nd*1000000000.0 + 0.5)/1000000000.0 AS w
+        |       FROM srcs)""".stripMargin
+    val stepCtes = (0 until 8).map { t =>
+      s"""w${t + 1} AS (
+         |  SELECT z.i, z.source, z.nd,
+         |    floor((0.984375*(CAST(z.m12 AS DOUBLE)/CAST(z.s12 AS DOUBLE))
+         |      + 0.015625*(1.0/z.nd))*1000000000.0 + 0.5)/1000000000.0 AS w
+         |  FROM (
+         |    SELECT p.i, p.source, p.nd,
+         |      CAST(floor(p.w * (floor(exp(ex.exv)*1000000000.0 + 0.5)/1000000000.0) * 1000000000000.0 + 0.5) AS BIGINT) AS m12,
+         |      CAST(sum(CAST(floor(p.w * (floor(exp(ex.exv)*1000000000.0 + 0.5)/1000000000.0) * 1000000000000.0 + 0.5) AS BIGINT)) OVER () AS BIGINT) AS s12
+         |    FROM w$t p JOIN ex ON ex.i = p.i AND ex.step = $t) z)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 8).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, source, w AS weight FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"$base,\n$stepCtes\n$unions"
+  }
+
+  // ---- A36: Poisson-bootstrap CI ---------------------------------------------
+
+  /** A36 — 90% Poisson-bootstrap CI for each event type's mean value
+    * (Chamandy et al. 2012 — THE uncertainty construction for data too
+    * big to resample): 64 map-side Poisson(1) reweightings, exact
+    * integer replicate sums, order-statistic percentile bounds. The
+    * whole resampling geometry (every md5 draw, every replicate mean,
+    * both order statistics) replays in DuckDB. */
+  private def a36PoissonBoot: Q = (s, d) =>
+    graft.stats.Bootstrap.poissonMeanCi(
+        Tables.events(s, d), "value", "event_id", "event_type", b = 64)
+      .select(col("event_type"), col("n"),
+              Det.dround(col("mean"), 6).as("mean"), col("b_eff"),
+              Det.dround(col("lo"), 6).as("lo"),
+              Det.dround(col("hi"), 6).as("hi"))
+
+  private val a36Sql = {
+    val pois = graft.stats.Bootstrap.poissonSql("u")
+    s"""WITH base AS (SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS rid,
+       |    CAST(floor(CAST(value AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS x6
+       |  FROM events),
+       |reps AS (SELECT j FROM generate_series(0, 63) AS t(j)),
+       |bound AS (SELECT grp, x6, j,
+       |    (('0x' || substr(md5(rid || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT + 0.5)/4503599627370496.0 AS u
+       |  FROM base CROSS JOIN reps),
+       |w AS (SELECT grp, j, x6, $pois AS w FROM bound),
+       |rm AS (SELECT grp, j, CAST(sum(w) AS BIGINT) AS sw,
+       |         CAST(sum(w * x6) AS BIGINT) AS swx6
+       |       FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+       |rk AS (SELECT grp, j, CAST(swx6 AS DOUBLE)/sw/1000000.0 AS rmean,
+       |         row_number() OVER (PARTITION BY grp
+       |           ORDER BY CAST(swx6 AS DOUBLE)/sw/1000000.0, j) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS beff
+       |       FROM rm),
+       |ci AS (SELECT grp, CAST(max(beff) AS BIGINT) AS b_eff,
+       |         max(CASE WHEN rk = greatest(1, (5*beff + 99) // 100) THEN rmean END) AS lo,
+       |         max(CASE WHEN rk = (95*beff + 99) // 100 THEN rmean END) AS hi
+       |       FROM rk GROUP BY 1),
+       |f AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x6) AS DOUBLE)/count(*)/1000000.0 AS mean
+       |      FROM base GROUP BY 1)
+       |SELECT f.grp AS event_type, n, ${Det.droundSql("mean", 6)} AS mean,
+       |  b_eff, ${Det.droundSql("lo", 6)} AS lo, ${Det.droundSql("hi", 6)} AS hi
+       |FROM f JOIN ci USING (grp)""".stripMargin
+  }
+
+  // ---- registry -----------------------------------------------------------
+
+  def queries: Map[String, Q] = Map(
+    "f16_kalman"    -> f16Kalman,
+    "f17_conformal" -> f17Conformal,
+    "f18_reconcile" -> f18Reconcile,
+    "pk6_manifest"  -> pk6Manifest,
+    "x27_loss_mask" -> x27LossMask,
+    "s16_bitext"    -> s16Bitext,
+    "sm21_doremi"   -> sm21Doremi,
+    "a36_poisson_boot" -> a36PoissonBoot)
+
+  def oracle: Map[String, String] = Map(
+    "f16_kalman"    -> f16Sql,
+    "f17_conformal" -> f17Sql,
+    "f18_reconcile" -> f18Sql,
+    "pk6_manifest"  -> pk6Sql,
+    "x27_loss_mask" -> x27Sql,
+    "s16_bitext"    -> s16Sql,
+    "sm21_doremi"   -> sm21Sql,
+    "a36_poisson_boot" -> a36Sql)
+}

@@ -206,4 +206,72 @@ object EventAnalytics {
                  col(idCol).as("i"), col(typeCol).as("e")))),
                x => x.getField("e")), " ").as("convo"))
   }
+
+  /** SFT loss-mask construction — the step AFTER [[conversations]] in an
+    * instruction-tuning data pipeline: render each session as a
+    * role-templated training document (`<role>turn` segments joined by
+    * newline) and emit the character spans the loss should actually
+    * train on (assistant-turn CONTENT only — the user turns and the
+    * template markers are context, not targets; the standard
+    * completion-only masking rule).
+    *
+    * Emits per session: the rendered doc, `train_spans` as
+    * `start:end;start:end` (end-exclusive character offsets into the
+    * doc), and the train/total char accounting. Everything is exact
+    * integer length arithmetic over the same sessionize window
+    * [[conversations]] uses, then per-turn EXCLUSIVE prefix offsets from
+    * one more window on the same partitioning — a single exchange, all
+    * map-side after it; at 100 TB this is sessionize plus free
+    * arithmetic. Span construction is replayable in SQL (window prefix
+    * sums + ordered string_agg), so the whole mask geometry
+    * hash-checks. */
+  def sftLossMask(events: DataFrame, typeCol: String, tsCol: String,
+                  idCol: String, userCol: String,
+                  assistantTypes: Seq[String],
+                  gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSess = Window.partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("gap_s",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > gapMinutes * 60, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wCum))
+      .withColumn("role",
+        when(col(typeCol).isin(assistantTypes: _*), lit("assistant"))
+          .otherwise(lit("user")))
+      .withColumn("seg", concat(lit("<"), col("role"), lit(">"), col(typeCol)))
+      .withColumn("seg_len", length(col("seg")).cast("long"))
+      // exclusive prefix offset of this segment in the rendered doc
+      // (+1 per preceding segment for the newline joiner)
+      .withColumn("start", coalesce(
+        sum(col("seg_len") + 1L).over(
+          wSess.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("c_start",
+        col("start") + length(col("role")).cast("long") + 2L)
+      .withColumn("c_end", col("start") + col("seg_len"))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+           array_join(
+             transform(
+               sort_array(collect_list(struct(col(tsCol).as("t"),
+                 col(idCol).as("i"), col("seg").as("s")))),
+               x => x.getField("s")), "\n").as("doc"),
+           // collect_list drops the nulls the user turns produce
+           array_join(
+             transform(
+               sort_array(collect_list(
+                 when(col("role") === "assistant",
+                   struct(col(tsCol).as("t"), col(idCol).as("i"),
+                     concat(col("c_start").cast("string"), lit(":"),
+                            col("c_end").cast("string")).as("sp"))))),
+               x => x.getField("sp")), ";").as("train_spans"),
+           sum(when(col("role") === "assistant",
+             length(col(typeCol)).cast("long")).otherwise(0L))
+             .as("n_train_chars"),
+           (sum(col("seg_len")) + count(lit(1)) - 1L).as("n_total_chars"))
+  }
 }

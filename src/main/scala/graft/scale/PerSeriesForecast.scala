@@ -955,6 +955,111 @@ object PerSeriesForecast {
       .toDF(seriesCol, "h", "yhat")
   }
 
+  /** Local-level Kalman filter per series (the structural "random walk
+    * plus noise" model, Harvey 1989 §2; statsmodels' UnobservedComponents
+    * 'local level' — the state-space counterpart of SES with a
+    * PRINCIPLED, variance-adaptive gain instead of a fixed α):
+    *   y_t = μ_t + ε_t,  ε ~ (0, r)
+    *   μ_t = μ_{t−1} + η_t,  η ~ (0, q)
+    * Filter recursion after init a₁ = y₁, p₁ = r:
+    *   p′ = p + q;  k = p′/(p′+r);  a ← a + k(y_t − a);  p ← (1−k)p′
+    * Emits one row PER EVENT: the one-step-ahead prediction made before
+    * absorbing it (yhat_prior — the innovation base, the anomaly-score
+    * hook), the posterior level, variance, and gain. The gain converges
+    * to the steady state k* = (√(q²+4qr) − q)/(2r) + q-ish constant, so
+    * the filter is SES with a learned α — but early observations get
+    * the principled larger gains SES lacks.
+    *
+    * Determinism contract: inputs quantize to the cents grid; q and r
+    * are binary fractions (defaults 1/4 and 1) so every +, ×, ÷ in the
+    * recursion is one IEEE-754 op — DuckDB replays the SAME recursion
+    * as a recursive CTE and matches bit-for-bit (the st_tsb precedent).
+    * One flatMapGroups pass; O(n) per series, O(1) state. */
+  def kalmanLocalLevel(df: DataFrame, valueCol: String, tsCol: String,
+                       seriesCol: String, idCol: String,
+                       q: Double = 0.25, r: Double = 1.0): DataFrame = {
+    require(q > 0 && r > 0, s"need positive variances, got q=$q r=$r")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(t => (t._2, t._3))
+        if (rows.isEmpty) Iterator.empty
+        else {
+          var a = math.floor(rows(0)._4 * 100 + 0.5) / 100
+          var p = r
+          val first = (sid, rows(0)._3, Option.empty[Double], a, p,
+                       Option.empty[Double])
+          Iterator.single(first) ++ rows.iterator.drop(1).map { t =>
+            val y = math.floor(t._4 * 100 + 0.5) / 100
+            val pPred = p + q
+            val k = pPred / (pPred + r)
+            val prior = a
+            a = a + k * (y - a)
+            p = (1 - k) * pPred
+            (sid, t._3, Some(prior), a, p, Some(k))
+          }
+        }
+      }
+      .toDF(seriesCol, idCol, "yhat_prior", "level", "p_var", "k_gain")
+  }
+
+  /** Split-conformal forecast intervals per series (Vovk et al. 2005;
+    * the distribution-free band construction modern forecasting evals
+    * default to): hold out the last ⌊n/4⌋ points as a calibration set,
+    * fit the base model (drift line through the TRAIN endpoints) on the
+    * rest, take the calibration absolute residuals' ⌈(c+1)·cov⌉-th
+    * order statistic as the band half-width q̂ — finite-sample coverage
+    * ≥ cov under exchangeability, no distributional assumption the
+    * Gaussian bands of [[trendForecastBands]] need.
+    *
+    * Everything is closed-form (endpoint drift + an ORDER-STATISTIC
+    * quantile with (score, rn) tie-break — never interpolated), so the
+    * whole construction hash-checks against a DuckDB window replay.
+    * Plan shape: every window and aggregate partitions by the series
+    * key — ONE exchange end to end, the f4/f5 contract. Series with
+    * n < 16 are dropped (c ≥ 4 keeps the order-statistic rank ≤ c). */
+  def conformalForecast(df: DataFrame, valueCol: String, tsCol: String,
+                        seriesCol: String, horizon: Int,
+                        covNum: Int = 8, covDen: Int = 10,
+                        tieBreak: Option[String] = None): DataFrame = {
+    require(covNum > 0 && covNum < covDen, s"need 0 < cov < 1")
+    val tie = tieBreak.map(col).getOrElse(lit(0L))
+    val wOrd = Window.partitionBy(col(seriesCol)).orderBy(col(tsCol), tie)
+    val wAll = Window.partitionBy(col(seriesCol))
+    val base = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("n") >= 16L)
+      .withColumn("c", expr("n div 4"))
+      .withColumn("m", col("n") - col("c"))
+      .withColumn("y", col(valueCol).cast("double"))
+      .withColumn("y1", max(when(col("rn") === 1L, col("y"))).over(wAll))
+      .withColumn("ym", max(when(col("rn") === col("m"), col("y"))).over(wAll))
+      .withColumn("slope", (col("ym") - col("y1")) / (col("m") - 1L))
+    val scored = base.filter(col("rn") > col("m"))
+      .withColumn("score",
+        floor(abs(col("y") - (col("ym") + (col("rn") - col("m")) * col("slope")))
+          * 1e6 + 0.5) / 1e6)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(seriesCol)).orderBy(col("score"), col("rn"))))
+      .withColumn("kq", expr(s"least(c, ($covNum*(c+1) + ${covDen - 1}) div $covDen)"))
+    val fit = scored.groupBy(col(seriesCol))
+      .agg(max(when(col("rk") === col("kq"), col("score"))).as("qhat"),
+           max(col("n")).as("n"), max(col("c")).as("c"),
+           max(col("m")).as("m"), max(col("ym")).as("ym"),
+           max(col("slope")).as("slope"))
+    fit.crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .withColumn("yhat", col("ym") + (col("n") - col("m") + col("h")) * col("slope"))
+      .select(col(seriesCol), col("h"), col("n"), col("c"),
+              col("qhat"), col("yhat"),
+              (col("yhat") - col("qhat")).as("lo"),
+              (col("yhat") + col("qhat")).as("hi"))
+  }
+
   /** Holt–Winters MULTIPLICATIVE seasonal (the ETS(A,A,M) classic,
     * Hyndman & Athanasopoulos fpp3 §8.3) — the seasonal effect scales
     * WITH the level (retail/traffic shapes) where [[holtWintersForecast]]

@@ -563,4 +563,73 @@ object Sampling {
       .withColumn("step", col("chunk_idx") + col("cross_before"))
       .select(col("source"), col("chunk_idx"), col("n_chunks"), col("step"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429, Algorithm 1): a mirror-descent / Hedge fold over
+    * per-domain per-step excess losses — each step multiplies every
+    * domain's weight by exp(η·excess), renormalizes, and mixes a little
+    * uniform mass back in so no domain starves. The proxy "loss" here is
+    * the deterministic bounded length signal n/(n+1000) (a real run plugs
+    * in proxy-model losses; the OPERATOR is the update rule), batches are
+    * the id-mod step slices, and excess is each domain's batch mean over
+    * the all-domain batch mean, clipped at 0 (the paper's clip).
+    *
+    * Scale shape: ONE corpus aggregate produces the (step × domain)
+    * loss table — map-side partial sums, ~steps·|domains| rows — and the
+    * fold runs on the driver over that BOUNDED table (the topV-class
+    * collect contract: steps and domains are configuration-sized, never
+    * corpus-sized). Determinism: losses and excesses live on 1e-6 grids,
+    * exp() output snaps to the 1e-9 grid before use, per-step masses are
+    * summed as EXACT 1e-12 integers (order-free), and each step's
+    * weights re-quantize to 1e-9 — so a DuckDB unrolled replay matches
+    * op-for-op. Returns the full (step, source, weight) trajectory. */
+  def doremiWeights(docs: DataFrame, sourceCol: String, idCol: String,
+                    lenCol: String, steps: Int = 8): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val spark = docs.sparkSession
+    val agg = docs.select(col(sourceCol).cast("string").as("source"),
+        pmod(col(idCol), lit(steps.toLong)).as("step"),
+        floor(col(lenCol).cast("double") / (col(lenCol) + lit(1000L)) * 1e6
+          + 0.5).cast("long").as("loss6"))
+      .groupBy(col("step"), col("source"))
+      .agg(sum(col("loss6")).as("s6"), count(lit(1)).as("c"))
+      .collect()                    // bounded: steps × |domains| rows
+      .map(r => ((r.getLong(0), r.getString(1)),
+                 (r.getLong(2), r.getLong(3)))).toMap
+    val sources = agg.keys.map(_._2).toSeq.distinct.sorted
+    val d = sources.length
+    require(d >= 1, "no domains")
+    // per-(step, domain) clipped excess on the 1e-6 grid; empty slices
+    // contribute excess 0 (they teach the fold nothing)
+    val ex = Array.tabulate(steps, d) { (t, i) =>
+      val stepRows = sources.indices.flatMap(j => agg.get((t.toLong, sources(j))))
+      val gs6 = stepRows.map(_._1).sum
+      val gc = stepRows.map(_._2).sum
+      agg.get((t.toLong, sources(i))) match {
+        case Some((s6, c)) if gc > 0 =>
+          val l = s6.toDouble / c / 1e6
+          val g = gs6.toDouble / gc / 1e6
+          math.floor(math.max(l - g, 0.0) * 1e6 + 0.5) / 1e6
+        case _ => 0.0
+      }
+    }
+    var w = Array.fill(d)(math.floor(1.0 / d * 1e9 + 0.5) / 1e9)
+    val out = Seq.newBuilder[(Long, String, Double)]
+    for (t <- 0 until steps) {
+      val e9 = Array.tabulate(d)(i =>
+        math.floor(math.exp(ex(t)(i)) * 1e9 + 0.5) / 1e9)
+      val m12 = Array.tabulate(d)(i =>
+        math.floor(w(i) * e9(i) * 1e12 + 0.5).toLong)
+      val s12 = m12.sum
+      w = Array.tabulate(d) { i =>
+        val mixed = 0.984375 * (m12(i).toDouble / s12.toDouble) +
+          0.015625 * (1.0 / d)
+        math.floor(mixed * 1e9 + 0.5) / 1e9
+      }
+      for (i <- 0 until d) out += (((t + 1).toLong, sources(i), w(i)))
+    }
+    import spark.implicits._
+    out.result().toDF("step", "source", "weight")
+  }
 }

@@ -566,4 +566,62 @@ object Similarity {
       .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
       .select(col("pid"), (floor(col("recall") * 1e6 + 0.5) / 1e6).as("recall"))
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL — the LASER/CCMatrix bitext scoring rule): raw cosine over-fires
+    * in dense neighborhoods, so each candidate pair is scored by its
+    * cosine RELATIVE to both sides' local neighborhood density,
+    *   margin(x,y) = cos(x,y) / ((avgNN_k(x→Y) + avgNN_k(y→X)) / 2)
+    * and each anchor keeps its best-margin match. Here the two "sides"
+    * are the anchor set and every corpus vector with a DIFFERENT label
+    * (the cross-corpus stand-in the synthetic table affords).
+    *
+    * Scale shape: bounded anchors broadcast against one partitioned
+    * corpus scan (the s13 contract); the forward-NN means reduce to
+    * |anchors| rows; the backward-NN means are a shuffle of ~24 B/row
+    * (qid, vid, cos) tuples — never the vectors. All cosines live on the
+    * 1e-6 grid, means divide exact integer sums, ties break by vid —
+    * fully hash-checkable. For corpus×corpus mining both sides route
+    * through IVF cells first; this form is the exact oracle twin. */
+  def bitextMargin(corpus: DataFrame, anchorIds: Seq[Long], k: Int,
+                   vecCol: String, idCol: String,
+                   labelCol: String): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(labelCol).cast("long").as("lbl"),
+                          col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
+    val q = v.filter(col("vid").isin(anchorIds: _*))
+      .select(col("vid").as("qid"), col("lbl").as("qlbl"),
+              col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q),
+        col("vid") =!= col("qid") && col("lbl") =!= col("qlbl"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
+      .withColumn("cos6",
+        floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
+      .select(col("qid"), col("vid"), col("cos6"))
+    // forward neighborhood density: mean of each anchor's top-k cosines
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("cos6").desc, col("vid"))
+    val fwd = scored.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= k)
+      .groupBy(col("qid"))
+      .agg(((sum(floor(col("cos6") * 1e6 + 0.5).cast("long")).cast("double")
+        / count(lit(1))) / 1e6).as("a_fwd"))
+    // backward density: each candidate's top-k cosines over the anchors
+    val wV = Window.partitionBy(col("vid")).orderBy(col("cos6").desc, col("qid"))
+    val bwd = scored.withColumn("rk", row_number().over(wV))
+      .filter(col("rk") <= k)
+      .groupBy(col("vid"))
+      .agg(((sum(floor(col("cos6") * 1e6 + 0.5).cast("long")).cast("double")
+        / count(lit(1))) / 1e6).as("a_bwd"))
+    scored.join(broadcast(fwd), Seq("qid")).join(bwd, Seq("vid"))
+      .withColumn("margin6",
+        floor(col("cos6") / ((col("a_fwd") + col("a_bwd")) / 2.0) * 1e6 + 0.5) / 1e6)
+      .groupBy(col("qid"))
+      .agg(max(struct(col("margin6"), (-col("vid")).as("nv"), col("vid"),
+                      col("cos6"))).as("m"))
+      .select(col("qid"), col("m.vid").as("vid"), col("m.cos6").as("cos6"),
+              col("m.margin6").as("margin"))
+  }
 }

@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale._
+
+/** Round-12 session-2 additions: Kalman local-level, split-conformal
+  * intervals, hierarchical reconciliation, pack manifests, SFT loss
+  * masks, bitext margin mining, DoReMi reweighting. */
+class ScaleSpec4 extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Kalman local level ------------------------------------------------
+
+  test("kalman: constant series keeps the level exactly and the gain " +
+       "converges to the steady-state fixed point") {
+    val rows = (1 to 200).map(i => (1L, i.toDouble, i.toLong, 7.25))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = PerSeriesForecast.kalmanLocalLevel(
+        df, "value", "ts", "user_id", "event_id", q = 0.25, r = 1.0)
+      .orderBy(col("event_id")).collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("level") - 7.25) < 1e-12,
+        "constant input must keep the level constant")
+    }
+    // steady-state prior variance f solves f^2 - q f - q r = 0
+    val f = (0.25 + math.sqrt(0.25 * 0.25 + 4 * 0.25 * 1.0)) / 2
+    val kStar = f / (f + 1.0)
+    val kLast = out.last.getAs[Double]("k_gain")
+    assert(math.abs(kLast - kStar) < 1e-9,
+      s"gain must converge to $kStar, got $kLast")
+    // posterior variance decreases monotonically to its fixed point
+    val ps = out.map(_.getAs[Double]("p_var"))
+    ps.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12) }
+  }
+
+  test("kalman: the filter is a variance-adaptive SES — early gains " +
+       "exceed the steady gain, and yhat_prior is the previous level") {
+    val y = Array(10.0, 0.0, 10.0, 0.0, 10.0, 0.0, 10.0, 0.0)
+    val df = y.zipWithIndex.map { case (v, i) => (1L, i.toDouble, i.toLong, v) }
+      .toSeq.toDF("user_id", "ts", "event_id", "value")
+    val out = PerSeriesForecast.kalmanLocalLevel(
+        df, "value", "ts", "user_id", "event_id").orderBy(col("event_id")).collect()
+    val gains = out.drop(1).map(_.getAs[Double]("k_gain"))
+    assert(gains.head > gains.last, "first gain must exceed the settled gain")
+    // one-step prediction before absorbing = previous row's posterior level
+    out.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Double]("yhat_prior") == prev.getAs[Double]("level"))
+    }
+    // independent replay of the recursion
+    var a = y(0); var p = 1.0
+    for (t <- 1 until y.length) {
+      val f = p + 0.25; val k = f / (f + 1.0)
+      a = a + k * (y(t) - a); p = (1 - k) * f
+    }
+    assert(math.abs(out.last.getAs[Double]("level") - a) < 1e-12)
+    assert(math.abs(out.last.getAs[Double]("p_var") - p) < 1e-12)
+  }
+
+  // ---- split-conformal intervals ------------------------------------------
+
+  test("conformal: a noiseless linear series yields a zero-width band on " +
+       "the exact line") {
+    val df = (1 to 40).map(i => (1L, i.toDouble, i.toLong, 2.0 * i + 3.0))
+      .toSeq.toDF("user_id", "ts", "event_id", "value")
+    val out = PerSeriesForecast.conformalForecast(
+        df, "value", "ts", "user_id", 3, tieBreak = Some("event_id"))
+      .orderBy(col("h")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val h = r.getAs[Int]("h")
+      val want = 2.0 * (40 + h) + 3.0
+      assert(math.abs(r.getAs[Double]("yhat") - want) < 1e-9)
+      assert(r.getAs[Double]("qhat") == 0.0, "zero residuals => zero q-hat")
+      assert(r.getAs[Double]("lo") == r.getAs[Double]("yhat"))
+      assert(r.getAs[Double]("hi") == r.getAs[Double]("yhat"))
+    }
+  }
+
+  test("conformal: q-hat is the ceil((c+1)*0.8) order statistic and the " +
+       "band covers >= 80% of calibration points by construction") {
+    // 32 points: train = 24 on an exact line, calibration = 8 with known
+    // alternating deviations
+    val dev = Array(0.1, 0.9, 0.2, 0.8, 0.3, 0.7, 0.4, 0.6)
+    val rows = (1 to 32).map { i =>
+      val base = 5.0 * i
+      val v = if (i <= 24) base else base + dev(i - 25)
+      (1L, i.toDouble, i.toLong, v)
+    }
+    val out = PerSeriesForecast.conformalForecast(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "value", "ts", "user_id", 1, tieBreak = Some("event_id"))
+      .collect().head
+    assert(out.getAs[Long]("c") == 8)
+    // kq = min(8, ceil(0.8*9)) = 8 -> the 8th smallest of the 8 scores
+    assert(math.abs(out.getAs[Double]("qhat") - 0.9) < 1e-9)
+    val covered = dev.count(_ <= out.getAs[Double]("qhat") + 1e-12)
+    assert(covered >= math.ceil(0.8 * dev.length).toInt)
+  }
+
+  // ---- hierarchical reconciliation ----------------------------------------
+
+  test("reconcile: when every customer shares the same last day, " +
+       "bottom-up equals base (coherent); top-down splits by history") {
+    val orders = Seq(
+      // nation 0: two customers, both with orders on day 2 (the max)
+      (1L, 1L, "2024-01-01 00:00:00", 100.0),
+      (1L, 2L, "2024-01-02 00:00:00", 50.0),
+      (2L, 3L, "2024-01-01 00:00:00", 30.0),
+      (2L, 4L, "2024-01-02 00:00:00", 70.0),
+      // nation 1: one customer
+      (3L, 5L, "2024-01-01 00:00:00", 200.0),
+      (3L, 6L, "2024-01-02 00:00:00", 80.0)
+    ).toDF("o_custkey", "o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val customer = Seq((1L, 0), (2L, 0), (3L, 1))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((0, "ALPHA"), (1, "BETA")).toDF("n_nationkey", "n_name")
+    val out = Reconcile.naiveDaily(orders, customer, nation)
+      .collect().map(r => r.getAs[String]("n_name") -> r).toMap
+    // nation ALPHA: cust1 last=50, cust2 last=70 -> bu=120; nation daily
+    // series: d1=130, d2=120 -> base=120 (same last day) -> gap 0
+    assert(out("ALPHA").getAs[Double]("yhat_base") == 120.0)
+    assert(out("ALPHA").getAs[Double]("yhat_bu") == 120.0)
+    assert(out("ALPHA").getAs[Double]("gap_bu") == 0.0)
+    // top naive: grand daily d1=330, d2=200 -> 200; ALPHA hist share =
+    // 250/530
+    val td = out("ALPHA").getAs[Double]("yhat_td")
+    assert(math.abs(td - 200.0 * 250.0 / 530.0) < 1e-4)
+    // top-down is coherent with the top by construction
+    val tdSum = Seq("ALPHA", "BETA").map(out(_).getAs[Double]("yhat_td")).sum
+    assert(math.abs(tdSum - 200.0) < 1e-4)
+  }
+
+  // ---- packed-sequence manifest --------------------------------------------
+
+  test("pk6 manifest: starts are exclusive token prefix sums and agree " +
+       "with the per-doc token counts") {
+    val docs = Tables.documents(spark, SF)
+    val asg = graft.streaming.StreamPack.assignBatch(
+        docs, "text", "doc_id", "source", budget = 512L, shards = 8).toDF()
+    val man = graft.queries.ScaleQueries6.queries("pk6_manifest")(spark, SF)
+    val rows = man.collect()
+    assert(rows.nonEmpty)
+    val toks = asg.select(col("id"), col("toks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      val starts = r.getAs[String]("starts").split(",").map(_.toLong)
+      assert(ids.length == r.getAs[Long]("n_docs"))
+      assert(starts.length == ids.length)
+      assert(starts.head == 0L, "first doc starts at position 0")
+      // each start = previous start + previous doc's tokens
+      for (i <- 1 until ids.length)
+        assert(starts(i) == starts(i - 1) + toks(ids(i - 1)))
+      assert(starts.last + toks(ids.last) == r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  // ---- SFT loss masks -------------------------------------------------------
+
+  test("x27 loss mask: every train span points exactly at assistant-turn " +
+       "content and the char accounting closes") {
+    val out = graft.queries.ScaleQueries6.queries("x27_loss_mask")(spark, SF)
+      .collect()
+    assert(out.nonEmpty)
+    var sawSpan = false
+    out.foreach { r =>
+      val doc = r.getAs[String]("doc")
+      assert(doc.length == r.getAs[Long]("n_total_chars"))
+      val spans = r.getAs[String]("train_spans")
+      val spanLens = if (spans.isEmpty) 0L else
+        spans.split(";").map { sp =>
+          val Array(a, b) = sp.split(":").map(_.toInt)
+          val content = doc.substring(a, b)
+          assert(Set("purchase", "error")(content),
+            s"span [$a,$b) must cover assistant content, got '$content'")
+          assert(doc.substring(a - 11, a) == "<assistant>",
+            "span must be preceded by the assistant marker")
+          sawSpan = true
+          (b - a).toLong
+        }.sum
+      assert(spanLens == r.getAs[Long]("n_train_chars"))
+    }
+    assert(sawSpan, "fixture corpus must contain assistant turns")
+  }
+
+  // ---- bitext margin mining --------------------------------------------------
+
+  test("s16 bitext margin: matches an independent array replay on a " +
+       "hand-built fixture") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (10L, 1, Array(0.9f, 0.1f, 0.0f)),
+      (11L, 1, Array(0.6f, 0.8f, 0.0f)),
+      (12L, 1, Array(0.0f, 1.0f, 0.0f)),
+      (13L, 1, Array(0.5f, 0.5f, 0.2f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.bitextMargin(vecs, Seq(0L), 2, "embedding",
+        "vec_id", "label").collect().head
+    // independent replay
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+    }
+    // replay through the float32 the table stores, as Spark's cast does
+    val a0 = Array(1.0f, 0.0f, 0.0f).map(_.toDouble)
+    val tgt = Map(
+      10L -> Array(0.9f, 0.1f, 0.0f), 11L -> Array(0.6f, 0.8f, 0.0f),
+      12L -> Array(0.0f, 1.0f, 0.0f), 13L -> Array(0.5f, 0.5f, 0.2f)
+    ).map { case (k, v) => k -> v.map(_.toDouble) }
+    val cs = tgt.map { case (id, v) => id -> cos6(a0, v) }
+    val fwd = cs.values.toSeq.sorted.reverse.take(2)
+    val aFwd = fwd.map(c => math.floor(c * 1e6 + 0.5).toLong).sum.toDouble / 2 / 1e6
+    // backward: one anchor, so each target's k-NN mean over anchors = its own cos
+    val margins = cs.map { case (id, c) =>
+      id -> math.floor(c / ((aFwd + c) / 2.0) * 1e6 + 0.5) / 1e6
+    }
+    val best = margins.toSeq.sortBy { case (id, m) => (-m, id) }.head
+    assert(got.getAs[Long]("vid") == best._1)
+    assert(math.abs(got.getAs[Double]("margin") - best._2) < 1e-12)
+  }
+
+  test("s16 bitext margin: anchors never match same-label vectors") {
+    val out = Similarity.bitextMargin(Tables.embeddings(spark, SF),
+        Seq(0L, 1L, 2L), 4, "embedding", "vec_id", "label")
+    val lbl = Tables.embeddings(spark, SF)
+      .select(col("vec_id").cast("long"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(lbl(r.getAs[Long]("qid")) != lbl(r.getAs[Long]("vid")))
+    }
+  }
+
+  // ---- DoReMi domain reweighting -----------------------------------------------
+
+  test("doremi: weights stay a near-exact simplex with the uniform floor, " +
+       "and the persistently lossier domain gains weight monotonically") {
+    // domain B docs are 9x longer -> higher proxy loss -> positive excess;
+    // both id ranges cover every step residue so every batch mixes domains
+    val docs = ((0 until 64).map(i => ("A", i.toLong, 500L)) ++
+                (0 until 64).map(i => ("B", 1000L + i, 4500L)))
+      .toDF("source", "doc_id", "n_chars")
+    val out = Sampling.doremiWeights(docs, "source", "doc_id", "n_chars",
+        steps = 8).collect()
+    assert(out.length == 16)
+    val byStep = out.groupBy(_.getAs[Long]("step"))
+    byStep.foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"weights must sum to ~1, got $s")
+      rows.foreach(r =>
+        assert(r.getAs[Double]("weight") >= 0.015625 / 2 - 1e-9,
+          "uniform mixing must floor every weight"))
+    }
+    val bTraj = (1L to 8L).map(t => byStep(t)
+      .find(_.getAs[String]("source") == "B").get.getAs[Double]("weight"))
+    bTraj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"B's weight must not decrease: $bTraj")
+    }
+    assert(bTraj.last > 0.5, "the lossier domain must end above uniform")
+  }
+
+  // ---- Poisson bootstrap ------------------------------------------------------
+
+  test("poisson bootstrap: a constant-valued group collapses to a " +
+       "zero-width interval at the constant") {
+    val docs = (1 to 500).map(i => ("k", i.toLong, 42.5))
+      .toDF("grp", "id", "x")
+    val out = graft.stats.Bootstrap.poissonMeanCi(docs, "x", "id", "grp", b = 32)
+      .collect().head
+    assert(out.getAs[Long]("b_eff") == 32)
+    assert(out.getAs[Double]("mean") == 42.5)
+    assert(out.getAs[Double]("lo") == 42.5 && out.getAs[Double]("hi") == 42.5)
+  }
+
+  test("poisson bootstrap: interval brackets, and width shrinks ~sqrt(n)") {
+    val noise = lcg(7L, 11000)
+    val rows = (0 until 1000).map(i => ("small", i.toLong, 10.0 + noise(i))) ++
+               (0 until 10000).map(i => ("big", 100000L + i, 10.0 + noise(1000 + i)))
+    val out = graft.stats.Bootstrap.poissonMeanCi(
+        rows.toDF("grp", "id", "x"), "x", "id", "grp", b = 64)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      assert(r.getAs[Long]("b_eff") == 64)
+      // replicate means concentrate around the sample mean
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("mean") + 0.05)
+      assert(r.getAs[Double]("hi") >= r.getAs[Double]("mean") - 0.05)
+    }
+    val wSmall = out("small").getAs[Double]("hi") - out("small").getAs[Double]("lo")
+    val wBig = out("big").getAs[Double]("hi") - out("big").getAs[Double]("lo")
+    assert(wBig < wSmall / 1.5,
+      s"10x rows must shrink the interval ~3x, got $wSmall vs $wBig")
+  }
+
+  private def lcg(seed: Long, n: Int): Array[Double] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40) % 1000) / 1000.0
+    }
+  }
+
+  test("doremi: zero excess everywhere keeps the uniform mixture") {
+    val docs = (0 until 32).map(i => ("A", i.toLong, 1000L)) ++
+               (0 until 32).map(i => ("B", i.toLong + 100, 1000L))
+    val out = Sampling.doremiWeights(docs.toDF("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", steps = 4).collect()
+    out.foreach(r =>
+      assert(math.abs(r.getAs[Double]("weight") - 0.5) < 1e-8))
+  }
+}

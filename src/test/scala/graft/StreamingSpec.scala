@@ -921,4 +921,65 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(3L) == Some(4.0), "one zero: p=0.5")
     assert(byId(4L) == Some(2.0), "two zeros: p=0.25")
   }
+
+  test("online Kalman == batch filter under random micro-batch splits") {
+    import graft.streaming.StreamKalman
+    import graft.streaming.StreamKalman.{Pt, Out}
+    val src = Tables.events(spark, SF).filter(col("user_id") <= 2)
+    val evs = src
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("value"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    assert(evs.length > 20, "fixture slice too small")
+    val batch = graft.scale.PerSeriesForecast.kalmanLocalLevel(
+        src, "value", "ts", "user_id", "event_id")
+      .select(col("event_id"), col("level"), col("p_var")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((nSplits, seed) <- Seq((1, 0), (5, 1), (11, 2))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"kalman_out_$seed"
+      val q = StreamKalman.filter(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++
+        Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Out].collect()
+        .map(o => o.eventId -> (o.level, o.pVar)).toMap
+      assert(got.size == evs.length, s"split $nSplits: missing emissions")
+      val diffs = got.collect { case (id, lv) if lv != batch(id) => id }
+      assert(diffs.isEmpty,
+        s"split $nSplits: ${diffs.size} levels diverge, e.g. ${diffs.take(3)}")
+    }
+  }
+
+  test("online Kalman: prediction precedes absorption, late events dropped") {
+    import graft.streaming.StreamKalman
+    import graft.streaming.StreamKalman.{Pt, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pt]
+    val q = StreamKalman.filter(mem.toDS()).writeStream
+      .format("memory").queryName("kalman_late").outputMode("update").start()
+    mem.addData(Pt(9L, 1000L, 1L, 10.0), Pt(9L, 2000L, 2L, 20.0))
+    q.processAllAvailable()
+    mem.addData(Pt(9L, 1500L, 10L, 99.0), Pt(9L, 3000L, 3L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kalman_late").as[Out].collect().sortBy(_.eventId)
+    assert(!got.exists(_.eventId == 10L), "late event must be dropped")
+    val byId = got.map(o => o.eventId -> o).toMap
+    assert(byId(1L).yhatPrior.isEmpty && byId(1L).level == 10.0)
+    // k1 = 1.25/2.25; level = 10 + k*(20-10)
+    val k1 = 1.25 / 2.25
+    assert(byId(2L).yhatPrior == Some(10.0))
+    assert(math.abs(byId(2L).level - (10.0 + k1 * 10.0)) < 1e-12)
+    assert(byId(3L).yhatPrior == Some(byId(2L).level),
+      "prediction must be the pre-absorption level")
+  }
 }
