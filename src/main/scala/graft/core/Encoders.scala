@@ -194,4 +194,37 @@ object Encoders {
         col(s"${catCol}_count").cast("double") / col("__total"))
       .drop("__cat", "__total")
   }
+
+  /** Weight-of-evidence encoding — the scorecard-standard supervised
+    * encoder for a BINARY target (Siddiqi 2006, "Credit Risk
+    * Scorecards" §6): each category becomes
+    *   WoE = ln( (pos_i + s)/(POS + s·K) / ((neg_i + s)/(NEG + s·K)) )
+    * with Laplace smoothing s so empty cells stay finite. Unlike target
+    * encoding's posterior mean, WoE is symmetric in the classes and
+    * additive in the log-odds — the natural feature for the logistic
+    * models the quality-classifier path fits.
+    *
+    * Same 100-TB shape as [[frequencyEncode]]: one groupBy on the
+    * category, the |categories|-row table broadcasts back with its
+    * totals, the corpus never moves. Counts are exact integers; the
+    * single ln() runs on identical doubles in both engines. */
+  def woeEncode(df: DataFrame, catCol: String, targetCol: String,
+                smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0, s"need smoothing > 0, got $smoothing")
+    val counts = df.groupBy(col(catCol))
+      .agg(sum(when(col(targetCol), 1L).otherwise(0L)).as("__pos"),
+           sum(when(col(targetCol), 0L).otherwise(1L)).as("__neg"))
+      .withColumnRenamed(catCol, "__cat")
+    val tot = counts.groupBy()
+      .agg(sum(col("__pos")).as("__tpos"), sum(col("__neg")).as("__tneg"),
+           count(lit(1)).as("__k"))
+    df.join(broadcast(counts), col(catCol) <=> col("__cat"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn(s"${catCol}_woe",
+        log(((col("__pos") + smoothing) / (col("__tpos") + lit(smoothing) * col("__k")))
+          / ((col("__neg") + smoothing) / (col("__tneg") + lit(smoothing) * col("__k")))))
+      .withColumn(s"${catCol}_pos", col("__pos"))
+      .withColumn(s"${catCol}_neg", col("__neg"))
+      .drop("__cat", "__pos", "__neg", "__tpos", "__tneg", "__k")
+  }
 }

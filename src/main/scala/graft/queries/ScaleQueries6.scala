@@ -400,6 +400,153 @@ object ScaleQueries6 {
        |FROM f JOIN ci USING (grp)""".stripMargin
   }
 
+  // ---- F19: inverse-MAE forecast combination -----------------------------------
+
+  /** F19 — Bates–Granger combination of the naive/drift/SES trio: each
+    * member weighted ∝ 1/(holdout MAE + ε), refit on the full series.
+    * Weights AND the combined forecast hash-check (exact integer error
+    * sums → deterministic double weights). */
+  private def f19Combo: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.comboForecast(
+        Tables.events(s, d), "value", "ts", "user_id", h = 5, horizon = 3,
+        alpha = 0.5, tieBreak = Some("event_id"))
+      .select(col("user_id"), col("h"),
+              Det.dround(col("yhat"), 6).as("yhat"),
+              Det.dround(col("w_naive"), 6).as("w_naive"),
+              Det.dround(col("w_drift"), 6).as("w_drift"),
+              Det.dround(col("w_ses"), 6).as("w_ses"))
+
+  private val f19Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(floor(CAST(value AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS y9
+       |  FROM events),
+       |i AS (SELECT user_id, rn, n, y9/1e9 AS yq, n - 5 AS ntr FROM s WHERE n - 5 >= 2),
+       |tr AS (SELECT *, CASE WHEN rn = 1 THEN pow(0.5, ntr - 1)
+       |                      ELSE 0.5*pow(0.5, ntr - rn) END AS w
+       |       FROM i WHERE rn <= ntr),
+       |f AS (SELECT user_id, max(ntr) AS ntr,
+       |        max(CASE WHEN rn = ntr THEN yq END) AS last_y,
+       |        max(CASE WHEN rn = 1 THEN yq END) AS first_y,
+       |        CAST(sum(CAST(floor(yq*w*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9
+       |      FROM tr GROUP BY 1),
+       |te AS (SELECT user_id, rn, yq, ntr, CAST(rn - ntr AS DOUBLE) AS k
+       |       FROM i WHERE rn > ntr),
+       |e AS (SELECT te.user_id,
+       |        CAST(sum(CAST(floor(abs(te.yq - f.last_y)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_n,
+       |        CAST(sum(CAST(floor(abs(te.yq - (f.last_y + te.k*(f.last_y - f.first_y)/(f.ntr - 1)))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_d,
+       |        CAST(sum(CAST(floor(abs(te.yq - f.ses9/1e9)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_s
+       |      FROM te JOIN f USING (user_id) GROUP BY 1),
+       |fl AS (SELECT user_id, max(n) AS nf,
+       |        max(CASE WHEN rn = n THEN yq END) AS last_yf,
+       |        max(CASE WHEN rn = 1 THEN yq END) AS first_yf,
+       |        CAST(sum(CAST(floor(yq * (CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+       |              ELSE 0.5*pow(0.5, n - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ses9f
+       |      FROM i GROUP BY 1),
+       |v AS (SELECT e.user_id,
+       |        1.0/(CAST(s_n AS DOUBLE)/5/1e9 + 0.001) AS iv_n,
+       |        1.0/(CAST(s_d AS DOUBLE)/5/1e9 + 0.001) AS iv_d,
+       |        1.0/(CAST(s_s AS DOUBLE)/5/1e9 + 0.001) AS iv_s,
+       |        fl.nf, fl.last_yf, fl.first_yf, fl.ses9f
+       |      FROM e JOIN fl USING (user_id)),
+       |v2 AS (SELECT *, iv_n + iv_d + iv_s AS ws FROM v)
+       |SELECT user_id, h,
+       |  ${Det.droundSql(
+             "(iv_n/ws)*last_yf + (iv_d/ws)*(last_yf + h*(last_yf - first_yf)/(nf - 1)) + (iv_s/ws)*(ses9f/1e9)", 6)} AS yhat,
+       |  ${Det.droundSql("iv_n/ws", 6)} AS w_naive,
+       |  ${Det.droundSql("iv_d/ws", 6)} AS w_drift,
+       |  ${Det.droundSql("iv_s/ws", 6)} AS w_ses
+       |FROM v2 CROSS JOIN generate_series(1, 3) AS g(h)""".stripMargin
+
+  // ---- E11: weight-of-evidence encoding -----------------------------------------
+
+  /** E11 — WoE encoding of the market segment against the binary
+    * "account in credit" target: the supervised encoder family's
+    * log-odds member (e1 label / e7 target / e9 hash / e10 frequency). */
+  private def e11Woe: Q = (s, d) =>
+    graft.core.Encoders.woeEncode(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+                  (col("c_acctbal") > 0).as("in_credit")),
+        "c_mktsegment", "in_credit")
+      .select(col("c_custkey"), col("c_mktsegment"),
+              col("c_mktsegment_pos"), col("c_mktsegment_neg"),
+              Det.dround(col("c_mktsegment_woe"), 6).as("c_mktsegment_woe"))
+
+  private val e11Sql =
+    s"""WITH c AS (SELECT c_mktsegment,
+       |    CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN c_acctbal > 0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+       |  FROM customer GROUP BY 1),
+       |t AS (SELECT CAST(sum(pos) AS BIGINT) AS tpos,
+       |        CAST(sum(neg) AS BIGINT) AS tneg,
+       |        CAST(count(*) AS BIGINT) AS k FROM c)
+       |SELECT c_custkey, customer.c_mktsegment,
+       |  pos AS c_mktsegment_pos, neg AS c_mktsegment_neg,
+       |  ${Det.droundSql(
+            "ln(((pos + 0.5)/(tpos + 0.5*k)) / ((neg + 0.5)/(tneg + 0.5*k)))", 6)} AS c_mktsegment_woe
+       |FROM customer JOIN c USING (c_mktsegment) CROSS JOIN t""".stripMargin
+
+  // ---- PIPE11: dedup → temperature mix → pack -------------------------------------
+
+  /** PIPE11 — the pretraining data chain in ONE declarative plan: exact
+    * dedup (first copy per content hash) → temperature-rebalanced source
+    * mixture (α = 0.5 on the DEDUPED counts) → greedy packing of the
+    * survivors, reported per source with padding accounting. Each stage
+    * is individually hash-checked (d1 / sm7 / pk1); this query checks
+    * their COMPOSITION end to end as one CTE chain. */
+  private def pipe11Pretrain: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keep = graft.scale.Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val surv = docs.join(keep, Seq("doc_id"))
+    val bal = graft.scale.Sampling.temperatureSample(surv, "source",
+        "doc_id", alpha = 0.5)
+    graft.scale.Packing.packGreedy(bal, "text", "doc_id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(when(col("n_tokens") <= 512L, lit(512L) - col("n_tokens"))
+             .otherwise(0L)).as("pad_tokens"))
+  }
+
+  private val pipe11Sql =
+    s"""WITH RECURSIVE dd AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+       |  FROM documents GROUP BY 1),
+       |sv AS (SELECT d.* FROM documents d JOIN dd ON d.doc_id = dd.keep_id),
+       |c AS (SELECT source, count(*) AS n_src FROM sv GROUP BY 1),
+       |m AS (SELECT min(n_src) AS n_min FROM c),
+       |r AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(n_min AS DOUBLE)/CAST(n_src AS DOUBLE))*1000 + 0.5) AS INT) AS permille
+       |      FROM c, m),
+       |bal AS (SELECT sv.doc_id, sv.source, sv.text
+       |        FROM sv JOIN r USING (source) WHERE sv.doc_id % 1000 < r.permille),
+       |docs AS (
+       |  SELECT source, doc_id % 8 AS shard, doc_id,
+       |         CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |         row_number() OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM bal),
+       |pack AS (
+       |  SELECT source, shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs d ON d.source = p.source AND d.shard = p.shard
+       |                         AND d.rn = p.rn + 1),
+       |bins AS (SELECT source, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |           CAST(sum(toks) AS BIGINT) AS n_tokens
+       |         FROM pack GROUP BY 1, 2, 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN n_tokens <= 512 THEN 512 - n_tokens ELSE 0 END) AS BIGINT) AS pad_tokens
+       |FROM bins GROUP BY source""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -410,7 +557,10 @@ object ScaleQueries6 {
     "x27_loss_mask" -> x27LossMask,
     "s16_bitext"    -> s16Bitext,
     "sm21_doremi"   -> sm21Doremi,
-    "a36_poisson_boot" -> a36PoissonBoot)
+    "a36_poisson_boot" -> a36PoissonBoot,
+    "f19_combo"     -> f19Combo,
+    "e11_woe_encode" -> e11Woe,
+    "pipe11_pretrain" -> pipe11Pretrain)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -420,5 +570,8 @@ object ScaleQueries6 {
     "x27_loss_mask" -> x27Sql,
     "s16_bitext"    -> s16Sql,
     "sm21_doremi"   -> sm21Sql,
-    "a36_poisson_boot" -> a36Sql)
+    "a36_poisson_boot" -> a36Sql,
+    "f19_combo"     -> f19Sql,
+    "e11_woe_encode" -> e11Sql,
+    "pipe11_pretrain" -> pipe11Sql)
 }

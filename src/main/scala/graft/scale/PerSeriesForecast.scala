@@ -1124,4 +1124,57 @@ object PerSeriesForecast {
       }
       .toDF(seriesCol, "h", "yhat")
   }
+
+  /** Inverse-MAE forecast combination (Bates & Granger 1969; "forecast
+    * combination puzzle" — the equal/inverse-error-weighted average of
+    * simple models routinely beats its best member, M4's headline
+    * lesson): per series, backtest the naive/drift/SES trio on a
+    * holdout ([[backtestBaselines]]), weight each ∝ 1/(MAE + ε), refit
+    * all three on the FULL series, and forecast the weighted average.
+    *
+    * Every member is closed-form and the weights divide deterministic
+    * doubles built from exact integer error sums, so the whole
+    * construction — weights AND combined forecast — hash-checks against
+    * a DuckDB replay. Shape: two series-keyed aggregate passes (backtest
+    * + full refit) sharing one partitioning; weights and horizons are
+    * row-local arithmetic. */
+  def comboForecast(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCol: String, h: Int, horizon: Int,
+                    alpha: Double = 0.5,
+                    tieBreak: Option[String] = None): DataFrame = {
+    val bt = backtestBaselines(df, valueCol, tsCol, Seq(seriesCol), h,
+                               alpha, tieBreak.toSeq)
+    val wOrd = Window.partitionBy(col(seriesCol))
+      .orderBy((tsCol +: tieBreak.toSeq).map(col): _*)
+    val wAll = Window.partitionBy(col(seriesCol))
+    val indexed = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("nf", count(lit(1)).over(wAll))
+      .withColumn("y", col(valueCol).cast("double"))
+    val sesW = when(col("rn") === 1, pow(lit(1 - alpha), col("nf") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("nf") - col("rn")))
+    val full = indexed
+      .withColumn("ses9f", floor(col("y") * sesW * 1e9 + 0.5).cast("long"))
+      .groupBy(col(seriesCol))
+      .agg(max(col("nf")).as("nf"),
+           max_by(col("y"), col("rn")).as("last_yf"),
+           min_by(col("y"), col("rn")).as("first_yf"),
+           sum(col("ses9f")).as("ses9f"))
+    def iv(m: String) = lit(1.0) / (col(m) + lit(0.001))
+    bt.join(full, seriesCol)
+      .withColumn("iv_n", iv("mae_naive"))
+      .withColumn("iv_d", iv("mae_drift"))
+      .withColumn("iv_s", iv("mae_ses"))
+      .withColumn("ws", col("iv_n") + col("iv_d") + col("iv_s"))
+      .crossJoin(broadcast(horizons(df.sparkSession, horizon)))
+      .withColumn("yh_d", col("last_yf") +
+        col("h") * (col("last_yf") - col("first_yf")) / (col("nf") - 1))
+      .select(col(seriesCol), col("h"),
+        ((col("iv_n") / col("ws")) * col("last_yf")
+          + (col("iv_d") / col("ws")) * col("yh_d")
+          + (col("iv_s") / col("ws")) * (col("ses9f") / 1e9)).as("yhat"),
+        (col("iv_n") / col("ws")).as("w_naive"),
+        (col("iv_d") / col("ws")).as("w_drift"),
+        (col("iv_s") / col("ws")).as("w_ses"))
+  }
 }

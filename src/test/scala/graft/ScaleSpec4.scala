@@ -262,6 +262,76 @@ class ScaleSpec4 extends SparkTestBase {
     assert(bTraj.last > 0.5, "the lossier domain must end above uniform")
   }
 
+  // ---- forecast combination -----------------------------------------------------
+
+  test("combo: weights form a simplex, and on an exact line the drift " +
+       "member dominates so the combo tracks the truth closely") {
+    val df = (1 to 30).map(i => (1L, i.toDouble, i.toLong, 3.0 * i + 10.0))
+      .toSeq.toDF("user_id", "ts", "event_id", "value")
+    val out = PerSeriesForecast.comboForecast(
+        df, "value", "ts", "user_id", h = 5, horizon = 3,
+        tieBreak = Some("event_id")).orderBy(col("h")).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val ws = Seq("w_naive", "w_drift", "w_ses").map(r.getAs[Double])
+      assert(math.abs(ws.sum - 1.0) < 1e-9, "weights must sum to 1")
+      assert(r.getAs[Double]("w_drift") > 0.9,
+        "zero drift error must dominate the inverse-MAE weights")
+      val h = r.getAs[Int]("h")
+      val truth = 3.0 * (30 + h) + 10.0
+      // naive/ses members drag slightly below the line; bounded by the
+      // residual weight mass times the trend offset
+      assert(math.abs(r.getAs[Double]("yhat") - truth) < 5.0)
+      assert(r.getAs[Double]("yhat") <= truth)
+    }
+  }
+
+  // ---- WoE encoding ---------------------------------------------------------------
+
+  test("woe: hand-counted fixture matches the smoothed log-odds formula") {
+    val df = Seq(
+      ("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false)
+    ).toDF("cat", "y")
+    val out = graft.core.Encoders.woeEncode(df, "cat", "y")
+      .select(col("cat"), col("cat_woe")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // A: pos 3, neg 1; totals pos 4, neg 4, K 2
+    val wantA = math.log(((3 + 0.5) / (4 + 1.0)) / ((1 + 0.5) / (4 + 1.0)))
+    assert(math.abs(out("A") - wantA) < 1e-12)
+    assert(math.abs(out("B") + wantA) < 1e-12, "symmetric fixture => -WoE(A)")
+  }
+
+  // ---- pipe11 composition -----------------------------------------------------------
+
+  test("pipe11: composition invariants — fills bounded by the budget, " +
+       "and the chain equals composing the stages by hand") {
+    val out = graft.queries.ScaleQueries6.queries("pipe11_pretrain")(spark, SF)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val seqs = r.getAs[Long]("n_seqs")
+      val toks = r.getAs[Long]("n_tokens")
+      val pad = r.getAs[Long]("pad_tokens")
+      assert(toks + pad >= 512L * (seqs - 1),
+        "only over-budget singleton docs may exceed the budget")
+      assert(pad < 512L * seqs, "padding can never exceed the budget x seqs")
+    }
+    // stage-by-hand replay
+    val docs = Tables.documents(spark, SF)
+    val keep = Dedup.exact(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val bal = Sampling.temperatureSample(docs.join(keep, Seq("doc_id")),
+        "source", "doc_id", alpha = 0.5)
+    val byHand = Packing.packGreedy(bal, "text", "doc_id", "source",
+        budget = 512L, shards = 8)
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("t2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == byHand(r.getAs[String]("source")))
+    }
+  }
+
   // ---- Poisson bootstrap ------------------------------------------------------
 
   test("poisson bootstrap: a constant-valued group collapses to a " +
