@@ -377,7 +377,8 @@ object ScaleQueries6 {
        |  FROM events),
        |reps AS (SELECT j FROM generate_series(0, 63) AS t(j)),
        |bound AS (SELECT grp, x6, j,
-       |    (('0x' || substr(md5(rid || ':' || CAST(j AS VARCHAR)), 1, 13))::BIGINT + 0.5)/4503599627370496.0 AS u
+       |    (('0x' || substr(md5(rid || ':' || CAST(j // 4 AS VARCHAR)),
+       |        CAST(1 + 8*(j % 4) AS INT), 8))::BIGINT + 0.5)/4294967296.0 AS u
        |  FROM base CROSS JOIN reps),
        |w AS (SELECT grp, j, x6, $pois AS w FROM bound),
        |rm AS (SELECT grp, j, CAST(sum(w) AS BIGINT) AS sw,

@@ -47,14 +47,21 @@ object Bootstrap {
                     groupCol: String, b: Int = 64): DataFrame = {
     require(b >= 2, s"need b >= 2 replicates, got $b")
     val spark = df.sparkSession
-    val reps = broadcast(spark.range(0, b).select(col("id").as("j")))
     val base = df.select(col(groupCol).as("grp"),
         col(idCol).cast("string").as("rid"),
         floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("x6"))
-    val u = (conv(substring(md5(concat(col("rid"), lit(":"), col("j"))),
-        1, 13), 16, 10).cast("long") + 0.5) / lit(4503599627370496.0)
-    val bound = base.crossJoin(reps)
-      .withColumn("u_col", u)
+    // the B-fold fan-out is a GENERATE (explode of a constant sequence),
+    // not a join — stays inside whole-stage codegen on the scan; one md5
+    // serves FOUR replicates via the digest's four independent 32-bit
+    // lanes (32 uniform bits are far more than the 8-bucket Poisson
+    // inversion resolves)
+    val bound = base
+      .withColumn("j", explode(expr(s"sequence(0L, ${b - 1}L)")))
+      .withColumn("mstr",
+        md5(concat(col("rid"), lit(":"), expr("j div 4"))))
+      .withColumn("u_col",
+        (conv(expr("substring(mstr, 1 + 8*cast(j % 4 as int), 8)"), 16, 10)
+          .cast("long") + 0.5) / lit(4294967296.0))
       .withColumn("w", expr(poissonSql("u_col")).cast("long"))
     val repMeans = bound.groupBy(col("grp"), col("j"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("x6")).as("swx6"))
