@@ -548,6 +548,77 @@ object ScaleQueries6 {
        |  CAST(sum(CASE WHEN n_tokens <= 512 THEN 512 - n_tokens ELSE 0 END) AS BIGINT) AS pad_tokens
        |FROM bins GROUP BY source""".stripMargin
 
+  // ---- A37: CUPED variance reduction ------------------------------------------
+
+  /** A37 — CUPED adjustment of each user's second-half-of-January value
+    * sum by their first-half sum (Deng–Xu–Kohavi–Walker 2013): the
+    * A/B-testing variance-reduction transform. θ closes over exact
+    * integer moment sums; the per-user adjustment is map-side. */
+  private def a37Cuped: Q = (s, d) =>
+    graft.stats.Cuped.adjustMeanMetric(
+        Tables.events(s, d), "value", "user_id",
+        col("ts").cast("long") < 1705363200L)   // 2024-01-16 00:00 UTC
+      .select(col("user_id"), Det.dround(col("x"), 2).as("x"),
+              Det.dround(col("y"), 2).as("y"),
+              Det.dround(col("theta"), 6).as("theta"),
+              Det.dround(col("y_adj"), 6).as("y_adj"))
+
+  private val a37Sql =
+    s"""WITH c AS (SELECT user_id,
+       |    CAST(floor(CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2,
+       |    epoch(ts) < 1705363200 AS pre
+       |  FROM events),
+       |u AS (SELECT user_id,
+       |        CAST(sum(CASE WHEN pre THEN c2 ELSE 0 END) AS BIGINT) AS x2,
+       |        CAST(sum(CASE WHEN pre THEN 0 ELSE c2 END) AS BIGINT) AS y2
+       |      FROM c GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x2) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+       |        CAST(sum(x2*y2) AS BIGINT) AS sxy,
+       |        CAST(sum(x2*x2) AS BIGINT) AS sxx
+       |      FROM u)
+       |SELECT user_id, ${Det.droundSql("x2/100.0", 2)} AS x,
+       |  ${Det.droundSql("y2/100.0", 2)} AS y,
+       |  ${Det.droundSql(
+            "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))", 6)} AS theta,
+       |  ${Det.droundSql(
+            "y2/100.0 - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * (x2/100.0 - (CAST(sx AS DOUBLE)/n)/100.0)", 6)} AS y_adj
+       |FROM u CROSS JOIN m""".stripMargin
+
+  // ---- PK7: length-bucketed batching ------------------------------------------
+
+  /** PK7 — bucket_by_sequence_length accounting per source at the
+    * {64, 128, 256, 512} boundaries, batch size 32: doc/batch counts,
+    * padding bill, fill rate. The non-packing varlen batching recipe,
+    * complementing pk1/pk5's concatenation packing. */
+  private def pk7LengthBuckets: Q = (s, d) =>
+    graft.scale.Packing.lengthBuckets(
+        Tables.documents(s, d), "text", "doc_id", "source",
+        bounds = Seq(64L, 128L, 256L, 512L), batchSize = 32)
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+              col("pad_tokens"), col("n_batches"), col("fill_permille"))
+
+  private val pk7Sql =
+    s"""WITH t AS (SELECT source,
+       |    CAST(len(regexp_extract_all(text, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks
+       |  FROM documents),
+       |b AS (SELECT source, toks,
+       |        CASE WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+       |             WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+       |             ELSE 0 END AS bucket
+       |      FROM t),
+       |g AS (SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       |        CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |        CAST(sum(CASE WHEN bucket > 0 THEN bucket - toks ELSE 0 END) AS BIGINT) AS pad_tokens
+       |      FROM b GROUP BY 1, 2)
+       |SELECT source, bucket, n_docs, n_tokens, pad_tokens,
+       |  CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+       |  CASE WHEN bucket > 0 THEN
+       |    CAST(floor(CAST(n_tokens AS DOUBLE)/(bucket*n_docs)*1000 + 0.5) AS BIGINT)
+       |  END AS fill_permille
+       |FROM g""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -561,7 +632,9 @@ object ScaleQueries6 {
     "a36_poisson_boot" -> a36PoissonBoot,
     "f19_combo"     -> f19Combo,
     "e11_woe_encode" -> e11Woe,
-    "pipe11_pretrain" -> pipe11Pretrain)
+    "pipe11_pretrain" -> pipe11Pretrain,
+    "a37_cuped"     -> a37Cuped,
+    "pk7_length_buckets" -> pk7LengthBuckets)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -574,5 +647,7 @@ object ScaleQueries6 {
     "a36_poisson_boot" -> a36Sql,
     "f19_combo"     -> f19Sql,
     "e11_woe_encode" -> e11Sql,
-    "pipe11_pretrain" -> pipe11Sql)
+    "pipe11_pretrain" -> pipe11Sql,
+    "a37_cuped"     -> a37Sql,
+    "pk7_length_buckets" -> pk7Sql)
 }

@@ -35,6 +35,40 @@ object Packing {
   def tokenCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit(tokPattern), lit(0))).cast("long")
 
+  /** Length-bucketed batching accounting (the bucket_by_sequence_length
+    * recipe every varlen seq2seq/encoder trainer runs when it does NOT
+    * concatenate-pack): each doc pads to the smallest bucket boundary
+    * that fits it, batches form within a bucket, and the padding bill is
+    * what bucketing saves vs padding everything to the max. One row per
+    * (group, bucket): doc/batch counts, real and padded token mass, and
+    * the fill rate. Docs over the last boundary report as bucket 0
+    * (oversize — the trainer's truncation policy decision, not ours).
+    *
+    * Pure map-side bucket assignment + one |groups|·|buckets| aggregate —
+    * at 100 TB this is scan-speed accounting. */
+  def lengthBuckets(df: DataFrame, textCol: String, idCol: String,
+                    groupCol: String, bounds: Seq[Long],
+                    batchSize: Int = 32): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, "sorted bounds")
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val toks = tokenCount(col(textCol))
+    val bucket = bounds.foldRight(lit(0L): Column)((b, acc) =>
+      when(col("__toks") <= b, lit(b)).otherwise(acc))
+    df.withColumn("__toks", toks)
+      .withColumn("bucket", bucket)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("__toks")).as("n_tokens"),
+           sum(when(col("bucket") > 0L, col("bucket") - col("__toks"))
+             .otherwise(0L)).as("pad_tokens"))
+      .withColumn("n_batches",
+        expr(s"(n_docs + ${batchSize - 1}) div $batchSize"))
+      .withColumn("fill_permille",
+        when(col("bucket") > 0L,
+          floor(col("n_tokens").cast("double")
+            / (col("bucket") * col("n_docs")) * 1000 + 0.5).cast("long")))
+  }
+
   /** Per-sequence packing stats: (group, shard, seq_id, n_docs,
     * n_tokens), seq_id 1-based in doc-id order within its shard. */
   def packGreedy(df: DataFrame, textCol: String, idCol: String,

@@ -42,7 +42,10 @@ object Reconcile {
               floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .groupBy(col("o_custkey"), col("day"))
       .agg(sum(col("cents")).as("c2"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      // customer SCALES with the fact table (unlike nation) — no forced
+      // broadcast; the join keys the already-reduced (customer, day)
+      // aggregate, so AQE picks broadcast at small SF and shuffle at scale
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
     // bottom level: per-customer naive = value at that customer's last day
     val custFc = daily.groupBy(col("c_nationkey"), col("o_custkey"))

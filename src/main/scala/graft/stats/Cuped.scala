@@ -1,0 +1,66 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng, Xu,
+  * Kohavi & Walker 2013, WSDM: "Improving the Sensitivity of Online
+  * Controlled Experiments by Utilizing Pre-Experiment Data"): the
+  * industry-standard variance-reduction transform for A/B metrics. Each
+  * unit's experiment-period metric y is adjusted by its own pre-period
+  * metric x,
+  *   ŷ = y − θ·(x − x̄),   θ = cov(x, y) / var(x)
+  * which leaves every treatment-effect estimate unbiased while shrinking
+  * metric variance by the factor (1 − ρ²) — routinely 30–50% on
+  * engagement metrics, i.e. the same power at half the traffic.
+  *
+  * Determinism contract: per-unit period sums live on the exact cents
+  * grid, θ closes over exact integer moment sums (one division at the
+  * end), and the adjustment is row-local arithmetic — the whole
+  * construction replays in DuckDB. Scale shape: ONE unit-keyed aggregate
+  * builds (x, y) per unit (the only corpus-sized shuffle), the moment
+  * reduce is a single tiny row broadcast back, and the adjustment is
+  * map-side. Units missing a period contribute 0 for it (they are real
+  * units of the experiment; dropping them would bias x̄). */
+object Cuped {
+
+  /** Per-unit CUPED adjustment of the post-period metric sum by the
+    * pre-period metric sum. `preFlag` is a boolean column marking
+    * pre-period rows. Returns one row per unit:
+    * (unit, x, y, theta, y_adj). */
+  def adjustMeanMetric(df: DataFrame, valueCol: String, unitCol: String,
+                       preFlag: org.apache.spark.sql.Column): DataFrame = {
+    val perUnit = df
+      .withColumn("__c2", floor(col(valueCol).cast("double") * 100 + 0.5)
+        .cast("long"))
+      .groupBy(col(unitCol))
+      .agg(sum(when(preFlag, col("__c2")).otherwise(0L)).as("x2"),
+           sum(when(preFlag, 0L).otherwise(col("__c2"))).as("y2"))
+    // exact integer moment sums; cents² stays far inside Long at any
+    // realistic per-unit metric scale (overflow would need a unit with
+    // |metric| > ~$3e7 — guard with the product in HUGEINT-free Long)
+    val mom = perUnit.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x2")).as("sx"),
+           sum(col("y2")).as("sy"),
+           sum(col("x2") * col("y2")).as("sxy"),
+           sum(col("x2") * col("x2")).as("sxx"))
+    // moments are EXACT integer sums; the n·Sxy − Sx·Sy combination is
+    // taken in double (each sum cast first) — the integer products would
+    // overflow Long at large unit counts (DuckDB would raise, Spark would
+    // silently wrap), and the double path is the identical IEEE op chain
+    // on both engines
+    def d(c: String) = col(c).cast("double")
+    perUnit.crossJoin(broadcast(mom))
+      .withColumn("theta",
+        (d("n") * d("sxy") - d("sx") * d("sy"))
+          / (d("n") * d("sxx") - d("sx") * d("sx")))
+      .select(col(unitCol),
+              (col("x2") / 100.0).as("x"),
+              (col("y2") / 100.0).as("y"),
+              col("theta"),
+              (col("y2") / 100.0 - col("theta")
+                * (col("x2") / 100.0
+                   - (col("sx").cast("double") / col("n")) / 100.0))
+                .as("y_adj"))
+  }
+}

@@ -332,6 +332,58 @@ class ScaleSpec4 extends SparkTestBase {
     }
   }
 
+  // ---- length-bucketed batching -------------------------------------------------
+
+  test("length buckets: docs land in the smallest fitting boundary, " +
+       "oversize reports as bucket 0, batch arithmetic exact") {
+    // 1-token, 64-token, 65-token, 600-token docs
+    val docs = Seq(
+      (1L, "one"), (2L, Seq.fill(64)("w").mkString(" ")),
+      (3L, Seq.fill(65)("w").mkString(" ")),
+      (4L, Seq.fill(600)("w").mkString(" "))
+    ).map { case (id, t) => (id, t, "s") }.toDF("doc_id", "text", "source")
+    val out = Packing.lengthBuckets(docs, "text", "doc_id", "source",
+        bounds = Seq(64L, 128L, 256L, 512L), batchSize = 2)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(64L).getAs[Long]("n_docs") == 2)     // 1-token + 64-token
+    assert(out(64L).getAs[Long]("pad_tokens") == 63L)
+    assert(out(64L).getAs[Long]("n_batches") == 1L)
+    assert(out(128L).getAs[Long]("n_docs") == 1)    // the 65-token doc
+    assert(out(128L).getAs[Long]("pad_tokens") == 63L)
+    assert(out(0L).getAs[Long]("n_docs") == 1)      // oversize
+    assert(out(0L).getAs[Long]("pad_tokens") == 0L)
+    assert(out(0L).isNullAt(out(0L).fieldIndex("fill_permille")))
+  }
+
+  // ---- CUPED variance reduction ----------------------------------------------
+
+  test("cuped: variance of the adjusted metric shrinks by ~(1 - rho^2) " +
+       "and the unit-mean is preserved") {
+    // y correlated with x: y = 2x + noise
+    val noise = lcg(11L, 400)
+    val rows = (0 until 400).flatMap { u =>
+      val x = 10.0 + (u % 7)
+      val y = 2.0 * x + noise(u) * 4.0
+      Seq((u.toLong, 100L + u, x, true), (u.toLong, 10000L + u, y, false))
+    }.map { case (u, id, v, pre) => (u, id, v, pre) }
+      .toDF("user_id", "event_id", "value", "pre")
+    val out = graft.stats.Cuped.adjustMeanMetric(
+        rows, "value", "user_id", col("pre")).collect()
+    val y = out.map(_.getAs[Double]("y"))
+    val yAdj = out.map(_.getAs[Double]("y_adj"))
+    def variance(a: Array[Double]) = {
+      val m = a.sum / a.length
+      a.map(v => (v - m) * (v - m)).sum / a.length
+    }
+    assert(math.abs(y.sum / y.length - yAdj.sum / yAdj.length) < 1e-6,
+      "CUPED must preserve the metric mean")
+    assert(variance(yAdj) < 0.5 * variance(y),
+      s"strong pre-period correlation must cut variance, got " +
+      s"${variance(yAdj)} vs ${variance(y)}")
+    val theta = out.head.getAs[Double]("theta")
+    assert(math.abs(theta - 2.0) < 0.2, s"theta must recover ~2, got $theta")
+  }
+
   // ---- Poisson bootstrap ------------------------------------------------------
 
   test("poisson bootstrap: a constant-valued group collapses to a " +
