@@ -619,6 +619,74 @@ object ScaleQueries6 {
        |  END AS fill_permille
        |FROM g""".stripMargin
 
+  // ---- D19: n-gram containment ---------------------------------------------
+
+  /** D19 — one-sided containment pairs (Broder's resemblance companion):
+    * |A∩B|/|A| catches a short doc wholly quoted inside a long one where
+    * Jaccard stays tiny. Same single shingle aggregation and hash-equi
+    * pair join as d2 (shared core). */
+  private def d19Containment: Q = (s, d) =>
+    graft.scale.Dedup.ngramContainment(
+        Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+              Det.dround(col("cont_a"), 6).as("cont_a"),
+              Det.dround(col("cont_b"), 6).as("cont_b"))
+
+  private val d19Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |       FROM toks WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |c AS (SELECT id_a, id_b,
+       |        CAST(i AS DOUBLE) / sa.n AS cont_a,
+       |        CAST(i AS DOUBLE) / sb.n AS cont_b
+       |      FROM inter JOIN sz sa ON id_a = sa.doc_id
+       |                 JOIN sz sb ON id_b = sb.doc_id)
+       |SELECT id_a, id_b, ${Det.droundSql("cont_a", 6)} AS cont_a,
+       |  ${Det.droundSql("cont_b", 6)} AS cont_b
+       |FROM c WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
+  // ---- S14 twin: MMR at λ=1 ≡ exact top-k ------------------------------------
+
+  /** S14b — the MMR hash twin: λ=1 zeroes the diversity term, so the
+    * sequential greedy MUST reproduce the exact cosine top-k — the whole
+    * greedy machinery (pool build, argmax loop, tie rule) runs and is
+    * hash-checked against the s1-style ranked-window oracle. The
+    * production λ=0.7 path (`s14_mmr`) keeps its ✖est contract. */
+  private def s14MmrL1: Q = (s, d) =>
+    graft.scale.Similarity.mmrTopK(
+        Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+        lambda = 1.0, candN = 50, "embedding", "vec_id")
+
+  private val s14L1Sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS vid,
+      |    floor(list_dot_product(v.e, q.qe) /
+      |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+      |      * 1000000.0 + 0.5)/1000000.0 AS cosine
+      |  FROM v JOIN q ON v.vec_id <> q.qid),
+      |r AS (SELECT qid, vid, cosine,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      |      FROM scored)
+      |SELECT qid, CAST(rk AS BIGINT) AS sel_rank, vid, cosine AS mmr6
+      |FROM r WHERE rk <= 5""".stripMargin
+
+  // ---- S17: IVF recall curve (✖est) --------------------------------------------
+
+  /** S17 — recall@5 vs nProbe over the 8-cell IVF index: the ANN
+    * operating-point sweep. ✖est (Lloyd geometry); monotone + endpoint
+    * spec-pinned. */
+  private def s17IvfRecall: Q = (s, d) =>
+    graft.scale.Similarity.ivfRecallCurve(
+        Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5,
+        "embedding", "vec_id", nCells = 8)
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -634,7 +702,10 @@ object ScaleQueries6 {
     "e11_woe_encode" -> e11Woe,
     "pipe11_pretrain" -> pipe11Pretrain,
     "a37_cuped"     -> a37Cuped,
-    "pk7_length_buckets" -> pk7LengthBuckets)
+    "pk7_length_buckets" -> pk7LengthBuckets,
+    "d19_containment" -> d19Containment,
+    "s14_mmr_l1"    -> s14MmrL1,
+    "s17_ivf_recall" -> s17IvfRecall)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -649,5 +720,7 @@ object ScaleQueries6 {
     "e11_woe_encode" -> e11Sql,
     "pipe11_pretrain" -> pipe11Sql,
     "a37_cuped"     -> a37Sql,
-    "pk7_length_buckets" -> pk7Sql)
+    "pk7_length_buckets" -> pk7Sql,
+    "d19_containment" -> d19Sql,
+    "s14_mmr_l1"    -> s14L1Sql)
 }

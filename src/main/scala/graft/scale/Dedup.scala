@@ -105,15 +105,42 @@ object Dedup {
     * semantics; residual skew inside the cap is AQE skew-join territory. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxDf: Option[Int] = None): DataFrame = {
-    // ONE aggregation builds each doc's distinct shingle set AND its size
-    // (dedup folded into collect_set — a document's shingle set is bounded
-    // by the document length, so the per-group buffer is safe at any
-    // corpus scale); the explode re-emitting (sid, h, nsh) is map-side.
-    // vs. the distinct + separate-sizes + broadcast-join formulation this
-    // drops one full-corpus shuffle, the cache, and the broadcast build,
-    // and the two pairing sides are identical subtrees up to the join
-    // exchange, so ReuseExchange materializes the set only once.
+                   maxDf: Option[Int] = None): DataFrame =
+    shinglePairs(df, textCol, idCol, n, maxDf)
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** One-sided n-gram CONTAINMENT (Broder 1997's resemblance companion):
+    * c(A→B) = |A∩B| / |A| — the measure Jaccard structurally cannot see:
+    * a short document wholly quoted inside a long one has tiny Jaccard
+    * (the union is dominated by the long doc) but containment 1.0. The
+    * quote/subset/excerpt detector a dedup pipeline runs NEXT TO d2.
+    * Emits pairs where EITHER direction clears the threshold, with both
+    * directions reported. Identical plan shape to [[ngramJaccard]] —
+    * same single shingle aggregation, same hash-equi pair join. */
+  def ngramContainment(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Option[Int] = None): DataFrame =
+    shinglePairs(df, textCol, idCol, n, maxDf)
+      .withColumn("cont_a", col("i").cast("double") / col("na"))
+      .withColumn("cont_b", col("i").cast("double") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+
+  /** Shared pair-intersection core for [[ngramJaccard]] and
+    * [[ngramContainment]]: (id_a, id_b, i, na, nb) for every id-ordered
+    * pair sharing at least one shingle. ONE aggregation builds each
+    * doc's distinct shingle set AND its size (dedup folded into
+    * collect_set — a document's shingle set is bounded by the document
+    * length, so the per-group buffer is safe at any corpus scale); the
+    * explode re-emitting (sid, h, nsh) is map-side. vs. the distinct +
+    * separate-sizes + broadcast-join formulation this drops one
+    * full-corpus shuffle, the cache, and the broadcast build, and the
+    * two pairing sides are identical subtrees up to the join exchange,
+    * so ReuseExchange materializes the set only once. */
+  private def shinglePairs(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, maxDf: Option[Int]): DataFrame = {
     val docSets = rawShingleHashes(df, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
@@ -129,10 +156,8 @@ object Dedup {
     val b = sh2.select(col("sid").as("id_b"), col("h"), col("nsh").as("nb"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"),
+           first(col("nb")).as("nb"))
   }
 
   /** MinHash signatures: k independent hashes h_i(x) = (a_i·x + b_i) mod p

@@ -567,6 +567,35 @@ object Similarity {
       .select(col("pid"), (floor(col("recall") * 1e6 + 0.5) / 1e6).as("recall"))
   }
 
+  /** Recall@k-vs-nProbe curve for the IVF index — the evaluation harness
+    * that picks an ANN operating point (every production vector-search
+    * deployment runs exactly this sweep before fixing nProbe): for each
+    * probe budget 1..nCells, the fraction of the exact brute-force top-k
+    * the IVF path recovers, averaged over the anchor set. The nCells
+    * point is provably 1.0 (the s4 exhaustive-probe identity); the curve
+    * between is the recall the cell geometry actually buys.
+    *
+    * ✖est contract (recall depends on the Lloyd geometry), pinned by the
+    * monotone + endpoint spec. Cost: nCells bounded IVF probes over the
+    * SAME cached assignment each (train repeats deterministically). */
+  def ivfRecallCurve(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                     vecCol: String, idCol: String,
+                     nCells: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val exact = bruteForceTopK(corpus, queryIds, k, vecCol, idCol)
+      .select(col("qid"), col("vid"))
+    val curves = (1 to nCells).map { p =>
+      ivfTopK(corpus, queryIds, k, vecCol, idCol, nCells, p, lloydIters)
+        .select(col("qid"), col("vid")).withColumn("hit", lit(1L))
+        .join(exact, Seq("qid", "vid"), "right")
+        .groupBy()
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("r"))
+        .select(lit(p.toLong).as("n_probe"),
+                (floor(col("r") * 1e6 + 0.5) / 1e6).as("recall"))
+    }
+    curves.reduce(_ unionAll _)
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, "Margin-
     * based Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL — the LASER/CCMatrix bitext scoring rule): raw cosine over-fires

@@ -332,6 +332,53 @@ class ScaleSpec4 extends SparkTestBase {
     }
   }
 
+  // ---- n-gram containment ---------------------------------------------------
+
+  test("containment: a quoted subset scores 1.0 where jaccard stays low") {
+    val short = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words entirely"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, "text", "doc_id", n = 3,
+        threshold = 0.8).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("cont_a") == 1.0, "the short doc is fully contained")
+    assert(r.getAs[Double]("cont_b") < 0.2)
+    // jaccard misses the same pair at any near-dup threshold
+    val jac = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3,
+        threshold = 0.5).collect()
+    assert(jac.isEmpty, "jaccard must NOT flag the subset pair")
+  }
+
+  // ---- MMR λ=1 twin + IVF recall curve ------------------------------------------
+
+  test("mmr at lambda=1 reproduces the exact brute-force top-k rows") {
+    val emb = Tables.embeddings(spark, SF)
+    val mmr = Similarity.mmrTopK(emb, Seq(0L, 1L, 2L), 5, 1.0, 50,
+        "embedding", "vec_id")
+      .select(col("qid"), col("sel_rank"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 5,
+        "embedding", "vec_id")
+      .select(col("qid"), col("rank"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mmr == bf)
+  }
+
+  test("ivf recall curve: monotone in nProbe and exactly 1.0 at full probe") {
+    val out = Similarity.ivfRecallCurve(Tables.embeddings(spark, SF),
+        Seq(0L, 1L, 2L, 3L, 4L), 5, "embedding", "vec_id", nCells = 4)
+      .orderBy(col("n_probe")).collect()
+    assert(out.length == 4)
+    val rec = out.map(_.getAs[Double]("recall"))
+    rec.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1e-9, s"recall must not decrease: ${rec.toSeq}")
+    }
+    assert(rec.last == 1.0, "probing every cell is exhaustive")
+  }
+
   // ---- length-bucketed batching -------------------------------------------------
 
   test("length buckets: docs land in the smallest fitting boundary, " +
