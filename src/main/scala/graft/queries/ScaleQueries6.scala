@@ -687,6 +687,118 @@ object ScaleQueries6 {
         Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5,
         "embedding", "vec_id", nCells = 8)
 
+  // ---- A38: delta-method ratio CI ----------------------------------------------
+
+  /** A38 — revenue-per-event with the delta-method CI per user cohort
+    * (Deng–Knoblich–Lu 2018): the ratio-metric se a naive per-row
+    * variance gets WRONG because rows within a user correlate. Exact
+    * per-user sum moments, double combination, one sqrt. */
+  private def a38RatioCi: Q = (s, d) =>
+    graft.stats.Cuped.ratioDeltaCi(
+        Tables.events(s, d)
+          .withColumn("rev", when(col("event_type") === "purchase",
+            col("value")).otherwise(lit(0.0)))
+          .withColumn("one", lit(1L))
+          .withColumn("cohort", pmod(col("user_id"), lit(4L))),
+        "rev", "one", "user_id", "cohort")
+      .select(col("cohort"), col("n"), Det.dround(col("r"), 6).as("r"),
+              Det.dround(col("se"), 6).as("se"),
+              Det.dround(col("lo"), 6).as("lo"),
+              Det.dround(col("hi"), 6).as("hi"))
+
+  private val a38Sql =
+    s"""WITH c AS (SELECT user_id % 4 AS cohort, user_id,
+       |    CAST(floor((CASE WHEN event_type = 'purchase'
+       |        THEN CAST(value AS DOUBLE) ELSE 0.0 END)*100 + 0.5) AS BIGINT) AS y2,
+       |    CAST(1 AS BIGINT) AS x1
+       |  FROM events),
+       |u AS (SELECT cohort, user_id, CAST(sum(y2) AS BIGINT) AS ys,
+       |        CAST(sum(x1) AS BIGINT) AS xs
+       |      FROM c GROUP BY 1, 2),
+       |m AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(ys) AS BIGINT) AS sy, CAST(sum(xs) AS BIGINT) AS sx,
+       |        CAST(sum(ys*ys) AS BIGINT) AS syy,
+       |        CAST(sum(xs*xs) AS BIGINT) AS sxx,
+       |        CAST(sum(ys*xs) AS BIGINT) AS sxy
+       |      FROM u GROUP BY 1),
+       |v AS (SELECT cohort, n,
+       |        (CAST(sy AS DOUBLE)/100.0)/CAST(sx AS DOUBLE) AS r,
+       |        (CAST(n AS DOUBLE)*(CAST(syy AS DOUBLE)/10000.0)
+       |          - (CAST(sy AS DOUBLE)/100.0)*(CAST(sy AS DOUBLE)/100.0))
+       |          /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS vyy,
+       |        (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       |          /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS vxx,
+       |        (CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/100.0)
+       |          - (CAST(sy AS DOUBLE)/100.0)*CAST(sx AS DOUBLE))
+       |          /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS vxy,
+       |        CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mx
+       |      FROM m),
+       |f AS (SELECT cohort, n, r,
+       |        sqrt(greatest(0.0, (vyy - 2.0*r*vxy + r*r*vxx)
+       |          /(CAST(n AS DOUBLE)*mx*mx))) AS se
+       |      FROM v)
+       |SELECT cohort, n, ${Det.droundSql("r", 6)} AS r,
+       |  ${Det.droundSql("se", 6)} AS se,
+       |  ${Det.droundSql("r - 1.96*se", 6)} AS lo,
+       |  ${Det.droundSql("r + 1.96*se", 6)} AS hi
+       |FROM f""".stripMargin
+
+  // ---- PIPE12: conversations → loss masks → packing ------------------------------
+
+  /** PIPE12 — the SFT batch-construction chain: sessionize events into
+    * conversations, render role-templated docs with loss masks (x27),
+    * tokenize ONCE, greedy-pack into 512-token training sequences. The
+    * pipe11 of instruction tuning — one declarative plan end to end. */
+  private def pipe12Sft: Q = (s, d) => {
+    val masked = graft.scale.EventAnalytics.sftLossMask(
+        Tables.events(s, d), "event_type", "ts", "event_id", "user_id",
+        assistantTypes = Seq("purchase", "error"))
+      .withColumn("id", col("user_id") * 100000L + col("session_id"))
+      .withColumn("toks", graft.scale.Packing.tokenCount(col("doc")))
+      .withColumn("grp", lit("all"))
+    graft.scale.Packing.packGreedyCounts(masked, "toks", "id", "grp",
+        budget = 512L, shards = 8)
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("n_tokens"))
+  }
+
+  private val pipe12Sql =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+       |         OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |t AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       |    CASE WHEN event_type IN ('purchase', 'error')
+       |         THEN 'assistant' ELSE 'user' END AS role
+       |  FROM g),
+       |dref AS (
+       |  SELECT user_id*100000 + session_id AS id,
+       |    string_agg('<' || role || '>' || event_type, chr(10)
+       |      ORDER BY ts, event_id) AS doc
+       |  FROM t GROUP BY user_id, session_id),
+       |docs AS (
+       |  SELECT id % 8 AS shard, id,
+       |    CAST(len(regexp_extract_all(doc, '${graft.scale.Packing.tokPattern}')) AS BIGINT) AS toks,
+       |    row_number() OVER (PARTITION BY id % 8 ORDER BY id) AS rn
+       |  FROM dref),
+       |pack AS (
+       |  SELECT shard, rn, toks, CAST(1 AS BIGINT) AS seq_id, toks AS acc
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.toks,
+       |         CASE WHEN p.acc + d.toks > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+       |         CASE WHEN p.acc + d.toks > 512 THEN d.toks ELSE p.acc + d.toks END
+       |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM pack GROUP BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -705,7 +817,9 @@ object ScaleQueries6 {
     "pk7_length_buckets" -> pk7LengthBuckets,
     "d19_containment" -> d19Containment,
     "s14_mmr_l1"    -> s14MmrL1,
-    "s17_ivf_recall" -> s17IvfRecall)
+    "s17_ivf_recall" -> s17IvfRecall,
+    "a38_ratio_ci"  -> a38RatioCi,
+    "pipe12_sft"    -> pipe12Sft)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -722,5 +836,7 @@ object ScaleQueries6 {
     "a37_cuped"     -> a37Sql,
     "pk7_length_buckets" -> pk7Sql,
     "d19_containment" -> d19Sql,
-    "s14_mmr_l1"    -> s14L1Sql)
+    "s14_mmr_l1"    -> s14L1Sql,
+    "a38_ratio_ci"  -> a38Sql,
+    "pipe12_sft"    -> pipe12Sql)
 }

@@ -24,6 +24,55 @@ import org.apache.spark.sql.functions._
   * units of the experiment; dropping them would bias x̄). */
 object Cuped {
 
+  /** Delta-method CI for a RATIO metric (Deng, Knoblich & Lu 2018,
+    * "Applying the Delta Method in Metric Analytics": revenue-per-event,
+    * CTR, items-per-session — any Σy/Σx where the unit of analysis is
+    * the user but the metric denominator isn't): naive per-row variance
+    * is wrong because rows within a user correlate; the delta method
+    * gets the right se from per-UNIT sum moments:
+    *   R = Ȳ/X̄,  Var(R) ≈ (σ_yy − 2R·σ_xy + R²·σ_xx) / (n·x̄²)
+    * Per-cohort output: ratio, se, and the 95% CI.
+    *
+    * Determinism: per-unit sums on exact integer grids, moment
+    * combinations in double with a fixed op order (integer products
+    * would overflow Long at scale), one sqrt at the end. Shape: one
+    * unit-keyed aggregate, one cohort-keyed moment reduce — two
+    * shuffles, both reducing. */
+  def ratioDeltaCi(df: DataFrame, numCol: String, denCol: String,
+                   unitCol: String, cohortCol: String): DataFrame = {
+    val perUnit = df
+      .withColumn("__y2", floor(col(numCol).cast("double") * 100 + 0.5)
+        .cast("long"))
+      .withColumn("__x1", col(denCol).cast("long"))
+      .groupBy(col(cohortCol), col(unitCol))
+      .agg(sum(col("__y2")).as("ys"), sum(col("__x1")).as("xs"))
+    def d(c: String) = col(c).cast("double")
+    perUnit.groupBy(col(cohortCol))
+      .agg(count(lit(1)).as("n"), sum(col("ys")).as("sy"),
+           sum(col("xs")).as("sx"), sum(col("ys") * col("ys")).as("syy"),
+           sum(col("xs") * col("xs")).as("sxx"),
+           sum(col("ys") * col("xs")).as("sxy"))
+      .withColumn("r", (d("sy") / 100.0) / d("sx"))
+      // population covariances of the per-unit sums, in double
+      .withColumn("vyy",
+        (d("n") * (d("syy") / 10000.0) - (d("sy") / 100.0) * (d("sy") / 100.0))
+          / (d("n") * d("n")))
+      .withColumn("vxx",
+        (d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * d("n")))
+      .withColumn("vxy",
+        (d("n") * (d("sxy") / 100.0) - (d("sy") / 100.0) * d("sx"))
+          / (d("n") * d("n")))
+      .withColumn("mx", d("sx") / d("n"))
+      .withColumn("se",
+        sqrt(greatest(lit(0.0),
+          (col("vyy") - lit(2.0) * col("r") * col("vxy")
+            + col("r") * col("r") * col("vxx"))
+            / (d("n") * col("mx") * col("mx")))))
+      .select(col(cohortCol), col("n"), col("r"), col("se"),
+              (col("r") - lit(1.96) * col("se")).as("lo"),
+              (col("r") + lit(1.96) * col("se")).as("hi"))
+  }
+
   /** Per-unit CUPED adjustment of the post-period metric sum by the
     * pre-period metric sum. `preFlag` is a boolean column marking
     * pre-period rows. Returns one row per unit:

@@ -402,6 +402,49 @@ class ScaleSpec4 extends SparkTestBase {
     assert(out(0L).isNullAt(out(0L).fieldIndex("fill_permille")))
   }
 
+  // ---- delta-method ratio CI -----------------------------------------------------
+
+  test("ratio delta CI: constant per-unit ratio gives se 0 at the exact " +
+       "ratio; unit-correlated rows widen the naive-iid interval") {
+    // cohort 0: every user has y = 3x exactly -> R = 3, zero variance
+    val const = (0 until 50).flatMap { u =>
+      (0 until 4).map(i => (0L, u.toLong, 3.0, 1L))
+    }
+    // cohort 1: half the users all-high, half all-low (unit correlation)
+    val corr = (0 until 50).flatMap { u =>
+      val y = if (u % 2 == 0) 6.0 else 0.0
+      (0 until 4).map(i => (1L, 100L + u, y, 1L))
+    }
+    val df = (const ++ corr).toDF("cohort", "user_id", "rev", "one")
+    val out = graft.stats.Cuped.ratioDeltaCi(df, "rev", "one", "user_id",
+        "cohort").collect().map(r => r.getAs[Long]("cohort") -> r).toMap
+    assert(out(0L).getAs[Double]("r") == 3.0)
+    assert(out(0L).getAs[Double]("se") == 0.0)
+    assert(out(1L).getAs[Double]("r") == 3.0)
+    assert(out(1L).getAs[Double]("se") > 0.2,
+      "all-or-nothing users must produce a wide delta-method se")
+    assert(out(1L).getAs[Double]("lo") < 3.0 &&
+           out(1L).getAs[Double]("hi") > 3.0)
+  }
+
+  // ---- SFT pipeline ----------------------------------------------------------------
+
+  test("pipe12: packed SFT sequences conserve the conversation token mass") {
+    val out = graft.queries.ScaleQueries6.queries("pipe12_sft")(spark, SF)
+      .collect()
+    assert(out.nonEmpty)
+    val masked = EventAnalytics.sftLossMask(
+        Tables.events(spark, SF), "event_type", "ts", "event_id", "user_id",
+        assistantTypes = Seq("purchase", "error"))
+    val totalToks = masked
+      .select(Packing.tokenCount(col("doc")).as("t"))
+      .agg(sum(col("t"))).collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks,
+      "packing must conserve tokens")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == masked.count(),
+      "every conversation lands in exactly one sequence")
+  }
+
   // ---- CUPED variance reduction ----------------------------------------------
 
   test("cuped: variance of the adjusted metric shrinks by ~(1 - rho^2) " +
