@@ -34,7 +34,9 @@ object ScaleQueries {
     Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id", 3, 0.5)
       .select(col("id_a"), col("id_b"), dround(col("jaccard"), 6).as("jaccard"))
 
-  private val d2Sql =
+  // shared with d20_prefix_join (prefix filtering is lossless, so the
+  // PPJoin-style plan is hash-checked against the SAME oracle)
+  private[queries] val d2Sql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s

@@ -799,6 +799,19 @@ object ScaleQueries6 {
        |  CAST(sum(toks) AS BIGINT) AS n_tokens
        |FROM pack GROUP BY 1, 2""".stripMargin
 
+  // ---- D20: prefix-filtered similarity join ------------------------------------
+
+  /** D20 — PPJoin-style prefix filtering over the d2 semantics: only
+    * each doc's |A| − ⌈t|A|⌉ + 1 RAREST shingles probe the index, so
+    * boilerplate tokens never generate O(df²) candidates. Prefix
+    * filtering is lossless — the oracle IS d2's (output row-for-row
+    * equal), so the hash check proves the optimization exact. */
+  private def d20PrefixJoin: Q = (s, d) =>
+    graft.scale.Dedup.ngramJaccardPrefix(
+        Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+              Det.dround(col("jaccard"), 6).as("jaccard"))
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -819,7 +832,8 @@ object ScaleQueries6 {
     "s14_mmr_l1"    -> s14MmrL1,
     "s17_ivf_recall" -> s17IvfRecall,
     "a38_ratio_ci"  -> a38RatioCi,
-    "pipe12_sft"    -> pipe12Sft)
+    "pipe12_sft"    -> pipe12Sft,
+    "d20_prefix_join" -> d20PrefixJoin)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -838,5 +852,6 @@ object ScaleQueries6 {
     "d19_containment" -> d19Sql,
     "s14_mmr_l1"    -> s14L1Sql,
     "a38_ratio_ci"  -> a38Sql,
-    "pipe12_sft"    -> pipe12Sql)
+    "pipe12_sft"    -> pipe12Sql,
+    "d20_prefix_join" -> ScaleQueries.d2Sql)
 }

@@ -128,6 +128,70 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
 
+  /** Prefix-filtered n-gram Jaccard join (Chaudhuri–Ganti–Kaushik 2006 /
+    * Bayardo et al. 2007 "Scaling Up All Pairs" prefix filtering): the
+    * LOSSLESS scale upgrade to [[ngramJaccard]]'s full inverted-index
+    * join. Under a global (df, h) token order, any pair with J ≥ t has
+    * |A∩B| ≥ ⌈t·|A|⌉, so A's intersection cannot fit inside its last
+    * ⌈t·|A|⌉ − 1 ordered tokens — its PREFIX of length
+    * |A| − ⌈t·|A|⌉ + 1 must hit B. Candidates therefore come from
+    * prefix(left) ⨝ full(right): at t = 0.5 the probing side shrinks
+    * ~2×, and because prefixes are the RAREST tokens (df-ascending
+    * order), the candidate blow-up from boilerplate shingles collapses —
+    * the frequent tokens that generate O(df²) pairs in d2's join never
+    * probe. Verification computes the exact intersection from the two
+    * docs' shingle arrays map-side (candidate-pair-sized shuffle of
+    * sets, never the corpus).
+    *
+    * Prefix filtering is EXACT: the output equals [[ngramJaccard]]
+    * row-for-row, which is this operator's oracle (the d2 hash twin). */
+  def ngramJaccardPrefix(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docTok = rawShingleHashes(df, textCol, idCol, n)
+      .groupBy(col("sid"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("sid"), col("hs"), size(col("hs")).as("nsh"))
+    prefixCandidates(docTok, threshold)
+      .join(docTok.select(col("sid").as("id_a"), col("hs").as("hsa"),
+        col("nsh").as("na")), Seq("id_a"))
+      .join(docTok.select(col("sid").as("id_b"), col("hs").as("hsb"),
+        col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The candidate-pair sub-plan of [[ngramJaccardPrefix]], exposed for
+    * observability (the componentsStats pattern): (id_a, id_b) pairs
+    * where one of A's prefix tokens appears anywhere in B. On a
+    * boilerplate-skewed corpus this is ORDERS OF MAGNITUDE below the
+    * full inverted-index pairing (the df² blow-up never probes);
+    * spec-demonstrated. On uniform-df synthetic data the prefix plan's
+    * extra df pass costs more than it saves (measured 3.4 s vs d2's
+    * 2.1 s at sf0.1) — the operator exists for the skewed regime real
+    * corpora live in. Input: (sid, hs, nsh) doc shingle-set rows. */
+  def prefixCandidates(docTok: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"need t in (0,1], got $threshold")
+    val exploded = docTok.select(col("sid"), col("nsh"),
+        explode(col("hs")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = exploded.join(dfreq, Seq("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sid")).orderBy(col("df"), col("h"))))
+      // prefix length |A| − ⌈t·|A|⌉ + 1
+      .withColumn("plen",
+        col("nsh") - ceil(lit(threshold) * col("nsh")).cast("long") + 1L)
+    val prefix = ordered.filter(col("rk") <= col("plen"))
+      .select(col("sid").as("id_a"), col("h"))
+    val full = exploded.select(col("sid").as("id_b"), col("h"))
+    prefix.join(full, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Shared pair-intersection core for [[ngramJaccard]] and
     * [[ngramContainment]]: (id_a, id_b, i, na, nb) for every id-ordered
     * pair sharing at least one shingle. ONE aggregation builds each

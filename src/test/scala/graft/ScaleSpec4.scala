@@ -352,6 +352,48 @@ class ScaleSpec4 extends SparkTestBase {
     assert(jac.isEmpty, "jaccard must NOT flag the subset pair")
   }
 
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    val docs = Tables.documents(spark, SF)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.floor(r.getAs[Double]("jaccard") * 1e6 + 0.5))).toSet
+    val full = canon(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.5))
+    val pref = canon(Dedup.ngramJaccardPrefix(docs, "text", "doc_id", 3, 0.5))
+    assert(pref == full, "prefix filtering must be lossless")
+    assert(full.nonEmpty, "fixture must contain near-dup pairs")
+    // and at a higher threshold the prefix shrinks but equality holds
+    val f9 = canon(Dedup.ngramJaccard(docs, "text", "doc_id", 3, 0.9))
+    val p9 = canon(Dedup.ngramJaccardPrefix(docs, "text", "doc_id", 3, 0.9))
+    assert(p9 == f9)
+  }
+
+  test("prefix filtering collapses the boilerplate df² candidate blow-up") {
+    // 120 docs: unique body + a SHARED boilerplate footer. The footer
+    // shingles pair every doc with every other in the full inverted
+    // index; the prefix plan never probes them (highest df = last in
+    // the (df, h) order, outside every prefix).
+    val docs = (1 to 120).map { i =>
+      val body = (1 to 12).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, body + " subscribe to our newsletter today")
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPrefix(docs, "text", "doc_id", 3, 0.5)
+      .collect().isEmpty, "no pair is a real near-dup")
+    // candidate observability: every pair shares the footer shingles in
+    // the full inverted index; the prefix plan's candidates collapse
+    val docTok = docs.select(col("doc_id").as("sid"),
+        expr("""array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          i -> concat_ws(' ', element_at(split(text, ' '), i),
+            element_at(split(text, ' '), i + 1),
+            element_at(split(text, ' '), i + 2))))""").as("hs"))
+      .withColumn("nsh", size(col("hs")))
+    val cand = Dedup.prefixCandidates(docTok, 0.5).count()
+    val allSharing = Dedup.ngramJaccard(docs, "text", "doc_id", 3, 1e-9).count()
+    assert(allSharing >= 120L * 119 / 2,
+      "boilerplate must pair everyone with everyone in the full join")
+    assert(cand <= allSharing / 20,
+      s"prefix candidates must collapse: $cand vs $allSharing pairs")
+  }
+
   // ---- MMR λ=1 twin + IVF recall curve ------------------------------------------
 
   test("mmr at lambda=1 reproduces the exact brute-force top-k rows") {
