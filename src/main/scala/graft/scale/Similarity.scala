@@ -581,19 +581,59 @@ object Similarity {
   def ivfRecallCurve(corpus: DataFrame, queryIds: Seq[Long], k: Int,
                      vecCol: String, idCol: String,
                      nCells: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val exact = bruteForceTopK(corpus, queryIds, k, vecCol, idCol)
       .select(col("qid"), col("vid"))
-    val curves = (1 to nCells).map { p =>
-      ivfTopK(corpus, queryIds, k, vecCol, idCol, nCells, p, lloydIters)
-        .select(col("qid"), col("vid")).withColumn("hit", lit(1L))
-        .join(exact, Seq("qid", "vid"), "right")
-        .groupBy()
-        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
-          / count(lit(1))).as("r"))
-        .select(lit(p.toLong).as("n_probe"),
-                (floor(col("r") * 1e6 + 0.5) / 1e6).as("recall"))
-    }
-    curves.reduce(_ unionAll _)
+    // ONE training + ONE assignment + ONE scoring pass serve every probe
+    // level: a candidate in the query's rc-th closest cell participates
+    // in all levels p >= rc (an explode bounded by nCells), and recall@p
+    // reads off a (qid, p)-ranked window — vs nCells independent IVF
+    // runs each re-running Lloyd and re-scanning the corpus.
+    val v = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("v")).cache()
+    val cents = trainCentroids(v, nCells, lloydIters)
+    val assigned = assignCells(v, cents)
+      .withColumn("norm", graft.functions.VectorOps.l2norm(col("v")))
+    val qVecs = assigned.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid"), col("v"), col("norm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // per (query, cell): the cell's closeness rank rc
+    val cellRank = qVecs.flatMap { case (qid, qv, _) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        var dot = 0.0; var nc = 0.0; var j = 0
+        val lim = math.min(qv.length, cent.length)
+        while (j < lim) { dot += cent(j) * qv(j); nc += cent(j) * cent(j); j += 1 }
+        (qid, c, if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc))
+      }.sortBy(-_._3).zipWithIndex
+        .map { case ((q, c, _), i) => (q, c, (i + 1).toLong) }
+    }.toSeq.toDF("qid", "cell", "rc")
+    val qDf = qVecs.toSeq.map { case (qid, qv, n) => (qid, qv.toSeq, n) }
+      .toDF("qid", "qv", "qnorm")
+    val hits = assigned
+      .join(broadcast(cellRank), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .join(broadcast(qDf), Seq("qid"))
+      .withColumn("dot", graft.functions.VectorOps.dot(col("v"), col("qv")))
+      .withColumn("cosine",
+        floor(col("dot") / (col("norm") * col("qnorm")) * 1e6 + 0.5) / 1e6)
+      .select(col("qid"), col("vid"), col("cosine"),
+        explode(expr(s"sequence(rc, ${nCells}L)")).as("p"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"), col("p"))
+          .orderBy(col("cosine").desc, col("vid"))))
+      .filter(col("rank") <= k)
+      .select(col("p"), col("qid"), col("vid")).withColumn("hit", lit(1L))
+    val levels = broadcast(
+      spark.range(1, nCells + 1).select(col("id").as("p")))
+    val out = exact.crossJoin(levels)
+      .join(hits, Seq("p", "qid", "vid"), "left")
+      .groupBy(col("p"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+        / count(lit(1))).as("r"))
+      .select(col("p").as("n_probe"),
+              (floor(col("r") * 1e6 + 0.5) / 1e6).as("recall"))
+    localized(out, { v.unpersist(); () })
   }
 
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, "Margin-
