@@ -812,6 +812,34 @@ object ScaleQueries6 {
       .select(col("id_a"), col("id_b"),
               Det.dround(col("jaccard"), 6).as("jaccard"))
 
+  // ---- X28: tokenizer fertility audit --------------------------------------------
+
+  /** X28 — per-source BPE fertility (mean pieces per word under the
+    * x19-learned merges) + char-fallback share: the tokenizer-coverage
+    * pre-flight every vocabulary change ships with. The oracle replays
+    * the full 6-round learn fold (BpeSql) and reads pieces off v6. */
+  private def x28Fertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", 6)
+    graft.scale.TextAnalysis.bpeFertility(docs, "text", "source", merges)
+      .select(col("source"), col("n_words"), col("n_pieces"),
+              col("n_fallback"), col("fertility"), col("fallback_permille"))
+  }
+
+  private val x28Sql =
+    s"""WITH ${BpeSql.learnCtes(6)},
+       |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+       |             FROM documents) z
+       |       WHERE length(w) > 0 GROUP BY 1, 2),
+       |p AS (SELECT w, CAST(len(syms) AS BIGINT) AS pieces FROM v6)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt*pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN pieces = length(w) THEN cnt ELSE 0 END) AS BIGINT) AS n_fallback,
+       |  floor(CAST(sum(cnt*pieces) AS DOUBLE)/sum(cnt)*1000000.0 + 0.5)/1000000.0 AS fertility,
+       |  CAST(floor(CAST(sum(CASE WHEN pieces = length(w) THEN cnt ELSE 0 END) AS DOUBLE)/sum(cnt)*1000 + 0.5) AS BIGINT) AS fallback_permille
+       |FROM sw JOIN p USING (w) GROUP BY 1""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -833,7 +861,8 @@ object ScaleQueries6 {
     "s17_ivf_recall" -> s17IvfRecall,
     "a38_ratio_ci"  -> a38RatioCi,
     "pipe12_sft"    -> pipe12Sft,
-    "d20_prefix_join" -> d20PrefixJoin)
+    "d20_prefix_join" -> d20PrefixJoin,
+    "x28_fertility" -> x28Fertility)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -853,5 +882,6 @@ object ScaleQueries6 {
     "s14_mmr_l1"    -> s14L1Sql,
     "a38_ratio_ci"  -> a38Sql,
     "pipe12_sft"    -> pipe12Sql,
-    "d20_prefix_join" -> ScaleQueries.d2Sql)
+    "d20_prefix_join" -> ScaleQueries.d2Sql,
+    "x28_fertility" -> x28Sql)
 }

@@ -709,6 +709,63 @@ object TextAnalysis {
     df.withColumn(outCol, docToks(col(textCol)))
   }
 
+  /** Per-source tokenizer FERTILITY audit — mean BPE pieces per word
+    * under a learned merge table, the pre-flight metric every
+    * multilingual/tokenizer change ships with (fertility ≈ 1 means the
+    * vocabulary covers the source; high fertility means the source pays
+    * more sequence length per word — the classic under-served-language
+    * signal, cf. the XLM-R/NLLB tokenizer analyses). Also reports the
+    * single-character-fallback share (words the merges never touched).
+    *
+    * Shape: one (source, word) aggregate (|sources|·|vocab| rows,
+    * sublinear), the merge table enters as a collected closure (the
+    * tokenizer artifact is KBs), pieces computed once per DISTINCT word.
+    * The x20-pinned LTR fold is replayed per word, so the whole audit
+    * hash-checks through the same BpeSql machinery. */
+  def bpeFertility(df: DataFrame, textCol: String, sourceCol: String,
+                   merges: DataFrame): DataFrame = {
+    val ms: Array[(String, String)] = merges
+      .select(col("step").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val nPieces = udf { (w: String) =>
+      var syms: List[String] = w.split("").toList
+      ms.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) {
+          rest match {
+            case a :: b :: tail if a == l && b == r =>
+              out += l + r; rest = tail
+            case a :: tail =>
+              out += a; rest = tail
+            case Nil => ()
+          }
+        }
+        syms = out.toList
+      }
+      syms.length.toLong
+    }
+    val sw = df.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val pieces = sw.select(col("w")).distinct()
+      .withColumn("pieces", nPieces(col("w")))
+    sw.join(pieces, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+           sum(col("cnt") * col("pieces")).as("n_pieces"),
+           sum(when(col("pieces") === length(col("w")), col("cnt"))
+             .otherwise(0L)).as("n_fallback"))
+      .withColumn("fertility",
+        floor(col("n_pieces").cast("double") / col("n_words") * 1e6 + 0.5) / 1e6)
+      .withColumn("fallback_permille",
+        floor(col("n_fallback").cast("double") / col("n_words") * 1000 + 0.5)
+          .cast("long"))
+  }
+
   /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):
     * repeat `merges` times — count adjacent symbol pairs over the
     * word-count table, take the most frequent (ties to the

@@ -444,6 +444,27 @@ class ScaleSpec4 extends SparkTestBase {
     assert(out(0L).isNullAt(out(0L).fieldIndex("fill_permille")))
   }
 
+  // ---- tokenizer fertility --------------------------------------------------------
+
+  test("bpe fertility: a vocabulary-covered source scores near 1, an " +
+       "uncovered one pays full character fertility") {
+    // source A: one word, repeated — the merges learn it completely;
+    // source B: words the merges never touch
+    val docs = ((1 to 40).map(i => (i.toLong, "abab abab abab", "A")) ++
+                (1 to 10).map(i => (100L + i, "xq zk wv", "B")))
+      .toDF("doc_id", "text", "source")
+    // 2 merges: (a,b) then (ab,ab) — B's rare pairs never win a round
+    val merges = TextAnalysis.bpeLearn(docs, "text", 2)
+    val out = TextAnalysis.bpeFertility(docs, "text", "source", merges)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val fA = out("A").getAs[Double]("fertility")
+    val fB = out("B").getAs[Double]("fertility")
+    assert(fA == 1.0, s"fully-learned word must be one piece, got $fA")
+    assert(fB == 2.0, s"untouched 2-char words stay at char fertility, got $fB")
+    assert(out("B").getAs[Long]("fallback_permille") == 1000L)
+    assert(out("A").getAs[Long]("n_words") == 120L)
+  }
+
   // ---- delta-method ratio CI -----------------------------------------------------
 
   test("ratio delta CI: constant per-unit ratio gives se 0 at the exact " +
