@@ -840,6 +840,42 @@ object ScaleQueries6 {
        |  CAST(floor(CAST(sum(CASE WHEN pieces = length(w) THEN cnt ELSE 0 END) AS DOUBLE)/sum(cnt)*1000 + 0.5) AS BIGINT) AS fallback_permille
        |FROM sw JOIN p USING (w) GROUP BY 1""".stripMargin
 
+  // ---- F20: Syntetos–Boylan approximation ----------------------------------------
+
+  /** F20 — SBA bias-corrected Croston over the purchase series: the
+    * method the t20_sbc classifier recommends for intermittent/lumpy
+    * demand. f8's closed-weight plan plus one exact-binary multiply. */
+  private def f20Sba: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.crostonSbaForecast(
+        Tables.events(s, d).withColumn("demand",
+          when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))),
+        "demand", "ts", Seq("user_id"), 2, 0.5, Seq("event_id"))
+      .select(col("user_id"), col("h"), Det.dround(col("yhat"), 6).as("yhat"),
+              col("n_demands"))
+
+  private val f20Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS t,
+       |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) ELSE 0.0 END AS y
+       |  FROM events),
+       |nz AS (SELECT user_id, t, y,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY t) AS i,
+       |    count(*) OVER (PARTITION BY user_id) AS nnz,
+       |    CAST(t - coalesce(lag(t) OVER (PARTITION BY user_id ORDER BY t), 0) AS DOUBLE) AS q
+       |  FROM s WHERE y <> 0.0),
+       |w AS (SELECT user_id, nnz,
+       |    CASE WHEN i = 1 THEN pow(0.5, nnz - 1)
+       |         ELSE 0.5 * pow(0.5, nnz - i) END AS wgt, y, q
+       |  FROM nz),
+       |a AS (SELECT user_id,
+       |    CAST(sum(CAST(floor(y * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS z9,
+       |    CAST(sum(CAST(floor(q * wgt * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS q9,
+       |    CAST(max(nnz) AS BIGINT) AS n_demands
+       |  FROM w GROUP BY 1)
+       |SELECT user_id, h,
+       |  ${Det.droundSql("((z9/1e9)/(q9/1e9))*0.75", 6)} AS yhat, n_demands
+       |FROM a, generate_series(1, 2) AS g(h)""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -862,7 +898,8 @@ object ScaleQueries6 {
     "a38_ratio_ci"  -> a38RatioCi,
     "pipe12_sft"    -> pipe12Sft,
     "d20_prefix_join" -> d20PrefixJoin,
-    "x28_fertility" -> x28Fertility)
+    "x28_fertility" -> x28Fertility,
+    "f20_sba"       -> f20Sba)
 
   def oracle: Map[String, String] = Map(
     "f16_kalman"    -> f16Sql,
@@ -883,5 +920,6 @@ object ScaleQueries6 {
     "a38_ratio_ci"  -> a38Sql,
     "pipe12_sft"    -> pipe12Sql,
     "d20_prefix_join" -> ScaleQueries.d2Sql,
-    "x28_fertility" -> x28Sql)
+    "x28_fertility" -> x28Sql,
+    "f20_sba"       -> f20Sql)
 }

@@ -274,6 +274,22 @@ object PerSeriesForecast {
         ((col("z9") / 1e9) / (col("q9") / 1e9)).as("yhat"), col("n_demands")): _*)
   }
 
+  /** Syntetos–Boylan approximation (SBA — Syntetos & Boylan 2005, "The
+    * accuracy of intermittent demand estimates", IJF 21): Croston's
+    * estimator is biased HIGH by E[1/q] > 1/E[q]; multiplying by
+    * (1 − α/2) removes the bias to first order. This is the method the
+    * [[SeriesDiagnostics]] SBC classifier (t20_sbc) actually recommends
+    * for the intermittent/lumpy quadrants — the pairing a demand
+    * pipeline runs. Same plan as [[crostonForecast]] plus one row-local
+    * multiply; with α = 0.5 the factor 0.75 is exact binary, so the
+    * hash contract carries over unchanged. */
+  def crostonSbaForecast(df: DataFrame, valueCol: String, tsCol: String,
+                         seriesCols: Seq[String], horizon: Int,
+                         alpha: Double = 0.5,
+                         tieBreak: Seq[String] = Nil): DataFrame =
+    crostonForecast(df, valueCol, tsCol, seriesCols, horizon, alpha, tieBreak)
+      .withColumn("yhat", col("yhat") * lit(1 - alpha / 2))
+
   /** TSB intermittent-demand method (Teunter, Syntetos & Babai 2011,
     * "Intermittent demand: Linking forecasting to inventory
     * obsolescence", EJOR 214) — the bias-corrected successor to

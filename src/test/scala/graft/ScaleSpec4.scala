@@ -444,6 +444,23 @@ class ScaleSpec4 extends SparkTestBase {
     assert(out(0L).isNullAt(out(0L).fieldIndex("fill_permille")))
   }
 
+  test("sba: exactly (1 - alpha/2) times croston, the first-order " +
+       "bias correction") {
+    val src = Tables.events(spark, SF).withColumn("demand",
+      when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+    val cro = PerSeriesForecast.crostonForecast(src, "demand", "ts",
+        Seq("user_id"), 2, 0.5, Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("h")) ->
+        r.getAs[Double]("yhat")).toMap
+    val sba = PerSeriesForecast.crostonSbaForecast(src, "demand", "ts",
+        Seq("user_id"), 2, 0.5, Seq("event_id")).collect()
+    assert(sba.nonEmpty)
+    sba.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Int]("h"))
+      assert(r.getAs[Double]("yhat") == cro(k) * 0.75)
+    }
+  }
+
   // ---- tokenizer fertility --------------------------------------------------------
 
   test("bpe fertility: a vocabulary-covered source scores near 1, an " +
