@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.ScaleQueries3.queries ++
     graft.queries.ScaleQueries4.queries ++
     graft.queries.ScaleQueries5.queries ++
-    graft.queries.ScaleQueries6.queries
+    graft.queries.ScaleQueries6.queries ++
+    graft.queries.ScaleQueries7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.queries.ScaleQueries3.oracle ++
     graft.queries.ScaleQueries4.oracle ++
     graft.queries.ScaleQueries5.oracle ++
-    graft.queries.ScaleQueries6.oracle
+    graft.queries.ScaleQueries6.oracle ++
+    graft.queries.ScaleQueries7.oracle
 }

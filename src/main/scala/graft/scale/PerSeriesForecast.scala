@@ -1193,4 +1193,101 @@ object PerSeriesForecast {
         (col("iv_d") / col("ws")).as("w_drift"),
         (col("iv_s") / col("ws")).as("w_ses"))
   }
+
+  /** GARCH(1,1) conditional-variance filter per series (Bollerslev 1986)
+    * with FIXED coefficients — the volatility-tracking companion to
+    * [[kalmanLocalLevel]]: over first differences r_t = y_t − y_{t-1},
+    * h_t = ω + α·r²_{t-1} + β·h_{t-1}, h at the first return = h0.
+    * Fixed (ω, α, β) keeps the filter a pure closed-form recursion (the
+    * QMLE fit is a driver-side optimization the reference family also
+    * doesn't distribute); pick binary-fraction coefficients and the whole
+    * trajectory is bit-deterministic: y on the cents grid makes every
+    * r·r exact, ω + α·r·r + β·h is three IEEE ops in fixed order.
+    *
+    * Emits one row per return: (series, id, r, h, vol = √h, z = r/√h).
+    * Scale shape: ONE groupByKey exchange on the series key, O(1) state
+    * per series inside the sorted fold — the f16 contract. */
+  def garchFilter(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCol: String, idCol: String,
+                  omega: Double = 0.25, alpha: Double = 0.25,
+                  beta: Double = 0.5, h0: Double = 1.0): DataFrame = {
+    require(omega > 0 && alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"need stationarity: omega>0, alpha+beta<1; got ($omega,$alpha,$beta)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
+              col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(t => (t._2, t._3))
+        if (rows.length < 2) Iterator.empty
+        else {
+          def cents(v: Double) = math.floor(v * 100 + 0.5) / 100
+          var h = h0
+          var prevY = cents(rows(0)._4)
+          var prevR = 0.0
+          var first = true
+          rows.iterator.drop(1).map { t =>
+            val y = cents(t._4)
+            val r = y - prevY
+            if (!first) h = omega + alpha * prevR * prevR + beta * h
+            first = false
+            prevY = y; prevR = r
+            val vol = math.sqrt(h)
+            (sid, t._3, r, h, vol, r / vol)
+          }
+        }
+      }
+      .toDF(seriesCol, idCol, "r", "h", "vol", "z")
+  }
+
+  /** ADIDA intermittent-demand forecast (Nikolopoulos et al. 2011,
+    * "An aggregate–disaggregate intermittent demand approach") — the
+    * temporal-aggregation alternative to Croston/SBA/TSB: aggregate the
+    * per-period demand series into non-overlapping blocks of `m` (most
+    * recent first; the oldest n mod m periods are dropped), forecast the
+    * next BLOCK with SES (closed dyadic-α weights), then disaggregate
+    * uniformly back to the period level. Aggregation cancels
+    * intermittency (many zero periods fold into nonzero blocks), which
+    * is exactly why the method wins on lumpy series.
+    *
+    * Output per series: (n_periods, n_blocks, yhat_block, yhat_period).
+    * Scale shape: one series-keyed window (position index), one
+    * (series, block) aggregate, one series aggregate — the block key is
+    * a pure function of the position so no extra exchange beyond the
+    * croston contract. Determinism: block totals fold the cents grid
+    * exactly; SES weights are exact powers of two; term sums are 1e-9
+    * BIGINT folds. */
+  def adidaForecast(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], m: Int,
+                    alpha: Double = 0.5,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    require(m >= 2, s"need block size >= 2, got $m")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val blocks = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("n") >= 2L * m)                      // >= 2 full blocks
+      .filter(col("rn") > col("n") % m)                // drop oldest partial
+      .withColumn("b", expr(s"(rn - n % $m - 1) div $m") + 1L)
+      .groupBy((seriesCols.map(col) :+ col("b")): _*)
+      .agg(max(col("n")).as("n"),
+           (sum(floor(col(valueCol) * 100 + 0.5).cast("long")) / 100.0)
+             .as("z"))
+    val wgt = when(col("b") === 1, pow(lit(1 - alpha), col("nb") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("nb") - col("b")))
+    blocks
+      .withColumn("nb", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("t9", floor(col("z") * wgt * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("n")).as("n_periods"), max(col("nb")).as("n_blocks"),
+           sum(col("t9")).as("s9"))
+      .withColumn("yhat_block", col("s9") / 1e9)
+      .withColumn("yhat_period", col("yhat_block") / m)
+      .drop("s9")
+  }
 }

@@ -339,4 +339,141 @@ object SeriesDiagnostics {
         .otherwise(lit(null).cast("double")))
       .select(col("lag"), col("nn").cast("long").as("n"), col("r"))
   }
+
+  /** Discrete-Fourier periodogram power at candidate integer periods,
+    * per series — the frequency-domain seasonal detector (Schuster 1898;
+    * the spectral companion to the ACF-based FreqInfer/t9 period pick).
+    * For each period p in `periods`, over the position-indexed demeaned
+    * series y′: P(p) = (Σ y′_t·cos(2πt/p))² + (Σ y′_t·sin(2πt/p))².
+    * A genuine period-p cycle puts its energy at that frequency; white
+    * noise spreads it flat.
+    *
+    * Determinism: the cos/sin tables are evaluated ONCE driver-side on
+    * the 1e-6 grid and folded into the plan as literals (an oracle can
+    * inject the identical literals), so no libm trig runs inside either
+    * engine; products are 1e-9-grid BIGINT folds. Scale shape: one
+    * series-keyed window for (rn, n, mean), a |periods|-way explode of
+    * 8-byte terms (never the payload), one (series, p) aggregate with
+    * map-side partials.
+    *
+    * Emits (series, p, power) for every candidate; the argmax is a
+    * trivial downstream window. Series shorter than `minLen` drop. */
+  def periodogram(df: DataFrame, valueCol: String, tsCol: String,
+                  seriesCols: Seq[String], periods: Seq[Int],
+                  minLen: Int = 20, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), "periods must be >= 2")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    // driver-side 1e-6-grid trig tables, shared verbatim with oracles
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val cosT = periods.map(p => (0 until p).map(j =>
+      r6(math.cos(2 * math.Pi * j / p))))
+    val sinT = periods.map(p => (0 until p).map(j =>
+      r6(math.sin(2 * math.Pi * j / p))))
+    val cosLit = array(cosT.map(row => array(row.map(lit): _*)): _*)
+    val sinLit = array(sinT.map(row => array(row.map(lit): _*)): _*)
+    val pLit = array(periods.map(lit): _*)
+    df.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("sc",
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).over(wAll))
+      .filter(col("n") >= minLen)
+      .withColumn("yd", floor(col(valueCol) * 100 + 0.5) / 100.0
+        - col("sc").cast("double") / col("n") / 100.0)
+      .withColumn("pi", explode(sequence(lit(1), lit(periods.size))))
+      .withColumn("p", element_at(pLit, col("pi")))
+      .withColumn("j", ((col("rn") - 1) % col("p")).cast("int") + 1)
+      .withColumn("c", element_at(element_at(cosLit, col("pi")), col("j")))
+      .withColumn("s", element_at(element_at(sinLit, col("pi")), col("j")))
+      .withColumn("zc9", floor(col("yd") * col("c") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("zs9", floor(col("yd") * col("s") * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy((seriesCols.map(col) :+ col("p")): _*)
+      .agg(sum(col("zc9")).as("zc9"), sum(col("zs9")).as("zs9"))
+      .withColumn("power",
+        (col("zc9") / 1e9) * (col("zc9") / 1e9)
+          + (col("zs9") / 1e9) * (col("zs9") / 1e9))
+      .select((seriesCols.map(col) :+ col("p").cast("long").as("p")
+        :+ col("power")): _*)
+  }
+
+  /** Rescaled-range (R/S) statistics per series at dyadic window sizes,
+    * plus the Hurst exponent as the log₂-log₂ slope (Hurst 1951;
+    * Mandelbrot & Wallis 1969). For each window size w: chop the
+    * position-indexed series into ⌊n/w⌋ complete blocks; per block,
+    * R = range of the cumulative mean-deviation sums and S = population
+    * σ; the scale's statistic is the mean of R/S over its blocks, and
+    * H is the OLS slope of dround₆(ln(R/S)) on ln(w) (grid-rounded logs
+    * on BOTH engines — the x22_zipf regression contract). H ≈ 0.5 is a
+    * random walk; H > 0.5 long-range persistence — the memory diagnostic
+    * that tells a pipeline whether drift models have anything to fit.
+    *
+    * Determinism: R is computed from INTEGER cumulative cents
+    * (cumdev_k = (w·C_k − k·S_b)/(100·w) — exact ints inside), S from
+    * exact integer moments under one correctly-rounded sqrt, per-block
+    * R/S folded on the 1e-9 grid. Scale shape: one series-keyed window
+    * pass, a |windows|-way explode of 16-byte terms, (series, w, block)
+    * then (series, w) aggregates, then a tiny per-series pivot. */
+  def rsHurst(df: DataFrame, valueCol: String, tsCol: String,
+              seriesCols: Seq[String], windows: Seq[Int],
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    require(windows.size >= 2 && windows.forall(_ >= 4), "need >= 2 window sizes, each >= 4")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val minN = windows.max
+    val wLit = array(windows.map(lit): _*)
+    val kSeq = seriesCols.map(col)
+    val blocks = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("n") >= minN)
+      .withColumn("cents", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .withColumn("wi", explode(sequence(lit(1), lit(windows.size))))
+      .withColumn("w", element_at(wLit, col("wi")).cast("long"))
+      .filter(col("rn") <= expr("(n div w) * w"))
+      .withColumn("b", expr("(rn - 1) div w"))
+      .withColumn("k", ((col("rn") - 1) % col("w")) + 1L)
+    val wBlk = Window.partitionBy((kSeq :+ col("w") :+ col("b")): _*)
+    val wBlkOrd = wBlk.orderBy(col("k"))
+    val perBlock = blocks
+      .withColumn("cum", sum(col("cents")).over(
+        wBlkOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cents")).over(wBlk))
+      .withColumn("sq", sum(col("cents") * col("cents")).over(wBlk))
+      // cumdev on the exact integer lattice: (w·C_k − k·S_b) / (100·w)
+      .withColumn("dev", (col("w") * col("cum") - col("k") * col("tot"))
+        .cast("double") / (lit(100.0) * col("w")))
+      .groupBy((kSeq :+ col("w") :+ col("b")): _*)
+      .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
+           max(col("tot")).as("tot"), max(col("sq")).as("sq"))
+      .withColumn("rng",
+        greatest(col("dmax"), lit(0.0)) - least(col("dmin"), lit(0.0)))
+      .withColumn("sd",
+        sqrt((col("w") * col("sq") - col("tot") * col("tot")).cast("double"))
+          / (lit(100.0) * col("w")))
+      .filter(col("sd") > 0)
+      .withColumn("rs9",
+        floor(col("rng") / col("sd") * lit(1e9) + lit(0.5)).cast("long"))
+    val perScale = perBlock
+      .groupBy((kSeq :+ col("w")): _*)
+      .agg(count(lit(1)).cast("long").as("nb"), sum(col("rs9")).as("rs9"))
+      .withColumn("rs", col("rs9") / 1e9 / col("nb"))
+      // grid-rounded logs — identical rounding in the oracle
+      .withColumn("lx", floor(log(col("w").cast("double")) * 1e6 + 0.5) / 1e6)
+      .withColumn("ly", floor(log(col("rs")) * 1e6 + 0.5) / 1e6)
+    perScale
+      .groupBy(kSeq: _*)
+      .agg(count(lit(1)).cast("double").as("ns"),
+           sum(floor(col("lx") * lit(1e9) + lit(0.5)).cast("long")).as("sx9"),
+           sum(floor(col("ly") * lit(1e9) + lit(0.5)).cast("long")).as("sy9"),
+           sum(floor(col("lx") * col("lx") * lit(1e9) + lit(0.5)).cast("long")).as("sxx9"),
+           sum(floor(col("lx") * col("ly") * lit(1e9) + lit(0.5)).cast("long")).as("sxy9"),
+           min(col("nb")).as("min_blocks"))
+      .filter(col("ns") === windows.size)
+      .withColumn("hurst",
+        (col("ns") * (col("sxy9") / 1e9) - (col("sx9") / 1e9) * (col("sy9") / 1e9)) /
+        (col("ns") * (col("sxx9") / 1e9) - (col("sx9") / 1e9) * (col("sx9") / 1e9)))
+      .select((kSeq :+ col("min_blocks") :+ col("hurst")): _*)
+  }
 }

@@ -544,6 +544,85 @@ object TextAnalysis {
         (floor(col("s9") / 1e9 * 1e6 + 0.5) / 1e6).as("score"), col("rank"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001
+    * — the language-modeling scorer; the probabilistic complement to
+    * [[bm25TopK]]'s BM25): score(q, d) = Σ_{t∈q} ln((tf_{t,d} + µ·p(t|C))
+    * / (dl_d + µ)) with collection model p(t|C) = cf_t/|C|. Candidate
+    * docs are those hitting ≥ 1 query term; MISSING query terms still
+    * contribute their smoothed mass (the dl-dependent zero-tf leg), so
+    * candidates join the full query-term list with tf defaulted to 0.
+    *
+    * 100-TB shape: identical to bm25TopK — query terms are a driver-side
+    * constant filter, only term hits shuffle (~16 B/hit), corpus stats
+    * and per-term cf are broadcast one-row/|terms|-row aggregates, the
+    * zero-tf completion is a broadcast join against the candidate set,
+    * top-k is a per-query window. 1e-9-grid BIGINT score folds. */
+  def qldTopK(df: DataFrame, textCol: String, idCol: String,
+              queries: Seq[(Long, String)], k: Int,
+              mu: Double = 2000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
+      .toDF("query_id", "t")
+    val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
+    val termSet = termList.map(t => s"'$t'").mkString(", ")
+    val withDl = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"),
+      col(textCol).as("__text"))
+    val hits = withDl.select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(split(__text, ' '), x -> x IN ($termSet))")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val stats = withDl.agg(sum(col("dl")).cast("double").as("ctot"))
+    val cf = hits.groupBy(col("t")).agg(sum(col("tf")).as("cf"))
+    // candidate (query, doc) pairs: any term hit
+    val cand = hits.join(broadcast(qterm), Seq("t"))
+      .select(col("query_id"), col("doc_id"), col("dl")).distinct()
+    val scored = cand
+      .join(broadcast(qterm), Seq("query_id"))
+      .join(hits.select(col("doc_id"), col("t"), col("tf")), Seq("doc_id", "t"), "left")
+      .join(broadcast(cf), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s9", floor(
+        log((coalesce(col("tf"), lit(0.0)) + lit(mu) * col("cf") / col("ctot")) /
+            (col("dl").cast("double") + lit(mu))) * 1e9 + 0.5).cast("long"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s9")).as("s9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s9").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (floor(col("s9") / 1e9 * 1e6 + 0.5) / 1e6).as("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack, Clarke & Büttcher
+    * 2009): fused(q, d) = Σ_lists 1/(c + rank) — the standard hybrid-
+    * retrieval combiner (lexical BM25 + a second scorer) that needs no
+    * score calibration because it only consumes RANKS. Both inputs carry
+    * (query_id, doc_id, rank); docs present in one list contribute only
+    * that list's term. Determinism: each reciprocal is floored onto the
+    * 1e-9 grid and folded as BIGINT, so the fused ordering and the
+    * reported score are bit-identical cross-engine. Scale shape: the
+    * inputs are already top-k-per-query (bounded), so the outer join and
+    * the final window run on |queries|·k rows. */
+  def rrfFuse(r1: DataFrame, r2: DataFrame, c: Int = 60,
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def leg(df: DataFrame, out: String) =
+      df.select(col("query_id"), col("doc_id"),
+        floor(lit(1e9) / (lit(c) + col("rank"))).cast("long").as(out))
+    val fused = leg(r1, "p1").join(leg(r2, "p2"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("s9", coalesce(col("p1"), lit(0L)) + coalesce(col("p2"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s9").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("s9") / 1e9).as("rrf"), col("rank"))
+  }
+
   /** Typo-pair mining: all corpus token pairs within edit distance 1 —
     * the vocabulary-normalization pass (fold `recieve` into `receive`)
     * a cleaning pipeline runs before counting anything token-shaped.

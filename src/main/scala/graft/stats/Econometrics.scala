@@ -1,0 +1,140 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classical two-series econometrics over aggregated (daily) frames:
+  * Granger causality and Engle–Granger cointegration.
+  *
+  * Reference anchor: the reference validates fitted time-series models with
+  * stationarity / serial-correlation checks (`auto_ts/utils/val.py`,
+  * `models/ar_based/build_arima.py` ADF gating); these two operators extend
+  * that diagnostic surface to the CROSS-series questions a forecasting
+  * pipeline asks before adding an exogenous regressor (M1x/M4 paths): does
+  * x help predict y (Granger 1969), and do x and y share a stochastic
+  * trend (Engle & Granger 1987)?
+  *
+  * Scale shape: callers aggregate the raw table to a per-bucket series
+  * FIRST (one map-side-combined shuffle); everything here runs on that
+  * reduced frame (days/months — O(hundreds) rows), so the unpartitioned
+  * lag windows below operate on a post-aggregation frame that fits one
+  * task by construction. All sums are exact BIGINT folds of 1e-9-grid
+  * products (the f20/f16 determinism contract), so the closed-form
+  * algebra is bit-identical cross-engine. */
+object Econometrics {
+
+  /** floor(e*1e9 + 0.5) as BIGINT — the shared product grid. */
+  private def g9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  /** Lag-1 Granger causality, both directions, over a two-series frame.
+    *
+    * For direction "x=>y": restricted OLS y_t ~ (1, y_{t-1}) vs
+    * unrestricted y_t ~ (1, y_{t-1}, x_{t-1}); F = (RSS_r − RSS_u)·(n−3)/RSS_u
+    * with 1 and n−3 degrees of freedom. Coefficients via centered normal
+    * equations (the m4_var1 closed form). Output one row per direction:
+    * (direction, n, b_own, b_cross, rss_r, rss_u, f_stat).
+    *
+    * `df` must carry one row per bucket with columns (tCol orderable,
+    * xCol, yCol numeric, already deterministically rounded). */
+  def grangerLag1(df: DataFrame, tCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tCol))
+    // tiny post-aggregation frame: single-task window by construction
+    val lagged = df.coalesce(1)
+      .withColumn("ly", lag(col(yCol), 1).over(w))
+      .withColumn("lx", lag(col(xCol), 1).over(w))
+      .filter(col("ly").isNotNull)
+    def dir(name: String, yc: Column, ownLag: Column, crossLag: Column) =
+      lagged.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(g9(ownLag)).as("s1"), sum(g9(crossLag)).as("s2"),
+        sum(g9(yc)).as("sy"),
+        sum(g9(ownLag * ownLag)).as("s11"),
+        sum(g9(ownLag * crossLag)).as("s12"),
+        sum(g9(crossLag * crossLag)).as("s22"),
+        sum(g9(ownLag * yc)).as("s1y"),
+        sum(g9(crossLag * yc)).as("s2y"),
+        sum(g9(yc * yc)).as("syy"))
+      .select(lit(name).as("direction"), col("n"),
+        (col("s1") / 1e9).as("s1"), (col("s2") / 1e9).as("s2"),
+        (col("sy") / 1e9).as("sy"), (col("s11") / 1e9).as("s11"),
+        (col("s12") / 1e9).as("s12"), (col("s22") / 1e9).as("s22"),
+        (col("s1y") / 1e9).as("s1y"), (col("s2y") / 1e9).as("s2y"),
+        (col("syy") / 1e9).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      // centered moments
+      .withColumn("c11", col("s11") - col("s1") * col("s1") / col("nd"))
+      .withColumn("c12", col("s12") - col("s1") * col("s2") / col("nd"))
+      .withColumn("c22", col("s22") - col("s2") * col("s2") / col("nd"))
+      .withColumn("c1y", col("s1y") - col("s1") * col("sy") / col("nd"))
+      .withColumn("c2y", col("s2y") - col("s2") * col("sy") / col("nd"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("nd"))
+      // restricted: y ~ own lag only
+      .withColumn("rss_r", col("cyy") - col("c1y") * col("c1y") / col("c11"))
+      // unrestricted: centered 2x2 solve
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b_own",
+        (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det"))
+      .withColumn("b_cross",
+        (col("c2y") * col("c11") - col("c1y") * col("c12")) / col("det"))
+      .withColumn("rss_u",
+        col("cyy") - col("b_own") * col("c1y") - col("b_cross") * col("c2y"))
+      .withColumn("f_stat",
+        (col("rss_r") - col("rss_u")) * (col("nd") - 3.0) / col("rss_u"))
+      .select(col("direction"), col("n"), col("b_own"), col("b_cross"),
+              col("rss_r"), col("rss_u"), col("f_stat"))
+    dir("x=>y", col(yCol), col("ly"), col("lx"))
+      .unionAll(dir("y=>x", col(xCol), col("lx"), col("ly")))
+  }
+
+  /** Engle–Granger two-step cointegration test over a two-series frame
+    * whose columns are LEVELS (I(1) candidates, e.g. cumulative sums).
+    *
+    * Step 1: static OLS y_t = α + β·x_t + e_t (exact closed form).
+    * Step 2: Dickey–Fuller regression on the residuals WITHOUT intercept,
+    * Δe_t = ρ·e_{t-1} + u_t: ρ̂ = Σe_{t-1}Δe_t / Σe²_{t-1},
+    * se = sqrt((Σu²/(m−1)) / Σe²_{t-1}), t = ρ̂/se (compare against the
+    * Engle–Granger critical values, not the standard t table). Output one
+    * row: (n, alpha, beta, rho, se_rho, t_stat). */
+  def engleGranger(df: DataFrame, tCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tCol))
+    val base = df.coalesce(1)
+    // step 1 moments (exact grid folds)
+    val m1 = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(g9(col(xCol))).as("sx"), sum(g9(col(yCol))).as("sy"),
+      sum(g9(col(xCol) * col(xCol))).as("sxx"),
+      sum(g9(col(xCol) * col(yCol))).as("sxy"))
+      .select(col("n"), (col("sx") / 1e9).as("sx"), (col("sy") / 1e9).as("sy"),
+        (col("sxx") / 1e9).as("sxx"), (col("sxy") / 1e9).as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("beta",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+        (col("nd") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("nd"))
+    val fit = m1.select("n", "alpha", "beta")
+    // residuals: e computed identically on both engines (α, β identical
+    // doubles; inputs identical), then lagged for the DF regression
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("e", col(yCol) - col("alpha") - col("beta") * col(xCol))
+      .withColumn("le", lag(col("e"), 1).over(w))
+      .filter(col("le").isNotNull)
+      .withColumn("de", col("e") - col("le"))
+    val m2 = resid.groupBy(col("n"), col("alpha"), col("beta")).agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(g9(col("le") * col("de"))).as("sed"),
+      sum(g9(col("le") * col("le"))).as("see"),
+      sum(g9(col("de") * col("de"))).as("sdd"))
+    m2.select(col("n"), col("alpha"), col("beta"),
+        (col("sed") / 1e9).as("sed"), (col("see") / 1e9).as("see"),
+        (col("sdd") / 1e9).as("sdd"), col("m").cast("double").as("md"))
+      .withColumn("rho", col("sed") / col("see"))
+      .withColumn("ssu", col("sdd") - col("rho") * col("sed"))
+      .withColumn("se_rho",
+        sqrt((col("ssu") / (col("md") - 1.0)) / col("see")))
+      .withColumn("t_stat", col("rho") / col("se_rho"))
+      .select(col("n"), col("alpha"), col("beta"), col("rho"),
+              col("se_rho"), col("t_stat"))
+  }
+}
