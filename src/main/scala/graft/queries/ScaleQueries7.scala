@@ -522,6 +522,371 @@ object ScaleQueries7 {
        |FROM m""".stripMargin
   }
 
+  // ---- ST: streaming GARCH twin --------------------------------------------
+
+  /** st_garch — the deterministic batch twin of [[graft.streaming
+    * .StreamGarch]]: the SAME absorb fold the stream runs, emitting
+    * garchFilter's exact trajectory — so it reuses f22's recursive-CTE
+    * oracle verbatim (hash equality proves stream ≡ batch ≡ oracle;
+    * the split-invariance spec covers arbitrary micro-batching). */
+  private def stGarch: Q = (s, d) =>
+    graft.streaming.StreamGarch.garchExpandingBatch(
+        Tables.events(s, d), "value", "ts", "user_id", "event_id")
+      .select(col("user_id"), col("event_id"),
+        dround(col("r"), 2).as("r"),
+        dround(col("h"), 6).as("h"),
+        dround(col("vol"), 6).as("vol"),
+        dround(col("z"), 6).as("z"))
+
+  // ---- M16: Newey–West HAC trend test --------------------------------------
+
+  /** M16 — HAC-robust linear-trend significance over the daily purchase
+    * series (Bartlett L=3): the serial-correlation-honest version of the
+    * m5_trend t-stat. Reports the naive OLS t beside the HAC t. */
+  private def m16Hac: Q = (s, d) => {
+    val daily = dailyXY(s, d).select(col("day"),
+      (col("pc").cast("double") / 100.0 / 1000.0).as("y"))
+    graft.stats.Econometrics.neweyWestTrend(daily, "day", "y", maxLag = 3)
+      .select(col("n"),
+        dround(col("slope"), 6).as("slope"),
+        dround(col("se_ols"), 6).as("se_ols"),
+        dround(col("t_ols"), 6).as("t_ols"),
+        dround(col("se_hac"), 6).as("se_hac"),
+        dround(col("t_hac"), 6).as("t_hac"))
+  }
+
+  private val m16Sql =
+    s"""WITH dd AS ($dailyXYSql),
+       |xy AS (SELECT day, CAST(pc AS DOUBLE)/100.0/1000.0 AS y FROM dd),
+       |b AS (SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM xy),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(t) AS DOUBLE) AS st, CAST(sum(t*t) AS DOUBLE) AS stt,
+       |    CAST(sum(${g9Sql("y")}) AS BIGINT)/1.0E9 AS sy,
+       |    CAST(sum(${g9Sql("y*t")}) AS BIGINT)/1.0E9 AS sty
+       |  FROM b),
+       |f AS (SELECT n, nd, st, sy,
+       |    stt - st*st/nd AS sxx, sty - st*sy/nd AS sxy FROM m),
+       |f2 AS (SELECT n, nd, st, sy, sxx, sxy/sxx AS slope, st/nd AS tbar FROM f),
+       |f3 AS (SELECT n, nd, sxx, slope, tbar,
+       |    (sy - slope*st)/nd AS icept FROM f2),
+       |v AS (SELECT f3.n, f3.nd, f3.sxx, f3.slope, b.t,
+       |    b.y - f3.icept - f3.slope*b.t AS e,
+       |    (b.t - f3.tbar)*(b.y - f3.icept - f3.slope*b.t) AS v
+       |  FROM b CROSS JOIN f3),
+       |vl AS (SELECT *, lag(v, 1) OVER (ORDER BY t) AS v1,
+       |    lag(v, 2) OVER (ORDER BY t) AS v2,
+       |    lag(v, 3) OVER (ORDER BY t) AS v3 FROM v),
+       |g AS (SELECT n, nd, sxx, slope,
+       |    CAST(sum(${g9Sql("e*e")}) AS BIGINT) AS ee9,
+       |    CAST(sum(${g9Sql("v*v")}) AS BIGINT) AS g0,
+       |    CAST(sum(${g9Sql("v*v1")}) AS BIGINT) AS g1,
+       |    CAST(sum(${g9Sql("v*v2")}) AS BIGINT) AS g2,
+       |    CAST(sum(${g9Sql("v*v3")}) AS BIGINT) AS g3
+       |  FROM vl GROUP BY 1, 2, 3, 4),
+       |h AS (SELECT n, slope,
+       |    sqrt(((ee9/1.0E9)/(nd - 2.0))/sxx) AS se_ols,
+       |    sqrt((g0/1.0E9 + 2.0*(0.75*(g1/1.0E9) + 0.5*(g2/1.0E9)
+       |      + 0.25*(g3/1.0E9)))/(sxx*sxx)) AS se_hac
+       |  FROM g)
+       |SELECT n, ${droundSql("slope", 6)} AS slope,
+       |  ${droundSql("se_ols", 6)} AS se_ols, ${droundSql("slope/se_ols", 6)} AS t_ols,
+       |  ${droundSql("se_hac", 6)} AS se_hac, ${droundSql("slope/se_hac", 6)} AS t_hac
+       |FROM h""".stripMargin
+
+  // ---- SM22: priority sampling ---------------------------------------------
+
+  /** SM22 — Duffield–Lund–Thorup priority sampling of the corpus,
+    * char-weighted, k=100, seed 7: the weighted sample WITH the
+    * subset-sum estimator ŵ = max(w, τ) that sm13's A-ES sample lacks.
+    * The oracle IS the honest global sort; Spark's TakeOrdered route
+    * hash-matching it proves the bounded path exact (the sm17 pattern). */
+  private def sm22Priority: Q = (s, d) =>
+    graft.scale.Sampling.prioritySample(Tables.documents(s, d),
+        "doc_id", "n_chars", k = 100, seed = 7L)
+      .select(col("doc_id"), col("n_chars"), col("rk"),
+        dround(col("q"), 6).as("q"),
+        dround(col("tau"), 6).as("tau"),
+        dround(col("w_est"), 6).as("w_est"))
+
+  private val sm22Sql =
+    s"""WITH u AS (SELECT doc_id, n_chars,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 13))::BIGINT + 0.5)
+       |      / 4503599627370496.0 AS u
+       |  FROM documents WHERE n_chars > 0),
+       |q AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE)/u AS q FROM u),
+       |r AS (SELECT doc_id, n_chars, q,
+       |    CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rk FROM q),
+       |t AS (SELECT coalesce(max(CASE WHEN rk = 101 THEN q END), 0.0) AS tau
+       |      FROM r WHERE rk <= 101)
+       |SELECT r.doc_id, r.n_chars, r.rk, ${droundSql("r.q", 6)} AS q,
+       |  ${droundSql("t.tau", 6)} AS tau,
+       |  ${droundSql("greatest(CAST(r.n_chars AS DOUBLE), t.tau)", 6)} AS w_est
+       |FROM r CROSS JOIN t WHERE r.rk <= 100""".stripMargin
+
+  // ---- S20: NDCG ranking-quality evaluation ---------------------------------
+
+  /** S20 — NDCG@10 of the three retrieval rankers (BM25, QLD, RRF)
+    * against graded term-overlap relevance: the ranking-quality readout
+    * a retrieval pipeline publishes with every scorer change. Discount
+    * literals are driver-injected (no libm log in either engine). */
+  private def s20Ndcg: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val rel = graft.scale.TextAnalysis.termRelevance(docs, "text", "doc_id",
+      retrQueries)
+    val bm25 = graft.scale.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      retrQueries, k = 20)
+    val qld = graft.scale.TextAnalysis.qldTopK(docs, "text", "doc_id",
+      retrQueries, k = 20, mu = 2000.0)
+    val rrf = graft.scale.TextAnalysis.rrfFuse(bm25, qld, c = 60, k = 10)
+    Seq(("bm25", bm25), ("qld", qld), ("rrf", rrf)).map { case (name, rk) =>
+      graft.scale.TextAnalysis.ndcgAtK(
+          rk.select(col("query_id"), col("doc_id"), col("rank")), rel, k = 10)
+        .select(lit(name).as("ranker"), col("query_id"),
+          dround(col("dcg"), 6).as("dcg"),
+          dround(col("idcg"), 6).as("idcg"),
+          dround(col("ndcg"), 6).as("ndcg"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val s20Sql = {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val discRows = (1 to 10)
+      .map(r => s"($r, ${r6(math.log(2) / math.log(r + 1.0))})").mkString(", ")
+    s"""WITH queries(query_id, qtext) AS $retrQueriesSql,
+       |${bm25Ctes("brk")},
+       |${qldCtes("qrk")},
+       |p1 AS (SELECT query_id, doc_id,
+       |    CAST(floor(1e9/(60 + rk)) AS BIGINT) AS p FROM brk WHERE rk <= 20),
+       |p2 AS (SELECT query_id, doc_id,
+       |    CAST(floor(1e9/(60 + rk)) AS BIGINT) AS p FROM qrk WHERE rk <= 20),
+       |fu AS (SELECT coalesce(p1.query_id, p2.query_id) AS query_id,
+       |    coalesce(p1.doc_id, p2.doc_id) AS doc_id,
+       |    coalesce(p1.p, 0) + coalesce(p2.p, 0) AS s9
+       |  FROM p1 FULL OUTER JOIN p2
+       |    ON p1.query_id = p2.query_id AND p1.doc_id = p2.doc_id),
+       |frk AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk
+       |  FROM fu),
+       |rel AS (SELECT q.query_id, h.doc_id, CAST(count(*) AS BIGINT) AS rel
+       |  FROM (SELECT DISTINCT d.doc_id, tok.t
+       |        FROM documents d, unnest(string_split(d.text, ' ')) AS tok(t)
+       |        WHERE tok.t IN (SELECT DISTINCT t FROM qterm)) h
+       |  JOIN qterm q ON q.t = h.t GROUP BY 1, 2),
+       |disc(rank, disc) AS (VALUES $discRows),
+       |legs AS (
+       |  SELECT 'bm25' AS ranker, query_id, doc_id, rk FROM brk WHERE rk <= 10
+       |  UNION ALL
+       |  SELECT 'qld', query_id, doc_id, rk FROM qrk WHERE rk <= 10
+       |  UNION ALL
+       |  SELECT 'rrf', query_id, doc_id, rk FROM frk WHERE rk <= 10),
+       |dcg AS (SELECT legs.ranker, legs.query_id,
+       |    CAST(sum(CAST(floor((pow(2.0, coalesce(rel.rel, 0)) - 1.0)
+       |      * disc.disc * 1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS dcg9
+       |  FROM legs JOIN disc ON disc.rank = legs.rk
+       |  LEFT JOIN rel ON rel.query_id = legs.query_id AND rel.doc_id = legs.doc_id
+       |  GROUP BY 1, 2),
+       |ideal AS (SELECT query_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+       |  FROM rel),
+       |idcg AS (SELECT ideal.query_id,
+       |    CAST(sum(CAST(floor((pow(2.0, coalesce(ideal.rel, 0)) - 1.0)
+       |      * disc.disc * 1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS idcg9
+       |  FROM ideal JOIN disc ON disc.rank = ideal.rk
+       |  WHERE ideal.rk <= 10 GROUP BY 1)
+       |SELECT ranker, CAST(dcg.query_id AS BIGINT) AS query_id,
+       |  ${droundSql("dcg9/1.0E9", 6)} AS dcg,
+       |  ${droundSql("idcg9/1.0E9", 6)} AS idcg,
+       |  ${droundSql("CAST(dcg9 AS DOUBLE)/idcg9", 6)} AS ndcg
+       |FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id""".stripMargin
+  }
+
+  // ---- T28: Guerrero Box-Cox λ selection ------------------------------------
+
+  /** T28 — Guerrero variance-stabilization audit per user series:
+    * block-8 (mean, σ) profiles, CV of σ/μ^(1−λ) across blocks for
+    * λ ∈ {0, ½, 1}, argmin λ. The transform-selection gate in front of
+    * the m6_logy path (λ=0 winning says: model the log). */
+  private def t28Boxcox: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.guerreroBoxCox(
+        Tables.events(s, d), "value", "ts", Seq("user_id"), m = 8,
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_blocks"),
+        dround(col("cv0"), 6).as("cv0"),
+        dround(col("cv05"), 6).as("cv05"),
+        dround(col("cv1"), 6).as("cv1"),
+        col("lambda"))
+
+  private val t28Sql =
+    s"""WITH sr AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |bl AS (SELECT user_id, (rn - 1) // 8 AS b,
+       |    CAST(sum(cents) AS BIGINT) AS s, CAST(sum(cents*cents) AS BIGINT) AS sq
+       |  FROM sr WHERE n >= 16 AND rn <= (n // 8) * 8
+       |  GROUP BY 1, 2),
+       |pb AS (SELECT user_id,
+       |    CAST(s AS DOUBLE)/(100.0*8) AS mean,
+       |    sqrt(CAST(8*sq - s*s AS DOUBLE))/(100.0*8) AS sd
+       |  FROM bl),
+       |rt AS (SELECT user_id, sd/mean AS r0, sd/sqrt(mean) AS r05, sd AS r1
+       |       FROM pb WHERE mean > 0 AND sd > 0),
+       |ag AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(${g9Sql("r0")}) AS BIGINT) AS s0, CAST(sum(${g9Sql("r0*r0")}) AS BIGINT) AS q0,
+       |    CAST(sum(${g9Sql("r05")}) AS BIGINT) AS s5, CAST(sum(${g9Sql("r05*r05")}) AS BIGINT) AS q5,
+       |    CAST(sum(${g9Sql("r1")}) AS BIGINT) AS s1, CAST(sum(${g9Sql("r1*r1")}) AS BIGINT) AS q1
+       |  FROM rt GROUP BY 1 HAVING count(*) >= 2),
+       |cv AS (SELECT user_id, n_blocks, CAST(n_blocks AS DOUBLE) AS nb,
+       |    sqrt(((q0/1.0E9) - (s0/1.0E9)*(s0/1.0E9)/CAST(n_blocks AS DOUBLE))/(CAST(n_blocks AS DOUBLE) - 1.0))/((s0/1.0E9)/CAST(n_blocks AS DOUBLE)) AS cv0,
+       |    sqrt(((q5/1.0E9) - (s5/1.0E9)*(s5/1.0E9)/CAST(n_blocks AS DOUBLE))/(CAST(n_blocks AS DOUBLE) - 1.0))/((s5/1.0E9)/CAST(n_blocks AS DOUBLE)) AS cv05,
+       |    sqrt(((q1/1.0E9) - (s1/1.0E9)*(s1/1.0E9)/CAST(n_blocks AS DOUBLE))/(CAST(n_blocks AS DOUBLE) - 1.0))/((s1/1.0E9)/CAST(n_blocks AS DOUBLE)) AS cv1
+       |  FROM ag)
+       |SELECT user_id, n_blocks, ${droundSql("cv0", 6)} AS cv0,
+       |  ${droundSql("cv05", 6)} AS cv05, ${droundSql("cv1", 6)} AS cv1,
+       |  CASE WHEN cv0 <= cv05 AND cv0 <= cv1 THEN 0.0
+       |       WHEN cv05 <= cv1 THEN 0.5 ELSE 1.0 END AS lambda
+       |FROM cv""".stripMargin
+
+  // ---- A42: Trigg tracking signal --------------------------------------------
+
+  /** A42 — smoothed tracking signal over one-step naive errors per user
+    * series (Trigg & Leach 1967), alarm at |TS| > 1/2: the live
+    * forecast-drift monitor. */
+  private def a42Tracking: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.trackingSignal(
+        Tables.events(s, d), "value", "ts", Seq("user_id"),
+        alpha = 0.5, limit = 0.5, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_err"),
+        dround(col("e_smooth"), 6).as("e_smooth"),
+        dround(col("mad_smooth"), 6).as("mad_smooth"),
+        dround(col("ts"), 6).as("ts"),
+        col("alarm"))
+
+  private val a42Sql =
+    s"""WITH sr AS (SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    floor(value*100 + 0.5)/100.0 AS y
+       |  FROM events),
+       |er AS (SELECT s1.user_id, s1.rn - 1 AS i, s1.y - p.y AS e
+       |  FROM sr s1 JOIN sr p ON p.user_id = s1.user_id AND p.rn = s1.rn - 1),
+       |ne AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ne FROM er GROUP BY 1),
+       |w AS (SELECT er.user_id, er.e, ne.ne,
+       |    CASE WHEN er.i = 1 THEN pow(0.5, ne.ne - 1)
+       |         ELSE 0.5*pow(0.5, ne.ne - er.i) END AS wgt
+       |  FROM er JOIN ne USING (user_id)),
+       |a AS (SELECT user_id, CAST(max(ne) AS BIGINT) AS n_err,
+       |    CAST(sum(${g9Sql("e*wgt")}) AS BIGINT) AS e9,
+       |    CAST(sum(${g9Sql("abs(e)*wgt")}) AS BIGINT) AS m9
+       |  FROM w GROUP BY 1)
+       |SELECT user_id, n_err, ${droundSql("e9/1.0E9", 6)} AS e_smooth,
+       |  ${droundSql("m9/1.0E9", 6)} AS mad_smooth,
+       |  ${droundSql("(e9/1.0E9)/(m9/1.0E9)", 6)} AS ts,
+       |  CAST(CASE WHEN abs((e9/1.0E9)/(m9/1.0E9)) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM a WHERE m9 > 0""".stripMargin
+
+  // ---- X29: tokenizer compression audit ---------------------------------------
+
+  /** X29 — chars-per-piece and pieces-per-kchar per source under the
+    * learned BPE merges: the budget-pricing dual of x28's fertility.
+    * Oracle replays the FULL 6-round learn via BpeSql (the x28 chain). */
+  private def x29Compression: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.scale.TextAnalysis.bpeLearn(docs, "text", 6)
+    graft.scale.TextAnalysis.bpeCompression(docs, "text", "source", merges)
+      .select(col("source"), col("n_chars"), col("n_pieces"),
+        col("chars_per_piece"), col("pieces_per_kchar"))
+  }
+
+  private val x29Sql =
+    s"""WITH ${BpeSql.learnCtes(6)},
+       |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+       |             FROM documents) z
+       |       WHERE length(w) > 0 GROUP BY 1, 2),
+       |p AS (SELECT w, CAST(len(syms) AS BIGINT) AS pieces FROM v6)
+       |SELECT source, CAST(sum(cnt*length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt*pieces) AS BIGINT) AS n_pieces,
+       |  floor(CAST(sum(cnt*length(w)) AS DOUBLE)/sum(cnt*pieces)*1000000.0 + 0.5)/1000000.0 AS chars_per_piece,
+       |  floor(CAST(sum(cnt*pieces) AS DOUBLE)/sum(cnt*length(w))*1000*1000000.0 + 0.5)/1000000.0 AS pieces_per_kchar
+       |FROM sw JOIN p USING (w) GROUP BY 1""".stripMargin
+
+  // ---- S21: label-partition silhouette ----------------------------------------
+
+  /** S21 — simplified (centroid-based) silhouette of the embedding label
+    * partition: the clustering-quality gate before a partition drives
+    * dedup keeps or mixture splits. O(n·k) with broadcast centroids. */
+  private def s21Silhouette: Q = (s, d) =>
+    graft.scale.Similarity.labelSilhouette(
+        Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      .select(col("label"), col("n"), dround(col("mean_sil"), 6).as("mean_sil"))
+
+  private val s21Sql =
+    s"""WITH cent AS (SELECT label AS label2, i AS dim,
+       |    floor(avg(CAST(x AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS m6
+       |  FROM (SELECT label, unnest(embedding) AS x,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       |  GROUP BY 1, 2),
+       |dims AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS label,
+       |    i AS dim, CAST(x AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) z),
+       |d2 AS (SELECT d.vid, d.label, c.label2,
+       |    CAST(sum(CAST(floor((d.x - c.m6)*(d.x - c.m6)*1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS d9
+       |  FROM dims d JOIN cent c ON c.dim = d.dim GROUP BY 1, 2, 3),
+       |ab AS (SELECT vid, label,
+       |    max(CASE WHEN label = label2 THEN d9 END) AS a9,
+       |    min(CASE WHEN label <> label2 THEN d9 END) AS b9
+       |  FROM d2 GROUP BY 1, 2),
+       |sv AS (SELECT label, sqrt(a9/1.0E9) AS a, sqrt(b9/1.0E9) AS b
+       |       FROM ab WHERE a9 IS NOT NULL AND b9 IS NOT NULL),
+       |s2 AS (SELECT label, (b - a)/greatest(a, b) AS s
+       |       FROM sv WHERE greatest(a, b) > 0)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  ${droundSql(
+             "CAST(sum(CAST(floor(s*1.0E9 + 0.5) AS BIGINT)) AS BIGINT)/1.0E9/count(*)",
+             6)} AS mean_sil
+       |FROM s2 GROUP BY 1""".stripMargin
+
+  // ---- A43: deterministic HyperLogLog -----------------------------------------
+
+  /** A43 — md5-HLL distinct-user estimate (p=8, 256 registers) with the
+    * exact count as the audit column: the mergeable cardinality sketch
+    * whose ENTIRE register state replays in the oracle (engine-native
+    * approx_count_distinct can't be cross-checked; this can). */
+  private def a43Hll: Q = (s, d) =>
+    graft.stats.Sketches.hllDistinct(Tables.events(s, d), "user_id", p = 8)
+      .select(col("n_exact"), col("m"), col("v_empty"),
+        dround(col("e_raw"), 4).as("e_raw"),
+        dround(col("estimate"), 4).as("estimate"))
+
+  private val a43Sql = {
+    val alpha = graft.stats.Sketches.alphaFor(256)
+    s"""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |r AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+       |        ('0x' || substr(hx, 3, 13))::BIGINT AS w FROM h),
+       |rr AS (SELECT bucket,
+       |        CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM r),
+       |regs AS (SELECT bucket, max(rho) AS mr FROM rr GROUP BY 1),
+       |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS v_used,
+       |    CAST(sum(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT) AS z_used FROM regs),
+       |b AS (SELECT n_exact, CAST(256 AS BIGINT) AS m,
+       |    CAST(256 - v_used AS BIGINT) AS v_empty,
+       |    z_used + (256 - v_used)*9007199254740992 AS z_num
+       |  FROM a CROSS JOIN ex),
+       |c AS (SELECT n_exact, m, v_empty,
+       |    ${alpha}e0*256*256/(z_num/9007199254740992.0) AS e_raw FROM b),
+       |f AS (SELECT n_exact, m, v_empty, e_raw,
+       |    CASE WHEN v_empty > 0 AND e_raw <= ${2.5 * 256}
+       |      THEN floor(ln(CAST(m AS DOUBLE)/v_empty)*1000000.0 + 0.5)/1000000.0*256
+       |      ELSE e_raw END AS estimate
+       |  FROM c)
+       |SELECT n_exact, m, v_empty, ${droundSql("e_raw", 4)} AS e_raw,
+       |  ${droundSql("estimate", 4)} AS estimate
+       |FROM f""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -534,7 +899,16 @@ object ScaleQueries7 {
     "s18_qld"         -> s18Qld,
     "s19_rrf"         -> s19Rrf,
     "a40_srm"         -> a40Srm,
-    "a41_mde"         -> a41Mde)
+    "a41_mde"         -> a41Mde,
+    "st_garch"        -> stGarch,
+    "m16_hac"         -> m16Hac,
+    "sm22_priority"   -> sm22Priority,
+    "s20_ndcg"        -> s20Ndcg,
+    "t28_boxcox"      -> t28Boxcox,
+    "a42_tracking"    -> a42Tracking,
+    "x29_compression" -> x29Compression,
+    "s21_silhouette"  -> s21Silhouette,
+    "a43_hll"         -> a43Hll)
 
   def oracle: Map[String, String] = Map(
     "m14_granger"     -> m14Sql,
@@ -546,5 +920,14 @@ object ScaleQueries7 {
     "s18_qld"         -> s18Sql,
     "s19_rrf"         -> s19Sql,
     "a40_srm"         -> a40Sql,
-    "a41_mde"         -> a41Sql)
+    "a41_mde"         -> a41Sql,
+    "st_garch"        -> f22Sql,
+    "m16_hac"         -> m16Sql,
+    "sm22_priority"   -> sm22Sql,
+    "s20_ndcg"        -> s20Sql,
+    "t28_boxcox"      -> t28Sql,
+    "a42_tracking"    -> a42Sql,
+    "x29_compression" -> x29Sql,
+    "s21_silhouette"  -> s21Sql,
+    "a43_hll"         -> a43Sql)
 }

@@ -173,6 +173,45 @@ object Sampling {
       .limit(k)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54) — the
+    * weighted-sample-WITH-ESTIMATOR form of [[weightedSample]]: each
+    * row gets priority q = w/u (u uniform from the seeded md5, exact
+    * binary fraction — ONE IEEE division, no transcendental, unlike
+    * A-ES's −ln(u)/w key), the k highest-priority rows are kept, and
+    * each kept row carries the estimator weight ŵ = max(w, τ) with τ
+    * the (k+1)-th priority. Σŵ over the sample is an unbiased estimate
+    * of Σw over ANY subset — the property that lets corpus statistics
+    * (token budgets, source masses) be read off a bounded sample.
+    *
+    * Scale shape: TakeOrdered over (−q, id) — no global sort; the k+1
+    * frame is driver-bounded. Determinism: u = (52 md5 bits + 0.5)/2^52
+    * exactly as [[weightedSample]]; q and ŵ are single IEEE ops. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10).cast("long") + 0.5) /
+      lit(4503599627370496.0) // 2^52
+    val top = df.filter(col(weightCol) > 0)
+      .withColumn("q", col(weightCol).cast("double") / u)
+      .orderBy(col("q").desc, col(idCol))
+      .limit(k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col(idCol))
+    val ranked = top.withColumn("rk", row_number().over(w).cast("long"))
+    // τ = (k+1)-th priority; with ≤ k rows the whole population is kept
+    // and the estimator degenerates to ŵ = w (τ = 0)
+    val tau = ranked.agg(
+      coalesce(max(when(col("rk") === k + 1, col("q"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rk") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_est",
+        greatest(col(weightCol).cast("double"), col("tau")))
+      .select(col(idCol), col(weightCol), col("rk"), col("q"),
+              col("tau"), col("w_est"))
+  }
+
   // ---- DSIR: Data Selection via Importance Resampling ------------------
 
   /** Hashed unigram+bigram feature buckets: (fid, b), one row per token

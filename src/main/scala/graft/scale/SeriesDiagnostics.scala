@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -475,5 +475,116 @@ object SeriesDiagnostics {
         (col("ns") * (col("sxy9") / 1e9) - (col("sx9") / 1e9) * (col("sy9") / 1e9)) /
         (col("ns") * (col("sxx9") / 1e9) - (col("sx9") / 1e9) * (col("sx9") / 1e9)))
       .select((kSeq :+ col("min_blocks") :+ col("hurst")): _*)
+  }
+
+  /** Guerrero Box-Cox λ selection per series (Guerrero 1993, "Time-series
+    * analysis supported by power transformations"): split the series into
+    * complete blocks of `m`, per block compute (mean, σ), and for each
+    * candidate λ the ratio r_b = σ_b / mean_b^(1−λ); the chosen λ
+    * minimizes the coefficient of variation of r across blocks — a
+    * variance-stabilizing transform picked WITHOUT likelihood iteration.
+    * Candidates are fixed at {0, 1/2, 1} (log / sqrt / identity), which
+    * keeps every mean^(1−λ) an exact IEEE op (1, sqrt, identity).
+    *
+    * Emits (series, n_blocks, cv0, cv05, cv1, lambda) with ties going to
+    * the smaller λ (stronger stabilization). Determinism: block moments
+    * from exact integer cents (the rsHurst lattice), ratios folded on
+    * the 1e-9 grid, one sqrt per leg. Shape: one series-keyed window,
+    * (series, block) then (series) aggregates. */
+  def guerreroBoxCox(df: DataFrame, valueCol: String, tsCol: String,
+                     seriesCols: Seq[String], m: Int = 8,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    require(m >= 4, s"need block size >= 4, got $m")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val kSeq = seriesCols.map(col)
+    val perBlock = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("n") >= 2L * m)
+      .filter(col("rn") <= expr(s"(n div $m) * $m"))
+      .withColumn("cents", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .withColumn("b", expr(s"(rn - 1) div $m"))
+      .groupBy((kSeq :+ col("b")): _*)
+      .agg(sum(col("cents")).as("s"), sum(col("cents") * col("cents")).as("sq"))
+      .withColumn("mean", col("s").cast("double") / (lit(100.0) * m))
+      .withColumn("sd",
+        sqrt((lit(m) * col("sq") - col("s") * col("s")).cast("double"))
+          / (lit(100.0) * m))
+      .filter(col("mean") > 0 && col("sd") > 0)
+    def g9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val r0 = col("sd") / col("mean")          // λ=0: σ/μ
+    val r05 = col("sd") / sqrt(col("mean"))   // λ=1/2: σ/√μ
+    val r1 = col("sd")                        // λ=1: σ
+    val agg = perBlock.groupBy(kSeq: _*).agg(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(g9(r0)).as("s0"), sum(g9(r0 * r0)).as("q0"),
+      sum(g9(r05)).as("s5"), sum(g9(r05 * r05)).as("q5"),
+      sum(g9(r1)).as("s1"), sum(g9(r1 * r1)).as("q1"))
+      .filter(col("n_blocks") >= 2)
+    def cv(s: String, q: String) = {
+      val nb = col("n_blocks").cast("double")
+      val mean = (col(s) / 1e9) / nb
+      val varr = ((col(q) / 1e9) - (col(s) / 1e9) * (col(s) / 1e9) / nb) /
+        (nb - 1.0)
+      sqrt(varr) / mean
+    }
+    agg
+      .withColumn("cv0", cv("s0", "q0"))
+      .withColumn("cv05", cv("s5", "q5"))
+      .withColumn("cv1", cv("s1", "q1"))
+      .withColumn("lambda",
+        when(col("cv0") <= col("cv05") && col("cv0") <= col("cv1"), lit(0.0))
+          .when(col("cv05") <= col("cv1"), lit(0.5))
+          .otherwise(lit(1.0)))
+      .select((kSeq :+ col("n_blocks") :+ col("cv0") :+ col("cv05")
+        :+ col("cv1") :+ col("lambda")): _*)
+  }
+
+  /** Smoothed tracking signal per series (Trigg 1964; Trigg & Leach
+    * 1967): over one-step naive forecast errors e_t = y_t − y_{t-1},
+    * the exponentially smoothed error E and smoothed absolute error M
+    * (both SES with dyadic α — closed weights), TS = E/M at the series
+    * end, alarmed at |TS| > `limit`. The forecast-monitoring gate an
+    * operations pipeline runs continuously: a drifting series saturates
+    * TS toward ±1 long before accuracy metrics move.
+    *
+    * Emits (series, n_err, e_smooth, mad_smooth, ts, alarm 0/1).
+    * Determinism: errors are exact cents; SES weights are exact powers
+    * of two; both folds are 1e-9-grid BIGINT sums; one division. Shape:
+    * one series-keyed window (lag), one aggregate. */
+  def trackingSignal(df: DataFrame, valueCol: String, tsCol: String,
+                     seriesCols: Seq[String], alpha: Double = 0.5,
+                     limit: Double = 0.5,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val kSeq = seriesCols.map(col)
+    val errs = df
+      .withColumn("y", floor(col(valueCol) * 100 + 0.5) / 100.0)
+      .withColumn("ly", lag(col("y"), 1).over(wOrd))
+      .filter(col("ly").isNotNull)
+      .withColumn("e", col("y") - col("ly"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("ne", count(lit(1)).over(
+        Window.partitionBy(seriesCols.map(col): _*)).cast("long"))
+    val wgt = when(col("i") === 1, pow(lit(1 - alpha), col("ne") - 1))
+      .otherwise(lit(alpha) * pow(lit(1 - alpha), col("ne") - col("i")))
+    def g9(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    errs
+      .groupBy(kSeq: _*)
+      .agg(max(col("ne")).as("n_err"),
+           sum(g9(col("e") * wgt)).as("e9"),
+           sum(g9(abs(col("e")) * wgt)).as("m9"))
+      .filter(col("m9") > 0)
+      .withColumn("e_smooth", col("e9") / 1e9)
+      .withColumn("mad_smooth", col("m9") / 1e9)
+      .withColumn("ts", col("e_smooth") / col("mad_smooth"))
+      .withColumn("alarm",
+        when(abs(col("ts")) > limit, 1L).otherwise(0L))
+      .select((kSeq :+ col("n_err") :+ col("e_smooth") :+ col("mad_smooth")
+        :+ col("ts") :+ col("alarm")): _*)
   }
 }

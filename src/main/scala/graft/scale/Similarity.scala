@@ -693,4 +693,52 @@ object Similarity {
       .select(col("qid"), col("m.vid").as("vid"), col("m.cos6").as("cos6"),
               col("m.margin6").as("margin"))
   }
+
+  // ---- clustering-quality diagnostics ------------------------------------
+
+  /** Simplified (centroid-based) silhouette of the label partition
+    * (Rousseeuw 1987; the centroid form is the O(n·k) variant every
+    * large-scale evaluator uses instead of the O(n²) pairwise original):
+    * per vector, a = euclidean distance to the OWN label centroid, b =
+    * the nearest OTHER centroid, s = (b − a)/max(a, b); reported as the
+    * per-label mean. s near 1 = compact and separated; near 0 =
+    * boundary; negative = likely mislabeled — the quality gate on any
+    * partition (labels, k-means cells) before it drives dedup keeps or
+    * mixture splits.
+    *
+    * Determinism: centroid means round to the 1e-6 grid FIRST (both
+    * engines then consume identical anchors), squared-difference terms
+    * fold on the 1e-9 grid, one sqrt per (vector, label) pair. Shape:
+    * one (label, dim) reduce for centroids (k·d rows, broadcast), one
+    * n·d explode joined to it (n·d·k 8-byte terms, map-side partials),
+    * one (vid, label') reduce, one per-label reduce. */
+  def labelSilhouette(df: DataFrame, vecCol: String, labelCol: String,
+                      idCol: String): DataFrame = {
+    val cents = labelCentroids(df, vecCol, labelCol)
+      .select(col("label").as("label2"), col("dim"),
+        (floor(col("mean") * 1e6 + 0.5) / 1e6).as("m6"))
+    val dims = df.select(col(idCol).cast("long").as("vid"),
+        col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim0", "x")))
+      .select(col("vid"), col("label"), (col("dim0") + 1).as("dim"), col("x"))
+    val d2 = dims.join(broadcast(cents), Seq("dim"))
+      .withColumn("t9", floor((col("x") - col("m6")) * (col("x") - col("m6"))
+        * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("vid"), col("label"), col("label2"))
+      .agg(sum(col("t9")).as("d9"))
+    val ab = d2.groupBy(col("vid"), col("label"))
+      .agg(max(when(col("label") === col("label2"), col("d9"))).as("a9"),
+           min(when(col("label") =!= col("label2"), col("d9"))).as("b9"))
+      .filter(col("a9").isNotNull && col("b9").isNotNull)
+      .withColumn("a", sqrt(col("a9") / 1e9))
+      .withColumn("b", sqrt(col("b9") / 1e9))
+      .filter(greatest(col("a"), col("b")) > 0)
+      .withColumn("s",
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(floor(col("s") * lit(1e9) + lit(0.5)).cast("long")).as("s9"))
+      .withColumn("mean_sil", col("s9") / 1e9 / col("n"))
+      .select(col("label"), col("n"), col("mean_sil"))
+  }
 }

@@ -596,6 +596,63 @@ object TextAnalysis {
         (floor(col("s9") / 1e9 * 1e6 + 0.5) / 1e6).as("score"), col("rank"))
   }
 
+  /** Graded term-overlap relevance: rel(q, d) = number of DISTINCT
+    * query terms present in the doc — the label-free relevance proxy
+    * for ranking-quality evaluation when no editorial judgments exist.
+    * Only term hits shuffle (the bm25TopK scan contract). */
+  def termRelevance(df: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(Long, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
+      .toDF("query_id", "t")
+    val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
+    val termSet = termList.map(t => s"'$t'").mkString(", ")
+    df.select(col(idCol).as("doc_id"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x IN ($termSet))")).as("t"))
+      .distinct()
+      .join(broadcast(qterm), Seq("t"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("rel"))
+  }
+
+  /** NDCG@k of a ranked list against a graded relevance table (Järvelin
+    * & Kekäläinen 2002): DCG = Σ_{r≤k} (2^rel − 1)/log₂(r+1), normalized
+    * by the ideal ordering's DCG over the SAME relevance table. The
+    * 1/log₂(r+1) discounts are evaluated once driver-side on the 1e-6
+    * grid and injected as literals (no libm log inside either engine);
+    * gain·discount terms fold on the 1e-9 grid. Both inputs are bounded
+    * (top-k lists, sparse relevance), so every join here is broadcast-
+    * sized. Emits (query_id, dcg, idcg, ndcg). */
+  def ndcgAtK(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val disc = broadcast((1 to k)
+      .map(r => (r.toLong, r6(math.log(2) / math.log(r + 1.0))))
+      .toDF("rank", "disc"))
+    def fold(withRank: DataFrame, out: String) = withRank
+      .join(disc, Seq("rank"))
+      .withColumn("gain",
+        pow(lit(2.0), coalesce(col("rel"), lit(0L)).cast("double")) - 1.0)
+      .withColumn("t9",
+        floor(col("gain") * col("disc") * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id")).agg(sum(col("t9")).as(out))
+    val dcg = fold(
+      ranked.filter(col("rank") <= k)
+        .join(rel, Seq("query_id", "doc_id"), "left"), "dcg9")
+    val wI = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = fold(
+      rel.withColumn("rank", row_number().over(wI).cast("long"))
+        .filter(col("rank") <= k), "idcg9")
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        (col("dcg9") / 1e9).as("dcg"), (col("idcg9") / 1e9).as("idcg"),
+        (col("dcg9").cast("double") / col("idcg9")).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack, Clarke & Büttcher
     * 2009): fused(q, d) = Σ_lists 1/(c + rank) — the standard hybrid-
     * retrieval combiner (lexical BM25 + a second scorer) that needs no
@@ -801,14 +858,17 @@ object TextAnalysis {
     * tokenizer artifact is KBs), pieces computed once per DISTINCT word.
     * The x20-pinned LTR fold is replayed per word, so the whole audit
     * hash-checks through the same BpeSql machinery. */
-  def bpeFertility(df: DataFrame, textCol: String, sourceCol: String,
-                   merges: DataFrame): DataFrame = {
+  /** The x20-pinned LTR merge fold as a piece-count UDF: the merge
+    * table (a KB-scale tokenizer artifact) enters as a collected
+    * closure shared by [[bpeFertility]] and [[bpeCompression]]. */
+  private def bpePiecesUdf(merges: DataFrame)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val ms: Array[(String, String)] = merges
       .select(col("step").cast("int"), col("left").cast("string"),
         col("right").cast("string"))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
-    val nPieces = udf { (w: String) =>
+    udf { (w: String) =>
       var syms: List[String] = w.split("").toList
       ms.foreach { case (l, r) =>
         val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -826,6 +886,11 @@ object TextAnalysis {
       }
       syms.length.toLong
     }
+  }
+
+  def bpeFertility(df: DataFrame, textCol: String, sourceCol: String,
+                   merges: DataFrame): DataFrame = {
+    val nPieces = bpePiecesUdf(merges)
     val sw = df.select(col(sourceCol).as("source"),
         explode(tokens(lower(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
@@ -843,6 +908,32 @@ object TextAnalysis {
       .withColumn("fallback_permille",
         floor(col("n_fallback").cast("double") / col("n_words") * 1000 + 0.5)
           .cast("long"))
+  }
+
+  /** Tokenizer compression audit per source — the companion readout to
+    * [[bpeFertility]]: chars-per-piece (how much text each BPE piece
+    * carries) and pieces-per-kchar (the cost dual). Compression is the
+    * metric that prices a corpus in tokens: a source at 2 chars/piece
+    * costs twice the budget of one at 4. Same shape as bpeFertility —
+    * one (source, word) aggregate, pieces once per DISTINCT word, the
+    * merge table a collected closure. */
+  def bpeCompression(df: DataFrame, textCol: String, sourceCol: String,
+                     merges: DataFrame): DataFrame = {
+    val nPieces = bpePiecesUdf(merges)
+    val sw = df.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val pieces = sw.select(col("w")).distinct()
+      .withColumn("pieces", nPieces(col("w")))
+    sw.join(pieces, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt") * length(col("w"))).as("n_chars"),
+           sum(col("cnt") * col("pieces")).as("n_pieces"))
+      .withColumn("chars_per_piece",
+        floor(col("n_chars").cast("double") / col("n_pieces") * 1e6 + 0.5) / 1e6)
+      .withColumn("pieces_per_kchar",
+        floor(col("n_pieces").cast("double") / col("n_chars") * 1000 * 1e6 + 0.5) / 1e6)
   }
 
   /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):

@@ -137,4 +137,67 @@ object Econometrics {
       .select(col("n"), col("alpha"), col("beta"), col("rho"),
               col("se_rho"), col("t_stat"))
   }
+
+  /** Newey–West HAC-robust trend test (Newey & West 1987): OLS
+    * y_t = a + b·t over the position-indexed series, then the slope's
+    * variance corrected for serial correlation with Bartlett weights
+    * w_l = 1 − l/(L+1): Var_HAC(b) = (γ₀ + 2·Σ_l w_l·γ_l)/Sxx² with
+    * γ_l = Σ v_t·v_{t−l} and v_t = (t − t̄)·e_t. A trending-but-
+    * autocorrelated series inflates the naive OLS t; HAC deflates it —
+    * the honest version of the m5_trend significance readout.
+    *
+    * Emits one row: (n, slope, se_ols, t_ols, se_hac, t_hac). With
+    * L = 3 the Bartlett weights are exact binary fractions; all moment
+    * sums are 1e-9-grid BIGINT folds. Callers aggregate to the series
+    * frame first (tiny by construction — the grangerLag1 contract). */
+  def neweyWestTrend(df: DataFrame, tCol: String, yCol: String,
+                     maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tCol))
+    val base = df.coalesce(1)
+      .withColumn("t", row_number().over(w).cast("long"))
+    val m = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+      sum(g9(col(yCol))).as("sy9"),
+      sum(g9(col(yCol) * col("t"))).as("sty9"))
+      .select(col("n"), col("n").cast("double").as("nd"),
+        col("st").cast("double").as("st"), col("stt").cast("double").as("stt"),
+        (col("sy9") / 1e9).as("sy"), (col("sty9") / 1e9).as("sty"))
+      .withColumn("sxx", col("stt") - col("st") * col("st") / col("nd"))
+      .withColumn("sxy", col("sty") - col("st") * col("sy") / col("nd"))
+      .withColumn("slope", col("sxy") / col("sxx"))
+      .withColumn("tbar", col("st") / col("nd"))
+      .withColumn("icept",
+        (col("sy") - col("slope") * col("st")) / col("nd"))
+    val fit = m.select("n", "nd", "sxx", "slope", "tbar", "icept")
+    // v_t = (t − t̄)·e_t and its residual, identical doubles both engines
+    val vt = base.crossJoin(broadcast(fit))
+      .withColumn("e", col(yCol) - col("icept")
+        - col("slope") * col("t").cast("double"))
+      .withColumn("v", (col("t").cast("double") - col("tbar")) * col("e"))
+    val lagged = (1 to maxLag).foldLeft(vt) { (acc, l) =>
+      acc.withColumn(s"v$l", lag(col("v"), l).over(w))
+    }
+    val aggCols = sum(g9(col("e") * col("e"))).as("ee9") +:
+      sum(g9(col("v") * col("v"))).as("g0") +:
+      (1 to maxLag).map(l => sum(g9(col("v") * col(s"v$l"))).as(s"g$l"))
+    val gam = lagged
+      .groupBy(col("n"), col("nd"), col("sxx"), col("slope"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // Bartlett-weighted long-run variance of Σv, then slope variances
+    val wsum = (1 to maxLag)
+      .map(l => lit(1.0 - l.toDouble / (maxLag + 1)) * (col(s"g$l") / 1e9))
+      .reduce(_ + _)
+    gam
+      .withColumn("var_hac",
+        (col("g0") / 1e9 + lit(2.0) * wsum) / (col("sxx") * col("sxx")))
+      .withColumn("var_ols",
+        ((col("ee9") / 1e9) / (col("nd") - 2.0)) / col("sxx"))
+      .withColumn("se_ols", sqrt(col("var_ols")))
+      .withColumn("se_hac", sqrt(col("var_hac")))
+      .select(col("n"), col("slope"),
+        col("se_ols"), (col("slope") / col("se_ols")).as("t_ols"),
+        col("se_hac"), (col("slope") / col("se_hac")).as("t_hac"))
+  }
 }

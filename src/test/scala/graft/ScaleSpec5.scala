@@ -337,4 +337,240 @@ class ScaleSpec5 extends SparkTestBase {
       .collect().head.getAs[Double]("mde_abs")
     assert(half > out.getAs[Double]("mde_abs") * 1.3)
   }
+
+  // ---- Newey–West HAC ---------------------------------------------------------
+
+  test("newey-west: positively autocorrelated residuals inflate the HAC se " +
+       "above the naive OLS se; on near-iid residuals the two agree") {
+    val rnd = new scala.util.Random(5)
+    // AR(0.8) residuals around a trend
+    var e = 0.0
+    val ar = (1 to 200).map { t =>
+      e = 0.8 * e + rnd.nextGaussian()
+      (t.toLong, math.floor((0.05 * t + e) * 100 + 0.5) / 100) }
+      .toDF("t", "y")
+    val arRow = Econometrics.neweyWestTrend(ar, "t", "y", maxLag = 3)
+      .collect().head
+    assert(arRow.getAs[Double]("se_hac") > 1.4 * arRow.getAs[Double]("se_ols"),
+      "AR(0.8) noise must inflate the HAC se well above OLS")
+    assert(math.abs(arRow.getAs[Double]("slope") - 0.05) < 0.02)
+    val iid = (1 to 200).map { t =>
+      (t.toLong, math.floor((0.05 * t + rnd.nextGaussian()) * 100 + 0.5) / 100) }
+      .toDF("t", "y")
+    val iidRow = Econometrics.neweyWestTrend(iid, "t", "y", maxLag = 3)
+      .collect().head
+    val ratio = iidRow.getAs[Double]("se_hac") / iidRow.getAs[Double]("se_ols")
+    assert(ratio > 0.6 && ratio < 1.5,
+      s"iid noise: HAC and OLS se must be in the same band, got $ratio")
+  }
+
+  // ---- priority sampling --------------------------------------------------------
+
+  test("priority sample: exact replay of the w/u top-k, tau is the " +
+       "(k+1)-th priority, and the estimator is max(w, tau)") {
+    val rows = (1 to 50).map(i => (i.toLong, (i % 7 + 1) * 10L))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.scale.Sampling.prioritySample(df, "doc_id", "w", k = 10, seed = 3L)
+      .orderBy("rk").collect()
+    assert(got.length == 10)
+    // driver-side replay of u and q
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:3".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+    }
+    val replay = rows.map { case (id, w) => (id, w, w.toDouble / u(id)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val tau = replay(10)._3
+    got.zip(replay.take(10)).foreach { case (r, (id, w, q)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Double]("q") == q)
+      assert(r.getAs[Double]("tau") == tau)
+      assert(r.getAs[Double]("w_est") == math.max(w.toDouble, tau))
+    }
+    // degenerate population <= k: everyone kept, tau = 0, w_est = w
+    val tiny = graft.scale.Sampling.prioritySample(
+      rows.take(5).toDF("doc_id", "w"), "doc_id", "w", k = 10, seed = 3L)
+      .collect()
+    assert(tiny.length == 5)
+    tiny.foreach { r =>
+      assert(r.getAs[Double]("tau") == 0.0)
+      assert(r.getAs[Double]("w_est") == r.getAs[Long]("w").toDouble)
+    }
+  }
+
+  // ---- NDCG -------------------------------------------------------------------
+
+  test("ndcg: the ideal ordering scores exactly 1, a reversed ordering " +
+       "scores lower, and DCG replays the closed form") {
+    val rel = Seq((0L, 1L, 3L), (0L, 2L, 2L), (0L, 3L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    def ranking(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (d, i) => (0L, d, (i + 1).toLong) }
+      .toDF("query_id", "doc_id", "rank")
+    val ideal = TextAnalysis.ndcgAtK(ranking(Seq(1L, 2L, 3L)), rel, k = 10)
+      .collect().head
+    assert(ideal.getAs[Double]("ndcg") == 1.0)
+    val rev = TextAnalysis.ndcgAtK(ranking(Seq(3L, 2L, 1L)), rel, k = 10)
+      .collect().head
+    assert(rev.getAs[Double]("ndcg") < 1.0 && rev.getAs[Double]("ndcg") > 0.5)
+    // closed-form replay of the ideal DCG: gains 7,3,1 at the r6 discounts
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def g9(v: Double) = math.floor(v * 1e9 + 0.5) / 1e9
+    val want = Seq((7.0, 1), (3.0, 2), (1.0, 3))
+      .map { case (g, r) => g9(g * r6(math.log(2) / math.log(r + 1.0))) }.sum
+    assert(math.abs(ideal.getAs[Double]("dcg") - want) < 1e-9)
+    // a doc outside the relevance table contributes zero gain
+    val withJunk = TextAnalysis.ndcgAtK(ranking(Seq(99L, 1L, 2L, 3L)), rel, 10)
+      .collect().head
+    assert(withJunk.getAs[Double]("ndcg") < rev.getAs[Double]("ndcg") + 1e-12 ||
+           withJunk.getAs[Double]("ndcg") < 1.0)
+  }
+
+  test("term relevance: counts distinct query terms only") {
+    val docs = Seq(
+      (1L, "spark join performance spark spark"),
+      (2L, "join alone"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val rel = TextAnalysis.termRelevance(docs, "text", "doc_id",
+      Seq((0L, "spark join performance")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rel")).toMap
+    assert(rel(1L) == 3L, "repeats must not inflate the grade")
+    assert(rel(2L) == 1L)
+    assert(!rel.contains(3L))
+  }
+
+  // ---- Guerrero Box-Cox ---------------------------------------------------------
+
+  test("guerrero: multiplicative noise picks log (lambda=0), additive " +
+       "noise picks identity (lambda=1)") {
+    val rnd = new scala.util.Random(13)
+    // level ramps block to block; sigma proportional to level -> log wins
+    val mult = (0 until 64).map { t =>
+      val level = 10.0 * (1 + t / 8)
+      (1L, t.toDouble, t.toLong, level * (1.0 + 0.2 * rnd.nextGaussian()))
+    }.toDF("user_id", "ts", "event_id", "value")
+    val mRow = SeriesDiagnostics.guerreroBoxCox(mult, "value", "ts",
+      Seq("user_id"), m = 8, tieBreak = Seq("event_id")).collect().head
+    assert(mRow.getAs[Double]("lambda") == 0.0,
+      s"sigma ~ mu must pick log, got cv0=${mRow.getAs[Double]("cv0")} " +
+      s"cv1=${mRow.getAs[Double]("cv1")}")
+    // same ramp with CONSTANT sigma -> identity wins
+    val add = (0 until 64).map { t =>
+      val level = 10.0 * (1 + t / 8)
+      (1L, t.toDouble, t.toLong, level + 2.0 * rnd.nextGaussian())
+    }.toDF("user_id", "ts", "event_id", "value")
+    val aRow = SeriesDiagnostics.guerreroBoxCox(add, "value", "ts",
+      Seq("user_id"), m = 8, tieBreak = Seq("event_id")).collect().head
+    assert(aRow.getAs[Double]("lambda") == 1.0,
+      s"constant sigma must pick identity, got cv0=${aRow.getAs[Double]("cv0")} " +
+      s"cv1=${aRow.getAs[Double]("cv1")}")
+    assert(mRow.getAs[Long]("n_blocks") == 8)
+  }
+
+  // ---- tracking signal ------------------------------------------------------------
+
+  test("tracking signal: persistent drift saturates TS toward +1 and " +
+       "alarms; alternating errors stay near zero") {
+    // strictly increasing series: every error = +2 -> TS = 1 exactly
+    val up = (0 until 40).map(t => (1L, t.toDouble, t.toLong, 2.0 * t))
+      .toDF("user_id", "ts", "event_id", "value")
+    val u = SeriesDiagnostics.trackingSignal(up, "value", "ts",
+      Seq("user_id"), alpha = 0.5, limit = 0.5, tieBreak = Seq("event_id"))
+      .collect().head
+    assert(u.getAs[Double]("ts") == 1.0)
+    assert(u.getAs[Long]("alarm") == 1L)
+    // alternating +2/-2 errors: smoothed error cancels, MAD = 2
+    val alt = (0 until 40).map(t =>
+      (1L, t.toDouble, t.toLong, if (t % 2 == 0) 0.0 else 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val a = SeriesDiagnostics.trackingSignal(alt, "value", "ts",
+      Seq("user_id"), alpha = 0.5, limit = 0.5, tieBreak = Seq("event_id"))
+      .collect().head
+    assert(math.abs(a.getAs[Double]("ts")) < 0.4,
+      s"alternating errors must not alarm, got ${a.getAs[Double]("ts")}")
+    assert(a.getAs[Long]("alarm") == 0L)
+    assert(math.abs(a.getAs[Double]("mad_smooth") - 2.0) < 1e-6)
+  }
+
+  // ---- tokenizer compression ---------------------------------------------------------
+
+  test("bpe compression: with no merges every piece is a char " +
+       "(chars_per_piece = 1); merges raise it; duals are consistent") {
+    val docs = Seq((1L, "aa aa bb", "s1"), (2L, "aa bb bb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val noMerges = Seq.empty[(Int, String, String)]
+      .toDF("step", "left", "right")
+    val flat = TextAnalysis.bpeCompression(docs, "text", "source", noMerges)
+      .collect()
+    flat.foreach { r =>
+      assert(r.getAs[Double]("chars_per_piece") == 1.0)
+      assert(r.getAs[Double]("pieces_per_kchar") == 1000.0)
+      assert(r.getAs[Long]("n_chars") == r.getAs[Long]("n_pieces"))
+    }
+    val merged = Seq((0, "a", "a")).toDF("step", "left", "right")
+    val comp = TextAnalysis.bpeCompression(docs, "text", "source", merged)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // s1: aa aa bb -> pieces 1,1,2 over chars 2,2,2
+    assert(comp("s1").getAs[Long]("n_pieces") == 4L)
+    assert(comp("s1").getAs[Long]("n_chars") == 6L)
+    assert(comp("s1").getAs[Double]("chars_per_piece") == 1.5)
+  }
+
+  // ---- silhouette ----------------------------------------------------------------
+
+  test("silhouette: separated clusters score near 1, interleaved labels " +
+       "score near 0 or below") {
+    val rnd = new scala.util.Random(17)
+    def vec(center: Double) = Seq.fill(8)(center + 0.01 * rnd.nextGaussian())
+    val sep = ((1 to 40).map(i => (i.toLong, 0, vec(0.0))) ++
+               (41 to 80).map(i => (i.toLong, 1, vec(10.0))))
+      .toDF("vec_id", "label", "embedding")
+    val s1 = Similarity.labelSilhouette(sep, "embedding", "label", "vec_id")
+      .collect().map(_.getAs[Double]("mean_sil"))
+    s1.foreach(v => assert(v > 0.9, s"separated clusters must score ~1, got $v"))
+    // same points, labels assigned by parity of id -> labels carry no geometry
+    val mixed = ((1 to 80).map(i =>
+      (i.toLong, (i % 2).toInt, vec(if (i <= 40) 0.0 else 10.0))))
+      .toDF("vec_id", "label", "embedding")
+    val s2 = Similarity.labelSilhouette(mixed, "embedding", "label", "vec_id")
+      .collect().map(_.getAs[Double]("mean_sil"))
+    s2.foreach(v => assert(v < 0.2, s"geometry-free labels must score ~0, got $v"))
+  }
+
+  // ---- HyperLogLog -----------------------------------------------------------------
+
+  test("hll: estimate lands within the sketch's error band on a 10k-id " +
+       "population and the register math replays driver-side") {
+    val ids = (1 to 10000).map(i => Tuple1(i.toLong)).toDF("user_id")
+    val row = graft.stats.Sketches.hllDistinct(ids, "user_id", p = 8)
+      .collect().head
+    assert(row.getAs[Long]("n_exact") == 10000L)
+    val est = row.getAs[Double]("estimate")
+    val err = math.abs(est - 10000.0) / 10000.0
+    assert(err < 0.15, s"p=8 HLL must land within ~15%, got $est ($err)")
+    // driver-side replay of the register fold on a small fixture
+    val small = (1 to 500).map(i => Tuple1(i.toLong)).toDF("user_id")
+    val got = graft.stats.Sketches.hllDistinct(small, "user_id", p = 8)
+      .collect().head
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    (1 to 500).foreach { i =>
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hx.take(2), 16)
+      val w = java.lang.Long.parseLong(hx.slice(2, 15), 16)
+      val rho = if (w == 0) 53L else 53L - java.lang.Long.toBinaryString(w).length
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+    }
+    val vEmpty = 256L - regs.size
+    assert(got.getAs[Long]("v_empty") == vEmpty)
+    val zNum = regs.values.map(mr => 1L << (53 - mr)).sum +
+      vEmpty * 9007199254740992L
+    val eRaw = graft.stats.Sketches.alphaFor(256) * 256 * 256 /
+      (zNum / 9007199254740992.0)
+    assert(got.getAs[Double]("e_raw") == eRaw,
+      "raw estimate must replay bit-for-bit from the register fold")
+  }
 }
+

@@ -982,4 +982,68 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(3L).yhatPrior == Some(byId(2L).level),
       "prediction must be the pre-absorption level")
   }
+
+  test("online GARCH == batch filter under random micro-batch splits, " +
+       "and batch twin == garchFilter exactly") {
+    import graft.streaming.StreamGarch
+    import graft.streaming.StreamGarch.{Pt, Out}
+    val src = Tables.events(spark, SF).filter(col("user_id") <= 2)
+    val evs = src
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("value"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    assert(evs.length > 20, "fixture slice too small")
+    val batch = StreamGarch.garchExpandingBatch(src, "value", "ts", "user_id", "event_id")
+      .select(col("event_id"), col("h"), col("z")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the batch twin IS garchFilter's trajectory (same absorb fold)
+    val filt = graft.scale.PerSeriesForecast.garchFilter(
+        src, "value", "ts", "user_id", "event_id")
+      .select(col("event_id"), col("h"), col("z")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(filt == batch, "batch twin must equal garchFilter bit-for-bit")
+    for ((nSplits, seed) <- Seq((1, 0), (4, 1), (9, 2))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"garch_out_$seed"
+      val q = StreamGarch.track(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Out].collect()
+        .map(o => o.eventId -> (o.h, o.z)).toMap
+      assert(got.size == batch.size, s"split $nSplits: missing emissions")
+      val diffs = got.collect { case (id, hz) if hz != batch(id) => id }
+      assert(diffs.isEmpty,
+        s"split $nSplits: ${diffs.size} trajectories diverge, e.g. ${diffs.take(3)}")
+    }
+  }
+
+  test("online GARCH: late events dropped; first return carries h0") {
+    import graft.streaming.StreamGarch
+    import graft.streaming.StreamGarch.{Pt, Out}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pt]
+    val q = StreamGarch.track(mem.toDS()).writeStream
+      .format("memory").queryName("garch_late").outputMode("update").start()
+    mem.addData(Pt(9L, 1000L, 1L, 10.0), Pt(9L, 2000L, 2L, 14.0))
+    q.processAllAvailable()
+    mem.addData(Pt(9L, 1500L, 10L, 99.0), Pt(9L, 3000L, 3L, 14.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("garch_late").as[Out].collect().sortBy(_.eventId)
+    assert(!got.exists(_.eventId == 10L), "late event must be dropped")
+    val byId = got.map(o => o.eventId -> o).toMap
+    assert(!byId.contains(1L), "no return for the first observation")
+    assert(byId(2L).r == 4.0 && byId(2L).h == 1.0, "first return carries h0")
+    // second return: h = 0.25 + 0.25*16 + 0.5*1 = 4.75
+    assert(byId(3L).r == 0.0 && byId(3L).h == 4.75)
+  }
 }
+
