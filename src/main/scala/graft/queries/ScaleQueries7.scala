@@ -887,6 +887,81 @@ object ScaleQueries7 {
        |FROM f""".stripMargin
   }
 
+  // ---- ST: streaming tracking-signal twin ---------------------------------
+
+  /** st_tracking — the expanding batch twin of [[graft.streaming
+    * .StreamTracking]]: per-error smoothed TS = E/M trajectory, the live
+    * form of a42's end-of-series readout. Oracle replays the SES
+    * recursion as a recursive CTE (the f16/f22 pattern). */
+  private def stTracking: Q = (s, d) =>
+    graft.streaming.StreamTracking.trackingExpandingBatch(
+        Tables.events(s, d), "value", "ts", "user_id", "event_id")
+      .select(col("user_id"), col("event_id"),
+        dround(col("e"), 2).as("e"),
+        dround(col("e_smooth"), 6).as("e_smooth"),
+        dround(col("mad_smooth"), 6).as("mad_smooth"),
+        when(col("ts").isNotNull, dround(col("ts"), 6)).as("ts"))
+
+  private val stTrackingSql =
+    s"""WITH RECURSIVE s AS (SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    floor(CAST(value AS DOUBLE)*100 + 0.5)/100 AS y
+       |  FROM events),
+       |r AS (SELECT s.user_id, s.event_id, s.rn - 1 AS t, s.y - p.y AS e
+       |      FROM s JOIN s p ON p.user_id = s.user_id AND p.rn = s.rn - 1),
+       |st(user_id, t, e, es, ms) AS (
+       |  SELECT user_id, t, e, e, abs(e) FROM r WHERE t = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.t, r.e,
+       |    st.es + 0.5*(r.e - st.es), st.ms + 0.5*(abs(r.e) - st.ms)
+       |  FROM st JOIN r ON r.user_id = st.user_id AND r.t = st.t + 1)
+       |SELECT r.user_id, r.event_id, ${droundSql("r.e", 2)} AS e,
+       |  ${droundSql("st.es", 6)} AS e_smooth,
+       |  ${droundSql("st.ms", 6)} AS mad_smooth,
+       |  CASE WHEN st.ms > 0 THEN ${droundSql("st.es/st.ms", 6)} END AS ts
+       |FROM r JOIN st ON st.user_id = r.user_id AND st.t = r.t""".stripMargin
+
+  // ---- M17: Engle's ARCH-LM test ----------------------------------------------
+
+  /** M17 — ARCH-LM(1) over first differences of the daily purchase
+    * series: is there volatility clustering worth a GARCH filter?
+    * LM = n·R² of z²_t ~ z²_{t-1}, χ²(1) literal at 5%. */
+  private def m17ArchLm: Q = (s, d) => {
+    val daily = dailyXY(s, d).select(col("day"),
+      (col("pc").cast("double") / 100.0 / 100000.0).as("y"))
+    graft.stats.Econometrics.archLmTest(daily, "day", "y")
+      .select(col("n"),
+        dround(col("rho"), 6).as("rho"),
+        dround(col("r2"), 6).as("r2"),
+        dround(col("lm_stat"), 6).as("lm_stat"),
+        col("arch_flag"))
+  }
+
+  private val m17Sql =
+    s"""WITH dd AS ($dailyXYSql),
+       |xy AS (SELECT day, CAST(pc AS DOUBLE)/100.0/100000.0 AS y FROM dd),
+       |l1 AS (SELECT day, y, lag(y) OVER (ORDER BY day) AS ly FROM xy),
+       |z AS (SELECT day, (y - ly)*(y - ly) AS z2 FROM l1 WHERE ly IS NOT NULL),
+       |l2 AS (SELECT z2, lag(z2) OVER (ORDER BY day) AS lz2 FROM z),
+       |r AS (SELECT z2, lz2 FROM l2 WHERE lz2 IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(${g9Sql("lz2")}) AS BIGINT)/1.0E9 AS sx,
+       |    CAST(sum(${g9Sql("z2")}) AS BIGINT)/1.0E9 AS sy,
+       |    CAST(sum(${g9Sql("lz2*lz2")}) AS BIGINT)/1.0E9 AS sxx,
+       |    CAST(sum(${g9Sql("lz2*z2")}) AS BIGINT)/1.0E9 AS sxy,
+       |    CAST(sum(${g9Sql("z2*z2")}) AS BIGINT)/1.0E9 AS syy
+       |  FROM r),
+       |b AS (SELECT n, nd,
+       |    sxx - sx*sx/nd AS cxx, sxy - sx*sy/nd AS cxy,
+       |    syy - sy*sy/nd AS cyy FROM a),
+       |c AS (SELECT n, nd, cxy/cxx AS rho,
+       |    cxy*cxy/(cxx*cyy) AS r2 FROM b),
+       |f AS (SELECT n, rho, r2, nd*r2 AS lm_stat FROM c)
+       |SELECT n, ${droundSql("rho", 6)} AS rho, ${droundSql("r2", 6)} AS r2,
+       |  ${droundSql("lm_stat", 6)} AS lm_stat,
+       |  CAST(CASE WHEN lm_stat > 3.841458820694124 THEN 1 ELSE 0 END AS BIGINT) AS arch_flag
+       |FROM f""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -908,7 +983,9 @@ object ScaleQueries7 {
     "a42_tracking"    -> a42Tracking,
     "x29_compression" -> x29Compression,
     "s21_silhouette"  -> s21Silhouette,
-    "a43_hll"         -> a43Hll)
+    "a43_hll"         -> a43Hll,
+    "st_tracking"     -> stTracking,
+    "m17_archlm"      -> m17ArchLm)
 
   def oracle: Map[String, String] = Map(
     "m14_granger"     -> m14Sql,
@@ -929,5 +1006,7 @@ object ScaleQueries7 {
     "a42_tracking"    -> a42Sql,
     "x29_compression" -> x29Sql,
     "s21_silhouette"  -> s21Sql,
-    "a43_hll"         -> a43Sql)
+    "a43_hll"         -> a43Sql,
+    "st_tracking"     -> stTrackingSql,
+    "m17_archlm"      -> m17Sql)
 }

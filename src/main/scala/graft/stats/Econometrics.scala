@@ -200,4 +200,42 @@ object Econometrics {
         col("se_ols"), (col("slope") / col("se_ols")).as("t_ols"),
         col("se_hac"), (col("slope") / col("se_hac")).as("t_hac"))
   }
+
+  /** Engle's ARCH-LM test (Engle 1982) at lag 1 over first differences:
+    * regress z²_t on z²_{t-1} (z = Δy), LM = n·R² ~ χ²(1) under the
+    * no-ARCH null; reject at the 3.841458820694124 literal. The
+    * "should a GARCH filter run at all?" gate in front of
+    * [[graft.scale.PerSeriesForecast.garchFilter]].
+    *
+    * Emits one row: (n, rho, r2, lm_stat, arch_flag 0/1). All moments
+    * are 1e-9-grid BIGINT folds over the tiny aggregated frame (the
+    * grangerLag1 contract — callers aggregate first and scale y O(1)). */
+  def archLmTest(df: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tCol))
+    val sq = df.coalesce(1)
+      .withColumn("ly", lag(col(yCol), 1).over(w))
+      .filter(col("ly").isNotNull)
+      .withColumn("z2", (col(yCol) - col("ly")) * (col(yCol) - col("ly")))
+      .withColumn("lz2", lag(col("z2"), 1).over(w))
+      .filter(col("lz2").isNotNull)
+    sq.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(g9(col("lz2"))).as("sx"), sum(g9(col("z2"))).as("sy"),
+        sum(g9(col("lz2") * col("lz2"))).as("sxx"),
+        sum(g9(col("lz2") * col("z2"))).as("sxy"),
+        sum(g9(col("z2") * col("z2"))).as("syy"))
+      .select(col("n"), col("n").cast("double").as("nd"),
+        (col("sx") / 1e9).as("sx"), (col("sy") / 1e9).as("sy"),
+        (col("sxx") / 1e9).as("sxx"), (col("sxy") / 1e9).as("sxy"),
+        (col("syy") / 1e9).as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("nd"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .withColumn("rho", col("cxy") / col("cxx"))
+      .withColumn("r2", col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+      .withColumn("lm_stat", col("nd") * col("r2"))
+      .withColumn("arch_flag",
+        when(col("lm_stat") > 3.841458820694124, 1L).otherwise(0L))
+      .select(col("n"), col("rho"), col("r2"), col("lm_stat"), col("arch_flag"))
+  }
 }

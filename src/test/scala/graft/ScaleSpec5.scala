@@ -572,5 +572,32 @@ class ScaleSpec5 extends SparkTestBase {
     assert(got.getAs[Double]("e_raw") == eRaw,
       "raw estimate must replay bit-for-bit from the register fold")
   }
-}
 
+  // ---- ARCH-LM ----------------------------------------------------------------
+
+  test("arch-lm: volatility-clustered differences flag, homoskedastic " +
+       "differences do not, and LM = n*R2 replays") {
+    val rnd = new scala.util.Random(23)
+    // regime-switching volatility: 30 calm, 30 wild, repeated
+    var lvl = 100.0
+    val clustered = (1 to 240).map { t =>
+      val sigma = if ((t / 30) % 2 == 0) 0.2 else 6.0
+      lvl += sigma * rnd.nextGaussian()
+      (t.toLong, math.floor(lvl * 100 + 0.5) / 100)
+    }.toDF("t", "y")
+    val c = Econometrics.archLmTest(clustered, "t", "y").collect().head
+    assert(c.getAs[Long]("arch_flag") == 1L,
+      s"regime-switching vol must flag, lm=${c.getAs[Double]("lm_stat")}")
+    assert(c.getAs[Double]("rho") > 0, "clustered z2 is positively autocorrelated")
+    var lvl2 = 100.0
+    val flat = (1 to 240).map { t =>
+      lvl2 += 1.0 * rnd.nextGaussian()
+      (t.toLong, math.floor(lvl2 * 100 + 0.5) / 100)
+    }.toDF("t", "y")
+    val f = Econometrics.archLmTest(flat, "t", "y").collect().head
+    assert(f.getAs[Double]("lm_stat") < c.getAs[Double]("lm_stat") / 4,
+      "homoskedastic walk must score far below the clustered one")
+    assert(math.abs(c.getAs[Double]("lm_stat") -
+      c.getAs[Long]("n").toDouble * c.getAs[Double]("r2")) < 1e-9)
+  }
+}

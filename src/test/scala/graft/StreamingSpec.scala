@@ -1045,5 +1045,49 @@ class StreamingSpec extends SparkTestBase {
     // second return: h = 0.25 + 0.25*16 + 0.5*1 = 4.75
     assert(byId(3L).r == 0.0 && byId(3L).h == 4.75)
   }
-}
 
+  test("online tracking signal == batch twin under micro-batch splits; " +
+       "drift saturates TS live") {
+    import graft.streaming.StreamTracking
+    import graft.streaming.StreamTracking.{Pt, Out}
+    val src = Tables.events(spark, SF).filter(col("user_id") <= 2)
+    val evs = src
+      .select(col("user_id").as("userId"),
+              (col("ts").cast("double") * 1000).cast("long").as("tsMs"),
+              col("event_id").as("eventId"), col("value"))
+      .as[Pt].collect().sortBy(p => (p.tsMs, p.eventId))
+    val batch = StreamTracking.trackingExpandingBatch(
+        src, "value", "ts", "user_id", "event_id")
+      .select(col("event_id"), col("e_smooth"), col("ts")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    for ((nSplits, seed) <- Seq((1, 0), (5, 1))) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Pt]
+      val name = s"track_out_$seed"
+      val q = StreamTracking.track(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0, evs.length) ++ Seq.fill(nSplits - 1)(rnd.nextInt(evs.length))).sorted
+      for (Seq(a, b) <- cuts.sliding(2) if b > a) {
+        mem.addData(evs.slice(a, b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(name).as[Out].collect()
+        .map(o => o.eventId -> (o.eSmooth, o.ts)).toMap
+      assert(got.size == batch.size, s"split $nSplits: missing emissions")
+      val diffs = got.collect { case (id, v) if v != batch(id) => id }
+      assert(diffs.isEmpty, s"split $nSplits: ${diffs.size} diverge")
+    }
+    // pure drift: every error +3 -> TS pins at exactly 1 from the first error
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pt]
+    val q = StreamTracking.track(mem.toDS()).writeStream
+      .format("memory").queryName("track_drift").outputMode("update").start()
+    mem.addData((0 until 10).map(t => Pt(7L, 1000L * t, t.toLong, 3.0 * t)): _*)
+    q.processAllAvailable(); q.stop()
+    val ds = spark.table("track_drift").as[Out].collect()
+    assert(ds.forall(_.ts == Some(1.0)))
+  }
+}
