@@ -227,4 +227,35 @@ object Encoders {
       .withColumn(s"${catCol}_neg", col("__neg"))
       .drop("__cat", "__pos", "__neg", "__tpos", "__tneg", "__k")
   }
+
+  /** Equal-frequency (quantile) binning — the sklearn
+    * KBinsDiscretizer(strategy='quantile') analogue and the exact twin
+    * of MLlib's approximate QuantileDiscretizer: cut `valueCol` at the
+    * b−1 interior percentiles, assign bin = 1 + #{edges strictly below
+    * the value}, and report each bin's (count, min, max).
+    *
+    * 100-TB shape: the edge table is ONE exact-percentile aggregation
+    * (the [[graft.stats.Quantiles]] oracle path — swap in
+    * `Quantiles.approx` at scale, same contract as winsorize), b−1
+    * numbers broadcast back as literals folded into a map-side
+    * expression; the corpus shuffles once for the final per-bin reduce.
+    * Determinism: both engines interpolate percentiles with the same
+    * lower+(higher−lower)·frac rule (the a23_gaps parity), and bin
+    * assignment compares identical doubles. */
+  def quantileBin(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+    require(b >= 2, s"need at least 2 bins, got $b")
+    val probs = (1 until b).map(_.toDouble / b)
+    val edges = graft.stats.Quantiles.exact(df, valueCol, Nil, probs)
+      .drop("n")
+    val edgeCols = probs.map(p =>
+      col(graft.stats.Quantiles.qLabelPublic(p)))
+    val bin = edgeCols.foldLeft(lit(1L)) { (acc, e) =>
+      acc + when(col(valueCol) > e, 1L).otherwise(0L)
+    }
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+           min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -8,12 +8,18 @@ import graft.Tables
 import graft.queries.Det._
 
 /** Round-12 session-3 additions: the cross-series econometrics layer
-  * (Granger causality, Engle–Granger cointegration), volatility and
-  * temporal-aggregation forecasting (GARCH(1,1) filter, ADIDA),
-  * frequency-domain and long-memory diagnostics (periodogram, R/S
-  * Hurst), hybrid retrieval (Dirichlet query likelihood + reciprocal-
-  * rank fusion), and the experiment-design gates (SRM, MDE sizing).
-  * Every query pairs a Spark plan with a DuckDB oracle. */
+  * (Granger causality m14, Engle–Granger cointegration m15, Newey–West
+  * HAC m16, ARCH-LM m17), volatility and temporal-aggregation
+  * forecasting (GARCH(1,1) f22 + streaming twin st_garch + pipe13,
+  * ADIDA f21), frequency-domain / long-memory / transform diagnostics
+  * (periodogram t26, R/S Hurst a39, Guerrero Box-Cox t28), forecast
+  * monitoring (Trigg tracking signal a42 + streaming st_tracking),
+  * hybrid retrieval and its evaluation (QLD s18, RRF s19, NDCG s20),
+  * clustering quality (silhouette s21), sampling and sketches
+  * (priority sampling sm22, deterministic HLL a43), the experiment-
+  * design gates (SRM a40, MDE a41), tokenizer pricing (x29), and
+  * exact quantile binning (e12). Every query pairs a Spark plan with
+  * a DuckDB oracle. */
 object ScaleQueries7 {
 
   type Q = (SparkSession, String) => DataFrame
@@ -962,6 +968,69 @@ object ScaleQueries7 {
        |  CAST(CASE WHEN lm_stat > 3.841458820694124 THEN 1 ELSE 0 END AS BIGINT) AS arch_flag
        |FROM f""".stripMargin
 
+  // ---- E12: equal-frequency quantile binning ----------------------------------
+
+  /** E12 — 10-bin equal-frequency discretization of o_totalprice: the
+    * exact twin of MLlib's approximate QuantileDiscretizer (edges =
+    * one exact-percentile aggregate broadcast back; swap in
+    * Quantiles.approx at 100 TB, the winsorize contract). */
+  private def e12Qbin: Q = (s, d) =>
+    graft.core.Encoders.quantileBin(Tables.orders(s, d), "o_totalprice", b = 10)
+      .select(col("bin"), col("cnt"),
+        dround(col("lo"), 2).as("lo"), dround(col("hi"), 2).as("hi"))
+
+  private val e12Sql = {
+    val probs = (1 until 10).map(_.toDouble / 10)
+    val arr = probs.mkString("[", ", ", "]")
+    val cases = probs.indices.map(i =>
+      s"(CASE WHEN o_totalprice > qs[${i + 1}] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT quantile_cont(o_totalprice, $arr) AS qs FROM orders),
+       |b AS (SELECT o_totalprice AS v, 1 + $cases AS bin
+       |      FROM orders CROSS JOIN e)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt,
+       |  ${droundSql("min(v)", 2)} AS lo, ${droundSql("max(v)", 2)} AS hi
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
+  // ---- PIPE13: volatility-aware anomaly feed ------------------------------------
+
+  /** PIPE13 — GARCH filter → standardized-residual outlier flags →
+    * per-user risk summary, one declarative plan: the volatility-aware
+    * anomaly channel (a fixed-σ z-score (st_zscore) flags every point
+    * of a high-vol regime; GARCH's adaptive σ flags only what's
+    * surprising GIVEN the regime). */
+  private def pipe13Volatility: Q = (s, d) => {
+    val g = graft.scale.PerSeriesForecast.garchFilter(
+      Tables.events(s, d), "value", "ts", "user_id", "event_id")
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_returns"),
+           sum(when(abs(col("z")) > 2.5, 1L).otherwise(0L)).cast("long")
+             .as("n_flagged"),
+           max(abs(col("z"))).as("max_absz"))
+      .select(col("user_id"), col("n_returns"), col("n_flagged"),
+        dround(col("max_absz"), 6).as("max_absz"))
+  }
+
+  private val pipe13Sql =
+    s"""WITH RECURSIVE s AS (SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    floor(CAST(value AS DOUBLE)*100 + 0.5)/100 AS y
+       |  FROM events),
+       |r AS (SELECT s.user_id, s.event_id, s.rn - 1 AS t, s.y - p.y AS ret
+       |      FROM s JOIN s p ON p.user_id = s.user_id AND p.rn = s.rn - 1),
+       |st(user_id, t, ret, h) AS (
+       |  SELECT user_id, t, ret, CAST(1.0 AS DOUBLE) FROM r WHERE t = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.t, r.ret,
+       |    0.25 + 0.25*st.ret*st.ret + 0.5*st.h
+       |  FROM st JOIN r ON r.user_id = st.user_id AND r.t = st.t + 1),
+       |z AS (SELECT r.user_id, r.ret/sqrt(st.h) AS z
+       |      FROM r JOIN st ON st.user_id = r.user_id AND st.t = r.t)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_returns,
+       |  CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  ${droundSql("max(abs(z))", 6)} AS max_absz
+       |FROM z GROUP BY 1""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -985,7 +1054,9 @@ object ScaleQueries7 {
     "s21_silhouette"  -> s21Silhouette,
     "a43_hll"         -> a43Hll,
     "st_tracking"     -> stTracking,
-    "m17_archlm"      -> m17ArchLm)
+    "m17_archlm"      -> m17ArchLm,
+    "e12_qbin"        -> e12Qbin,
+    "pipe13_volatility" -> pipe13Volatility)
 
   def oracle: Map[String, String] = Map(
     "m14_granger"     -> m14Sql,
@@ -1008,5 +1079,7 @@ object ScaleQueries7 {
     "s21_silhouette"  -> s21Sql,
     "a43_hll"         -> a43Sql,
     "st_tracking"     -> stTrackingSql,
-    "m17_archlm"      -> m17Sql)
+    "m17_archlm"      -> m17Sql,
+    "e12_qbin"        -> e12Sql,
+    "pipe13_volatility" -> pipe13Sql)
 }

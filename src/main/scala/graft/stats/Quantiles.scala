@@ -16,6 +16,10 @@ object Quantiles {
     * compact `q25` form; fractional percents keep their digits
     * (`q5_4` for p=0.054) so nearby probs never collide into one
     * column name (which would break the downstream select/join). */
+  /** Public alias of [[qLabel]] for cross-package callers (e.g. the
+    * quantile-binning encoder reading the exact() column names). */
+  def qLabelPublic(p: Double): String = qLabel(p)
+
   private[stats] def qLabel(p: Double): String = {
     val pct = BigDecimal(p) * 100
     "q" + pct.underlying.stripTrailingZeros.toPlainString

@@ -600,4 +600,38 @@ class ScaleSpec5 extends SparkTestBase {
     assert(math.abs(c.getAs[Double]("lm_stat") -
       c.getAs[Long]("n").toDouble * c.getAs[Double]("r2")) < 1e-9)
   }
+
+  // ---- quantile binning -----------------------------------------------------------
+
+  test("quantile bins: 1..1000 splits into ten bins of exactly 100 with " +
+       "contiguous ranges") {
+    val df = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val bins = graft.core.Encoders.quantileBin(df, "v", b = 10)
+      .orderBy("bin").collect()
+    assert(bins.length == 10)
+    bins.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("bin") == i + 1)
+      assert(r.getAs[Long]("cnt") == 100L, s"bin ${i + 1} must hold 100")
+      assert(r.getAs[Double]("lo") == i * 100 + 1.0)
+      assert(r.getAs[Double]("hi") == (i + 1) * 100.0)
+    }
+  }
+
+  // ---- volatility pipeline ---------------------------------------------------------
+
+  test("volatility pipeline: a lone burst flags few points; a constant " +
+       "series flags none") {
+    val y = Array.fill(20)(5.0) ++ Array(45.0, 5.0) ++ Array.fill(20)(5.0)
+    val df = y.zipWithIndex.map { case (v, i) => (1L, i.toDouble, i.toLong, v) }
+      .toSeq.toDF("user_id", "ts", "event_id", "value")
+    val g = PerSeriesForecast.garchFilter(df, "value", "ts", "user_id", "event_id")
+    val flagged = g.filter(abs(col("z")) > 2.5).count()
+    assert(flagged >= 1 && flagged <= 4,
+      s"adaptive sigma must flag the burst and little else, got $flagged")
+    val const = (0 until 30).map(t => (2L, t.toDouble, t.toLong, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val f2 = PerSeriesForecast.garchFilter(const, "value", "ts", "user_id", "event_id")
+      .filter(abs(col("z")) > 2.5).count()
+    assert(f2 == 0L)
+  }
 }
