@@ -1031,6 +1031,38 @@ object ScaleQueries7 {
        |  ${droundSql("max(abs(z))", 6)} AS max_absz
        |FROM z GROUP BY 1""".stripMargin
 
+  // ---- A44: per-source concentration ------------------------------------------
+
+  /** A44 — Gini + Theil concentration of per-doc char mass within each
+    * source: the imbalance readout in front of the sm7/sm16/sm18
+    * mixture planners. Gini is exact rank-lattice arithmetic; Theil's
+    * ln terms fold on the 1e-9 grid. */
+  private def a44Gini: Q = (s, d) =>
+    graft.scale.TextAnalysis.sourceConcentration(
+        Tables.documents(s, d), "n_chars", "source", "doc_id")
+      .select(col("source"), col("n_docs"),
+        dround(col("gini"), 6).as("gini"),
+        dround(col("theil"), 6).as("theil"))
+
+  private val a44Sql =
+    s"""WITH w AS (SELECT source, CAST(n_chars AS BIGINT) AS w,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS i,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+       |    CAST(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS BIGINT) AS tot
+       |  FROM documents WHERE n_chars > 0),
+       |t AS (SELECT source, w, i, n, tot, (2*i - n - 1)*w AS gnum,
+       |    CAST(floor((CAST(w AS DOUBLE)/tot)
+       |      * ln(CAST(w AS DOUBLE)/(CAST(tot AS DOUBLE)/n)) * 1.0E9 + 0.5) AS BIGINT) AS t9
+       |  FROM w),
+       |a AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |    CAST(sum(gnum) AS BIGINT) AS gnum, CAST(max(tot) AS BIGINT) AS tot,
+       |    CAST(sum(t9) AS BIGINT) AS t9
+       |  FROM t GROUP BY 1)
+       |SELECT source, n_docs,
+       |  ${droundSql("CAST(gnum AS DOUBLE)/(CAST(n_docs AS DOUBLE)*tot)", 6)} AS gini,
+       |  ${droundSql("t9/1.0E9", 6)} AS theil
+       |FROM a""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -1056,7 +1088,8 @@ object ScaleQueries7 {
     "st_tracking"     -> stTracking,
     "m17_archlm"      -> m17ArchLm,
     "e12_qbin"        -> e12Qbin,
-    "pipe13_volatility" -> pipe13Volatility)
+    "pipe13_volatility" -> pipe13Volatility,
+    "a44_gini"        -> a44Gini)
 
   def oracle: Map[String, String] = Map(
     "m14_granger"     -> m14Sql,
@@ -1081,5 +1114,6 @@ object ScaleQueries7 {
     "st_tracking"     -> stTrackingSql,
     "m17_archlm"      -> m17Sql,
     "e12_qbin"        -> e12Sql,
-    "pipe13_volatility" -> pipe13Sql)
+    "pipe13_volatility" -> pipe13Sql,
+    "a44_gini"        -> a44Sql)
 }

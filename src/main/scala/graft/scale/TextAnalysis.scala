@@ -936,6 +936,41 @@ object TextAnalysis {
         floor(col("n_pieces").cast("double") / col("n_chars") * 1000 * 1e6 + 0.5) / 1e6)
   }
 
+  /** Per-source weight-concentration diagnostics: the Gini coefficient
+    * (Σ(2i−n−1)·w_(i) / (n·Σw) over the within-source sort) and the
+    * Theil T index (Σ (w/W)·ln(w/μ)) of a per-doc weight column — the
+    * imbalance readout a mixture planner consults before setting
+    * per-source budgets (a source whose mass sits in 1% of its docs
+    * responds very differently to doc-level sampling than a uniform
+    * one). Gini is pure integer arithmetic on the rank lattice (exact);
+    * Theil's per-doc ln terms fold on the 1e-9 grid (the x22 contract).
+    * Shape: one source-keyed window (rank + sums), one reduce. */
+  def sourceConcentration(df: DataFrame, weightCol: String,
+                          sourceCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("w"), col("id"))
+    val wAll = Window.partitionBy(col("source"))
+    df.filter(col(weightCol) > 0)
+      .select(col(sourceCol).as("source"), col(weightCol).cast("long").as("w"),
+        col(idCol).as("id"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .withColumn("gnum", (lit(2L) * col("i") - col("n") - 1L) * col("w"))
+      .withColumn("t9", floor((col("w").cast("double") / col("tot"))
+        * log(col("w").cast("double")
+          / (col("tot").cast("double") / col("n"))) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+           sum(col("gnum")).as("gnum"), max(col("tot")).as("tot"),
+           sum(col("t9")).as("t9"))
+      .withColumn("gini", col("gnum").cast("double")
+        / (col("n_docs").cast("double") * col("tot")))
+      .withColumn("theil", col("t9") / 1e9)
+      .select(col("source"), col("n_docs"), col("gini"), col("theil"))
+  }
+
   /** Iterative BPE merge learning (Sennrich et al. 2016, algorithm 1):
     * repeat `merges` times — count adjacent symbol pairs over the
     * word-count table, take the most frequent (ties to the

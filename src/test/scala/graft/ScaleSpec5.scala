@@ -634,4 +634,30 @@ class ScaleSpec5 extends SparkTestBase {
       .filter(abs(col("z")) > 2.5).count()
     assert(f2 == 0L)
   }
+
+  // ---- source concentration --------------------------------------------------------
+
+  test("concentration: uniform weights give gini/theil 0; a dominant doc " +
+       "pushes gini toward (n-1)/n") {
+    val uniform = (1 to 100).map(i => (i.toLong, "s1", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    val u = TextAnalysis.sourceConcentration(uniform, "n_chars", "source", "doc_id")
+      .collect().head
+    assert(u.getAs[Double]("gini") == 0.0)
+    assert(math.abs(u.getAs[Double]("theil")) < 1e-6)
+    // 99 docs of 1 char + one of 9901: almost everything in one doc
+    val skewed = ((1 to 99).map(i => (i.toLong, "s2", 1L)) :+ (100L, "s2", 9901L))
+      .toDF("doc_id", "source", "n_chars")
+    val s = TextAnalysis.sourceConcentration(skewed, "n_chars", "source", "doc_id")
+      .collect().head
+    assert(s.getAs[Double]("gini") > 0.95,
+      s"one dominant doc must push gini toward 0.99, got ${s.getAs[Double]("gini")}")
+    assert(s.getAs[Double]("theil") > 2.0)
+    // exact gini replay on the skewed fixture
+    val ws = (Seq.fill(99)(1L) :+ 9901L).sorted
+    val n = ws.length; val tot = ws.sum
+    val gini = ws.zipWithIndex.map { case (w, i0) =>
+      (2L * (i0 + 1) - n - 1L) * w }.sum.toDouble / (n.toDouble * tot)
+    assert(math.abs(s.getAs[Double]("gini") - gini) < 1e-12)
+  }
 }
