@@ -229,10 +229,16 @@ object Encoders {
   }
 
   /** Equal-frequency (quantile) binning — the sklearn
-    * KBinsDiscretizer(strategy='quantile') analogue and the exact twin
-    * of MLlib's approximate QuantileDiscretizer: cut `valueCol` at the
-    * b−1 interior percentiles, assign bin = 1 + #{edges strictly below
-    * the value}, and report each bin's (count, min, max).
+    * KBinsDiscretizer(strategy='quantile') analogue, with EXACT edges
+    * where MLlib's QuantileDiscretizer uses approximate ones: cut
+    * `valueCol` at the b−1 interior percentiles, assign bin = 1 +
+    * #{edges strictly below the value}, and report each bin's
+    * (count, min, max). Boundary convention differs from Bucketizer:
+    * a value exactly equal to an interior edge falls in the LOWER bin
+    * here (closed-upper intervals), while Bucketizer's splits are
+    * left-inclusive [a, b) and would send it up. Duplicate edges from
+    * low-cardinality data leave the skipped bin ids absent (no
+    * zero-count rows are emitted).
     *
     * 100-TB shape: the edge table is ONE exact-percentile aggregation
     * (the [[graft.stats.Quantiles]] oracle path — swap in

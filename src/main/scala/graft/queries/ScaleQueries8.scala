@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Det._
+
+/** Round-13 additions: the C4 cleaning battery (x31), robust MAD
+  * outliers (q5), Benjamini–Hochberg FDR over a per-user test family
+  * (a45), IMAPA multi-level intermittent-demand combination (f23),
+  * exact fixed-point PageRank over the part–supplier graph (g1), and
+  * deterministic Johnson–Lindenstrauss random projection (s22). Every
+  * query pairs a Spark plan with a DuckDB oracle on the same grid. */
+object ScaleQueries8 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- X31: C4 cleaning rules --------------------------------------------
+
+  /** X31 — the C4 per-document rule census over the corpus. */
+  private def x31C4: Q = (s, d) =>
+    graft.scale.QualityFilters.c4Rules(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_words"), col("n_sents"),
+              col("has_lorem"), col("has_brace"), col("term_line_ratio"),
+              col("keep"))
+
+  private val x31Sql =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, '.'),
+       |      x -> trim(x) <> '')) AS BIGINT) AS n_sents,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace,
+       |    CAST(len(list_filter(lines, x -> x LIKE '%.' OR x LIKE '%!'
+       |      OR x LIKE '%?' OR x LIKE '%"')) AS BIGINT) AS n_term,
+       |    CAST(len(lines) AS BIGINT) AS n_lines
+       |  FROM d),
+       |r AS (SELECT doc_id, n_words, n_sents, has_lorem, has_brace,
+       |    CASE WHEN n_lines > 0
+       |      THEN ${droundSql("CAST(n_term AS DOUBLE) / n_lines", 6)} END
+       |      AS term_line_ratio
+       |  FROM s)
+       |SELECT doc_id, n_words, n_sents, has_lorem, has_brace,
+       |  term_line_ratio,
+       |  coalesce(n_sents >= 3 AND n_words >= 5 AND NOT has_lorem
+       |    AND NOT has_brace AND term_line_ratio > 0.0, false) AS keep
+       |FROM r""".stripMargin
+
+  // ---- Q5: MAD robust outliers -------------------------------------------
+
+  /** Q5 — modified-z outlier census per event type over the cents-grid
+    * purchase/click values: the robust twin of q4's Tukey fences. */
+  private def q5Mad: Q = (s, d) =>
+    graft.stats.Quantiles.madOutliers(
+        Tables.events(s, d).withColumn("v",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "v", Seq("event_type"), thresh = 3.5)
+      .select(col("event_type"), col("n"),
+              dround(col("med"), 4).as("med"), dround(col("mad"), 4).as("mad"),
+              col("n_outliers"))
+
+  private val q5Sql =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+       |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+       |        FROM e GROUP BY 1),
+       |dev AS (SELECT e.event_type, e.v, med.med,
+       |          abs(CAST(e.v AS DOUBLE) - med.med) AS adev
+       |        FROM e JOIN med USING (event_type)),
+       |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+       |        FROM dev GROUP BY 1)
+       |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${droundSql("max(dev.med)", 4)} AS med,
+       |  ${droundSql("max(mad.mad)", 4)} AS mad,
+       |  CAST(sum(CASE WHEN (CASE WHEN mad.mad > 0.0
+       |      THEN 0.6745 * dev.adev / mad.mad > 3.5
+       |      ELSE dev.adev > 0.0 END) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev JOIN mad USING (event_type)
+       |GROUP BY 1""".stripMargin
+
+  // ---- A45: Benjamini–Hochberg FDR ---------------------------------------
+
+  /** The per-user uniformity family: users with >= 20 events, χ²
+    * goodness-of-fit of their event_type mix against the uniform
+    * 5-way split (4 df), p = exp(−x/2)·(1 + x/2) — the EXACT 4-df
+    * survival function, no CDF approximation. */
+  private def a45Family(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c3"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("c4"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c5"))
+      .filter(col("n") >= 20L)
+      .withColumn("e", col("n").cast("double") / 5.0)
+      .withColumn("chi2",
+        (col("c1") - col("e")) * (col("c1") - col("e")) / col("e")
+          + (col("c2") - col("e")) * (col("c2") - col("e")) / col("e")
+          + (col("c3") - col("e")) * (col("c3") - col("e")) / col("e")
+          + (col("c4") - col("e")) * (col("c4") - col("e")) / col("e")
+          + (col("c5") - col("e")) * (col("c5") - col("e")) / col("e"))
+      .withColumn("p", exp(col("chi2") * -0.5) * (lit(1.0) + col("chi2") / 2.0))
+
+  /** A45 — BH step-up FDR at q = 0.10 over the per-user uniformity
+    * family: which users' event mixes are NON-uniform after correcting
+    * for testing |users| hypotheses at once. */
+  private def a45Bh: Q = (s, d) =>
+    graft.stats.MultipleTesting.bhAdjust(a45Family(s, d), "p", "user_id",
+        q = 0.10)
+      .select(col("user_id"), col("n"), dround(col("chi2"), 6).as("chi2"),
+              dround(col("p"), 9).as("p"), col("rank"), col("m"),
+              dround(col("p_adj"), 9).as("p_adj"), col("reject"))
+
+  private val a45Sql =
+    s"""WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS c1,
+       |    CAST(count(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS c2,
+       |    CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS c3,
+       |    CAST(count(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS c4,
+       |    CAST(count(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS c5
+       |  FROM events GROUP BY 1 HAVING count(*) >= 20),
+       |t AS (SELECT user_id, n,
+       |    (c1 - e)*(c1 - e)/e + (c2 - e)*(c2 - e)/e + (c3 - e)*(c3 - e)/e
+       |      + (c4 - e)*(c4 - e)/e + (c5 - e)*(c5 - e)/e AS chi2
+       |  FROM (SELECT *, CAST(n AS DOUBLE)/5.0 AS e FROM g)),
+       |p AS (SELECT user_id, n, chi2,
+       |    exp(chi2 * -0.5) * (1.0 + chi2/2.0) AS p,
+       |    CAST(floor(exp(chi2 * -0.5) * (1.0 + chi2/2.0) * 1.0E9 + 0.5)
+       |      AS BIGINT) AS p9
+       |  FROM t),
+       |r AS (SELECT *,
+       |    CAST(row_number() OVER (ORDER BY p9, user_id) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM p),
+       |adj AS (SELECT *,
+       |    least(min(CAST(m * p9 AS DOUBLE) / rank / 1.0E9)
+       |      OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+       |      FOLLOWING), 1.0) AS p_adj
+       |  FROM r)
+       |SELECT user_id, n, ${droundSql("chi2", 6)} AS chi2,
+       |  ${droundSql("p", 9)} AS p, rank, m,
+       |  ${droundSql("p_adj", 9)} AS p_adj, p_adj <= 0.10 AS reject
+       |FROM adj""".stripMargin
+
+  // ---- F23: IMAPA ---------------------------------------------------------
+
+  /** F23 — IMAPA over per-user purchase demand at levels {1, 2, 4}:
+    * SES, 2-blocks and 4-blocks averaged on the 1e-6 grid. */
+  private def f23Imapa: Q = (s, d) =>
+    graft.scale.PerSeriesForecast.imapaForecast(
+        Tables.events(s, d).withColumn("demand",
+          when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))),
+        "demand", "ts", Seq("user_id"), levels = Seq(1, 2, 4),
+        alpha = 0.5, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_periods"), col("n_levels"),
+              dround(col("yhat_imapa"), 6).as("yhat_imapa"))
+
+  /** One ADIDA level in SQL: per-user 1e-6-grid yhat_period for series
+    * with n >= 8 (the consistent IMAPA panel). */
+  private def adidaLevelSql(m: Int): String =
+    s"""SELECT user_id, max(n) AS n_periods,
+       |  CAST(floor(CAST(sum(t9) AS BIGINT)/1000.0/$m + 0.5) AS BIGINT) AS p6
+       |FROM (
+       |  SELECT user_id, n, b, nb,
+       |    CAST(floor((zc/100.0) * (CASE WHEN b = 1 THEN pow(0.5, nb - 1)
+       |      ELSE 0.5*pow(0.5, nb - b) END) * 1.0E9 + 0.5) AS BIGINT) AS t9
+       |  FROM (
+       |    SELECT user_id, n, b, zc,
+       |      CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nb
+       |    FROM (
+       |      SELECT user_id, max(n) AS n, (rn - n % $m - 1) // $m + 1 AS b,
+       |        CAST(sum(c) AS BIGINT) AS zc
+       |      FROM s WHERE n >= 8 AND rn > n % $m
+       |      GROUP BY user_id, (rn - n % $m - 1) // $m + 1)))
+       |GROUP BY user_id""".stripMargin
+
+  private val f23Sql =
+    s"""WITH s AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END AS c
+       |  FROM events),
+       |l1 AS (${adidaLevelSql(1)}),
+       |l2 AS (${adidaLevelSql(2)}),
+       |l4 AS (${adidaLevelSql(4)}),
+       |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+       |      UNION ALL SELECT * FROM l4)
+       |SELECT user_id, CAST(max(n_periods) AS BIGINT) AS n_periods,
+       |  CAST(count(*) AS BIGINT) AS n_levels,
+       |  ${droundSql("floor(CAST(sum(p6) AS DOUBLE)/count(*) + 0.5)/1000000.0", 6)}
+       |    AS yhat_imapa
+       |FROM u GROUP BY user_id""".stripMargin
+
+  // ---- G1: PageRank -------------------------------------------------------
+
+  /** G1 — 5-iteration exact fixed-point PageRank over the undirected
+    * part–supplier sourcing graph (distinct lineitem pairs, both
+    * directions), top-50 nodes by rank. The link-analysis readout a
+    * curation pipeline uses to weight hub domains/sources. */
+  private def g1Pagerank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val pr = graft.scale.Graph.pageRankFixed(edges, "src", "dst", iters = 5)
+    val w = Window.orderBy(col("pr").desc, col("id"))
+    pr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 50)
+      .select(
+        when(col("id") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("id div 2").as("node_id"), col("pr"), col("rank"))
+  }
+
+  /** One PageRank sweep in SQL over CTEs `e`/`deg` and ranks `$prev`. */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT deg.id,
+       |  CAST(150000000000 + 85*(coalesce(t.s, 0) // 100)
+       |    + (85*(coalesce(t.s, 0) % 100)) // 100 AS BIGINT) AS pr
+       |FROM deg LEFT JOIN (
+       |  SELECT e.dst AS id, CAST(sum(p.pr // deg.d) AS BIGINT) AS s
+       |  FROM $prev p JOIN deg ON p.id = deg.id JOIN e ON e.src = p.id
+       |  GROUP BY e.dst) t ON deg.id = t.id)""".stripMargin
+
+  private val g1Sql = {
+    val iters = (1 to 5).map(i =>
+      prIterSql(if (i == 1) "p0" else s"i${i - 1}", s"i$i")).mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+       |        FROM e GROUP BY 1),
+       |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END
+       |    AS node_type,
+       |  id // 2 AS node_id, pr,
+       |  CAST(row_number() OVER (ORDER BY pr DESC, id) AS BIGINT) AS rank
+       |FROM i5 QUALIFY rank <= 50""".stripMargin
+  }
+
+  // ---- S22: JL random projection -----------------------------------------
+
+  /** S22 — deterministic Rademacher projection of the 64-d embeddings
+    * to 16 dims, first 200 vectors exploded to (vec_id, j, val). */
+  private def s22Rproj: Q = (s, d) =>
+    graft.scale.Similarity.randomProject(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "embedding", "vec_id", outDim = 16)
+      .select(col("vec_id"),
+        posexplode(col("proj9")).as(Seq("j", "v9")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        dround(col("v9") / 1e9, 6).as("val"))
+
+  private val s22Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |ij AS (SELECT i.range AS i, j.range AS j
+       |       FROM range(0, 64) i CROSS JOIN range(0, 16) j),
+       |terms AS (SELECT vec_id, j,
+       |    (CASE WHEN (1103515245*(i*16 + j) + 12345) % 2147483648 % 2 = 0
+       |          THEN 1 ELSE -1 END)
+       |    * CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+       |                 * 1.0E9 + 0.5) AS BIGINT) AS t
+       |  FROM v CROSS JOIN ij)
+       |SELECT vec_id, CAST(j AS BIGINT) AS j,
+       |  ${droundSql("CAST(sum(t) AS BIGINT)/1.0E9", 6)} AS val
+       |FROM terms GROUP BY vec_id, j""".stripMargin
+
+  // ---- A46: group-sequential OBF looks -----------------------------------
+
+  /** A46 — 5-look O'Brien–Fleming sequential monitor over purchase
+    * value between the salt-1 md5 half-space arms: the peek-K-times
+    * gate in front of the a37/a38 effect readouts. A null split should
+    * essentially never cross. */
+  private def a46Obf: Q = (s, d) =>
+    graft.stats.ExperimentDesign.sequentialLooks(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "value", "ts", k = 5, salt = 1L)
+      .select(col("look"), col("n_a"), col("n_b"),
+              dround(col("m_a"), 6).as("m_a"), dround(col("m_b"), 6).as("m_b"),
+              dround(col("z"), 6).as("z"), dround(col("bound"), 6).as("bound"),
+              col("crossed"))
+
+  private val a46Sql =
+    s"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS tu
+       |  FROM events WHERE event_type = 'purchase'),
+       |sp AS (SELECT min(tu) AS t0, max(tu) AS t1 FROM e),
+       |l AS (SELECT least(5, ((tu - t0) * 5) // (t1 - t0 + 1) + 1) AS look,
+       |    md5(CAST(user_id AS VARCHAR) || ':' || '1') < '8000' AS in_a,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+       |  FROM e CROSS JOIN sp),
+       |g AS (SELECT look,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS pna,
+       |    CAST(sum(CASE WHEN in_a THEN c ELSE 0 END) AS BIGINT) AS psa,
+       |    CAST(sum(CASE WHEN in_a THEN c*c ELSE 0 END) AS BIGINT) AS pssa,
+       |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS pnb,
+       |    CAST(sum(CASE WHEN NOT in_a THEN c ELSE 0 END) AS BIGINT) AS psb,
+       |    CAST(sum(CASE WHEN NOT in_a THEN c*c ELSE 0 END) AS BIGINT) AS pssb
+       |  FROM l GROUP BY 1),
+       |cu AS (SELECT look,
+       |    CAST(sum(pna) OVER w AS BIGINT) AS n_a,
+       |    CAST(sum(psa) OVER w AS BIGINT) AS s_a,
+       |    CAST(sum(pssa) OVER w AS BIGINT) AS ss_a,
+       |    CAST(sum(pnb) OVER w AS BIGINT) AS n_b,
+       |    CAST(sum(psb) OVER w AS BIGINT) AS s_b,
+       |    CAST(sum(pssb) OVER w AS BIGINT) AS ss_b
+       |  FROM g WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |m AS (SELECT look, n_a, n_b,
+       |    CAST(s_a AS DOUBLE)/n_a/100.0 AS m_a,
+       |    CAST(s_b AS DOUBLE)/n_b/100.0 AS m_b,
+       |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)*s_a/n_a)
+       |      /(n_a - 1.0)/10000.0 AS v_a,
+       |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)*s_b/n_b)
+       |      /(n_b - 1.0)/10000.0 AS v_b
+       |  FROM cu WHERE n_a >= 2 AND n_b >= 2),
+       |z AS (SELECT look, n_a, n_b, m_a, m_b,
+       |    (m_a - m_b)/sqrt(v_a/n_a + v_b/n_b) AS z,
+       |    1.959963984540054 * sqrt(5.0/look) AS bound
+       |  FROM m)
+       |SELECT look, n_a, n_b, ${droundSql("m_a", 6)} AS m_a,
+       |  ${droundSql("m_b", 6)} AS m_b, ${droundSql("z", 6)} AS z,
+       |  ${droundSql("bound", 6)} AS bound, abs(z) > bound AS crossed
+       |FROM z""".stripMargin
+
+  // ---- A47: Count-Min sketch ---------------------------------------------
+
+  /** A47 — depth-3 × 64 Count-Min audit over event user_ids: sketch
+    * estimate vs exact count for the 20 heaviest users; the mergeable
+    * heavy-hitter companion to the a43 HLL. */
+  private def a47Cms: Q = (s, d) =>
+    graft.stats.Sketches.cmsTopKAudit(Tables.events(s, d), "user_id",
+        k = 20, width = 64)
+      .select(col("key"), col("exact"), col("est"), col("overcount"))
+
+  private val a47Sql =
+    s"""WITH k AS (SELECT user_id % 2147483647 AS km FROM events),
+       |h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 214013, 2531011),
+       |  (2, 69069, 1234567)),
+       |sk AS (SELECT r, (a*km + b) % 2147483647 % 64 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM k CROSS JOIN h GROUP BY 1, 2),
+       |top AS (SELECT km, CAST(count(*) AS BIGINT) AS exact FROM k
+       |  GROUP BY 1 ORDER BY exact DESC, km LIMIT 20),
+       |est AS (SELECT t.km, t.exact, CAST(min(sk.c) AS BIGINT) AS est
+       |  FROM top t CROSS JOIN h
+       |  JOIN sk ON sk.r = h.r
+       |    AND sk.bucket = (h.a*t.km + h.b) % 2147483647 % 64
+       |  GROUP BY 1, 2)
+       |SELECT km AS key, exact, est,
+       |  CAST(est - exact AS BIGINT) AS overcount
+       |FROM est""".stripMargin
+
+  // ---- X33: Kneser–Ney bigram LM -----------------------------------------
+
+  /** X33 — interpolated KN bigram probabilities, top-50 bigrams: the
+    * smoothed upgrade of the x16 raw bigram LM. */
+  private def x33Kn: Q = (s, d) =>
+    graft.scale.TextAnalysis.knBigram(Tables.documents(s, d), "text",
+      discount = 0.75, topK = 50)
+
+  private val x33Sql =
+    s"""WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+       |    AS w FROM documents),
+       |p AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM w WHERE len(w) >= 2)),
+       |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM p GROUP BY 1, 2),
+       |t AS (SELECT w1, w2, c12,
+       |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+       |    CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_left,
+       |    CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_right,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_types
+       |  FROM ty)
+       |SELECT w1, w2, c12, c1, n1p_left, n1p_right, n_types,
+       |  ${droundSql("(CAST(c12 AS DOUBLE) - 0.75)/c1 " +
+         "+ 0.75*n1p_left/c1*(CAST(n1p_right AS DOUBLE)/n_types)", 9)} AS p_kn
+       |FROM t ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // ---- MM7: audio frame features -----------------------------------------
+
+  /** MM7 — per-frame RMS/zero-crossings over the stub-synthesized PCM
+    * stream (real framing math; see Multimodal.audioFramesFromText). */
+  private def mm7Audio: Q = (s, d) =>
+    graft.scale.Multimodal.audioFramesFromText(
+        Tables.documents(s, d).filter(col("doc_id") < 300),
+        "text", "doc_id")
+      .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+              col("rms"), col("zcr"))
+
+  private val mm7Sql =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |s AS (SELECT doc_id, list_transform(range(0, least(length(text), 256)),
+       |    i -> (ascii(substr(text, CAST(i + 1 AS INT), 1)) * 131 + i * 17)
+       |         % 4096 - 2048) AS s
+       |  FROM d),
+       |n AS (SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n_samples
+       |  FROM s WHERE len(s) >= 32),
+       |fr AS (SELECT doc_id, n_samples, CAST(f AS BIGINT) AS frame_idx,
+       |    list_slice(s, CAST(f*16 + 1 AS INT), CAST(f*16 + 32 AS INT)) AS sl
+       |  FROM (SELECT doc_id, n_samples, s,
+       |        unnest(range(0, (len(s) - 32)//16 + 1)) AS f FROM n)),
+       |m AS (SELECT doc_id, frame_idx, n_samples,
+       |    CAST(list_sum(list_transform(sl, x -> x*x)) AS BIGINT) AS sumsq,
+       |    CAST(len(list_filter(range(1, 32),
+       |      i -> sl[CAST(i AS INT)] * sl[CAST(i + 1 AS INT)] < 0)) AS BIGINT)
+       |      AS zcr
+       |  FROM fr)
+       |SELECT doc_id, frame_idx, n_samples,
+       |  ${droundSql("sqrt(CAST(sumsq AS DOUBLE)/32)", 6)} AS rms, zcr
+       |FROM m""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  def queries: Map[String, Q] = Map(
+    "x31_c4_rules" -> x31C4,
+    "q5_mad"       -> q5Mad,
+    "a45_bh_fdr"   -> a45Bh,
+    "f23_imapa"    -> f23Imapa,
+    "g1_pagerank"  -> g1Pagerank,
+    "s22_rproj"    -> s22Rproj,
+    "a46_obf"      -> a46Obf,
+    "a47_cms"      -> a47Cms,
+    "x33_kn_bigram" -> x33Kn,
+    "mm7_audio"    -> mm7Audio)
+
+  def oracle: Map[String, String] = Map(
+    "x31_c4_rules" -> x31Sql,
+    "q5_mad"       -> q5Sql,
+    "a45_bh_fdr"   -> a45Sql,
+    "f23_imapa"    -> f23Sql,
+    "g1_pagerank"  -> g1Sql,
+    "s22_rproj"    -> s22Sql,
+    "a46_obf"      -> a46Sql,
+    "a47_cms"      -> a47Sql,
+    "x33_kn_bigram" -> x33Sql,
+    "mm7_audio"    -> mm7Sql)
+}

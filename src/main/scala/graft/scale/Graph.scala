@@ -1,0 +1,68 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over edge tables — the graph-shaped
+  * complement to [[Dedup.components]]' connectivity fixpoint.
+  *
+  * 100-TB shape: edges are the only large table; every iteration is one
+  * hash join edges⋈ranks on the source key followed by one reduce on
+  * the destination key — the standard Pregel message pattern expressed
+  * declaratively, so AQE/bucketing can co-partition both sides and the
+  * edge table never re-shuffles once partitioned by `src`. */
+object Graph {
+
+  /** Fixed-iteration PageRank (Page et al. 1999) with EXACT integer
+    * arithmetic, so the trajectory is bit-identical in any engine and
+    * under any reduction order: ranks live on a 1e12 fixed-point grid,
+    * each out-contribution is the integer division `pr div outdeg`, the
+    * damped update is
+    *   pr'(v) = floor(0.15·scale) + floor(0.85 · Σ_in contrib)
+    * with floor(0.85·s) computed overflow-safely as
+    * `85·(s div 100) + (85·(s mod 100)) div 100` (exact because
+    * 85s/100 = 85q + 85r/100 for s = 100q + r). Per-node in-mass stays
+    * below |V|·scale, so BIGINT sums are exact for |V| < ~9·10^6 at the
+    * default grid; pass a smaller `scale` for larger graphs.
+    *
+    * `edges` is directed (src, dst); callers model an undirected graph
+    * by supplying both directions. Nodes are everything with at least
+    * one OUT-edge (with bidirectional edges: every endpoint); a node
+    * with no in-edges holds the base rank. A FIXED iteration count
+    * (not a convergence test) keeps the operator deterministic and the
+    * oracle replayable as `iters` unrolled joins.
+    *
+    * Scale shape: `edges` and the degree table are persisted once and
+    * reused every round; the final ranks are eagerly materialized
+    * (localCheckpoint — see [[Dedup.componentsStats]] for the durable
+    * variant rationale, not needed here because the lineage is bounded
+    * at `iters` joins) so the inputs can be unpersisted before return. */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int = 5,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(scale % 100L == 0 && scale > 0, s"need scale > 0 divisible by 100, got $scale")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst")).persist()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("d")).persist()
+    val base = 15L * (scale / 100L)
+    var pr = deg.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = pr.join(deg, Seq("id"))
+        .withColumn("c", expr("pr div d"))
+        .join(e, col("id") === col("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("s"))
+      pr = deg.select(col("id"))
+        .join(sums, Seq("id"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .select(col("id"),
+          (lit(base) + expr("85 * (s div 100) + (85 * (s % 100)) div 100"))
+            .as("pr"))
+    }
+    val out = pr.localCheckpoint(true)
+    e.unpersist(); deg.unpersist()
+    out
+  }
+}

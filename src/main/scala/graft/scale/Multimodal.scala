@@ -333,4 +333,100 @@ object Multimodal {
       s"transform(sequence(0, least(int(length(media) / $stride), ${maxFrames - 1})), " +
       s"i -> substring(media, i * $stride + 1, $stride))")))
       .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame_bytes")
+
+  // ---- audio ---------------------------------------------------------------
+
+  /** REAL RIFF/WAVE header parse: ("RIFF", size, "WAVE") then the fmt
+    * chunk's (audioFormat, channels, sampleRate, bitsPerSample) and the
+    * data chunk's byte length, walking chunks with little-endian sizes
+    * exactly as the container specifies. Returns None for anything that
+    * is not a structurally valid WAV (text payloads never are). */
+  def decodeWavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    def u16(i: Int) = (bytes(i) & 0xFF) | (bytes(i + 1) & 0xFF) << 8
+    def u32(i: Int) = (bytes(i) & 0xFFL) | (bytes(i + 1) & 0xFFL) << 8 |
+      (bytes(i + 2) & 0xFFL) << 16 | (bytes(i + 3) & 0xFFL) << 24
+    def tag(i: Int, s: String) =
+      bytes.length >= i + 4 && (0 until 4).forall(j => bytes(i + j) == s(j))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) None
+    else {
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var dataLen = -1
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+        val sz = u32(pos + 4).toInt
+        if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length)
+          fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+        else if (tag(pos, "data")) dataLen = math.min(sz, bytes.length - pos - 8)
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (af, ch, sr, bps) if dataLen >= 0 =>
+        (af, ch, sr, bps, dataLen)
+      }
+    }
+  }
+
+  /** REAL 16-bit PCM sample extraction from a WAV payload (first
+    * `maxSamples` interleaved samples, little-endian signed). None when
+    * the container/format is not 16-bit PCM. */
+  def wavSamples(bytes: Array[Byte], maxSamples: Int): Option[Array[Int]] =
+    decodeWavMeta(bytes).collect { case (1, _, _, 16, dataLen) =>
+      // locate the data chunk again (decodeWavMeta validated structure)
+      var pos = 12
+      while (!(bytes(pos) == 'd' && bytes(pos + 1) == 'a' &&
+               bytes(pos + 2) == 't' && bytes(pos + 3) == 'a')) {
+        val sz = ((bytes(pos + 4) & 0xFFL) | (bytes(pos + 5) & 0xFFL) << 8 |
+          (bytes(pos + 6) & 0xFFL) << 16 | (bytes(pos + 7) & 0xFFL) << 24).toInt
+        pos += 8 + sz + (sz & 1)
+      }
+      val start = pos + 8
+      val n = math.min(maxSamples, dataLen / 2)
+      Array.tabulate(n) { i =>
+        ((bytes(start + 2 * i) & 0xFF) |
+          (bytes(start + 2 * i + 1) << 8)).toShort.toInt
+      }
+    }
+
+  /** Audio frame features over a ==STUB==-synthesized PCM stream: the
+    * sample decode is the deterministic text-derived fake
+    * s_i = ((ascii(char_i)·131 + i·17) mod 4096) − 2048 (the WAV-real
+    * twin is [[wavSamples]] — swap it in where payloads are actual
+    * audio), but the FRAMING MATH IS REAL and exactly what a feature
+    * extractor computes: frames of `frame` samples at stride `hop`,
+    * per-frame RMS energy √(Σs²/frame) and zero-crossing count
+    * |{i : s_i·s_{i+1} < 0}| — integer Σs² and crossing counts fold
+    * exactly, the one sqrt is grid-rounded.
+    *
+    * Emits (id, frame_idx, n_samples, rms, zcr) — one row per frame,
+    * pure map-side scalar expressions (sequence/transform/aggregate
+    * HOFs), zero shuffle, codegen-friendly: the 100-TB shape for
+    * per-object media feature extraction. */
+  def audioFramesFromText(df: DataFrame, textCol: String, idCol: String,
+                          frame: Int = 32, hop: Int = 16,
+                          maxSamples: Int = 256): DataFrame = {
+    require(frame >= 2 && hop >= 1, s"need frame >= 2, hop >= 1; got ($frame, $hop)")
+    val samples =
+      s"""transform(sequence(0, least(length($textCol), $maxSamples) - 1),
+            i -> (CAST(ascii(substr($textCol, CAST(i + 1 AS INT), 1)) AS BIGINT)
+                  * 131 + i * 17) % 4096 - 2048)"""
+    val frames =
+      s"""transform(sequence(0, (size(s) - $frame) div $hop),
+            f -> named_struct(
+              'frame_idx', CAST(f AS BIGINT),
+              'sumsq', aggregate(slice(s, CAST(f * $hop + 1 AS INT), $frame),
+                CAST(0 AS BIGINT), (a, x) -> a + x * x),
+              'zcr', aggregate(sequence(1, ${frame - 1}), CAST(0 AS BIGINT),
+                (a, i) -> a + (CASE WHEN
+                  element_at(slice(s, CAST(f * $hop + 1 AS INT), $frame), CAST(i AS INT))
+                  * element_at(slice(s, CAST(f * $hop + 1 AS INT), $frame), CAST(i + 1 AS INT))
+                  < 0 THEN 1 ELSE 0 END))))"""
+    df.select(col(idCol), expr(samples).as("s"))
+      .withColumn("n_samples", size(col("s")).cast("long"))
+      .filter(col("n_samples") >= frame.toLong)
+      .select(col(idCol), col("n_samples"), explode(expr(frames)).as("fr"))
+      .select(col(idCol), col("fr.frame_idx").as("frame_idx"),
+        col("n_samples"),
+        graft.queries.Det.dround(
+          sqrt(col("fr.sumsq").cast("double") / frame), 6).as("rms"),
+        col("fr.zcr").as("zcr"))
+  }
 }

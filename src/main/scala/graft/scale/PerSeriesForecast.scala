@@ -1213,6 +1213,8 @@ object PerSeriesForecast {
                   beta: Double = 0.5, h0: Double = 1.0): DataFrame = {
     require(omega > 0 && alpha >= 0 && beta >= 0 && alpha + beta < 1,
       s"need stationarity: omega>0, alpha+beta<1; got ($omega,$alpha,$beta)")
+    require(h0 > 0, s"need h0 > 0 (h0 seeds the variance recursion; " +
+      s"h0 <= 0 yields vol=0 and z=r/0 on the first return), got $h0")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(seriesCol).cast("long"), col(tsCol).cast("double"),
@@ -1263,7 +1265,7 @@ object PerSeriesForecast {
                     seriesCols: Seq[String], m: Int,
                     alpha: Double = 0.5,
                     tieBreak: Seq[String] = Nil): DataFrame = {
-    require(m >= 2, s"need block size >= 2, got $m")
+    require(m >= 1, s"need block size >= 1, got $m")
     require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     val wOrd = Window.partitionBy(seriesCols.map(col): _*)
       .orderBy((tsCol +: tieBreak).map(col): _*)
@@ -1289,5 +1291,47 @@ object PerSeriesForecast {
       .withColumn("yhat_block", col("s9") / 1e9)
       .withColumn("yhat_period", col("yhat_block") / m)
       .drop("s9")
+  }
+
+  /** IMAPA (Petropoulos & Kourentzes 2015, "Forecast combinations for
+    * intermittent demand") — run [[adidaForecast]] at MULTIPLE temporal
+    * aggregation levels and average the period-level forecasts: each
+    * level sees a different bias/variance trade (fine levels track
+    * recency, coarse levels cancel intermittency), and the equal-weight
+    * combination is the paper's recommendation. Level m = 1 is plain SES
+    * on the raw series, so IMAPA nests both endpoints.
+    *
+    * Only series long enough for EVERY level (n ≥ 2·max(levels)) are
+    * emitted — a consistent panel, so the combination always averages
+    * the same number of terms. Output per series: (n_periods, n_levels,
+    * yhat_imapa).
+    *
+    * Scale shape: one scan per level over the same input (each the
+    * adida shape — window + two reduces), then a final series-keyed
+    * reduce over |levels| rows/series. Determinism: each level's
+    * yhat_period lands on the 1e-6 grid as an exact BIGINT before the
+    * equal-weight average (sum of ≤ a few 1e-6-grid longs is exact in
+    * double), so the combined value is bit-identical cross-engine. */
+  def imapaForecast(df: DataFrame, valueCol: String, tsCol: String,
+                    seriesCols: Seq[String], levels: Seq[Int],
+                    alpha: Double = 0.5,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    require(levels.nonEmpty && levels.forall(_ >= 1), s"need levels >= 1, got $levels")
+    val mMax = levels.max
+    val perLevel = levels.map { m =>
+      adidaForecast(df, valueCol, tsCol, seriesCols, m, alpha, tieBreak)
+        .filter(col("n_periods") >= 2L * mMax)
+        .withColumn("p6",
+          floor(col("yhat_period") * lit(1e6) + lit(0.5)).cast("long"))
+        .select((seriesCols.map(col) :+ col("n_periods") :+ col("p6")): _*)
+    }.reduce(_ unionByName _)
+    perLevel
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("n_periods")).as("n_periods"),
+           count(lit(1)).cast("long").as("n_levels"),
+           sum(col("p6")).as("ps"))
+      .withColumn("yhat_imapa",
+        floor(col("ps").cast("double") / col("n_levels") + lit(0.5)) / lit(1e6))
+      .drop("ps")
   }
 }

@@ -97,4 +97,47 @@ object QualityFilters {
       .drop("w", "lines", "chars_sum", "n_symbols", "n_bullet_lines",
             "n_ellipsis_lines", "n_lines")
   }
+
+  /** The C4 cleaning battery (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2) — the rule set that produced C4 from Common Crawl, the
+    * complement to [[gopherRules]]' statistical gates:
+    *  - `n_sents` (period-delimited non-empty segments) >= minSents
+    *    (paper: 3 sentences per page),
+    *  - `n_words` >= minWords (paper: every retained line >= 3 words;
+    *    applied at the document grain here),
+    *  - no "lorem ipsum" placeholder text (case-insensitive),
+    *  - no curly brace `{` (the paper's code-page marker),
+    *  - `term_line_ratio`: share of newline-split lines ending in a
+    *    terminal punctuation mark . ! ? " (the paper keeps only such
+    *    lines; reported as a ratio so the caller can gate at any
+    *    threshold — the fused keep uses > 0, i.e. at least one
+    *    sentence-like line).
+    * Same 100-TB shape as [[gopherRules]]: pure map-side scalar
+    * expressions, zero shuffle, codegen-friendly. */
+  def c4Rules(df: DataFrame, textCol: String,
+              minSents: Long = 3L, minWords: Long = 5L): DataFrame = {
+    val t = textCol
+    df.withColumn("w", expr(s"filter(split($t, ' '), x -> x <> '')"))
+      .withColumn("lines", expr(s"split($t, '\n')"))
+      .withColumn("n_words", expr("size(w)").cast("long"))
+      .withColumn("n_sents",
+        expr(s"size(filter(split($t, '\\\\.'), x -> trim(x) <> ''))").cast("long"))
+      .withColumn("has_lorem", lower(col(t)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(t).contains("{"))
+      .withColumn("n_term_lines",
+        expr("size(filter(lines, x -> x LIKE '%.' OR x LIKE '%!' OR " +
+          "x LIKE '%?' OR x LIKE '%\"'))").cast("long"))
+      .withColumn("n_lines", expr("size(lines)").cast("long"))
+      .withColumn("term_line_ratio",
+        when(col("n_lines") > 0,
+          graft.queries.Det.dround(
+            col("n_term_lines").cast("double") / col("n_lines"), 6)))
+      .withColumn("keep", coalesce(
+        col("n_sents") >= minSents &&
+        col("n_words") >= minWords &&
+        !col("has_lorem") && !col("has_brace") &&
+        col("term_line_ratio") > 0.0, lit(false)))
+      .drop("w", "lines", "n_term_lines", "n_lines")
+  }
 }

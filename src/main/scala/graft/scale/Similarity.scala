@@ -741,4 +741,35 @@ object Similarity {
       .withColumn("mean_sil", col("s9") / 1e9 / col("n"))
       .select(col("label"), col("n"), col("mean_sil"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003,
+    * "Database-friendly random projections") with a DETERMINISTIC
+    * Rademacher (±1) matrix: out_j = Σ_i sign(i,j)·v_i, where
+    * sign(i,j) = +1 iff LCG(i·outDim + j) is even, using the classic
+    * glibc LCG (a = 1103515245, c = 12345, mod 2^31 — products fit in
+    * a long for any realistic dim). No stored projection matrix, no RNG
+    * state: the matrix is a pure function both engines (and every
+    * executor) evaluate identically, so the projection of a vector is
+    * reproducible forever — the property a 100-TB embedding store needs
+    * to project incrementally without shipping a matrix.
+    *
+    * Determinism: each input coordinate is quantized to the 1e-9 grid
+    * FIRST (a BIGINT), then the signed sum folds exactly — projection
+    * values are bit-identical under any addition order. Pure map-side
+    * scalar expression over the vector column: zero shuffle, one scan,
+    * dimensionality (and downstream ANN cost) drops dim→outDim. */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+                    outDim: Int): DataFrame = {
+    require(outDim >= 1, s"need outDim >= 1, got $outDim")
+    val gen =
+      s"""transform(sequence(0, ${outDim - 1}), j ->
+            aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT),
+              (a, i) -> a +
+                (CASE WHEN (1103515245L * CAST(i * $outDim + j AS BIGINT) + 12345L)
+                        % 2147483648L % 2L = 0L
+                      THEN 1L ELSE -1L END)
+                * CAST(floor(CAST(element_at($vecCol, i + 1) AS DOUBLE)
+                             * 1e9 + 0.5) AS BIGINT)))"""
+    df.select(col(idCol), expr(gen).as("proj9"))
+  }
 }

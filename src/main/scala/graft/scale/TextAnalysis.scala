@@ -17,6 +17,14 @@ object TextAnalysis {
   def tokensRegex(textCol: Column): Column =
     split(regexp_replace(textCol, "([.,!?;:])", " $1 "), "\\s+")
 
+  /** Injection-safe query-term hit extraction: the tokens of `text`
+    * that appear in `terms`, built with array_contains against a typed
+    * array literal instead of a string-spliced `x IN ('a','b')` expr —
+    * a term containing a quote or backslash can't break the plan. */
+  private def termHits(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.functions.filter(
+      split(text, " "), x => array_contains(typedLit(terms), x))
+
   /** The quality/stats stopword list — single source for the Scala
     * expressions AND the DuckDB oracle twins. */
   val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -517,10 +525,9 @@ object TextAnalysis {
     val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
       .toDF("query_id", "t")
     val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
-    val termSet = termList.map(t => s"'$t'").mkString(", ")
     val hits = df.select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(expr(s"filter(split($textCol, ' '), x -> x IN ($termSet))")).as("t"))
+        explode(termHits(col(textCol), termList)).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
     val stats = df.agg(count(lit(1)).cast("double").as("n"),
@@ -566,12 +573,11 @@ object TextAnalysis {
     val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
       .toDF("query_id", "t")
     val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
-    val termSet = termList.map(t => s"'$t'").mkString(", ")
     val withDl = df.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"),
       col(textCol).as("__text"))
     val hits = withDl.select(col("doc_id"), col("dl"),
-        explode(expr(s"filter(split(__text, ' '), x -> x IN ($termSet))")).as("t"))
+        explode(termHits(col("__text"), termList)).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
     val stats = withDl.agg(sum(col("dl")).cast("double").as("ctot"))
@@ -607,9 +613,8 @@ object TextAnalysis {
     val qterm = queries.flatMap { case (qid, qt) => qt.split(" ").distinct.map((qid, _)) }
       .toDF("query_id", "t")
     val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
-    val termSet = termList.map(t => s"'$t'").mkString(", ")
     df.select(col(idCol).as("doc_id"),
-        explode(expr(s"filter(split($textCol, ' '), x -> x IN ($termSet))")).as("t"))
+        explode(termHits(col(textCol), termList)).as("t"))
       .distinct()
       .join(broadcast(qterm), Seq("t"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -950,9 +955,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("source")).orderBy(col("w"), col("id"))
     val wAll = Window.partitionBy(col("source"))
-    df.filter(col(weightCol) > 0)
-      .select(col(sourceCol).as("source"), col(weightCol).cast("long").as("w"),
+    df.select(col(sourceCol).as("source"),
+        floor(col(weightCol).cast("double") + 0.5).cast("long").as("w"),
         col(idCol).as("id"))
+      .filter(col("w") > 0)
       .withColumn("i", row_number().over(wOrd).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll).cast("long"))
       .withColumn("tot", sum(col("w")).over(wAll))
@@ -1098,5 +1104,52 @@ object TextAnalysis {
          col("slope") * col("sx").cast("double") / 1e9) /
         col("n_terms").cast("double"), 6))
       .select(col(groupCol), col("n_terms"), col("slope"), col("intercept"))
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * the Chen & Goodman 1999 interpolated form with one fixed discount
+    * D): over within-document adjacent token pairs,
+    *   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    * where c(w1·) = Σ_x c(w1x), N1+(w1·) = |{x : c(w1x) > 0}|,
+    * N1+(·w2) = |{x : c(xw2) > 0}| — the continuation-count backoff
+    * that makes KN the standard n-gram smoother. Emits the `topK`
+    * bigrams by count (ties by w1, w2) with their counts, continuation
+    * stats and p_kn on the 1e-9 grid.
+    *
+    * Scale shape: the corpus explodes to bigram pairs map-side and
+    * reduces ONCE to the bigram-type table; c(w1·)/N1+ are windows
+    * PARTITIONED by w1 (resp. w2) over that much-smaller type table;
+    * the type total is one scalar broadcast. Text never shuffles —
+    * only (w1, w2, count) triples do. */
+  def knBigram(df: DataFrame, textCol: String, discount: Double = 0.75,
+               topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0 && discount < 1, s"need 0 < D < 1, got $discount")
+    val pairs = df
+      .select(expr(s"filter(split($textCol, ' '), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+            (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val types = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val w1w = Window.partitionBy(col("w1"))
+    val w2w = Window.partitionBy(col("w2"))
+    val allw = Window.partitionBy()
+    types
+      .withColumn("c1", sum(col("c12")).over(w1w))
+      .withColumn("n1p_left", count(lit(1)).over(w1w).cast("long"))
+      .withColumn("n1p_right", count(lit(1)).over(w2w).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(allw).cast("long"))
+      .withColumn("p_kn", graft.queries.Det.dround(
+        (col("c12") - lit(discount)).cast("double") / col("c1")
+          + lit(discount) * col("n1p_left") / col("c1")
+            * (col("n1p_right").cast("double") / col("n_types")), 9))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+              col("n1p_left"), col("n1p_right"), col("n_types"), col("p_kn"))
   }
 }

@@ -82,4 +82,70 @@ object ExperimentDesign {
       .select(col(groupCol), col("n_units"), col("mean"), col("sigma"),
               col("mde_abs"), col("mde_rel"))
   }
+
+  /** Group-sequential monitoring with O'Brien–Fleming-shaped boundaries
+    * (O'Brien & Fleming 1979; the √(K/k) closed form per Pocock 1977's
+    * framing): split the experiment window into `k` equal calendar
+    * looks, compute the cumulative Welch z between the two md5
+    * half-space arms at each look, and compare |z| against
+    * b_k = z_{0.975}·√(K/k) — wide early, nominal at the final look,
+    * the boundary family that lets an A/B platform peek K times while
+    * holding overall α ≈ 0.05. A `crossed` look means the experiment
+    * can stop early.
+    *
+    * Determinism: the look index is pure integer arithmetic on epoch
+    * micros (((ts−t0)·K) div (t1−t0+1) + 1), arm sums fold the cents
+    * grid exactly, and z/bound are fixed-op-order doubles off exact
+    * integer moments. Scale shape: one reduce to 2K partial-moment
+    * rows, one K-row cumulative window — the data shuffles once. */
+  def sequentialLooks(df: DataFrame, idCol: String, valueCol: String,
+                      tsCol: String, k: Int = 5,
+                      salt: Long = 1L): DataFrame = {
+    require(k >= 2, s"need k >= 2 looks, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val span = df.agg(min(unix_micros(col(tsCol))).as("t0"),
+                      max(unix_micros(col(tsCol))).as("t1"))
+    val wCum = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val looks = df
+      .crossJoin(broadcast(span))
+      .withColumn("look",
+        least(lit(k.toLong),
+          expr(s"((unix_micros($tsCol) - t0) * $k) div (t1 - t0 + 1)") + 1L))
+      .withColumn("in_a",
+        md5(concat(col(idCol).cast("string"), lit(":"), lit(salt))) < lit("8000"))
+      .withColumn("c", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .groupBy(col("look"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("pna"),
+           sum(when(col("in_a"), col("c")).otherwise(0L)).as("psa"),
+           sum(when(col("in_a"), col("c") * col("c")).otherwise(0L)).as("pssa"),
+           sum(when(!col("in_a"), 1L).otherwise(0L)).as("pnb"),
+           sum(when(!col("in_a"), col("c")).otherwise(0L)).as("psb"),
+           sum(when(!col("in_a"), col("c") * col("c")).otherwise(0L)).as("pssb"))
+    looks
+      .withColumn("n_a", sum(col("pna")).over(wCum))
+      .withColumn("s_a", sum(col("psa")).over(wCum))
+      .withColumn("ss_a", sum(col("pssa")).over(wCum))
+      .withColumn("n_b", sum(col("pnb")).over(wCum))
+      .withColumn("s_b", sum(col("psb")).over(wCum))
+      .withColumn("ss_b", sum(col("pssb")).over(wCum))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("m_a", col("s_a").cast("double") / col("n_a") / 100.0)
+      .withColumn("m_b", col("s_b").cast("double") / col("n_b") / 100.0)
+      .withColumn("v_a",
+        (col("ss_a").cast("double")
+          - col("s_a").cast("double") * col("s_a") / col("n_a"))
+          / (col("n_a") - 1.0) / 10000.0)
+      .withColumn("v_b",
+        (col("ss_b").cast("double")
+          - col("s_b").cast("double") * col("s_b") / col("n_b"))
+          / (col("n_b") - 1.0) / 10000.0)
+      .withColumn("z",
+        (col("m_a") - col("m_b"))
+          / sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+      .withColumn("bound", lit(z975) * sqrt(lit(k.toDouble) / col("look")))
+      .withColumn("crossed", abs(col("z")) > col("bound"))
+      .select(col("look"), col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+              col("z"), col("bound"), col("crossed"))
+  }
 }

@@ -78,6 +78,40 @@ object Quantiles {
       .drop("__iqr_lo", "__iqr_hi")
   }
 
+  /** Robust outlier census via the median absolute deviation — the
+    * breakdown-point-0.5 alternative to [[iqrOutliers]]' Tukey fences
+    * (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers"):
+    * flag x when |0.6745·(x − med)/MAD| > `thresh` (their modified
+    * z-score, default cut 3.5). Emits one row per group:
+    * (group, n, med, mad, n_outliers).
+    *
+    * Scale shape: two per-group exact-percentile aggregations (median,
+    * then median of |x − med| after broadcasting the |groups|-row median
+    * table back) plus one counting reduce — the big side shuffles for
+    * the percentile sort, never for the joins. At 100 TB swap both
+    * [[exact]] calls for [[approx]] (same contract as winsorize).
+    * A group with MAD = 0 (over half its mass on one value) reports
+    * n_outliers over the x ≠ med rule instead — the standard fallback. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  thresh: Double = 3.5): DataFrame = {
+    val med = exact(df, valueCol, groupCols, Seq(0.5))
+      .select(groupCols.map(col) :+ col("q50").as("__med"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__adev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = exact(dev, "__adev", groupCols, Seq(0.5))
+      .select(groupCols.map(col) :+ col("q50").as("__mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("__flag",
+        when(col("__mad") > 0.0,
+          lit(0.6745) * col("__adev") / col("__mad") > lit(thresh))
+        .otherwise(col("__adev") > 0.0))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+           max(col("__med")).as("med"), max(col("__mad")).as("mad"),
+           sum(when(col("__flag"), 1L).otherwise(0L)).cast("long")
+             .as("n_outliers"))
+  }
+
   /** Sketch-based percentiles (the 100 TB path). `accuracy` trades memory
     * for error: 1/accuracy relative rank error. */
   def approx(df: DataFrame, valueCol: String, groupCols: Seq[String],

@@ -74,4 +74,51 @@ object Sketches {
       .select(col("n_exact"), col("m"), col("v_empty"),
               col("e_raw"), col("estimate"))
   }
+
+  /** Count-Min hash rows (a, b) — public so oracle generators inject
+    * the IDENTICAL literals. h_r(k) = ((a_r·(k mod P) + b_r) mod P)
+    * mod width, P = 2^31 − 1; every product stays < 2^62. */
+  val cmsRows: Seq[(Long, Long)] =
+    Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 1234567L))
+  val cmsP: Long = 2147483647L
+
+  /** Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005,
+    * "An improved data stream summary: the count-min sketch"): build a
+    * depth-3 × `width` counter sketch over `keyCol` with the
+    * DETERMINISTIC [[cmsRows]] hash family, then report, for the top-k
+    * keys by EXACT count, the sketch's estimate
+    * est(k) = min_r counter[r][h_r(k)] next to the truth — the
+    * one-sided-error readout (est >= exact always; the gap is the
+    * collision noise the ε–δ bound prices).
+    *
+    * Scale shape: the sketch is ONE map-side-combined reduce to
+    * 3·width counters (each row contributes 3 (row, bucket) increments
+    * — mergeable partials, the mm of sketch layouts); the exact top-k
+    * is a second reduce + TakeOrdered. The sketch state is tiny enough
+    * to broadcast into the lookup join. Everything is integer
+    * arithmetic — the whole audit replays exactly in any engine. */
+  def cmsTopKAudit(df: DataFrame, keyCol: String, k: Int = 20,
+                   width: Int = 64): DataFrame = {
+    require(k >= 1 && width >= 2, s"need k >= 1, width >= 2; got ($k, $width)")
+    val keyed = df.select(pmod(col(keyCol).cast("long"), lit(cmsP)).as("km"))
+    val rowsLit = cmsRows.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("r"), lit(a).as("a"), lit(b).as("b"))
+    }
+    val sketch = keyed
+      .withColumn("h", explode(array(rowsLit: _*)))
+      .groupBy(col("h.r").as("r"),
+        ((col("h.a") * col("km") + col("h.b")) % cmsP % width).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val top = keyed.groupBy(col("km"))
+      .agg(count(lit(1)).cast("long").as("exact"))
+      .orderBy(col("exact").desc, col("km")).limit(k)
+    top
+      .withColumn("h", explode(array(rowsLit: _*)))
+      .withColumn("r", col("h.r"))
+      .withColumn("bucket", (col("h.a") * col("km") + col("h.b")) % cmsP % width)
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("km").as("key"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+  }
 }

@@ -299,7 +299,8 @@ class PlanAuditSpec extends SparkTestBase {
           "d12_semdedup", "s3_ann_ivf", // Lloyd iterations at construction
           "x13_quality_lr",      // LBFGS fit at construction
           "f3_series_arima",     // per-series CSS fits
-          "pipe4_image")         // components fixpoint at construction
+          "pipe4_image",         // components fixpoint at construction
+          "g1_pagerank")         // 5 eager rank sweeps at construction
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val carts = withAqeOff(q(spark, SF).queryExecution.executedPlan.collect {

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale._
+import graft.stats.{MultipleTesting, Quantiles}
+
+/** Round-13 additions: BH FDR, MAD outliers, exact fixed-point
+  * PageRank, JL random projection, IMAPA, C4 rules. */
+class ScaleSpec6 extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Benjamini–Hochberg --------------------------------------------------
+
+  test("bhAdjust: textbook step-up — m=5, q=0.1 rejects exactly the " +
+       "three small p's and p_adj is the monotone suffix-min") {
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5), (5L, 0.9))
+      .toDF("id", "p")
+    val out = MultipleTesting.bhAdjust(df, "p", "id", q = 0.1)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall(_.getAs[Long]("m") == 5L))
+    val padj = out.map(_.getAs[Double]("p_adj"))
+    // raw = m·p/i = 0.05, 0.05, 0.05, 0.625, 0.9; suffix-min keeps them
+    assert(math.abs(padj(0) - 0.05) < 1e-9 && math.abs(padj(2) - 0.05) < 1e-9)
+    assert(math.abs(padj(3) - 0.625) < 1e-9 && math.abs(padj(4) - 0.9) < 1e-9)
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, true, false, false))
+  }
+
+  test("bhAdjust: p_adj is monotone nondecreasing in rank and capped at 1") {
+    val df = (1 to 40).map(i => (i.toLong, (i * i % 97) / 97.0)).toDF("id", "p")
+    val out = MultipleTesting.bhAdjust(df, "p", "id").orderBy("rank")
+      .select("p_adj").collect().map(_.getDouble(0))
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // ---- MAD outliers --------------------------------------------------------
+
+  test("madOutliers: a gross outlier is flagged, the bulk is not, and " +
+       "med/mad are the exact medians") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("g", "v")
+    val r = Quantiles.madOutliers(df, "v", Seq("g")).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("med") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("madOutliers: MAD = 0 group falls back to the x != med rule") {
+    val df = (Seq.fill(6)(5.0) ++ Seq(7.0)).map(("g", _)).toDF("g", "v")
+    val r = Quantiles.madOutliers(df, "v", Seq("g")).collect().head
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  // ---- PageRank ------------------------------------------------------------
+
+  test("pageRankFixed: a symmetric 2-cycle is a fixed point at exactly " +
+       "scale, and a hub out-ranks its symmetric leaves") {
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr2 = Graph.pageRankFixed(two, "src", "dst", iters = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr")).toMap
+    assert(pr2(1L) == 1000000000000L && pr2(2L) == 1000000000000L)
+
+    // undirected star a–b, c–b: b is the hub
+    val star = Seq((1L, 2L), (2L, 1L), (3L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRankFixed(star, "src", "dst", iters = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr")).toMap
+    assert(pr(2L) > pr(1L), s"hub must out-rank leaf: $pr")
+    assert(pr(1L) == pr(3L), s"symmetric leaves must tie exactly: $pr")
+    // integer floors only ever LOSE mass relative to the ideal total
+    assert(pr.values.sum <= 3L * 1000000000000L)
+    assert(pr.values.sum > (3L * 1000000000000L * 99L) / 100L)
+  }
+
+  // ---- JL random projection ------------------------------------------------
+
+  test("randomProject: deterministic, 16-wide, and exactly additive on " +
+       "grid-friendly inputs") {
+    val v1 = Array.tabulate(8)(i => (i + 1) * 0.25f)
+    val v2 = Array.tabulate(8)(i => (8 - i) * 0.5f)
+    val sum = v1.zip(v2).map { case (a, b) => a + b }
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, sum.toSeq))
+      .toDF("id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", "id", 16)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[Long](1).toList).toMap
+    assert(out(1L).size == 16)
+    // rerun: bit-identical (pure function of the input)
+    val again = Similarity.randomProject(df, "embedding", "id", 16)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[Long](1).toList).toMap
+    assert(out == again)
+    // linear: proj(v1 + v2) = proj(v1) + proj(v2) exactly (inputs land
+    // exactly on the 1e-9 grid, so quantisation commutes with +)
+    val lhs = out(3L)
+    val rhs = out(1L).zip(out(2L)).map { case (a, b) => a + b }
+    assert(lhs == rhs, s"additivity: $lhs vs $rhs")
+  }
+
+  // ---- IMAPA ---------------------------------------------------------------
+
+  test("imapaForecast: constant demand forecasts the constant at every " +
+       "level, so the combination is the constant") {
+    val df = (1 to 8).map(t => (1L, t.toLong, 2.0)).toDF("sid", "ts", "y")
+    val out = PerSeriesForecast.imapaForecast(df, "y", "ts", Seq("sid"),
+      levels = Seq(1, 2, 4)).collect().head
+    assert(out.getAs[Long]("n_levels") == 3L)
+    assert(out.getAs[Long]("n_periods") == 8L)
+    assert(math.abs(out.getAs[Double]("yhat_imapa") - 2.0) < 1e-9)
+  }
+
+  test("imapaForecast: series shorter than 2·max(levels) are excluded " +
+       "from every level (consistent panel)") {
+    val df = ((1 to 8).map(t => (1L, t.toLong, 2.0)) ++
+      (1 to 6).map(t => (2L, t.toLong, 3.0))).toDF("sid", "ts", "y")
+    val out = PerSeriesForecast.imapaForecast(df, "y", "ts", Seq("sid"),
+      levels = Seq(1, 2, 4)).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("sid") == 1L)
+  }
+
+  // ---- C4 rules ------------------------------------------------------------
+
+  test("c4Rules: lorem ipsum / braces / too-few-sentences drop; a " +
+       "3-sentence terminal-punct doc keeps") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta one. second sentence here. third one."),
+      (2L, "some Lorem Ipsum dolor text. more words here. and a third."),
+      (3L, "code sample { x = 1 } here. more words. third sentence."),
+      (4L, "too short."),
+      (5L, "no terminal punctuation at all just words and words and words"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.c4Rules(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Boolean]("has_lorem"))
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Boolean]("has_brace"))
+    assert(!out(4L).getAs[Boolean]("keep") &&
+      out(4L).getAs[Long]("n_sents") == 1L)
+    assert(!out(5L).getAs[Boolean]("keep") &&
+      out(5L).getAs[Double]("term_line_ratio") == 0.0)
+  }
+
+  // ---- Count-Min sketch ----------------------------------------------------
+
+  test("cmsTopKAudit: estimates are one-sided (est >= exact) and the " +
+       "heavy key's exact count is right") {
+    val keys = Seq.fill(100)(1L) ++ (2L to 40L).flatMap(k => Seq.fill(3)(k))
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val out = graft.stats.Sketches.cmsTopKAudit(df, "k", k = 10, width = 32)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    assert(out.forall(_.getAs[Long]("overcount") >= 0L))
+    val heavy = out.find(_.getAs[Long]("key") == 1L).get
+    assert(heavy.getAs[Long]("exact") == 100L)
+  }
+
+  // ---- sequential looks ----------------------------------------------------
+
+  test("sequentialLooks: 5 cumulative looks, monotone n, OBF bounds " +
+       "shrink to z975 at the final look") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map { i =>
+      (i.toLong % 97, math.floor(rnd.nextDouble() * 500 + 0.5) / 100,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 28}%02d 12:00:00"))
+    }.toDF("uid", "v", "ts")
+    val out = graft.stats.ExperimentDesign.sequentialLooks(
+      df, "uid", "v", "ts", k = 5).orderBy("look").collect()
+    assert(out.length == 5)
+    val ns = out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    assert(ns.last == 400L)
+    val bounds = out.map(_.getAs[Double]("bound"))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a > b })
+    assert(math.abs(bounds.last - 1.959963984540054) < 1e-12)
+    // a null split (random values, hash arms) should not cross OBF bounds
+    assert(out.count(_.getAs[Boolean]("crossed")) == 0)
+  }
+
+  // ---- Kneser–Ney ----------------------------------------------------------
+
+  test("knBigram: hand-computed KN probability on a 4-token corpus") {
+    val df = Seq(Tuple1("a b a b")).toDF("text")
+    val out = graft.scale.TextAnalysis.knBigram(df, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("c12") == 2L && ab.getAs[Long]("c1") == 2L)
+    assert(ab.getAs[Long]("n1p_left") == 1L && ab.getAs[Long]("n1p_right") == 1L)
+    assert(ab.getAs[Long]("n_types") == 2L)
+    // (2-0.75)/2 + 0.75·(1/2)·(1/2) = 0.8125
+    assert(math.abs(ab.getAs[Double]("p_kn") - 0.8125) < 1e-9)
+    // probabilities over a fixed history sum to <= 1 (KN is a proper LM)
+    val fromA = out.collect { case ((w1, _), r) if w1 == "a" =>
+      r.getAs[Double]("p_kn") }
+    assert(fromA.sum <= 1.0 + 1e-9)
+  }
+
+  // ---- WAV decode ----------------------------------------------------------
+
+  private def wavBytes(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(rate)
+    bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeWavMeta/wavSamples: a real PCM WAV round-trips; text does not") {
+    val samples = Array.tabulate(64)(i => ((i * 400) % 30000 - 15000).toShort)
+    val wav = wavBytes(samples)
+    val meta = Multimodal.decodeWavMeta(wav)
+    assert(meta.contains((1, 1, 8000, 16, 128)))
+    val got = Multimodal.wavSamples(wav, 64).get
+    assert(got.toSeq == samples.map(_.toInt).toSeq)
+    assert(Multimodal.decodeWavMeta("RIFF but not really audio".getBytes).isEmpty)
+  }
+
+  test("audioFramesFromText: frame count/energies match a hand fold") {
+    val text = "a" * 64
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Multimodal.audioFramesFromText(df, "text", "doc_id")
+      .orderBy("frame_idx").collect()
+    assert(out.length == 3) // (64-32)/16 + 1
+    assert(out.forall(_.getAs[Long]("n_samples") == 64L))
+    // mirror the stub synth for frame 0
+    val s = Array.tabulate(64)(i => ((97L * 131 + i * 17) % 4096 - 2048).toInt)
+    val sumsq = s.take(32).map(x => x.toLong * x).sum
+    val rms = math.floor(math.sqrt(sumsq.toDouble / 32) * 1e6 + 0.5) / 1e6
+    val zcr = (0 until 31).count(i => s(i).toLong * s(i + 1) < 0)
+    assert(out.head.getAs[Double]("rms") == rms)
+    assert(out.head.getAs[Long]("zcr") == zcr.toLong)
+  }
+}
