@@ -423,6 +423,156 @@ object ScaleQueries8 {
        |  ${droundSql("sqrt(CAST(sumsq AS DOUBLE)/32)", 6)} AS rms, zcr
        |FROM m""".stripMargin
 
+  // ---- A48: Mann–Whitney U ------------------------------------------------
+
+  /** A48 — rank-sum test of every event type's value distribution
+    * against the 'view' reference: the distribution-free twin of the
+    * parametric arm comparisons (a37/a38/a46). */
+  private def a48Mwu: Q = (s, d) =>
+    graft.stats.RankTests.mwuTest(
+        Tables.events(s, d).withColumn("v",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "v", "event_type", refGroup = "view")
+      .select(col("group").as("grp"), col("n_ref"), col("n_other"),
+              dround(col("u_ref"), 2).as("u_ref"), dround(col("z"), 6).as("z"))
+
+  private val a48Sql =
+    s"""WITH v AS (SELECT event_type AS g,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+       |tg AS (SELECT DISTINCT g AS pair FROM v WHERE g <> 'view'),
+       |tag AS (SELECT pair, v.v, true AS is_ref
+       |    FROM v CROSS JOIN tg WHERE v.g = 'view'
+       |  UNION ALL SELECT g AS pair, v, false FROM v WHERE g <> 'view'),
+       |r AS (SELECT pair, v, is_ref,
+       |    CAST(rank() OVER (PARTITION BY pair ORDER BY v) AS BIGINT) AS rmin,
+       |    CAST(count(*) OVER (PARTITION BY pair, v) AS BIGINT) AS t
+       |  FROM tag),
+       |rr AS (SELECT *, 2*rmin + t - 1 AS r2 FROM r),
+       |tie AS (SELECT pair, CAST(sum(t*t*t - t) AS BIGINT) AS tcorr
+       |  FROM (SELECT DISTINCT pair, v, t FROM rr) GROUP BY 1),
+       |ag AS (SELECT pair,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       |    CAST(sum(CASE WHEN is_ref THEN r2 ELSE 0 END) AS BIGINT) AS r2_ref
+       |  FROM rr GROUP BY 1),
+       |j AS (SELECT ag.*, tie.tcorr, n_ref + n_other AS n
+       |  FROM ag JOIN tie USING (pair)),
+       |u AS (SELECT pair, n_ref, n_other,
+       |    CAST(n_ref AS DOUBLE)*n_other + CAST(n_ref AS DOUBLE)*(n_ref + 1)/2.0
+       |      - CAST(r2_ref AS DOUBLE)/2.0 AS u_ref,
+       |    CAST(n_ref AS DOUBLE)*n_other/12.0
+       |      * (CAST(n + 1 AS DOUBLE)
+       |         - CAST(tcorr AS DOUBLE)/(CAST(n AS DOUBLE)*(n - 1))) AS sigma2
+       |  FROM j)
+       |SELECT pair AS grp, n_ref, n_other, ${droundSql("u_ref", 2)} AS u_ref,
+       |  ${droundSql(
+         "(u_ref - CAST(n_ref AS DOUBLE)*n_other/2.0)/sqrt(sigma2)", 6)} AS z
+       |FROM u""".stripMargin
+
+  // ---- A49: trimmed / winsorized means ------------------------------------
+
+  /** A49 — 10/90 trimmed and winsorized value means per event type:
+    * the robust location readouts next to q5's MAD spread. */
+  private def a49Trimmed: Q = (s, d) =>
+    graft.stats.Quantiles.trimmedMeans(
+        Tables.events(s, d).withColumn("v",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "v", Seq("event_type"), lo = 0.1, hi = 0.9)
+      .select(col("event_type"), col("n"), col("n_kept"),
+              dround(col("trimmed_mean"), 6).as("trimmed_mean"),
+              dround(col("winsorized_mean"), 6).as("winsorized_mean"))
+
+  private val a49Sql =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+       |q AS (SELECT event_type, quantile_cont(v, 0.1) AS lo,
+       |    quantile_cont(v, 0.9) AS hi FROM e GROUP BY 1),
+       |j AS (SELECT e.event_type, e.v, q.lo, q.hi,
+       |    CAST(e.v AS DOUBLE) >= q.lo AND CAST(e.v AS DOUBLE) <= q.hi AS keep,
+       |    CAST(floor(least(greatest(CAST(e.v AS DOUBLE), q.lo), q.hi)
+       |      * 10000.0 + 0.5) AS BIGINT) AS w4
+       |  FROM e JOIN q USING (event_type))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${droundSql("CAST(sum(CASE WHEN keep THEN v ELSE 0 END) AS BIGINT)" +
+         " / CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)", 6)}
+       |    AS trimmed_mean,
+       |  ${droundSql(
+         "CAST(sum(w4) AS BIGINT)/10000.0/count(*)", 6)} AS winsorized_mean
+       |FROM j GROUP BY 1""".stripMargin
+
+  // ---- G2: Adamic–Adar ----------------------------------------------------
+
+  /** G2 — Adamic–Adar supplier affinity through co-supplied ORDERS
+    * (orders have a fixed size distribution, so the common-neighbor
+    * degree stays 1–16 at every scale factor; the rare >10-supplier
+    * orders are capped per the hit-linear contract), top-50 pairs. */
+  private def g2Aa: Q = (s, d) =>
+    graft.scale.Graph.adamicAdar(Tables.lineitem(s, d),
+      "l_suppkey", "l_orderkey", topK = 50, maxDeg = 10)
+
+  private val g2Sql =
+    s"""WITH inc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+       |    CAST(l_orderkey AS BIGINT) AS z FROM lineitem),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM inc GROUP BY 1),
+       |k AS (SELECT inc.a, inc.z,
+       |    CAST(floor(1.0E9/ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS term9
+       |  FROM inc JOIN deg USING (z) WHERE deg BETWEEN 2 AND 10),
+       |p AS (SELECT k1.a, k1.z, k2.a AS b, k1.term9
+       |  FROM k k1 JOIN k k2 ON k1.z = k2.z AND k1.a < k2.a),
+       |ag AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum(term9) AS BIGINT) AS score9 FROM p GROUP BY 1, 2)
+       |SELECT a, b, n_common, score9/1.0E9 AS aa_score,
+       |  CAST(row_number() OVER (ORDER BY score9 DESC, a, b) AS BIGINT) AS rk
+       |FROM ag QUALIFY rk <= 50""".stripMargin
+
+  // ---- X34: Heaps' law ----------------------------------------------------
+
+  /** X34 — vocabulary-growth exponent over the doc_id-ordered corpus
+    * prefix curve: the scaling-law readout beside x22's Zipf slope. */
+  private def x34Heaps: Q = (s, d) =>
+    graft.scale.TextAnalysis.heapsLaw(Tables.documents(s, d), "text",
+      "doc_id", sampleEvery = 10)
+
+  private val x34Sql =
+    s"""WITH t AS (SELECT doc_id AS d,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      AS w FROM documents),
+       |fd AS (SELECT d, CAST(count(*) AS BIGINT) AS nw
+       |  FROM (SELECT w, min(d) AS d FROM t GROUP BY 1) GROUP BY 1),
+       |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS nt FROM t GROUP BY 1),
+       |c AS (SELECT pd.d, pd.nt, coalesce(fd.nw, 0) AS nw
+       |  FROM pd LEFT JOIN fd USING (d)),
+       |cur AS (SELECT d, CAST(sum(nw) OVER w AS BIGINT) AS vv,
+       |    CAST(sum(nt) OVER w AS BIGINT) AS nn,
+       |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+       |  FROM c WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |pts AS (SELECT ln(CAST(nn AS DOUBLE)) AS x, ln(CAST(vv AS DOUBLE)) AS y
+       |  FROM cur WHERE i % 10 = 0 OR i = 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |    CAST(sum(CAST(floor(x*1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(floor(y*1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(sum(CAST(floor(x*x*1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+       |    CAST(sum(CAST(floor(x*y*1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+       |  FROM pts),
+       |tot AS (SELECT CAST(max(i) AS BIGINT) AS n_docs,
+       |    CAST(max(vv) AS BIGINT) AS vocab,
+       |    CAST(max(nn) AS BIGINT) AS tokens FROM cur),
+       |fit AS (SELECT n_points, n_docs, vocab, tokens, sx, sy,
+       |    CASE WHEN den = 0.0 THEN NULL ELSE
+       |      ${droundSql("(CAST(n_points AS DOUBLE)*CAST(sxy AS DOUBLE)/1.0E9" +
+         " - (CAST(sx AS DOUBLE)/1.0E9)*(CAST(sy AS DOUBLE)/1.0E9))/den", 6)}
+       |    END AS beta
+       |  FROM (SELECT g.*, tot.*,
+       |      CAST(n_points AS DOUBLE)*CAST(sxx AS DOUBLE)/1.0E9
+       |        - (CAST(sx AS DOUBLE)/1.0E9)*(CAST(sx AS DOUBLE)/1.0E9) AS den
+       |    FROM g CROSS JOIN tot))
+       |SELECT n_points, n_docs, vocab, tokens, beta,
+       |  ${droundSql("exp((CAST(sy AS DOUBLE)/1.0E9" +
+         " - beta*CAST(sx AS DOUBLE)/1.0E9)/CAST(n_points AS DOUBLE))", 6)} AS k
+       |FROM fit""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -435,7 +585,11 @@ object ScaleQueries8 {
     "a46_obf"      -> a46Obf,
     "a47_cms"      -> a47Cms,
     "x33_kn_bigram" -> x33Kn,
-    "mm7_audio"    -> mm7Audio)
+    "mm7_audio"    -> mm7Audio,
+    "a48_mwu"      -> a48Mwu,
+    "a49_trimmed"  -> a49Trimmed,
+    "g2_adamic_adar" -> g2Aa,
+    "x34_heaps"    -> x34Heaps)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -447,5 +601,9 @@ object ScaleQueries8 {
     "a46_obf"      -> a46Sql,
     "a47_cms"      -> a47Sql,
     "x33_kn_bigram" -> x33Sql,
-    "mm7_audio"    -> mm7Sql)
+    "mm7_audio"    -> mm7Sql,
+    "a48_mwu"      -> a48Sql,
+    "a49_trimmed"  -> a49Sql,
+    "g2_adamic_adar" -> g2Sql,
+    "x34_heaps"    -> x34Sql)
 }

@@ -65,4 +65,45 @@ object Graph {
     e.unpersist(); deg.unpersist()
     out
   }
+
+  /** Adamic–Adar link prediction over a bipartite incidence table
+    * (Adamic & Adar 2003, "Friends and neighbors on the Web"): for
+    * pairs of left-nodes sharing at least one right-node,
+    *   AA(a, b) = Σ_{z ∈ Γ(a) ∩ Γ(b)} 1/ln(deg z)
+    * — common neighbors weighted down by their popularity, the classic
+    * "who else sources from the same rare supplier" signal. Emits the
+    * `topK` pairs (a < b) by score with the common-neighbor count.
+    *
+    * Skew contract: right-nodes with degree > `maxDeg` are EXCLUDED
+    * from pair generation (the d2/d13 maxDf discipline — a hub shared
+    * by everyone both blows up the self-join quadratically and carries
+    * ~zero AA weight 1/ln(huge); the cap loses only negligible score
+    * mass and is the documented 100-TB guard). Each right-node
+    * contributes C(deg, 2) ≤ C(maxDeg, 2) pairs — hit-linear, never
+    * all-pairs. Determinism: per-neighbor terms fold as
+    * floor(1e9/ln(deg)) BIGINTs; deg >= 2 guarantees ln > 0. */
+  def adamicAdar(incidence: DataFrame, leftCol: String, rightCol: String,
+                 topK: Int = 50, maxDeg: Int = 10): DataFrame = {
+    require(topK >= 1 && maxDeg >= 2, s"need topK >= 1, maxDeg >= 2; got ($topK, $maxDeg)")
+    import org.apache.spark.sql.expressions.Window
+    val inc = incidence.select(col(leftCol).cast("long").as("a"),
+      col(rightCol).cast("long").as("z")).distinct()
+    val wz = Window.partitionBy(col("z"))
+    val kept = inc
+      .withColumn("deg", count(lit(1)).over(wz).cast("long"))
+      .filter(col("deg").between(2L, maxDeg.toLong))
+      .withColumn("term9",
+        floor(lit(1e9) / log(col("deg").cast("double")) + lit(0.5)).cast("long"))
+    val pairs = kept.select(col("z"), col("a"), col("term9"))
+      .join(kept.select(col("z"), col("a").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    val wTop = Window.orderBy(col("score9").desc, col("a"), col("b"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+           sum(col("term9")).as("score9"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= topK)
+      .withColumn("aa_score", col("score9") / 1e9)
+      .select(col("a"), col("b"), col("n_common"), col("aa_score"), col("rk"))
+  }
 }

@@ -1152,4 +1152,69 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
               col("n1p_left"), col("n1p_right"), col("n_types"), col("p_kn"))
   }
+
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    * V(N) ≈ K·N^β, estimated by OLS on ln V vs ln N over the corpus
+    * prefix curve in `idCol` order — the scaling-law readout that says
+    * how much NEW vocabulary another 10× of corpus will bring (β ≈ 0.5
+    * for natural text; β near 0 means the source is exhausted). Sample
+    * points are every `sampleEvery`-th document, so the regression
+    * input is corpus-size/sampleEvery rows regardless of scale.
+    *
+    * The cumulative distinct count V(d) is computed WITHOUT any
+    * distinct-over-window: a word contributes at its FIRST document
+    * (min doc id per word — one reduce over the |vocab| table), new
+    * words per doc roll up with a cumulative sum, exactly the
+    * incremental-index shape. Determinism: V and N are exact integers;
+    * ln terms fold on the 1e-9 grid (the zipfSlope contract). Emits one
+    * row: (n_points, n_docs, vocab, tokens, beta, k). */
+  def heapsLaw(df: DataFrame, textCol: String, idCol: String,
+               sampleEvery: Int = 10): DataFrame = {
+    require(sampleEvery >= 1, s"need sampleEvery >= 1, got $sampleEvery")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).cast("long").as("d"),
+      explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val firstDoc = toks.groupBy(col("w"))
+      .agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).cast("long").as("nw"))
+    val perDoc = toks.groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("nt"))
+      .join(firstDoc, Seq("d"), "left")
+      .na.fill(0L, Seq("nw"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc
+      .withColumn("vv", sum(col("nw")).over(wCum))
+      .withColumn("nn", sum(col("nt")).over(wCum))
+      .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val pts = curve.filter(col("i") % sampleEvery === 0L || col("i") === 1L)
+      .withColumn("x", log(col("nn").cast("double")))
+      .withColumn("y", log(col("vv").cast("double")))
+      .select(
+        floor(col("x") * 1e9 + 0.5).cast("long").as("x9"),
+        floor(col("y") * 1e9 + 0.5).cast("long").as("y9"),
+        floor(col("x") * col("x") * 1e9 + 0.5).cast("long").as("xx9"),
+        floor(col("x") * col("y") * 1e9 + 0.5).cast("long").as("xy9"))
+    val tot = curve.agg(max(col("i")).as("n_docs"), max(col("vv")).as("vocab"),
+      max(col("nn")).as("tokens"))
+    pts.agg(count(lit(1)).cast("long").as("n_points"),
+        sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+        sum(col("xx9")).as("sxx"), sum(col("xy9")).as("sxy"))
+      .crossJoin(broadcast(tot))
+      .withColumn("den",
+        col("n_points").cast("double") * col("sxx").cast("double") / 1e9 -
+        (col("sx").cast("double") / 1e9) * (col("sx").cast("double") / 1e9))
+      .withColumn("beta", when(col("den") === 0.0, lit(null).cast("double"))
+        .otherwise(graft.queries.Det.dround(
+          (col("n_points").cast("double") * col("sxy").cast("double") / 1e9 -
+           (col("sx").cast("double") / 1e9) * (col("sy").cast("double") / 1e9)) /
+          col("den"), 6)))
+      .withColumn("k", graft.queries.Det.dround(
+        exp((col("sy").cast("double") / 1e9 -
+          col("beta") * col("sx").cast("double") / 1e9) /
+          col("n_points").cast("double")), 6))
+      .select(col("n_points"), col("n_docs"), col("vocab"), col("tokens"),
+              col("beta"), col("k"))
+  }
 }

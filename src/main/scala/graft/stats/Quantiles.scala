@@ -92,6 +92,50 @@ object Quantiles {
     * [[exact]] calls for [[approx]] (same contract as winsorize).
     * A group with MAD = 0 (over half its mass on one value) reports
     * n_outliers over the x ≠ med rule instead — the standard fallback. */
+  /** Trimmed and winsorized means per group (Tukey's robust location
+    * family; Wilcox 2012 ch. 3): cut at the exact [lo, hi] percentiles,
+    * then report (a) the TRIMMED mean — average of values strictly
+    * inside the fences, discarding the tails, and (b) the WINSORIZED
+    * mean — average after clamping the tails to the fences. Both are
+    * what a revenue dashboard shows when a single whale would swamp the
+    * plain mean; winsorized keeps n constant, trimmed does not.
+    *
+    * Determinism: `valueCol` is expected on an integer grid (cents);
+    * fences are exact-percentile doubles on the half-grid; sums fold as
+    * integers (trimmed) / half-grid-exact doubles folded on the cents
+    * grid after clamping (winsorized — clamp values are quantized to
+    * the 1e-4 grid before summing so the fold is order-free).
+    * Same 100-TB shape as [[winsorize]]: one percentile aggregation
+    * broadcast back, one reduce; big side shuffles once. */
+  def trimmedMeans(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val q = exact(df, valueCol, groupCols, Seq(lo, hi))
+    val loCol = qLabel(lo)
+    val hiCol = qLabel(hi)
+    val bounds = q.select(groupCols.map(col) :+
+      col(loCol).as("__lo") :+ col(hiCol).as("__hi"): _*)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("__in",
+        col(valueCol).cast("double") >= col("__lo") &&
+        col(valueCol).cast("double") <= col("__hi"))
+      .withColumn("__w4",
+        floor(least(greatest(col(valueCol).cast("double"), col("__lo")),
+          col("__hi")) * 1e4 + 0.5).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(when(col("__in"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("__in"), col(valueCol).cast("long")).otherwise(0L))
+             .as("__ts"),
+           sum(col("__w4")).as("__ws"))
+      .withColumn("trimmed_mean",
+        when(col("n_kept") > 0,
+          col("__ts").cast("double") / col("n_kept")))
+      .withColumn("winsorized_mean",
+        col("__ws").cast("double") / 1e4 / col("n"))
+      .drop("__ts", "__ws")
+  }
+
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   thresh: Double = 3.5): DataFrame = {
     val med = exact(df, valueCol, groupCols, Seq(0.5))

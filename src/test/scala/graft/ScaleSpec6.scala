@@ -237,4 +237,72 @@ class ScaleSpec6 extends SparkTestBase {
     assert(out.head.getAs[Double]("rms") == rms)
     assert(out.head.getAs[Long]("zcr") == zcr.toLong)
   }
+
+  // ---- Mann–Whitney U ------------------------------------------------------
+
+  test("mwuTest: no-tie and tied hand examples come out exact") {
+    // ref {1,2,3} vs other {4,5,6}: U=9, sigma^2=5.25, z=4.5/sqrt(5.25)
+    val df = Seq(("r", 1L), ("r", 2L), ("r", 3L),
+                 ("o", 4L), ("o", 5L), ("o", 6L)).toDF("g", "v")
+    val r1 = graft.stats.RankTests.mwuTest(df, "v", "g", "r").collect().head
+    assert(r1.getAs[Double]("u_ref") == 9.0)
+    assert(math.abs(r1.getAs[Double]("z") - 4.5 / math.sqrt(5.25)) < 1e-12)
+
+    // ties: ref {1,1} vs other {1,2}: U=3, tcorr=24, sigma^2=1, z=1
+    val df2 = Seq(("r", 1L), ("r", 1L), ("o", 1L), ("o", 2L)).toDF("g", "v")
+    val r2 = graft.stats.RankTests.mwuTest(df2, "v", "g", "r").collect().head
+    assert(r2.getAs[Double]("u_ref") == 3.0)
+    assert(math.abs(r2.getAs[Double]("z") - 1.0) < 1e-12)
+  }
+
+  // ---- trimmed means -------------------------------------------------------
+
+  test("trimmedMeans: 1..10 at 10/90 trims to 2..9 and winsorizes the " +
+       "tails onto the fences") {
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = graft.stats.Quantiles.trimmedMeans(df, "v", Seq("g")).collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+    // clamp: 1 -> 1.9, 10 -> 9.1; sum = 55.0 exactly
+    assert(r.getAs[Double]("winsorized_mean") == 5.5)
+  }
+
+  // ---- Adamic–Adar ---------------------------------------------------------
+
+  test("adamicAdar: shared rare neighbors dominate, hubs above maxDeg " +
+       "are excluded") {
+    val inc = Seq(
+      (1L, 101L), (2L, 101L),                       // z=101: deg 2
+      (1L, 102L), (2L, 102L), (3L, 102L)) ++        // z=102: deg 3
+      (1L to 12L).map(s => (s, 999L))               // z=999: hub, deg 12
+    val df = inc.toDF("s", "p")
+    val out = Graph.adamicAdar(df, "s", "p", topK = 10, maxDeg = 10)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r).toMap
+    val t2 = math.floor(1e9 / math.log(2.0) + 0.5) / 1e9
+    val t3 = math.floor(1e9 / math.log(3.0) + 0.5) / 1e9
+    assert(out((1L, 2L)).getAs[Long]("n_common") == 2L)
+    assert(math.abs(out((1L, 2L)).getAs[Double]("aa_score") - (t2 + t3)) < 1e-12)
+    assert(out((1L, 3L)).getAs[Long]("n_common") == 1L)
+    assert(math.abs(out((1L, 3L)).getAs[Double]("aa_score") - t3) < 1e-12)
+    assert(out((1L, 2L)).getAs[Long]("rk") == 1L)
+    // hub 999 is capped out: pairs like (4,5) share ONLY the hub -> absent
+    assert(!out.contains((4L, 5L)))
+  }
+
+  // ---- Heaps' law ----------------------------------------------------------
+
+  test("heapsLaw: a corpus with V ~ sqrt(2N) growth fits beta near 0.5") {
+    // doc i introduces exactly one new word and repeats all older ones:
+    // V(d) = d, N(d) = d(d+1)/2, so V ~ sqrt(2N) -> beta ~ 0.5
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (0 until i).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = graft.scale.TextAnalysis.heapsLaw(docs, "text", "doc_id",
+      sampleEvery = 5).collect().head
+    assert(r.getAs[Long]("n_docs") == 40L)
+    assert(r.getAs[Long]("vocab") == 40L)
+    assert(r.getAs[Long]("tokens") == 820L)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.4 && beta < 0.62, s"beta should be near 0.5, got $beta")
+  }
 }
