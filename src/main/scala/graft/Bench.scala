@@ -49,7 +49,13 @@ object Bench {
     // closed-form siblings m1_ar1/m2_sar1/m4_var1/m5_* stay in)
     val estimators = graft.queries.ModelQueries.queries.keySet +
       "f3_series_arima" + "m3_decision" + "m9_decision"
-    val headline = SparkEntry.queries.filterNot { case (k, _) => estimators(k) }
+    // optional probe filter (soak tooling): SPARK_GRAFT_ONLY=q1,q2 times
+    // just those queries in one JVM — per-op scaling ratios without 2N
+    // JVM launches
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val headline = SparkEntry.queries
+      .filterNot { case (k, _) => estimators(k) }
+      .filter { case (k, _) => only.forall(_.contains(k)) }
 
     // warmup 2: run every headline query once at the TARGET SF so
     // whole-stage-codegen compilation, AQE runtime re-planning, and JVM

@@ -573,6 +573,25 @@ object ScaleQueries8 {
          " - beta*CAST(sx AS DOUBLE)/1.0E9)/CAST(n_points AS DOUBLE))", 6)} AS k
        |FROM fit""".stripMargin
 
+  // ---- ST_CMS: streaming Count-Min twin -----------------------------------
+
+  /** ST_CMS — the full 3×64 Count-Min counter table over event
+    * user_ids: the batch twin of StreamCms (whose final state is
+    * hash-identical — increments are associative/commutative, the
+    * split-invariance spec pins it). */
+  private def stCms: Q = (s, d) =>
+    graft.stats.Sketches.cmsSketch(Tables.events(s, d), "user_id", 64)
+      .select(col("r").cast("long").as("r"), col("bucket"), col("c"))
+
+  private val stCmsSql =
+    s"""WITH k AS (SELECT user_id % 2147483647 AS km FROM events),
+       |h(r, a, b) AS (VALUES (0, 1103515245, 12345), (1, 214013, 2531011),
+       |  (2, 69069, 1234567))
+       |SELECT CAST(r AS BIGINT) AS r,
+       |  (a*km + b) % 2147483647 % 64 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS c
+       |FROM k CROSS JOIN h GROUP BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -589,7 +608,8 @@ object ScaleQueries8 {
     "a48_mwu"      -> a48Mwu,
     "a49_trimmed"  -> a49Trimmed,
     "g2_adamic_adar" -> g2Aa,
-    "x34_heaps"    -> x34Heaps)
+    "x34_heaps"    -> x34Heaps,
+    "st_cms"       -> stCms)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -605,5 +625,6 @@ object ScaleQueries8 {
     "a48_mwu"      -> a48Sql,
     "a49_trimmed"  -> a49Sql,
     "g2_adamic_adar" -> g2Sql,
-    "x34_heaps"    -> x34Sql)
+    "x34_heaps"    -> x34Sql,
+    "st_cms"       -> stCmsSql)
 }

@@ -42,8 +42,13 @@ object Graph {
                     scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(scale % 100L == 0 && scale > 0, s"need scale > 0 divisible by 100, got $scale")
+    // e is persisted HASH-PARTITIONED on src, and deg (a groupBy on the
+    // same key) inherits that partitioning: every per-round pr⋈deg⋈e
+    // chain then satisfies its clustered distribution from the cache —
+    // only the small rank table and the per-round dst reduce move.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst")).persist()
+                         col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).persist()
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("d")).persist()
     val base = 15L * (scale / 100L)

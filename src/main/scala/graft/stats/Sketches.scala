@@ -82,6 +82,23 @@ object Sketches {
     Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 1234567L))
   val cmsP: Long = 2147483647L
 
+  /** The depth-3 × `width` Count-Min counter table over `keyCol`: one
+    * map-side-combined reduce to 3·width cells — the mergeable sketch
+    * state itself, shared by [[cmsTopKAudit]] and the streaming twin
+    * ([[graft.streaming.StreamCms]]), whose final state is
+    * hash-identical to this table. */
+  def cmsSketch(df: DataFrame, keyCol: String, width: Int): DataFrame = {
+    val keyed = df.select(pmod(col(keyCol).cast("long"), lit(cmsP)).as("km"))
+    val rowsLit = cmsRows.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("r"), lit(a).as("a"), lit(b).as("b"))
+    }
+    keyed
+      .withColumn("h", explode(array(rowsLit: _*)))
+      .groupBy(col("h.r").as("r"),
+        ((col("h.a") * col("km") + col("h.b")) % cmsP % width).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
   /** Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005,
     * "An improved data stream summary: the count-min sketch"): build a
     * depth-3 × `width` counter sketch over `keyCol` with the
@@ -104,11 +121,7 @@ object Sketches {
     val rowsLit = cmsRows.zipWithIndex.map { case ((a, b), r) =>
       struct(lit(r).as("r"), lit(a).as("a"), lit(b).as("b"))
     }
-    val sketch = keyed
-      .withColumn("h", explode(array(rowsLit: _*)))
-      .groupBy(col("h.r").as("r"),
-        ((col("h.a") * col("km") + col("h.b")) % cmsP % width).as("bucket"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    val sketch = cmsSketch(df, keyCol, width)
     val top = keyed.groupBy(col("km"))
       .agg(count(lit(1)).cast("long").as("exact"))
       .orderBy(col("exact").desc, col("km")).limit(k)

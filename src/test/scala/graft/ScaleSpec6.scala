@@ -305,4 +305,35 @@ class ScaleSpec6 extends SparkTestBase {
     val beta = r.getAs[Double]("beta")
     assert(beta > 0.4 && beta < 0.62, s"beta should be near 0.5, got $beta")
   }
+
+  // ---- streaming CMS ---------------------------------------------------------
+
+  test("StreamCms: final counters equal the batch sketch under any " +
+       "micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1L to 300L).map(_ % 37L)
+    val batch = graft.stats.Sketches.cmsSketch(keys.map(Tuple1(_)).toDF("k"),
+        "k", width = 16)
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+
+    for (splitAt <- Seq(1, 150, 299)) {
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.StreamCms.attach(mem.toDS(), width = 16)
+        .writeStream.format("memory").queryName(s"cms_out_$splitAt")
+        .outputMode("update").start()
+      mem.addData(keys.take(splitAt))
+      q.processAllAvailable()
+      mem.addData(keys.drop(splitAt))
+      q.processAllAvailable()
+      q.stop()
+      // Update mode: keep the LAST emission per cell
+      val got = spark.table(s"cms_out_$splitAt")
+        .groupBy($"r", $"bucket").agg(max($"c").as("c"))
+        .collect().map(r => (r.getInt(0), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("c")).toMap
+      assert(got == batch, s"split at $splitAt: streaming != batch")
+    }
+  }
 }
