@@ -99,6 +99,29 @@ object Encoders {
       .withColumn(s"${valueCol}_maxabs", v / max(abs(v)).over(w))
   }
 
+  /** Robust scaling ((x − median)/IQR) — sklearn RobustScaler: the
+    * outlier-immune fourth member of the [[scaled]] family (a whale
+    * row moves μ/σ/min/max arbitrarily, but not the quartiles). Exact
+    * per-group quartiles broadcast back ([[graft.stats.Quantiles]]
+    * winsorize shape — swap in the approx path at 100 TB); the corpus
+    * itself never shuffles. A zero-IQR group (over half its mass on
+    * one value) emits null rather than ±Infinity. */
+  def robustScaled(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val q = graft.stats.Quantiles.exact(df, valueCol, groupCols,
+      Seq(0.25, 0.5, 0.75))
+    val bounds = q.select(groupCols.map(col) :+ col("q25").as("__q25") :+
+      col("q50").as("__q50") :+ col("q75").as("__q75"): _*)
+    val joined = if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+                 else df.join(broadcast(bounds), groupCols)
+    joined
+      .withColumn(s"${valueCol}_robust",
+        when(col("__q75") > col("__q25"),
+          (col(valueCol).cast("double") - col("__q50"))
+            / (col("__q75") - col("__q25"))))
+      .drop("__q25", "__q50", "__q75")
+  }
+
   /** Out-of-fold target (mean) encoding with m-estimate smoothing — the
     * high-cardinality categorical encoder AutoML stacks pair with label
     * encoding (E1): each row's category becomes the target mean of the

@@ -592,6 +592,176 @@ object ScaleQueries8 {
        |  CAST(count(*) AS BIGINT) AS c
        |FROM k CROSS JOIN h GROUP BY 1, 2""".stripMargin
 
+  // ---- E13: robust scaler --------------------------------------------------
+
+  /** E13 — sklearn RobustScaler twin per event type (exact quartiles
+    * broadcast back), first 500 events. */
+  private def e13Robust: Q = (s, d) =>
+    graft.core.Encoders.robustScaled(
+        Tables.events(s, d).withColumn("v",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "v", Seq("event_type"))
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("event_type"), col("v"),
+              dround(col("v_robust"), 6).as("v_robust"))
+
+  private val e13Sql =
+    s"""WITH e AS (SELECT event_id, event_type,
+       |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+       |q AS (SELECT event_type, quantile_cont(v, 0.25) AS q25,
+       |    quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.75) AS q75
+       |  FROM e GROUP BY 1)
+       |SELECT event_id, e.event_type, v,
+       |  CASE WHEN q75 > q25
+       |    THEN ${droundSql("(CAST(v AS DOUBLE) - q50)/(q75 - q25)", 6)}
+       |  END AS v_robust
+       |FROM e JOIN q USING (event_type) WHERE event_id < 500""".stripMargin
+
+  // ---- SM23: data-constrained effective tokens -----------------------------
+
+  /** SM23 — Muennighoff-style effective tokens per source at 4 epochs:
+    * what repeating the mixture is still worth. */
+  private def sm23Epochs: Q = (s, d) =>
+    graft.scale.Sampling.effectiveTokens(Tables.documents(s, d),
+      "source", "text", epochs = 4.0)
+
+  private val sm23Sql = {
+    val rd = 15.39
+    val e = 4.0
+    s"""WITH u AS (SELECT source,
+       |    CAST(sum(CAST(len(regexp_extract_all(text,
+       |      '${graft.scale.Packing.tokPattern}')) AS BIGINT)) AS BIGINT)
+       |      AS n_unique
+       |  FROM documents GROUP BY 1)
+       |SELECT source, n_unique, $e AS epochs,
+       |  ${droundSql(s"n_unique + n_unique * $rd * " +
+         s"(1.0 - exp(-(${e} - 1.0) / $rd))", 6)} AS eff_tokens,
+       |  ${droundSql(s"(${droundSql(s"n_unique + n_unique * $rd * " +
+         s"(1.0 - exp(-(${e} - 1.0) / $rd))", 6)}) / (n_unique * $e)", 9)}
+       |    AS eff_frac
+       |FROM u""".stripMargin
+  }
+
+  // ---- A51: Cramér–von Mises ------------------------------------------------
+
+  /** A51 — two-sample CvM between purchase and view value
+    * distributions: the whole-CDF companion to a16's KS max. */
+  private def a51Cvm: Q = (s, d) =>
+    graft.stats.DriftAudit.cvmStatistic(
+        Tables.events(s, d).filter(col("event_type").isin("purchase", "view")),
+        "value", "event_type")
+      .select(col("n_a"), col("n_b"), dround(col("t_cvm"), 6).as("t_cvm"))
+
+  private val a51Sql =
+    s"""WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE event_type IN ('purchase', 'view')),
+       |t AS (SELECT
+       |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na,
+       |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM e),
+       |bv AS (SELECT x,
+       |    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM e GROUP BY 1),
+       |cum AS (SELECT x, ca, cb,
+       |    CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS ra,
+       |    CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS rb
+       |  FROM bv),
+       |tm AS (SELECT ca, cb,
+       |    CAST(ra*nb - rb*na AS DOUBLE)/(CAST(na AS DOUBLE)*nb) AS diff,
+       |    na, nb
+       |  FROM cum CROSS JOIN t),
+       |agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+       |    CAST(sum(CAST(floor(CAST(ca + cb AS DOUBLE)*diff*diff*1.0E9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s9
+       |  FROM tm)
+       |SELECT n_a, n_b,
+       |  ${droundSql("CAST(n_a AS DOUBLE)*n_b" +
+         "/(CAST(n_a + n_b AS DOUBLE)*(n_a + n_b))*(s9/1.0E9)", 6)} AS t_cvm
+       |FROM agg""".stripMargin
+
+  // ---- G3: degree assortativity ---------------------------------------------
+
+  /** G3 — degree assortativity of the undirected part–supplier graph:
+    * the skew-regime scalar for its joins. */
+  private def g3Assort: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.scale.Graph.degreeAssortativity(edges, "src", "dst")
+      .select(col("n_edges"),
+              dround(col("mean_src_deg"), 6).as("mean_src_deg"),
+              dround(col("mean_dst_deg"), 6).as("mean_dst_deg"),
+              dround(col("r"), 6).as("r"))
+  }
+
+  private val g3Sql =
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+       |        FROM e GROUP BY 1),
+       |j AS (SELECT dx.d AS dx, dy.d AS dy
+       |  FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |    CAST(sum(dx*dy) AS BIGINT) AS sxy,
+       |    CAST(sum(dx*dx) AS BIGINT) AS sxx,
+       |    CAST(sum(dy*dy) AS BIGINT) AS syy
+       |  FROM j),
+       |v AS (SELECT n_edges,
+       |    CAST(sx AS DOUBLE)/n_edges AS mean_src_deg,
+       |    CAST(sy AS DOUBLE)/n_edges AS mean_dst_deg,
+       |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n_edges AS covn,
+       |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n_edges AS vxn,
+       |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy/n_edges AS vyn
+       |  FROM m)
+       |SELECT n_edges, ${droundSql("mean_src_deg", 6)} AS mean_src_deg,
+       |  ${droundSql("mean_dst_deg", 6)} AS mean_dst_deg,
+       |  CASE WHEN vxn > 0.0 AND vyn > 0.0
+       |    THEN ${droundSql("covn/sqrt(vxn*vyn)", 6)} END AS r
+       |FROM v""".stripMargin
+
+  // ---- X35: MSTTR lexical diversity -----------------------------------------
+
+  /** X35 — mean segmental type-token ratio (25-token segments): the
+    * length-free lexical-diversity gate beside x5's quality ratios. */
+  private def x35Msttr: Q = (s, d) =>
+    graft.scale.TextAnalysis.msttr(Tables.documents(s, d), "text",
+        "doc_id", window = 25)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("ttr"),
+              col("n_segments"), col("msttr"))
+
+  private val x35Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |st AS (SELECT doc_id, w,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+       |    CAST(len(w) // 25 AS BIGINT) AS n_segments
+       |  FROM w),
+       |sg AS (SELECT doc_id, n_tokens, n_types, n_segments,
+       |    CASE WHEN n_segments > 0 THEN
+       |      CAST(coalesce(list_sum(list_transform(range(0, n_segments),
+       |        k -> len(list_distinct(list_slice(w, CAST(k*25 + 1 AS INT),
+       |          CAST(k*25 + 25 AS INT)))))), 0) AS BIGINT)
+       |    ELSE 0 END AS types_sum
+       |  FROM st)
+       |SELECT doc_id, n_tokens, n_types,
+       |  CASE WHEN n_tokens > 0
+       |    THEN ${droundSql("CAST(n_types AS DOUBLE)/n_tokens", 6)} END AS ttr,
+       |  n_segments,
+       |  CASE WHEN n_segments > 0
+       |    THEN ${droundSql("CAST(types_sum AS DOUBLE)/(n_segments*25)", 6)}
+       |  END AS msttr
+       |FROM sg""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -609,7 +779,12 @@ object ScaleQueries8 {
     "a49_trimmed"  -> a49Trimmed,
     "g2_adamic_adar" -> g2Aa,
     "x34_heaps"    -> x34Heaps,
-    "st_cms"       -> stCms)
+    "st_cms"       -> stCms,
+    "e13_robust"   -> e13Robust,
+    "sm23_epochs"  -> sm23Epochs,
+    "a51_cvm"      -> a51Cvm,
+    "g3_assortativity" -> g3Assort,
+    "x35_msttr"    -> x35Msttr)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -626,5 +801,10 @@ object ScaleQueries8 {
     "a49_trimmed"  -> a49Sql,
     "g2_adamic_adar" -> g2Sql,
     "x34_heaps"    -> x34Sql,
-    "st_cms"       -> stCmsSql)
+    "st_cms"       -> stCmsSql,
+    "e13_robust"   -> e13Sql,
+    "sm23_epochs"  -> sm23Sql,
+    "a51_cvm"      -> a51Sql,
+    "g3_assortativity" -> g3Sql,
+    "x35_msttr"    -> x35Sql)
 }

@@ -111,4 +111,52 @@ object Graph {
       .withColumn("aa_score", col("score9") / 1e9)
       .select(col("a"), col("b"), col("n_common"), col("aa_score"), col("rk"))
   }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of (out-degree(src),
+    * out-degree(dst)) over every directed edge — positive when hubs
+    * attach to hubs, negative for hub-and-spoke topologies; the one
+    * scalar that says which skew regime a graph's joins will face.
+    * Emits one row (n_edges, mean_src_deg, mean_dst_deg, r).
+    *
+    * Determinism: degrees are exact integers, the five Pearson moments
+    * fold as exact BIGINTs (contract: deg²·|E| < 2^63 — fine for
+    * degrees into the tens of thousands at billions of edges), r is a
+    * fixed-op-order double. Shape: one degree reduce + two joins of the
+    * |V|-row degree table onto the edges (broadcast-hinted — past the
+    * broadcast ceiling Spark falls back to shuffled hash joins on the
+    * same plan) + one map-side-combined moment reduce. Degenerate
+    * graphs (all degrees equal on either side) emit null, not 0/0. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    e.join(broadcast(deg.withColumnRenamed("d", "dx")),
+        col("src") === col("id")).drop("id")
+      .join(broadcast(deg.withColumnRenamed("d", "dy")),
+        col("dst") === col("id")).drop("id")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+           sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+           sum(col("dx") * col("dy")).as("sxy"),
+           sum(col("dx") * col("dx")).as("sxx"),
+           sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("mean_src_deg", col("sx").cast("double") / col("n_edges"))
+      .withColumn("mean_dst_deg", col("sy").cast("double") / col("n_edges"))
+      .withColumn("covn",
+        col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy") / col("n_edges"))
+      .withColumn("vxn",
+        col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx") / col("n_edges"))
+      .withColumn("vyn",
+        col("syy").cast("double")
+          - col("sy").cast("double") * col("sy") / col("n_edges"))
+      .withColumn("r",
+        when(col("vxn") > 0.0 && col("vyn") > 0.0,
+          col("covn") / sqrt(col("vxn") * col("vyn"))))
+      .select(col("n_edges"), col("mean_src_deg"), col("mean_dst_deg"),
+              col("r"))
+  }
 }

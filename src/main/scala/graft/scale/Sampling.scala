@@ -671,4 +671,36 @@ object Sampling {
     import spark.implicits._
     out.result().toDF("step", "source", "weight")
   }
+
+  /** Data-constrained effective tokens (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): training on a source
+    * for E epochs is worth less than E× fresh data — their fitted decay
+    * gives, per source with U unique tokens,
+    *   D'' = U + U·R_D·(1 − exp(−(E−1)/R_D))   for E > 1   (eq. 6 form)
+    *   D'' = U·E                                for E ≤ 1  (fresh data)
+    * with the paper's fitted R*_D ≈ 15.39. `eff_frac` = D''/(U·E) is
+    * the value retained per token actually consumed — the number a
+    * mixture planner multiplies into per-source budgets before handing
+    * them to the unimax/waterfill allocators (which cap EPOCHS; this
+    * prices what those epochs still buy).
+    *
+    * Shape: ONE token-count reduce to the |sources| table, scalar math
+    * after. Determinism: U is an exact [[Packing.tokenCount]] BIGINT, E
+    * and the exp land on the 1e-6/1e-9 grids. */
+  def effectiveTokens(df: DataFrame, sourceCol: String, textCol: String,
+                      epochs: Double, rd: Double = 15.39): DataFrame = {
+    require(epochs > 0 && rd > 0, s"need epochs > 0, rd > 0; got ($epochs, $rd)")
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(Packing.tokenCount(col(textCol))).as("n_unique"))
+      .withColumn("epochs", lit(epochs))
+      .withColumn("eff_tokens",
+        graft.queries.Det.dround(
+          when(lit(epochs) <= 1.0, col("n_unique") * lit(epochs))
+            .otherwise(col("n_unique")
+              + col("n_unique") * lit(rd)
+                * (lit(1.0) - exp(lit(-(epochs - 1.0) / rd)))), 6))
+      .withColumn("eff_frac",
+        graft.queries.Det.dround(
+          col("eff_tokens") / (col("n_unique") * lit(epochs)), 9))
+  }
 }

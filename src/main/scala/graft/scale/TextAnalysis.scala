@@ -1153,6 +1153,47 @@ object TextAnalysis {
               col("n1p_left"), col("n1p_right"), col("n_types"), col("p_kn"))
   }
 
+  /** Mean Segmental Type-Token Ratio (Johnson 1944's MSTTR; the
+    * fixed-window member of the lexical-diversity family Covington &
+    * McFall 2010 motivate): plain TTR = |types|/|tokens| shrinks with
+    * document length, so it can't compare docs of different sizes —
+    * MSTTR instead averages TTR over consecutive NON-overlapping
+    * segments of exactly `window` tokens (trailing partial segment
+    * dropped), giving a length-free diversity score a quality gate can
+    * threshold uniformly. Emits per doc: (id, n_tokens, n_types, ttr,
+    * n_segments, msttr); docs shorter than one segment get null msttr.
+    *
+    * Determinism: per-segment distinct counts are exact integers
+    * (array_distinct over an exact slice), the two ratios are single
+    * divisions. Pure map-side HOFs — zero shuffle, codegen-friendly. */
+  def msttr(df: DataFrame, textCol: String, idCol: String,
+            window: Int = 25): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    df.select(col(idCol),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          graft.queries.Det.dround(
+            col("n_types").cast("double") / col("n_tokens"), 6)))
+      .withColumn("n_segments", (col("n_tokens") / window).cast("long"))
+      .withColumn("types_sum",
+        // CASE guard: sequence(0, -1) would DESCEND, not be empty
+        expr(s"""CASE WHEN n_segments > 0 THEN
+          aggregate(sequence(0, CAST(n_segments AS INT) - 1),
+            CAST(0 AS BIGINT),
+            (a, k) -> a + size(array_distinct(
+              slice(w, CAST(k * $window + 1 AS INT), $window))))
+          ELSE CAST(0 AS BIGINT) END"""))
+      .withColumn("msttr",
+        when(col("n_segments") > 0,
+          graft.queries.Det.dround(
+            col("types_sum").cast("double")
+              / (col("n_segments") * lit(window.toLong)), 6)))
+      .drop("w", "types_sum")
+  }
+
   /** Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
     * V(N) ≈ K·N^β, estimated by OLS on ln V vs ln N over the corpus
     * prefix curve in `idCol` order — the scaling-law readout that says

@@ -127,6 +127,52 @@ object DriftAudit {
               col("d_num"), col("d_den"))
   }
 
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962) between the
+    * two values of `splitCol` — the WHOLE-CDF companion to
+    * [[ksStatistic]]'s supremum: T = (n·m/N²)·Σ_pooled (F(x)−G(x))²,
+    * summed over every pooled observation (each distinct value weighted
+    * by its multiplicity), so tail wiggles the KS max ignores all
+    * register. Emits one row (n_a, n_b, t_cvm).
+    *
+    * Determinism: ECDF counts are exact integers from the same
+    * distinct-value cumulative window as KS; each term
+    * w·((ca·nb − cb·na)/(na·nb))² quantizes to the 1e-9 grid and folds
+    * as BIGINT. Shape: identical to ksStatistic — a bounded
+    * distinct-value table (the a16 contract) with one ordered window. */
+  def cvmStatistic(df: DataFrame, valueCol: String, splitCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val tots = df.groupBy(col(splitCol)).count()
+    val Array(a, b) = tots.collect().map(_.get(0).toString).sorted  // 2 labels, bounded
+    val byVal = df
+      .withColumn("ia", when(col(splitCol) === a, 1L).otherwise(0L))
+      .withColumn("ib", when(col(splitCol) === b, 1L).otherwise(0L))
+      .groupBy(v.as("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .withColumn("ra", sum(col("ca")).over(Window.orderBy(col("x"))))
+      .withColumn("rb", sum(col("cb")).over(Window.orderBy(col("x"))))
+    byVal
+      .crossJoin(broadcast(
+        tots.groupBy()
+          .agg(sum(when(col(splitCol) === a, col("count"))).as("na"),
+               sum(when(col(splitCol) === b, col("count"))).as("nb"))))
+      .withColumn("diff",
+        (col("ra") * col("nb") - col("rb") * col("na")).cast("double")
+          / (col("na").cast("double") * col("nb")))
+      .withColumn("t9",
+        floor((col("ca") + col("cb")).cast("double") * col("diff") * col("diff")
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy()
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           sum(col("t9")).as("s9"))
+      .withColumn("t_cvm",
+        col("n_a").cast("double") * col("n_b")
+          / ((col("n_a") + col("n_b")).cast("double")
+            * (col("n_a") + col("n_b")))
+          * (col("s9") / 1e9))
+      .select(col("n_a"), col("n_b"), col("t_cvm"))
+  }
+
   /** Calibration-reliability bins (Murphy 1973 reliability diagram +
     * per-bin Brier decomposition): a probability-like score in [0,1]
     * against a binary outcome, fixed-width deciles. Per bin:

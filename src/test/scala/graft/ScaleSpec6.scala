@@ -336,4 +336,75 @@ class ScaleSpec6 extends SparkTestBase {
       assert(got == batch, s"split at $splitAt: streaming != batch")
     }
   }
+
+  // ---- robust scaler ---------------------------------------------------------
+
+  test("robustScaled: (x - median)/IQR on 1..10; zero-IQR group nulls") {
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val out = graft.core.Encoders.robustScaled(df, "v", Seq("g"))
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Any]("v_robust")).toMap
+    // q25=3.25, q50=5.5, q75=7.75, IQR=4.5
+    assert(math.abs(out(10L).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(out(1L).asInstanceOf[Double] - (-1.0)) < 1e-12)
+    val const = Seq.fill(5)(("c", 7L)).toDF("g", "v")
+    val cOut = graft.core.Encoders.robustScaled(const, "v", Seq("g")).collect()
+    assert(cOut.forall(_.getAs[Any]("v_robust") == null))
+  }
+
+  // ---- effective tokens ------------------------------------------------------
+
+  test("effectiveTokens: 1 epoch is face value; 4 epochs buys less than " +
+       "4x and more than 1x") {
+    val df = Seq(("s", "one two three four five")).toDF("src", "text")
+    val e1 = Sampling.effectiveTokens(df, "src", "text", 1.0).collect().head
+    assert(e1.getAs[Double]("eff_tokens") == e1.getAs[Long]("n_unique").toDouble)
+    assert(e1.getAs[Double]("eff_frac") == 1.0)
+    val e4 = Sampling.effectiveTokens(df, "src", "text", 4.0).collect().head
+    val u = e4.getAs[Long]("n_unique").toDouble
+    val eff = e4.getAs[Double]("eff_tokens")
+    assert(eff > u && eff < 4 * u)
+    assert(e4.getAs[Double]("eff_frac") < 1.0)
+  }
+
+  // ---- Cramér–von Mises -------------------------------------------------------
+
+  test("cvmStatistic: identical distributions score 0, a clean shift " +
+       "scores large") {
+    val same = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val t0 = graft.stats.DriftAudit.cvmStatistic(same, "v", "g")
+      .collect().head.getAs[Double]("t_cvm")
+    assert(t0 == 0.0)
+    val shift = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i + 100.0))).toDF("g", "v")
+    val t1 = graft.stats.DriftAudit.cvmStatistic(shift, "v", "g")
+      .collect().head.getAs[Double]("t_cvm")
+    assert(t1 > 5.0, s"disjoint samples must score large, got $t1")
+  }
+
+  // ---- assortativity ----------------------------------------------------------
+
+  test("degreeAssortativity: a bidirectional star is perfectly " +
+       "disassortative (r = -1)") {
+    val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert(r.getAs[Long]("n_edges") == 12L)
+    assert(math.abs(r.getAs[Double]("r") - (-1.0)) < 1e-12)
+  }
+
+  // ---- MSTTR ------------------------------------------------------------------
+
+  test("msttr: all-distinct text scores 1, one-word text scores 1/window") {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")),
+      (2L, Seq.fill(50)("a").mkString(" ")),
+      (3L, "short text only")).toDF("doc_id", "text")
+    val out = graft.scale.TextAnalysis.msttr(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("msttr") == 1.0)
+    assert(out(1L).getAs[Long]("n_segments") == 2L)
+    assert(out(2L).getAs[Double]("msttr") == 0.04) // 1/25
+    assert(out(2L).getAs[Double]("ttr") == 0.02)   // 1/50
+    assert(out(3L).getAs[Any]("msttr") == null)
+  }
 }
