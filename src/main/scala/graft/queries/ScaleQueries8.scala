@@ -762,6 +762,121 @@ object ScaleQueries8 {
        |  END AS msttr
        |FROM sg""".stripMargin
 
+  // ---- M18: Chow structural break -----------------------------------------
+
+  /** M18 — Chow break test of the daily purchase-dollar trend at the
+    * calendar midpoint: did the second half follow a different line. */
+  private def m18Chow: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("pc"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("t"),
+        (col("pc").cast("double") / 100.0 / 1000.0).as("y"))
+    graft.stats.Econometrics.chowTest(daily, "t", "y")
+      .select(col("n1"), col("n2"), col("break_t"),
+              dround(col("rss_p"), 6).as("rss_p"),
+              dround(col("rss_1"), 6).as("rss_1"),
+              dround(col("rss_2"), 6).as("rss_2"),
+              dround(col("f_stat"), 6).as("f_stat"))
+  }
+
+  /** One OLS-RSS leg in SQL from tagged 1e-9-grid moment sums. */
+  private def rssSql(tag: String): String = {
+    val n = s"CAST(n$tag AS DOUBLE)"
+    s"""(syy$tag/1.0E9 - (sy$tag/1.0E9)*(sy$tag/1.0E9)/$n
+       | - (sxy$tag/1.0E9 - (sx$tag/1.0E9)*(sy$tag/1.0E9)/$n)
+       |   * (sxy$tag/1.0E9 - (sx$tag/1.0E9)*(sy$tag/1.0E9)/$n)
+       |   / (sxx$tag/1.0E9 - (sx$tag/1.0E9)*(sx$tag/1.0E9)/$n))""".stripMargin
+  }
+
+  private def momentsSql(tag: String, cond: String): String =
+    s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$tag,
+       |CAST(sum(CASE WHEN $cond THEN ${g9Sql2("x")} ELSE 0 END) AS BIGINT) AS sx$tag,
+       |CAST(sum(CASE WHEN $cond THEN ${g9Sql2("y")} ELSE 0 END) AS BIGINT) AS sy$tag,
+       |CAST(sum(CASE WHEN $cond THEN ${g9Sql2("x*x")} ELSE 0 END) AS BIGINT) AS sxx$tag,
+       |CAST(sum(CASE WHEN $cond THEN ${g9Sql2("x*y")} ELSE 0 END) AS BIGINT) AS sxy$tag,
+       |CAST(sum(CASE WHEN $cond THEN ${g9Sql2("y*y")} ELSE 0 END) AS BIGINT) AS syy$tag""".stripMargin
+
+  private def g9Sql2(e: String): String =
+    s"CAST(floor(($e)*1.0E9 + 0.5) AS BIGINT)"
+
+  private val m18Sql =
+    s"""WITH dd AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS pc
+       |  FROM events GROUP BY 1),
+       |xy AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day)
+       |    AS BIGINT) AS t,
+       |    CAST(pc AS DOUBLE)/100.0/1000.0 AS y FROM dd),
+       |sp AS (SELECT CAST(min(t) AS BIGINT) AS t0,
+       |    CAST(max(t) AS BIGINT) AS t1 FROM xy),
+       |b AS (SELECT t, y, (t0 + t1)//2 AS brk, CAST(t - t0 AS DOUBLE) AS x,
+       |    t <= (t0 + t1)//2 AS pre FROM xy CROSS JOIN sp),
+       |m AS (SELECT brk,
+       |  ${momentsSql("p", "true")},
+       |  ${momentsSql("1", "pre")},
+       |  ${momentsSql("2", "NOT pre")}
+       |  FROM b GROUP BY brk),
+       |r AS (SELECT n1, n2, brk AS break_t,
+       |    ${rssSql("p")} AS rss_p, ${rssSql("1")} AS rss_1,
+       |    ${rssSql("2")} AS rss_2, np
+       |  FROM m)
+       |SELECT n1, n2, break_t, ${droundSql("rss_p", 6)} AS rss_p,
+       |  ${droundSql("rss_1", 6)} AS rss_1, ${droundSql("rss_2", 6)} AS rss_2,
+       |  CASE WHEN n1 >= 3 AND n2 >= 3 AND rss_1 + rss_2 > 0.0 THEN
+       |    ${droundSql("((rss_p - rss_1 - rss_2)/2.0)" +
+         "/((rss_1 + rss_2)/CAST(np - 4 AS DOUBLE))", 6)}
+       |  END AS f_stat
+       |FROM r""".stripMargin
+
+  // ---- A52: two-proportion z ------------------------------------------------
+
+  /** A52 — conversion-rate z-test between the md5 arms per salt: the
+    * binary companion to a41's mean-metric MDE. */
+  private def a52TwoProp: Q = (s, d) =>
+    graft.stats.ExperimentDesign.twoProportionZ(Tables.events(s, d),
+        "user_id", col("event_type") === "purchase", salts = Seq(1, 2, 3, 4, 5))
+      .select(col("salt"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+              dround(col("p_a"), 6).as("p_a"), dround(col("p_b"), 6).as("p_b"),
+              dround(col("z"), 6).as("z"),
+              dround(col("ci_lo"), 6).as("ci_lo"),
+              dround(col("ci_hi"), 6).as("ci_hi"))
+
+  private val a52Sql =
+    s"""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS u,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events GROUP BY 1),
+       |e AS (SELECT u.u, u.conv, CAST(s.salt AS BIGINT) AS salt
+       |  FROM u CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS s(salt)),
+       |a AS (SELECT salt,
+       |    CAST(sum(CASE WHEN md5(u || ':' || CAST(salt AS VARCHAR)) < '8000'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN md5(u || ':' || CAST(salt AS VARCHAR)) < '8000'
+       |      THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+       |    CAST(sum(CASE WHEN md5(u || ':' || CAST(salt AS VARCHAR)) >= '8000'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN md5(u || ':' || CAST(salt AS VARCHAR)) >= '8000'
+       |      THEN conv ELSE 0 END) AS BIGINT) AS x_b
+       |  FROM e GROUP BY 1),
+       |pr AS (SELECT salt, n_a, x_a, n_b, x_b,
+       |    CAST(x_a AS DOUBLE)/n_a AS p_a, CAST(x_b AS DOUBLE)/n_b AS p_b,
+       |    CAST(x_a + x_b AS DOUBLE)/(n_a + n_b) AS p_pool
+       |  FROM a WHERE n_a > 0 AND n_b > 0),
+       |zz AS (SELECT *,
+       |    CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+       |      (p_a - p_b)/sqrt(p_pool*(1.0 - p_pool)*(1.0/n_a + 1.0/n_b))
+       |    END AS z,
+       |    sqrt(p_a*(1.0 - p_a)/n_a + p_b*(1.0 - p_b)/n_b) AS se
+       |  FROM pr)
+       |SELECT salt, n_a, x_a, n_b, x_b, ${droundSql("p_a", 6)} AS p_a,
+       |  ${droundSql("p_b", 6)} AS p_b, ${droundSql("z", 6)} AS z,
+       |  ${droundSql("p_a - p_b - 1.959963984540054*se", 6)} AS ci_lo,
+       |  ${droundSql("p_a - p_b + 1.959963984540054*se", 6)} AS ci_hi
+       |FROM zz""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -784,7 +899,9 @@ object ScaleQueries8 {
     "sm23_epochs"  -> sm23Epochs,
     "a51_cvm"      -> a51Cvm,
     "g3_assortativity" -> g3Assort,
-    "x35_msttr"    -> x35Msttr)
+    "x35_msttr"    -> x35Msttr,
+    "m18_chow"     -> m18Chow,
+    "a52_two_prop" -> a52TwoProp)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -806,5 +923,7 @@ object ScaleQueries8 {
     "sm23_epochs"  -> sm23Sql,
     "a51_cvm"      -> a51Sql,
     "g3_assortativity" -> g3Sql,
-    "x35_msttr"    -> x35Sql)
+    "x35_msttr"    -> x35Sql,
+    "m18_chow"     -> m18Sql,
+    "a52_two_prop" -> a52Sql)
 }

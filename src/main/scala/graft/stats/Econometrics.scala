@@ -238,4 +238,65 @@ object Econometrics {
         when(col("lm_stat") > 3.841458820694124, 1L).otherwise(0L))
       .select(col("n"), col("rho"), col("r2"), col("lm_stat"), col("arch_flag"))
   }
+
+  /** Chow structural-break test (Chow 1960) of the linear trend y ~ t
+    * at the series midpoint: fit the pooled OLS line and the two
+    * segment lines, then
+    *   F = ((RSS_p − RSS_1 − RSS_2)/k) / ((RSS_1 + RSS_2)/(n − 2k)),
+    * k = 2 parameters per regime. The known-break companion to the
+    * searched-break detectors (Pettitt a33, CUSUM t17): those locate a
+    * break, this one prices whether a CANDIDATE break date (deploy,
+    * policy change) actually split the trend. Break point = the
+    * integer midpoint of the observed t range, so the whole statistic
+    * is data-determined with no driver collect.
+    *
+    * Determinism: one combined aggregate of 1e-9-grid BIGINT moment
+    * folds, three closed-form RSS values (cyy − cxy²/cxx), F in fixed
+    * op order; the same single-task reduced-frame contract as
+    * [[grangerLag1]]. Emits (n1, n2, break_t, rss_p, rss_1, rss_2,
+    * f_stat). Degenerate segments (< 3 points) yield null F. */
+  def chowTest(df: DataFrame, tCol: String, yCol: String): DataFrame = {
+    val t = col(tCol).cast("long")
+    val span = df.agg(min(t).as("t0"), max(t).as("t1"))
+    val base = df.crossJoin(broadcast(span))
+      .withColumn("brk", expr("(t0 + t1) div 2"))
+      // re-index to the series origin: raw epoch-day t values square to
+      // ~4e17 on the 1e-9 grid and overflow the BIGINT folds
+      .withColumn("x", (t - col("t0")).cast("double"))
+      .withColumn("pre", t <= col("brk"))
+    def moments(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(cond, g9(col("x"))).otherwise(0L)).as(s"sx$tag"),
+      sum(when(cond, g9(col(yCol))).otherwise(0L)).as(s"sy$tag"),
+      sum(when(cond, g9(col("x") * col("x"))).otherwise(0L)).as(s"sxx$tag"),
+      sum(when(cond, g9(col("x") * col(yCol))).otherwise(0L)).as(s"sxy$tag"),
+      sum(when(cond, g9(col(yCol) * col(yCol))).otherwise(0L)).as(s"syy$tag"))
+    val all = moments("p", lit(true)) ++ moments("1", col("pre")) ++
+      moments("2", !col("pre"))
+    val agg = base.groupBy(col("brk")).agg(all.head, all.tail: _*)
+    def rss(tag: String): Column = {
+      val n = col(s"n$tag").cast("double")
+      val sx = col(s"sx$tag") / 1e9; val sy = col(s"sy$tag") / 1e9
+      val sxx = col(s"sxx$tag") / 1e9; val sxy = col(s"sxy$tag") / 1e9
+      val syy = col(s"syy$tag") / 1e9
+      val cxx = sxx - sx * sx / n
+      val cxy = sxy - sx * sy / n
+      val cyy = syy - sy * sy / n
+      cyy - cxy * cxy / cxx
+    }
+    agg
+      .withColumn("rss_p", rss("p"))
+      .withColumn("rss_1", rss("1"))
+      .withColumn("rss_2", rss("2"))
+      // a perfectly-fitting two-segment model (RSS_1 + RSS_2 = 0) has an
+      // infinite F conceptually; emit null rather than divide by zero
+      .withColumn("f_stat",
+        when(col("n1") >= 3 && col("n2") >= 3
+            && col("rss_1") + col("rss_2") > 0.0,
+          ((col("rss_p") - col("rss_1") - col("rss_2")) / 2.0)
+            / ((col("rss_1") + col("rss_2"))
+              / (col("np") - 4L).cast("double"))))
+      .select(col("n1"), col("n2"), col("brk").as("break_t"),
+              col("rss_p"), col("rss_1"), col("rss_2"), col("f_stat"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Experiment-design gates that run BEFORE/ALONGSIDE the effect readouts
@@ -147,5 +147,50 @@ object ExperimentDesign {
       .withColumn("crossed", abs(col("z")) > col("bound"))
       .select(col("look"), col("n_a"), col("n_b"), col("m_a"), col("m_b"),
               col("z"), col("bound"), col("crossed"))
+  }
+
+  /** Two-proportion z-test + unpooled CI between the md5 half-space
+    * arms, per salt — the CONVERSION-rate companion to [[mdeByGroup]]'s
+    * mean-metric sizing (Kohavi et al. 2020 ch. 17's default binary
+    * readout): per unit, converted = satisfies `convCol`; per salt,
+    *   z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))   (pooled p̂)
+    *   CI = (p̂_a − p̂_b) ± z_{.975}·√(p̂_a(1−p̂_a)/n_a + p̂_b(1−p̂_b)/n_b).
+    * A null hash split should flag ≈ 5% of salts by construction.
+    *
+    * Determinism: all counts exact integers from one distinct-unit
+    * reduce; proportions/z/CI fixed-op-order doubles. Shape: one
+    * distinct-unit aggregate, salts explode map-side (the srmCheck
+    * scan), |salts| output rows. */
+  def twoProportionZ(df: DataFrame, idCol: String, convCol: Column,
+                     salts: Seq[Int]): DataFrame = {
+    require(salts.nonEmpty, "need at least one salt")
+    val units = df.groupBy(col(idCol).cast("string").as("u"))
+      .agg(max(when(convCol, 1L).otherwise(0L)).as("conv"))
+    units
+      .withColumn("salt", explode(array(salts.map(s => lit(s.toLong)): _*)))
+      .withColumn("in_a",
+        md5(concat(col("u"), lit(":"), col("salt"))) < lit("8000"))
+      .groupBy(col("salt"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("in_a"), col("conv")).otherwise(0L)).as("x_a"),
+           sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+           sum(when(!col("in_a"), col("conv")).otherwise(0L)).as("x_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("p_a", col("x_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("x_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z",
+        when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+          (col("p_a") - col("p_b"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .withColumn("se_unpooled",
+        sqrt(col("p_a") * (lit(1.0) - col("p_a")) / col("n_a")
+          + col("p_b") * (lit(1.0) - col("p_b")) / col("n_b")))
+      .withColumn("ci_lo", col("p_a") - col("p_b") - lit(z975) * col("se_unpooled"))
+      .withColumn("ci_hi", col("p_a") - col("p_b") + lit(z975) * col("se_unpooled"))
+      .select(col("salt"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+              col("p_a"), col("p_b"), col("z"), col("ci_lo"), col("ci_hi"))
   }
 }

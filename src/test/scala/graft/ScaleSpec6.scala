@@ -407,4 +407,43 @@ class ScaleSpec6 extends SparkTestBase {
     assert(out(2L).getAs[Double]("ttr") == 0.02)   // 1/50
     assert(out(3L).getAs[Any]("msttr") == null)
   }
+
+  // ---- Chow test --------------------------------------------------------------
+
+  test("chowTest: a clean kink at the midpoint scores huge; one straight " +
+       "line scores tiny") {
+    // slope 1 before t=20, slope 5 after, plus a deterministic wiggle so
+    // neither segment fits EXACTLY (an exact fit nulls F by contract)
+    def wig(t: Long) = 0.1 * ((t * 7) % 5)
+    val kinked = (0L to 40L).map(t =>
+      (t, (if (t <= 20) t.toDouble else 20.0 + 5.0 * (t - 20)) + wig(t)))
+      .toDF("t", "y")
+    val k = graft.stats.Econometrics.chowTest(kinked, "t", "y").collect().head
+    assert(k.getAs[Long]("break_t") == 20L)
+    assert(k.getAs[Long]("n1") == 21L && k.getAs[Long]("n2") == 20L)
+    assert(k.getAs[Double]("f_stat") > 100.0,
+      s"kink must fire, got ${k.getAs[Double]("f_stat")}")
+
+    val line = (0L to 40L).map(t => (t, 2.0 * t + 1.0)).toDF("t", "y")
+    val l = graft.stats.Econometrics.chowTest(line, "t", "y").collect().head
+    // an exactly-fitting model has RSS 0 everywhere and a NULL F
+    assert(l.getAs[Double]("rss_p") < 1e-6)
+    assert(l.getAs[Any]("f_stat") == null)
+  }
+
+  // ---- two-proportion z ---------------------------------------------------------
+
+  test("twoProportionZ: arms partition units, counts are exact, and the " +
+       "CI brackets the point difference") {
+    val df = (1L to 400L).map(u => (u, u % 5 == 0)).toDF("uid", "conv")
+    val out = graft.stats.ExperimentDesign.twoProportionZ(
+      df, "uid", col("conv"), salts = Seq(1, 2, 3)).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 400L)
+      assert(r.getAs[Long]("x_a") + r.getAs[Long]("x_b") == 80L)
+      val d = r.getAs[Double]("p_a") - r.getAs[Double]("p_b")
+      assert(r.getAs[Double]("ci_lo") <= d && d <= r.getAs[Double]("ci_hi"))
+    }
+  }
 }
