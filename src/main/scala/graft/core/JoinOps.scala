@@ -48,6 +48,61 @@ object JoinOps {
     filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
 
+  /** NEAREST as-of join: for every left row, attach the right row whose
+    * `rightTs` is closest in ABSOLUTE time within the key group — ties
+    * (equidistant before/after) break to the EARLIER right row, and an
+    * exact timestamp match wins outright. The bidirectional sibling of
+    * [[asofJoin]] for reconciliation-style alignment (match a
+    * measurement to the closest reference reading, not the last one).
+    *
+    * Implementation: same single-shuffle union+window form — the
+    * backward candidate via `last(_, ignoreNulls)` over the ascending
+    * (ts, side) frame, the forward candidate via `first(_, ignoreNulls)`
+    * over the following frame — then one integer µs comparison picks a
+    * side. At equal timestamps the right row sorts before the left, so
+    * it lands in the BACKWARD frame with Δ = 0 and wins every
+    * comparison. One exchange on `keyCols`, two window specs sharing
+    * it, no broadcast of either side. Same uniqueness contract as
+    * asofJoin: right unique per (keyCols, rightTs). Carried columns
+    * appear as `prefix + name` plus `${prefix}ts` (the matched right
+    * timestamp); left rows with no right row in the group carry nulls. */
+  def asofNearestJoin(left: DataFrame, right: DataFrame,
+                      leftTs: String, rightTs: String,
+                      keyCols: Seq[String], rightVals: Seq[String],
+                      prefix: String = "near_"): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+            col(rightTs).as("__rts")) ++
+        rightVals.map(v => col(v).as(s"__rv_$v")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cands = (rightVals.map(v => (s"__rv_$v", s"__b_$v", s"__f_$v")) :+
+      (("__rts", "__bts", "__fts")))
+      .foldLeft(u) { case (d, (src, b, f)) =>
+        d.withColumn(b, last(col(src), ignoreNulls = true).over(wb))
+          .withColumn(f, first(col(src), ignoreNulls = true).over(wf))
+      }
+    val db = unix_micros(col("__ts")) - unix_micros(col("__bts"))
+    val df_ = unix_micros(col("__fts")) - unix_micros(col("__ts"))
+    val useBack = col("__fts").isNull || (col("__bts").isNotNull && db <= df_)
+    val picked = rightVals.foldLeft(
+        cands.withColumn(s"${prefix}ts",
+          when(useBack, col("__bts")).otherwise(col("__fts")))) { (d, v) =>
+      d.withColumn(s"$prefix$v",
+        when(useBack, col(s"__b_$v")).otherwise(col(s"__f_$v")))
+    }
+    val drop = Seq("__ts", "__side", "__rts", "__bts", "__fts") ++
+      rightVals.flatMap(v => Seq(s"__rv_$v", s"__b_$v", s"__f_$v"))
+    picked.filter(col("__side") === 1).drop(drop: _*)
+  }
+
   /** Salted equi-join for skewed keys: the left (big, skewed) side gets a
     * deterministic salt in [0, saltFactor) derived from `saltSourceCols`
     * (columns that vary WITHIN a hot key — a row id, a timestamp); the

@@ -877,6 +877,163 @@ object ScaleQueries8 {
        |  ${droundSql("p_a - p_b + 1.959963984540054*se", 6)} AS ci_hi
        |FROM zz""".stripMargin
 
+  // ---- T29: spectral entropy ------------------------------------------------
+
+  private val t29Periods = 2 to 8
+
+  /** T29 — normalized spectral entropy over the t26 candidate-period
+    * powers per user series: the forecastability scalar (0 = one
+    * dominant period, 1 = flat noise). */
+  private def t29SpecEntropy: Q = (s, d) =>
+    graft.scale.SeriesDiagnostics.spectralEntropy(
+        Tables.events(s, d), "value", "ts", Seq("user_id"),
+        t29Periods, minLen = 20, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("n_periods"), col("peak_p"),
+              dround(col("peak_share"), 6).as("peak_share"),
+              dround(col("entropy"), 6).as("entropy"))
+
+  private val t29Sql = {
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val rows = t29Periods.flatMap { p =>
+      (0 until p).map { j =>
+        val c = r6(math.cos(2 * math.Pi * j / p))
+        val sn = r6(math.sin(2 * math.Pi * j / p))
+        s"($p, ${j + 1}, $c, $sn)"
+      }
+    }.mkString(", ")
+    s"""WITH ct(p, j, c, s) AS (VALUES $rows),
+       |sr AS (SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+       |      OVER (PARTITION BY user_id) AS BIGINT) AS sc,
+       |    floor(value*100 + 0.5)/100.0 AS y
+       |  FROM events),
+       |g AS (SELECT user_id, rn,
+       |        y - CAST(sc AS DOUBLE)/n/100.0 AS yd
+       |      FROM sr WHERE n >= 20),
+       |terms AS (SELECT g.user_id, ct.p,
+       |    CAST(floor(g.yd * ct.c * 1.0E9 + 0.5) AS BIGINT) AS zc9,
+       |    CAST(floor(g.yd * ct.s * 1.0E9 + 0.5) AS BIGINT) AS zs9
+       |  FROM g JOIN ct ON ct.j = (g.rn - 1) % ct.p + 1),
+       |a AS (SELECT user_id, p, CAST(sum(zc9) AS BIGINT) AS zc9,
+       |        CAST(sum(zs9) AS BIGINT) AS zs9
+       |      FROM terms GROUP BY 1, 2),
+       |pk AS (SELECT user_id, CAST(p AS BIGINT) AS p,
+       |    CAST(floor(((zc9/1.0E9)*(zc9/1.0E9) + (zs9/1.0E9)*(zs9/1.0E9))
+       |      * 1.0E9 + 0.5) AS BIGINT) AS p9
+       |  FROM a),
+       |t AS (SELECT user_id, p, p9,
+       |    CAST(sum(p9) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY p9 DESC, p)
+       |      AS BIGINT) AS rk
+       |  FROM pk),
+       |f AS (SELECT user_id, p, p9, tot, rk, CAST(p9 AS DOUBLE)/tot AS sh,
+       |    CASE WHEN p9 > 0 THEN CAST(floor(-(CAST(p9 AS DOUBLE)/tot)
+       |      * ln(CAST(p9 AS DOUBLE)/tot) * 1.0E9 + 0.5) AS BIGINT)
+       |    ELSE 0 END AS t9
+       |  FROM t WHERE tot > 0),
+       |gg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods,
+       |    CAST(sum(t9) AS BIGINT) AS s9,
+       |    max(CASE WHEN rk = 1 THEN p END) AS peak_p,
+       |    max(CASE WHEN rk = 1 THEN sh END) AS peak_share
+       |  FROM f GROUP BY 1)
+       |SELECT user_id, n_periods, CAST(peak_p AS BIGINT) AS peak_p,
+       |  ${droundSql("peak_share", 6)} AS peak_share,
+       |  ${droundSql("(s9/1.0E9)/ln(CAST(n_periods AS DOUBLE))", 6)} AS entropy
+       |FROM gg""".stripMargin
+  }
+
+  // ---- X36: vocabulary coverage ----------------------------------------------
+
+  /** X36 — top-k vocab coverage at k ∈ {100, 1000, 5000}: the
+    * vocab-size sizing curve. */
+  private def x36Coverage: Q = (s, d) =>
+    graft.scale.TextAnalysis.vocabCoverage(Tables.documents(s, d), "text",
+      ks = Seq(100, 1000, 5000))
+
+  private val x36Sql =
+    s"""WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS w FROM documents)
+       |  GROUP BY 1),
+       |r AS (SELECT w, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rk
+       |  FROM c),
+       |k AS (SELECT r.*, CAST(kk.k AS BIGINT) AS k
+       |  FROM r CROSS JOIN (VALUES (100), (1000), (5000)) kk(k))
+       |SELECT k, CAST(count(*) AS BIGINT) AS vocab_size,
+       |  CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS covered_tokens,
+       |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |  ${droundSql("CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END)" +
+         " AS DOUBLE)/sum(cnt)", 6)} AS coverage
+       |FROM k GROUP BY 1""".stripMargin
+
+  // ---- O4: weighted median ----------------------------------------------------
+
+  /** O4 — quantity-weighted median extended price (cents) per return
+    * flag: the mass-weighted location readout. */
+  private def o4Wmedian: Q = (s, d) =>
+    graft.stats.Quantiles.weightedMedian(
+        Tables.lineitem(s, d).withColumn("pc",
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")),
+        "pc", "l_quantity", Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("w_total"), col("wmedian"))
+
+  private val o4Sql =
+    s"""WITH e AS (SELECT l_returnflag,
+       |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc,
+       |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+       |bv AS (SELECT l_returnflag, pc, CAST(sum(q) AS BIGINT) AS w,
+       |    CAST(count(*) AS BIGINT) AS nn
+       |  FROM e GROUP BY 1, 2),
+       |cw AS (SELECT l_returnflag, pc, nn,
+       |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cwv,
+       |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw,
+       |    CAST(sum(nn) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tn
+       |  FROM bv)
+       |SELECT l_returnflag, CAST(max(tn) AS BIGINT) AS n,
+       |  CAST(max(tw) AS BIGINT) AS w_total,
+       |  CAST(min(pc) AS BIGINT) AS wmedian
+       |FROM cw WHERE cwv * 2 >= tw GROUP BY 1""".stripMargin
+
+  // ---- J9: nearest as-of join ---------------------------------------------------
+
+  /** J9 — attach the NEAREST purchase (by |Δt|, ties to the earlier) to
+    * every view per user; single-shuffle union+window form. */
+  private def j9Nearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("pv"))
+    graft.core.JoinOps.asofNearestJoin(views, buys, "ts", "ts",
+        Seq("user_id"), Seq("pv"))
+      .filter(col("near_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        Det.tsStr(col("near_ts")).as("near_ts"), col("near_pv"),
+        abs(unix_micros(col("ts")) - unix_micros(col("near_ts"))).as("d_us"))
+  }
+
+  private val j9Sql =
+    s"""WITH v AS (SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'view'),
+       |p AS (SELECT user_id, ts AS rts,
+       |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS pv
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |j AS (SELECT v.event_id, v.user_id, p.rts, p.pv,
+       |    abs(epoch_us(v.ts) - epoch_us(p.rts)) AS d
+       |  FROM v JOIN p USING (user_id)),
+       |q AS (SELECT *, row_number() OVER (PARTITION BY event_id
+       |    ORDER BY d, rts) AS rk FROM j)
+       |SELECT event_id, user_id, ${Det.tsStrSql("rts")} AS near_ts,
+       |  pv AS near_pv, CAST(d AS BIGINT) AS d_us
+       |FROM q WHERE rk = 1""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -901,7 +1058,11 @@ object ScaleQueries8 {
     "g3_assortativity" -> g3Assort,
     "x35_msttr"    -> x35Msttr,
     "m18_chow"     -> m18Chow,
-    "a52_two_prop" -> a52TwoProp)
+    "a52_two_prop" -> a52TwoProp,
+    "t29_spec_entropy" -> t29SpecEntropy,
+    "x36_coverage" -> x36Coverage,
+    "o4_wmedian"   -> o4Wmedian,
+    "j9_asof_nearest" -> j9Nearest)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -925,5 +1086,9 @@ object ScaleQueries8 {
     "g3_assortativity" -> g3Sql,
     "x35_msttr"    -> x35Sql,
     "m18_chow"     -> m18Sql,
-    "a52_two_prop" -> a52Sql)
+    "a52_two_prop" -> a52Sql,
+    "t29_spec_entropy" -> t29Sql,
+    "x36_coverage" -> x36Sql,
+    "o4_wmedian"   -> o4Sql,
+    "j9_asof_nearest" -> j9Sql)
 }

@@ -587,4 +587,49 @@ object SeriesDiagnostics {
       .select((kSeq :+ col("n_err") :+ col("e_smooth") :+ col("mad_smooth")
         :+ col("ts") :+ col("alarm")): _*)
   }
+
+  /** Normalized spectral entropy per series (the tsfeatures `entropy`
+    * readout, Goerg 2013's forecastability measure, over the
+    * [[periodogram]]'s candidate-period powers): with p̂_k the share of
+    * total power at candidate period k,
+    *   H = −Σ p̂_k·ln p̂_k / ln K ∈ [0, 1]
+    * — near 0 when one period dominates (strongly seasonal, very
+    * forecastable), near 1 when power is flat (noise-like). Emits
+    * (series, n_periods, peak_p, peak_share, entropy).
+    *
+    * Determinism: powers quantize to the 1e-9 grid (BIGINT) before the
+    * total, so shares are ratios of exact integers; each −p̂·ln p̂ term
+    * re-quantizes to the grid before the K-term fold; peak_p breaks
+    * power ties toward the smaller period. Same scale shape as the
+    * periodogram plus one series-keyed window over the K-row-per-series
+    * power table. */
+  def spectralEntropy(df: DataFrame, valueCol: String, tsCol: String,
+                      seriesCols: Seq[String], periods: Seq[Int],
+                      minLen: Int = 20,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    val pow = periodogram(df, valueCol, tsCol, seriesCols, periods,
+      minLen, tieBreak)
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val wPeak = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col("p9").desc, col("p"))
+    pow
+      .withColumn("p9", floor(col("power") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("tot", sum(col("p9")).over(wAll))
+      .filter(col("tot") > 0)
+      .withColumn("sh", col("p9").cast("double") / col("tot"))
+      .withColumn("t9",
+        when(col("p9") > 0,
+          floor(-col("sh") * log(col("sh")) * lit(1e9) + lit(0.5)).cast("long"))
+        .otherwise(0L))
+      .withColumn("rk", row_number().over(wPeak))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_periods"),
+           sum(col("t9")).as("s9"),
+           max(when(col("rk") === 1, col("p"))).as("peak_p"),
+           max(when(col("rk") === 1, col("sh"))).as("peak_share"))
+      .withColumn("entropy",
+        (col("s9") / 1e9) / log(col("n_periods").cast("double")))
+      .select((seriesCols.map(col) :+ col("n_periods") :+ col("peak_p")
+        :+ col("peak_share") :+ col("entropy")): _*)
+  }
 }

@@ -1194,6 +1194,40 @@ object TextAnalysis {
       .drop("w", "types_sum")
   }
 
+  /** Top-k vocabulary coverage curve — the tokenizer-design readout
+    * (how much of the corpus does a k-entry vocab cover; the dual of
+    * [[heapsLaw]]'s growth exponent and the first number a vocab-size
+    * decision consults): for each k in `ks`, the fraction of ALL corpus
+    * tokens whose type ranks in the top k by frequency. Emits one row
+    * per k: (k, vocab_size, covered_tokens, total_tokens, coverage).
+    *
+    * Scale shape: the corpus reduces ONCE to the (token, count) table
+    * (sublinear vocab), ranks are one window over that table, and the
+    * per-k census is a |ks|-way conditional aggregate of it — the
+    * corpus text never shuffles. Determinism: pure integer counts with
+    * (count desc, token) rank tie-break; coverage is one division. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"need ks >= 1, got $ks")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+    val ranked = counts.withColumn("rk", row_number().over(w).cast("long"))
+    val kLit = array(ks.sorted.map(k => lit(k.toLong)): _*)
+    ranked
+      .withColumn("k", explode(kLit))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("vocab_size"),
+           sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L))
+             .as("covered_tokens"),
+           sum(col("cnt")).as("total_tokens"))
+      .withColumn("coverage", graft.queries.Det.dround(
+        col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   /** Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
     * V(N) ≈ K·N^β, estimated by OLS on ln V vs ln N over the corpus
     * prefix curve in `idCol` order — the scaling-law readout that says

@@ -78,6 +78,36 @@ object Quantiles {
       .drop("__iqr_lo", "__iqr_hi")
   }
 
+  /** Exact weighted median per group — the lower weighted median
+    * (smallest value v with cumulative weight(≤ v) ≥ half the total;
+    * Edgeworth 1888's weighted-median problem): the location readout
+    * when rows carry mass (token counts, dollars) rather than counting
+    * equally. Emits (group, n, w_total, wmedian).
+    *
+    * Determinism: weights are exact integer sums; values pre-aggregate
+    * to the distinct-value grain so ties never reorder; the pick is a
+    * pure integer comparison (2·cumw ≥ W avoids division). Shape: one
+    * (group, value) reduce, one group-keyed ordered window over the
+    * distinct-value table, one argmin reduce. */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = df.groupBy((groupCols.map(col) :+ col(valueCol).as("__v")): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"),
+           count(lit(1)).cast("long").as("__n"))
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    byVal
+      .withColumn("__cw", sum(col("__w")).over(wOrd))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .withColumn("__tn", sum(col("__n")).over(wAll))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__tn")).as("n"), max(col("__tw")).as("w_total"),
+           min(col("__v")).as("wmedian"))
+  }
+
   /** Robust outlier census via the median absolute deviation — the
     * breakdown-point-0.5 alternative to [[iqrOutliers]]' Tukey fences
     * (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers"):

@@ -431,6 +431,75 @@ class ScaleSpec6 extends SparkTestBase {
     assert(l.getAs[Any]("f_stat") == null)
   }
 
+  // ---- spectral entropy ----------------------------------------------------------
+
+  test("spectralEntropy: a pure period-4 series is low-entropy with " +
+       "peak_p = 4; an aperiodic one is higher") {
+    val pure = (0 until 24).map(t =>
+      (1L, t.toLong, Seq(10.0, 20.0, 10.0, 0.0)(t % 4), t.toLong))
+    val noisy = (0 until 24).map(t =>
+      (2L, t.toLong, ((t * 7) % 11).toDouble, t.toLong))
+    val df = (pure ++ noisy).toDF("uid", "ts", "v", "eid")
+    val out = SeriesDiagnostics.spectralEntropy(df, "v", "ts", Seq("uid"),
+      2 to 8, minLen = 20, tieBreak = Seq("eid"))
+      .collect().map(r => r.getAs[Long]("uid") -> r).toMap
+    assert(out(1L).getAs[Long]("peak_p") == 4L)
+    val e1 = out(1L).getAs[Double]("entropy")
+    val e2 = out(2L).getAs[Double]("entropy")
+    assert(e1 < 0.5, s"pure period must be low entropy, got $e1")
+    assert(e2 > e1, s"aperiodic ($e2) must exceed periodic ($e1)")
+    assert(out(1L).getAs[Double]("peak_share") > 0.9)
+  }
+
+  // ---- vocab coverage --------------------------------------------------------------
+
+  test("vocabCoverage: hand-counted top-k shares") {
+    val df = Seq(Tuple1("a a a b b c")).toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, "text", Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Long]("vocab_size") == 3L)
+    assert(out(1L).getAs[Long]("covered_tokens") == 3L)
+    assert(out(1L).getAs[Double]("coverage") == 0.5)
+    assert(out(2L).getAs[Long]("covered_tokens") == 5L)
+    assert(out(2L).getAs[Long]("total_tokens") == 6L)
+  }
+
+  // ---- weighted median --------------------------------------------------------------
+
+  test("weightedMedian: mass pulls the median; even split takes the " +
+       "lower value") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L))
+      .toDF("g", "v", "w")
+    val r = Quantiles.weightedMedian(df, "v", "w", Seq("g")).collect().head
+    assert(r.getAs[Long]("wmedian") == 3L && r.getAs[Long]("w_total") == 12L)
+    assert(r.getAs[Long]("n") == 3L)
+    val even = Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "v", "w")
+    val e = Quantiles.weightedMedian(even, "v", "w", Seq("g")).collect().head
+    assert(e.getAs[Long]("wmedian") == 1L)
+  }
+
+  // ---- nearest as-of join ------------------------------------------------------------
+
+  test("asofNearestJoin: picks the closer side, breaks ties to the " +
+       "earlier right row, and exact matches win") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, 1L, t(14)), (2L, 1L, t(16)), (3L, 1L, t(15)),
+                   (4L, 1L, t(20)), (5L, 1L, t(5)), (6L, 2L, t(100)))
+      .toDF("event_id", "uid", "ts")
+    val right = Seq((1L, t(10), 100L), (1L, t(20), 200L))
+      .toDF("uid", "rts", "pv")
+    val out = graft.core.JoinOps.asofNearestJoin(left, right, "ts", "rts",
+        Seq("uid"), Seq("pv"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("near_pv"))).toMap
+    assert(out(1L).contains(100L)) // d=4 back vs 6 fwd
+    assert(out(2L).contains(200L)) // d=6 back vs 4 fwd
+    assert(out(3L).contains(100L)) // tie 5/5 -> earlier
+    assert(out(4L).contains(200L)) // exact match
+    assert(out(5L).contains(100L)) // nothing behind -> forward
+    assert(out(6L).isEmpty)        // user 2 has no purchases
+  }
+
   // ---- two-proportion z ---------------------------------------------------------
 
   test("twoProportionZ: arms partition units, counts are exact, and the " +
