@@ -1034,6 +1034,130 @@ object ScaleQueries8 {
        |  pv AS near_pv, CAST(d AS BIGINT) AS d_us
        |FROM q WHERE rk = 1""".stripMargin
 
+  // ---- X37: code-vs-prose router --------------------------------------------
+
+  /** X37 — code detection flags per doc: the corpus router in front of
+    * the prose-tuned quality gates. */
+  private def x37Code: Q = (s, d) =>
+    graft.scale.QualityFilters.codeDetect(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_chars").as("nc"), col("sym_ratio"),
+              col("kw_hits"), col("is_code"))
+
+  private val x37Sql = {
+    val kws = graft.scale.QualityFilters.codeKeywords
+      .map(k => s"'$k'").mkString(", ")
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+       |  CASE WHEN length(text) > 0 THEN ${droundSql(
+         "CAST(length(text) - length(regexp_replace(text," +
+         " '[;{}()\\[\\]<>=_]', '', 'g')) AS DOUBLE)/length(text)", 6)}
+       |  END AS sym_ratio,
+       |  CAST(len(list_filter([$kws], k -> list_contains(
+       |    list_filter(string_split(text, ' '), x -> x <> ''), k)))
+       |    AS BIGINT) AS kw_hits,
+       |  coalesce((CASE WHEN length(text) > 0 THEN ${droundSql(
+         "CAST(length(text) - length(regexp_replace(text," +
+         " '[;{}()\\[\\]<>=_]', '', 'g')) AS DOUBLE)/length(text)", 6)}
+       |    END) > 0.05
+       |   OR len(list_filter([$kws], k -> list_contains(
+       |    list_filter(string_split(text, ' '), x -> x <> ''), k))) >= 2,
+       |   false) AS is_code
+       |FROM documents""".stripMargin
+  }
+
+  // ---- S24: centroid similarity matrix ----------------------------------------
+
+  /** S24 — pairwise cosine between per-label embedding centroids on
+    * the exact 1e-6 coordinate grid. */
+  private def s24Centroids: Q = (s, d) =>
+    graft.scale.Similarity.centroidSimilarity(Tables.embeddings(s, d),
+        "embedding", "label")
+      .select(col("label_a"), col("label_b"), dround(col("cos"), 6).as("cos"))
+
+  private val s24Sql =
+    s"""WITH t AS (SELECT label, i AS d,
+       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+       |      * 1.0E9 + 0.5) AS BIGINT) AS v9
+       |  FROM (SELECT label, embedding,
+       |        unnest(range(0, len(embedding))) AS i FROM embeddings)),
+       |c AS (SELECT label, d, CAST(sum(v9) AS BIGINT) AS s9,
+       |    CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+       |m AS (SELECT label, d,
+       |    CAST(floor(CAST(s9 AS DOUBLE)/n/1000.0 + 0.5) AS BIGINT) AS m6
+       |  FROM c),
+       |p AS (SELECT a.label AS label_a, b.label AS label_b,
+       |    CAST(sum(a.m6*b.m6) AS BIGINT) AS dot,
+       |    CAST(sum(a.m6*a.m6) AS BIGINT) AS na,
+       |    CAST(sum(b.m6*b.m6) AS BIGINT) AS nb
+       |  FROM m a JOIN m b ON a.d = b.d AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  CASE WHEN na > 0 AND nb > 0 THEN ${droundSql(
+         "CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE)))",
+         6)} END AS cos
+       |FROM p""".stripMargin
+
+  // ---- SM24: importance-weight ESS ---------------------------------------------
+
+  /** SM24 — effective sample size of char-mass weights per source: is
+    * mass-weighted sampling degenerate anywhere. */
+  private def sm24Ess: Q = (s, d) =>
+    graft.scale.Sampling.weightEss(Tables.documents(s, d), "source",
+      "n_chars")
+
+  private val sm24Sql =
+    s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS w_total,
+       |    CAST(sum(n_chars*n_chars) AS BIGINT) AS w2
+       |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+       |e AS (SELECT source, n_docs, w_total,
+       |    ${droundSql("CAST(w_total AS DOUBLE)*w_total/w2", 6)} AS ess
+       |  FROM g)
+       |SELECT source, n_docs, w_total, ess,
+       |  ${droundSql("ess/n_docs", 9)} AS ess_frac
+       |FROM e""".stripMargin
+
+  // ---- X38: source JSD matrix -----------------------------------------------------
+
+  /** X38 — pairwise Jensen–Shannon divergence between source unigram
+    * distributions over the global top-100 vocab + OOV. */
+  private def x38Jsd: Q = (s, d) =>
+    graft.scale.TextAnalysis.sourceJsd(Tables.documents(s, d), "text",
+      "source", topV = 100)
+
+  private val x38Sql =
+    s"""WITH t AS (SELECT source,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      AS w FROM documents),
+       |g AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+       |top AS (SELECT w FROM (SELECT w,
+       |    row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM g)
+       |  WHERE rk <= 100),
+       |st AS (SELECT source,
+       |    CASE WHEN top.w IS NOT NULL THEN t.w ELSE '__oov' END AS term
+       |  FROM t LEFT JOIN top ON t.w = top.w),
+       |ct AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM st GROUP BY 1, 2),
+       |terms AS (SELECT w AS term FROM top UNION ALL SELECT '__oov'),
+       |grid AS (SELECT s.source, terms.term
+       |  FROM (SELECT DISTINCT source FROM ct) s CROSS JOIN terms),
+       |d AS (SELECT grid.source, grid.term, coalesce(ct.c, 0) AS c
+       |  FROM grid LEFT JOIN ct USING (source, term)),
+       |dist AS (SELECT source, term,
+       |    (CAST(c AS DOUBLE) + 0.5)/(CAST(n AS DOUBLE) + 50.5) AS p
+       |  FROM (SELECT source, term, c,
+       |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |      FROM d)),
+       |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    a.p AS pa, b.p AS pb
+       |  FROM dist a JOIN dist b ON a.term = b.term AND a.source < b.source),
+       |tm AS (SELECT source_a, source_b,
+       |    CAST(floor((pa*ln(pa/((pa + pb)/2.0))
+       |      + pb*ln(pb/((pa + pb)/2.0)))*1.0E9 + 0.5) AS BIGINT) AS t9
+       |  FROM pr)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+       |  ${droundSql("CAST(sum(t9) AS BIGINT)/2.0/1.0E9", 6)} AS jsd
+       |FROM tm GROUP BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -1062,7 +1186,11 @@ object ScaleQueries8 {
     "t29_spec_entropy" -> t29SpecEntropy,
     "x36_coverage" -> x36Coverage,
     "o4_wmedian"   -> o4Wmedian,
-    "j9_asof_nearest" -> j9Nearest)
+    "j9_asof_nearest" -> j9Nearest,
+    "x37_code_detect" -> x37Code,
+    "s24_centroid_sim" -> s24Centroids,
+    "sm24_ess"     -> sm24Ess,
+    "x38_jsd"      -> x38Jsd)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -1090,5 +1218,9 @@ object ScaleQueries8 {
     "t29_spec_entropy" -> t29Sql,
     "x36_coverage" -> x36Sql,
     "o4_wmedian"   -> o4Sql,
-    "j9_asof_nearest" -> j9Sql)
+    "j9_asof_nearest" -> j9Sql,
+    "x37_code_detect" -> x37Sql,
+    "s24_centroid_sim" -> s24Sql,
+    "sm24_ess"     -> sm24Sql,
+    "x38_jsd"      -> x38Sql)
 }

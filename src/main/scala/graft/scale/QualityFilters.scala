@@ -140,4 +140,43 @@ object QualityFilters {
         col("term_line_ratio") > 0.0, lit(false)))
       .drop("w", "lines", "n_term_lines", "n_lines")
   }
+
+  /** Code keyword vocabulary for [[codeDetect]] — shared verbatim with
+    * oracle generators. */
+  val codeKeywords: Seq[String] =
+    Seq("def", "class", "import", "return", "function", "var", "const",
+        "void", "int", "public")
+
+  /** Code-vs-prose detection — the corpus ROUTER in front of every
+    * text-quality gate (C4/Gopher thresholds tuned for prose destroy
+    * code, and vice versa; cf. the separate code pipelines in The Stack
+    * / StarCoder data work): per doc,
+    *  - `sym_ratio`: share of characters in the code-symbol class
+    *    ;{}()[]<>=_ (prose sits well under 0.02, code well over),
+    *  - `kw_hits`: DISTINCT [[codeKeywords]] appearing as whole tokens,
+    *  - `is_code`: sym_ratio > symThresh OR kw_hits >= kwThresh.
+    * Pure map-side scalar expressions, zero shuffle, codegen-friendly;
+    * the regex is in the portable Java∩RE2 subset (the x6 discipline).
+    * Emits (id…, n_chars, sym_ratio, kw_hits, is_code). */
+  def codeDetect(df: DataFrame, textCol: String,
+                 symThresh: Double = 0.05, kwThresh: Long = 2L): DataFrame = {
+    val t = textCol
+    val kws = codeKeywords.map(k => s"'$k'").mkString(", ")
+    df.withColumn("n_chars", length(col(t)).cast("long"))
+      .withColumn("n_sym",
+        (length(col(t)) -
+          length(regexp_replace(col(t), "[;{}()\\[\\]<>=_]", ""))).cast("long"))
+      .withColumn("sym_ratio",
+        when(col("n_chars") > 0,
+          graft.queries.Det.dround(
+            col("n_sym").cast("double") / col("n_chars"), 6)))
+      .withColumn("kw_hits",
+        expr(s"size(filter(array($kws), k -> " +
+          s"array_contains(filter(split($t, ' '), x -> x <> ''), k)))")
+          .cast("long"))
+      .withColumn("is_code", coalesce(
+        col("sym_ratio") > symThresh || col("kw_hits") >= kwThresh,
+        lit(false)))
+      .drop("n_sym")
+  }
 }

@@ -687,6 +687,33 @@ object Sampling {
     * Shape: ONE token-count reduce to the |sources| table, scalar math
     * after. Determinism: U is an exact [[Packing.tokenCount]] BIGINT, E
     * and the exp land on the 1e-6/1e-9 grids. */
+  /** Effective sample size of per-document importance weights (Kong
+    * 1992's ESS = (Σw)²/Σw²) per source — the health check on ANY
+    * weighted-sampling plan ([[dsirLogWeights]], quality-score
+    * weighting, [[weightedSample]] inputs): ESS/n near 1 means weights
+    * are flat (weighting is doing nothing), near 0 means a handful of
+    * documents dominate (the sample will effectively repeat them).
+    * Emits (source, n_docs, w_total, ess, ess_frac).
+    *
+    * Determinism: integer weights fold exactly ((Σw)² < 2^63 for
+    * Σw < 3·10^9 per source — pass scaled-down weights beyond that);
+    * ESS is one fixed-order division. ONE map-side-combined reduce. */
+  def weightEss(df: DataFrame, sourceCol: String,
+                weightCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("w")).as("w_total"),
+           sum(col("w") * col("w")).as("w2"))
+      .withColumn("ess",
+        graft.queries.Det.dround(
+          col("w_total").cast("double") * col("w_total") / col("w2"), 6))
+      .withColumn("ess_frac",
+        graft.queries.Det.dround(col("ess") / col("n_docs"), 9))
+      .drop("w2")
+
   def effectiveTokens(df: DataFrame, sourceCol: String, textCol: String,
                       epochs: Double, rd: Double = 15.39): DataFrame = {
     require(epochs > 0 && rd > 0, s"need epochs > 0, rd > 0; got ($epochs, $rd)")

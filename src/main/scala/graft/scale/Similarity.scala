@@ -742,6 +742,50 @@ object Similarity {
       .select(col("label"), col("n"), col("mean_sil"))
   }
 
+  /** Pairwise cosine similarity between per-label embedding centroids —
+    * the label-geometry audit behind [[labelSilhouette]] (which labels
+    * are embedding-confusable) and the drift monitor between corpus
+    * slices. Centroid coordinates are built EXACTLY: per (label, dim)
+    * the coordinate sum folds as 1e-9-grid BIGINTs, the mean is one
+    * division, and the mean re-quantizes to the 1e-6 grid so every
+    * dot/norm term is a product of exact integers — the whole matrix is
+    * bit-identical cross-engine. Emits upper-triangular pairs
+    * (label_a, label_b, cos).
+    *
+    * Scale shape: one posexplode reduce to |labels|·dim rows, then all
+    * pair arithmetic happens on that tiny table (broadcast self-join).
+    * Contract: |m6| ≤ ~9·10^5 per coordinate (unit-scale embeddings),
+    * so dot terms stay far inside BIGINT. */
+  def centroidSimilarity(df: DataFrame, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val coords = df
+      .select(col(labelCol).as("label"),
+        posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(floor(col("v") * lit(1e9) + lit(0.5)).cast("long")).as("s9"),
+           count(lit(1)).cast("long").as("n"))
+      .withColumn("m6",
+        floor(col("s9").cast("double") / col("n") / lit(1e3) + lit(0.5))
+          .cast("long"))
+      .select(col("label"), col("d"), col("m6"))
+    val a = coords.select(col("label").as("label_a"), col("d"),
+      col("m6").as("ma"))
+    val b = coords.select(col("label").as("label_b"), col("d"),
+      col("m6").as("mb"))
+    a.join(b, Seq("d"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+           sum(col("ma") * col("ma")).as("na"),
+           sum(col("mb") * col("mb")).as("nb"))
+      .withColumn("cos",
+        when(col("na") > 0 && col("nb") > 0,
+          col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))))
+      .select(col("label_a"), col("label_b"), col("cos"))
+  }
+
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003,
     * "Database-friendly random projections") with a DETERMINISTIC
     * Rademacher (±1) matrix: out_j = Σ_i sign(i,j)·v_i, where

@@ -1194,6 +1194,66 @@ object TextAnalysis {
       .drop("w", "types_sum")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions (Lin 1991) over the global top-V vocabulary plus an
+    * OOV bucket — the symmetric, bounded [0, ln 2] distance a mixture
+    * planner reads as "how different are these sources really" (the
+    * cross-source complement to x21's language confusion and a15's
+    * split drift):
+    *   JSD(a,b) = ½·Σ p_a·ln(p_a/m) + ½·Σ p_b·ln(p_b/m),  m = (p_a+p_b)/2
+    * with Laplace-smoothed shares p_s = (c + ½)/(n_s + ½(V+1)) so every
+    * term is finite even when a source misses a vocab entry.
+    *
+    * Scale shape: corpus reduces ONCE to (source, token) counts; the
+    * top-V pick is a window over the global vocab table; the complete
+    * sources×(V+1) grid and all |S|²/2 pair arithmetic live on tiny
+    * tables. Determinism: counts exact, shares fixed-op-order, each
+    * p·ln(p/m) term folds on the 1e-9 grid. */
+  def sourceJsd(df: DataFrame, textCol: String, sourceCol: String,
+                topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rk") <= topV)
+      .select(col("w"), lit(true).as("__top"))
+    val bySrcTerm = toks
+      .join(broadcast(top), Seq("w"), "left")
+      .withColumn("term", when(col("__top"), col("w")).otherwise(lit("__oov")))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val grid = bySrcTerm.select(col("source")).distinct()
+      .crossJoin(broadcast(
+        top.select(col("w").as("term"))
+          .unionByName(toks.sparkSession.range(1)
+            .select(lit("__oov").as("term")))))
+    val dist = grid.join(bySrcTerm, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("p",
+        (col("c").cast("double") + 0.5)
+          / (col("n").cast("double") + lit(0.5 * (topV + 1))))
+      .select(col("source"), col("term"), col("p"))
+    val a = dist.select(col("source").as("source_a"), col("term"),
+      col("p").as("pa"))
+    val b = dist.select(col("source").as("source_b"), col("term"),
+      col("p").as("pb"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("t9",
+        floor((col("pa") * log(col("pa") / col("m"))
+          + col("pb") * log(col("pb") / col("m"))) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("t9")).as("s9"))
+      .withColumn("jsd", graft.queries.Det.dround(col("s9") / 2.0 / 1e9, 6))
+      .select(col("source_a"), col("source_b"), col("n_terms"), col("jsd"))
+  }
+
   /** Top-k vocabulary coverage curve — the tokenizer-design readout
     * (how much of the corpus does a k-entry vocab cover; the dual of
     * [[heapsLaw]]'s growth exponent and the first number a vocab-size

@@ -408,6 +408,69 @@ class ScaleSpec6 extends SparkTestBase {
     assert(out(3L).getAs[Any]("msttr") == null)
   }
 
+  // ---- code detection -------------------------------------------------------------
+
+  test("codeDetect: code-like text flags, prose does not") {
+    val df = Seq(
+      (1L, "def main(args) { return x[0] <= y; } import sys"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.codeDetect(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_code"))
+    assert(out(1L).getAs[Long]("kw_hits") >= 3L) // def, return, import
+    assert(!out(2L).getAs[Boolean]("is_code"))
+    assert(out(2L).getAs[Double]("sym_ratio") == 0.0)
+  }
+
+  // ---- centroid similarity ----------------------------------------------------------
+
+  test("centroidSimilarity: identical-direction labels score 1, " +
+       "orthogonal labels score 0") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = (Seq.fill(3)((0, e1)) ++ Seq.fill(3)((1, e1)) ++
+      Seq.fill(3)((2, e2))).toDF("label", "embedding")
+    val out = Similarity.centroidSimilarity(df, "embedding", "label")
+      .collect().map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"))
+        -> r.getAs[Double]("cos")).toMap
+    assert(math.abs(out((0, 1)) - 1.0) < 1e-9)
+    assert(math.abs(out((0, 2))) < 1e-9)
+  }
+
+  // ---- weight ESS --------------------------------------------------------------------
+
+  test("weightEss: flat weights give ESS = n; a dominant weight " +
+       "collapses it") {
+    val flat = (1 to 10).map(i => ("s", 5L)).toDF("src", "w")
+    val f = Sampling.weightEss(flat, "src", "w").collect().head
+    assert(f.getAs[Double]("ess") == 10.0)
+    assert(f.getAs[Double]("ess_frac") == 1.0)
+    val skew = ((1 to 9).map(_ => ("s", 1L)) :+ (("s", 1000L))).toDF("src", "w")
+    val k = Sampling.weightEss(skew, "src", "w").collect().head
+    assert(k.getAs[Double]("ess") < 2.0, s"got ${k.getAs[Double]("ess")}")
+  }
+
+  // ---- source JSD ---------------------------------------------------------------------
+
+  test("sourceJsd: identical sources are ~0, disjoint vocabularies " +
+       "approach ln 2") {
+    val df = Seq(
+      ("a", "alpha beta gamma alpha beta"), ("a", "alpha beta gamma"),
+      ("b", "alpha beta gamma alpha beta"), ("b", "alpha beta gamma"),
+      ("c", "delta epsilon zeta delta epsilon"), ("c", "delta epsilon zeta"))
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceJsd(df, "text", "source", topV = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))
+        -> r.getAs[Double]("jsd")).toMap
+    assert(out(("a", "b")) < 1e-6, s"identical sources: ${out(("a", "b"))}")
+    // the ½-count Laplace smoothing carries ~40% of the mass on this
+    // tiny fixture, so "disjoint" tops out well below ln 2 — assert a
+    // large, bounded separation instead
+    assert(out(("a", "c")) > 0.2 && out(("a", "c")) < 0.6932,
+      s"disjoint sources well separated: ${out(("a", "c"))}")
+  }
+
   // ---- Chow test --------------------------------------------------------------
 
   test("chowTest: a clean kink at the midpoint scores huge; one straight " +
