@@ -1158,6 +1158,96 @@ object ScaleQueries8 {
        |  ${droundSql("CAST(sum(t9) AS BIGINT)/2.0/1.0E9", 6)} AS jsd
        |FROM tm GROUP BY 1, 2""".stripMargin
 
+  // ---- A53: Spearman rank correlation -----------------------------------------
+
+  /** A53 — Spearman rho between per-user view counts and purchase
+    * dollars: the monotone-association readout where Pearson is all
+    * whale. */
+  private def a53Spearman: Q = (s, d) =>
+    graft.stats.RankTests.spearman(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(when(col("event_type") === "view", 1)).cast("long")
+                 .as("x"),
+               coalesce(sum(when(col("event_type") === "purchase",
+                 floor(col("value") * 100 + 0.5).cast("long"))), lit(0L))
+                 .as("y")),
+        "x", "y")
+      .select(col("n"), dround(col("rho"), 6).as("rho"))
+
+  private val a53Sql =
+    s"""WITH u AS (SELECT user_id,
+       |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+       |      AS x,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT
+       |    2*CAST(rank() OVER (ORDER BY x) AS BIGINT)
+       |      + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS rx,
+       |    2*CAST(rank() OVER (ORDER BY y) AS BIGINT)
+       |      + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry
+       |  FROM u),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+       |    CAST(sum(rx*ry) AS BIGINT) AS sxy,
+       |    CAST(sum(rx*rx) AS BIGINT) AS sxx,
+       |    CAST(sum(ry*ry) AS BIGINT) AS syy
+       |  FROM r),
+       |v AS (SELECT n,
+       |    CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy AS num,
+       |    CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx AS dx,
+       |    CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy AS dy
+       |  FROM m)
+       |SELECT n, CASE WHEN dx > 0.0 AND dy > 0.0
+       |  THEN ${droundSql("num/sqrt(dx*dy)", 6)} END AS rho
+       |FROM v""".stripMargin
+
+  // ---- M20: runs test ------------------------------------------------------------
+
+  /** M20 — Wald–Wolfowitz runs test on daily purchase totals vs their
+    * median: the sign-pattern randomness gate beside m11's DW. */
+  private def m20Runs: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("pc"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("t"),
+        col("pc"))
+    graft.stats.RankTests.runsTest(daily, "t", "pc")
+      .select(col("n1"), col("n2"), col("runs"),
+              dround(col("mu"), 6).as("mu"), dround(col("z"), 6).as("z"))
+  }
+
+  private val m20Sql =
+    s"""WITH dd AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS pc
+       |  FROM events GROUP BY 1),
+       |xy AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day)
+       |    AS BIGINT) AS t, pc FROM dd),
+       |med AS (SELECT quantile_cont(pc, 0.5) AS m FROM xy),
+       |sg AS (SELECT t, CASE WHEN CAST(pc AS DOUBLE) > m THEN 1 ELSE 0 END
+       |    AS s
+       |  FROM xy CROSS JOIN med WHERE CAST(pc AS DOUBLE) <> m),
+       |l AS (SELECT s, lag(s) OVER (ORDER BY t) AS ls FROM sg),
+       |a AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+       |    CAST(sum(1 - s) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN ls IS NULL OR s <> ls THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS runs
+       |  FROM l),
+       |v AS (SELECT n1, n2, runs, CAST(n1 + n2 AS DOUBLE) AS nn FROM a),
+       |f AS (SELECT n1, n2, runs,
+       |    2.0*n1*n2/nn + 1.0 AS mu,
+       |    2.0*n1*n2*(2.0*n1*n2 - nn)/(nn*nn*(nn - 1.0)) AS sig2
+       |  FROM v)
+       |SELECT n1, n2, runs, ${droundSql("mu", 6)} AS mu,
+       |  CASE WHEN sig2 > 0.0
+       |    THEN ${droundSql("(CAST(runs AS DOUBLE) - mu)/sqrt(sig2)", 6)}
+       |  END AS z
+       |FROM f""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -1190,7 +1280,9 @@ object ScaleQueries8 {
     "x37_code_detect" -> x37Code,
     "s24_centroid_sim" -> s24Centroids,
     "sm24_ess"     -> sm24Ess,
-    "x38_jsd"      -> x38Jsd)
+    "x38_jsd"      -> x38Jsd,
+    "a53_spearman" -> a53Spearman,
+    "m20_runs"     -> m20Runs)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -1222,5 +1314,7 @@ object ScaleQueries8 {
     "x37_code_detect" -> x37Sql,
     "s24_centroid_sim" -> s24Sql,
     "sm24_ess"     -> sm24Sql,
-    "x38_jsd"      -> x38Sql)
+    "x38_jsd"      -> x38Sql,
+    "a53_spearman" -> a53Sql,
+    "m20_runs"     -> m20Sql)
 }

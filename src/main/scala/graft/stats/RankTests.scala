@@ -71,4 +71,89 @@ object RankTests {
       .select(col("pair").as("group"), col("n_ref"), col("n_other"),
               col("u_ref"), col("z"))
   }
+
+  /** Spearman rank correlation between two per-row metrics (Spearman
+    * 1904, tie-corrected form = Pearson over average ranks): the
+    * monotone-association readout that survives the heavy tails where
+    * Pearson (a10) is all outlier. Emits one row (n, rho).
+    *
+    * Determinism: both variables rank with DOUBLED average ranks
+    * (2·avg = 2·min_rank + t − 1 — exact integers, the [[mwuTest]]
+    * trick), so all five Pearson moments are exact BIGINT sums and rho
+    * is a fixed-op-order double. Contract: Σ(2r)² ≈ 4n³/3 must stay
+    * < 2^63 — fine to ~10^6 rows per test; at larger n rank via the
+    * sm11-style fixed-fence buckets and accept grid ranks. Shape: two
+    * ordered windows over the value table + one reduce. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    def ranked(c: String) = {
+      val wOrd = Window.orderBy(col(c))
+      val wTie = Window.partitionBy(col(c))
+      base
+        .withColumn(s"__rmin_$c", rank().over(wOrd).cast("long"))
+        .withColumn(s"__t_$c", count(lit(1)).over(wTie).cast("long"))
+    }
+    val r = ranked("x")
+      .withColumn("rx", col("__rmin_x") * 2L + col("__t_x") - 1L)
+      .withColumn("__rmin_y",
+        rank().over(Window.orderBy(col("y"))).cast("long"))
+      .withColumn("__t_y",
+        count(lit(1)).over(Window.partitionBy(col("y"))).cast("long"))
+      .withColumn("ry", col("__rmin_y") * 2L + col("__t_y") - 1L)
+    r.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("num",
+        col("nd") * col("sxy") - col("sx").cast("double") * col("sy"))
+      .withColumn("dx",
+        col("nd") * col("sxx") - col("sx").cast("double") * col("sx"))
+      .withColumn("dy",
+        col("nd") * col("syy") - col("sy").cast("double") * col("sy"))
+      .withColumn("rho",
+        when(col("dx") > 0.0 && col("dy") > 0.0,
+          col("num") / sqrt(col("dx") * col("dy"))))
+      .select(col("n"), col("rho"))
+  }
+
+  /** Wald–Wolfowitz runs test (1940) for randomness of a sequence's
+    * above/below-median signs — the residual-independence gate beside
+    * the Durbin–Watson battery (m11): with n₁ above, n₂ below (median
+    * ties dropped) and R observed runs,
+    *   μ = 2n₁n₂/n + 1,  σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)),  z = (R−μ)/σ.
+    * Too FEW runs = positive drift/autocorrelation; too many =
+    * oscillation. Emits (n1, n2, runs, mu, z).
+    *
+    * Determinism: the median is the exact percentile, signs/run count
+    * are integers off one lag window on the reduced single-task frame
+    * (the grangerLag1 contract); μ/σ/z fixed-op-order doubles. */
+  def runsTest(df: DataFrame, tCol: String, valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(tCol))
+    val med = Quantiles.exact(df, valueCol, Nil, Seq(0.5))
+      .select(col("q50").as("__med"))
+    val signs = df.coalesce(1).crossJoin(broadcast(med))
+      .filter(col(valueCol).cast("double") =!= col("__med"))
+      .withColumn("s", when(col(valueCol).cast("double") > col("__med"), 1L)
+        .otherwise(0L))
+      .withColumn("ls", lag(col("s"), 1).over(w))
+    signs.agg(
+        sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"),
+        (sum(when(col("ls").isNull || col("s") =!= col("ls"), 1L)
+          .otherwise(0L))).as("runs"))
+      .withColumn("n", (col("n1") + col("n2")).cast("double"))
+      .withColumn("mu",
+        lit(2.0) * col("n1") * col("n2") / col("n") + 1.0)
+      .withColumn("sig2",
+        lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n"))
+          / (col("n") * col("n") * (col("n") - 1.0)))
+      .withColumn("z",
+        when(col("sig2") > 0.0,
+          (col("runs").cast("double") - col("mu")) / sqrt(col("sig2"))))
+      .select(col("n1"), col("n2"), col("runs"), col("mu"), col("z"))
+  }
 }

@@ -471,6 +471,39 @@ class ScaleSpec6 extends SparkTestBase {
       s"disjoint sources well separated: ${out(("a", "c"))}")
   }
 
+  // ---- Spearman -----------------------------------------------------------------
+
+  test("spearman: perfect monotone = 1, perfect inverse = -1, ties " +
+       "handled via average ranks") {
+    val mono = (1L to 20L).map(i => (i, i * i)).toDF("x", "y")
+    val m = graft.stats.RankTests.spearman(mono, "x", "y").collect().head
+    assert(math.abs(m.getAs[Double]("rho") - 1.0) < 1e-12)
+    val inv = (1L to 20L).map(i => (i, 100L - i)).toDF("x", "y")
+    val iv = graft.stats.RankTests.spearman(inv, "x", "y").collect().head
+    assert(math.abs(iv.getAs[Double]("rho") + 1.0) < 1e-12)
+    // constant y: dy = 0 -> null, not NaN
+    val const = (1L to 5L).map((_, 7L)).toDF("x", "y")
+    assert(graft.stats.RankTests.spearman(const, "x", "y")
+      .collect().head.getAs[Any]("rho") == null)
+  }
+
+  // ---- runs test ------------------------------------------------------------------
+
+  test("runsTest: alternating signs give maximal runs (z > 0), a " +
+       "two-block series gives 2 runs (z < 0)") {
+    val alt = (1L to 20L).map(t => (t, if (t % 2 == 0) 10L else 1L))
+      .toDF("t", "v")
+    val a = graft.stats.RankTests.runsTest(alt, "t", "v").collect().head
+    assert(a.getAs[Long]("runs") == 20L)
+    assert(a.getAs[Double]("z") > 3.0)
+    val blocks = ((1L to 10L).map((_, 1L)) ++ (11L to 20L).map((_, 10L)))
+      .toDF("t", "v")
+    val b = graft.stats.RankTests.runsTest(blocks, "t", "v").collect().head
+    assert(b.getAs[Long]("runs") == 2L)
+    assert(b.getAs[Double]("z") < -3.0)
+    assert(b.getAs[Long]("n1") == 10L && b.getAs[Long]("n2") == 10L)
+  }
+
   // ---- Chow test --------------------------------------------------------------
 
   test("chowTest: a clean kink at the midpoint scores huge; one straight " +
