@@ -1248,6 +1248,74 @@ object ScaleQueries8 {
        |  END AS z
        |FROM f""".stripMargin
 
+  // ---- PIPE14: code-aware gate routing ------------------------------------------
+
+  /** PIPE14 — the router pipeline: x37 decides code vs prose, prose
+    * goes through the C4 battery, code through a lighter symbol sanity
+    * cap (prose-tuned gates destroy code); per-source keep census in
+    * ONE declarative plan — both legs are map-side flags over the same
+    * scan, so the corpus is read once and never shuffled before the
+    * final O(|sources|) reduce. */
+  private def pipe14Router: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val det = graft.scale.QualityFilters.codeDetect(docs, "text")
+      .select(col("doc_id"), col("source"), col("sym_ratio"), col("is_code"))
+    val c4 = graft.scale.QualityFilters.c4Rules(docs, "text")
+      .select(col("doc_id"), col("keep").as("c4_keep"))
+    det.join(c4, Seq("doc_id"))
+      .withColumn("kept",
+        when(col("is_code"), col("sym_ratio") <= 0.5).otherwise(col("c4_keep")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_rate", dround(
+        col("n_kept").cast("double") / col("n_docs"), 6))
+  }
+
+  private val pipe14Sql = {
+    val kws = graft.scale.QualityFilters.codeKeywords
+      .map(k => s"'$k'").mkString(", ")
+    s"""WITH det AS (SELECT doc_id, source,
+       |    CASE WHEN length(text) > 0 THEN ${droundSql(
+         "CAST(length(text) - length(regexp_replace(text," +
+         " '[;{}()\\[\\]<>=_]', '', 'g')) AS DOUBLE)/length(text)", 6)}
+       |    END AS sym_ratio,
+       |    coalesce((CASE WHEN length(text) > 0 THEN ${droundSql(
+         "CAST(length(text) - length(regexp_replace(text," +
+         " '[;{}()\\[\\]<>=_]', '', 'g')) AS DOUBLE)/length(text)", 6)}
+       |      END) > 0.05
+       |     OR len(list_filter([$kws], k -> list_contains(
+       |      list_filter(string_split(text, ' '), x -> x <> ''), k))) >= 2,
+       |     false) AS is_code
+       |  FROM documents),
+       |c4 AS (SELECT doc_id,
+       |    coalesce(
+       |      CAST(len(list_filter(string_split(text, '.'),
+       |        x -> trim(x) <> '')) AS BIGINT) >= 3
+       |      AND CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |        AS BIGINT) >= 5
+       |      AND NOT contains(lower(text), 'lorem ipsum')
+       |      AND NOT contains(text, '{')
+       |      AND (CASE WHEN len(string_split(text, chr(10))) > 0
+       |        THEN ${droundSql(
+         "CAST(len(list_filter(string_split(text, chr(10)), x -> " +
+         "x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%\"'))" +
+         " AS DOUBLE) / len(string_split(text, chr(10)))", 6)}
+       |        END) > 0.0, false) AS c4_keep
+       |  FROM documents),
+       |j AS (SELECT det.source, det.is_code,
+       |    CASE WHEN det.is_code THEN det.sym_ratio <= 0.5
+       |         ELSE c4.c4_keep END AS kept
+       |  FROM det JOIN c4 USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${droundSql("CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)" +
+         " AS DOUBLE)/count(*)", 6)} AS keep_rate
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -1282,7 +1350,8 @@ object ScaleQueries8 {
     "sm24_ess"     -> sm24Ess,
     "x38_jsd"      -> x38Jsd,
     "a53_spearman" -> a53Spearman,
-    "m20_runs"     -> m20Runs)
+    "m20_runs"     -> m20Runs,
+    "pipe14_router" -> pipe14Router)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -1316,5 +1385,6 @@ object ScaleQueries8 {
     "sm24_ess"     -> sm24Sql,
     "x38_jsd"      -> x38Sql,
     "a53_spearman" -> a53Sql,
-    "m20_runs"     -> m20Sql)
+    "m20_runs"     -> m20Sql,
+    "pipe14_router" -> pipe14Sql)
 }
