@@ -1316,6 +1316,73 @@ object ScaleQueries8 {
        |FROM j GROUP BY 1""".stripMargin
   }
 
+  // ---- G4: k-core peeling ---------------------------------------------------------
+
+  /** G4 — 5 peel rounds at k = 3 over the undirected supplier–order
+    * graph: the densification trajectory. */
+  private def g4Kcore: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .select((col("l_suppkey") * 2).as("src"),
+              (col("l_orderkey") * 2 + 1).as("dst")).distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.scale.Graph.kCorePeel(edges, "src", "dst", k = 3, rounds = 5)
+  }
+
+  /** One peel sweep in SQL: survivors of eN by degree >= 3, then the
+    * restricted edge set. */
+  private def kcoreRoundSql(prev: String, i: Int): String =
+    s"""k$i AS (SELECT src AS id FROM (
+       |    SELECT src, CAST(count(*) AS BIGINT) AS c FROM $prev GROUP BY 1)
+       |  WHERE c >= 3),
+       |e$i AS (SELECT p.src, p.dst FROM $prev p
+       |  JOIN k$i a ON p.src = a.id JOIN k$i b ON p.dst = b.id)""".stripMargin
+
+  private val g4Sql = {
+    val rounds = (1 to 5).map(i =>
+      kcoreRoundSql(if (i == 1) "e0" else s"e${i - 1}", i)).mkString(",\n")
+    val sums = (1 to 5).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k$i) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey*2 AS src,
+       |    l_orderkey*2+1 AS dst FROM lineitem),
+       |e0 AS (SELECT src, dst FROM pairs
+       |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |$rounds
+       |$sums""".stripMargin
+  }
+
+  // ---- X39: Flesch readability ------------------------------------------------------
+
+  /** X39 — Flesch reading ease per doc with the vowel-group syllable
+    * surrogate. */
+  private def x39Readability: Q = (s, d) =>
+    graft.scale.TextAnalysis.readability(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+              col("flesch"))
+
+  private val x39Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(string_split(text, '.'), x -> trim(x) <> ''))
+       |    AS BIGINT) AS n_sents,
+       |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+       |    AS n_syll,
+       |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+       |        AND len(list_filter(string_split(text, '.'),
+       |          x -> trim(x) <> '')) > 0
+       |    THEN ${droundSql(
+         "206.835 - 1.015*(CAST(len(list_filter(string_split(text, ' '), " +
+         "x -> x <> '')) AS DOUBLE)/len(list_filter(string_split(text, '.'), " +
+         "x -> trim(x) <> ''))) - 84.6*(CAST(len(regexp_extract_all(" +
+         "lower(text), '[aeiouy]+')) AS DOUBLE)/len(list_filter(" +
+         "string_split(text, ' '), x -> x <> '')))", 6)}
+       |  END AS flesch
+       |FROM documents""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
@@ -1351,7 +1418,9 @@ object ScaleQueries8 {
     "x38_jsd"      -> x38Jsd,
     "a53_spearman" -> a53Spearman,
     "m20_runs"     -> m20Runs,
-    "pipe14_router" -> pipe14Router)
+    "pipe14_router" -> pipe14Router,
+    "g4_kcore"     -> g4Kcore,
+    "x39_readability" -> x39Readability)
 
   def oracle: Map[String, String] = Map(
     "x31_c4_rules" -> x31Sql,
@@ -1386,5 +1455,7 @@ object ScaleQueries8 {
     "x38_jsd"      -> x38Sql,
     "a53_spearman" -> a53Sql,
     "m20_runs"     -> m20Sql,
-    "pipe14_router" -> pipe14Sql)
+    "pipe14_router" -> pipe14Sql,
+    "g4_kcore"     -> g4Sql,
+    "x39_readability" -> x39Sql)
 }

@@ -112,6 +112,51 @@ object Graph {
       .select(col("a"), col("b"), col("n_common"), col("aa_score"), col("rk"))
   }
 
+  /** Bounded k-core peeling (Seidman 1983's coreness, the first
+    * `rounds` sweeps of the standard peel): each round drops every
+    * node whose CURRENT degree is below `k` and restricts the edge set
+    * to surviving endpoints; the fixpoint is the k-core, and the
+    * per-round (n_nodes, n_edges) trajectory is the densification
+    * observable (how fast the periphery burns off). A FIXED round
+    * budget keeps the operator deterministic and the oracle replayable
+    * as unrolled CTEs — pass more rounds to approach the fixpoint
+    * (each round only shrinks the sets, so the trajectory is monotone
+    * and equal rounds ⇒ equal results in any engine).
+    *
+    * Emits one row per round: (round, n_nodes, n_edges) — n_nodes =
+    * survivors entering the round's restriction, n_edges = directed
+    * edges among them. Scale shape: per round ONE degree reduce + two
+    * semi-joins (the Pregel shape again); counts are two scalar
+    * aggregates. Callers supply both directions for undirected graphs
+    * (then out-degree = degree). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got ($k, $rounds)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    e.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).cast("long").as("d"))
+        .filter(col("d") >= k.toLong)
+        .select(col("id"))
+      val next = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).persist()
+      val Array(nNodes, nEdges) =
+        Array(keep.count(), next.count())
+      out += ((r.toLong, nNodes, nEdges))
+      e.unpersist()
+      e = next
+    }
+    e.unpersist()
+    out.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
   /** Degree assortativity (Newman 2002, "Assortative mixing in
     * networks"): the Pearson correlation of (out-degree(src),
     * out-degree(dst)) over every directed edge — positive when hubs

@@ -1194,6 +1194,32 @@ object TextAnalysis {
       .drop("w", "types_sum")
   }
 
+  /** Flesch reading-ease score per document (Flesch 1948; the Kincaid
+    * et al. 1975 recalibration family) with the standard vowel-group
+    * syllable surrogate: syllables(w) ≈ |maximal [aeiouy]+ runs|, so
+    *   score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * — higher is easier; the classic prose-complexity feature beside
+    * the x5 quality ratios. Pure map-side regex + scalar math, zero
+    * shuffle; exact integer counts under fixed-op-order doubles. Emits
+    * (id…, n_words, n_sents, n_syll, flesch); null when a doc has no
+    * words or sentences. */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = textCol
+    df.withColumn("n_words",
+        expr(s"size(filter(split($t, ' '), x -> x <> ''))").cast("long"))
+      .withColumn("n_sents",
+        expr(s"size(filter(split($t, '\\\\.'), x -> trim(x) <> ''))").cast("long"))
+      .withColumn("n_syll",
+        expr(s"size(regexp_extract_all(lower($t), '[aeiouy]+', 0))").cast("long"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sents") > 0,
+          graft.queries.Det.dround(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+              - lit(84.6) * (col("n_syll").cast("double") / col("n_words")),
+            6)))
+  }
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions (Lin 1991) over the global top-V vocabulary plus an
     * OOV bucket — the symmetric, bounded [0, ln 2] distance a mixture

@@ -300,7 +300,8 @@ class PlanAuditSpec extends SparkTestBase {
           "x13_quality_lr",      // LBFGS fit at construction
           "f3_series_arima",     // per-series CSS fits
           "pipe4_image",         // components fixpoint at construction
-          "g1_pagerank")         // 5 eager rank sweeps at construction
+          "g1_pagerank",         // 5 eager rank sweeps at construction
+          "g4_kcore")            // 5 eager peel rounds at construction
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val carts = withAqeOff(q(spark, SF).queryExecution.executedPlan.collect {

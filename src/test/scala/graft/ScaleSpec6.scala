@@ -471,6 +471,48 @@ class ScaleSpec6 extends SparkTestBase {
       s"disjoint sources well separated: ${out(("a", "c"))}")
   }
 
+  // ---- k-core peeling --------------------------------------------------------------
+
+  test("kCorePeel: a triangle survives k=2 forever; a pendant chain " +
+       "burns off round by round") {
+    // triangle 1-2-3 plus a pendant path 3-4-5 (bidirectional)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges")))
+    // round 1: node 5 (deg 1) drops -> 4 survivors, edges among them 8
+    assert(out(0) == ((1L, 4L, 8L)), s"got ${out(0)}")
+    // round 2: node 4 (now deg 1) drops -> triangle remains
+    assert(out(1) == ((2L, 3L, 6L)), s"got ${out(1)}")
+    // round 3: fixpoint
+    assert(out(2) == ((3L, 3L, 6L)), s"got ${out(2)}")
+    // k=3: the whole graph dies immediately (max degree 2 except node 3)
+    val dead = Graph.kCorePeel(edges, "src", "dst", k = 3, rounds = 2)
+      .orderBy("round").collect()
+    assert(dead(1).getAs[Long]("n_nodes") == 0L)
+  }
+
+  // ---- readability -------------------------------------------------------------------
+
+  test("readability: hand-computed Flesch on a fixed sentence") {
+    val df = Seq((1L, "the cat sat. the dog ran."), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r = out(1L)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sents") == 2L)
+    // vowel groups: e, a, a, e, o, a -> 6
+    assert(r.getAs[Long]("n_syll") == 6L)
+    val want = math.floor(
+      (206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("flesch") == want)
+    assert(out(2L).getAs[Any]("flesch") == null)
+  }
+
   // ---- Spearman -----------------------------------------------------------------
 
   test("spearman: perfect monotone = 1, perfect inverse = -1, ties " +
