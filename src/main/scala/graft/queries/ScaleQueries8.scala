@@ -1319,7 +1319,12 @@ object ScaleQueries8 {
   // ---- G4: k-core peeling ---------------------------------------------------------
 
   /** G4 — 5 peel rounds at k = 3 over the undirected supplier–order
-    * graph: the densification trajectory. */
+    * graph: the densification trajectory. NOT registered in the bench/
+    * correctness registry: the peel is `rounds` sequential jobs whose
+    * fixed per-round latency dominates single-JVM wall at bench SFs
+    * (~4 s/round regardless of edge count) — the operator is pinned by
+    * the hand-checked ScaleSpec6 trajectory spec instead, and this
+    * query + g4Sql stay here as the runnable pair for cluster use. */
   private def g4Kcore: Q = (s, d) => {
     val pairs = Tables.lineitem(s, d)
       .select((col("l_suppkey") * 2).as("src"),
@@ -1419,7 +1424,6 @@ object ScaleQueries8 {
     "a53_spearman" -> a53Spearman,
     "m20_runs"     -> m20Runs,
     "pipe14_router" -> pipe14Router,
-    "g4_kcore"     -> g4Kcore,
     "x39_readability" -> x39Readability)
 
   def oracle: Map[String, String] = Map(
@@ -1456,6 +1460,5 @@ object ScaleQueries8 {
     "a53_spearman" -> a53Sql,
     "m20_runs"     -> m20Sql,
     "pipe14_router" -> pipe14Sql,
-    "g4_kcore"     -> g4Sql,
     "x39_readability" -> x39Sql)
 }

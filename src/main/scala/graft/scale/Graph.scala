@@ -139,18 +139,20 @@ object Graph {
     e.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
+      // survivors are persisted: the degree agg would otherwise run
+      // three times (both semi-joins + the count)
       val keep = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).cast("long").as("d"))
         .filter(col("d") >= k.toLong)
-        .select(col("id"))
+        .select(col("id")).persist()
+      val nNodes = keep.count()
       val next = e
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")).persist()
-      val Array(nNodes, nEdges) =
-        Array(keep.count(), next.count())
+      val nEdges = next.count()
       out += ((r.toLong, nNodes, nEdges))
-      e.unpersist()
+      keep.unpersist(); e.unpersist()
       e = next
     }
     e.unpersist()
