@@ -207,20 +207,25 @@ object ScaleQueries8 {
     * directions), top-50 nodes by rank. The link-analysis readout a
     * curation pipeline uses to weight hub domains/sources. */
   private def g1Pagerank: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val pairs = Tables.lineitem(s, d)
       .select((col("l_partkey") * 2).as("src"),
               (col("l_suppkey") * 2 + 1).as("dst")).distinct()
     val edges = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val pr = graft.scale.Graph.pageRankFixed(edges, "src", "dst", iters = 5)
-    val w = Window.orderBy(col("pr").desc, col("id"))
-    pr.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 50)
+    // Top-50 via orderBy+limit (TakeOrderedAndProject — distributed
+    // partial top-k, no single-partition window over the full |V|-row
+    // rank table); ranks are positions in one sorted 50-element array.
+    pr.orderBy(col("pr").desc, col("id")).limit(50)
+      .agg(sort_array(collect_list(struct(
+        (-col("pr")).as("np"), col("id")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "r")))
       .select(
-        when(col("id") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+        when(col("r.id") % 2 === 0, lit("part")).otherwise(lit("supplier"))
           .as("node_type"),
-        expr("id div 2").as("node_id"), col("pr"), col("rank"))
+        expr("r.id div 2").as("node_id"),
+        (-col("r.np")).as("pr"),
+        (col("i") + 1).cast("long").as("rank"))
   }
 
   /** One PageRank sweep in SQL over CTEs `e`/`deg` and ranks `$prev`. */
@@ -269,7 +274,7 @@ object ScaleQueries8 {
        |ij AS (SELECT i.range AS i, j.range AS j
        |       FROM range(0, 64) i CROSS JOIN range(0, 16) j),
        |terms AS (SELECT vec_id, j,
-       |    (CASE WHEN (1103515245*(i*16 + j) + 12345) % 2147483648 % 2 = 0
+       |    (CASE WHEN (1103515245*(i*16 + j) + 12345) % 2147483648 >= 1073741824
        |          THEN 1 ELSE -1 END)
        |    * CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
        |                 * 1.0E9 + 0.5) AS BIGINT) AS t

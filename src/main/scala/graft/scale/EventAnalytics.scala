@@ -145,9 +145,11 @@ object EventAnalytics {
     * engine-dependent) — each metric ranks by (value, entity-id) [value
     * DESC for recency, so fresher = higher score] and the score is
     * ⌈5·rank/n⌉, a pure integer function of the deterministic rank.
-    * The rank windows run over the |entities|-row aggregate table, not
-    * the corpus (the ksStatistic bounded-reduce contract: entities
-    * reduce first, the global windows see one row per entity).
+    * Ranks come from [[Ranks.globalRank]] (bucket-offset decomposition),
+    * NOT a global row_number window: the per-entity table is itself
+    * data-sized at fleet scale (billions of entities), so no stage here
+    * funnels it through one task — every window is either partitioned
+    * or over a ≤4097-row bucket grid.
     * Output: (entity, recency_s, frequency, monetary, r_score, f_score,
     * m_score). */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
@@ -162,15 +164,26 @@ object EventAnalytics {
         max(col(tsCol).cast("long")).as("frontier_sec"))))
       .select(col(userCol), (col("frontier_sec") - col("last_sec")).as("recency_s"),
         col("frequency"), (col("m6") / 1e6).as("monetary"), col("m6"))
-    val n = Window.partitionBy()
-    def score(ord: Column*) =
-      ceil(lit(5) * row_number().over(Window.orderBy(ord: _*)).cast("double") /
-        count(lit(1)).over(n)).cast("int")
+    // Each metric's rank map is built INDEPENDENTLY from the same narrow
+    // (entity, value) projection and joined back on the entity key — the
+    // identical perUser subtrees share one exchange, and chaining the
+    // rank constructions (each rescanning the previous output) would
+    // multiply plan recomputation instead.
+    def rankMap(vName: String, desc: Boolean, out: String): DataFrame =
+      Ranks.globalRank(perUser.select(col(userCol), col(vName)),
+          col(vName), col(userCol), descending = desc, out = out)
+        .select(col(userCol), col(out))
+    def score(r: String) =
+      ceil(lit(5) * col(r).cast("double") / col("__n")).cast("int")
     perUser
-      .withColumn("r_score", score(col("recency_s").desc, col(userCol)))
-      .withColumn("f_score", score(col("frequency"), col(userCol)))
-      .withColumn("m_score", score(col("m6"), col(userCol)))
-      .drop("m6")
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("__n"))))
+      .join(rankMap("recency_s", desc = true, "__rr"), Seq(userCol))
+      .join(rankMap("frequency", desc = false, "__rf"), Seq(userCol))
+      .join(rankMap("m6", desc = false, "__rm"), Seq(userCol))
+      .withColumn("r_score", score("__rr"))
+      .withColumn("f_score", score("__rf"))
+      .withColumn("m_score", score("__rm"))
+      .drop("m6", "__n", "__rr", "__rf", "__rm")
   }
 
   /** Conversation/session assembly — event logs rendered into ordered

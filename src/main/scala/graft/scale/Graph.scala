@@ -102,14 +102,25 @@ object Graph {
     val pairs = kept.select(col("z"), col("a"), col("term9"))
       .join(kept.select(col("z"), col("a").as("b")), Seq("z"))
       .filter(col("a") < col("b"))
-    val wTop = Window.orderBy(col("score9").desc, col("a"), col("b"))
-    pairs.groupBy(col("a"), col("b"))
+    // Top-k selection is orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition partial top-k, k rows shipped per task), NEVER a
+    // single-partition row_number window over the full hit-linear pair
+    // table. Ranks are then positions in ONE sorted ≤topK-element array:
+    // window-free, bounded, exact (score9 is an exact BIGINT; ties break
+    // on (a, b), the struct sort order).
+    val top = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_common"),
            sum(col("term9")).as("score9"))
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= topK)
-      .withColumn("aa_score", col("score9") / 1e9)
-      .select(col("a"), col("b"), col("n_common"), col("aa_score"), col("rk"))
+      .orderBy(col("score9").desc, col("a"), col("b"))
+      .limit(topK)
+    top
+      .agg(sort_array(collect_list(struct(
+        (-col("score9")).as("ns"), col("a"), col("b"), col("n_common")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "r")))
+      .select(col("r.a").as("a"), col("r.b").as("b"),
+        col("r.n_common").as("n_common"),
+        ((-col("r.ns")) / 1e9).as("aa_score"),
+        (col("i") + 1).cast("long").as("rk"))
   }
 
   /** Bounded k-core peeling (Seidman 1983's coreness, the first

@@ -352,14 +352,23 @@ object Multimodal {
       var pos = 12
       var fmt: Option[(Int, Int, Int, Int)] = None
       var dataLen = -1
-      while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
-        val sz = u32(pos + 4).toInt
-        if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length)
-          fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
-        else if (tag(pos, "data")) dataLen = math.min(sz, bytes.length - pos - 8)
-        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      var ok = true
+      while (ok && pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+        // sz is untrusted: a size whose low bits encode -8 would make the
+        // walk non-advancing (an executor-hanging infinite loop), and a
+        // huge one overflows Int. Walk in Long and require strict advance.
+        val sz = u32(pos + 4) // 0 .. 2^32-1, never negative as a Long
+        val next = pos.toLong + 8L + sz + (sz & 1L)
+        if (next <= pos || next > Int.MaxValue) ok = false
+        else {
+          if (tag(pos, "fmt ") && pos + 8 + 16 <= bytes.length)
+            fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+          else if (tag(pos, "data"))
+            dataLen = math.min(sz, (bytes.length - pos - 8).toLong).toInt
+          pos = next.toInt // chunks are word-aligned
+        }
       }
-      fmt.collect { case (af, ch, sr, bps) if dataLen >= 0 =>
+      fmt.collect { case (af, ch, sr, bps) if ok && dataLen >= 0 =>
         (af, ch, sr, bps, dataLen)
       }
     }
@@ -370,19 +379,27 @@ object Multimodal {
     * the container/format is not 16-bit PCM. */
   def wavSamples(bytes: Array[Byte], maxSamples: Int): Option[Array[Int]] =
     decodeWavMeta(bytes).collect { case (1, _, _, 16, dataLen) =>
-      // locate the data chunk again (decodeWavMeta validated structure)
+      // locate the data chunk again with the SAME guarded walk as
+      // decodeWavMeta (bounds + strict advance — never trust sizes)
       var pos = 12
-      while (!(bytes(pos) == 'd' && bytes(pos + 1) == 'a' &&
+      while (pos + 8 <= bytes.length &&
+             !(bytes(pos) == 'd' && bytes(pos + 1) == 'a' &&
                bytes(pos + 2) == 't' && bytes(pos + 3) == 'a')) {
-        val sz = ((bytes(pos + 4) & 0xFFL) | (bytes(pos + 5) & 0xFFL) << 8 |
-          (bytes(pos + 6) & 0xFFL) << 16 | (bytes(pos + 7) & 0xFFL) << 24).toInt
-        pos += 8 + sz + (sz & 1)
+        val sz = (bytes(pos + 4) & 0xFFL) | (bytes(pos + 5) & 0xFFL) << 8 |
+          (bytes(pos + 6) & 0xFFL) << 16 | (bytes(pos + 7) & 0xFFL) << 24
+        val next = pos.toLong + 8L + sz + (sz & 1L)
+        pos = if (next <= pos || next > Int.MaxValue) bytes.length else next.toInt
       }
-      val start = pos + 8
-      val n = math.min(maxSamples, dataLen / 2)
-      Array.tabulate(n) { i =>
-        ((bytes(start + 2 * i) & 0xFF) |
-          (bytes(start + 2 * i + 1) << 8)).toShort.toInt
+      if (pos + 8 > bytes.length) Array.empty[Int]
+      else {
+        val start = pos + 8
+        val n = math.max(0,
+          math.min(maxSamples.toLong,
+            math.min(dataLen / 2L, (bytes.length - start) / 2L)).toInt)
+        Array.tabulate(n) { i =>
+          ((bytes(start + 2 * i) & 0xFF) |
+            (bytes(start + 2 * i + 1) << 8)).toShort.toInt
+        }
       }
     }
 

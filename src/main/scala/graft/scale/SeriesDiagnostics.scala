@@ -628,7 +628,10 @@ object SeriesDiagnostics {
            max(when(col("rk") === 1, col("p"))).as("peak_p"),
            max(when(col("rk") === 1, col("sh"))).as("peak_share"))
       .withColumn("entropy",
-        (col("s9") / 1e9) / log(col("n_periods").cast("double")))
+        // ln(1) = 0: a series retaining a single candidate period has no
+        // defined normalized entropy — emit null, never Infinity/NaN
+        when(col("n_periods") > 1L,
+          (col("s9") / 1e9) / log(col("n_periods").cast("double"))))
       .select((seriesCols.map(col) :+ col("n_periods") :+ col("peak_p")
         :+ col("peak_share") :+ col("entropy")): _*)
   }

@@ -789,9 +789,14 @@ object Similarity {
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003,
     * "Database-friendly random projections") with a DETERMINISTIC
     * Rademacher (±1) matrix: out_j = Σ_i sign(i,j)·v_i, where
-    * sign(i,j) = +1 iff LCG(i·outDim + j) is even, using the classic
-    * glibc LCG (a = 1103515245, c = 12345, mod 2^31 — products fit in
-    * a long for any realistic dim). No stored projection matrix, no RNG
+    * sign(i,j) = +1 iff the HIGH bit of LCG(i·outDim + j) is set, using
+    * the classic glibc LCG (a = 1103515245, c = 12345, mod 2^31 —
+    * products fit in a long for any realistic dim). The high bit, not
+    * the low: with odd a and odd c the low bit of a*k+c is just the
+    * parity of k+1, so sign(i,j) would depend only on (i·outDim+j) mod 2
+    * — for even outDim that is a rank-1 matrix (every column equal up to
+    * sign) that preserves no pairwise distance. The top bit of a single
+    * LCG step is equidistributed across k. No stored projection matrix, no RNG
     * state: the matrix is a pure function both engines (and every
     * executor) evaluate identically, so the projection of a vector is
     * reproducible forever — the property a 100-TB embedding store needs
@@ -810,7 +815,7 @@ object Similarity {
             aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT),
               (a, i) -> a +
                 (CASE WHEN (1103515245L * CAST(i * $outDim + j AS BIGINT) + 12345L)
-                        % 2147483648L % 2L = 0L
+                        % 2147483648L >= 1073741824L
                       THEN 1L ELSE -1L END)
                 * CAST(floor(CAST(element_at($vecCol, i + 1) AS DOUBLE)
                              * 1e9 + 0.5) AS BIGINT)))"""

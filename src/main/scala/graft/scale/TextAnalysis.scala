@@ -1343,12 +1343,33 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("nt"))
       .join(firstDoc, Seq("d"), "left")
       .na.fill(0L, Seq("nw"))
-    val wCum = Window.orderBy(col("d"))
+    // Two-level cumulative sums (the sm11/pk3 bucket-offset discipline):
+    // the per-document frame is DATA-sized, so one unpartitioned window
+    // over it would funnel the corpus through a single task. Range-bucket
+    // doc ids into ≤4097 order-preserving buckets (width from max id, one
+    // scalar agg), cumulate WITHIN buckets (bucket-partitioned windows),
+    // and add per-bucket offsets from one window over the bucket grid.
+    val mx = perDoc.agg(max(col("d")).as("mxd"))
+    val perDocB = perDoc.crossJoin(broadcast(mx))
+      .withColumn("bkt", expr("d div (mxd div 4096 + 1)"))
+      .drop("mxd")
+    val bag = perDocB.groupBy(col("bkt"))
+      .agg(sum(col("nw")).as("bnw"), sum(col("nt")).as("bnt"),
+           count(lit(1)).as("bn"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bag
+      .withColumn("ovv", coalesce(sum(col("bnw")).over(wOff), lit(0L)))
+      .withColumn("onn", coalesce(sum(col("bnt")).over(wOff), lit(0L)))
+      .withColumn("oi", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("ovv"), col("onn"), col("oi"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = perDoc
-      .withColumn("vv", sum(col("nw")).over(wCum))
-      .withColumn("nn", sum(col("nt")).over(wCum))
-      .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val curve = perDocB.join(broadcast(offs), Seq("bkt"))
+      .withColumn("vv", col("ovv") + sum(col("nw")).over(wIn))
+      .withColumn("nn", col("onn") + sum(col("nt")).over(wIn))
+      .withColumn("i", (col("oi") + row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("d")))).cast("long"))
     val pts = curve.filter(col("i") % sampleEvery === 0L || col("i") === 1L)
       .withColumn("x", log(col("nn").cast("double")))
       .withColumn("y", log(col("vv").cast("double")))

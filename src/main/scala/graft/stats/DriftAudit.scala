@@ -108,7 +108,11 @@ object DriftAudit {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("double")
     val tots = df.groupBy(col(splitCol)).count()
-    val Array(a, b) = tots.collect().map(_.get(0).toString).sorted  // 2 labels, bounded
+    val labels = tots.collect().map(_.get(0).toString).sorted  // bounded label set
+    require(labels.length == 2,
+      s"two-sample statistic needs exactly 2 values of '$splitCol'; " +
+        s"got ${labels.length}: ${labels.take(5).mkString(", ")}")
+    val Array(a, b) = labels
     val byVal = df
       .withColumn("ia", when(col(splitCol) === a, 1L).otherwise(0L))
       .withColumn("ib", when(col(splitCol) === b, 1L).otherwise(0L))
@@ -143,7 +147,11 @@ object DriftAudit {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("double")
     val tots = df.groupBy(col(splitCol)).count()
-    val Array(a, b) = tots.collect().map(_.get(0).toString).sorted  // 2 labels, bounded
+    val labels = tots.collect().map(_.get(0).toString).sorted  // bounded label set
+    require(labels.length == 2,
+      s"two-sample statistic needs exactly 2 values of '$splitCol'; " +
+        s"got ${labels.length}: ${labels.take(5).mkString(", ")}")
+    val Array(a, b) = labels
     val byVal = df
       .withColumn("ia", when(col(splitCol) === a, 1L).otherwise(0L))
       .withColumn("ib", when(col(splitCol) === b, 1L).otherwise(0L))

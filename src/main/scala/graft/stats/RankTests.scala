@@ -81,26 +81,26 @@ object RankTests {
     * (2·avg = 2·min_rank + t − 1 — exact integers, the [[mwuTest]]
     * trick), so all five Pearson moments are exact BIGINT sums and rho
     * is a fixed-op-order double. Contract: Σ(2r)² ≈ 4n³/3 must stay
-    * < 2^63 — fine to ~10^6 rows per test; at larger n rank via the
-    * sm11-style fixed-fence buckets and accept grid ranks. Shape: two
-    * ordered windows over the value table + one reduce. */
+    * < 2^63 — fine to ~10^6 rows per test.
+    *
+    * Scale shape: ranks are a pure function of the VALUE, so they are
+    * computed on the distinct-value table (group-reduce, then one
+    * cumulative window over distinct values — the ksStatistic
+    * bounded-cardinality contract) and joined back by value. Rows never
+    * pass through a single-partition window; only the distinct-value
+    * grids do. 2·avg_rank for a value with cumulative count c and tie
+    * count t is 2·(c − t + 1) + t − 1 = 2c − t + 1. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
-    def ranked(c: String) = {
-      val wOrd = Window.orderBy(col(c))
-      val wTie = Window.partitionBy(col(c))
-      base
-        .withColumn(s"__rmin_$c", rank().over(wOrd).cast("long"))
-        .withColumn(s"__t_$c", count(lit(1)).over(wTie).cast("long"))
-    }
-    val r = ranked("x")
-      .withColumn("rx", col("__rmin_x") * 2L + col("__t_x") - 1L)
-      .withColumn("__rmin_y",
-        rank().over(Window.orderBy(col("y"))).cast("long"))
-      .withColumn("__t_y",
-        count(lit(1)).over(Window.partitionBy(col("y"))).cast("long"))
-      .withColumn("ry", col("__rmin_y") * 2L + col("__t_y") - 1L)
+    def rankMap(c: String) = base
+      .groupBy(col(c))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__c", sum(col("__t")).over(Window.orderBy(col(c))))
+      .select(col(c), (col("__c") * 2L - col("__t") + 1L).as(s"r$c"))
+    val r = base
+      .join(rankMap("x"), Seq("x"))
+      .join(rankMap("y"), Seq("y"))
     r.agg(count(lit(1)).cast("long").as("n"),
         sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
         sum(col("rx") * col("ry")).as("sxy"),
@@ -129,7 +129,16 @@ object RankTests {
     *
     * Determinism: the median is the exact percentile, signs/run count
     * are integers off one lag window on the reduced single-task frame
-    * (the grangerLag1 contract); μ/σ/z fixed-op-order doubles. */
+    * (the grangerLag1 contract); μ/σ/z fixed-op-order doubles.
+    *
+    * CONTRACT — bounded input only: the run count is inherently
+    * sequential, so this function `coalesce(1)`s its input and walks it
+    * through ONE task. Callers MUST reduce to a bounded per-period
+    * series first (the registered m20 aggregates events to a day grid
+    * upstream); passing a raw data-sized frame will silently
+    * single-partition it. For residual batteries over many series, use
+    * the per-series (partitioned) diagnostics in
+    * [[graft.scale.SeriesDiagnostics]] instead. */
   def runsTest(df: DataFrame, tCol: String, valueCol: String): DataFrame = {
     val w = Window.orderBy(col(tCol))
     val med = Quantiles.exact(df, valueCol, Nil, Seq(0.5))

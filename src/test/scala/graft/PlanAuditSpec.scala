@@ -284,14 +284,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(shuffles(df) == 1, s"calibration plan grew: ${shuffles(df)}")
   }
 
-  test("registry-wide: no unplanned cartesian product in ANY query plan") {
-    // Every registered query's physical plan is swept for
-    // CartesianProductExec — the one join shape that is never
-    // acceptable at 100 TB unless a documented contract says so.
-    // Excluded: the model-fit registries (estimator constructions run
-    // full fits; their outputs are bounded result frames) and the
-    // queries whose CONSTRUCTION is an iterative job at test scale.
-    val skip = graft.queries.ModelQueries.queries.keySet ++
+  /** Queries excluded from the registry-wide plan sweeps: the model-fit
+    * registries (estimator constructions run full fits; their outputs
+    * are bounded result frames) and the queries whose CONSTRUCTION is an
+    * iterative job at test scale. */
+  private lazy val sweepSkip: Set[String] =
+    graft.queries.ModelQueries.queries.keySet ++
       graft.queries.ModelQueries2.queries.keySet ++
       Set("d5_cosine_neardup",   // all-pairs by documented API-capped contract
           "x19_bpe_merges",      // merge-loop actions at construction
@@ -300,16 +298,108 @@ class PlanAuditSpec extends SparkTestBase {
           "x13_quality_lr",      // LBFGS fit at construction
           "f3_series_arima",     // per-series CSS fits
           "pipe4_image",         // components fixpoint at construction
-          "g1_pagerank",         // 5 eager rank sweeps at construction
-          "g4_kcore")            // 5 eager peel rounds at construction
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
-      val carts = withAqeOff(q(spark, SF).queryExecution.executedPlan.collect {
+          "g1_pagerank")         // 5 eager rank sweeps at construction
+
+  /** One physical plan per swept query, built once (AQE off) and shared
+    * by every registry-wide sweep — planning ~300 queries is the
+    * expensive part, the collects over the trees are free. */
+  private lazy val sweptPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    withAqeOff {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => sweepSkip(name) }
+        .map { case (name, q) => name -> q(spark, SF).queryExecution.executedPlan }
+    }
+
+  test("registry-wide: no unplanned cartesian product in ANY query plan") {
+    // Every registered query's physical plan is swept for
+    // CartesianProductExec — the one join shape that is never
+    // acceptable at 100 TB unless a documented contract says so.
+    val offenders = sweptPlans.collect {
+      case (name, plan) if plan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      })
-      if (carts.nonEmpty) offenders += name
+      }.nonEmpty => name
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("registry-wide: no single-partition WindowExec over an unbounded frame") {
+    // A window with an EMPTY partition spec funnels its ENTIRE input
+    // through one task — the shape that made round-13's g1/g2 top-k
+    // correct-but-wrong-at-100-TB. A single-partition window is
+    // acceptable ONLY when its input frame is provably bounded:
+    // (a) a limit / TakeOrdered below it in the same plan subtree, or
+    // (b) a grand (no-grouping) aggregate below it (emits one row per
+    //     upstream partition then one row), or
+    // (c) the query is in the justified allowlist below, where the
+    //     window input is a REDUCED frame whose row count is a small
+    //     domain (number of tests / models / groups), not data rows.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    // A broadcast branch never bounds the STREAMED side of its join, so
+    // the recursion must not cross it (else `x.crossJoin(broadcast(agg))`
+    // would launder any unbounded frame past the check).
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: BroadcastExchangeLike => false
+      case other => other.children.exists(bounded)
+    }
+    // Windows over REDUCED frames whose row count is a small domain, not
+    // data rows — each justified at its operator site:
+    val allow: Map[String, String] = Map(
+      "a16_ks"        -> "cumulative ECDF over the distinct-value table (ksStatistic bounded-cardinality contract)",
+      "a51_cvm"       -> "same distinct-value ECDF frame as a16_ks (cvmStatistic)",
+      "a28_auc"       -> "rank window over the distinct-SCORE table (binaryAuc; scores pre-rounded)",
+      "a29_gains"     -> "cumulative window over the distinct-score cutoff table (gainsCurve)",
+      "a30_rfm"       -> "Ranks.globalRank level-0 grid window — ≤4097 range-bucket rows",
+      "a53_spearman"  -> "rank maps from the distinct-value tables of x and y (spearman rankMap)",
+      "a45_bh_fdr"    -> "sorts m p-VALUES — m = number of hypotheses tested, never data rows",
+      "a46_obf"       -> "cumulative window over the k=5 sequential-look grid (sequentialLooks)",
+      "e1_label_encode" -> "vocabulary window over DISTINCT labels (label-encoder domain)",
+      "e2_unseen_encode" -> "same distinct-label vocabulary window",
+      "e8_label_decode"  -> "same distinct-label vocabulary window",
+      "m14_granger"   -> "single bounded per-period series by the grangerLag1 contract",
+      "m15_coint"     -> "single bounded per-period series (Engle–Granger two-step)",
+      "m16_hac"       -> "single bounded per-period series (Newey–West)",
+      "m17_archlm"    -> "single bounded per-period series (ARCH-LM)",
+      "m20_runs"      -> "single bounded per-period series (runsTest documented contract)",
+      "pipe5_tokens"  -> "budgetSelect windows: ≤101-row score grid + 4096 md5-prefix bucket histogram",
+      "pipe7_fim_pack" -> "same budgetSelect grid/bucket windows",
+      "pk2_budget_select" -> "same budgetSelect grid/bucket windows",
+      "pk3_shard_snake" -> "offset window over the distinct-token-count grid (snakeShard)",
+      "sm8_dsir"      -> "1024-bucket hashed n-gram feature grid",
+      "sm9_ppl_tiers" -> "grouped-score cut table (scores on the 1e-4 grid)",
+      "sm11_shuffle"  -> "offset window over the 16^4 md5-prefix bucket count grid",
+      "x33_kn_bigram" -> "vocabulary type-table rank window (bounded by distinct words)",
+      "x34_heaps"     -> "bucket-offset window over the ≤4097-row doc-range grid (two-level cumulative)",
+      "x36_coverage"  -> "vocabulary type-table rank window (bounded by distinct words)")
+    val offenders = sweptPlans.collect {
+      case (name, plan) if !allow.contains(name) && plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"single-partition WindowExec over an unbounded frame in: ${offenders.mkString(", ")} " +
+        "— use orderBy(...).limit(k) (TakeOrderedAndProject) or partition the window")
+  }
+
+  test("adamicAdar: top-k is TakeOrderedAndProject over the pair table, " +
+       "and no single-partition WindowExec anywhere") {
+    val inc = Tables.lineitem(spark, SF)
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("z"))
+    val plan = withAqeOff(graft.scale.Graph.adamicAdar(inc, "a", "z")
+      .queryExecution.executedPlan)
+    assert(plan.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"expected TakeOrderedAndProject:\n$plan")
+    val badWin = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(badWin.isEmpty, s"single-partition window in adamicAdar:\n$plan")
   }
 
   test("rangeJoin: bucket decomposition plans as a hash join, never a nested loop") {

@@ -97,6 +97,34 @@ class ScaleSpec6 extends SparkTestBase {
     val lhs = out(3L)
     val rhs = out(1L).zip(out(2L)).map { case (a, b) => a + b }
     assert(lhs == rhs, s"additivity: $lhs vs $rhs")
+    // non-degenerate: the sign matrix must vary with i, not just j — a
+    // rank-1 matrix (the low-bit-of-LCG failure mode: sign(i,j) depends
+    // only on parity(i·outDim+j), constant in i for even outDim) makes
+    // every output dim ±(the same signed sum), i.e. all |out_j| equal
+    assert(out(1L).map(math.abs).distinct.size > 1,
+      s"rank-1 degenerate projection — all dims ±equal: ${out(1L)}")
+    assert(out(2L).map(math.abs).distinct.size > 1,
+      s"rank-1 degenerate projection — all dims ±equal: ${out(2L)}")
+  }
+
+  // ---- bucket-offset global rank -------------------------------------------
+
+  test("Ranks.globalRank equals the single-window rank definition — asc " +
+       "and desc, heavy ties, multi-bucket") {
+    import org.apache.spark.sql.expressions.Window
+    // v has heavy ties (mod 7) AND a near-unique stretch; u unique
+    val df = ((1 to 300).map(i => ((i % 7).toLong, i.toLong)) ++
+      (301 to 400).map(i => (i.toLong * 1000L, i.toLong))).toDF("v", "u")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("v").desc, col("u")) else Seq(col("v"), col("u"))
+      val expected = df
+        .withColumn("rk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .select("u", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // buckets = 8 forces every level of the decomposition to matter
+      val got = Ranks.globalRank(df, col("v"), col("u"), desc, "rk", buckets = 8)
+        .select("u", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"desc=$desc: bucket-offset ranks diverge")
+    }
   }
 
   // ---- IMAPA ---------------------------------------------------------------
