@@ -234,6 +234,72 @@ object ScaleQueries2 {
            sum(when(col("id") < fence, 1L).otherwise(0L)).as("base_survived"))
   }
 
+  /** ✔dt HASH TWIN of [[stNearDup]] (r12 ask #4): the SAME greedy
+    * first-arrival Hamming-≤3 suppression, same variant-injection
+    * harness, but fingerprinted with
+    * [[graft.streaming.StreamDedup.md5SimHash]] — a 60-bit SimHash on
+    * md5 token prefixes that DuckDB can replay bit-for-bit (xxhash64
+    * cannot be). The oracle walks each 16-bit block's (ts, id) order
+    * with a recursive CTE carrying the kept-signature list — the greedy
+    * chain semantics themselves, not a relaxation — so every survivor
+    * row hash-matches. st_neardup (the xxhash64 production path) keeps
+    * its rows-only check; THIS query pins the suppression algebra. */
+  private def stNearDupW: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+              timestamp_millis(col("doc_id") * 60000L).as("ts"))
+    val fenceRow = docs.agg(max(col("doc_id"))).head()
+    val fence = (if (fenceRow.isNullAt(0)) 0L else fenceRow.getLong(0)) + 1L
+    val variants = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + fence).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+", "EDITED").as("text"),
+              timestamp_millis(col("doc_id") * 60000L + 30000L).as("ts"))
+    val all = docs.unionByName(variants)
+    graft.streaming.StreamDedup.nearDupBlockBatch(all, "text", "doc_id", "ts",
+        maxHamming = 3, blockIdx = 0,
+        sigExpr = Some(graft.streaming.StreamDedup.md5SimHash("text")))
+      .select(col("id"), col("sig"))
+  }
+
+  private val stNearDupWSql =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text, doc_id*60000 AS tms FROM documents),
+       |f AS (SELECT max(doc_id) + 1 AS fence FROM documents),
+       |var AS (SELECT doc_id + f.fence AS doc_id,
+       |    regexp_replace(text, '^\\S+', 'EDITED') AS text,
+       |    doc_id*60000 + 30000 AS tms
+       |  FROM documents, f WHERE doc_id % 10 = 0),
+       |allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+       |tok AS (SELECT doc_id, tms, unnest(string_split(text, ' ')) AS w
+       |        FROM allr),
+       |h AS (SELECT doc_id, tms,
+       |        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (SELECT doc_id, tms, b.range AS b,
+       |    sum(CASE WHEN ((h >> CAST(b.range AS INT)) & 1) = 1
+       |             THEN 1 ELSE -1 END) AS c
+       |  FROM h CROSS JOIN range(0, 60) b GROUP BY 1, 2, 3),
+       |sg AS (SELECT doc_id, tms,
+       |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2),
+       |blk AS (SELECT doc_id, tms, sig, sig & 65535 AS block,
+       |    CAST(row_number() OVER (PARTITION BY sig & 65535
+       |                            ORDER BY tms, doc_id) AS BIGINT) AS rn
+       |  FROM sg),
+       |walk(block, rn, kept, keep_flag, id, sig) AS (
+       |  SELECT block, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), false,
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM (SELECT DISTINCT block FROM blk)
+       |  UNION ALL
+       |  SELECT b.block, b.rn,
+       |    CASE WHEN len(list_filter(w.kept,
+       |           k -> bit_count(xor(k, b.sig)) <= 3)) > 0
+       |      THEN w.kept ELSE list_append(w.kept, b.sig) END,
+       |    len(list_filter(w.kept, k -> bit_count(xor(k, b.sig)) <= 3)) = 0,
+       |    b.doc_id, b.sig
+       |  FROM walk w JOIN blk b ON b.block = w.block AND b.rn = w.rn + 1)
+       |SELECT id, sig FROM walk WHERE keep_flag""".stripMargin
+
   /** LEFT OUTER twin of [[stSelfJoin]] — triggers with no follow-up in
     * the gap keep a null-padded row (the batch form of the watermarked
     * streaming outer join, parity-checked in StreamingSpec). Restricted
@@ -705,6 +771,7 @@ object ScaleQueries2 {
     "x7_bigrams"     -> x7Bigrams,
     "st_enrich"      -> stEnrich,
     "st_neardup"     -> stNearDup,
+    "st_neardup_w"   -> stNearDupW,
     "t15_gapfill"    -> t15GapFill,
     "x8_tfidf"       -> x8Tfidf,
     "st_selfjoin"    -> stSelfJoin,
@@ -718,6 +785,7 @@ object ScaleQueries2 {
 
   val oracle: Map[String, String] = Map(
     "st_compact"      -> stCompactSql,
+    "st_neardup_w"    -> stNearDupWSql,
     "x12_line_dedup"  -> x12Sql,
     "q4_outliers"     -> q4Sql,
     "sm6_hash_split"  -> sm6Sql,

@@ -27,8 +27,26 @@ object StreamDedup {
     def tsMs: Long = ts.getTime
   }
 
+  /** A 60-bit SimHash whose token hash is the md5 prefix instead of
+    * xxhash64 — IDENTICAL semantics to [[graft.functions.SimHashSig]]
+    * (space-split multiset, ±1 per bit, sign), but replayable in any
+    * engine with md5 (the DuckDB-oracle path: `st_neardup_w`). 60 bits =
+    * 15 hex digits, the widest md5 prefix that fits a signed BIGINT in
+    * both engines. Slower than the codegen expression (60 lambda passes
+    * over the token-hash array) — use SimHashSig on hot paths and this
+    * where cross-engine verifiability matters. */
+  def md5SimHash(textCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+          acc + CASE WHEN aggregate(
+              transform(split($textCol, ' '),
+                w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (s, h) -> s + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+
   private def sigDocs(df: DataFrame, textCol: String, idCol: String,
-                      tsCol: String, blockIdx: Int) = {
+                      tsCol: String, blockIdx: Int,
+                      sigExpr: Option[org.apache.spark.sql.Column] = None) = {
     import df.sparkSession.implicits._
     // rows with a null text, id, OR timestamp are DROPPED: a fingerprint
     // (or event-time position) cannot be computed for them (filter
@@ -36,7 +54,8 @@ object StreamDedup {
     // non-nullable fields / SigDoc.tsMs would kill the whole query
     df.filter(col(textCol).isNotNull && col(idCol).isNotNull &&
               col(tsCol).isNotNull)
-      .withColumn("__sig", graft.functions.SimHashSig(col(textCol)))
+      .withColumn("__sig",
+        sigExpr.getOrElse(graft.functions.SimHashSig(col(textCol))))
       .select(col(idCol).cast("long").as("id"),
               col(tsCol).as("ts"),
               col("__sig").as("sig"),
@@ -73,9 +92,10 @@ object StreamDedup {
     * instead, whose per-bucket fan-out is pair-bounded, not group². */
   def nearDupBlockBatch(df: DataFrame, textCol: String, idCol: String,
                         tsCol: String, maxHamming: Int = 3,
-                        blockIdx: Int = 3): DataFrame = {
+                        blockIdx: Int = 3,
+                        sigExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import df.sparkSession.implicits._
-    sigDocs(df, textCol, idCol, tsCol, blockIdx)
+    sigDocs(df, textCol, idCol, tsCol, blockIdx, sigExpr)
       .groupByKey(_.block)
       .flatMapGroups { (_, it) =>
         val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -110,7 +130,8 @@ object StreamDedup {
     * pigeonhole compaction catches it. */
   def nearDupBlock(df: DataFrame, textCol: String, idCol: String,
                    tsCol: String, delay: String, maxHamming: Int = 3,
-                   blockIdx: Int = 3): DataFrame = {
+                   blockIdx: Int = 3,
+                   sigExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val delayIv = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -120,7 +141,8 @@ object StreamDedup {
     // watermark never disagree
     val horizonMs = delayIv.months * 31L * 86400000L +
       delayIv.days * 86400000L + delayIv.microseconds / 1000L
-    sigDocs(df.withWatermark(tsCol, delay), textCol, idCol, tsCol, blockIdx)
+    sigDocs(df.withWatermark(tsCol, delay), textCol, idCol, tsCol, blockIdx,
+      sigExpr)
       .groupByKey(_.block)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Int, rows: Iterator[SigDoc], state: GroupState[List[(Long, Long)]]) =>

@@ -214,6 +214,29 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.table("sneardup_out").select($"id").collect()
       .map(_.getLong(0)).toSet
     assert(got == expect, s"streaming $got != batch twin $expect")
+
+    // same parity for the md5SimHash fingerprint (the DuckDB-verifiable
+    // st_neardup_w path) — streaming and batch share sigDocs, but pin
+    // that the pluggable sigExpr actually reaches both
+    val sigE = Some(StreamDedup.md5SimHash("text"))
+    val expectW = StreamDedup.nearDupBlockBatch(batch, "text", "doc_id", "ts",
+        maxHamming = 12, blockIdx = 0, sigExpr = sigE)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val memW = MemoryStream[(Long, Long, String)]
+    val srcW = memW.toDS().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val qw = StreamDedup.nearDupBlock(srcW, "text", "doc_id", "ts", "1 hour",
+        maxHamming = 12, blockIdx = 0, sigExpr = sigE)
+      .writeStream.format("memory").queryName("sneardup_w_out")
+      .outputMode("append").start()
+    memW.addData(bases: _*)
+    qw.processAllAvailable()
+    memW.addData(variants: _*)
+    qw.processAllAvailable()
+    qw.stop()
+    val gotW = spark.table("sneardup_w_out").select($"id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotW == expectW, s"md5-sig streaming $gotW != batch twin $expectW")
   }
 
   test("nearDupBlock parity holds under ANY micro-batch split (3 random splits)") {
