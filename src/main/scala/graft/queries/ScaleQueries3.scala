@@ -2079,9 +2079,11 @@ object ScaleQueries3 {
 
   /** F10 — the AutoML leaderboard decision at warehouse scale, over the
     * FULL model zoo (r10 verdict #8): hold out each user series' last 5
-    * points, fit naive/drift/SES(.5)/Holt(β=0)/Theta/Croston/HW(m=7) on
+    * points, fit naive/drift/SES(.5)/Holt(β=0)/Theta/Croston/HW(m=7) —
+    * plus SBA and TSB where the Syntetos–Boylan ADI/CV² quadrant gate
+    * routes them in (ADI ≥ 1.32, compared exactly in integers) — on
     * the rest, winner = lowest holdout MAE on an exact 1e-9 integer grid
-    * (ties break to the simpler model). One groupByKey fold for every
+    * (ties break to the simpler model); the quadrant label is emitted. One groupByKey fold for every
     * series in the warehouse; the oracle replays Croston/Theta through
     * the same closed forms and the HW recursion through a recursive
     * CTE. */
@@ -2098,7 +2100,30 @@ object ScaleQueries3 {
         Det.dround(col("mae_theta"), 6).as("mae_theta"),
         Det.dround(col("mae_croston"), 6).as("mae_croston"),
         Det.dround(col("mae_hw"), 6).as("mae_hw"),
-        col("winner"))
+        Det.dround(col("mae_sba"), 6).as("mae_sba"),
+        Det.dround(col("mae_tsb"), 6).as("mae_tsb"),
+        col("quadrant"), col("winner"))
+
+  /** F24 — the winner-table SINK round-trip (r12 ask #7): the zoo
+    * winner/quadrant table is WRITTEN to parquet (the artifact a nightly
+    * selection job publishes) and read back, and the READ-BACK rows are
+    * what this query emits — the correctness gate therefore hash-checks
+    * the persisted artifact itself against the oracle's recomputed
+    * winners, pinning that the sink/source round trip preserves the
+    * decision table exactly. Sink path derives from the SF dir (one
+    * artifact per SF), overwrite-idempotent; the write is an action at
+    * construction (PlanAuditSpec sweep-skipped like the other eager
+    * constructions). */
+  private def f24WinnerRt: Q = (s, d) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_winner_rt_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    graft.scale.PerSeriesForecast.backtestZoo(
+        Tables.events(s, d), "value", "ts", "user_id", h = 5, m = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.25, tieBreak = Some("event_id"))
+      .select(col("user_id"), col("quadrant"), col("winner"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
 
   private val f10Sql =
     s"""WITH RECURSIVE s AS (SELECT user_id,
@@ -2161,6 +2186,21 @@ object ScaleQueries3 {
        |          ELSE 0 END) AS BIGINT) AS dr9
        |      FROM tr JOIN f USING (user_id) LEFT JOIN ph ON ph.k = tr.rn - 1
        |      GROUP BY tr.user_id),
+       |gq AS (SELECT user_id,
+       |        CAST(count(*) FILTER (yq <> 0) AS BIGINT) AS nnz,
+       |        CAST(max(ntr) AS BIGINT) AS len,
+       |        coalesce(sum(CAST(y9 AS HUGEINT)) FILTER (yq <> 0), 0) AS gz,
+       |        coalesce(sum(CAST(y9 AS HUGEINT)*y9) FILTER (yq <> 0), 0) AS gzz
+       |      FROM tr GROUP BY user_id),
+       |gt AS (SELECT user_id,
+       |        (nnz = 0 OR 100*len >= 132*nnz) AS adi_high,
+       |        (nnz > 0 AND 100*CAST(nnz AS HUGEINT)*gzz >= 149*gz*gz) AS cv_high
+       |      FROM gq),
+       |tp AS (SELECT user_id,
+       |        CAST(sum(CAST(floor((CASE WHEN yq <> 0 THEN 1.0 ELSE 0.0 END)
+       |          * (CASE WHEN rn = 1 THEN pow(0.75, ntr - 1)
+       |                  ELSE 0.25*pow(0.75, ntr - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS p9
+       |      FROM tr GROUP BY user_id),
        |hw0 AS (SELECT user_id, max(ntr) AS ntr,
        |        CAST(sum(CASE WHEN rn <= 7 THEN y9 ELSE 0 END) AS BIGINT) AS sum9,
        |        CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN y9 ELSE -y9 END)
@@ -2198,11 +2238,18 @@ object ScaleQueries3 {
        |    CAST(sum(CAST(floor(abs(te.yq - (thf.icept + thf.slope*(f.ntr - 1 + te.k) + thf.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
        |    CAST(sum(CAST(floor(abs(te.yq - (cr.z9/1e9)/(cr.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
        |    CAST(sum(CAST(floor(abs(te.yq - (hwf.l + te.k*hwf.b + hwf.sl[CAST((f.ntr - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
+       |    CAST(sum(CAST(floor(abs(te.yq - (cr.z9/1e9)/(cr.g9/1e9)*0.75)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_sba,
+       |    CAST(sum(CAST(floor(abs(te.yq - (tp.p9/1e9)*(cr.z9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_tsb,
+       |    max(CASE WHEN gt.adi_high THEN 1 ELSE 0 END) AS gate,
+       |    max(CASE WHEN gt.adi_high AND gt.cv_high THEN 'lumpy'
+       |             WHEN gt.adi_high THEN 'intermittent'
+       |             WHEN gt.cv_high THEN 'erratic' ELSE 'smooth' END) AS quadrant,
        |    max(CASE WHEN cr.user_id IS NULL THEN 0 ELSE 1 END) AS has_cro,
        |    max(CASE WHEN hwf.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw,
        |    CAST(max(f.ntr) AS BIGINT) AS n_train
        |  FROM te JOIN f USING (user_id) JOIN hz USING (user_id)
        |    JOIN thf USING (user_id) JOIN dr USING (user_id)
+       |    JOIN gt USING (user_id) JOIN tp USING (user_id)
        |    JOIN ph AS phn ON phn.k = f.ntr - 1
        |    JOIN ph AS phk ON phk.k = CAST(te.k AS BIGINT)
        |    LEFT JOIN cr ON cr.user_id = te.user_id
@@ -2210,7 +2257,10 @@ object ScaleQueries3 {
        |  GROUP BY te.user_id),
        |wn AS (SELECT *,
        |    coalesce(e_cro, 9223372036854775807) AS ec,
-       |    coalesce(e_hw, 9223372036854775807) AS eh FROM er)
+       |    coalesce(e_hw, 9223372036854775807) AS eh,
+       |    coalesce(CASE WHEN gate = 1 THEN e_sba END, 9223372036854775807) AS eb,
+       |    coalesce(CASE WHEN gate = 1 THEN e_tsb END, 9223372036854775807) AS ez
+       |  FROM er)
        |SELECT user_id, n_train,
        |  ${Det.droundSql("CAST(e_naive AS DOUBLE)/5/1e9", 6)} AS mae_naive,
        |  ${Det.droundSql("CAST(e_drift AS DOUBLE)/5/1e9", 6)} AS mae_drift,
@@ -2220,21 +2270,32 @@ object ScaleQueries3 {
        |  ${Det.droundSql("CAST(e_theta AS DOUBLE)/5/1e9", 6)} AS mae_theta,
        |  CASE WHEN has_cro = 1 THEN ${Det.droundSql("CAST(e_cro AS DOUBLE)/5/1e9", 6)} END AS mae_croston,
        |  CASE WHEN has_hw = 1 THEN ${Det.droundSql("CAST(e_hw AS DOUBLE)/5/1e9", 6)} END AS mae_hw,
+       |  CASE WHEN gate = 1 AND has_cro = 1 THEN ${Det.droundSql("CAST(e_sba AS DOUBLE)/5/1e9", 6)} END AS mae_sba,
+       |  CASE WHEN gate = 1 AND has_cro = 1 THEN ${Det.droundSql("CAST(e_tsb AS DOUBLE)/5/1e9", 6)} END AS mae_tsb,
+       |  quadrant,
        |  CASE
        |    WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
        |     AND e_naive <= e_damped AND e_naive <= e_theta AND e_naive <= ec
-       |     AND e_naive <= eh THEN 'naive'
+       |     AND e_naive <= eh AND e_naive <= eb AND e_naive <= ez THEN 'naive'
        |    WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_damped
-       |     AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |     AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh
+       |     AND e_drift <= eb AND e_drift <= ez THEN 'drift'
        |    WHEN e_ses <= e_holt AND e_ses <= e_damped AND e_ses <= e_theta
-       |     AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |     AND e_ses <= ec AND e_ses <= eh AND e_ses <= eb AND e_ses <= ez THEN 'ses'
        |    WHEN e_holt <= e_damped AND e_holt <= e_theta AND e_holt <= ec
-       |     AND e_holt <= eh THEN 'holt'
-       |    WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh THEN 'damped'
-       |    WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
-       |    WHEN ec <= eh THEN 'croston'
-       |    ELSE 'hw' END AS winner
+       |     AND e_holt <= eh AND e_holt <= eb AND e_holt <= ez THEN 'holt'
+       |    WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh
+       |     AND e_damped <= eb AND e_damped <= ez THEN 'damped'
+       |    WHEN e_theta <= ec AND e_theta <= eh AND e_theta <= eb
+       |     AND e_theta <= ez THEN 'theta'
+       |    WHEN ec <= eh AND ec <= eb AND ec <= ez THEN 'croston'
+       |    WHEN eh <= eb AND eh <= ez THEN 'hw'
+       |    WHEN eb <= ez THEN 'sba'
+       |    ELSE 'tsb' END AS winner
        |FROM wn""".stripMargin
+
+  private val f24Sql =
+    s"SELECT user_id, quadrant, winner FROM ($f10Sql)"
 
   // ---- PIPE3_ZOO: clean -> full-zoo select -> winner refit --------------
 
@@ -2318,10 +2379,25 @@ object ScaleQueries3 {
        |      CASE WHEN r.t % 7 = 6 THEN [] ELSE r.sl[CAST(r.t % 7 AS INT) + 2:7] END) AS sl
        |  FROM hwrec$tag r JOIN $tr ON $tr.user_id = r.user_id AND $tr.rn = r.t + 1
        |  WHERE r.t < r.len),
-       |hwf$tag AS (SELECT user_id, l, b, sl FROM hwrec$tag WHERE t = len)""".stripMargin
+       |hwf$tag AS (SELECT user_id, l, b, sl FROM hwrec$tag WHERE t = len),
+       |gq$tag AS (SELECT user_id,
+       |        CAST(count(*) FILTER (yq <> 0) AS BIGINT) AS nnz,
+       |        CAST(max($len) AS BIGINT) AS len,
+       |        coalesce(sum(CAST(y9 AS HUGEINT)) FILTER (yq <> 0), 0) AS gz,
+       |        coalesce(sum(CAST(y9 AS HUGEINT)*y9) FILTER (yq <> 0), 0) AS gzz
+       |      FROM $tr GROUP BY user_id),
+       |gt$tag AS (SELECT user_id,
+       |        (nnz = 0 OR 100*len >= 132*nnz) AS adi_high,
+       |        (nnz > 0 AND 100*CAST(nnz AS HUGEINT)*gzz >= 149*gz*gz) AS cv_high
+       |      FROM gq$tag),
+       |tp$tag AS (SELECT user_id,
+       |        CAST(sum(CAST(floor((CASE WHEN yq <> 0 THEN 1.0 ELSE 0.0 END)
+       |          * (CASE WHEN rn = 1 THEN pow(0.75, $len - 1)
+       |                  ELSE 0.25*pow(0.75, $len - rn) END) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS p9
+       |      FROM $tr GROUP BY user_id)""".stripMargin
 
   /** PIPE3_ZOO — the fused pipeline widened to the full model zoo (r11
-    * task #7): Hampel-clean → 8-candidate holdout selection → WINNER
+    * task #7): Hampel-clean → 10-candidate holdout selection (SBA/TSB intermittency-gated) → WINNER
     * refit on the full cleaned series → h-step forecast, one plan, one
     * hash. The oracle chains the pipe3 clean CTEs into TWO copies of
     * [[zooFitCtes]] (select at ntr, refit at n) plus the f10 winner
@@ -2380,10 +2456,14 @@ object ScaleQueries3 {
        |    CAST(sum(CAST(floor(abs(te.yq - (thfA.icept + thfA.slope*(fA.len - 1 + te.k) + thfA.lvl2)/2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_theta,
        |    CAST(sum(CAST(floor(abs(te.yq - (crA.z9/1e9)/(crA.g9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_cro,
        |    CAST(sum(CAST(floor(abs(te.yq - (hwfA.l + te.k*hwfA.b + hwfA.sl[CAST((fA.len - 1 + CAST(te.k AS BIGINT)) % 7 AS INT) + 1]))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_hw,
+       |    CAST(sum(CAST(floor(abs(te.yq - (crA.z9/1e9)/(crA.g9/1e9)*0.75)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_sba,
+       |    CAST(sum(CAST(floor(abs(te.yq - (tpA.p9/1e9)*(crA.z9/1e9))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e_tsb,
+       |    max(CASE WHEN gtA.adi_high THEN 1 ELSE 0 END) AS gate,
        |    max(CASE WHEN crA.user_id IS NULL THEN 0 ELSE 1 END) AS has_cro,
        |    max(CASE WHEN hwfA.user_id IS NULL THEN 0 ELSE 1 END) AS has_hw
        |  FROM te JOIN fA USING (user_id) JOIN hzA USING (user_id)
        |    JOIN thfA USING (user_id) JOIN drA USING (user_id)
+       |    JOIN gtA USING (user_id) JOIN tpA USING (user_id)
        |    JOIN ph AS phn ON phn.k = fA.len - 1
        |    JOIN ph AS phk ON phk.k = CAST(te.k AS BIGINT)
        |    LEFT JOIN crA ON crA.user_id = te.user_id
@@ -2393,20 +2473,29 @@ object ScaleQueries3 {
        |    CASE
        |      WHEN e_naive <= e_drift AND e_naive <= e_ses AND e_naive <= e_holt
        |       AND e_naive <= e_damped AND e_naive <= e_theta AND e_naive <= ec
-       |       AND e_naive <= eh THEN 'naive'
+       |       AND e_naive <= eh AND e_naive <= eb AND e_naive <= ez THEN 'naive'
        |      WHEN e_drift <= e_ses AND e_drift <= e_holt AND e_drift <= e_damped
-       |       AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh THEN 'drift'
+       |       AND e_drift <= e_theta AND e_drift <= ec AND e_drift <= eh
+       |       AND e_drift <= eb AND e_drift <= ez THEN 'drift'
        |      WHEN e_ses <= e_holt AND e_ses <= e_damped AND e_ses <= e_theta
-       |       AND e_ses <= ec AND e_ses <= eh THEN 'ses'
+       |       AND e_ses <= ec AND e_ses <= eh AND e_ses <= eb
+       |       AND e_ses <= ez THEN 'ses'
        |      WHEN e_holt <= e_damped AND e_holt <= e_theta AND e_holt <= ec
-       |       AND e_holt <= eh THEN 'holt'
-       |      WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh THEN 'damped'
-       |      WHEN e_theta <= ec AND e_theta <= eh THEN 'theta'
-       |      WHEN ec <= eh THEN 'croston'
-       |      ELSE 'hw' END AS winner
+       |       AND e_holt <= eh AND e_holt <= eb AND e_holt <= ez THEN 'holt'
+       |      WHEN e_damped <= e_theta AND e_damped <= ec AND e_damped <= eh
+       |       AND e_damped <= eb AND e_damped <= ez THEN 'damped'
+       |      WHEN e_theta <= ec AND e_theta <= eh AND e_theta <= eb
+       |       AND e_theta <= ez THEN 'theta'
+       |      WHEN ec <= eh AND ec <= eb AND ec <= ez THEN 'croston'
+       |      WHEN eh <= eb AND eh <= ez THEN 'hw'
+       |      WHEN eb <= ez THEN 'sba'
+       |      ELSE 'tsb' END AS winner
        |  FROM (SELECT *,
        |          coalesce(e_cro, 9223372036854775807) AS ec,
-       |          coalesce(e_hw, 9223372036854775807) AS eh FROM er)),
+       |          coalesce(e_hw, 9223372036854775807) AS eh,
+       |          coalesce(CASE WHEN gate = 1 THEN e_sba END, 9223372036854775807) AS eb,
+       |          coalesce(CASE WHEN gate = 1 THEN e_tsb END, 9223372036854775807) AS ez
+       |        FROM er)),
        |fc AS (SELECT fB.user_id, fB.len AS n, wn.winner, gs.h,
        |    CASE wn.winner
        |      WHEN 'naive' THEN fB.last_y
@@ -2416,10 +2505,13 @@ object ScaleQueries3 {
        |      WHEN 'damped' THEN (fB.ses9 + drB.dr9)/1e9 + fB.b1*phn.p*phk.cum
        |      WHEN 'theta' THEN (thfB.icept + thfB.slope*(fB.len - 1 + gs.h) + thfB.lvl2)/2
        |      WHEN 'croston' THEN (crB.z9/1e9)/(crB.g9/1e9)
+       |      WHEN 'sba' THEN (crB.z9/1e9)/(crB.g9/1e9)*0.75
+       |      WHEN 'tsb' THEN (tpB.p9/1e9)*(crB.z9/1e9)
        |      ELSE hwfB.l + gs.h*hwfB.b + hwfB.sl[CAST((fB.len - 1 + gs.h) % 7 AS INT) + 1]
        |    END AS yhat
        |  FROM fB JOIN wn USING (user_id) JOIN hzB USING (user_id)
        |    JOIN thfB USING (user_id) JOIN drB USING (user_id)
+       |    JOIN tpB USING (user_id)
        |    LEFT JOIN crB ON crB.user_id = fB.user_id
        |    LEFT JOIN hwfB ON hwfB.user_id = fB.user_id
        |  CROSS JOIN generate_series(1, 3) AS gs(h)
@@ -2749,6 +2841,7 @@ object ScaleQueries3 {
     "f9_holt"            -> f9Holt,
     "f9_holt0"           -> f9Holt0,
     "f10_backtest"       -> f10Backtest,
+    "f24_winner_rt"      -> f24WinnerRt,
     "t20_sbc"            -> t20Sbc,
     "a20_incremental"    -> a20Incremental,
     "x17_typos"          -> x17Typos,
@@ -2816,6 +2909,7 @@ object ScaleQueries3 {
     "st_drift"        -> stDriftSql,
     "f9_holt0"        -> f9Holt0Sql,
     "f10_backtest"    -> f10Sql,
+    "f24_winner_rt"   -> f24Sql,
     "t20_sbc"         -> t20Sql,
     "a20_incremental" -> a20Sql,
     "x17_typos"       -> x17Sql,

@@ -699,8 +699,14 @@ object PerSeriesForecast {
       lastY: Double, firstY: Double, sesLvl: Double, b1: Double,
       holtLvl: Double, slope: Double, icept: Double, lvl2: Double,
       crostonRate: Option[Double], hwState: Option[(Double, Double, Array[Double])],
-      dampedLvl: Double, phiN1: Double) {
-    /** k-step-ahead prediction of candidate `name` from this fit. */
+      dampedLvl: Double, phiN1: Double,
+      sbaRate: Option[Double], tsbLevel: Option[Double],
+      intermittent: Boolean, quadrant: String) {
+    /** k-step-ahead prediction of candidate `name` from this fit.
+      * `sba`/`tsb` return their value whenever COMPUTABLE (a nonzero
+      * demand exists) — the Syntetos–Boylan quadrant gate decides
+      * candidate ELIGIBILITY at selection time, not computability, so a
+      * refit on the full series never fails when the quadrant flips. */
     def predict(name: String, len: Int, k: Int, m: Int): Option[Double] = name match {
       case "naive"   => Some(lastY)
       case "drift"   => Some(lastY + k * (lastY - firstY) / (len - 1))
@@ -713,6 +719,8 @@ object PerSeriesForecast {
         Some(dampedLvl + b1 * phiN1 * acc)
       case "theta"   => Some((icept + slope * (len - 1 + k) + lvl2) / 2)
       case "croston" => crostonRate
+      case "sba"     => sbaRate
+      case "tsb"     => tsbLevel
       case "hw"      => hwState.map { case (l, b, s) => l + k * b + s((len - 1 + k) % m) }
     }
   }
@@ -751,7 +759,8 @@ object PerSeriesForecast {
     val icept = (sy9.toDouble / 1e9 - slope * st) / len
     val lvl2 = 2.0 * swy9 / 1e9 - icept * sw9 / 1e9 - slope * swt9 / 1e9
     val nzIdx = (1 to len).filter(t => yq(t - 1) != 0.0)
-    val crostonRate: Option[Double] =
+    // croston rate AND the smoothed nonzero-size level z (TSB reuses z)
+    val crostonPair: Option[(Double, Double)] =
       if (nzIdx.isEmpty) None
       else {
         val nnz = nzIdx.length
@@ -762,8 +771,44 @@ object PerSeriesForecast {
           g9 += q9((t - prev) * w)
           prev = t
         }
-        Some((z9 / 1e9) / (g9 / 1e9))
+        Some(((z9 / 1e9) / (g9 / 1e9), z9 / 1e9))
       }
+    val crostonRate = crostonPair.map(_._1)
+    // SBA (Syntetos–Boylan 2005 approximation): Croston's rate is biased
+    // high under stochastic intervals; the (1 − α/2) deflator corrects it
+    val sbaRate = crostonRate.map(_ * (1 - alpha / 2))
+    // TSB (Teunter–Syntetos–Babai 2011): smooth the demand PROBABILITY
+    // every period (β weights over occurrence indicators — handles
+    // obsolescence, unlike interval-based Croston) times the smoothed
+    // nonzero size. Same weighted-sum closed form as the SES level:
+    // w_β(t) = (1−β)^{len−1} for t=1, else β(1−β)^{len−t}; each
+    // occ·w term folds on the 1e-9 grid.
+    val tsbLevel: Option[Double] = crostonPair.map { case (_, z) =>
+      var p9 = 0L
+      for (t <- 1 to len) {
+        val occ = if (y9(t - 1) != 0L) 1.0 else 0.0
+        val w = if (t == 1) math.pow(1 - beta, len - 1)
+                else beta * math.pow(1 - beta, len - t)
+        p9 += q9(occ * w)
+      }
+      (p9 / 1e9) * z
+    }
+    // Syntetos–Boylan quadrant (2005 classification): ADI = len/nnz vs
+    // 1.32 and CV² of nonzero sizes vs 0.49, both compared EXACTLY in
+    // integers on the 1e-9 grid (100·len ≥ 132·nnz; 100·nnz·Σz² ≥
+    // 149·(Σz)² over BigInt) — the gate that routes SBA/TSB in as
+    // candidates only where the intermittency literature says they win.
+    val nnzCount = nzIdx.length
+    var gz = BigInt(0); var gzz = BigInt(0)
+    for (t <- nzIdx) { val v = BigInt(y9(t - 1)); gz += v; gzz += v * v }
+    val adiHigh = nnzCount == 0 || 100L * len >= 132L * nnzCount
+    val cvHigh = nnzCount > 0 &&
+      BigInt(100) * nnzCount * gzz >= BigInt(149) * gz * gz
+    val quadrant =
+      if (adiHigh && cvHigh) "lumpy"
+      else if (adiHigh) "intermittent"
+      else if (cvHigh) "erratic"
+      else "smooth"
     val hwState: Option[(Double, Double, Array[Double])] =
       if (len < 2 * m) None
       else {
@@ -793,11 +838,16 @@ object PerSeriesForecast {
     val dampedLvl = (ses9 + drip9) / 1e9
     val phiN1 = if (len > 1) phiPow(len - 1) else 1.0
     ZooFit(lastY, firstY, sesLvl, b1, holtLvl, slope, icept, lvl2,
-           crostonRate, hwState, dampedLvl, phiN1)
+           crostonRate, hwState, dampedLvl, phiN1,
+           sbaRate, tsbLevel, intermittent = adiHigh, quadrant = quadrant)
   }
 
+  // sba/tsb appended LAST: ties still break toward the simpler classical
+  // families, so series the intermittency gate doesn't route keep the
+  // exact winner they had before the gate existed
   private[scale] val zooOrder =
-    Seq("naive", "drift", "ses", "holt", "damped", "theta", "croston", "hw")
+    Seq("naive", "drift", "ses", "holt", "damped", "theta", "croston", "hw",
+        "sba", "tsb")
 
   def backtestZoo(df: DataFrame, valueCol: String, tsCol: String,
                   seriesCol: String, h: Int, m: Int = 7,
@@ -836,6 +886,10 @@ object PerSeriesForecast {
           val cands = zooOrder.map { nm =>
             val eligible = nm match {
               case "croston" => fit.crostonRate.isDefined
+              // the intermittency gate: SBA/TSB are candidates only in
+              // the ADI ≥ 1.32 half of the Syntetos–Boylan plane
+              case "sba"     => fit.intermittent && fit.sbaRate.isDefined
+              case "tsb"     => fit.intermittent && fit.tsbLevel.isDefined
               case "hw"      => fit.hwState.isDefined
               case _         => true
             }
@@ -851,12 +905,13 @@ object PerSeriesForecast {
             mae(em("naive")), mae(em("drift")), mae(em("ses")),
             mae(em("holt")), mae(em("damped")), mae(em("theta")),
             mae(em("croston")), mae(em("hw")),
-            winner))
+            mae(em("sba")), mae(em("tsb")),
+            fit.quadrant, winner))
         }
       }
       .toDF(seriesCol, "n_train", "mae_naive", "mae_drift", "mae_ses",
             "mae_holt", "mae_damped", "mae_theta", "mae_croston", "mae_hw",
-            "winner")
+            "mae_sba", "mae_tsb", "quadrant", "winner")
   }
 
   /** [[cleanSelectForecast]] widened to the FULL per-series zoo (r11
@@ -908,6 +963,8 @@ object PerSeriesForecast {
           val cands = zooOrder.map { nm =>
             val eligible = nm match {
               case "croston" => sel.crostonRate.isDefined
+              case "sba"     => sel.intermittent && sel.sbaRate.isDefined
+              case "tsb"     => sel.intermittent && sel.tsbLevel.isDefined
               case "hw"      => sel.hwState.isDefined
               case _         => true
             }

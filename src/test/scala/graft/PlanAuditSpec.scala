@@ -298,7 +298,8 @@ class PlanAuditSpec extends SparkTestBase {
           "x13_quality_lr",      // LBFGS fit at construction
           "f3_series_arima",     // per-series CSS fits
           "pipe4_image",         // components fixpoint at construction
-          "g1_pagerank")         // 5 eager rank sweeps at construction
+          "g1_pagerank",         // 5 eager rank sweeps at construction
+          "f24_winner_rt")       // parquet sink write at construction
 
   /** One physical plan per swept query, built once (AQE off) and shared
     * by every registry-wide sweep — planning ~300 queries is the

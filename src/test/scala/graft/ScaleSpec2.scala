@@ -493,13 +493,23 @@ class ScaleSpec2 extends SparkTestBase {
     val out = graft.scale.PerSeriesForecast.backtestZoo(
         df, "y", "ts", "sid", h = h, m = 7)
       .collect().map(r => r.getLong(0) -> r).toMap
-    val winners = out.view.mapValues(_.getString(10)).toMap
+    val winners = out.view.mapValues(_.getAs[String]("winner")).toMap
     assert(winners == Map(1L -> "naive", 2L -> "drift", 3L -> "ses",
                           4L -> "holt", 5L -> "theta", 6L -> "croston",
                           7L -> "hw", 8L -> "damped"), s"got $winners")
     // eligibility: HW null on short series, present on long ones
-    assert(out(3L).isNullAt(9), "ntr < 2m must exclude HW")
-    assert(!out(7L).isNullAt(9))
+    val iHw = out(3L).fieldIndex("mae_hw")
+    assert(out(3L).isNullAt(iHw), "ntr < 2m must exclude HW")
+    assert(!out(7L).isNullAt(iHw))
+    // the intermittency gate: sid 6 (demand every 3rd period) is the
+    // only fixture in the ADI >= 1.32 half — SBA/TSB are candidates
+    // there (croston still wins: the holdout IS the undeflated rate's
+    // regime) and ineligible (null) on every dense series
+    assert(out(6L).getAs[String]("quadrant") == "intermittent")
+    assert(!out(6L).isNullAt(out(6L).fieldIndex("mae_sba")))
+    assert(out(1L).getAs[String]("quadrant") == "smooth")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("mae_sba")), "gate must exclude SBA on smooth series")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("mae_tsb")), "gate must exclude TSB on smooth series")
     // croston present even on dense series (all-nonzero is a valid
     // demand pattern), and the exact winners carry ~zero MAE
     assert(out(2L).getDouble(3) < 1e-8, "drift must nail the pure line")
@@ -508,6 +518,32 @@ class ScaleSpec2 extends SparkTestBase {
     // closed form differ by a few 1e-8 — the margin to every other
     // family is orders larger)
     assert(out(8L).getDouble(6) < 1e-6, "damped must nail its own extrapolation")
+  }
+
+  test("backtestZoo intermittency gate: a LUMPY series selects SBA, and " +
+       "the same demand pattern with a TSB-shaped holdout selects TSB (r12 task #6)") {
+    // train: spiky intermittent demand, sizes 8/1 alternating every 3rd
+    // period -> nnz = 4 of 12 (ADI = 3 >= 1.32) and CV^2 of {8,1,8,1}
+    // = 4*130/324 - 1 ~ 0.60 >= 0.49 -> LUMPY quadrant, gate ON.
+    // Croston rate = 3.625/2.75 ~ 1.3182 overshoots; SBA deflates to
+    // ~0.9886 and TSB (prob*size) lands ~0.9686 — holdouts pinned next
+    // to each in turn.
+    val train = Seq(8.0, 0, 0, 1.0, 0, 0, 8.0, 0, 0, 1.0, 0, 0)
+    def ser(sid: Long, ys: Seq[Double]): Seq[(Long, Long, Double)] =
+      ys.zipWithIndex.map { case (y, t) => (sid, t.toLong, y) }
+    val df = (ser(9L, train ++ Seq(0.99, 0.99)) ++
+              ser(10L, train ++ Seq(0.97, 0.97))).toDF("sid", "ts", "y")
+    val out = graft.scale.PerSeriesForecast.backtestZoo(
+        df, "y", "ts", "sid", h = 2, m = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(9L).getAs[String]("quadrant") == "lumpy", s"got ${out(9L)}")
+    assert(out(10L).getAs[String]("quadrant") == "lumpy")
+    assert(out(9L).getAs[String]("winner") == "sba", s"got ${out(9L)}")
+    assert(out(10L).getAs[String]("winner") == "tsb", s"got ${out(10L)}")
+    // SBA really is the deflated croston: mae_sba = |0.99 - 0.75*rate|
+    val rate = 3.625 / 2.75
+    assert(math.abs(out(9L).getAs[Double]("mae_sba") -
+      math.abs(0.99 - 0.75 * rate)) < 1e-6)
   }
 
   test("cleanSelectForecastZoo: HW-seasonal series wins and is REFIT as HW (r11 task #7 fixture)") {
