@@ -1008,7 +1008,13 @@ object TextAnalysis {
     var vocab = wordCounts(df, textCol)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .persist()
-    vocab.count()
+    // ONE Spark job per merge (measured r14: the previous two-job loop
+    // ran an eager count() to fill each persist before the argmax, and
+    // job overhead dominated at high merge counts). The rewrite is
+    // persisted LAZILY: the next round's argmax both materializes the
+    // cache and reads it, and the parent is unpersisted only AFTER the
+    // child is cached, so nothing recomputes.
+    var prev: DataFrame = null
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var step = 1
@@ -1022,6 +1028,9 @@ object TextAnalysis {
           .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("pair").asc)
           .limit(1).collect()
+        // vocab's cache is now filled — its parent can release blocks
+        // without forcing a recompute
+        if (prev != null) { prev.unpersist(); prev = null }
         if (best.isEmpty || best(0).getLong(1) < minCount) go = false
         else {
           val parts = best(0).getString(0).split(SEP, -1)
@@ -1035,14 +1044,16 @@ object TextAnalysis {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
                 .otherwise(concat(acc, array(x)))).as("syms"),
             col("cnt")).persist()
-          next.count()
-          vocab.unpersist()
+          prev = vocab
           vocab = next
           step += 1
           if (step > merges) go = false
         }
       }
-    } finally vocab.unpersist()
+    } finally {
+      if (prev != null) prev.unpersist()
+      vocab.unpersist()
+    }
     out.toSeq.toDF("step", "left", "right", "n")
   }
 

@@ -985,6 +985,62 @@ class ScaleSpec2 extends SparkTestBase {
       s"got ${merges.toSeq}")
   }
 
+  test("bpeLearn: the lazy-persist one-job loop is sequence-equivalent to " +
+       "a local reference BPE over a 60-word mixed corpus (20 merges)") {
+    // reference: textbook greedy BPE over (word -> count), ties on
+    // (count desc, pair asc) — the exact contract bpeLearn documents
+    def refBpe(words: Map[String, Long], merges: Int,
+               minCount: Long): Seq[(Int, String, String, Long)] = {
+      var vocab = words.map { case (w, c) => (w.split("").toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var go = merges >= 1
+      while (go) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          pairCounts((syms(i), syms(i + 1))) =
+            pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pairCounts.isEmpty) go = false
+        else {
+          val ((l, r), n) = pairCounts.toSeq
+            .minBy { case ((a, b), c) => (-c, a + "" + b) }
+          if (n < minCount) go = false
+          else {
+            out += ((step, l, r, n))
+            vocab = vocab.map { case (syms, c) =>
+              // same left-fold semantics as bpeLearn's aggregate(): the
+              // merged symbol cannot fuse again with a following r
+              val acc = syms.foldLeft(Vector.empty[String]) { (a, x) =>
+                if (a.nonEmpty && a.last == l && x == r)
+                  a.dropRight(1) :+ (l + r)
+                else a :+ x
+              }
+              (acc, c)
+            }
+            step += 1
+            if (step > merges) go = false
+          }
+        }
+      }
+      out.toSeq
+    }
+    // a corpus rich enough that merges interact (shared symbols, fused
+    // symbols re-merging) for many rounds
+    val words = Map("banana" -> 9L, "bandana" -> 4L, "cabana" -> 6L,
+      "analog" -> 3L, "anagram" -> 5L, "nagana" -> 2L, "lowest" -> 7L,
+      "lowly" -> 3L, "slowest" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "estuary" -> 2L)
+    val docs = words.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.bpeLearn(docs, "text", merges = 20,
+        minCount = 2L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(words, 20, 2L)
+    assert(got == want, s"distributed $got\n!= reference $want")
+    assert(got.length >= 10, s"fixture too shallow: ${got.length} merges")
+  }
+
   test("bpeTokenCounts: applying the learned merges reproduces the Sennrich tokenization") {
     // after merges (e,s), (es,t), (l,o): newest -> n e w est,
     // widest -> w i d est, low -> lo w, lower -> lo w e r
