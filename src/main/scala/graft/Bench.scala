@@ -98,7 +98,10 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val nPasses = 3
+    // soak tooling: SPARK_GRAFT_PASSES trims the measured passes for
+    // per-op scaling probes where min-of-3 isolated runs are the pinned
+    // number anyway (default 3 = the artifact bench)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val passes = (0 until nPasses).map { i =>
       val shift = i * names.length / nPasses
       pass(names.drop(shift) ++ names.take(shift))

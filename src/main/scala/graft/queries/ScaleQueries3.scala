@@ -131,12 +131,20 @@ object ScaleQueries3 {
     * dropped id has a lower-id cluster-mate at ≥ threshold, and no kept
     * pair within a cell reaches it — is spec-pinned against the
     * brute-force twin). */
-  private def d12SemDedup: Q = (s, d) =>
+  private def d12SemDedup: Q = (s, d) => {
+    // nCells ∝ corpus — the SemDeDup paper's own scaling rule (k ≈ 11k
+    // on LAION): per-cell pair space is (n/nCells)², so a FIXED cell
+    // count gets quadratically heavier per cell as data grows (the r14
+    // sf10 probe). ~2500 vectors/cell keeps the per-cell self-join flat;
+    // ≤ sf1 resolves to the same 8 cells the query always used.
+    val n = Tables.embeddings(s, d).count()
+    val cells = math.max(8L, n / 2500L).toInt
     graft.scale.Dedup.semDedup(Tables.embeddings(s, d),
-        "embedding", "vec_id", 0.4, nCells = 8, lloydIters = 1)
+        "embedding", "vec_id", 0.4, nCells = cells, lloydIters = 1)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
 
   // ---- D13/D14: exact duplicated-substring (span) dedup ----------------
 

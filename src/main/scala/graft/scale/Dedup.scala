@@ -615,18 +615,23 @@ object Dedup {
   def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
                           bands: Int = 16, planesPerBand: Int = 4,
                           dim: Int = -1, targetBucket: Int = 32,
-                          knownRows: Long = -1L): DataFrame =
+                          knownRows: Long = -1L,
+                          maxBucket: Int = -1): DataFrame =
     lshStages(df, vecCol, idCol, bands, planesPerBand, dim, targetBucket,
-              knownRows)._1
+              knownRows,
+              if (maxBucket > 0) maxBucket else 64 * targetBucket)._1
 
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bands: Int = 16,
                        planesPerBand: Int = 4, dim: Int = -1,
                        targetBucket: Int = 32,
-                       knownRows: Long = -1L): DataFrame = {
+                       knownRows: Long = -1L,
+                       maxBucket: Int = -1): DataFrame = {
     import graft.functions.VectorOps
     val (cand, base, d0, n) = lshStages(df, vecCol, idCol, bands, planesPerBand,
-                                        dim, targetBucket, knownRows)
+                                        dim, targetBucket, knownRows,
+                                        if (maxBucket > 0) maxBucket
+                                        else 64 * targetBucket)
     val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
     // candidate pairs stay UNDEDUPED through the broadcast verify (a pair
     // agreeing on k bands is verified k times — bounded by `bands`) and
@@ -653,10 +658,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine")).distinct()
   }
 
-  private def lshStages(df: DataFrame, vecCol: String, idCol: String,
-                        bands: Int, planesPerBand: Int, dim: Int,
-                        targetBucket: Int,
-                        knownRows: Long): (DataFrame, DataFrame, Int, Long) = {
+  /** The banded-signature stage shared by [[lshStages]] (candidate
+    * generation) and [[lshBucketProfile]] (occupancy diagnostics):
+    * (banded, base, dim, n). */
+  private def bandedSigs(df: DataFrame, vecCol: String, idCol: String,
+                         bands: Int, planesPerBand: Int, dim: Int,
+                         targetBucket: Int,
+                         knownRows: Long): (DataFrame, DataFrame, Int, Long) = {
     val d0 = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     // ADAPTIVE bucket resolution — the scale-critical knob: with a FIXED
     // planesPerBand the band has 2^r buckets forever, occupancy grows
@@ -701,17 +709,68 @@ object Dedup {
                          col(vecCol).cast("array<double>").as("v"))
     val banded = base.withColumn("sig", sigU(col("v")))
       .select(col("vid"), posexplode(col("sig"))).toDF("vid", "band", "bucket")
+    (banded, base, d0, n)
+  }
+
+  private def lshStages(df: DataFrame, vecCol: String, idCol: String,
+                        bands: Int, planesPerBand: Int, dim: Int,
+                        targetBucket: Int, knownRows: Long,
+                        maxBucket: Int): (DataFrame, DataFrame, Int, Long) = {
+    val (banded, base, d0, n) = bandedSigs(df, vecCol, idCol, bands,
+      planesPerBand, dim, targetBucket, knownRows)
     // the bucket join EXPANDS ~|bucket| rows per probe row, so the probe
     // side must be spread across cores BEFORE the expansion — a
     // single-file corpus otherwise runs the whole candidate pipeline on
     // one partition (the downstream joins broadcast and pipeline, so
     // this is the only place parallelism can enter)
-    val probe = banded.repartition(col("vid"))
-    val cand = probe.as("l").join(banded.as("r"),
+    //
+    // MEGA-BUCKET CAP (the r14 sf10 finding): the adaptive resolution
+    // pins the AVERAGE occupancy, but degenerate mass — exact-duplicate
+    // embeddings, tight clusters no hyperplane separates, zero vectors —
+    // can put an unbounded fraction of the corpus into ONE (band,
+    // bucket). The per-bucket self-join is quadratic in occupancy, so a
+    // single such bucket dominates everything (measured: 200k vectors at
+    // sf10 produced a 36 GB candidate shuffle and a >38-minute stall
+    // before this guard). A bucket with occupancy > maxBucket (default
+    // 64x the design occupancy) carries no locality information — it is
+    // the d2/adamicAdar maxDf discipline applied to hyperplane space —
+    // and is dropped from THIS operator's candidate stream; exact-dup
+    // mass belongs to d1/d5 upstream. The occupancy pass is a bucket-
+    // partitioned window (linear, never quadratic) on the same exchange
+    // the join needs anyway.
+    val wbb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = banded
+      .withColumn("occ", count(lit(1)).over(wbb))
+      .filter(col("occ") <= maxBucket.toLong)
+      .drop("occ")
+    val probe = capped.repartition(col("vid"))
+    val cand = probe.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.vid") < col("r.vid"))
       .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"))
     (cand, base, d0, n)
+  }
+
+  /** Occupancy diagnostic for the [[cosineLshCandidates]] bucket space —
+    * the ops readout that says whether the adaptive resolution is
+    * holding (mean occupancy ~ targetBucket) and whether degenerate
+    * mega-buckets exist (max_occ >> targetBucket drives the candidate
+    * volume Σ occ·(occ−1)/2 quadratically — the sum this emits IS the
+    * uncapped candidate count per band set). One reduce over the banded
+    * signature table; emits one row. */
+  def lshBucketProfile(df: DataFrame, vecCol: String, idCol: String,
+                       bands: Int = 16, planesPerBand: Int = 4,
+                       dim: Int = -1, targetBucket: Int = 32,
+                       knownRows: Long = -1L): DataFrame = {
+    val banded = bandedSigs(df, vecCol, idCol, bands, planesPerBand, dim,
+      targetBucket, knownRows)._1
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("occ")).as("n_sigs"),
+           max(col("occ")).as("max_occ"),
+           sum(expr("occ*(occ-1) div 2")).as("cand_pairs"))
   }
 
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,

@@ -217,4 +217,52 @@ object Graph {
       .select(col("n_edges"), col("mean_src_deg"), col("mean_dst_deg"),
               col("r"))
   }
+  /** Degree-capped triangle census + global clustering coefficient
+    * (Watts & Strogatz 1998; Newman 2003 "The structure and function of
+    * complex networks" eq. 3): over the undirected simple graph given as
+    * canonical a < b edge rows,
+    *   gcc = 3·triangles / wedges,  wedges = Σ_v C(deg v, 2).
+    * Emits one row (n_nodes, n_edges, n_wedges, n_triangles, gcc).
+    *
+    * Skew contract (the adamicAdar maxDeg discipline): nodes with degree
+    * > `maxDeg` are EXCLUDED before the census — a hub makes the wedge
+    * join quadratic in its degree while telling you nothing local; the
+    * cap bounds per-key fan-out at C(maxDeg, 2), so the triangle join is
+    * hit-linear, never all-pairs. Determinism: every output is an exact
+    * integer count (gcc the one ratio) — identical under any
+    * partitioning. Shape: one degree reduce, two semi-joins to apply the
+    * cap, one hash join on the shared endpoint (a<b<c canonical order
+    * counts each triangle exactly once), one semi-join to close it. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String,
+                    maxDeg: Int = 30): DataFrame = {
+    require(maxDeg >= 2, s"need maxDeg >= 2, got $maxDeg")
+    val e0 = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg0 = e0.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val kept = deg0.filter(col("d") <= maxDeg.toLong).select(col("id"))
+    val e = e0
+      .join(kept.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(kept.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    // degrees and wedges are recomputed on the CAPPED edge set — the
+    // census describes the graph it actually ran on
+    val degc = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val sizes = degc.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d*(d-1) div 2")), lit(0L)).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    sizes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .withColumn("gcc",
+        when(col("n_wedges") > 0L,
+          lit(3.0) * col("n_triangles") / col("n_wedges").cast("double")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+              col("n_triangles"), col("gcc"))
+  }
 }

@@ -215,4 +215,59 @@ object DriftAudit {
             col("n_pos").cast("double") / col("n")).as("gap"),
         (col("ssq9") / 1e9 / col("n")).as("brier"))
   }
+  /** Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
+    * k = 2, grouped/discrete form over distinct pooled values): the
+    * TAIL-WEIGHTED companion to [[ksStatistic]] (supremum) and
+    * [[cvmStatistic]] (whole-CDF):
+    *   A² = (1/N)·(1/n + 1/m)·Σ_j l_j·(N·M_j − n·B_j)² / (B_j·(N−B_j))
+    * over distinct pooled values j (the last, B_j = N, excluded), with
+    * B_j the pooled cumulative count, M_j sample A's cumulative count
+    * and l_j the multiplicity — the 1/(B(N−B)) weight blows up in the
+    * tails, which is exactly where KS and CvM are blind. Emits one row
+    * (n_a, n_b, a2).
+    *
+    * Determinism: counts are exact integers off the same distinct-value
+    * cumulative window as KS/CvM; each term quantizes to the 1e-9 grid
+    * and folds as BIGINT; the (1/n + 1/m)/N constant applies once at the
+    * end in a fixed op order. Shape: identical to ksStatistic — a
+    * bounded distinct-value table (the a16 contract) with one ordered
+    * window. */
+  def adStatistic(df: DataFrame, valueCol: String, splitCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val tots = df.groupBy(col(splitCol)).count()
+    val labels = tots.collect().map(_.get(0).toString).sorted  // bounded label set
+    require(labels.length == 2,
+      s"two-sample statistic needs exactly 2 values of '$splitCol'; " +
+        s"got ${labels.length}: ${labels.take(5).mkString(", ")}")
+    val Array(a, b) = labels
+    val byVal = df
+      .withColumn("ia", when(col(splitCol) === a, 1L).otherwise(0L))
+      .withColumn("ib", when(col(splitCol) === b, 1L).otherwise(0L))
+      .groupBy(v.as("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .withColumn("ra", sum(col("ca")).over(Window.orderBy(col("x"))))
+      .withColumn("rb", sum(col("cb")).over(Window.orderBy(col("x"))))
+    byVal
+      .crossJoin(broadcast(
+        tots.groupBy()
+          .agg(sum(when(col(splitCol) === a, col("count"))).as("na"),
+               sum(when(col(splitCol) === b, col("count"))).as("nb"))))
+      .withColumn("bj", col("ra") + col("rb"))
+      .withColumn("nn", col("na") + col("nb"))
+      .filter(col("bj") < col("nn")) // the last pooled group has zero weight
+      .withColumn("d9",
+        (col("nn") * col("ra") - col("na") * col("bj")).cast("double"))
+      .withColumn("t9",
+        floor((col("ca") + col("cb")).cast("double") * col("d9") * col("d9")
+          / (col("bj").cast("double") * (col("nn") - col("bj")).cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy()
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           sum(col("t9")).as("s9"))
+      .withColumn("a2",
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")) * (col("s9") / 1e9)
+          / (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("n_b"), col("a2"))
+  }
 }

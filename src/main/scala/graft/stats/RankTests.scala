@@ -165,4 +165,50 @@ object RankTests {
           (col("runs").cast("double") - col("mu")) / sqrt(col("sig2"))))
       .select(col("n1"), col("n2"), col("runs"), col("mu"), col("z"))
   }
+  /** Kendall's tau-b (Kendall 1945, ties-corrected) between two
+    * grid-valued metrics: concordant/discordant pair counting over the
+    * JOINT distinct-value table —
+    *   tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+    * n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x/y tie groups. The rank
+    * correlation that reads as a probability (P[concordant] −
+    * P[discordant]) where [[spearman]] reads as a Pearson-of-ranks.
+    *
+    * CONTRACT — bounded joint domain: C and D come from a broadcast
+    * self-join of the (x, y, count) table, so the operator requires
+    * |distinct (x, y)| ≤ `maxCombos` (checked, hard error) — pass
+    * pre-binned/grid-valued metrics, the same discipline as the a16
+    * distinct-value frames. All counts are exact BIGINTs; tau is one
+    * fixed-op-order double. Pair products overflow signed 64-bit only
+    * past ~4e9 rows per side — far above the bounded-domain regime this
+    * contract pins. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCombos: Int = 20000): DataFrame = {
+    val jd = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val nCombos = jd.count()
+    require(nCombos <= maxCombos,
+      s"kendallTau: $nCombos distinct (x, y) combos exceed maxCombos=" +
+        s"$maxCombos — bin the inputs to a bounded grid first")
+    val r = jd.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    val cd = jd.join(broadcast(r), col("x2") > col("x"))
+      .agg(coalesce(sum(when(col("y2") > col("y"), col("c") * col("c2"))), lit(0L))
+             .as("concordant"),
+           coalesce(sum(when(col("y2") < col("y"), col("c") * col("c2"))), lit(0L))
+             .as("discordant"))
+    val nx = jd.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(expr("t*(t-1) div 2")), lit(0L)).as("n1"))
+    val ny = jd.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(expr("t*(t-1) div 2")), lit(0L)).as("n2"))
+    val nn = jd.agg(sum(col("c")).as("n"), count(lit(1)).as("n_combos"))
+      .withColumn("n0", expr("n*(n-1) div 2"))
+    cd.crossJoin(broadcast(nn)).crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      .withColumn("tau_b",
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("concordant") - col("discordant")).cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+                   * (col("n0") - col("n2")).cast("double"))))
+      .select(col("n"), col("n_combos"), col("concordant"), col("discordant"),
+              col("tau_b"))
+  }
 }
