@@ -159,4 +159,38 @@ object JoinOps {
       .filter(col(pointCol) >= col(loCol) && hiPred)
       .drop("__bucket")
   }
+  /** Interval-OVERLAP join (the interval join of stream processors and
+    * temporal databases): pairs of rows whose closed intervals intersect,
+    *   L.lo <= R.hi  AND  R.lo <= L.hi,
+    * decomposed into an EQUI join exactly like [[rangeJoin]]: every
+    * interval explodes into the fixed-width time buckets it covers, the
+    * join runs on (keys, bucket), and the exact predicate filters inside
+    * the bucket. A pair intersecting several shared buckets must be
+    * emitted ONCE — rather than a distinct over the pair stream, each
+    * pair is credited only in the bucket containing the overlap's START,
+    * max(L.lo, R.lo) (every intersecting pair has exactly one such
+    * bucket) — the standard duplicate-free decomposition.
+    *
+    * 100-TB shape: shuffle keyed on (keys, bucket); per-bucket fan-out is
+    * bounded by interval DENSITY (concurrent intervals per bucket), never
+    * all-pairs. Pick bucketWidth near the typical interval length: too
+    * small explodes the build rows (len/width buckets per interval), too
+    * large packs unrelated intervals into one bucket. Column names must
+    * be disjoint across the two sides (rename upstream). */
+  def overlapJoin(left: DataFrame, lLoCol: String, lHiCol: String,
+                  right: DataFrame, rLoCol: String, rHiCol: String,
+                  bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"need bucketWidth > 0, got $bucketWidth")
+    def bucketed(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bucket", explode(sequence(
+          floor(col(lo).cast("double") / bucketWidth).cast("long"),
+          floor(col(hi).cast("double") / bucketWidth).cast("long"))))
+    bucketed(left, lLoCol, lHiCol)
+      .join(bucketed(right, rLoCol, rHiCol), keys :+ "__bucket")
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .filter(floor(greatest(col(lLoCol), col(rLoCol)).cast("double")
+        / bucketWidth).cast("long") === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -155,15 +155,72 @@ object ScaleQueries9 {
        |  END AS gcc
        |FROM sz2, ne, tr""".stripMargin
 
+  // ---- J10: interval-overlap join ------------------------------------------
+
+  /** J10 — co-activity pairs: 30-min user sessions (a 1-in-5 user
+    * subset) overlap-joined against themselves — which users were
+    * active simultaneously, how often, and for how long. The
+    * interval×interval join the as-of (j5) / point-in-range (j7)
+    * family lacked; Spark side runs the duplicate-free bucket
+    * decomposition ([[graft.core.JoinOps.overlapJoin]], 1-hour
+    * buckets), the oracle the direct non-equi join. Overlap seconds
+    * fold on the 1e-6 grid. */
+  private def j10Overlap: Q = (s, d) => {
+    val sess = graft.streaming.EventWindows.sessionize(
+        Tables.events(s, d).filter(col("user_id") % 5 === 0))
+      .select(col("user_id"),
+        col("session_start").cast("double").as("lo"),
+        col("session_end").cast("double").as("hi"))
+    val l = sess.select(col("user_id").as("user_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val r = sess.select(col("user_id").as("user_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    graft.core.JoinOps.overlapJoin(l, "lo_a", "hi_a", r, "lo_b", "hi_b",
+        bucketWidth = 3600.0)
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).cast("long").as("n_overlaps"),
+           sum(floor((least(col("hi_a"), col("hi_b"))
+             - greatest(col("lo_a"), col("lo_b"))) * 1e6 + 0.5).cast("long"))
+             .as("ov6"))
+      .select(col("user_a"), col("user_b"), col("n_overlaps"),
+        dround(col("ov6") / 1e6, 6).as("overlap_s"))
+  }
+
+  private val j10Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+       |         OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events WHERE user_id % 5 = 0),
+       |t AS (SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g),
+       |sess AS (SELECT user_id, epoch(min(ts)) AS lo, epoch(max(ts)) AS hi
+       |  FROM t GROUP BY user_id, session_id),
+       |pr AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |    least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ov
+       |  FROM sess a JOIN sess b
+       |    ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi)
+       |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+       |  ${droundSql("CAST(sum(CAST(floor(ov*1e6 + 0.5) AS BIGINT)) AS BIGINT)/1e6", 6)}
+       |    AS overlap_s
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
     "a54_ad"       -> a54Ad,
     "a55_kendall"  -> a55Kendall,
-    "g5_triangles" -> g5Triangles)
+    "g5_triangles" -> g5Triangles,
+    "j10_overlap"  -> j10Overlap)
 
   def oracle: Map[String, String] = Map(
     "a54_ad"       -> a54Sql,
     "a55_kendall"  -> a55Sql,
-    "g5_triangles" -> g5Sql)
+    "g5_triangles" -> g5Sql,
+    "j10_overlap"  -> j10Sql)
 }

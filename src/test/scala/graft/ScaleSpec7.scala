@@ -63,6 +63,35 @@ class ScaleSpec7 extends SparkTestBase {
     assert(e.getMessage.contains("maxCombos"))
   }
 
+  // ---- interval-overlap join ----------------------------------------------
+
+  test("overlapJoin: duplicate-free across shared buckets, inclusive " +
+       "endpoints, and exactly the brute-force pair set") {
+    // intervals spanning MANY 10-wide buckets — a naive bucket join
+    // would emit some pairs up to 9 times
+    val l = Seq((1L, 0.0, 95.0), (2L, 20.0, 25.0), (3L, 50.0, 50.0),
+                (4L, 200.0, 210.0))
+      .toDF("lid", "lo_l", "hi_l")
+    val r = Seq((10L, 90.0, 120.0), (11L, 25.0, 30.0), (12L, 49.0, 51.0),
+                (13L, 300.0, 310.0))
+      .toDF("rid", "lo_r", "hi_r")
+    val got = graft.core.JoinOps.overlapJoin(l, "lo_l", "hi_l",
+        r, "lo_r", "hi_r", bucketWidth = 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val brute = for {
+      (a, alo, ahi) <- Seq((1L, 0.0, 95.0), (2L, 20.0, 25.0),
+        (3L, 50.0, 50.0), (4L, 200.0, 210.0))
+      (b, blo, bhi) <- Seq((10L, 90.0, 120.0), (11L, 25.0, 30.0),
+        (12L, 49.0, 51.0), (13L, 300.0, 310.0))
+      if alo <= bhi && blo <= ahi
+    } yield (a, b)
+    assert(got.sorted.toSeq == brute.sorted,
+      s"got ${got.sorted.toSeq} vs brute ${brute.sorted}")
+    assert(got.length == got.distinct.length, "pairs must be emitted once")
+    // endpoint touch (2,11) at 25.0 must be IN (closed intervals)
+    assert(got.contains((2L, 11L)))
+  }
+
   // ---- triangle census ---------------------------------------------------
 
   test("triangleStats: K4 counts 4 triangles at gcc 1; a path has none; " +
