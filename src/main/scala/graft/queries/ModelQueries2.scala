@@ -315,6 +315,79 @@ object ModelQueries2 {
        |SELECT 'x', ${droundSql("mx - bx1*m1 - bx2*m2", 6)},
        | ${droundSql("bx1", 6)}, ${droundSql("bx2", 6)} FROM c""".stripMargin
 
+  // ---- m21_var_irf: VAR(1) impulse responses = coefficient powers -------
+
+  /** M21 — impulse-response functions from the m4_var1 VAR(1) fit:
+    * Ψ_h = A^h (Lütkepohl 2005 §2.3.2; the MA(∞) representation's
+    * coefficient matrices), h = 1..4 — THE structural readout a VAR is
+    * fit for ("a one-unit y shock moves x by Ψ_h[x,y] after h months").
+    * The Scala side powers the fitted 2×2 in the driver (bounded state);
+    * the oracle unrolls the same four matrix products over the
+    * normal-equation coefficients. Rounded at 1e-4 (matrix powers
+    * amplify the two solvers' 1e-7 coefficient agreement ~‖A‖³·h). */
+  private def m21VarIrf: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val m = new VarModel(maxP = 1, minP = 1)
+    m.fit(monthlyYX(s, d), TsSchema("ts", "y", Seq("x")), 2, 8)
+    val b = m.fittedCoefs
+    // A(row = responding var, col = shocked var): eq columns are (y, x)
+    var a = Array(Array(b(1, 0), b(2, 0)), Array(b(1, 1), b(2, 1)))
+    val a1 = Array(Array(a(0)(0), a(0)(1)), Array(a(1)(0), a(1)(1)))
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    (1 to 4).map { h =>
+      val out = (h.toLong, r4(a(0)(0)), r4(a(0)(1)), r4(a(1)(0)), r4(a(1)(1)))
+      a = Array(
+        Array(a(0)(0) * a1(0)(0) + a(0)(1) * a1(1)(0),
+              a(0)(0) * a1(0)(1) + a(0)(1) * a1(1)(1)),
+        Array(a(1)(0) * a1(0)(0) + a(1)(1) * a1(1)(0),
+              a(1)(0) * a1(0)(1) + a(1)(1) * a1(1)(1)))
+      out
+    }.toDF("h", "irf_yy", "irf_yx", "irf_xy", "irf_xx")
+  }
+
+  private val m21VarIrfSql =
+    s"""WITH m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mo,
+       |   (${droundSql("avg(o_totalprice)", 4)})/100000.0 AS y,
+       |   count(*)/100.0 AS x
+       |  FROM orders GROUP BY date_trunc('month', o_orderdate)),
+       |s AS (SELECT y, x, lag(y) OVER (ORDER BY mo) AS ly,
+       |             lag(x) OVER (ORDER BY mo) AS lx FROM m),
+       |r AS (SELECT * FROM s WHERE ly IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  sum(ly) AS s1, sum(lx) AS s2,
+       |  sum(ly*ly) AS s11, sum(ly*lx) AS s12, sum(lx*lx) AS s22,
+       |  sum(y) AS sy, sum(ly*y) AS s1y, sum(lx*y) AS s2y,
+       |  sum(x) AS sx, sum(ly*x) AS s1x, sum(lx*x) AS s2x FROM r),
+       |b AS (SELECT
+       |  s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12, s22 - s2*s2/n AS c22,
+       |  s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y,
+       |  s1x - s1*sx/n AS c1x, s2x - s2*sx/n AS c2x FROM a),
+       |p1 AS (SELECT
+       |  (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) AS yy,
+       |  (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS yx,
+       |  (c22*c1x - c12*c2x)/(c11*c22 - c12*c12) AS xy,
+       |  (c11*c2x - c12*c1x)/(c11*c22 - c12*c12) AS xx FROM b),
+       |p2 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM p1 p, p1 q),
+       |p3 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM p2 p, p1 q),
+       |p4 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM p3 p, p1 q)
+       |SELECT CAST(1 AS BIGINT) AS h, ${droundSql("yy", 4)} AS irf_yy,
+       |  ${droundSql("yx", 4)} AS irf_yx, ${droundSql("xy", 4)} AS irf_xy,
+       |  ${droundSql("xx", 4)} AS irf_xx FROM p1
+       |UNION ALL SELECT 2, ${droundSql("yy", 4)}, ${droundSql("yx", 4)},
+       |  ${droundSql("xy", 4)}, ${droundSql("xx", 4)} FROM p2
+       |UNION ALL SELECT 3, ${droundSql("yy", 4)}, ${droundSql("yx", 4)},
+       |  ${droundSql("xy", 4)}, ${droundSql("xx", 4)} FROM p3
+       |UNION ALL SELECT 4, ${droundSql("yy", 4)}, ${droundSql("yx", 4)},
+       |  ${droundSql("xy", 4)}, ${droundSql("xx", 4)} FROM p4""".stripMargin
+
   // ---- m1_ar1: pure-AR CSS ≡ conditional least squares ------------------
 
   /** ArimaCss at fixed AR(1): CSS over pairs (w_{t-1}, w_t) IS simple OLS
@@ -652,6 +725,7 @@ object ModelQueries2 {
     "m5_trend"   -> m5Trend,
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
+    "m21_var_irf" -> m21VarIrf,
     "m1_ar1"     -> m1Ar1,
     "m2_sar1"    -> m2Sar1,
     "m3_decision" -> m3Decision,
@@ -668,6 +742,7 @@ object ModelQueries2 {
     "m5_trend"   -> m5TrendSql,
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,
+    "m21_var_irf" -> m21VarIrfSql,
     "m1_ar1"     -> m1Ar1Sql,
     "m2_sar1"    -> m2Sar1Sql,
     "m3_decision" -> m3DecisionSql,
