@@ -806,7 +806,16 @@ object Dedup {
     * pass over broadcast centroids; the only shuffle is the per-cell
     * self-join, keyed on cell, and the drop set joins back as a
     * left-join on id. No corpus cache: re-evaluating the assignment
-    * repeats a cheap map-side UDF, not the clustering. */
+    * repeats a cheap map-side UDF, not the clustering.
+    *
+    * Cost model under the k ∝ n rule (SOAK_r14): per-cell pair work is
+    * flat, but flat-assignment flops are n·nCells·dim — itself
+    * super-linear once nCells scales with n (measured 26.8× at a 10×
+    * decade with 10× the cells). Past ~10⁶ rows route the assignment
+    * through a TWO-LEVEL scheme (coarse-quantize to √nCells centroids,
+    * refine within the coarse cell — the [[Similarity]] IVF pattern),
+    * which cuts the term to n·√nCells; everything stays map-side
+    * against broadcast centroids either way. */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nCells: Int = 8,
                lloydIters: Int = 1): DataFrame = {

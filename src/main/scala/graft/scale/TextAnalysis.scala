@@ -1005,54 +1005,49 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val SEP = "\u0001"
+    // LINEAGE IS TRUNCATED EVERY MERGE via eager localCheckpoint (the
+    // pageRankFixed discipline) — NOT persist/unpersist. The r14
+    // merge-ladder measurement caught the cache chain exploding: with a
+    // persist per round, unpersisting round k−1 makes the CacheManager
+    // rebuild every dependent cache entry, which drops round k's
+    // materialized buffers and recomputes the whole rewrite chain from
+    // parquet — per-merge wall grew ×1.7 PER MERGE (0.3 s/merge at 12
+    // merges, 15 s/merge at 20). Checkpointed vocab tables have no plan
+    // dependencies to invalidate: per-merge cost is one bounded rewrite
+    // job + one argmax job at ANY merge count (measured flat through
+    // 1000 merges in SOAK_r14). Old checkpoint RDDs are unreferenced
+    // after each reassignment and reclaimed by the ContextCleaner.
     var vocab = wordCounts(df, textCol)
       .select(split(col("w"), "").as("syms"), col("cnt"))
-      .persist()
-    // ONE Spark job per merge (measured r14: the previous two-job loop
-    // ran an eager count() to fill each persist before the argmax, and
-    // job overhead dominated at high merge counts). The rewrite is
-    // persisted LAZILY: the next round's argmax both materializes the
-    // cache and reads it, and the parent is unpersisted only AFTER the
-    // child is cached, so nothing recomputes.
-    var prev: DataFrame = null
+      .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    try {
-      var step = 1
-      var go = merges >= 1
-      while (go) {
-        val best = vocab.filter(size(col("syms")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-            "concat(element_at(syms, i), chr(1), element_at(syms, i + 1)))")).as("pair"),
-            col("cnt"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
-          .orderBy(col("n").desc, col("pair").asc)
-          .limit(1).collect()
-        // vocab's cache is now filled — its parent can release blocks
-        // without forcing a recompute
-        if (prev != null) { prev.unpersist(); prev = null }
-        if (best.isEmpty || best(0).getLong(1) < minCount) go = false
-        else {
-          val parts = best(0).getString(0).split(SEP, -1)
-          val (l, r, n) = (parts(0), parts(1), best(0).getLong(1))
-          out += ((step, l, r, n))
-          val fused = l + r
-          val next = vocab.select(
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, lit(-1)) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
-                .otherwise(concat(acc, array(x)))).as("syms"),
-            col("cnt")).persist()
-          prev = vocab
-          vocab = next
-          step += 1
-          if (step > merges) go = false
-        }
+    var step = 1
+    var go = merges >= 1
+    while (go) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+          "concat(element_at(syms, i), chr(1), element_at(syms, i + 1)))")).as("pair"),
+          col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(1) < minCount) go = false
+      else {
+        val parts = best(0).getString(0).split(SEP, -1)
+        val (l, r, n) = (parts(0), parts(1), best(0).getLong(1))
+        out += ((step, l, r, n))
+        val fused = l + r
+        vocab = vocab.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt")).localCheckpoint(true)
+        step += 1
+        if (step > merges) go = false
       }
-    } finally {
-      if (prev != null) prev.unpersist()
-      vocab.unpersist()
     }
     out.toSeq.toDF("step", "left", "right", "n")
   }
