@@ -287,35 +287,4 @@ object Encoders {
       .agg(count(lit(1)).cast("long").as("cnt"),
            min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
-  /** Weight-of-Evidence encoding with the Information Value summary
-    * (Siddiqi 2006, "Credit Risk Scorecards" — the standard supervised
-    * categorical profile): per category c against a binary label,
-    *   WoE_c = ln( ((pos_c + ½)/Pos) / ((neg_c + ½)/Neg) ),
-    *   IV_c  = (pos_c/Pos − neg_c/Neg) · WoE_c,
-    * ½-Laplace so single-class categories stay finite. Σ IV_c reads on
-    * the conventional scale (< 0.02 useless, > 0.3 strong). Emits one
-    * row per category: (cat, n, n_pos, n_neg, woe, iv_term).
-    *
-    * Determinism: counts are exact BIGINTs; WoE/IV are fixed-op-order
-    * doubles over exact integer ratios (ln replays in any engine at the
-    * 1e-9 grid). Shape: ONE (category) count aggregate + a broadcast
-    * 1-row total — the corpus is scanned once, never shuffled wide. */
-  def woeEncode(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
-    val pos = col(labelCol).cast("boolean")
-    val perCat = df.groupBy(col(catCol).as("cat"))
-      .agg(count(lit(1)).as("n"),
-           sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
-           sum(when(pos, 0L).otherwise(1L)).as("n_neg"))
-    perCat
-      .crossJoin(broadcast(perCat.agg(
-        sum(col("n_pos")).as("tot_pos"), sum(col("n_neg")).as("tot_neg"))))
-      .withColumn("woe",
-        log(((col("n_pos") + 0.5) / col("tot_pos"))
-          / ((col("n_neg") + 0.5) / col("tot_neg"))))
-      .withColumn("iv_term",
-        (col("n_pos").cast("double") / col("tot_pos")
-          - col("n_neg").cast("double") / col("tot_neg")) * col("woe"))
-      .select(col("cat"), col("n"), col("n_pos"), col("n_neg"),
-              col("woe"), col("iv_term"))
-  }
 }

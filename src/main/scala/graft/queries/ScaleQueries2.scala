@@ -275,8 +275,8 @@ object ScaleQueries2 {
        |h AS (SELECT doc_id, tms,
        |        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
        |bits AS (SELECT doc_id, tms, b.range AS b,
-       |    sum(CASE WHEN ((h >> CAST(b.range AS INT)) & 1) = 1
-       |             THEN 1 ELSE -1 END) AS c
+       |    CAST(sum(CASE WHEN ((h >> CAST(b.range AS INT)) & 1) = 1
+       |             THEN 1 ELSE -1 END) AS BIGINT) AS c
        |  FROM h CROSS JOIN range(0, 60) b GROUP BY 1, 2, 3),
        |sg AS (SELECT doc_id, tms,
        |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)

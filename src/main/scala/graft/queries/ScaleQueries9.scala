@@ -210,48 +210,17 @@ object ScaleQueries9 {
        |    AS overlap_s
        |FROM pr GROUP BY 1, 2""".stripMargin
 
-  // ---- E15: Weight-of-Evidence / Information Value --------------------------
-
-  /** E15 — WoE/IV profile of `source` against English-ness: the
-    * supervised categorical strength readout (Σ iv_term on the Siddiqi
-    * scale) beside e14's out-of-fold target encoder. */
-  private def e15Woe: Q = (s, d) =>
-    graft.core.Encoders.woeEncode(
-        Tables.documents(s, d).withColumn("is_en", col("lang") === "en"),
-        "source", "is_en")
-      .select(col("cat").as("source"), col("n"), col("n_pos"), col("n_neg"),
-        dround(col("woe"), 6).as("woe"),
-        dround(col("iv_term"), 6).as("iv_term"))
-
-  private val e15Sql =
-    s"""WITH c AS (SELECT source AS cat, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
-       |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
-       |  FROM documents GROUP BY 1),
-       |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
-       |             CAST(sum(nn) AS BIGINT) AS tn FROM c),
-       |w AS (SELECT cat, n, np, nn,
-       |    ln(((np + 0.5)/tp)/((nn + 0.5)/tn)) AS woe, tp, tn
-       |  FROM c CROSS JOIN t)
-       |SELECT cat AS source, n, np AS n_pos, nn AS n_neg,
-       |  ${droundSql("woe", 6)} AS woe,
-       |  ${droundSql("(CAST(np AS DOUBLE)/tp - CAST(nn AS DOUBLE)/tn)*woe", 6)}
-       |    AS iv_term
-       |FROM w""".stripMargin
-
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
     "a54_ad"       -> a54Ad,
     "a55_kendall"  -> a55Kendall,
     "g5_triangles" -> g5Triangles,
-    "j10_overlap"  -> j10Overlap,
-    "e15_woe"      -> e15Woe)
+    "j10_overlap"  -> j10Overlap)
 
   def oracle: Map[String, String] = Map(
     "a54_ad"       -> a54Sql,
     "a55_kendall"  -> a55Sql,
     "g5_triangles" -> g5Sql,
-    "j10_overlap"  -> j10Sql,
-    "e15_woe"      -> e15Sql)
+    "j10_overlap"  -> j10Sql)
 }

@@ -353,6 +353,7 @@ class PlanAuditSpec extends SparkTestBase {
     val allow: Map[String, String] = Map(
       "a16_ks"        -> "cumulative ECDF over the distinct-value table (ksStatistic bounded-cardinality contract)",
       "a51_cvm"       -> "same distinct-value ECDF frame as a16_ks (cvmStatistic)",
+      "a54_ad"        -> "same distinct-value ECDF frame as a16_ks (adStatistic)",
       "a28_auc"       -> "rank window over the distinct-SCORE table (binaryAuc; scores pre-rounded)",
       "a29_gains"     -> "cumulative window over the distinct-score cutoff table (gainsCurve)",
       "a30_rfm"       -> "Ranks.globalRank level-0 grid window — ≤4097 range-bucket rows",

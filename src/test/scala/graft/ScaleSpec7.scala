@@ -63,27 +63,6 @@ class ScaleSpec7 extends SparkTestBase {
     assert(e.getMessage.contains("maxCombos"))
   }
 
-  // ---- WoE / IV -------------------------------------------------------------
-
-  test("woeEncode: hand-computed symmetric fixture; single-class category " +
-       "stays finite via the half-Laplace") {
-    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
-      Seq(("B", true)) ++ Seq.fill(3)(("B", false)) ++
-      Seq.fill(2)(("C", true))) // single-class: n_neg = 0
-      .toDF("cat0", "lbl")
-    val out = graft.core.Encoders.woeEncode(df, "cat0", "lbl")
-      .collect().map(r => r.getAs[String]("cat") -> r).toMap
-    // totals: pos 6, neg 4. WoE_A = ln((3.5/6)/(1.5/4))
-    val wa = math.log((3.5 / 6.0) / (1.5 / 4.0))
-    assert(math.abs(out("A").getAs[Double]("woe") - wa) < 1e-12)
-    assert(math.abs(out("A").getAs[Double]("iv_term") -
-      (3.0 / 6 - 1.0 / 4) * wa) < 1e-12)
-    assert(out("B").getAs[Double]("woe") < 0)
-    val wc = out("C").getAs[Double]("woe")
-    assert(!wc.isInfinite && !wc.isNaN, s"half-Laplace must keep C finite: $wc")
-    assert(wc > 0) // all-positive category
-  }
-
   // ---- interval-overlap join ----------------------------------------------
 
   test("overlapJoin: duplicate-free across shared buckets, inclusive " +
