@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt decorations defeat that: the logger prefixes forked output
+// with "[info] ", and a "[success] Total time..." epilogue follows it.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess=false drops the epilogue, so Bench's compact summary JSON is
+// the genuine final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,7 +101,13 @@ object Bench {
     // soak tooling: SPARK_GRAFT_PASSES trims the measured passes for
     // per-op scaling probes where min-of-3 isolated runs are the pinned
     // number anyway (default 3 = the artifact bench)
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val nPasses = try sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_PASSES must be an integer, got " +
+          s"'${sys.env("SPARK_GRAFT_PASSES")}'") }
+    // 0/negative would "succeed" with every query reported failed (-1)
+    // and total=0 — a plausible-looking but meaningless artifact
+    require(nPasses >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $nPasses")
     val passes = (0 until nPasses).map { i =>
       val shift = i * names.length / nPasses
       pass(names.drop(shift) ++ names.take(shift))
@@ -123,7 +129,7 @@ object Bench {
     // failed queries are excluded so the headline total equals the sum
     // of the reported per-query values
     val total = results.collect { case (_, mn, _, true) => mn }.sum
-    // pinned ISOLATED probes (min-of-5, measured alone after the packed
+    // pinned ISOLATED probes (min-of-3, measured alone after the packed
     // passes) for the queries whose packed-bench timings sit in
     // AQE-exchange-noise regimes: the isolated figure in the same
     // artifact is the ground truth for scaling adjudication, so soak

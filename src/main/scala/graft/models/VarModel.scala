@@ -35,7 +35,11 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
   // (fitLocal may fall back to 0 per call; predict must match the fit)
   private var fittedDummies: Int = if (seasonalM > 1) seasonalM - 1 else 0
 
-  private def fitP(z: Array[Array[Double]], p: Int, nd: Int): (DenseMatrix[Double], Double, Double) = {
+  /** Lagged design (x, y) for VAR(p) with nd seasonal dummies — shared
+    * by the per-order fits and the final residual-covariance readout so
+    * the two always see the identical regression. */
+  private def design(z: Array[Array[Double]], p: Int,
+                     nd: Int): (DenseMatrix[Double], DenseMatrix[Double]) = {
     val k = z(0).length
     val rows = z.length - p
     val cols = 1 + k * p + nd
@@ -52,6 +56,13 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
       }
       for (j <- 0 until k) yMat(i, j) = z(t)(j)
     }
+    (x, yMat)
+  }
+
+  private def fitP(z: Array[Array[Double]], p: Int, nd: Int): (DenseMatrix[Double], Double, Double) = {
+    val k = z(0).length
+    val rows = z.length - p
+    val (x, yMat) = design(z, p, nd)
     val xtxInv = inv(x.t * x)
     val b = xtxInv * (x.t * yMat) // cols x k
     val resid = yMat - x * b
@@ -124,6 +135,16 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
     }
     val (p, b, s, nd) = fitLocal(z)
     bestP = p; coefs = b; sigmaTarget = s; fittedDummies = nd
+    // DoF-adjusted residual covariance of the FINAL fit (Lütkepohl 2005
+    // eq. 3.2.19, Σ̂u = Û'Û/(T − Kp − 1 − nd) — the estimator the
+    // reference's statsmodels surface reports as sigma_u and feeds the
+    // orthogonalized impulse responses)
+    sigmaU = {
+      val (x, yMat) = design(z, p, nd)
+      val resid = yMat - x * b
+      val dof = math.max(1, x.rows - x.cols)
+      (resid.t * resid) /:/ dof.toDouble
+    }
     CvScores(scores.map(_._1), scores.map(_._2))
   }
 
@@ -132,6 +153,39 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
     * hash-check the fit itself against per-equation OLS in SQL. */
   def fittedCoefs: DenseMatrix[Double] = coefs
   def fittedOrder: Int = bestP
+
+  private var sigmaU: DenseMatrix[Double] = _
+  /** Σ̂u of the final fit (dim × dim, DoF-adjusted). */
+  def residualCovariance: DenseMatrix[Double] = sigmaU
+
+  /** Impulse-response matrices Θ_0..Θ_h (Lütkepohl 2005 §2.3.2): Ψ_h is
+    * the top-left k×k block of the companion matrix's h-th power (the
+    * MA(∞) coefficients); `orthogonalized = true` right-multiplies by
+    * P = chol(Σ̂u) — the reference framework's readout
+    * (`models/ar_based/build_var.py` calls
+    * `irf.orth_irfs` via `impulse_responses(..., orthogonalized=True)`),
+    * which answers "a one-STD-DEV structural shock to variable j moves
+    * variable i by Θ_h[i,j] after h steps" and differs from the plain
+    * Ψ_h whenever residuals are cross-correlated. Θ_0 = I (plain) or P
+    * (orthogonalized: the impact response). Element order: row =
+    * responding variable, col = shocked variable, variables ordered
+    * (target, exog...) — the Cholesky identification is order-dependent
+    * by construction. */
+  def impulseResponses(h: Int, orthogonalized: Boolean = false): Seq[DenseMatrix[Double]] = {
+    val k = dim; val p = bestP
+    val comp = DenseMatrix.zeros[Double](k * p, k * p)
+    for (lag <- 1 to p; i <- 0 until k; j <- 0 until k)
+      comp(i, (lag - 1) * k + j) = coefs(1 + (lag - 1) * k + j, i)
+    for (r <- k until k * p) comp(r, r - k) = 1.0
+    val pMat = if (orthogonalized) breeze.linalg.cholesky(sigmaU)
+               else DenseMatrix.eye[Double](k)
+    var cur = DenseMatrix.eye[Double](k * p)
+    (0 to h).map { _ =>
+      val theta = (cur(0 until k, 0 until k) * pMat).toDenseMatrix
+      cur = comp * cur
+      theta
+    }
+  }
 
   def predict(spark: SparkSession, h: Int, future: Option[DataFrame] = None): DataFrame = {
     val hist = zRows(series.y, series.exog)

@@ -388,6 +388,91 @@ object ModelQueries2 {
        |UNION ALL SELECT 4, ${droundSql("yy", 4)}, ${droundSql("yx", 4)},
        |  ${droundSql("xy", 4)}, ${droundSql("xx", 4)} FROM p4""".stripMargin
 
+  // ---- m22_var_irf_orth: ORTHOGONALIZED impulse responses ---------------
+
+  /** M22 — orthogonalized impulse responses Θ_h = Ψ_h·P with
+    * P = chol(Σ̂u) (Lütkepohl 2005 §2.3.2): the readout the reference
+    * actually surfaces — `build_var.py` calls
+    * `impulse_responses(12, orthogonalized=True)` — which differs from
+    * m21's plain Ψ_h whenever residuals are cross-correlated (ADVICE
+    * r14). h = 0..4, Θ_0 = P (the impact response). Σ̂u is the
+    * DoF-adjusted residual covariance of the final fit; a 2×2 Cholesky
+    * is closed-form, so fit, residual moments, chol and matrix powers
+    * ALL replay as normal-equation SQL. Grid 1e-4 as m21 (powers amplify
+    * the two solvers' coefficient agreement). */
+  private def m22VarIrfOrth: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val m = new VarModel(maxP = 1, minP = 1)
+    m.fit(monthlyYX(s, d), TsSchema("ts", "y", Seq("x")), 2, 8)
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    m.impulseResponses(4, orthogonalized = true).zipWithIndex.map { case (th, h) =>
+      (h.toLong, r4(th(0, 0)), r4(th(0, 1)), r4(th(1, 0)), r4(th(1, 1)))
+    }.toDF("h", "oirf_yy", "oirf_yx", "oirf_xy", "oirf_xx")
+  }
+
+  private val m22VarIrfOrthSql =
+    s"""WITH m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS mo,
+       |   (${droundSql("avg(o_totalprice)", 4)})/100000.0 AS y,
+       |   count(*)/100.0 AS x
+       |  FROM orders GROUP BY date_trunc('month', o_orderdate)),
+       |s AS (SELECT mo, y, x, lag(y) OVER (ORDER BY mo) AS ly,
+       |             lag(x) OVER (ORDER BY mo) AS lx FROM m),
+       |r AS (SELECT y, x, ly, lx FROM s WHERE ly IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  sum(ly) AS s1, sum(lx) AS s2,
+       |  sum(ly*ly) AS s11, sum(ly*lx) AS s12, sum(lx*lx) AS s22,
+       |  sum(y) AS sy, sum(ly*y) AS s1y, sum(lx*y) AS s2y,
+       |  sum(x) AS sx, sum(ly*x) AS s1x, sum(lx*x) AS s2x FROM r),
+       |b AS (SELECT n,
+       |  s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12, s22 - s2*s2/n AS c22,
+       |  s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y,
+       |  s1x - s1*sx/n AS c1x, s2x - s2*sx/n AS c2x,
+       |  s1/n AS m1, s2/n AS m2, sy/n AS my, sx/n AS mx FROM a),
+       |ic AS (SELECT n,
+       |  (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) AS ayy,
+       |  (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS ayx,
+       |  (c22*c1x - c12*c2x)/(c11*c22 - c12*c12) AS axy,
+       |  (c11*c2x - c12*c1x)/(c11*c22 - c12*c12) AS axx,
+       |  my, mx, m1, m2 FROM b),
+       |i2 AS (SELECT n, ayy, ayx, axy, axx,
+       |  my - ayy*m1 - ayx*m2 AS c0y, mx - axy*m1 - axx*m2 AS c0x FROM ic),
+       |u AS (SELECT y - c0y - ayy*ly - ayx*lx AS uy,
+       |             x - c0x - axy*ly - axx*lx AS ux, n
+       |  FROM r CROSS JOIN i2),
+       |sg AS (SELECT sum(uy*uy)/(max(n) - 3) AS v11,
+       |  sum(uy*ux)/(max(n) - 3) AS v21,
+       |  sum(ux*ux)/(max(n) - 3) AS v22 FROM u),
+       |ch AS (SELECT sqrt(v11) AS p11, v21/sqrt(v11) AS p21,
+       |  sqrt(v22 - v21*v21/v11) AS p22 FROM sg),
+       |ps1 AS (SELECT ayy AS yy, ayx AS yx, axy AS xy, axx AS xx FROM i2),
+       |ps2 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM ps1 p, ps1 q),
+       |ps3 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM ps2 p, ps1 q),
+       |ps4 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
+       |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
+       |  FROM ps3 p, ps1 q)
+       |SELECT CAST(0 AS BIGINT) AS h, ${droundSql("p11", 4)} AS oirf_yy,
+       |  ${droundSql("CAST(0.0 AS DOUBLE)", 4)} AS oirf_yx,
+       |  ${droundSql("p21", 4)} AS oirf_xy, ${droundSql("p22", 4)} AS oirf_xx
+       |FROM ch
+       |UNION ALL SELECT 1, ${droundSql("yy*p11 + yx*p21", 4)},
+       |  ${droundSql("yx*p22", 4)}, ${droundSql("xy*p11 + xx*p21", 4)},
+       |  ${droundSql("xx*p22", 4)} FROM ps1, ch
+       |UNION ALL SELECT 2, ${droundSql("yy*p11 + yx*p21", 4)},
+       |  ${droundSql("yx*p22", 4)}, ${droundSql("xy*p11 + xx*p21", 4)},
+       |  ${droundSql("xx*p22", 4)} FROM ps2, ch
+       |UNION ALL SELECT 3, ${droundSql("yy*p11 + yx*p21", 4)},
+       |  ${droundSql("yx*p22", 4)}, ${droundSql("xy*p11 + xx*p21", 4)},
+       |  ${droundSql("xx*p22", 4)} FROM ps3, ch
+       |UNION ALL SELECT 4, ${droundSql("yy*p11 + yx*p21", 4)},
+       |  ${droundSql("yx*p22", 4)}, ${droundSql("xy*p11 + xx*p21", 4)},
+       |  ${droundSql("xx*p22", 4)} FROM ps4, ch""".stripMargin
+
   // ---- m1_ar1: pure-AR CSS ≡ conditional least squares ------------------
 
   /** ArimaCss at fixed AR(1): CSS over pairs (w_{t-1}, w_t) IS simple OLS
@@ -726,6 +811,7 @@ object ModelQueries2 {
     "m5_holiday" -> m5Holiday,
     "m4_var1"    -> m4Var1,
     "m21_var_irf" -> m21VarIrf,
+    "m22_var_irf_orth" -> m22VarIrfOrth,
     "m1_ar1"     -> m1Ar1,
     "m2_sar1"    -> m2Sar1,
     "m3_decision" -> m3Decision,
@@ -743,6 +829,7 @@ object ModelQueries2 {
     "m5_holiday" -> m5HolidaySql,
     "m4_var1"    -> m4Var1Sql,
     "m21_var_irf" -> m21VarIrfSql,
+    "m22_var_irf_orth" -> m22VarIrfOrthSql,
     "m1_ar1"     -> m1Ar1Sql,
     "m2_sar1"    -> m2Sar1Sql,
     "m3_decision" -> m3DecisionSql,

@@ -243,9 +243,16 @@ object ScaleQueries2 {
     * with a recursive CTE carrying the kept-signature list — the greedy
     * chain semantics themselves, not a relaxation — so every survivor
     * row hash-matches. st_neardup (the xxhash64 production path) keeps
-    * its rows-only check; THIS query pins the suppression algebra. */
+    * its rows-only check; THIS query pins the suppression algebra.
+    *
+    * Runs on a deterministic 1-in-4 doc subset (doc_id % 4 = 0, the
+    * stOuterJoin discipline — r14 ask #4): the twin exists to pin the
+    * suppression algebra, and md5-tokenizing the FULL corpus cost 8% of
+    * the whole bench to verify one operator. The subset still yields
+    * hundreds of bit-matched survivors. */
   private def stNearDupW: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("text"),
               timestamp_millis(col("doc_id") * 60000L).as("ts"))
     val fenceRow = docs.agg(max(col("doc_id"))).head()
@@ -262,13 +269,15 @@ object ScaleQueries2 {
   }
 
   private val stNearDupWSql =
-    s"""WITH RECURSIVE base AS (
-       |  SELECT doc_id, text, doc_id*60000 AS tms FROM documents),
-       |f AS (SELECT max(doc_id) + 1 AS fence FROM documents),
+    s"""WITH RECURSIVE sub AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |base AS (
+       |  SELECT doc_id, text, doc_id*60000 AS tms FROM sub),
+       |f AS (SELECT max(doc_id) + 1 AS fence FROM sub),
        |var AS (SELECT doc_id + f.fence AS doc_id,
        |    regexp_replace(text, '^\\S+', 'EDITED') AS text,
        |    doc_id*60000 + 30000 AS tms
-       |  FROM documents, f WHERE doc_id % 10 = 0),
+       |  FROM sub, f WHERE doc_id % 10 = 0),
        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM var),
        |tok AS (SELECT doc_id, tms, unnest(string_split(text, ' ')) AS w
        |        FROM allr),

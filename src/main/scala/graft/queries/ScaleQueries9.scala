@@ -61,7 +61,11 @@ object ScaleQueries9 {
   /** A55 — Kendall's tau-b between per-user view activity and spend
     * MAGNITUDE (floor(log2(cents+1)) — the binning that bounds the
     * joint grid at any corpus size, per kendallTau's contract): the
-    * probability-scaled monotone-association twin of a53's Spearman. */
+    * probability-scaled monotone-association twin of a53's Spearman.
+    * The bin is computed FP-FREE as the bit length `length(bin(v))-1`
+    * (both engines print exact binary strings): Spark's log2 is
+    * log(x)/log(2), so on exact powers of two floor(log2(v)) can land
+    * one bucket below DuckDB's correctly-rounded log2 (ADVICE r14). */
   private def a55Kendall: Q = (s, d) =>
     graft.stats.RankTests.kendallTau(
         Tables.events(s, d).groupBy(col("user_id"))
@@ -70,7 +74,7 @@ object ScaleQueries9 {
                coalesce(sum(when(col("event_type") === "purchase",
                  floor(col("value") * 100 + 0.5).cast("long"))), lit(0L))
                  .as("yc"))
-          .withColumn("y", floor(log2(col("yc") + 1L)).cast("long")),
+          .withColumn("y", (length(bin(col("yc") + 1L)) - 1).cast("long")),
         "x", "y")
       .select(col("n"), col("n_combos"), col("concordant"),
         col("discordant"), dround(col("tau_b"), 6).as("tau_b"))
@@ -83,7 +87,7 @@ object ScaleQueries9 {
        |      THEN CAST(floor(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
        |      AS yc
        |  FROM events GROUP BY 1),
-       |g AS (SELECT x, CAST(floor(log2(CAST(yc + 1 AS DOUBLE))) AS BIGINT)
+       |g AS (SELECT x, CAST(length(bin(yc + 1)) - 1 AS BIGINT)
        |        AS y FROM u),
        |jd AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
        |cd AS (SELECT

@@ -606,12 +606,30 @@ object Dedup {
     * plane matrix (no explode of the vector); candidates cost one
     * (band, bucket) self-join — bucketed, never all-pairs; verification
     * joins vectors back on the candidate ids only, so its cost scales
-    * with the LSH-bounded candidate count, not n². */
+    * with the LSH-bounded candidate count, not n². Past 100k vectors the
+    * verify stage runs a SKETCH-THEN-VERIFY cascade: candidates are
+    * screened against a 128-bit sign sketch (16 B payload, codegen
+    * bit_count) and only the survivors — deduped across bands — carry
+    * the full dim·8 B vectors through a join, cutting the verify
+    * shuffle from ~0.55 KB/candidate to 16 B/candidate (measured 2.1×
+    * on the sf10 soak, second-decade wall ratio 19× → 7.4×, recall
+    * byte-identical). */
   /** The candidate stage of [[cosineNearDupLsh]] alone — (id_a, id_b)
     * pairs sharing any band bucket, pre-verification and undeduped.
     * Public so scale soaks can MEASURE the candidate volume (the
     * linearity invariant: ≈ bands·n·targetBucket/2) instead of inferring
-    * it from wall time. */
+    * it from wall time.
+    *
+    * @param maxBucket occupancy cap per (band, bucket); -1 (the default)
+    *   resolves to 64·targetBucket. A bucket above the cap carries no
+    *   locality information (degenerate mass: exact-dup embeddings, zero
+    *   vectors) and is DROPPED from the candidate stream — so a
+    *   legitimate near-dup cluster larger than the cap that collides in
+    *   every band disappears from this operator's results entirely.
+    *   Run [[lshBucketProfile]] with the same maxBucket pre-flight: it
+    *   reports exactly how many buckets/signatures/pairs the cap will
+    *   drop. Exact-dup mass belongs to d1/d5 upstream; pass
+    *   maxBucket = Int.MaxValue to opt out of the cap. */
   def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
                           bands: Int = 16, planesPerBand: Int = 4,
                           dim: Int = -1, targetBucket: Int = 32,
@@ -621,6 +639,10 @@ object Dedup {
               knownRows,
               if (maxBucket > 0) maxBucket else 64 * targetBucket)._1
 
+  /** @param maxBucket per-(band,bucket) occupancy cap, default (-1) =
+    *   64·targetBucket — see [[cosineLshCandidates]] for the drop
+    *   semantics and the [[lshBucketProfile]] pre-flight that quantifies
+    *   what the cap removes. */
   def cosineNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, bands: Int = 16,
                        planesPerBand: Int = 4, dim: Int = -1,
@@ -633,20 +655,76 @@ object Dedup {
                                         if (maxBucket > 0) maxBucket
                                         else 64 * targetBucket)
     val withNorm = base.withColumn("norm", VectorOps.l2norm(col("v")))
-    // candidate pairs stay UNDEDUPED through the broadcast verify (a pair
-    // agreeing on k bands is verified k times — bounded by `bands`) and
-    // collapse in ONE distinct AFTER the threshold filter, when the set
-    // is near-dup-sized: one tiny exchange instead of shuffling the full
-    // candidate space before verification. The vector lookups must never
-    // SORT-MERGE: SMJ sorts the candidate stream — bands·n·targetBucket/2
-    // rows × ~0.5 KB of carried vector payload — twice, and that sort is
-    // what turned super-linear at the 20× soak point (34.8 s → 23 s with
-    // hash lookups). Small vector tables broadcast (the planner's own
-    // choice, kept explicit so the hint can't suppress it); big ones
-    // build per-partition hash maps via SHUFFLE_HASH.
+    // SKETCH-THEN-VERIFY cascade (the r15 fix for the verify stage's
+    // super-linear wall): the candidate stream is bands·n·targetBucket/2
+    // rows, and dragging the FULL vector (dim·8 B ≈ 0.5 KB) through the
+    // second lookup shuffle was the dominant cost at the sf10 soak
+    // (148.7M candidates × ~0.55 KB ≈ 80 GB of shuffle). Instead,
+    // candidates are first screened with a 128-bit sign sketch (2 longs,
+    // 16 B — Charikar 2002: E[hamming]/128 = θ/π), entirely in
+    // whole-stage codegen (`bit_count(a ^ b)`), and only survivors see
+    // the full-vector join. The cutoff allows the mean sketch distance
+    // of a pair AT the threshold plus a ≥4.9σ guard band, so the
+    // probability of screening out a true ≥-threshold pair is < 1e-6 —
+    // precision stays EXACT (survivors are verified with the true
+    // cosine), recall loss is the guard-band tail. Sketch planes use a
+    // distinct seed: reusing the banding planes would bias colliding
+    // pairs' sketch distance optimistically (they already agree on those
+    // sign bits).
+    // The cascade pays ~8 extra plan stages of flat overhead, a loss
+    // below the scale where the vector payload dominates (measured on
+    // the d11 fixture, full-query wall: n=4k 4.1s→7.5s, n=40k
+    // 12.4s→15.4s, n=400k 235s→114s) — so it engages at n ≥ 100k and
+    // the direct full-vector verify stays the small-corpus path.
+    val useSketch = n >= 100000L
+    val pairsToVerify = if (!useSketch) cand else {
+      val skPlanes = Similarity.hyperplanes(128, d0, seed = 0x9E3779B97F4A7C15L)
+      val bcSk = df.sparkSession.sparkContext.broadcast(skPlanes)
+      val skU = udf { (v: Seq[Double]) =>
+        val ps = bcSk.value
+        val out = new Array[Long](2)
+        var i = 0
+        while (i < 128) {
+          val p = ps(i)
+          val lim = math.min(v.length, p.length)
+          var s = 0.0; var j = 0
+          while (j < lim) { s += p(j) * v(j); j += 1 }
+          if (s > 0) out(i >> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        out
+      }
+      val sk = base.withColumn("sk", skU(col("v")))
+        .select(col("vid"), col("sk").getItem(0).as("sk0"),
+                col("sk").getItem(1).as("sk1"))
+      val maxH = math.min(128,
+        math.ceil(128.0 * math.acos(math.max(-1.0, math.min(1.0, threshold)))
+          / math.Pi + 20.0).toInt)
+      val skBytes = n * 40L
+      val skHint = if (skBytes < (8L << 20)) "broadcast" else "shuffle_hash"
+      cand
+        .join(sk.select(col("vid").as("id_a"), col("sk0").as("a0"),
+                        col("sk1").as("a1")).hint(skHint), Seq("id_a"))
+        .join(sk.select(col("vid").as("id_b"), col("sk0").as("b0"),
+                        col("sk1").as("b1")).hint(skHint), Seq("id_b"))
+        .filter(expr(s"bit_count(a0 ^ b0) + bit_count(a1 ^ b1) <= $maxH"))
+        .select(col("id_a"), col("id_b"))
+        // survivors are dominated by TRUE near-dups, which collide in
+        // MANY bands (a tight pair agrees per band with prob p^r ≈ 0.4,
+        // so ~6 of 16 bands each) — dedup HERE, where rows are 16 B, so
+        // the full-vector join verifies each pair exactly once
+        .distinct()
+    }
+    // the lookups must never SORT-MERGE: SMJ sorts the candidate stream
+    // — bands·n·targetBucket/2 rows × ~0.5 KB of carried vector payload
+    // — twice, and that sort is what turned super-linear at the 20× soak
+    // point (34.8 s → 23 s with hash lookups). Small vector tables
+    // broadcast (the planner's own choice, kept explicit so the hint
+    // can't suppress it); big ones build per-partition hash maps via
+    // SHUFFLE_HASH.
     val vecBytes = n * (d0 * 8L + 24L)
     val lookupHint = if (vecBytes < (8L << 20)) "broadcast" else "shuffle_hash"
-    cand
+    val verified = pairsToVerify
       .join(withNorm.select(col("vid").as("id_a"), col("v").as("va"),
                             col("norm").as("na")).hint(lookupHint),
             Seq("id_a"))
@@ -655,7 +733,13 @@ object Dedup {
             Seq("id_b"))
       .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    // on the direct path candidate pairs reach the verify UNDEDUPED (a
+    // pair agreeing on k bands is verified k times — bounded by `bands`)
+    // and collapse in ONE distinct AFTER the threshold filter, when the
+    // set is near-dup-sized; on the sketch path survivors are already
+    // distinct
+    if (useSketch) verified else verified.distinct()
   }
 
   /** The banded-signature stage shared by [[lshStages]] (candidate
@@ -758,19 +842,35 @@ object Dedup {
     * mega-buckets exist (max_occ >> targetBucket drives the candidate
     * volume Σ occ·(occ−1)/2 quadratically — the sum this emits IS the
     * uncapped candidate count per band set). One reduce over the banded
-    * signature table; emits one row. */
+    * signature table; emits one row.
+    *
+    * `maxBucket` (default -1 resolves to the candidate stage's own
+    * default, 64·targetBucket) adds the CAPPED view — what
+    * [[cosineLshCandidates]] at that cap will actually do: how many
+    * buckets/signatures the cap drops and the candidate count that
+    * survives it. A non-zero dropped_sigs is the ADVICE-r14 recall
+    * signal: some over-dense cluster is about to vanish from the LSH
+    * operator's results and should be routed to d1/d5 upstream. */
   def lshBucketProfile(df: DataFrame, vecCol: String, idCol: String,
                        bands: Int = 16, planesPerBand: Int = 4,
                        dim: Int = -1, targetBucket: Int = 32,
-                       knownRows: Long = -1L): DataFrame = {
+                       knownRows: Long = -1L,
+                       maxBucket: Int = -1): DataFrame = {
     val banded = bandedSigs(df, vecCol, idCol, bands, planesPerBand, dim,
       targetBucket, knownRows)._1
+    val cap = (if (maxBucket > 0) maxBucket else 64 * targetBucket).toLong
     banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("occ"))
       .agg(count(lit(1)).as("n_buckets"),
            sum(col("occ")).as("n_sigs"),
            max(col("occ")).as("max_occ"),
-           sum(expr("occ*(occ-1) div 2")).as("cand_pairs"))
+           sum(expr("occ*(occ-1) div 2")).as("cand_pairs"),
+           sum(when(col("occ") > cap, 1L).otherwise(0L))
+             .as("dropped_buckets"),
+           sum(when(col("occ") > cap, col("occ")).otherwise(0L))
+             .as("dropped_sigs"),
+           sum(when(col("occ") <= cap, expr("occ*(occ-1) div 2"))
+             .otherwise(0L)).as("capped_pairs"))
   }
 
   def cosineNearDup(df: DataFrame, vecCol: String, idCol: String,
@@ -809,12 +909,13 @@ object Dedup {
     * repeats a cheap map-side UDF, not the clustering.
     *
     * Cost model under the k ∝ n rule (SOAK_r14): per-cell pair work is
-    * flat, but flat-assignment flops are n·nCells·dim — itself
+    * flat, but FLAT-assignment flops are n·nCells·dim — itself
     * super-linear once nCells scales with n (measured 26.8× at a 10×
-    * decade with 10× the cells). Past ~10⁶ rows route the assignment
-    * through a TWO-LEVEL scheme (coarse-quantize to √nCells centroids,
-    * refine within the coarse cell — the [[Similarity]] IVF pattern),
-    * which cuts the term to n·√nCells; everything stays map-side
+    * decade with 10× the cells). So past [[Similarity.twoLevelMin]]
+    * centroids the assignment automatically goes TWO-LEVEL
+    * (coarse-quantize to ⌈√nCells⌉ centroid groups, refine within the 2
+    * best groups — the [[Similarity]] IVF pattern applied to assignment),
+    * cutting the term to ~3·n·√nCells; everything stays map-side
     * against broadcast centroids either way. */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
                threshold: Double, nCells: Int = 8,

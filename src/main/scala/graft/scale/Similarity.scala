@@ -171,9 +171,13 @@ object Similarity {
       .select(col("rid"), col("pearson"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (xorshift), `nPlanes` x dim. */
-  private[scale] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    var s = 0x853C49E6748FEA9BL
+  /** Deterministic pseudo-random hyperplanes (xorshift), `nPlanes` x dim.
+    * Distinct `seed`s give statistically independent plane sets (the
+    * verification sketch must not reuse the banding planes: shared planes
+    * make colliding pairs' sketch distance optimistically biased). */
+  private[scale] def hyperplanes(nPlanes: Int, dim: Int,
+                                 seed: Long = 0x853C49E6748FEA9BL): Array[Array[Double]] = {
+    var s = seed
     def next(): Double = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s >>> 11).toDouble / (1L << 53) - 0.5 }
     Array.fill(nPlanes)(Array.fill(dim)(next()))
   }
@@ -211,24 +215,112 @@ object Similarity {
       .withColumn("bucket", dotSign(col("v")))
   }
 
-  /** Assign every vector to its max-cosine centroid (broadcast, one scan). */
-  private[scale] def assignCells(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val bc = v.sparkSession.sparkContext.broadcast(centroids)
-    val cellOf = udf { (vec: Seq[Double]) =>
-      val cs = bc.value
-      var best = 0; var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val cent = cs(c)
-        val lim = math.min(vec.length, cent.length)
-        var dot = 0.0; var nc = 0.0; var j = 0
-        while (j < lim) { dot += cent(j) * vec(j); nc += cent(j) * cent(j); j += 1 }
-        val score = if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc)
-        if (score > bestScore) { bestScore = score; best = c }
-        c += 1
-      }
-      best
+  /** Max-cosine index of `vec` over `cs`, optionally restricted to the
+    * centroid indices in `ids` (null = all). Strict `>` keeps the lowest
+    * index on ties — identical in the flat and two-level paths. */
+  private def bestCell(vec: Seq[Double], cs: Array[Array[Double]],
+                       ids: Array[Int]): Int = {
+    val m = if (ids == null) cs.length else ids.length
+    var best = -1; var bestScore = Double.NegativeInfinity
+    var k = 0
+    while (k < m) {
+      val c = if (ids == null) k else ids(k)
+      val cent = cs(c)
+      val lim = math.min(vec.length, cent.length)
+      var dot = 0.0; var nc = 0.0; var j = 0
+      while (j < lim) { dot += cent(j) * vec(j); nc += cent(j) * cent(j); j += 1 }
+      val score = if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      if (score > bestScore || best < 0 ||
+          (score == bestScore && c < best)) { bestScore = score; best = c }
+      k += 1
     }
+    math.max(best, 0)
+  }
+
+  /** Centroid count at which [[assignCells]] switches from the flat scan
+    * to the two-level (coarse-then-refine) scheme: below it the flat
+    * C·dim per-row cost already beats √C·(1+probe)·dim plus the group
+    * bookkeeping. 64 puts the crossover right where nCells ∝ n starts to
+    * matter (the d12 rule reaches 64 cells at ~160k vectors). */
+  private[scale] val twoLevelMin = 64
+
+  /** Driver-side k-means ON THE CENTROIDS: groups the C cell centroids
+    * into `nGroups` super-groups (deterministic seeds = first centroids,
+    * `iters` Lloyd steps over C points — trivial driver work, C × dim
+    * state). Returns (groupCentroids, memberIdsPerGroup). This is the
+    * coarse level of the two-level assignment. */
+  private[scale] def groupCentroids(cents: Array[Array[Double]], nGroups: Int,
+                                    iters: Int = 3): (Array[Array[Double]], Array[Array[Int]]) = {
+    val dim = cents.map(_.length).max
+    var groups = Array.tabulate(nGroups)(g => java.util.Arrays.copyOf(cents(g), dim))
+    var assign = cents.map(c => bestCell(c, groups, null))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nGroups)(new Array[Double](dim))
+      val cnts = new Array[Int](nGroups)
+      var i = 0
+      while (i < cents.length) {
+        val g = assign(i); val c = cents(i)
+        var j = 0
+        while (j < c.length) { sums(g)(j) += c(j); j += 1 }
+        cnts(g) += 1; i += 1
+      }
+      groups = Array.tabulate(nGroups) { g =>
+        if (cnts(g) == 0) groups(g) // an emptied group keeps its centroid
+        else { val s = sums(g); val out = new Array[Double](dim)
+               var j = 0
+               while (j < dim) { out(j) = s(j) / cnts(g); j += 1 }; out }
+      }
+      assign = cents.map(c => bestCell(c, groups, null))
+      it += 1
+    }
+    val members = Array.fill(nGroups)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    assign.indices.foreach(i => members(assign(i)) += i)
+    (groups, members.map(_.toArray))
+  }
+
+  /** Assign every vector to its max-cosine centroid (broadcast, one scan).
+    *
+    * Flat scan is C·dim flops per row — fine for bounded C, but under the
+    * nCells ∝ n rule (semDedup/SemDeDup) that term is O(n²) total. Past
+    * [[twoLevelMin]] centroids the assignment goes TWO-LEVEL (the IVF
+    * coarse-quantizer pattern applied to the assignment itself): the
+    * centroids are k-means-grouped driver-side into ⌈√C⌉ super-groups,
+    * each vector scores the √C group centroids, then refines over only
+    * its 2 best groups' members — ~3·√C·dim flops per row, so the total
+    * is n·√C instead of n·C. The refinement is approximate in the usual
+    * IVF sense (the true max-cosine centroid can live in an unprobed
+    * group); a spec pins agreement with the flat scan on clustered
+    * fixtures. Everything stays map-side against broadcast state. */
+  private[scale] def assignCells(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cellOf =
+      if (centroids.length < twoLevelMin) {
+        val bc = v.sparkSession.sparkContext.broadcast(centroids)
+        udf { (vec: Seq[Double]) => bestCell(vec, bc.value, null) }
+      } else {
+        val nGroups = math.ceil(math.sqrt(centroids.length.toDouble)).toInt
+        val (gCents, members) = groupCentroids(centroids, nGroups)
+        val bc = v.sparkSession.sparkContext.broadcast((centroids, gCents, members))
+        udf { (vec: Seq[Double]) =>
+          val (cs, gs, mem) = bc.value
+          // top-2 coarse groups without a sort
+          var g1 = 0; var s1 = Double.NegativeInfinity
+          var g2 = 0; var s2 = Double.NegativeInfinity
+          var g = 0
+          while (g < gs.length) {
+            val cent = gs(g)
+            val lim = math.min(vec.length, cent.length)
+            var dot = 0.0; var nc = 0.0; var j = 0
+            while (j < lim) { dot += cent(j) * vec(j); nc += cent(j) * cent(j); j += 1 }
+            val score = if (nc == 0) Double.NegativeInfinity else dot / math.sqrt(nc)
+            if (score > s1) { s2 = s1; g2 = g1; s1 = score; g1 = g }
+            else if (score > s2) { s2 = score; g2 = g }
+            g += 1
+          }
+          val ids = if (g2 == g1) mem(g1) else mem(g1) ++ mem(g2)
+          if (ids.isEmpty) bestCell(vec, cs, null) else bestCell(vec, cs, ids)
+        }
+      }
     v.withColumn("cell", cellOf(col("v")))
   }
 

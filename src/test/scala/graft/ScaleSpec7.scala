@@ -144,6 +144,46 @@ class ScaleSpec7 extends SparkTestBase {
     assert(r.getAs[Long]("n_buckets") == 4L)
     assert(r.getAs[Long]("max_occ") == 10L)
     assert(r.getAs[Long]("cand_pairs") == 4L * 45L)
+    // default cap (64*targetBucket) doesn't bind: capped view == uncapped
+    assert(r.getAs[Long]("dropped_buckets") == 0L)
+    assert(r.getAs[Long]("dropped_sigs") == 0L)
+    assert(r.getAs[Long]("capped_pairs") == r.getAs[Long]("cand_pairs"))
+    // a binding cap reports EXACTLY what cosineLshCandidates will drop
+    val c = graft.scale.Dedup.lshBucketProfile(df, "v", "vec_id",
+        bands = 4, planesPerBand = 2, knownRows = 10L, maxBucket = 8)
+      .collect().head
+    assert(c.getAs[Long]("dropped_buckets") == 4L)
+    assert(c.getAs[Long]("dropped_sigs") == 40L)
+    assert(c.getAs[Long]("capped_pairs") == 0L)
+  }
+
+  test("two-level assignCells: above-crossover assignment keeps separated clusters intact") {
+    // 80 orthogonal one-hot clusters (>= Similarity.twoLevelMin = 64, so
+    // kmeansAssign routes assignment through the coarse-then-refine path)
+    // with jittered members: the two-level coarse routing must land every
+    // member in its prototype's cell — on separated clusters this IS
+    // agreement with the flat max-cosine scan.
+    val dim = 96
+    val nClu = 80
+    val rows = (0 until nClu).map { c =>
+      (c.toLong, Seq.tabulate(dim)(j => if (j == c) 1.0 else 0.0))
+    } ++ (0 until 400).map { i =>
+      val c = i % nClu
+      (1000L + i, Seq.tabulate(dim)(j =>
+        if (j == c) 1.0
+        else if (j == (c + 7) % dim) 0.05 * ((i % 5) - 2) else 0.0))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val out = graft.scale.Similarity.kmeansAssign(df, "v", "vec_id",
+        nCells = nClu, lloydIters = 1)
+      .select(col("vid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 400).foreach { i =>
+      val c = i % nClu
+      assert(out(1000L + i) == out(c.toLong), s"member $i strayed from cluster $c")
+    }
+    assert(out.values.toSet.size == nClu,
+      "separated clusters must keep distinct cells")
   }
 
   test("triangleStats: the maxDeg cap removes hubs BEFORE the census") {
