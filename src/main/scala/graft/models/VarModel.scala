@@ -171,6 +171,28 @@ class VarModel(maxP: Int = 3, minP: Int = 1, seasonalM: Int = 1,
     * responding variable, col = shocked variable, variables ordered
     * (target, exog...) — the Cholesky identification is order-dependent
     * by construction. */
+  /** Forecast-error variance decomposition (Lütkepohl 2005 §2.3.3):
+    * FEVD_H[i,j] = Σ_{l<H} Θ_l[i,j]² / Σ_j Σ_{l<H} Θ_l[i,j]² — the share
+    * of variable i's H-step forecast-error variance attributable to
+    * orthogonalized shocks in variable j (rows sum to 1). Returns one
+    * k×k matrix per horizon H = 1..maxH. Shares the Cholesky
+    * identification (and its variable-order dependence) with
+    * [[impulseResponses]]. */
+  def fevd(maxH: Int): Seq[DenseMatrix[Double]] = {
+    val thetas = impulseResponses(maxH - 1, orthogonalized = true)
+    val k = dim
+    val cum = DenseMatrix.zeros[Double](k, k)
+    thetas.map { th =>
+      for (i <- 0 until k; j <- 0 until k) cum(i, j) += th(i, j) * th(i, j)
+      val out = DenseMatrix.zeros[Double](k, k)
+      for (i <- 0 until k) {
+        val tot = (0 until k).map(j => cum(i, j)).sum
+        for (j <- 0 until k) out(i, j) = if (tot > 0) cum(i, j) / tot else 0.0
+      }
+      out
+    }
+  }
+
   def impulseResponses(h: Int, orthogonalized: Boolean = false): Seq[DenseMatrix[Double]] = {
     val k = dim; val p = bestP
     val comp = DenseMatrix.zeros[Double](k * p, k * p)

@@ -411,7 +411,11 @@ object ModelQueries2 {
     }.toDF("h", "oirf_yy", "oirf_yx", "oirf_xy", "oirf_xx")
   }
 
-  private val m22VarIrfOrthSql =
+  /** Shared CTE chain for the orthogonalized-VAR readouts (m22 IRF, m23
+    * FEVD): monthly 2-series → lagged normal equations → coefficients +
+    * intercepts → residual moments (n−3 DoF) → closed-form 2×2 Cholesky
+    * (ch) → Ψ_h = A^h powers (ps1..ps4). */
+  private val varOrthChainSql =
     s"""WITH m AS (
        |  SELECT date_trunc('month', o_orderdate) AS mo,
        |   (${droundSql("avg(o_totalprice)", 4)})/100000.0 AS y,
@@ -455,7 +459,10 @@ object ModelQueries2 {
        |  FROM ps2 p, ps1 q),
        |ps4 AS (SELECT p.yy*q.yy + p.yx*q.xy AS yy, p.yy*q.yx + p.yx*q.xx AS yx,
        |  p.xy*q.yy + p.xx*q.xy AS xy, p.xy*q.yx + p.xx*q.xx AS xx
-       |  FROM ps3 p, ps1 q)
+       |  FROM ps3 p, ps1 q)""".stripMargin
+
+  private val m22VarIrfOrthSql =
+    s"""$varOrthChainSql
        |SELECT CAST(0 AS BIGINT) AS h, ${droundSql("p11", 4)} AS oirf_yy,
        |  ${droundSql("CAST(0.0 AS DOUBLE)", 4)} AS oirf_yx,
        |  ${droundSql("p21", 4)} AS oirf_xy, ${droundSql("p22", 4)} AS oirf_xx
@@ -472,6 +479,51 @@ object ModelQueries2 {
        |UNION ALL SELECT 4, ${droundSql("yy*p11 + yx*p21", 4)},
        |  ${droundSql("yx*p22", 4)}, ${droundSql("xy*p11 + xx*p21", 4)},
        |  ${droundSql("xx*p22", 4)} FROM ps4, ch""".stripMargin
+
+  // ---- m23_var_fevd: forecast-error variance decomposition ---------------
+
+  /** M23 — FEVD (Lütkepohl 2005 §2.3.3): the share of each variable's
+    * H-step forecast-error variance attributable to orthogonalized
+    * shocks in each variable — Σ_{l<H} Θ_l[i,j]² row-normalized, the
+    * standard "who drives whom, and by how much" readout next to the
+    * m22 IRFs (statsmodels exposes it as VARResults.fevd on the same
+    * fit the reference wraps). Rows sum to 1 by construction; the
+    * oracle replays the squared-Θ cumulative sums over the shared
+    * orthogonalized-VAR CTE chain. Grid 1e-4 as m21/m22. */
+  private def m23VarFevd: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val m = new VarModel(maxP = 1, minP = 1)
+    m.fit(monthlyYX(s, d), TsSchema("ts", "y", Seq("x")), 2, 8)
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    m.fevd(4).zipWithIndex.map { case (f, i) =>
+      ((i + 1).toLong, r4(f(0, 0)), r4(f(0, 1)), r4(f(1, 0)), r4(f(1, 1)))
+    }.toDF("h", "fevd_yy", "fevd_yx", "fevd_xy", "fevd_xx")
+  }
+
+  private val m23VarFevdSql =
+    s"""$varOrthChainSql,
+       |t0 AS (SELECT 0 AS l, p11 AS tyy, CAST(0.0 AS DOUBLE) AS tyx,
+       |  p21 AS txy, p22 AS txx FROM ch),
+       |t1 AS (SELECT 1 AS l, yy*p11 + yx*p21, yx*p22, xy*p11 + xx*p21,
+       |  xx*p22 FROM ps1, ch),
+       |t2 AS (SELECT 2 AS l, yy*p11 + yx*p21, yx*p22, xy*p11 + xx*p21,
+       |  xx*p22 FROM ps2, ch),
+       |t3 AS (SELECT 3 AS l, yy*p11 + yx*p21, yx*p22, xy*p11 + xx*p21,
+       |  xx*p22 FROM ps3, ch),
+       |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+       |  UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+       |fe AS (SELECT g.h AS h,
+       |    sum(tyy*tyy) AS syy, sum(tyx*tyx) AS syx,
+       |    sum(txy*txy) AS sxy, sum(txx*txx) AS sxx
+       |  FROM allt, generate_series(1, 4) AS g(h)
+       |  WHERE allt.l < g.h GROUP BY 1)
+       |SELECT CAST(h AS BIGINT) AS h,
+       | ${droundSql("syy/(syy + syx)", 4)} AS fevd_yy,
+       | ${droundSql("syx/(syy + syx)", 4)} AS fevd_yx,
+       | ${droundSql("sxy/(sxy + sxx)", 4)} AS fevd_xy,
+       | ${droundSql("sxx/(sxy + sxx)", 4)} AS fevd_xx
+       |FROM fe""".stripMargin
 
   // ---- m1_ar1: pure-AR CSS ≡ conditional least squares ------------------
 
@@ -812,6 +864,7 @@ object ModelQueries2 {
     "m4_var1"    -> m4Var1,
     "m21_var_irf" -> m21VarIrf,
     "m22_var_irf_orth" -> m22VarIrfOrth,
+    "m23_var_fevd" -> m23VarFevd,
     "m1_ar1"     -> m1Ar1,
     "m2_sar1"    -> m2Sar1,
     "m3_decision" -> m3Decision,
@@ -830,6 +883,7 @@ object ModelQueries2 {
     "m4_var1"    -> m4Var1Sql,
     "m21_var_irf" -> m21VarIrfSql,
     "m22_var_irf_orth" -> m22VarIrfOrthSql,
+    "m23_var_fevd" -> m23VarFevdSql,
     "m1_ar1"     -> m1Ar1Sql,
     "m2_sar1"    -> m2Sar1Sql,
     "m3_decision" -> m3DecisionSql,

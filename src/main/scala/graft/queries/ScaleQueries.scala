@@ -98,6 +98,59 @@ object ScaleQueries {
   private def d4SimHash: Q = (s, d) =>
     Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", 3)
 
+  /** ✔dt HASH TWIN of [[d4SimHash]] (r14 ask #6): the SAME 4-block
+    * pigeonhole Hamming-≤3 pair join ([[Dedup.hammingPairs]] — exact for
+    * maxHamming ≤ 3, never probabilistic), but fingerprinted with
+    * [[graft.streaming.StreamDedup.md5SimHash]], the 60-bit
+    * engine-replayable signature (the st_neardup_w pattern), so the
+    * oracle rebuilds every signature bit-for-bit in DuckDB and replays
+    * the block join + bit_count filter exactly. Runs on a 1-in-4 doc
+    * subset with EDITED variants injected (every 5th subset doc, ids
+    * fenced past max(doc_id)) so the pair set stays rich at every SF
+    * without md5-tokenizing the whole corpus; d4_simhash (the xxhash64
+    * production path) keeps its rows-only check. */
+  private def d4SimHashW: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"))
+    val fenceRow = docs.agg(max(col("doc_id"))).head()
+    val fence = (if (fenceRow.isNullAt(0)) 0L else fenceRow.getLong(0)) + 1L
+    val variants = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + fence).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+", "EDITED").as("text"))
+    val all = docs.unionByName(variants)
+      .withColumn("msig", graft.streaming.StreamDedup.md5SimHash("text"))
+    Dedup.hammingPairs(all, "msig", "doc_id", 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  private val d4WSql =
+    s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |f AS (SELECT max(doc_id) + 1 AS fence FROM sub),
+       |allr AS (SELECT doc_id, text FROM sub
+       |  UNION ALL
+       |  SELECT doc_id + f.fence, regexp_replace(text, '^\\S+', 'EDITED')
+       |  FROM sub, f WHERE doc_id % 20 = 0),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM allr),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (SELECT doc_id, b.range AS b,
+       |    CAST(sum(CASE WHEN ((h >> CAST(b.range AS INT)) & 1) = 1
+       |             THEN 1 ELSE -1 END) AS BIGINT) AS c
+       |  FROM h CROSS JOIN range(0, 60) b GROUP BY 1, 2),
+       |sg AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1),
+       |blk AS (SELECT doc_id, sig, b.range AS block,
+       |    (sig >> CAST(b.range*16 AS INT)) & 65535 AS key
+       |  FROM sg CROSS JOIN range(0, 4) b),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |    l.sig AS sa, r.sig AS sb
+       |  FROM blk l JOIN blk r ON l.block = r.block AND l.key = r.key
+       |    AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   private def d5Cosine: Q = (s, d) =>
     Dedup.cosineNearDup(Tables.embeddings(s, d), "embedding", "vec_id", 0.4)
       .select(col("id_a"), col("id_b"), dround(col("cosine"), 6).as("cosine"))
@@ -410,13 +463,44 @@ object ScaleQueries {
        |FROM f CROSS JOIN h""".stripMargin
 
   /** Per-series ARIMA(1,0,0): an independent CSS fit per user in one
-    * flatMapGroups pass (estimator — rows-only; the local math is
-    * property-tested in ModelsSpec/ScaleSpec). */
+    * flatMapGroups pass. ✔dt since r15 (the million-models flagship's
+    * oracle — r14 ask #7): at (1,0,0) the CSS fit is fitPureAr's exact
+    * QR, i.e. per-series OLS of y_t on [1, y_{t−1}] (the m1_ar1
+    * algebra), and the recursive forecast closes to
+    * c·(1−φʰ)/(1−φ) + φʰ·y_n — so the whole flatMapGroups fold replays
+    * as windowed normal equations per series in SQL. Inputs are raw
+    * parquet doubles (no pre-aggregation), bit-identical in both
+    * engines; 1e-6 grid absorbs the QR-vs-normal-equation gap. */
   private def f3PerSeriesArima: Q = (s, d) =>
     graft.scale.PerSeriesArima.forecastPerSeries(
         Tables.events(s, d), "value", "ts", "user_id",
         graft.models.ArimaCss.Spec(1, 0, 0), 3)
       .select(col("user_id"), col("h"), dround(col("yhat"), 6).as("yhat"))
+
+  /** fitOne's short-series gate is n ≥ 6 (n > maxLag + nParams + 2 =
+    * 5), i.e. ≥ 5 lag pairs — the HAVING replays the same skip rule. */
+  private val f3Sql =
+    s"""WITH s AS (SELECT user_id, value AS y,
+       |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS x
+       |  FROM events),
+       |r AS (SELECT user_id, y, x FROM s WHERE x IS NOT NULL),
+       |a AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS ne,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+       |  FROM r GROUP BY user_id HAVING count(*) >= 5),
+       |b AS (SELECT user_id, ne, sx, sy,
+       |    (ne*sxy - sx*sy)/(ne*sxx - sx*sx) AS phi FROM a),
+       |c AS (SELECT user_id, phi, (sy - phi*sx)/ne AS c0 FROM b),
+       |l AS (SELECT user_id, value AS wl FROM (
+       |    SELECT user_id, value, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+       |    FROM events) WHERE rn = 1),
+       |f AS (SELECT c.user_id AS user_id, g.h AS h,
+       |    c0*(1 - pow(phi, h))/(1 - phi) + pow(phi, h)*wl AS yhat
+       |  FROM c JOIN l ON c.user_id = l.user_id,
+       |       generate_series(1, 3) AS g(h))
+       |SELECT user_id, CAST(h AS BIGINT) AS h,
+       | ${droundSql("yhat", 6)} AS yhat
+       |FROM f""".stripMargin
 
   /** Seasonal-naive forecast (period 24) for every user series. */
   private def f2SeasonalNaive: Q = (s, d) =>
@@ -631,6 +715,7 @@ object ScaleQueries {
     "d3_minhash_lsh"   -> d3MinHashLsh,
     "d3_minhash_r1"    -> d3MinHashR1,
     "d4_simhash"       -> d4SimHash,
+    "d4_simhash_w"     -> d4SimHashW,
     "d5_cosine_neardup"-> d5Cosine,
     "a10_rowcorr"      -> a10RowCorr,
     "d8_components"    -> d8Components,
@@ -661,6 +746,8 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "f1_drift_forecast"-> f1Sql,
     "f2_seasonal_naive"-> f2Sql,
+    "f3_series_arima"  -> f3Sql,
+    "d4_simhash_w"     -> d4WSql,
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_r1"    -> d3R1Sql,

@@ -678,20 +678,29 @@ object ScaleQueries2 {
     * end-to-end: the 4-block bucket join, Hamming filter, connected
     * components, and earliest-representative selection all replay in
     * DuckDB. Signatures are SYNTHETIC so both engines see identical
-    * longs: group g = event_id % 5000 replicated into all four 16-bit
-    * blocks (inter-group Hamming exactly 4·popcount(g⊕g') ≥ 4 — never
-    * pairable at maxHamming=3) with the member perturbation m =
-    * k % 3 confined to block 0's low bits (intra-group Hamming
-    * ≤ 2 — always pairable), so each group compacts to its (ts, id)-
-    * earliest member and the cluster structure is provable, not
-    * incidental. The 1-in-20 subsample models the operator's real input —
+    * longs. Group id g = (k/8) % 16384 — the group COUNT grows with the
+    * data while the size stays pinned at 8 (the r15 sf10 soak caught the
+    * old fixture's 200 FIXED groups: size ∝ SF made the pigeonhole pair
+    * count ∝ SF² — ~1.9G candidate pairs and a 40 GB shuffle at sf10,
+    * killed after 45 min — contradicting the quasi-linear claim this
+    * comment used to make; a real post-suppression survivor stream has
+    * bounded near-dup residue per signature, i.e. MORE groups, not
+    * fatter ones). Layout: block 0 = g·4 + m with the member
+    * perturbation m = k % 3 in the low 2 bits (intra-group Hamming ≤ 2 —
+    * always pairable); blocks 1–3 each carry G = 2g + parity(g), a
+    * distance-2 parity code, so inter-group Hamming ≥ 3·popcount(G⊕G')
+    * ≥ 6 — never pairable at maxHamming = 3, provable, not incidental.
+    * Each group compacts to its (ts, id)-earliest member. Capacity
+    * note: the 16,384-group id space wraps past ~131k survivors (sf10
+    * runs ~30/group) — a documented bound of the FIXTURE, not the
+    * operator. The 1-in-20 subsample models the operator's real input —
     * compaction runs over the already-thinned STREAM SURVIVORS, not the
-    * raw corpus — and keeps the synthetic clusters' pair count
-    * quasi-linear in SF (200 groups whose size grows with data, like a
-    * survivor stream's near-dup residue). */
+    * raw corpus. */
   private def stCompact: Q = (s, d) => {
     val k = (col("event_id") / 20).cast("long")
-    val sig = (k % 200) * lit(281479271743492L) + (k % 3)
+    val g = (k / 8).cast("long") % 16384
+    val gc = g * 2 + pmod(bit_count(g).cast("long"), lit(2L))
+    val sig = gc * lit(281479271743488L) + g * 4 + (k % 3)
     val survivors = Tables.events(s, d)
       .filter(col("event_id") % 20 === 0)
       .select(col("event_id").cast("long").as("id"), col("ts"), sig.as("sig"))
@@ -700,10 +709,15 @@ object ScaleQueries2 {
   }
 
   private val stCompactSql =
-    """WITH RECURSIVE sv AS (
+    """WITH RECURSIVE kg AS (
       |  SELECT CAST(event_id AS BIGINT) AS id, ts,
-      |         ((event_id // 20) % 200) * 281479271743492 + ((event_id // 20) % 3) AS sig
+      |         CAST(event_id // 20 AS BIGINT) AS k,
+      |         CAST((event_id // 20) // 8 % 16384 AS BIGINT) AS g
       |  FROM events WHERE event_id % 20 = 0),
+      |sv AS (
+      |  SELECT id, ts,
+      |         (g*2 + bit_count(g) % 2) * 281479271743488 + g*4 + (k % 3) AS sig
+      |  FROM kg),
       |bl AS (SELECT id, sig, b, (sig >> (b * 16)) & 65535 AS key
       |       FROM sv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
