@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.ScaleQueries6.queries ++
     graft.queries.ScaleQueries7.queries ++
     graft.queries.ScaleQueries8.queries ++
-    graft.queries.ScaleQueries9.queries
+    graft.queries.ScaleQueries9.queries ++
+    graft.queries.ScaleQueries10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
     graft.queries.ScaleQueries6.oracle ++
     graft.queries.ScaleQueries7.oracle ++
     graft.queries.ScaleQueries8.oracle ++
-    graft.queries.ScaleQueries9.oracle
+    graft.queries.ScaleQueries9.oracle ++
+    graft.queries.ScaleQueries10.oracle
 }

@@ -378,4 +378,73 @@ object Curation {
       applied.as("fim_applied"),
       when(applied, psm).otherwise(col(textCol)).as("out_text"))
   }
+
+  // ---- PII detection / redaction ----------------------------------------
+
+  /** PII categories as cross-engine-safe regexes (ordered — redaction
+    * applies them in this order, email before ipv4 so an address is
+    * masked whole before its digit runs can half-match). Patterns use no
+    * lookaround/backreferences, so the same string runs identically
+    * under Java regex (Spark, codegen'd) and RE2 (DuckDB). The category
+    * set is the one the public curation pipelines scrub (C4 — Raffel et
+    * al. 2020 §2.2; BigScience ROOTS and Dolma both ship email/IP/phone
+    * taggers); the reference engine has no text surface at all. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+[0-9]{7,15}\\b",
+    "ssn"   -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /** Per-doc PII audit: one match-count column per [[PiiPatterns]]
+    * category (`n_email`, `n_ipv4`, `n_phone`, `n_ssn`) plus
+    * `pii_total`. Pure map-side scalar expressions (regexp_count is a
+    * codegen'd native function, counts non-overlapping matches) — the
+    * corpus never shuffles; at 100 TB this is a scan-rate pass exactly
+    * like the Gopher quality battery, and the downstream drop/redact
+    * decision is a filter on the emitted counts. */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = PiiPatterns.foldLeft(df) { case (acc, (name, pat)) =>
+      acc.withColumn(s"n_$name",
+        regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    withCounts.withColumn("pii_total",
+      PiiPatterns.map { case (name, _) => col(s"n_$name") }.reduce(_ + _))
+  }
+
+  /** PII redaction: every category match replaced by its `<CATEGORY>`
+    * sentinel token, categories applied in [[PiiPatterns]] order. The
+    * sentinel survives tokenization (angle brackets never occur inside
+    * the match classes), so downstream token counts stay meaningful.
+    * Map-side, zero shuffle — redaction at 100 TB is a rewrite-on-scan,
+    * typically fused with the quality gates in one pass. */
+  def piiRedact(df: DataFrame, textCol: String,
+                outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol, PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (name, pat)) =>
+        regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    })
+
+  /** Blocklist hit statistics — the C4 "bad words" gate shape (Raffel
+    * et al. 2020 drop any page with a term from the public blocklist):
+    * per doc, token count, blocked-token count, and the hit ratio the
+    * gate thresholds on. Matching is exact lowercase token equality
+    * (the public matcher is token-based, not substring). The list is
+    * tiny and rides into the plan as a literal array — no broadcast
+    * exchange, no shuffle; `size(filter(tokens))` stays inside
+    * whole-stage codegen, so at 100 TB this is another scan-rate
+    * column. */
+  def blocklistStats(df: DataFrame, textCol: String,
+                     blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "need at least one blocked term")
+    val blk = array(blocked.map(w => lit(w.toLowerCase)): _*)
+    df.withColumn("toks", split(lower(col(textCol)), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(col("toks"), t => array_contains(blk, t))).cast("long"))
+      .withColumn("blocked_ratio",
+        when(col("n_tokens") > 0,
+          col("n_blocked").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .drop("toks")
+  }
 }

@@ -241,7 +241,13 @@ object Similarity {
     * to the two-level (coarse-then-refine) scheme: below it the flat
     * C·dim per-row cost already beats √C·(1+probe)·dim plus the group
     * bookkeeping. 64 puts the crossover right where nCells ∝ n starts to
-    * matter (the d12 rule reaches 64 cells at ~160k vectors). */
+    * matter (the d12 rule reaches 64 cells at ~160k vectors).
+    *
+    * Asymptotics: with C ∝ n the two-level assignment is n·√C ≈ n^1.5
+    * total flops (vs the flat scan's n²) — measured ≤ 10×/decade through
+    * sf10 (SOAK_r15). If a further decade ever pushes past the ~12×
+    * bar, the same grouping recurses (a 3-level C^⅓ tree → n^{4/3});
+    * nothing at the probed scales needs it. */
   private[scale] val twoLevelMin = 64
 
   /** Driver-side k-means ON THE CENTROIDS: groups the C cell centroids
