@@ -357,6 +357,7 @@ class PlanAuditSpec extends SparkTestBase {
       "a28_auc"       -> "rank window over the distinct-SCORE table (binaryAuc; scores pre-rounded)",
       "a29_gains"     -> "cumulative window over the distinct-score cutoff table (gainsCurve)",
       "a30_rfm"       -> "Ranks.globalRank level-0 grid window — ≤4097 range-bucket rows",
+      "a56_key_skew"  -> "same Ranks.globalRank ≤4097-row bucket-grid window (SkewAudit gini rank fold)",
       "a53_spearman"  -> "rank maps from the distinct-value tables of x and y (spearman rankMap)",
       "a45_bh_fdr"    -> "sorts m p-VALUES — m = number of hypotheses tested, never data rows",
       "a46_obf"       -> "cumulative window over the k=5 sequential-look grid (sequentialLooks)",
