@@ -177,17 +177,53 @@ object ScaleQueries10 {
        |  END AS gini
        |FROM a, t""".stripMargin
 
+  // ---- d21: corpus snapshot diff -------------------------------------------
+
+  /** D21 — snapshot diff ([[graft.scale.Curation.snapshotDiff]]) between
+    * two deterministic views of the documents table: prev drops
+    * doc_id % 13 = 5 (these become `added`), next drops doc_id % 11 = 3
+    * (`removed`) and rewrites text for doc_id % 7 = 2 (`changed`);
+    * everything else is unchanged and never emitted. Both engines build
+    * the same two snapshots, so the (id, status) churn set is exact. */
+  private def d21SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val prev = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("text"))
+    val next = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(lit("EDITED "), col("text")))
+          .otherwise(col("text")).as("text"))
+    graft.scale.Curation.snapshotDiff(prev, next, "text", "doc_id")
+  }
+
+  private val d21Sql =
+    """WITH prev AS (SELECT doc_id AS id, md5(text) AS ha FROM documents
+      |  WHERE doc_id % 13 <> 5),
+      |nxt AS (SELECT doc_id AS id,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN 'EDITED ' || text
+      |        ELSE text END) AS hb
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |j AS (SELECT coalesce(prev.id, nxt.id) AS id,
+      |    CASE WHEN ha IS NULL THEN 'added'
+      |         WHEN hb IS NULL THEN 'removed'
+      |         WHEN ha <> hb THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM prev FULL OUTER JOIN nxt ON prev.id = nxt.id)
+      |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, Q] = Map(
     "x40_pii_scan"   -> x40PiiScan,
     "x41_pii_redact" -> x41PiiRedact,
     "x42_blocklist"  -> x42Blocklist,
-    "a56_key_skew"   -> a56KeySkew)
+    "a56_key_skew"   -> a56KeySkew,
+    "d21_snapshot_diff" -> d21SnapshotDiff)
 
   def oracle: Map[String, String] = Map(
     "x40_pii_scan"   -> x40Sql,
     "x41_pii_redact" -> x41Sql,
     "x42_blocklist"  -> x42Sql,
-    "a56_key_skew"   -> a56Sql)
+    "a56_key_skew"   -> a56Sql,
+    "d21_snapshot_diff" -> d21Sql)
 }

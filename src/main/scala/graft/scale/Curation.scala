@@ -379,6 +379,38 @@ object Curation {
       when(applied, psm).otherwise(col(textCol)).as("out_text"))
   }
 
+  // ---- snapshot diff ------------------------------------------------------
+
+  /** Corpus snapshot diff: classify every doc id across two corpus
+    * versions as `added` (in `next` only), `removed` (in `prev` only) or
+    * `changed` (both, content hash differs) — the change-detection audit
+    * an incrementally-ingested corpus runs between pipeline versions
+    * (what moved since the last tokenization run / what must be
+    * re-embedded), complementing [[graft.scale.Dedup.incrementalDedup]]
+    * which answers novelty, not churn.
+    *
+    * Scale shape: both sides reduce to (id, md5) BEFORE the join — only
+    * 16-byte hashes ride the exchange, the text columns never move —
+    * and the single hash equi-join on id co-locates for free when both
+    * snapshots are bucketed by id (`sources/Bucketing`). Unchanged rows
+    * are dropped INSIDE the join's projection, so the output is bounded
+    * by churn, not corpus size. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val a = prev.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("__ha"))
+    val b = next.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("__hb"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id"), col("status"))
+  }
+
   // ---- PII detection / redaction ----------------------------------------
 
   /** PII categories as cross-engine-safe regexes (ordered — redaction

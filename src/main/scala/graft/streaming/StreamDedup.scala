@@ -30,19 +30,31 @@ object StreamDedup {
   /** A 60-bit SimHash whose token hash is the md5 prefix instead of
     * xxhash64 — IDENTICAL semantics to [[graft.functions.SimHashSig]]
     * (space-split multiset, ±1 per bit, sign), but replayable in any
-    * engine with md5 (the DuckDB-oracle path: `st_neardup_w`). 60 bits =
-    * 15 hex digits, the widest md5 prefix that fits a signed BIGINT in
-    * both engines. Slower than the codegen expression (60 lambda passes
-    * over the token-hash array) — use SimHashSig on hot paths and this
-    * where cross-engine verifiability matters. */
+    * engine with md5 (the DuckDB-oracle path: `st_neardup_w`,
+    * `d4_simhash_w`). 60 bits = 15 hex digits, the widest md5 prefix
+    * that fits a signed BIGINT in both engines.
+    *
+    * The token-hash array is bound ONCE through a 1-element `transform`
+    * lambda (the `hs ->` below) so each token is md5'ed exactly once;
+    * the 60 bit passes then re-scan only the Long array. (The first
+    * version recomputed split+md5 inside the bit loop — 60× the hash
+    * work; caught when `d4_simhash_w` landed at 20 s in the r15 bench.)
+    * `shiftright(h, b)` instead of `h >> b` because Spark's SQL parser
+    * rejects `>>` in any expression that also contains `array(` (the
+    * nested-generic-type `>>` special case); identical semantics on
+    * these positive 60-bit values. Still slower than the codegen
+    * expression — use SimHashSig on hot paths and this where
+    * cross-engine verifiability matters. */
   def md5SimHash(textCol: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
-          acc + CASE WHEN aggregate(
-              transform(split($textCol, ' '),
-                w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
-              CAST(0 AS BIGINT),
-              (s, h) -> s + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+    s"""element_at(transform(array(
+          transform(split($textCol, ' '),
+            w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))),
+          hs -> aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+            acc + CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+                (s, h) -> s + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1
+                  THEN 1 ELSE -1 END) > 0
+              THEN shiftleft(CAST(1 AS BIGINT), b)
+              ELSE CAST(0 AS BIGINT) END)), 1)""")
 
   private def sigDocs(df: DataFrame, textCol: String, idCol: String,
                       tsCol: String, blockIdx: Int,

@@ -83,6 +83,26 @@ class ScaleSpec8 extends SparkTestBase {
     assert(out(3L) == ((1L, 1L, 1.0)), s"${out(3L)}")
   }
 
+  // ---- snapshot diff -------------------------------------------------------
+
+  test("snapshotDiff: all four statuses classified, unchanged never emitted") {
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone"))
+      .toDF("id0", "t")
+    val next = Seq((1L, "same"), (2L, "new text"), (4L, "fresh"))
+      .toDF("id0", "t")
+    val out = graft.scale.Curation.snapshotDiff(prev, next, "t", "id0")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"$out")
+  }
+
+  test("snapshotDiff: identical snapshots emit zero rows") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id0", "t")
+    assert(graft.scale.Curation.snapshotDiff(snap, snap, "t", "id0")
+      .count() == 0L)
+  }
+
   // ---- key-skew audit ------------------------------------------------------
 
   test("keySkewProfile: hand-computed Gini on counts {1, 1, 2}") {
