@@ -1028,9 +1028,13 @@ object ScaleQueries3 {
     val both = ids.select(col("doc_id"), col("doc_id").as("vid"), lit(0).as("shift"))
       .unionByName(ids.select(col("doc_id"),
         (col("doc_id") + lit(1L << 40)).as("vid"), lit(10).as("shift")))
-    graft.scale.Dedup.hammingPairs(
-        both.withColumn("dhash", ph(png(col("doc_id"), col("shift")))),
-        "dhash", "vid", maxHamming = 3)
+    // the (vid, dhash) signature table is 16 B/row but its PNG
+    // encode+decode UDF chain is the expensive part — materialize it once
+    // so hammingPairs' two join sides (and their union legs) read blocks,
+    // not re-encoded images (the before-plan ran the codec chain 8×)
+    val sigs = both.withColumn("dhash", ph(png(col("doc_id"), col("shift"))))
+      .localCheckpoint(true)
+    graft.scale.Dedup.hammingPairs(sigs, "dhash", "vid", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
@@ -1114,9 +1118,12 @@ object ScaleQueries3 {
     val both = ids.select(col("doc_id"), col("doc_id").as("vid"), lit(0).as("shift"))
       .unionByName(ids.select(col("doc_id"),
         (col("doc_id") + lit(1L << 40)).as("vid"), lit(10).as("shift")))
-    val pairs = graft.scale.Dedup.hammingPairs(
-      both.withColumn("dhash", ph(png(col("doc_id"), col("shift")))),
-      "dhash", "vid", maxHamming = 3)
+    // same materialization as d16: the codec UDF chain must run once, not
+    // once per hammingPairs side per components union leg
+    val sigs = both.withColumn("dhash", ph(png(col("doc_id"), col("shift"))))
+      .localCheckpoint(true)
+    val pairs = graft.scale.Dedup.hammingPairs(sigs, "dhash", "vid",
+      maxHamming = 3)
     graft.scale.Dedup.components(pairs, "id_a", "id_b")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))

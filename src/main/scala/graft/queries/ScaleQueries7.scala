@@ -637,6 +637,11 @@ object ScaleQueries7 {
     * literals are driver-injected (no libm log in either engine). */
   private def s20Ndcg: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // NOT materialized (tried in r15, reverted on measurement): the
+    // initial plan shows 40 corpus scans, but all legs execute in ONE
+    // action and AQE stage reuse already collapses the identical
+    // ranker/relevance subtrees — eager checkpoints only serialized the
+    // three rankers' scans (2.58 s → 2.84 s at sf0.1).
     val rel = graft.scale.TextAnalysis.termRelevance(docs, "text", "doc_id",
       retrQueries)
     val bm25 = graft.scale.TextAnalysis.bm25TopK(docs, "text", "doc_id",

@@ -147,10 +147,17 @@ object Dedup {
     * row-for-row, which is this operator's oracle (the d2 hash twin). */
   def ngramJaccardPrefix(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // (sid, hs, nsh) is consumed THREE ways (prefix build + both verify
+    // joins) and expression-id drift defeats ReuseExchange — unchecked,
+    // the tokenize→shingle→collect_set subtree runs FIVE times (measured
+    // in the physical plan: five identical scan→Generate→OHA chains, zero
+    // ReusedExchange). Materialize it once; ~8 B/shingle, the same order
+    // as one pass over the corpus.
     val docTok = rawShingleHashes(df, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), col("hs"), size(col("hs")).as("nsh"))
+      .localCheckpoint(true)
     prefixCandidates(docTok, threshold)
       .join(docTok.select(col("sid").as("id_a"), col("hs").as("hsa"),
         col("nsh").as("na")), Seq("id_a"))
@@ -504,7 +511,12 @@ object Dedup {
     def restoreCkptDir(): Unit =
       if (perCallBase.isDefined) priorCkptDir.foreach(
         pairs.sparkSession.sparkContext.setCheckpointDir)
+    // the pair list may be an expensive subplan (sm14/pipe4 feed a full
+    // near-dup join in here) and the symmetrization union consumes it
+    // TWICE — materialize the 16 B/row pair rows once so building the
+    // edge cache doesn't run the pair generator per union leg
     val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
+      .localCheckpoint(true)
     val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
       .distinct().cache()
     // empty pair list => empty component map (the sum-based fixpoint

@@ -52,21 +52,26 @@ object Graph {
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("d")).persist()
     val base = 15L * (scale / 100L)
-    var pr = deg.select(col("id"), lit(scale).as("pr"))
+    // the rank table CARRIES its out-degree so each sweep is one
+    // pr⋈e join + one dst reduce + one deg⋈sums rebuild — the former
+    // per-iteration pr⋈deg join (iters extra exchanges/broadcasts of the
+    // full |V|-row rank table) is folded into the rebuild that had to
+    // read deg anyway. Same integer trajectory, bit-identical ranks.
+    var pr = deg.select(col("id"), col("d"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
-      val sums = pr.join(deg, Seq("id"))
+      val sums = pr
         .withColumn("c", expr("pr div d"))
         .join(e, col("id") === col("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("s"))
-      pr = deg.select(col("id"))
+      pr = deg
         .join(sums, Seq("id"), "left")
         .withColumn("s", coalesce(col("s"), lit(0L)))
-        .select(col("id"),
+        .select(col("id"), col("d"),
           (lit(base) + expr("85 * (s div 100) + (85 * (s % 100)) div 100"))
             .as("pr"))
     }
-    val out = pr.localCheckpoint(true)
+    val out = pr.select(col("id"), col("pr")).localCheckpoint(true)
     e.unpersist(); deg.unpersist()
     out
   }
@@ -236,16 +241,23 @@ object Graph {
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
                     maxDeg: Int = 30): DataFrame = {
     require(maxDeg >= 2, s"need maxDeg >= 2, got $maxDeg")
+    // The edge list may be an EXPENSIVE subplan (g5 feeds the full d2
+    // near-dup join in here) and it is consumed by the degree reduce, the
+    // cap, the wedge join (3×) and the edge count — without
+    // materialization the upstream recomputes per consumer (measured: 60
+    // corpus scans in g5's physical plan). Canonical edges are 16 B/row:
+    // checkpoint them once, and the capped set again (5 consumers).
     val e0 = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
     val deg0 = e0.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val kept = deg0.filter(col("d") <= maxDeg.toLong).select(col("id"))
     val e = e0
       .join(kept.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(kept.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      .localCheckpoint(true)
     // degrees and wedges are recomputed on the CAPPED edge set — the
     // census describes the graph it actually ran on
     val degc = e.select(explode(array(col("a"), col("b"))).as("id"))

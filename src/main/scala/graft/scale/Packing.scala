@@ -191,10 +191,19 @@ object Packing {
     require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
       s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
     val q = floor(col("quality") * lit(100.0) + lit(0.5)) / lit(100.0)
+    // the scored frame is consumed 2-3× downstream (the L1 grid, the
+    // boundary-group rescan, and budgetSelectDocs' whole-keep leg); it is
+    // ~40 B/doc of (grp, id, q, toks, h) — materialize it ONCE so the
+    // expensive text pass (regexp tokenize + stopword filter + md5) never
+    // re-runs (guide §8: decide on small rows; the corpus pays one scan).
+    // localCheckpoint rather than persist: lineage is cut, the blocks are
+    // released by the ContextCleaner when the frame goes out of scope, and
+    // no unpersist hook has to ride the returned doc-level stream.
     val scored = TextAnalysis.qualityScore(df, textCol)
       .select(col(groupCol).as("grp"), col(idCol).as("id"), q.as("q"),
               tokenCount(col(textCol)).as("toks"),
               md5(col(idCol).cast("string")).as("h"))
+      .localCheckpoint(true)
     val gridG = scored.groupBy(col("grp"), col("q"))
       .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
     val budgetCol = floor(col("total") * lit(budgetNum.toDouble) /

@@ -494,9 +494,11 @@ object Similarity {
   /** Exact second-moment table of the embedding matrix: one row per
     * dimension pair (i ≤ j, 1-based) with the population covariance.
     * The input coordinates are quantized to 6 decimals and accumulated
-    * in EXACT decimal arithmetic (the Det.moneySum discipline at
-    * embedding precision), so the sums — and therefore the covariance —
-    * are bit-identical in any engine regardless of summation order.
+    * in EXACT fixed-point arithmetic (the Det.moneySum discipline at
+    * embedding precision — integer lattice sums, scale-shifted exactly
+    * before the double cast), so the sums — and therefore the
+    * covariance — are bit-identical in any engine regardless of
+    * summation order.
     *
     * 100-TB shape: the per-row upper-triangular outer product is a pure
     * map-side higher-order transform (d(d+1)/2 entries per vector, no
@@ -505,15 +507,27 @@ object Similarity {
     * corpus size. Rows whose vector length ≠ dim are excluded. */
   def covarianceMoments(df: DataFrame, vecCol: String, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
+    // Coordinates quantize to the 1e-6 grid as INTEGERS (q6 = round(x·1e6)):
+    // per-row products and every partial sum are then compact BIGINT
+    // codegen arithmetic instead of non-compact DECIMAL(37,12) BigDecimal
+    // multiply+add per pair per row (the former hot cost — d(d+1)/2
+    // decimal ops per vector). The exact decimal values are recovered by
+    // an exact scale shift (decimal × exact decimal literal, precision ≤
+    // 38 so no rounding) before the double cast, so the resulting doubles
+    // are bit-identical to the DECIMAL(18,6) accumulation the oracle
+    // replays. Exactness envelope: Σ q6_i·q6_j must stay below 2^63 —
+    // n·(1e6·max|x|)² < 9.2e18, i.e. ~9M rows of unit-scale coordinates
+    // (pre-scale or shard the sum beyond that).
     val q = df.select(col(vecCol).cast("array<double>").as("e"))
       .filter(size(col("e")) === d)
       .select(expr(
-        "transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)))")
+        "transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
         .as("q"))
     val nDf = q.groupBy().agg(count(lit(1)).as("n"))
     val marg = q.select(posexplode(col("q")).as(Seq("i0", "x")))
       .groupBy((col("i0") + 1).as("i"))
-      .agg(sum(col("x")).cast("double").as("s"))
+      .agg(expr("CAST(CAST(sum(x) AS DECIMAL(20,0)) " +
+        "* CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)").as("s"))
     val pairs = q.select(explode(expr(
         s"flatten(transform(sequence(1, $d), i -> " +
         s"transform(sequence(i, $d), j -> named_struct('i', i, 'j', j, " +
@@ -521,7 +535,8 @@ object Similarity {
         .as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).cast("double").as("sp"))
+      .agg(expr("CAST(CAST(sum(p) AS DECIMAL(20,0)) " +
+        "* CAST(0.000000000001 AS DECIMAL(13,12)) AS DOUBLE)").as("sp"))
     pairs
       .join(broadcast(marg.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
