@@ -848,9 +848,13 @@ object ScaleQueries4 {
     * main total). The composed sm16 → sm17 → phase-union chain under one
     * hash. */
   private def sm19Curriculum: Q = (s, d) => {
+    // alloc is |sources| rows (20) but its anneal-mixture plan scans and
+    // tokenizes the corpus; curriculumSchedule consumes it once per phase
+    // — materialize the tiny table so the corpus pays one pass
     val alloc = graft.scale.Sampling.annealMixture(
       Tables.documents(s, d), "source", "text",
       budgetNum = 2L, budgetDen = 5L, annealPct = 20)
+      .localCheckpoint(true)
     graft.scale.Sampling.curriculumSchedule(
       alloc, "source", "main_tokens", "anneal_tokens", chunkTokens = 512L)
   }

@@ -164,6 +164,10 @@ object EventAnalytics {
         max(col(tsCol).cast("long")).as("frontier_sec"))))
       .select(col(userCol), (col("frontier_sec") - col("last_sec")).as("recency_s"),
         col("frequency"), (col("m6") / 1e6).as("monetary"), col("m6"))
+      // five consumers read this per-entity table (the output row, the
+      // count, and the three rank maps) — materialize the one corpus
+      // aggregate instead of re-running it per consumer
+      .localCheckpoint(true)
     // Each metric's rank map is built INDEPENDENTLY from the same narrow
     // (entity, value) projection and joined back on the entity key — the
     // identical perUser subtrees share one exchange, and chaining the

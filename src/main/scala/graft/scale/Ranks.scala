@@ -45,8 +45,14 @@ object Ranks {
                  buckets: Int = 4096): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val b = lit(buckets.toLong)
+    // the input is consumed FOUR ways (distinct-v grid, u-span, the
+    // u-bucket histogram, and the final join) — materialize it once so an
+    // expensive upstream plan (a30's per-user aggregate, chained
+    // globalRank calls) never re-executes per consumer (a30_rfm's
+    // pre-fix plan held 104 parquet scans).
     val base = df.withColumn("__v", vCol.cast("long"))
       .withColumn("__u", uCol.cast("long"))
+      .localCheckpoint(true)
     val vDir: Column => Column = c => if (descending) c.desc else c.asc
 
     // level 0: distinct-v counts, range-bucketed on v's own span
