@@ -87,23 +87,48 @@ object Quantiles {
     * Determinism: weights are exact integer sums; values pre-aggregate
     * to the distinct-value grain so ties never reorder; the pick is a
     * pure integer comparison (2·cumw ≥ W avoids division). Shape: one
-    * (group, value) reduce, one group-keyed ordered window over the
-    * distinct-value table, one argmin reduce. */
+    * (group, value) reduce, then the cumulative weight via the
+    * bucket-offset decomposition (≤4097 value-range buckets per group —
+    * no window ever sees a whole group, so a near-unique value column
+    * with few groups cannot funnel the table through |groups| tasks),
+    * one argmin reduce. `valueCol` must be numeric (bucket boundaries
+    * are computed on its long floor; ordering stays on the true value). */
   def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
                      groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The cumulative weight is computed by the Ranks.globalRank
+    // bucket-offset decomposition, NOT one window partitioned only by the
+    // group columns: with few groups and a near-unique value column
+    // (prices in cents) that window funnels ~n/|groups| rows through one
+    // task each — the single-partition failure shape at 100 TB. Here the
+    // value span buckets into ≤4097 ranges per group (the per-(group,
+    // bucket) cumulative window is bounded; the within-bucket window sees
+    // ~|group|/4096 rows), and the exclusive bucket offsets are exact
+    // integer sums, so __cw is identical to the single-window cumulative.
     val byVal = df.groupBy((groupCols.map(col) :+ col(valueCol).as("__v")): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"),
            count(lit(1)).cast("long").as("__n"))
-    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .withColumn("__vl", col("__v").cast("long"))
+    val gcols = groupCols.map(col)
+    val span = byVal.groupBy(gcols: _*)
+      .agg(min(col("__vl")).as("__vmin"), max(col("__vl")).as("__vmax"),
+           sum(col("__w")).as("__tw"), sum(col("__n")).as("__tn"))
+    val bucketed = byVal.join(broadcast(span), groupCols)
+      .withColumn("__vb",
+        expr("(__vl - __vmin) div ((__vmax - __vmin) div 4096 + 1)"))
+    val wB = Window.partitionBy(gcols: _*).orderBy(col("__vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offB = bucketed.groupBy((gcols :+ col("__vb")): _*)
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__offb", coalesce(sum(col("__bw")).over(wB), lit(0L)))
+      .select((gcols :+ col("__vb") :+ col("__offb")): _*)
+    val wIn = Window.partitionBy((gcols :+ col("__vb")): _*)
+      .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    byVal
-      .withColumn("__cw", sum(col("__w")).over(wOrd))
-      .withColumn("__tw", sum(col("__w")).over(wAll))
-      .withColumn("__tn", sum(col("__n")).over(wAll))
+    bucketed.join(broadcast(offB), groupCols :+ "__vb")
+      .withColumn("__cw", col("__offb") + sum(col("__w")).over(wIn))
       .filter(col("__cw") * 2 >= col("__tw"))
-      .groupBy(groupCols.map(col): _*)
+      .groupBy(gcols: _*)
       .agg(max(col("__tn")).as("n"), max(col("__tw")).as("w_total"),
            min(col("__v")).as("wmedian"))
   }
