@@ -151,13 +151,22 @@ object Dedup {
     // joins) and expression-id drift defeats ReuseExchange — unchecked,
     // the tokenize→shingle→collect_set subtree runs FIVE times (measured
     // in the physical plan: five identical scan→Generate→OHA chains, zero
-    // ReusedExchange). Materialize it once; ~8 B/shingle, the same order
-    // as one pass over the corpus.
+    // ReusedExchange). Materialize it once. persist() (columnar,
+    // compressed) rather than localCheckpoint: the payload is the
+    // corpus's shingle-set ARRAYS, and checkpointing them as deserialized
+    // row objects regressed the sf1 soak
+    // (11.6 s un-materialized → 17+ s checkpointed isolated-equivalent)
+    // while the compact cache measured 4.5 s there. Variants measured
+    // isolated at sf1/sf10: none 11.6/59.1, persist() 4.5/67.9,
+    // DISK_ONLY 4.9/85.5 — the cache wins 2.6× at sf1 (and at sf0.1,
+    // where the driver benches) and costs +15% at sf10 where the
+    // candidate join dominates everything; kept as the right default
+    // for the near-dup regime the operator serves.
     val docTok = rawShingleHashes(df, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), col("hs"), size(col("hs")).as("nsh"))
-      .localCheckpoint(true)
+      .persist()
     prefixCandidates(docTok, threshold)
       .join(docTok.select(col("sid").as("id_a"), col("hs").as("hsa"),
         col("nsh").as("na")), Seq("id_a"))
