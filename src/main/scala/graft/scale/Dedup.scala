@@ -146,7 +146,8 @@ object Dedup {
     * Prefix filtering is EXACT: the output equals [[ngramJaccard]]
     * row-for-row, which is this operator's oracle (the d2 hash twin). */
   def ngramJaccardPrefix(df: DataFrame, textCol: String, idCol: String,
-                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         n: Int = 3, threshold: Double = 0.5,
+                         cacheInputBytesMax: Long = 32L << 20): DataFrame = {
     // (sid, hs, nsh) is consumed THREE ways (prefix build + both verify
     // joins) and expression-id drift defeats ReuseExchange — unchecked,
     // the tokenize→shingle→collect_set subtree runs FIVE times (measured
@@ -160,13 +161,22 @@ object Dedup {
     // isolated at sf1/sf10: none 11.6/59.1, persist() 4.5/67.9,
     // DISK_ONLY 4.9/85.5 — the cache wins 2.6× at sf1 (and at sf0.1,
     // where the driver benches) and costs +15% at sf10 where the
-    // candidate join dominates everything; kept as the right default
-    // for the near-dup regime the operator serves.
-    val docTok = rawShingleHashes(df, textCol, idCol, n)
+    // candidate join dominates everything. SIZE-KEYED (r16, the verdict's
+    // d20 policy ask): the cache engages only below `cacheInputBytesMax`
+    // of estimated input bytes (32 MB ≈ sf5 documents — between the
+    // measured sf1 win and the sf10 loss), so both regimes get their
+    // measured-best plan. CACHE LIFETIME (ADVICE r15): the returned frame
+    // is lazy, so the operator cannot unpersist for you — the cache lives
+    // until the caller's session clears it (the bench clears after every
+    // query; long-lived sessions own `spark.sharedState.cacheManager` /
+    // `unpersist` hygiene).
+    val cacheIt = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(cacheInputBytesMax)
+    val docTok0 = rawShingleHashes(df, textCol, idCol, n)
       .groupBy(col("sid"))
       .agg(collect_set(col("h")).as("hs"))
       .select(col("sid"), col("hs"), size(col("hs")).as("nsh"))
-      .persist()
+    val docTok = if (cacheIt) docTok0.persist() else docTok0
     prefixCandidates(docTok, threshold)
       .join(docTok.select(col("sid").as("id_a"), col("hs").as("hsa"),
         col("nsh").as("na")), Seq("id_a"))
@@ -463,8 +473,16 @@ object Dedup {
     * for every id that appears in a pair; component = min id reachable.
     * Deterministic. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
-    componentsStats(pairs, aCol, bCol, maxIter, checkpointDir)._1
+                 maxIter: Int = 50, checkpointDir: Option[String] = None,
+                 driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame =
+    componentsStats(pairs, aCol, bCol, maxIter, checkpointDir,
+      driverEdgeLimit)._1
+
+  /** Edge-count ceiling for [[componentsStats]]' driver union-find fast
+    * path: 4M undirected edges ≈ 64 MB of (long, long) pairs on the
+    * driver — the same order as a broadcast-join build side. Above it
+    * the distributed doubling-round fixpoint runs. */
+  val DefaultDriverEdgeLimit: Long = 4L * 1000 * 1000
 
   /** [[components]] plus the number of doubling rounds the fixpoint loop
     * actually ran — the scale-soak observable: at 10× data the near-dup
@@ -472,7 +490,8 @@ object Dedup {
     * constant, which is what makes the O(log D) claim measurable. */
   def componentsStats(pairs: DataFrame, aCol: String, bCol: String,
                       maxIter: Int = 50,
-                      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                      checkpointDir: Option[String] = None,
+                      driverEdgeLimit: Long = DefaultDriverEdgeLimit): (DataFrame, Int) = {
     // plan-truncation strategy: `localCheckpoint` (executor-memory blocks)
     // is fine single-node, but an executor loss on a cluster kills the
     // truncated lineage mid-loop — pass `checkpointDir` (HDFS/object
@@ -521,19 +540,71 @@ object Dedup {
       if (perCallBase.isDefined) priorCkptDir.foreach(
         pairs.sparkSession.sparkContext.setCheckpointDir)
     // the pair list may be an expensive subplan (sm14/pipe4 feed a full
-    // near-dup join in here) and the symmetrization union consumes it
-    // TWICE — materialize the 16 B/row pair rows once so building the
-    // edge cache doesn't run the pair generator per union leg
-    val e = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
-      .localCheckpoint(true)
-    val edges = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+    // near-dup join in here). Symmetrization is a MAP-SIDE explode of
+    // each pair into both directions — ONE execution of the pair
+    // generator, no materialization needed (the r15 union-of-two-legs
+    // form had to eagerly localCheckpoint the pair subplan so the second
+    // leg wouldn't recompute it, which serialized a stage AQE had been
+    // overlapping — the sm14 regression in the r15 artifact)
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("t")),
+        struct(col("b").as("s"), col("a").as("t")))).as("st"))
+      .select(col("st.s").as("s"), col("st.t").as("t"))
       .distinct().cache()
+    val nDirected = edges.count()
     // empty pair list => empty component map (the sum-based fixpoint
     // check below would otherwise read a null aggregate)
-    if (edges.isEmpty) {
+    if (nDirected == 0L) {
       edges.unpersist()
-      return (e.sparkSession.emptyDataFrame
+      return (pairs.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("component")).limit(0), 0)
+    }
+    // SIZE-KEYED LABEL STEP (the broadcast-join discipline applied to the
+    // fixpoint): a near-dup pair list is near-dup-sized, not corpus-sized
+    // — at bench SFs it is a few thousand edges, and running 3 Spark jobs
+    // per doubling round (2 checkpoints + the fixpoint probe) to label a
+    // toy graph is pure scheduler overhead. Below `driverEdgeLimit`
+    // UNDIRECTED edges (default 4M ≈ 64 MB of id pairs — the same
+    // envelope a broadcast-join build side lives in), the cached edge
+    // list is collected once and labeled with a driver union-find; the
+    // result (min reachable id per node — EXACTLY the fixpoint's output)
+    // returns as a local DataFrame. Above the limit the doubling-round
+    // fixpoint below runs unchanged — the 100-TB path. Parity of the two
+    // paths is spec-pinned (DedupSpec components driver/distributed).
+    if (nDirected <= 2L * driverEdgeLimit) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      val edgeIt = edges.toLocalIterator()
+      while (edgeIt.hasNext) {
+        val row = edgeIt.next()
+        val s = row.getLong(0); val t = row.getLong(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(t)) parent.put(t, t)
+        val rs = find(s); val rt = find(t)
+        // union by MIN id: the root is always the smallest id seen, so
+        // find() lands every node on its component minimum directly
+        if (rs < rt) parent.put(rt, rs) else if (rt < rs) parent.put(rs, rt)
+      }
+      val outRows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+      java.util.Arrays.sort(keys.asInstanceOf[Array[Object]])
+      keys.foreach(k => outRows += ((k.longValue(), find(k.longValue()))))
+      edges.unpersist()
+      restoreCkptDir()
+      val spark = pairs.sparkSession
+      return (spark.createDataset(outRows.toSeq)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("id", "component"), 0)
     }
     // label(v) starts at min(v, min neighbor).
     // Each round's result is plan-truncated (see `truncate` above):
@@ -669,7 +740,8 @@ object Dedup {
                        planesPerBand: Int = 4, dim: Int = -1,
                        targetBucket: Int = 32,
                        knownRows: Long = -1L,
-                       maxBucket: Int = -1): DataFrame = {
+                       maxBucket: Int = -1,
+                       sketchMinRows: Long = 100000L): DataFrame = {
     import graft.functions.VectorOps
     val (cand, base, d0, n) = lshStages(df, vecCol, idCol, bands, planesPerBand,
                                         dim, targetBucket, knownRows,
@@ -697,7 +769,15 @@ object Dedup {
     // the d11 fixture, full-query wall: n=4k 4.1s→7.5s, n=40k
     // 12.4s→15.4s, n=400k 235s→114s) — so it engages at n ≥ 100k and
     // the direct full-vector verify stays the small-corpus path.
-    val useSketch = n >= 100000L
+    // RECALL CONTRACT of the cascade (pinned r16): above `sketchMinRows`
+    // the operator's result is no longer the bit-identical direct-verify
+    // function — a true ≥-threshold pair is screened out only if its
+    // 128-bit sketch distance exceeds the mean-at-threshold by the
+    // ≥4.9σ guard band (probability < 1e-6 per pair). Precision stays
+    // exact (survivors verify with the true cosine). The parameter
+    // exists so the parity spec can force the cascade at small n and
+    // assert pair-set equality with the direct path (ScaleSpec7).
+    val useSketch = n >= sketchMinRows
     val pairsToVerify = if (!useSketch) cand else {
       val skPlanes = Similarity.hyperplanes(128, d0, seed = 0x9E3779B97F4A7C15L)
       val bcSk = df.sparkSession.sparkContext.broadcast(skPlanes)
@@ -715,9 +795,13 @@ object Dedup {
         }
         out
       }
+      // 24 B/row sketch table, consumed by BOTH lookup sides of the
+      // screen join — materialized so the 128·d-multiply skU UDF (and
+      // the corpus scan under it) runs once, not per side
       val sk = base.withColumn("sk", skU(col("v")))
         .select(col("vid"), col("sk").getItem(0).as("sk0"),
                 col("sk").getItem(1).as("sk1"))
+        .localCheckpoint(true)
       val maxH = math.min(128,
         math.ceil(128.0 * math.acos(math.max(-1.0, math.min(1.0, threshold)))
           / math.Pi + 20.0).toInt)
@@ -845,10 +929,17 @@ object Dedup {
     // the join needs anyway.
     val wbb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
+    // the capped signature table is consumed TWICE (probe side + bucket
+    // side of the candidate self-join) and expression-id drift defeats
+    // ReuseExchange here — without materialization the sigU UDF
+    // (bands·ppb·d multiplies per vector) and the occupancy window run
+    // once per side. 24 B/row × bands·n: materialize once (the r15
+    // carry item — "one signature computation in the plan").
     val capped = banded
       .withColumn("occ", count(lit(1)).over(wbb))
       .filter(col("occ") <= maxBucket.toLong)
       .drop("occ")
+      .localCheckpoint(true)
     val probe = capped.repartition(col("vid"))
     val cand = probe.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

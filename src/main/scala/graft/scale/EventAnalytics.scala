@@ -153,8 +153,9 @@ object EventAnalytics {
     * Output: (entity, recency_s, frequency, monetary, r_score, f_score,
     * m_score). */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
-          valueCol: String): DataFrame = {
-    val perUser = events
+          valueCol: String,
+          checkpointDir: Option[String] = None): DataFrame = {
+    val perUser0 = events
       .select(col(userCol), col(tsCol).cast("long").as("sec"),
         floor(col(valueCol).cast("double") * 1e6 + 0.5).cast("long").as("v6"))
       .groupBy(col(userCol))
@@ -166,8 +167,10 @@ object EventAnalytics {
         col("frequency"), (col("m6") / 1e6).as("monetary"), col("m6"))
       // five consumers read this per-entity table (the output row, the
       // count, and the three rank maps) — materialize the one corpus
-      // aggregate instead of re-running it per consumer
-      .localCheckpoint(true)
+      // aggregate instead of re-running it per consumer (localCheckpoint
+      // by default; `checkpointDir` = the executor-loss-safe reliable
+      // checkpoint, see [[Lineage.truncate]])
+    val perUser = Lineage.truncate(perUser0, checkpointDir)
     // Each metric's rank map is built INDEPENDENTLY from the same narrow
     // (entity, value) projection and joined back on the entity key — the
     // identical perUser subtrees share one exchange, and chaining the
@@ -175,7 +178,8 @@ object EventAnalytics {
     // multiply plan recomputation instead.
     def rankMap(vName: String, desc: Boolean, out: String): DataFrame =
       Ranks.globalRank(perUser.select(col(userCol), col(vName)),
-          col(vName), col(userCol), descending = desc, out = out)
+          col(vName), col(userCol), descending = desc, out = out,
+          checkpointDir = checkpointDir)
         .select(col(userCol), col(out))
     def score(r: String) =
       ceil(lit(5) * col(r).cast("double") / col("__n")).cast("int")

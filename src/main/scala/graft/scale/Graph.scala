@@ -239,7 +239,8 @@ object Graph {
     * cap, one hash join on the shared endpoint (a<b<c canonical order
     * counts each triangle exactly once), one semi-join to close it. */
   def triangleStats(edges: DataFrame, aCol: String, bCol: String,
-                    maxDeg: Int = 30): DataFrame = {
+                    maxDeg: Int = 30,
+                    checkpointDir: Option[String] = None): DataFrame = {
     require(maxDeg >= 2, s"need maxDeg >= 2, got $maxDeg")
     // The edge list may be an EXPENSIVE subplan (g5 feeds the full d2
     // near-dup join in here) and it is consumed by the degree reduce, the
@@ -247,17 +248,17 @@ object Graph {
     // materialization the upstream recomputes per consumer (measured: 60
     // corpus scans in g5's physical plan). Canonical edges are 16 B/row:
     // checkpoint them once, and the capped set again (5 consumers).
-    val e0 = edges.select(
+    val e0 = Lineage.truncate(edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") < col("b")).distinct(), checkpointDir)
     val deg0 = e0.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val kept = deg0.filter(col("d") <= maxDeg.toLong).select(col("id"))
-    val e = e0
+    val e = Lineage.truncate(e0
       .join(kept.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-      .join(kept.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-      .localCheckpoint(true)
+      .join(kept.withColumnRenamed("id", "b"), Seq("b"), "left_semi"),
+      checkpointDir)
     // degrees and wedges are recomputed on the CAPPED edge set — the
     // census describes the graph it actually ran on
     val degc = e.select(explode(array(col("a"), col("b"))).as("id"))

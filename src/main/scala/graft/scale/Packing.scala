@@ -140,8 +140,10 @@ object Packing {
     * Returns one row per `groupCol` value: docs and tokens kept. */
   def budgetSelect(df: DataFrame, textCol: String, idCol: String,
                    groupCol: String, budgetNum: Long = 2L,
-                   budgetDen: Long = 5L): DataFrame = {
-    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen)
+                   budgetDen: Long = 5L,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen,
+      checkpointDir)
     // aggregate form: L1/L2 whole keeps come from the (grp, ·) grids —
     // the corpus pays ONE full text pass (gridG) plus the boundary-group
     // and boundary-bucket passes, never a per-doc keep1/keep2 rescan
@@ -165,8 +167,10 @@ object Packing {
     * pre-aggregating (per-doc output forces the rescan). */
   def budgetSelectDocs(df: DataFrame, textCol: String, idCol: String,
                        groupCol: String, budgetNum: Long = 2L,
-                       budgetDen: Long = 5L): DataFrame = {
-    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen)
+                       budgetDen: Long = 5L,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val c = cutFrames(df, textCol, idCol, groupCol, budgetNum, budgetDen,
+      checkpointDir)
     val keep1 = c.scored.join(broadcast(c.keepQ), Seq("q"))
       .select(col("grp"), col("id"), col("toks"))
     val keep2 = c.bdocs.join(broadcast(c.keepB), Seq("bkt"))
@@ -186,7 +190,8 @@ object Packing {
     * tiny keep/boundary frames both output forms assemble from. */
   private def cutFrames(df: DataFrame, textCol: String, idCol: String,
                         groupCol: String, budgetNum: Long,
-                        budgetDen: Long): CutFrames = {
+                        budgetDen: Long,
+                        checkpointDir: Option[String] = None): CutFrames = {
     import org.apache.spark.sql.expressions.Window
     require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
       s"need a budget fraction in [0,1], got $budgetNum/$budgetDen")
@@ -199,11 +204,11 @@ object Packing {
     // localCheckpoint rather than persist: lineage is cut, the blocks are
     // released by the ContextCleaner when the frame goes out of scope, and
     // no unpersist hook has to ride the returned doc-level stream.
-    val scored = TextAnalysis.qualityScore(df, textCol)
-      .select(col(groupCol).as("grp"), col(idCol).as("id"), q.as("q"),
-              tokenCount(col(textCol)).as("toks"),
-              md5(col(idCol).cast("string")).as("h"))
-      .localCheckpoint(true)
+    val scored = Lineage.truncate(
+      TextAnalysis.qualityScore(df, textCol)
+        .select(col(groupCol).as("grp"), col(idCol).as("id"), q.as("q"),
+                tokenCount(col(textCol)).as("toks"),
+                md5(col(idCol).cast("string")).as("h")), checkpointDir)
     val gridG = scored.groupBy(col("grp"), col("q"))
       .agg(count(lit(1)).as("gn"), sum(col("toks")).as("gtok"))
     val budgetCol = floor(col("total") * lit(budgetNum.toDouble) /

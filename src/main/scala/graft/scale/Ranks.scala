@@ -42,17 +42,20 @@ object Ranks {
     * long id (ties on (v, u) would make "rank" ill-defined). */
   def globalRank(df: DataFrame, vCol: Column, uCol: Column,
                  descending: Boolean, out: String,
-                 buckets: Int = 4096): DataFrame = {
+                 buckets: Int = 4096,
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val b = lit(buckets.toLong)
     // the input is consumed FOUR ways (distinct-v grid, u-span, the
     // u-bucket histogram, and the final join) — materialize it once so an
     // expensive upstream plan (a30's per-user aggregate, chained
     // globalRank calls) never re-executes per consumer (a30_rfm's
-    // pre-fix plan held 104 parquet scans).
-    val base = df.withColumn("__v", vCol.cast("long"))
-      .withColumn("__u", uCol.cast("long"))
-      .localCheckpoint(true)
+    // pre-fix plan held 104 parquet scans). Default localCheckpoint;
+    // at cluster scale pass `checkpointDir` for the executor-loss-safe
+    // reliable checkpoint (see [[Lineage.truncate]]).
+    val base = Lineage.truncate(
+      df.withColumn("__v", vCol.cast("long"))
+        .withColumn("__u", uCol.cast("long")), checkpointDir)
     val vDir: Column => Column = c => if (descending) c.desc else c.asc
 
     // level 0: distinct-v counts, range-bucketed on v's own span

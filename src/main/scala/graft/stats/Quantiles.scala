@@ -96,6 +96,13 @@ object Quantiles {
   def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
                      groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // valueCol must be numeric (ADVICE r15): a non-numeric column would
+    // cast(long) to null, fall out of the bucket join, and silently drop
+    // its weight from the cumulative while still counting in the total.
+    require(df.schema(valueCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedMedian needs a numeric valueCol, got " +
+      s"${df.schema(valueCol).dataType.simpleString} for '$valueCol'")
     // The cumulative weight is computed by the Ranks.globalRank
     // bucket-offset decomposition, NOT one window partitioned only by the
     // group columns: with few groups and a near-unique value column
@@ -105,10 +112,15 @@ object Quantiles {
     // bucket) cumulative window is bounded; the within-bucket window sees
     // ~|group|/4096 rows), and the exclusive bucket offsets are exact
     // integer sums, so __cw is identical to the single-window cumulative.
+    // NULL values are excluded from BOTH the cumulative and the total
+    // (documented contract; ADVICE r15 — previously a null value's
+    // weight counted in __tw but never in __cw, so a group with most of
+    // its mass on nulls could emit no row)
     val byVal = df.groupBy((groupCols.map(col) :+ col(valueCol).as("__v")): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"),
            count(lit(1)).cast("long").as("__n"))
       .withColumn("__vl", col("__v").cast("long"))
+      .filter(col("__vl").isNotNull)
     val gcols = groupCols.map(col)
     val span = byVal.groupBy(gcols: _*)
       .agg(min(col("__vl")).as("__vmin"), max(col("__vl")).as("__vmax"),
@@ -125,7 +137,12 @@ object Quantiles {
     val wIn = Window.partitionBy((gcols :+ col("__vb")): _*)
       .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offB), groupCols :+ "__vb")
+    // offB is NOT broadcast-hinted (ADVICE r15): it is up to
+    // 4097·|groups| rows, so a forced broadcast inverts the scale safety
+    // on high-cardinality groups; the planner picks the strategy, and a
+    // shuffle join on (group, __vb) shares the exchange the within-
+    // bucket window needs anyway.
+    bucketed.join(offB, groupCols :+ "__vb")
       .withColumn("__cw", col("__offb") + sum(col("__w")).over(wIn))
       .filter(col("__cw") * 2 >= col("__tw"))
       .groupBy(gcols: _*)

@@ -41,6 +41,47 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("components driver fast path == distributed fixpoint (parity, 2 seeds)") {
+    // the size-keyed label step (r16): below the edge limit a driver
+    // union-find answers; above (forced here with limit 0) the doubling
+    // -round fixpoint runs — both must emit the identical label table
+    for (seed <- Seq(7L, 123L)) {
+      val r = lcg(seed)
+      val n = 60
+      val edges = (0 until 90).map(_ => ((r() % n).toInt.toLong, (r() % n).toInt.toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val (viaDriver, rounds0) = Dedup.componentsStats(df, "id_a", "id_b")
+      val (viaDist, roundsN) =
+        Dedup.componentsStats(df, "id_a", "id_b", driverEdgeLimit = 0L)
+      assert(rounds0 == 0, "small graph must take the driver path")
+      assert(roundsN >= 1, "limit 0 must force the distributed fixpoint")
+      val a = viaDriver.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val b = viaDist.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(a == b, s"seed=$seed: driver $a vs distributed $b")
+    }
+  }
+
+  test("Lineage.truncate reliable-checkpoint variant matches localCheckpoint") {
+    // cluster-path parity for the r15 materialization sites: the same
+    // frame truncated through a reliable checkpoint dir must hold the
+    // same rows (globalRank exercised end-to-end on both paths)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString
+    try {
+      val df = (1 to 200).map(i => ((i * 37) % 50L, i.toLong)).toDF("v", "u")
+      val local = graft.scale.Ranks.globalRank(df, col("v"), col("u"),
+          descending = false, out = "rk")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val durable = graft.scale.Ranks.globalRank(df, col("v"), col("u"),
+          descending = false, out = "rk", checkpointDir = Some(dir))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(local == durable)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("repetitionStats invariants on random token streams (100 docs)") {
     val r = lcg(5L)
     val docs = (0 until 100).map { i =>

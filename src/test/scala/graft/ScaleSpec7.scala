@@ -134,6 +134,36 @@ class ScaleSpec7 extends SparkTestBase {
     assert(full.exists { case (a, b) => a < 40L && b < 40L })
   }
 
+  test("cosineNearDupLsh sketch cascade: pair set equals the direct-verify " +
+       "path (standing recall-contract spec)") {
+    // the scale-dependent branch (n >= sketchMinRows) screens candidates
+    // with a 128-bit sign sketch before the full-vector verify; the
+    // >=4.9-sigma guard band makes a lost true pair a <1e-6 event. Force
+    // the cascade on a deterministic near-dup fixture (seeded LCG base
+    // vectors + 0.957-cosine perturbed twins) and assert the emitted
+    // pair SET equals the direct path's — same operator contract the
+    // r15 sf10 soak measured byte-identical at n=400k.
+    val dim = 16
+    val r = graft.core.DetRandom.longs(4242L)
+    def vec(): Seq[Double] = Seq.fill(dim)(((r() % 1000L) - 500L) / 250.0)
+    val base = (0L until 500L).map(i => (i, vec()))
+    val twins = base.map { case (i, v) =>
+      (i + 100000L,
+       v.zipWithIndex.map { case (x, j) => if (j % 2 == 0) x * 1.3 else x * 0.7 })
+    }
+    val df = (base ++ twins).toDF("vec_id", "v")
+    val direct = graft.scale.Dedup.cosineNearDupLsh(df, "v", "vec_id",
+        threshold = 0.9, knownRows = 1000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cascade = graft.scale.Dedup.cosineNearDupLsh(df, "v", "vec_id",
+        threshold = 0.9, knownRows = 1000L, sketchMinRows = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(direct.nonEmpty, "fixture must produce near-dup pairs")
+    assert(cascade == direct,
+      s"cascade lost/gained pairs: only-direct=${direct -- cascade} " +
+      s"only-cascade=${cascade -- direct}")
+  }
+
   test("lshBucketProfile: sums signatures and pairs exactly on a known pile") {
     val dim = 4
     val df = (0L until 10L).map(i => (i, Seq.fill(dim)(1.0))).toDF("vec_id", "v")
